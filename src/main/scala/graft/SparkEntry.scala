@@ -1,13 +1,41 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * The operator inventory lives in the `graft.operators.*` / `graft.ops.*`
+  * modules as `Q` values; this object only assembles the maps the driver
+  * consumes.
+  */
 object SparkEntry {
+
+  /** All declared capabilities, each a named query over `$sfDir`. */
+  def allDefs: Seq[Q] =
+    operators.Relational.defs
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    allDefs.head.fn(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allDefs.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted → driver records rows-only check. */
+  def oracleSql: Map[String, String] =
+    allDefs.flatMap(q => q.oracle.map(sql => q.name -> sql)).toMap
+
+  /** Headline subset benchmarked by `Bench` (heavier, scan/join/agg bound). */
+  def benchNames: Seq[String] = {
+    val preferred = Seq(
+      "q01_pricing_summary", "q03_shipping_priority", "q05_local_supplier_volume",
+      "q06_forecast_revenue", "q07_cust_order_histogram", "q09_range_bracket_join",
+      "q13_window_rank", "q16_topk_per_group", "q18_setops",
+      "d03_minhash_lsh", "d05_embed_cosine_topk", "t05_tfidf")
+    val have = queries.keySet
+    preferred.filter(have)
+  }
 }

@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Dev-only oracle self-check (mimics the driver's t2 gate; NOT part of the
+engine). Usage:
+    sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out"
+    python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_out
+Compares each Spark result parquet against the DuckDB oracle SQL: columns
+sorted by name, rows sorted, exact value match (floats reported with max
+abs diff when unequal).
+"""
+import json, math, sys
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def canon(df):
+    cols = sorted(df.columns)
+    df = df[cols]
+    df = df.sort_values(by=cols, kind="mergesort", na_position="first").reset_index(drop=True)
+    return df
+
+def cmp_cell(a, b):
+    if a is None and b is None:
+        return True
+    try:
+        if isinstance(a, float) or isinstance(b, float):
+            if a is None or b is None:
+                return False
+            if math.isnan(a) and math.isnan(b):
+                return True
+            return a == b
+    except TypeError:
+        pass
+    return a == b
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            exp = canon(con.sql(sql).df())
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            failures += 1
+            continue
+        try:
+            got = canon(con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df())
+        except Exception as e:
+            print(f"FAIL {name}: spark output missing/unreadable: {e}")
+            failures += 1
+            continue
+        if list(exp.columns) != list(got.columns):
+            print(f"FAIL {name}: columns exp={list(exp.columns)} got={list(got.columns)}")
+            failures += 1
+            continue
+        if len(exp) != len(got):
+            print(f"FAIL {name}: rows exp={len(exp)} got={len(got)}")
+            failures += 1
+            continue
+        bad = None
+        maxdiff = 0.0
+        for c in exp.columns:
+            ev, gv = exp[c].tolist(), got[c].tolist()
+            for i, (a, b) in enumerate(zip(ev, gv)):
+                if not cmp_cell(a, b):
+                    if isinstance(a, float) and isinstance(b, float):
+                        maxdiff = max(maxdiff, abs(a - b))
+                    if bad is None:
+                        bad = (c, i, a, b)
+        if bad:
+            c, i, a, b = bad
+            extra = f" maxfloatdiff={maxdiff:.3e}" if maxdiff else ""
+            print(f"FAIL {name}: first diff col={c} row={i} exp={a!r} got={b!r}{extra}")
+            failures += 1
+        else:
+            print(f"OK   {name} ({len(exp)} rows)")
+    # rows-only queries (no oracle): just confirm output exists
+    import os
+    for d in sorted(os.listdir(out_dir)):
+        p = os.path.join(out_dir, d)
+        if os.path.isdir(p) and d not in oracle:
+            try:
+                n = con.sql(f"SELECT count(*) FROM '{p}/*.parquet'").fetchone()[0]
+                print(f"OK?  {d} (rows-only, {n} rows)")
+            except Exception as e:
+                print(f"FAIL {d}: rows-only output unreadable: {e}")
+                failures += 1
+    print(f"\n{'ALL GREEN' if failures == 0 else str(failures) + ' FAILURES'}")
+    return 1 if failures else 0
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    sys.exit(main(sf, out))
