@@ -1,0 +1,118 @@
+package graft
+
+import graft.pipe.{ExternalPipeline, PipeConfig}
+import org.apache.spark.SparkException
+
+import java.nio.file.attribute.PosixFilePermissions
+import java.nio.file.{Files, Path, Paths}
+
+/** t1 smoke for the pipe operator (SURVEY.md §5.2 item 1): a 3-stage
+  * read→solve→write shell pipeline shaped like the reference's CRANKER
+  * config (`/root/reference/properties.json:10-12`), exercising header
+  * prepend, shared `%TMP_MAT_FILE_N%` temp files, `.txt`-only collection,
+  * env injection, and non-zero-exit task failure.
+  */
+class PipeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def writeScript(dir: Path, name: String, body: String): Unit = {
+    val p = dir.resolve(name)
+    Files.writeString(p, "#!/bin/sh\n" + body + "\n")
+    Files.setPosixFilePermissions(p, PosixFilePermissions.fromString("rwxr-xr-x"))
+  }
+
+  private lazy val binDir: Path = {
+    val d = Files.createTempDirectory("graft-pipe-bin")
+    // args: $1=%MCR_ROOT% $2=%INPUT_FILE% $3=%TMP_MAT_FILE_1%
+    writeScript(d, "run_read.sh", """cp "$2" "$3"""")
+    // args: $1=%MCR_ROOT% $2=%TMP_MAT_FILE_1% $3=%TMP_MAT_FILE_2%
+    writeScript(d, "run_solve.sh", """tr a-z A-Z < "$2" > "$3"""")
+    // args: $1=%MCR_ROOT% $2=%TMP_MAT_FILE_1% $3=%TMP_MAT_FILE_2%
+    // cwd is the staging out dir; drops the header line, emits result.txt,
+    // and records the env var the reference injects.
+    writeScript(d, "run_write.sh",
+      """tail -n +2 "$3" > result.txt; echo "cache=$MCR_CACHE_ROOT" > env.txt""")
+    writeScript(d, "run_fail.sh", "exit 3")
+    d
+  }
+
+  private def configJson(commands: String): String =
+    s"""{
+       |  "stage_dir" : "${Files.createTempDirectory("graft-pipe-stage")}",
+       |  "mcr_root" : "/opt/fake_mcr",
+       |  "mcr_cache_root" : "/tmp/graft_cache",
+       |  "algorithms" : [
+       |    {
+       |      "name":"CRANKER",
+       |      "binary_dir" : "$binDir",
+       |      "executables" : [
+       |        $commands
+       |      ],
+       |      "hdfs_in_dir" : "/unused",
+       |      "hdfs_out_dir" : "/unused"
+       |    }
+       |  ]
+       |}""".stripMargin
+
+  // trailing comma after the last executable — the shipped reference config
+  // has one (properties.json:12) and must parse
+  private val threeStage = configJson(
+    """{"command" : "run_read.sh %MCR_ROOT% %INPUT_FILE% %TMP_MAT_FILE_1%"},
+      |{"command" : "run_solve.sh %MCR_ROOT% %TMP_MAT_FILE_1% %TMP_MAT_FILE_2%"},
+      |{"command" : "run_write.sh %MCR_ROOT% %TMP_MAT_FILE_1% %TMP_MAT_FILE_2%"},""".stripMargin)
+
+  test("config parser tolerates trailing comma and resolves algorithm case-insensitively") {
+    val cfg = PipeConfig.parse(threeStage)
+    assert(cfg.algorithms.head.commands.size == 3)
+    assert(cfg.algorithm("cranker").name == "CRANKER")
+    assertThrows[IllegalArgumentException](cfg.algorithm("nope"))
+  }
+
+  test("3-stage pipeline round-trips rows, prepends header, shares temp files, collects only txt") {
+    val cfg = PipeConfig.parse(threeStage)
+    val rows = Seq("s0001\tmktayiak\t2", "s0002\tpeptide\t3", "s0003\tspectra\t1")
+    val ds = spark.createDataset(rows).repartition(2)
+    val out = ExternalPipeline.run(ds, Some("id\tseq\tcharge"), cfg.algorithm("CRANKER"), cfg.globals)
+      .collect()
+    val byFile = out.groupBy(_.getString(0))
+    // result.txt: all data rows uppercased (header dropped by tail -n +2);
+    // env.txt: injected MCR_CACHE_ROOT; no .mat intermediates collected
+    assert(byFile.keySet == Set("result.txt", "env.txt"))
+    assert(byFile("result.txt").map(_.getString(1)).sorted.toSeq ==
+      rows.map(_.toUpperCase).sorted)
+    assert(byFile("env.txt").map(_.getString(1)).toSet == Set("cache=/tmp/graft_cache"))
+  }
+
+  test("header is written first in every partition's staged file") {
+    val cfg = PipeConfig.parse(configJson(
+      """{"command" : "run_read.sh %MCR_ROOT% %INPUT_FILE% %TMP_MAT_FILE_1%"},
+        |{"command" : "run_solve.sh %MCR_ROOT% %TMP_MAT_FILE_1% out.txt"}""".stripMargin))
+    val ds = spark.createDataset(Seq("a", "b", "c", "d")).repartition(2)
+    val out = ExternalPipeline.run(ds, Some("hdr"), cfg.algorithm("CRANKER"), cfg.globals)
+      .as[(String, String)].collect()
+    // 2 partitions → the header appears exactly twice, uppercased by solve
+    assert(out.count(_._2 == "HDR") == 2)
+    assert(out.map(_._2).count(Set("A", "B", "C", "D")) == 4)
+  }
+
+  test("non-zero exit fails the task (reference ExecutorMapper.java:265-269)") {
+    val cfg = PipeConfig.parse(configJson("""{"command" : "run_fail.sh %MCR_ROOT% %INPUT_FILE%"}"""))
+    val ds = spark.createDataset(Seq("x"))
+    val e = intercept[SparkException] {
+      ExternalPipeline.run(ds, None, cfg.algorithm("CRANKER"), cfg.globals).collect()
+    }
+    assert(e.getMessage.contains("non zero return code") ||
+      Option(e.getCause).exists(_.getMessage.contains("non zero return code")))
+  }
+
+  test("repartitionTo controls pipeline invocation count (split-size knob)") {
+    val cfg = PipeConfig.parse(configJson(
+      """{"command" : "run_read.sh %MCR_ROOT% %INPUT_FILE% part.txt"}"""))
+    val ds = spark.createDataset((1 to 20).map(i => s"row$i"))
+    val out = ExternalPipeline.run(ds, Some("h"), cfg.algorithm("CRANKER"), cfg.globals,
+      repartitionTo = Some(5)).as[(String, String)].collect()
+    // 5 partitions → 5 headers + 20 rows
+    assert(out.length == 25)
+    assert(out.count(_._2 == "h") == 5)
+  }
+}
