@@ -14,6 +14,8 @@ object SparkEntry {
   /** All declared capabilities, each a named query over `$sfDir`. */
   def allDefs: Seq[Q] =
     operators.Relational.defs ++
+      operators.WindowsSetOps.defs ++
+      functions.ScalarQueries.defs ++
       operators.PipeQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

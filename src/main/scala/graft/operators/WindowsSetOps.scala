@@ -1,0 +1,177 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2 B5 (window functions) and B6 (sort/limit/set ops).
+  * Window partitioning keys are the natural distribution keys (custkey,
+  * suppkey) so at scale each window is computed within one shuffle
+  * partition; every orderBy inside a window includes a unique tiebreaker
+  * column so RANGE/ROWS frames and rank functions are deterministic.
+  */
+object WindowsSetOps {
+
+  /** B5 ranking family: row_number / rank / dense_rank / ntile. */
+  private val q13 = Q(
+    "q13_window_rank",
+    """SELECT o_custkey, o_orderkey,
+              row_number() OVER w AS rn,
+              rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS rk,
+              dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS drk,
+              ntile(4) OVER w AS quartile
+       FROM orders
+       WHERE o_custkey < 50
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+       ORDER BY o_custkey, rn""") { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val wp = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderpriority"))
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 50)
+      .select(col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).as("rn"),
+        rank().over(wp).as("rk"),
+        dense_rank().over(wp).as("drk"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** B5 analytic family: lag / lead / first / last over per-customer order
+    * history (unique (o_orderdate, o_orderkey) ordering → deterministic). */
+  private val q14 = Q(
+    "q14_window_analytic",
+    """SELECT o_custkey, o_orderkey,
+              round(lag(o_totalprice, 1, 0.0) OVER w, 2)  AS prev_price,
+              round(lead(o_totalprice, 1, -1.0) OVER w, 2) AS next_price,
+              round(first_value(o_totalprice) OVER w, 2)  AS first_price,
+              round(last_value(o_totalprice) OVER w, 2)   AS running_last
+       FROM orders WHERE o_custkey < 30
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+       ORDER BY o_custkey, o_orderkey""") { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 30)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(lag(col("o_totalprice"), 1, 0.0).over(w), 2).as("prev_price"),
+        round(lead(col("o_totalprice"), 1, -1.0).over(w), 2).as("next_price"),
+        round(first(col("o_totalprice")).over(w), 2).as("first_price"),
+        round(last(col("o_totalprice")).over(w), 2).as("running_last"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** B5 frames: running sum (ROWS unbounded..current), sliding 3-row avg,
+    * and a numeric RANGE frame (1000 preceding on o_totalprice). */
+  private val q15 = Q(
+    "q15_window_frames",
+    """SELECT o_custkey, o_orderkey,
+              round(sum(o_totalprice) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_sum,
+              round(avg(o_totalprice) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS sliding_avg,
+              count(*) OVER
+                (PARTITION BY o_custkey ORDER BY o_totalprice
+                 RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_within_1000
+       FROM orders WHERE o_custkey < 30
+       ORDER BY o_custkey, o_orderkey""") { (s, d) =>
+    val wt = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wr = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice"))
+      .rangeBetween(-1000, Window.currentRow)
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 30)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(wt.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .as("running_sum"),
+        round(avg(col("o_totalprice")).over(wt.rowsBetween(-2, Window.currentRow)), 4)
+          .as("sliding_avg"),
+        count(lit(1)).over(wr).as("n_within_1000"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** B5: top-k per group (row_number <= k pattern): top-3 revenue parts per
+    * supplier. At scale this is the shuffle-once, no-global-sort top-k. */
+  private val q16 = Q(
+    "q16_topk_per_group",
+    """SELECT l_suppkey, l_partkey, revenue FROM (
+         SELECT l_suppkey, l_partkey,
+                sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue,
+                row_number() OVER (PARTITION BY l_suppkey
+                                   ORDER BY sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) DESC,
+                                            l_partkey) AS rn
+         FROM lineitem GROUP BY l_suppkey, l_partkey) t
+       WHERE rn <= 3
+       ORDER BY l_suppkey, revenue DESC, l_partkey""") { (s, d) =>
+    // per-row fixed-point (1e-4) before summing: integer sums are exact and
+    // order-independent, so the revenue value and the top-k ordering agree
+    // bit-for-bit across engines and across partial-agg orders
+    val byPart = Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg((sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+        .cast(org.apache.spark.sql.types.LongType)) / 10000.0).as("revenue"))
+    val w = Window.partitionBy(col("l_suppkey")).orderBy(col("revenue").desc, col("l_partkey"))
+    byPart.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("l_suppkey", "l_partkey", "revenue")
+      .orderBy(col("l_suppkey"), col("revenue").desc, col("l_partkey"))
+  }
+
+  /** B6: multi-key global sort with explicit NULL ordering + limit.
+    * (TakeOrderedAndProject physically — no full global sort at scale.) */
+  private val q17 = Q(
+    "q17_sort_nulls_limit",
+    """SELECT o_orderkey, nullif(o_orderstatus, 'O') AS status_or_null, o_totalprice
+       FROM orders
+       ORDER BY status_or_null DESC NULLS LAST, o_totalprice DESC, o_orderkey
+       LIMIT 100""") { (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        nullif(col("o_orderstatus"), lit("O")).as("status_or_null"),
+        col("o_totalprice"))
+      .orderBy(col("status_or_null").desc_nulls_last, col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** B6: the full set-operation family over two overlapping custkey bags:
+    * A = custkeys of orders >150k, B = custkeys of URGENT orders. One lazy
+    * union of counts so the whole thing is a single DataFrame. */
+  private val q18 = Q(
+    "q18_setops",
+    """WITH a AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 150000),
+            b AS (SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT')
+       SELECT op, n FROM (
+         SELECT 'union_all' AS op, count(*) AS n FROM (SELECT k FROM a UNION ALL SELECT k FROM b) t
+         UNION ALL SELECT 'union_distinct', count(*) FROM (SELECT k FROM a UNION SELECT k FROM b) t
+         UNION ALL SELECT 'intersect', count(*) FROM (SELECT k FROM a INTERSECT SELECT k FROM b) t
+         UNION ALL SELECT 'intersect_all', count(*) FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) t
+         UNION ALL SELECT 'except', count(*) FROM (SELECT k FROM a EXCEPT SELECT k FROM b) t
+         UNION ALL SELECT 'except_all', count(*) FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) t
+       ) u ORDER BY op""") { (s, d) =>
+    val o = Tables.orders(s, d)
+    val a = o.filter(col("o_totalprice") > 150000).select(col("o_custkey").as("k"))
+    val b = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("k"))
+    def counted(op: String, df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)).as("n")).select(lit(op).as("op"), col("n"))
+    counted("union_all", a.unionAll(b))
+      .unionAll(counted("union_distinct", a.union(b).distinct()))
+      .unionAll(counted("intersect", a.intersect(b)))
+      .unionAll(counted("intersect_all", a.intersectAll(b)))
+      .unionAll(counted("except", a.except(b)))
+      .unionAll(counted("except_all", a.exceptAll(b)))
+      .orderBy("op")
+  }
+
+  /** B2/B6: distinct projection over a composite key. */
+  private val q19 = Q(
+    "q19_distinct",
+    """SELECT DISTINCT o_orderstatus, o_orderpriority
+       FROM orders ORDER BY o_orderstatus, o_orderpriority""") { (s, d) =>
+    Tables.orders(s, d)
+      .select("o_orderstatus", "o_orderpriority")
+      .distinct()
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
+  val defs: Seq[Q] = Seq(q13, q14, q15, q16, q17, q18, q19)
+}
