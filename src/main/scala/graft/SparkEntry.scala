@@ -16,6 +16,9 @@ object SparkEntry {
     operators.Relational.defs ++
       operators.WindowsSetOps.defs ++
       functions.ScalarQueries.defs ++
+      ops.Dedup.defs ++
+      ops.Similarity.defs ++
+      ops.TextAnalysis.defs ++
       operators.PipeQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,175 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** B9 deduplication operators for large-scale corpus curation: exact
+  * (content-hash groupBy), character n-gram Jaccard, MinHash+LSH banding,
+  * and SimHash. All hashing is md5-based with fixed seeds so results are
+  * deterministic and reproducible across engines and runs (SURVEY.md §7
+  * "LSH dedup determinism").
+  *
+  * Scale design: every step is a groupBy/join on a hash-derived key —
+  * uniform keys, no skew; candidate generation never materializes the
+  * full O(N²) pair space, only per-bucket pairs (the LSH point). Shingle
+  * explosion is the widest intermediate (docs × shingles) and flows
+  * straight into a hash partial-agg, so it never lands in memory whole.
+  */
+object Dedup {
+
+  /** Exact dedup: one row per distinct content hash with the surviving
+    * (minimum) id and the duplicate count. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Character k-gram shingles of `text` (1-based sliding window). */
+  def charShingles(textCol: String, k: Int): Column =
+    expr(s"transform(sequence(1, greatest(length($textCol) - ${k - 1}, 1)), i -> substr($textCol, i, $k))")
+
+  /** Word k-shingles (space tokenization). */
+  def wordShingles(textCol: String, k: Int): Column =
+    expr(s"transform(sequence(1, greatest(size(split($textCol, ' ')) - ${k - 1}, 1)), " +
+      s"i -> concat_ws(' ', ${(0 until k).map(j => s"element_at(split($textCol, ' '), i + $j)").mkString(", ")}))")
+
+  /** One MinHash value: the lexicographic min of seed-prefixed md5s over
+    * the shingle set. String-min over fixed-width hex == numeric min. */
+  def minhash(shingles: Column, seed: Int): Column =
+    array_min(transform(shingles, sh => md5(concat(lit(s"$seed|"), sh))))
+
+  /** All `numHashes` MinHash values as an array column. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      s => array_min(transform(shingles, sh => md5(concat(s.cast("string"), lit("|"), sh)))))
+
+  /** LSH banding: (id, band, band_key) — docs sharing a band_key in any
+    * band are near-dup candidates. numHashes = bands * rowsPerBand. */
+  def lshBuckets(df: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = df.select(col(idCol).as("id"),
+      minhashSignature(wordShingles(textCol, shingleWords), numHashes).as("mhs"))
+    val bandKeys = transform(sequence(lit(0), lit(bands - 1)),
+      b => md5(concat_ws("", (0 until rowsPerBand).map(r =>
+        element_at(col("mhs"), (b * rowsPerBand + r + 1).cast("int"))): _*)))
+    sig.select(col("id"), posexplode(bandKeys).as(Seq("band", "band_key")))
+  }
+
+  /** Candidate near-dup pairs from LSH buckets (id_a < id_b, distinct). */
+  def candidatePairs(buckets: DataFrame): DataFrame = {
+    val a = buckets.as("a")
+    val b = buckets.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key")
+        && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** 32-bit SimHash as a '0'/'1' bitstring: bit i is the sign of the sum
+    * over tokens of ±1 derived from hex digit i of md5(token). */
+  def simhashExpr(textCol: String): Column =
+    expr(s"""array_join(transform(sequence(1, 32), i ->
+      CASE WHEN aggregate(split($textCol, ' '), 0L, (acc, t) ->
+        acc + CASE WHEN substr(md5(t), i, 1) IN ('8','9','a','b','c','d','e','f')
+              THEN 1 ELSE -1 END) > 0 THEN '1' ELSE '0' END), '')""")
+
+  /** Hamming distance between two equal-length bitstrings. */
+  def hammingDistance(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(split(a, ""), split(b, ""), (x, y) => when(x === y, 0).otherwise(1)),
+      lit(0), (acc, x) => acc + x)
+
+  // ---------------------------------------------------------------- queries
+
+  private val d01 = Q(
+    "d01_exact_dedup",
+    """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+       FROM documents GROUP BY md5(text) ORDER BY content_hash""") { (s, d) =>
+    exact(Tables.documents(s, d), "text", "doc_id").orderBy("content_hash")
+  }
+
+  private val d02 = Q(
+    "d02_ngram_jaccard",
+    """WITH sh AS (
+         SELECT DISTINCT doc_id, substring(text, i, 5) AS s
+         FROM (SELECT doc_id, text,
+                      unnest(generate_series(1, greatest(len(text) - 4, 1))) AS i
+               FROM documents WHERE doc_id < 40)),
+       sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       inter AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id)
+       SELECT id_a, id_b,
+              round(ni * 1.0 / (sa.n + sb.n - ni), 6) AS jaccard
+       FROM inter
+         JOIN sz sa ON sa.doc_id = id_a
+         JOIN sz sb ON sb.doc_id = id_b
+       WHERE ni * 1.0 / (sa.n + sb.n - ni) >= 0.1
+       ORDER BY id_a, id_b""") { (s, d) =>
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 40)
+    val sh = docs.select(col("doc_id"), explode(charShingles("text", 5)).as("s")).distinct()
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val inter = a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("ni"))
+    inter
+      .join(broadcast(sz.select(col("doc_id").as("id_a"), col("n").as("na"))), "id_a")
+      .join(broadcast(sz.select(col("doc_id").as("id_b"), col("n").as("nb"))), "id_b")
+      .withColumn("j", col("ni") * lit(1.0) / (col("na") + col("nb") - col("ni")))
+      .filter(col("j") >= 0.1)
+      .select(col("id_a"), col("id_b"), round(col("j"), 6).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** MinHash-LSH bucket census: 8 hashes, 4 bands × 2 rows. Buckets with
+    * >1 doc are the candidate groups; the full pair expansion is
+    * `candidatePairs` (unit-tested — pair output is quadratic per bucket
+    * and this fixture has near-identical vocabulary across docs). */
+  private val d03 = Q(
+    "d03_minhash_lsh",
+    """WITH docs AS (
+         SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       sh AS (
+         SELECT doc_id,
+                ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+         FROM (SELECT doc_id, ws,
+                      unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+               FROM docs)),
+       sig AS (
+         SELECT doc_id, seed, min(md5(seed || '|' || sh)) AS mh
+         FROM sh, (SELECT unnest(generate_series(0, 7)) AS seed) seeds
+         GROUP BY doc_id, seed),
+       bands AS (
+         SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+                md5(string_agg(mh, '' ORDER BY seed)) AS band_key
+         FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT))
+       SELECT band, band_key, count(*) AS n_docs
+       FROM bands GROUP BY band, band_key
+       HAVING count(*) > 1
+       ORDER BY band, band_key""") { (s, d) =>
+    lshBuckets(Tables.documents(s, d), "doc_id", "text",
+        shingleWords = 3, bands = 4, rowsPerBand = 2)
+      .groupBy("band", "band_key").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .orderBy("band", "band_key")
+  }
+
+  private val d04 = Q(
+    "d04_simhash",
+    """SELECT doc_id,
+              array_to_string(list_transform(generate_series(1, 32), i ->
+                CASE WHEN list_sum(list_transform(string_split(text, ' '), t ->
+                  CASE WHEN substring(md5(t), i, 1) IN ('8','9','a','b','c','d','e','f')
+                       THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END), '') AS simhash
+       FROM documents ORDER BY doc_id""") { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), simhashExpr("text").as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[Q] = Seq(d01, d02, d03, d04)
+}

@@ -1,0 +1,201 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** B9 text-analysis operators for corpus curation: language-ID (stopword
+  * n-gram heuristic), quality scoring (token/length ratios), token
+  * counting (whitespace + regex), document fingerprinting (k-min-hash of
+  * char 8-grams), and TF-IDF. All token math is integer-derived, ratios
+  * are single fp divides of identical integers → cross-engine exact.
+  *
+  * Scale: everything is scan → (optional explode) → hash agg; the only
+  * wide exchange is TF-IDF's document-frequency join, whose dim side
+  * (vocabulary) is tiny after aggregation and broadcast.
+  */
+object TextAnalysis {
+
+  private def toks(textCol: String): Column = split(col(textCol), " ")
+
+  /** Count of exact token matches against a word set. */
+  def tokenSetCount(textCol: String, words: Seq[String]): Column =
+    size(filter(toks(textCol), t => t.isin(words.map(lit(_)): _*)))
+      .cast(LongType)
+
+  /** Stopword tables for the language-ID heuristic (fixed, seed-free). */
+  val langStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of"),
+    "es" -> Seq("el", "la", "de"),
+    "de" -> Seq("der", "und", "das"),
+    "fr" -> Seq("le", "et", "les"))
+
+  /** Predicted language: argmax of stopword hits with a fixed tie order
+    * (en > es > de > fr), 'unknown' when no stopword fires. */
+  def langIdScores(textCol: String): Seq[(String, Column)] =
+    Seq("en", "es", "de", "fr").map(l => l -> tokenSetCount(textCol, langStopwords(l)))
+
+  // ---------------------------------------------------------------- queries
+
+  private def duckTokCount(words: Seq[String]): String =
+    s"len(list_filter(string_split(text, ' '), t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+
+  private val t01 = Q(
+    "t01_langid",
+    s"""SELECT doc_id, lang AS declared,
+              CASE WHEN sc_en >= greatest(sc_es, sc_de, sc_fr) AND sc_en > 0 THEN 'en'
+                   WHEN sc_es >= greatest(sc_de, sc_fr) AND sc_es > 0 THEN 'es'
+                   WHEN sc_de >= sc_fr AND sc_de > 0 THEN 'de'
+                   WHEN sc_fr > 0 THEN 'fr'
+                   ELSE 'unknown' END AS predicted,
+              sc_en, sc_es, sc_de, sc_fr
+       FROM (SELECT doc_id, lang,
+                    ${duckTokCount(Seq("the", "a", "of"))} AS sc_en,
+                    ${duckTokCount(Seq("el", "la", "de"))} AS sc_es,
+                    ${duckTokCount(Seq("der", "und", "das"))} AS sc_de,
+                    ${duckTokCount(Seq("le", "et", "les"))} AS sc_fr
+             FROM documents) t
+       ORDER BY doc_id""") { (s, d) =>
+    val scored = Tables.documents(s, d).select(
+      col("doc_id"), col("lang").as("declared"),
+      tokenSetCount("text", langStopwords("en")).as("sc_en"),
+      tokenSetCount("text", langStopwords("es")).as("sc_es"),
+      tokenSetCount("text", langStopwords("de")).as("sc_de"),
+      tokenSetCount("text", langStopwords("fr")).as("sc_fr"))
+    scored.select(col("doc_id"), col("declared"),
+      when(col("sc_en") >= greatest(col("sc_es"), col("sc_de"), col("sc_fr"))
+        && col("sc_en") > 0, "en")
+        .when(col("sc_es") >= greatest(col("sc_de"), col("sc_fr")) && col("sc_es") > 0, "es")
+        .when(col("sc_de") >= col("sc_fr") && col("sc_de") > 0, "de")
+        .when(col("sc_fr") > 0, "fr")
+        .otherwise("unknown").as("predicted"),
+      col("sc_en"), col("sc_es"), col("sc_de"), col("sc_fr"))
+      .orderBy("doc_id")
+  }
+
+  private val t02 = Q(
+    "t02_quality_score",
+    """SELECT doc_id,
+              length(text) AS n_chars_measured,
+              len(string_split(text, ' ')) AS n_tokens,
+              len(list_distinct(string_split(text, ' '))) AS n_uniq,
+              round(CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                    / len(string_split(text, ' ')), 4) AS avg_token_len,
+              round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                    / len(string_split(text, ' ')), 4) AS type_token_ratio,
+              round(CAST(len(list_filter(string_split(text, ' '),
+                    t -> t IN ('the','a','of'))) AS DOUBLE)
+                    / len(string_split(text, ' ')), 4) AS stopword_ratio,
+              (len(string_split(text, ' ')) >= 20 AND
+               len(list_distinct(string_split(text, ' '))) >= 10) AS quality_ok
+       FROM documents ORDER BY doc_id""") { (s, d) =>
+    val ts = toks("text")
+    val nTok = size(ts).cast(LongType)
+    val nUniq = size(array_distinct(ts)).cast(LongType)
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      length(col("text")).cast(LongType).as("n_chars_measured"),
+      nTok.as("n_tokens"),
+      nUniq.as("n_uniq"),
+      round((length(col("text")) - (nTok - 1)).cast("double") / nTok, 4).as("avg_token_len"),
+      round(nUniq.cast("double") / nTok, 4).as("type_token_ratio"),
+      round(tokenSetCount("text", Seq("the", "a", "of")).cast("double") / nTok, 4)
+        .as("stopword_ratio"),
+      (nTok >= 20 && nUniq >= 10).as("quality_ok"))
+      .orderBy("doc_id")
+  }
+
+  private val t03 = Q(
+    "t03_token_count",
+    """SELECT source,
+              count(*) AS n_docs,
+              sum(len(string_split(text, ' '))) AS total_tokens,
+              sum(len(regexp_extract_all(text, '[aeiou]+'))) AS total_vowel_runs,
+              round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+              max(len(string_split(text, ' '))) AS max_tokens
+       FROM documents GROUP BY source ORDER BY source""") { (s, d) =>
+    val nTok = size(toks("text")).cast(LongType)
+    Tables.documents(s, d)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(nTok).as("total_tokens"),
+        sum(size(regexp_extract_all(col("text"), lit("[aeiou]+"), lit(0))).cast(LongType))
+          .as("total_vowel_runs"),
+        round(avg(nTok), 4).as("avg_tokens"),
+        max(nTok).as("max_tokens"))
+      .orderBy("source")
+  }
+
+  /** k-min-values fingerprint: the 4 smallest md5s of the doc's char
+    * 8-grams — a compact, unionable sketch (winnowing-style). */
+  private val t04 = Q(
+    "t04_fingerprint",
+    """WITH g AS (
+         SELECT DISTINCT doc_id, md5(substring(text, i, 8)) AS h
+         FROM (SELECT doc_id, text,
+                      unnest(generate_series(1, greatest(len(text) - 7, 1))) AS i
+               FROM documents)),
+       ranked AS (
+         SELECT doc_id, h,
+                row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+         FROM g)
+       SELECT doc_id, array_to_string(list_sort(list(h)), ',') AS fingerprint
+       FROM ranked WHERE rn <= 4
+       GROUP BY doc_id ORDER BY doc_id""") { (s, d) =>
+    val g = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(Dedup.charShingles("text", 8)).as("s"))
+      .select(col("doc_id"), md5(col("s")).as("h"))
+      .distinct()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("h"))
+    g.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 4)
+      .groupBy("doc_id")
+      .agg(array_join(array_sort(collect_list(col("h"))), ",").as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  /** TF-IDF top-3 terms per document (doc_id < 50); idf = ln(N/df) over
+    * the full corpus. */
+  private val t05 = Q(
+    "t05_tfidf",
+    """WITH tok AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       tf AS (
+         SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+       df AS (
+         SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+       n AS (SELECT count(DISTINCT doc_id) AS n FROM tok),
+       scored AS (
+         SELECT tf.doc_id, tf.term,
+                round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+         FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+         WHERE tf.doc_id < 50),
+       ranked AS (
+         SELECT doc_id, term, tfidf,
+                row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+         FROM scored)
+       SELECT doc_id, term, tfidf, rn FROM ranked WHERE rn <= 3
+       ORDER BY doc_id, rn""") { (s, d) =>
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks("text")).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val n = tok.agg(countDistinct(col("doc_id")).as("n"))
+    val scored = tf.filter(col("doc_id") < 50)
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") * log(col("n").cast("double") / col("df")), 6).as("tfidf"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("doc_id", "term", "tfidf", "rn")
+      .orderBy("doc_id", "rn")
+  }
+
+  val defs: Seq[Q] = Seq(t01, t02, t03, t04, t05)
+}

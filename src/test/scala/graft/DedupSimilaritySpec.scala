@@ -1,0 +1,82 @@
+package graft
+
+import graft.ops.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Unit tests for the B9 operator APIs on controlled synthetic inputs
+  * (the fixture corpus has no true duplicates, so the pair-producing
+  * paths are exercised here with planted near-dups). */
+class DedupSimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+  private val nearDup = base.replace("today", "tonight") // 1-word edit
+  private val distinct1 = "completely different words about spark query engines and shuffles everywhere"
+  private val docs = Seq(
+    (0L, base), (1L, base), (2L, nearDup), (3L, distinct1)
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical content and keeps the min id") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+      .orderBy("keep_id").collect()
+    assert(out.length == 3)
+    val dup = out.find(_.getLong(2) == 2L).get
+    assert(dup.getLong(1) == 0L) // ids 0 and 1 collapse to 0
+  }
+
+  test("minhash LSH candidate pairs surface near-dups, not unrelated docs") {
+    val buckets = Dedup.lshBuckets(docs, "doc_id", "text",
+      shingleWords = 2, bands = 8, rowsPerBand = 1)
+    val pairs = Dedup.candidatePairs(buckets)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L))) // identical docs always collide
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L))) // near-dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc
+  }
+
+  test("simhash of identical docs equal; near-dups within small hamming distance") {
+    val sh = docs.select($"doc_id", Dedup.simhashExpr("text").as("h"))
+      .as[(Long, String)].collect().toMap
+    assert(sh(0L) == sh(1L))
+    assert(sh(0L).length == 32)
+    def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(ham(sh(0L), sh(2L)) < ham(sh(0L), sh(3L)))
+  }
+
+  test("hammingDistance column agrees with scala reference") {
+    val got = docs.as("a").crossJoin(docs.as("b"))
+      .select(Dedup.hammingDistance(
+        Dedup.simhashExpr("a.text"), Dedup.simhashExpr("b.text")).as("d"))
+      .agg(max($"d")).as[Int].head()
+    assert(got > 0 && got <= 32)
+  }
+
+  test("brute-force cosine top-k ranks an identical vector first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),    // identical to 0
+      (2L, Array(0.9f, 0.1f, 0.0f)),    // close
+      (3L, Array(0.0f, 0.0f, 1.0f))     // orthogonal
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), 3)
+      .orderBy("rank").as[(Long, Long, Int, Double)].collect()
+    assert(top.map(_._2).toSeq == Seq(1L, 2L, 3L))
+    assert(math.abs(top(0)._4 - 1.0) < 1e-6)
+    assert(top(2)._4 < 1e-6) // orthogonal ≈ 0
+  }
+
+  test("lsh bucket signature is deterministic and groups identical vectors") {
+    val vecs = Seq(
+      (0L, Array.fill(64)(0.25f)),
+      (1L, Array.fill(64)(0.25f)),
+      (2L, Array.tabulate(64)(i => if (i % 2 == 0) 0.5f else -0.5f))
+    ).toDF("vec_id", "embedding")
+    val b = vecs.select($"vec_id", Similarity.lshBucket($"embedding", 8, 64).as("bucket"))
+      .as[(Long, String)].collect().toMap
+    assert(b(0L) == b(1L))
+    assert(b(0L).matches("[01]{8}"))
+    val b2 = vecs.select($"vec_id", Similarity.lshBucket($"embedding", 8, 64).as("bucket"))
+      .as[(Long, String)].collect().toMap
+    assert(b == b2) // run-to-run determinism
+  }
+}
