@@ -19,6 +19,7 @@ object SparkEntry {
       ops.Dedup.defs ++
       ops.Similarity.defs ++
       ops.TextAnalysis.defs ++
+      streaming.StreamingQueries.defs ++
       operators.PipeQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,186 @@
+package graft.streaming
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+import java.util.concurrent.atomic.AtomicInteger
+
+/** SURVEY.md §2 B8: Structured Streaming operators, driven by replaying
+  * the events parquet as a file stream with `Trigger.AvailableNow` (no
+  * wall-clock dependence — SURVEY.md §7). Each query materializes through
+  * a memory sink and returns the finished result, so the same DuckDB
+  * batch oracle verifies stream-batch equivalence (the B8 oracle
+  * strategy).
+  *
+  * Scale: all aggregations are keyed by (window/session, type/user) —
+  * state is bounded by key cardinality × open windows; watermarks bound
+  * state retention in continuous deployments.
+  */
+object StreamingQueries {
+
+  private val sinkCounter = new AtomicInteger(0)
+
+  /** events.parquet replayed as a file stream (ts arrives as nanos-long,
+    * converted exactly to a micros timestamp — see Tables.events). */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a streaming DataFrame to completion into a memory sink and hand
+    * back the materialized table. */
+  private def runToMemory(df: DataFrame, mode: OutputMode): DataFrame = {
+    val name = s"graft_stream_${sinkCounter.incrementAndGet()}_${System.nanoTime()}"
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  /** Tumbling 1-hour window aggregation per event type. */
+  private val s01 = Q(
+    "s01_stream_tumbling",
+    """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+              event_type,
+              count(*) AS n,
+              round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS total_value
+       FROM events
+       GROUP BY 1, 2 ORDER BY window_start, event_type""") { (s, d) =>
+    val agg = eventsStream(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100).cast(LongType)) / 100.0).as("total_value"))
+    runToMemory(agg, OutputMode.Complete())
+      .select(unix_timestamp(col("window.start")).as("window_start"),
+        col("event_type"), col("n"), round(col("total_value"), 2).as("total_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  /** Sliding 2h/1h window: each event lands in two windows. */
+  private val s02 = Q(
+    "s02_stream_sliding",
+    """WITH offsets AS (SELECT unnest([0, 3600]) AS off)
+       SELECT CAST((floor((epoch(ts) - off) / 7200) * 7200 + off) AS BIGINT) AS window_start,
+              count(*) AS n
+       FROM events, offsets
+       GROUP BY 1 ORDER BY window_start""") { (s, d) =>
+    val agg = eventsStream(s, d)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"))
+      .agg(count(lit(1)).as("n"))
+    runToMemory(agg, OutputMode.Complete())
+      .select(unix_timestamp(col("window.start")).as("window_start"), col("n"))
+      .orderBy("window_start")
+  }
+
+  /** Watermark + streaming dedup: the stream unioned with itself (every
+    * event duplicated) collapses back to exact batch counts. */
+  private val s03 = Q(
+    "s03_stream_dedup",
+    """SELECT event_type, count(*) AS n_distinct
+       FROM events GROUP BY event_type ORDER BY event_type""") { (s, d) =>
+    val st = eventsStream(s, d)
+    val doubled = st.unionAll(eventsStream(s, d))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+    val agg = doubled.groupBy(col("event_type")).agg(count(lit(1)).as("n_distinct"))
+    runToMemory(agg, OutputMode.Complete())
+      .orderBy("event_type")
+  }
+
+  /** Session windows (30-min gap) per user, summarized per user. */
+  private val s04 = Q(
+    "s04_stream_sessions",
+    """WITH gaps AS (
+         SELECT user_id, ts,
+                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          >= INTERVAL 30 MINUTE
+                     OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                     THEN 1 ELSE 0 END AS new_session
+         FROM events),
+       sess AS (
+         SELECT user_id, ts,
+                sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         FROM gaps),
+       per_session AS (
+         SELECT user_id, sid, count(*) AS n_events FROM sess GROUP BY user_id, sid)
+       SELECT user_id, count(*) AS n_sessions,
+              sum(n_events) AS total_events, max(n_events) AS max_session_events
+       FROM per_session GROUP BY user_id ORDER BY user_id""") { (s, d) =>
+    val agg = eventsStream(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    runToMemory(agg, OutputMode.Complete())
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("total_events"),
+        max(col("n_events")).as("max_session_events"))
+      .orderBy("user_id")
+  }
+
+  /** Stream-static join: streaming events ⋈ static customer dim, keyed
+    * aggregation by market segment. */
+  private val s05 = Q(
+    "s05_stream_static_join",
+    """SELECT c_mktsegment, count(*) AS n,
+              round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS total_value
+       FROM events JOIN customer ON user_id = c_custkey
+       GROUP BY c_mktsegment ORDER BY c_mktsegment""") { (s, d) =>
+    val cust = Tables.customer(s, d)
+    val joined = eventsStream(s, d)
+      .join(broadcast(cust), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100).cast(LongType)) / 100.0).as("total_value"))
+    runToMemory(joined, OutputMode.Complete())
+      .select(col("c_mktsegment"), col("n"), round(col("total_value"), 2).as("total_value"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Custom stateful processing via mapGroupsWithState: per-user event
+    * count and value sum accumulated in GroupState (the B8 CUSTOM-state
+    * surface). Final state per user == batch aggregation. */
+  private val s06 = Q(
+    "s06_stream_stateful",
+    """SELECT user_id, count(*) AS n_events,
+              sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+       FROM events GROUP BY user_id ORDER BY user_id""") { (s, d) =>
+    import s.implicits._
+    val st = eventsStream(s, d)
+      .select(col("user_id"), round(col("value") * 100).cast(LongType).as("cents"))
+      .as[(Long, Long)]
+    val updated = st.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), (Long, Long, Long)](GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[(Long, Long)]) =>
+          val (n0, c0) = state.getOption.getOrElse((0L, 0L))
+          var n = n0; var c = c0
+          rows.foreach { r => n += 1; c += r._2 }
+          state.update((n, c))
+          (user, n, c)
+      }
+      .toDF("user_id", "n_events", "value_cents")
+    // update-mode memory sink appends one row per key per micro-batch;
+    // counts are monotone, so max == final state
+    runToMemory(updated, OutputMode.Update())
+      .groupBy("user_id")
+      .agg(max(col("n_events")).as("n_events"), max(col("value_cents")).as("value_cents"))
+      .orderBy("user_id")
+  }
+
+  val defs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06)
+}
