@@ -19,7 +19,11 @@ object SparkEntry {
       ops.Dedup.defs ++
       ops.Similarity.defs ++
       ops.TextAnalysis.defs ++
+      ops.Multimodal.defs ++
       streaming.StreamingQueries.defs ++
+      operators.AdvancedJoins.defs ++
+      sources.SourceQueries.defs ++
+      functions.Extensibility.defs ++
       operators.PipeQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

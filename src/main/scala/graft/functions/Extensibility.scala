@@ -1,0 +1,138 @@
+package graft.functions
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Encoder, Encoders, SparkSessionExtensions}
+
+/** B10 extensibility surface: the custom-Expression exemplar wired into
+  * queries, a typed `Aggregator` UDAF, approximate aggregates, and the
+  * `SparkSessionExtensions` injector that registers `cosine_sim` for SQL.
+  */
+object Extensibility {
+
+  /** Weighted geometric mean: exp(Σ w·ln x / Σ w). Typed Aggregator
+    * (B4 custom-UDAF surface); partial-merge friendly (two running sums).
+    */
+  class WeightedGeoMean extends Aggregator[(Double, Double), (Double, Double), Double] {
+    override def zero: (Double, Double) = (0.0, 0.0)
+    override def reduce(b: (Double, Double), in: (Double, Double)): (Double, Double) = {
+      val (w, x) = in
+      (b._1 + w * math.log(x), b._2 + w)
+    }
+    override def merge(a: (Double, Double), b: (Double, Double)): (Double, Double) =
+      (a._1 + b._1, a._2 + b._2)
+    override def finish(r: (Double, Double)): Double =
+      if (r._2 == 0.0) Double.NaN else math.exp(r._1 / r._2)
+    override def bufferEncoder: Encoder[(Double, Double)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  /** The codegen'd CosineSimilarity Expression in a real plan: top-5
+    * nearest corpus vectors for each of 5 query vectors. */
+  private val x01 = Q(
+    "x01_custom_expression",
+    """WITH pairs AS (
+         SELECT q.vec_id AS qid, c.vec_id AS cid,
+                list_sum(list_transform(generate_series(1, 64), i ->
+                  CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+                / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * x)))
+                   * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * x)))) AS cos
+         FROM embeddings q JOIN embeddings c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+       ranked AS (
+         SELECT qid, cid, round(cos, 5) AS cosine,
+                row_number() OVER (PARTITION BY qid ORDER BY round(cos, 5) DESC, cid) AS rank
+         FROM pairs)
+       SELECT qid, cid, rank, cosine FROM ranked WHERE rank <= 5
+       ORDER BY qid, rank""") { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    CosineSimilarity.register(s)
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val c = e.select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("cosine", round(CosineSimilarity.cosine_sim(col("qv"), col("cv")), 5))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("qid", "cid", "rank", "cosine")
+      .orderBy("qid", "rank")
+  }
+
+  /** The Aggregator UDAF in a grouped aggregation, vs the closed-form
+    * oracle exp(Σ qty·ln price / Σ qty). */
+  private val x02 = Q(
+    "x02_udaf_weighted_geomean",
+    """SELECT l_returnflag,
+              round(exp(sum(l_quantity * ln(l_extendedprice)) / sum(l_quantity)), 4) AS wgm_price,
+              count(*) AS n
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, d) =>
+    val wgm = udaf(new WeightedGeoMean,
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble))
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(wgm(col("l_quantity"), col("l_extendedprice")), 4).as("wgm_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Approximate aggregates (HLL distinct, approx quantiles) — estimates
+    * by definition, so no hash oracle: rows-only check (SURVEY.md §5.2). */
+  private val x03 = Q.noOracle("x03_approx_aggs") { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey"), 0.01).as("approx_supps"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_approx"),
+        percentile_approx(col("l_extendedprice"), array(lit(0.25), lit(0.75)), lit(1000))
+          .as("p25_75_approx"))
+      .orderBy("l_returnflag")
+  }
+
+  /** SQL registration of the custom Expression through the session
+    * extension injector (`SparkSessionExtensions.injectFunction`). */
+  private val x04 = Q(
+    "x04_custom_expr_sql",
+    """SELECT a.vec_id AS ida, b.vec_id AS idb,
+              round(list_sum(list_transform(generate_series(1, 64), i ->
+                CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+              / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * x)))
+                 * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * x)))), 5) AS cosine
+       FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+       WHERE a.vec_id < 50
+       ORDER BY ida""") { (s, d) =>
+    CosineSimilarity.register(s)
+    Tables.embeddings(s, d).createOrReplaceTempView("graft_emb_v")
+    s.sql(
+      """SELECT a.vec_id AS ida, b.vec_id AS idb,
+                round(cosine_sim(a.embedding, b.embedding), 5) AS cosine
+         FROM graft_emb_v a JOIN graft_emb_v b ON b.vec_id = a.vec_id + 1
+         WHERE a.vec_id < 50
+         ORDER BY ida""")
+  }
+
+  val defs: Seq[Q] = Seq(x01, x02, x03, x04)
+}
+
+/** Session-extension injector (spark.sql.extensions=graft.functions.
+  * GraftExtensions): registers the custom Expression at session build
+  * time — the (c)-level Catalyst extension surface from the build notes.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CosineSimilarity(exprs.head, exprs(1))))
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** B3 advanced joins: the as-of join (Spark has no built-in) composed from
+  * union + running `last(_, ignoreNulls)` — the scalable formulation: ONE
+  * shuffle on the join key, no per-row subquery, no range explosion. Also
+  * the correlated-scalar-subquery surface via `spark.sql`.
+  */
+object AdvancedJoins {
+
+  /** As-of join: for every event, the most recent order of the same
+    * customer at-or-before the event time (ties: max o_orderkey).
+    *
+    * Union both sides tagged, sort within key by (ts, tag, orderkey), and
+    * carry the last non-null order columns forward — at 100 TB this is a
+    * single sort-shuffle by key; the window frame is running, so state per
+    * key is O(1). */
+  private val q30 = Q(
+    "q30_asof_join",
+    """WITH last_date AS (
+         SELECT e.event_id, e.user_id, max(o.o_orderdate) AS ld
+         FROM events e LEFT JOIN orders o
+           ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+         GROUP BY e.event_id, e.user_id),
+       picked AS (
+         SELECT l.event_id, l.user_id, max(o.o_orderkey) AS last_order_key
+         FROM last_date l LEFT JOIN orders o
+           ON o.o_custkey = l.user_id AND o.o_orderdate = l.ld
+         GROUP BY l.event_id, l.user_id)
+       SELECT event_id, user_id, last_order_key
+       FROM picked
+       WHERE event_id < 2000
+       ORDER BY event_id""") { (s, d) =>
+    val orders = Tables.orders(s, d).select(
+      col("o_custkey").as("k"), col("o_orderdate").as("ts"),
+      col("o_orderkey"), lit(0).as("tag"), lit(null).cast(LongType).as("event_id"))
+    val events = Tables.events(s, d).select(
+      col("user_id").as("k"), col("ts"),
+      lit(null).cast(LongType).as("o_orderkey"), lit(1).as("tag"), col("event_id"))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("ts"), col("tag"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders.unionByName(events)
+      .withColumn("last_order_key", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1 && col("event_id") < 2000)
+      .select(col("event_id"), col("k").as("user_id"), col("last_order_key"))
+      .orderBy("event_id")
+  }
+
+  /** Correlated scalar subquery through the spark.sql entry point
+    * (Catalyst decorrelates it into an aggregate + join — SURVEY.md §4.2). */
+  private val q29 = Q(
+    "q29_correlated_subquery",
+    """SELECT p_partkey, p_brand, p_retailprice
+       FROM part p
+       WHERE p_retailprice > 1.05 * (SELECT avg(p2.p_retailprice)
+                                     FROM part p2 WHERE p2.p_brand = p.p_brand)
+       ORDER BY p_partkey""") { (s, d) =>
+    Tables.part(s, d).createOrReplaceTempView("graft_part_v")
+    s.sql(
+      """SELECT p_partkey, p_brand, p_retailprice
+         FROM graft_part_v p
+         WHERE p_retailprice > 1.05 * (SELECT avg(p2.p_retailprice)
+                                       FROM graft_part_v p2 WHERE p2.p_brand = p.p_brand)
+         ORDER BY p_partkey""")
+  }
+
+  val defs: Seq[Q] = Seq(q29, q30)
+}

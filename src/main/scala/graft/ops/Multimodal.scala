@@ -1,0 +1,108 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+import java.security.MessageDigest
+
+/** B9 multimodal columns: media as opaque `binary` payloads + typed
+  * metadata struct, processed in per-partition batches (the JVM analog of
+  * `mapInPandas` batch UDFs: one iterator of records per partition, heavy
+  * state — codecs, models — initialized once per partition, not per row).
+  *
+  * The actual image/audio DECODE IS A STUB (deterministic fake — the
+  * codec libraries are not in this container, builder-prompt directive);
+  * everything around it — schema, binary handling, partition batching,
+  * frame slicing — is real and oracle-verified.
+  *
+  * Scale: payloads never pass through a shuffle here (narrow pipeline);
+  * when a shuffle is unavoidable, project metadata first and join
+  * payloads back by id.
+  */
+object Multimodal {
+
+  case class MediaRecord(media_id: Long, payload: Array[Byte], format: String, n_bytes: Long)
+  case class MediaFeatures(media_id: Long, payload_len: Long, payload_md5: String,
+      format: String, n_frames: Long, decode_note: String)
+  case class FrameSample(media_id: Long, n_frames: Long, n_sampled: Long, first_frame_md5: String)
+
+  private def md5hex(b: Array[Byte]): String =
+    MessageDigest.getInstance("MD5").digest(b).map("%02x".format(_)).mkString
+
+  /** Wrap a text corpus as a media table (payload = utf-8 bytes). In a
+    * real deployment payloads come from image/audio files; the column
+    * shape (binary + metadata) is identical. */
+  def asMediaTable(docs: DataFrame): Dataset[MediaRecord] = {
+    import docs.sparkSession.implicits._
+    docs.select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      lit("txt").as("format"),
+      length(col("text")).cast(LongType).as("n_bytes")).as[MediaRecord]
+  }
+
+  /** Per-partition batch "decode" + feature extraction. The decode itself
+    * is STUBBED (would call the codec here); md5/frame math is real. */
+  def extractFeatures(media: Dataset[MediaRecord], frameBytes: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { records =>
+      // per-partition init (real codecs/models would be opened here, once)
+      val digest = MessageDigest.getInstance("MD5")
+      records.map { r =>
+        digest.reset()
+        val md5 = digest.digest(r.payload).map("%02x".format(_)).mkString
+        val frames = (r.payload.length + frameBytes - 1) / frameBytes
+        // STUB: a real implementation decodes r.payload with an image/
+        // audio codec; deterministic fake keeps the pipeline testable
+        val note = s"decoded:${r.format}:${r.payload.length}"
+        MediaFeatures(r.media_id, r.payload.length.toLong, md5, r.format, frames.toLong, note)
+      }
+    }
+  }
+
+  /** Frame sampling: slice the payload into fixed-size frames, keep every
+    * `stride`-th one (video keyframe-sampling shape). */
+  def sampleFrames(media: Dataset[MediaRecord], frameBytes: Int = 64, stride: Int = 4): Dataset[FrameSample] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { records =>
+      records.map { r =>
+        val frames = r.payload.grouped(frameBytes).toArray
+        val sampled = frames.zipWithIndex.collect { case (f, i) if i % stride == 0 => f }
+        FrameSample(r.media_id, frames.length.toLong, sampled.length.toLong,
+          if (frames.isEmpty) "" else md5hex(frames.head))
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  private val m01 = Q(
+    "m01_multimodal_features",
+    """SELECT doc_id AS media_id,
+              length(text) AS payload_len,
+              md5(text) AS payload_md5,
+              'txt' AS format,
+              (length(text) + 63) // 64 AS n_frames,
+              'decoded:txt:' || length(text) AS decode_note
+       FROM documents ORDER BY media_id""") { (s, d) =>
+    extractFeatures(asMediaTable(Tables.documents(s, d)))
+      .orderBy("media_id")
+      .toDF()
+  }
+
+  private val m02 = Q(
+    "m02_multimodal_frames",
+    """SELECT doc_id AS media_id,
+              (length(text) + 63) // 64 AS n_frames,
+              ((length(text) + 63) // 64 + 3) // 4 AS n_sampled,
+              md5(substring(text, 1, 64)) AS first_frame_md5
+       FROM documents ORDER BY media_id""") { (s, d) =>
+    sampleFrames(asMediaTable(Tables.documents(s, d)))
+      .orderBy("media_id")
+      .toDF()
+  }
+
+  val defs: Seq[Q] = Seq(m01, m02)
+}

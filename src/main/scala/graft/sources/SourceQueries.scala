@@ -1,0 +1,100 @@
+package graft.sources
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.nio.file.Files
+
+/** SURVEY.md §2 B1: non-parquet sources/sinks proven by round-trip — write
+  * the fixture out in the target format, read it back with an explicit
+  * schema (reference-native: schema supplied externally, no header —
+  * SURVEY.md §1.1), and aggregate; the oracle computes the same aggregate
+  * straight from parquet, so any format/scheme drift fails the hash.
+  */
+object SourceQueries {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** Headerless TSV with supplied schema (the reference's native shape). */
+  private val src01 = Q(
+    "src01_csv_roundtrip",
+    """SELECT n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY n_name ORDER BY n_name""") { (s, d) =>
+    val dir = tmp("graft_csv")
+    Tables.customer(s, d)
+      .write.mode("overwrite")
+      .option("header", "false").option("sep", "\t")
+      .csv(s"$dir/customer_tsv")
+    val schema = StructType(Seq(
+      StructField("c_custkey", LongType), StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType), StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType)))
+    val cust = s.read.schema(schema)
+      .option("header", "false").option("sep", "\t")
+      .csv(s"$dir/customer_tsv")
+    cust.join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 2).as("total_bal"))
+      .orderBy("n_name")
+  }
+
+  /** JSON-lines round-trip (schema inferred on read-back). */
+  private val src02 = Q(
+    "src02_jsonl_roundtrip",
+    """SELECT o_orderpriority, count(*) AS n,
+              sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+       FROM orders WHERE o_orderkey < 5000
+       GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, d) =>
+    val dir = tmp("graft_jsonl")
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") < 5000)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast(LongType).as("cents"))
+      .write.mode("overwrite").json(s"$dir/orders_json")
+    s.read.json(s"$dir/orders_json")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Plain text source/sink (A1 analog: line-oriented scan). */
+  private val src03 = Q(
+    "src03_text_roundtrip",
+    """SELECT count(*) AS n_lines,
+              sum(len(string_split(text, ' '))) AS n_tokens,
+              min(md5(text)) AS min_hash
+       FROM documents""") { (s, d) =>
+    val dir = tmp("graft_text")
+    Tables.documents(s, d).select(col("text"))
+      .write.mode("overwrite").text(s"$dir/docs_txt")
+    val lines = s.read.text(s"$dir/docs_txt")
+    lines.agg(
+      count(lit(1)).as("n_lines"),
+      sum(size(split(col("value"), " ")).cast(LongType)).as("n_tokens"),
+      min(md5(col("value"))).as("min_hash"))
+  }
+
+  /** Partitioned parquet sink + partition-pruned read-back: writes orders
+    * partitioned by year, reads one partition — the scan must prune to a
+    * single directory (verified by the oracle agreeing with a year
+    * filter; pruning itself is asserted in PlanSpec). */
+  private val src04 = Q(
+    "src04_partitioned_parquet",
+    """SELECT o_orderpriority, count(*) AS n
+       FROM orders WHERE year(o_orderdate) = 1997
+       GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, d) =>
+    val dir = tmp("graft_part_parquet")
+    Tables.orders(s, d)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(s"$dir/orders_by_year")
+    s.read.parquet(s"$dir/orders_by_year")
+      .filter(col("o_year") === 1997)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
+  val defs: Seq[Q] = Seq(src01, src02, src03, src04)
+}
