@@ -94,7 +94,9 @@ object Relational {
       .filter(col("o_orderdate") < to_timestamp(lit("1998-03-15 00:00:00")))
     val li = Tables.lineitem(s, d)
       .filter(col("l_shipdate") > to_timestamp(lit("1996-03-15 00:00:00")))
-    li.join(broadcast(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))),
+    // broadcast only the true dim (customer); orders⋈lineitem is
+    // fact⋈fact — shuffle join, AQE picks the physical strategy
+    li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("odate"),
         col("o_orderpriority"))
@@ -143,8 +145,10 @@ object Relational {
     val ord = Tables.orders(s, d)
       .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00"))
         && col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+    // lineitem⋈orders is the one fact⋈fact shuffle; every other side is a
+    // broadcast-size dim at any SF
     Tables.lineitem(s, d)
-      .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.supplier(s, d)),
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))

@@ -1,0 +1,68 @@
+package graft
+
+import graft.pipe.{ExternalPipeline, PipeGlobals, PipelineSpec}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+
+/** Physical-plan assertions (the 100 TB design contract from the builder
+  * prompt): filters/pruning reach the parquet scan, dims broadcast, the
+  * pipe stage stays shuffle-free, partition pruning fires. */
+class PlanSpec extends SparkTestBase {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    castToImpl(df).queryExecution.executedPlan.toString
+
+  test("q01: shipdate filter and column pruning reach the parquet scan") {
+    val p = plan(SparkEntry.queries("q01_pricing_summary")(spark, sf0001))
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("LessThanOrEqual(l_shipdate"), s"filter not pushed:\n$p")
+    assert(!p.contains("l_partkey"), "scan reads columns the query never uses")
+  }
+
+  test("q05: all dimension sides are broadcast, fact join shuffles") {
+    val p = plan(SparkEntry.queries("q05_local_supplier_volume")(spark, sf0001))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast joins in:\n$p")
+    assert(p.sliding("BroadcastExchange".length).count(_ == "BroadcastExchange") >= 3)
+  }
+
+  test("q06: whole-stage codegen covers the scan+filter+agg pipeline") {
+    val df = SparkEntry.queries("q06_forecast_revenue")(spark, sf0001)
+    df.collect() // execute THIS plan so AQE finalizes it (count() would plan anew)
+    val p = castToImpl(df).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    // formatted mode marks whole-stage-codegen operators with a '*' prefix
+    assert(p.contains("* HashAggregate") && p.contains("* Filter"),
+      s"scan→filter→agg not inside a codegen span:\n$p")
+  }
+
+  test("pipe operator plan is a single narrow stage (no shuffle)") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("plan-pipe-bin")
+    val sh = d.resolve("noop.sh")
+    java.nio.file.Files.writeString(sh, "#!/bin/sh\ncp \"$2\" out.txt\n")
+    sh.toFile.setExecutable(true)
+    val spec = PipelineSpec("x", d.toString, Seq("noop.sh %MCR_ROOT% %INPUT_FILE%"), "", "")
+    val globals = PipeGlobals(java.nio.file.Files.createTempDirectory("plan-pipe").toString, "", "/tmp")
+    val df = ExternalPipeline.run(spark.createDataset(Seq("a", "b")), None, spec, globals)
+    val p = plan(df)
+    assert(!p.contains("Exchange"), s"pipe stage must stay map-only (Driver.java:128 parity):\n$p")
+  }
+
+  test("src04: partitioned write + read prunes partitions at the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("plan-part").toString
+    Tables.orders(spark, sf0001)
+      .withColumn("o_year", year(col("o_orderdate")))
+      .write.mode("overwrite").partitionBy("o_year").parquet(s"$dir/o")
+    val df = spark.read.parquet(s"$dir/o").filter(col("o_year") === 1997)
+      .groupBy("o_orderpriority").count()
+    val p = plan(df)
+    assert(p.contains("PartitionFilters"), s"no partition filters:\n$p")
+    assert(p.contains("o_year"), s"pruning column missing:\n$p")
+  }
+
+  test("d05: query side of the similarity join is broadcast") {
+    val p = plan(SparkEntry.queries("d05_embed_cosine_topk")(spark, sf0001))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"queries not broadcast:\n$p")
+  }
+}
