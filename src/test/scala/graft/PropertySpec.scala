@@ -1,0 +1,90 @@
+package graft
+
+import graft.ops.Dedup
+import graft.pipe.{ExternalPipeline, PipeGlobals, PipelineSpec}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based checks (SURVEY.md §5.2 item 3) over ScalaCheck
+  * generators, sampled with fixed seeds (deterministic; Spark jobs per
+  * case are expensive, so case counts are small). */
+class PropertySpec extends SparkTestBase with Matchers {
+  import spark.implicits._
+
+  private def forSamples[T](gen: Gen[T], n: Int = 5)(f: T => Unit): Unit =
+    (0 until n).foreach { i =>
+      f(gen.pureApply(Gen.Parameters.default, Seed(42L + i)))
+    }
+
+  private def forSamples2[A, B](ga: Gen[A], gb: Gen[B], n: Int = 5)(f: (A, B) => Unit): Unit =
+    (0 until n).foreach { i =>
+      f(ga.pureApply(Gen.Parameters.default, Seed(42L + i)),
+        gb.pureApply(Gen.Parameters.default, Seed(1042L + i)))
+    }
+
+  private val lineGen: Gen[String] =
+    Gen.nonEmptyListOf(Gen.oneOf(Gen.alphaNumChar, Gen.const(' '), Gen.const('\t')))
+      .map(_.mkString.trim).suchThat(_.nonEmpty)
+
+  private lazy val catBin: java.nio.file.Path = {
+    val d = java.nio.file.Files.createTempDirectory("prop-pipe-bin")
+    val p = d.resolve("copy.sh")
+    java.nio.file.Files.writeString(p, "#!/bin/sh\ncp \"$2\" out.txt\n")
+    p.toFile.setExecutable(true)
+    d
+  }
+
+  test("pipe round-trip: arbitrary lines + header survive staging unchanged") {
+    forSamples2(Gen.nonEmptyListOf(lineGen), lineGen) { (lines: List[String], header: String) =>
+      val spec = PipelineSpec("copy", catBin.toString,
+        Seq("copy.sh %MCR_ROOT% %INPUT_FILE%"), "", "")
+      val globals = PipeGlobals(
+        java.nio.file.Files.createTempDirectory("prop-pipe").toString, "mcr", "/tmp")
+      val ds = spark.createDataset(lines).repartition(2)
+      val out = ExternalPipeline.run(ds, Some(header), spec, globals)
+        .select("line").as[String].collect().toList
+      // per partition: header first then its rows; multiset equality overall
+      val expected = (lines ++ List(header, header)).sorted
+      out.sorted shouldBe expected
+    }
+  }
+
+  test("exact dedup is idempotent and collapses planted duplicates") {
+    forSamples(Gen.nonEmptyListOf(lineGen)) { (texts: List[String]) =>
+      val df = (texts ++ texts).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val once = Dedup.exact(df, "text", "doc_id")
+      once.count() shouldBe texts.distinct.size.toLong
+      // every surviving group counts all copies of its content
+      val total = once.agg(sum("n_copies")).as[Long].head()
+      total shouldBe (texts.size * 2).toLong
+    }
+  }
+
+  test("set-op algebra: |A ∩all B| + |A \\all B| = |A|") {
+    forSamples2(Gen.listOf(Gen.choose(0, 8)), Gen.listOf(Gen.choose(0, 8))) {
+      (a: List[Int], b: List[Int]) =>
+        val da = a.toDF("k"); val db = b.toDF("k")
+        val i = da.intersectAll(db).count()
+        val e = da.exceptAll(db).count()
+        (i + e) shouldBe a.size.toLong
+    }
+  }
+
+  test("windowed running sum equals self-join formulation") {
+    forSamples(Gen.nonEmptyListOf(Gen.choose(1, 50))) { (xs: List[Int]) =>
+      val df = xs.zipWithIndex.map { case (v, i) => (i.toLong, v.toLong) }.toDF("i", "v")
+      val w = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val viaWindow = df.withColumn("rs", sum("v").over(w))
+        .select("i", "rs").as[(Long, Long)].collect().toMap
+      val a = df.as("a"); val b = df.as("b")
+      val viaJoin = a.join(b, col("b.i") <= col("a.i"))
+        .groupBy(col("a.i")).agg(sum(col("b.v")).as("rs"))
+        .as[(Long, Long)].collect().toMap
+      viaWindow shouldBe viaJoin
+    }
+  }
+}
