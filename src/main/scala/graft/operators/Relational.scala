@@ -307,5 +307,49 @@ object Relational {
       .orderBy("rf", "ls")
   }
 
-  val defs: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12)
+  /** B3: right outer join — event activity per customer, customers with
+    * no events preserved on the right side. */
+  private val q31 = Q(
+    "q31_right_outer_join",
+    """SELECT c_custkey, c_mktsegment,
+              coalesce(e.n, 0) AS n_events,
+              (e.n IS NULL) AS inactive
+       FROM (SELECT user_id, count(*) AS n FROM events GROUP BY user_id) e
+       RIGHT OUTER JOIN customer ON e.user_id = c_custkey
+       ORDER BY c_custkey""") { (s, d) =>
+    val e = Tables.events(s, d).groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    e.join(Tables.customer(s, d), col("user_id") === col("c_custkey"), "right_outer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        coalesce(col("n"), lit(0)).as("n_events"),
+        col("n").isNull.as("inactive"))
+      .orderBy("c_custkey")
+  }
+
+  /** B4: explicit GROUPING SETS through the SQL entry point. */
+  private val q32 = Q(
+    "q32_grouping_sets",
+    """SELECT coalesce(r_name, 'ALL') AS region_name,
+              coalesce(c_mktsegment, 'ALL') AS segment,
+              count(*) AS n, round(sum(c_acctbal), 2) AS total_bal
+       FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+       GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())
+       ORDER BY region_name, segment""") { (s, d) =>
+    Tables.customer(s, d).createOrReplaceTempView("graft_gs_cust")
+    Tables.nation(s, d).createOrReplaceTempView("graft_gs_nation")
+    Tables.region(s, d).createOrReplaceTempView("graft_gs_region")
+    s.sql(
+      """SELECT coalesce(r_name, 'ALL') AS region_name,
+                coalesce(c_mktsegment, 'ALL') AS segment,
+                count(*) AS n, round(sum(c_acctbal), 2) AS total_bal
+         FROM graft_gs_cust
+           JOIN graft_gs_nation ON c_nationkey = n_nationkey
+           JOIN graft_gs_region ON n_regionkey = r_regionkey
+         GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())
+         ORDER BY region_name, segment""")
+  }
+
+  val defs: Seq[Q] =
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q31, q32)
 }
