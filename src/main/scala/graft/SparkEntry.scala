@@ -14,6 +14,7 @@ object SparkEntry {
   /** All declared capabilities, each a named query over `$sfDir`. */
   def allDefs: Seq[Q] =
     operators.Relational.defs ++
+      operators.RelationalExtra.defs ++
       operators.WindowsSetOps.defs ++
       functions.ScalarQueries.defs ++
       ops.Dedup.defs ++

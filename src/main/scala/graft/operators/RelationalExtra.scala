@@ -1,0 +1,142 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Additional TPC-H-shaped depth for B2–B4: returned-items revenue,
+  * promo share, large-order HAVING, disjunctive predicates, yearly share.
+  */
+object RelationalExtra {
+
+  /** Q10-shaped: top returned-item customers (join + agg + top-k). */
+  private val q33 = Q(
+    "q33_returned_items",
+    """SELECT c_custkey, c_name, n_name,
+              sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS revenue
+       FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+         JOIN nation ON c_nationkey = n_nationkey
+       WHERE l_returnflag = 'R'
+         AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+         AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+       GROUP BY c_custkey, c_name, n_name
+       ORDER BY revenue DESC, c_custkey LIMIT 20""") { (s, d) =>
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-10-01 00:00:00"))
+        && col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+    Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg((sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+        .cast(LongType)) / 10000.0).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Q14-shaped: promo revenue share — conditional aggregation ratio of
+    * two fixed-point sums (single fp divide → cross-engine exact). */
+  private val q34 = Q(
+    "q34_promo_revenue_share",
+    """SELECT round(
+              100.0 * sum(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+                   ELSE 0 END)
+              / sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)), 6)
+              AS promo_share_pct,
+              count(*) AS n_lines
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE l_shipdate >= TIMESTAMP '1996-06-01 00:00:00'
+         AND l_shipdate < TIMESTAMP '1996-08-01 00:00:00'""") { (s, d) =>
+    val cents = round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000).cast(LongType)
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-06-01 00:00:00"))
+        && col("l_shipdate") < to_timestamp(lit("1996-08-01 00:00:00")))
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(lit(100.0) * sum(when(col("p_type") === "PROMO", cents).otherwise(0L))
+          / sum(cents), 6).as("promo_share_pct"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** Q18-shaped: large orders via HAVING on a grouped sum. */
+  private val q35 = Q(
+    "q35_large_orders",
+    """SELECT o_orderkey, o_custkey, round(total_qty, 2) AS total_qty
+       FROM (SELECT l_orderkey AS o_orderkey, sum(l_quantity) AS total_qty
+             FROM lineitem GROUP BY l_orderkey) li
+       JOIN (SELECT o_orderkey AS ok, o_custkey FROM orders) o ON o.ok = li.o_orderkey
+       WHERE total_qty > 150
+       ORDER BY total_qty DESC, o_orderkey""") { (s, d) =>
+    val li = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(sum("l_quantity").as("total_qty"))
+      .filter(col("total_qty") > 150)
+    li.join(Tables.orders(s, d).select(col("o_orderkey").as("ok"), col("o_custkey")),
+        col("ok") === col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), round(col("total_qty"), 2).as("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+  }
+
+  /** Q19-shaped: disjunctive multi-attribute predicate (OR of AND-blocks)
+    * — exercises CNF conversion and scan-level pushdown of the common
+    * conjuncts. */
+  private val q36 = Q(
+    "q36_disjunctive_predicates",
+    """SELECT count(*) AS n,
+              sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_cents
+       FROM lineitem JOIN part ON p_partkey = l_partkey
+       WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 5 AND l_quantity <= 25)
+          OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 15 AND l_quantity <= 35)
+          OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity >= 25 AND l_quantity <= 45)""") { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    val p = Tables.part(s, d)
+    li.join(broadcast(p), col("p_partkey") === col("l_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15)
+          && col("l_quantity") >= 5 && col("l_quantity") <= 25) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(10, 30)
+          && col("l_quantity") >= 15 && col("l_quantity") <= 35) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(20, 50)
+          && col("l_quantity") >= 25 && col("l_quantity") <= 45))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("l_extendedprice") * 100).cast(LongType)).as("price_cents"))
+  }
+
+  /** Q8-flavored: yearly revenue share of one region across order years —
+    * ratio of two conditional fixed-point sums per group. */
+  private val q37 = Q(
+    "q37_region_share_by_year",
+    """SELECT year(o_orderdate) AS o_year,
+              round(sum(CASE WHEN r_name = 'ASIA'
+                        THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
+                        ELSE 0 END) * 1.0
+                    / sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)), 6)
+                AS asia_share,
+              count(*) AS n
+       FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+       GROUP BY year(o_orderdate)
+       ORDER BY o_year""") { (s, d) =>
+    val cents = round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000).cast(LongType)
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        round(sum(when(col("r_name") === "ASIA", cents).otherwise(0L)) * lit(1.0)
+          / sum(cents), 6).as("asia_share"),
+        count(lit(1)).as("n"))
+      .orderBy("o_year")
+  }
+
+  val defs: Seq[Q] = Seq(q33, q34, q35, q36, q37)
+}

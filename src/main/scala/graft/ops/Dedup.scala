@@ -84,6 +84,42 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over an undirected edge list (id_a, id_b):
+    * iterative min-label propagation until fixpoint — the standard Spark
+    * pattern for grouping near-dup candidates into duplicate clusters.
+    * Each iteration is one join + aggregate; the driver only checks a
+    * convergence count (no data collected). Diameter of LSH dup-groups is
+    * small, so iterations are few; `maxIter` bounds the worst case. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .persist()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst2").withColumnRenamed("component", "dst_comp"),
+          col("dst") === col("dst2"))
+        .groupBy(col("src").as("id2"))
+        .agg(min(col("dst_comp")).as("nbr_comp"))
+      val next = labels.join(neighborMin, col("id") === col("id2"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_comp"), col("component"))).as("component"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") < col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** 32-bit SimHash as a '0'/'1' bitstring: bit i is the sign of the sum
     * over tokens of ±1 derived from hex digit i of md5(token). */
   def simhashExpr(textCol: String): Column =
@@ -188,5 +224,48 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  val defs: Seq[Q] = Seq(d01, d02, d03, d04)
+  /** Duplicate clusters: LSH candidate pairs → connected components
+    * (iterative min-label propagation in Spark; recursive-CTE transitive
+    * closure in the oracle). */
+  private val d08 = Q(
+    "d08_dedup_groups",
+    """WITH RECURSIVE docs AS (
+         SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       sh AS (
+         SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+         FROM (SELECT doc_id, ws,
+                      unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+               FROM docs)),
+       sig AS (
+         SELECT doc_id, seed, min(md5(seed || '|' || sh)) AS mh
+         FROM sh, (SELECT unnest(generate_series(0, 7)) AS seed) seeds
+         GROUP BY doc_id, seed),
+       bands AS (
+         SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+                md5(string_agg(mh, '' ORDER BY seed)) AS band_key
+         FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)),
+       pairs AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       nodes AS (
+         SELECT DISTINCT id FROM (
+           SELECT id_a AS id FROM pairs UNION ALL SELECT id_b AS id FROM pairs)),
+       edges AS (
+         SELECT id_a AS src, id_b AS dst FROM pairs
+         UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+       reach(a, b) AS (
+         SELECT id, id FROM nodes
+         UNION
+         SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+       SELECT a AS doc_id, min(b) AS component
+       FROM reach GROUP BY a ORDER BY doc_id""") { (s, d) =>
+    val buckets = lshBuckets(Tables.documents(s, d), "doc_id", "text",
+      shingleWords = 3, bands = 4, rowsPerBand = 2)
+    connectedComponents(candidatePairs(buckets))
+      .select(col("id").as("doc_id"), col("component"))
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[Q] = Seq(d01, d02, d03, d04, d08)
 }

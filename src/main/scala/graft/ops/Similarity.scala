@@ -122,5 +122,62 @@ object Similarity {
       .orderBy("bucket")
   }
 
-  val defs: Seq[Q] = Seq(d05, d06)
+  /** IVF-style ANN: 8 fixed centroids (vec_id < 8), every vector assigned
+    * to its max-dot cell, queries probe only their own cell — the
+    * coarse-quantization scale path (touches ~1/8 of the corpus per
+    * probe). All dots are exact integer math; ties break on centroid id.
+    */
+  private val d07 = Q(
+    "d07_embed_ivf_topk",
+    """WITH e AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+         FROM embeddings),
+       n AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2 FROM e),
+       cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+       scored AS (
+         SELECT n.vec_id, n.v, n.n2, c.cent_id,
+                CAST(list_sum(list_transform(generate_series(1, 64), i -> n.v[i] * c.cv[i])) AS BIGINT) AS dot,
+                row_number() OVER (PARTITION BY n.vec_id
+                  ORDER BY CAST(list_sum(list_transform(generate_series(1, 64), i -> n.v[i] * c.cv[i])) AS BIGINT) DESC,
+                           c.cent_id) AS rn
+         FROM n, cents c),
+       assign AS (SELECT vec_id, v, n2, cent_id AS cell FROM scored WHERE rn = 1),
+       probes AS (
+         SELECT q.vec_id AS qid, q.cell, c.vec_id AS cid,
+                CAST(list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * c.v[i])) AS BIGINT)
+                  / (sqrt(q.n2) * sqrt(c.n2)) AS cos
+         FROM assign q JOIN assign c ON q.cell = c.cell AND c.vec_id <> q.vec_id
+         WHERE q.vec_id >= 10 AND q.vec_id < 15),
+       ranked AS (
+         SELECT qid, cell, cid, cos,
+                row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+         FROM probes)
+       SELECT qid, cell, cid, rank, round(cos, 6) AS cosine
+       FROM ranked WHERE rank <= 3 ORDER BY qid, rank""") { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("n2", norm2Q(col("v")))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val wc = Window.partitionBy(col("vec_id")).orderBy(col("dot").desc, col("cent_id"))
+    val assign = e.crossJoin(broadcast(cents))
+      .withColumn("dot", dotQ(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(wc))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("n2"), col("cent_id").as("cell"))
+    val probes = assign.filter(col("vec_id") >= 10 && col("vec_id") < 15)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"), col("cell"))
+    val wr = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    assign.select(col("vec_id").as("cid"), col("v").as("cv2"), col("n2").as("cn2"),
+        col("cell").as("ccell"))
+      .join(broadcast(probes), col("ccell") === col("cell") && col("cid") =!= col("qid"))
+      .withColumn("cos", dotQ(col("qv"), col("cv2")) / (sqrt(col("qn2")) * sqrt(col("cn2"))))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("cell"), col("cid"), col("rank"), round(col("cos"), 6).as("cosine"))
+      .orderBy("qid", "rank")
+  }
+
+  val defs: Seq[Q] = Seq(d05, d06, d07)
 }

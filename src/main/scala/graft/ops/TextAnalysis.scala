@@ -197,5 +197,26 @@ object TextAnalysis {
       .orderBy("doc_id", "rn")
   }
 
-  val defs: Seq[Q] = Seq(t01, t02, t03, t04, t05)
+  /** Skew-safe two-phase (salted) aggregation: hot tokens ('the' etc.)
+    * would hot-spot a single reducer at 100 TB; phase 1 aggregates
+    * (term, salt) partials, phase 2 merges per term. Result is identical
+    * to the direct aggregation — which is exactly what the oracle checks.
+    */
+  private val t06 = Q(
+    "t06_salted_token_count",
+    """SELECT term, n FROM (
+         SELECT term, count(*) AS n
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) t
+         GROUP BY term) g
+       ORDER BY n DESC, term LIMIT 20""") { (s, d) =>
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks("text")).as("term"))
+      .withColumn("salt", pmod(col("doc_id"), lit(16)))
+    val partial = tok.groupBy(col("term"), col("salt")).agg(count(lit(1)).as("pn"))
+    partial.groupBy(col("term")).agg(sum(col("pn")).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(20)
+  }
+
+  val defs: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06)
 }
