@@ -46,7 +46,10 @@ object SparkEntry {
       "q01_pricing_summary", "q03_shipping_priority", "q05_local_supplier_volume",
       "q06_forecast_revenue", "q07_cust_order_histogram", "q09_range_bracket_join",
       "q13_window_rank", "q16_topk_per_group", "q18_setops",
-      "d03_minhash_lsh", "d05_embed_cosine_topk", "t05_tfidf")
+      "q33_returned_items", "q37_region_share_by_year",
+      "d03_minhash_lsh", "d05_embed_cosine_topk", "d08_dedup_groups",
+      "t05_tfidf", "t06_salted_token_count",
+      "a01_pipe_cranker", "s01_stream_tumbling")
     val have = queries.keySet
     preferred.filter(have)
   }

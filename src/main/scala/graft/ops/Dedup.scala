@@ -91,9 +91,12 @@ object Dedup {
     * convergence count (no data collected). Diameter of LSH dup-groups is
     * small, so iterations are few; `maxIter` bounds the worst case. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // materialize the (expensive) candidate-pair pipeline ONCE and cut its
+    // lineage — every loop iteration re-reads this cache, never the
+    // upstream minhash stages
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist()
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .persist()
@@ -105,10 +108,13 @@ object Dedup {
           col("dst") === col("dst2"))
         .groupBy(col("src").as("id2"))
         .agg(min(col("dst_comp")).as("nbr_comp"))
+      // eager localCheckpoint: materializes this iteration AND truncates
+      // lineage, so iteration cost stays flat instead of re-deriving the
+      // whole chain each round
       val next = labels.join(neighborMin, col("id") === col("id2"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nbr_comp"), col("component"))).as("component"))
-        .persist()
+        .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
         .filter(col("component") < col("old")).count()
       labels.unpersist()
@@ -116,7 +122,6 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
-    edges.unpersist()
     labels
   }
 
