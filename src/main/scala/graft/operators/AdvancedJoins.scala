@@ -69,5 +69,24 @@ object AdvancedJoins {
          ORDER BY p_partkey""")
   }
 
-  val defs: Seq[Q] = Seq(q29, q30)
+  /** NOT IN subquery via spark.sql (rewritten to null-aware anti join by
+    * Catalyst). */
+  private val q38 = Q(
+    "q38_not_in_subquery",
+    """SELECT c_mktsegment, count(*) AS n_quiet
+       FROM customer
+       WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                               WHERE o_orderpriority = '1-URGENT')
+       GROUP BY c_mktsegment ORDER BY c_mktsegment""") { (s, d) =>
+    Tables.customer(s, d).createOrReplaceTempView("graft_ni_cust")
+    Tables.orders(s, d).createOrReplaceTempView("graft_ni_orders")
+    s.sql(
+      """SELECT c_mktsegment, count(*) AS n_quiet
+         FROM graft_ni_cust
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM graft_ni_orders
+                                 WHERE o_orderpriority = '1-URGENT')
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+  }
+
+  val defs: Seq[Q] = Seq(q29, q30, q38)
 }

@@ -182,5 +182,53 @@ object StreamingQueries {
       .orderBy("user_id")
   }
 
-  val defs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06)
+  /** Append output mode + watermark: only windows the watermark has
+    * closed are emitted (the final max(ts)−1h watermark decides — the
+    * oracle applies the same closure rule in SQL). */
+  private val s07 = Q(
+    "s07_stream_append_watermark",
+    """WITH m AS (SELECT max(ts) AS max_ts FROM events)
+       SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+              count(*) AS n
+       FROM events, m
+       GROUP BY 1, m.max_ts
+       HAVING (CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) + 3600)
+              <= epoch(m.max_ts) - 3600
+       ORDER BY window_start""") { (s, d) =>
+    val agg = eventsStream(s, d)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+    runToMemory(agg, OutputMode.Append())
+      .select(unix_timestamp(col("window.start")).as("window_start"), col("n"))
+      .orderBy("window_start")
+  }
+
+  /** foreachBatch sink: micro-batches accumulated through a custom sink
+    * function (count per event_type, merged across batches). Batch
+    * boundaries are an execution detail → totals match the batch oracle. */
+  private val s08 = Q(
+    "s08_stream_foreachbatch",
+    """SELECT event_type, count(*) AS n FROM events
+       GROUP BY event_type ORDER BY event_type""") { (s, d) =>
+    import scala.collection.mutable
+    val acc = mutable.Map.empty[String, Long]
+    val q = eventsStream(s, d)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+          .collect()
+          .foreach(r => acc.synchronized {
+            acc(r.getString(0)) = acc.getOrElse(r.getString(0), 0L) + r.getLong(1)
+          })
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    import s.implicits._
+    acc.toSeq.toDF("event_type", "n").orderBy("event_type")
+  }
+
+  val defs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08)
 }
