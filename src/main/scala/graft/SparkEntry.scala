@@ -15,6 +15,7 @@ object SparkEntry {
   def allDefs: Seq[Q] =
     operators.Relational.defs ++
       operators.RelationalExtra.defs ++
+      operators.TypedQueries.defs ++
       operators.WindowsSetOps.defs ++
       functions.ScalarQueries.defs ++
       ops.Dedup.defs ++

@@ -253,5 +253,31 @@ object ScalarQueries {
       .orderBy("o_orderpriority")
   }
 
-  val defs: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28)
+  /** More array HOFs: exists, forall, flatten, sequence, array_repeat,
+    * arrays_zip-equivalent pairing. */
+  private val q40 = Q(
+    "q40_array_hofs",
+    """SELECT doc_id,
+              len(list_filter(string_split(text, ' '), t -> t = 'spark')) > 0 AS has_spark,
+              len(list_filter(string_split(text, ' '), t -> length(t) >= 1))
+                = len(string_split(text, ' ')) AS all_nonempty,
+              CAST(list_sum(list_transform(generate_series(1, 5), i -> i * i)) AS BIGINT) AS sum_sq_1_5,
+              array_to_string(list_transform(generate_series(1, 3),
+                i -> string_split(text, ' ')[i] || '#' || i), ',') AS indexed_first3
+       FROM documents WHERE doc_id < 60 ORDER BY doc_id""") { (s, d) =>
+    val ts = split(col("text"), " ")
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 60)
+      .select(col("doc_id"),
+        exists(ts, t => t === "spark").as("has_spark"),
+        forall(ts, t => length(t) >= 1).as("all_nonempty"),
+        aggregate(transform(sequence(lit(1), lit(5)), i => i * i),
+          lit(0L), (a, x) => a + x).as("sum_sq_1_5"),
+        array_join(transform(sequence(lit(1), lit(3)),
+          i => concat(element_at(ts, i), lit("#"), i.cast(StringType))), ",")
+          .as("indexed_first3"))
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q40)
 }

@@ -173,5 +173,28 @@ object WindowsSetOps {
       .orderBy("o_orderstatus", "o_orderpriority")
   }
 
-  val defs: Seq[Q] = Seq(q13, q14, q15, q16, q17, q18, q19)
+  /** B5 distribution family: percent_rank, cume_dist, nth_value. */
+  private val q39 = Q(
+    "q39_window_distribution",
+    """SELECT o_custkey, o_orderkey,
+              round(percent_rank() OVER w, 6) AS pr,
+              round(cume_dist() OVER w, 6) AS cd,
+              round(nth_value(o_totalprice, 2) OVER
+                (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS second_price
+       FROM orders WHERE o_custkey < 25
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+       ORDER BY o_custkey, o_orderkey""") { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .filter(col("o_custkey") < 25)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"),
+        round(nth_value(col("o_totalprice"), 2).over(wFull), 2).as("second_price"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val defs: Seq[Q] = Seq(q13, q14, q15, q16, q17, q18, q19, q39)
 }

@@ -60,6 +60,18 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("o_year"), s"pruning column missing:\n$p")
   }
 
+  test("co-partitioned join reuses repartitioning (no extra exchange)") {
+    val o = Tables.orders(spark, sf0001).repartition(8, col("o_orderkey"))
+    val l = Tables.lineitem(spark, sf0001).repartition(8, col("l_orderkey"))
+    val j = l.hint("merge").join(o, col("l_orderkey") === col("o_orderkey"))
+    val p = plan(j)
+    val exchanges = p.sliding("Exchange".length).count(_ == "Exchange")
+    // exactly the two REPARTITION exchanges; the join must not add an
+    // ENSURE_REQUIREMENTS re-shuffle on top (partitioning is compatible)
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$p")
+    assert(p.contains("SortMergeJoin"), s"merge hint ignored:\n$p")
+  }
+
   test("d05: query side of the similarity join is broadcast") {
     val p = plan(SparkEntry.queries("d05_embed_cosine_topk")(spark, sf0001))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
