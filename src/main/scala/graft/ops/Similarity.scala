@@ -27,13 +27,15 @@ object Similarity {
   def quantize(vec: Column): Column =
     transform(vec, x => round(x.cast("double") * 1000000).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors — the fused
+    * codegen Expression (graft.functions.LongDot); same integers as the
+    * zip_with+aggregate composition, no per-row array allocation.
+    * Requires LongDot.register on the session (done by the operators). */
   def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.LongDot.long_dot(a, b)
 
   /** Squared L2 norm of a quantized vector (exact integer). */
-  def norm2Q(a: Column): Column =
-    aggregate(transform(a, x => x * x), lit(0L), (acc, x) => acc + x)
+  def norm2Q(a: Column): Column = dotQ(a, a)
 
   /** Cosine similarity from quantized vectors. */
   def cosineQ(a: Column, b: Column): Column =
@@ -42,6 +44,7 @@ object Similarity {
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself). Queries are broadcast; corpus streams. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    graft.functions.LongDot.register(corpus.sparkSession)
     val c = corpus.select(col("vec_id").as("cid"), quantize(col("embedding")).as("cv"))
       .withColumn("cn", norm2Q(col("cv")))
     val q = queries.select(col("vec_id").as("qid"), quantize(col("embedding")).as("qv"))
@@ -115,6 +118,7 @@ object Similarity {
          FROM e)
        SELECT bucket, count(*) AS n_vecs, min(vec_id) AS first_vec
        FROM sig GROUP BY bucket ORDER BY bucket""") { (s, d) =>
+    graft.functions.LongDot.register(s)
     Tables.embeddings(s, d)
       .select(col("vec_id"), lshBucket(col("embedding"), planes = 8, dim = 64).as("bucket"))
       .groupBy("bucket")
@@ -155,6 +159,7 @@ object Similarity {
          FROM probes)
        SELECT qid, cell, cid, rank, round(cos, 6) AS cosine
        FROM ranked WHERE rank <= 3 ORDER BY qid, rank""") { (s, d) =>
+    graft.functions.LongDot.register(s)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), quantize(col("embedding")).as("v"))
       .withColumn("n2", norm2Q(col("v")))
