@@ -60,7 +60,7 @@ object Extensibility {
       .filter(col("cid") =!= col("qid"))
       .withColumn("cosine", round(CosineSimilarity.cosine_sim(col("qv"), col("cv")), 5))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 5)
       .select("qid", "cid", "rank", "cosine")
       .orderBy("qid", "rank")

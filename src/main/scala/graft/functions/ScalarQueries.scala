@@ -34,7 +34,7 @@ object ScalarQueries {
         substring(col("p_name"), 1, 4).as("name4"),
         upper(col("p_name")).as("uname"), lower(col("p_brand")).as("lbrand"),
         trim(concat(lit("  "), col("p_name"), lit(" "))).as("trimmed"),
-        length(col("p_name")).as("name_len"),
+        length(col("p_name")).cast(LongType).as("name_len"),
         size(split(col("p_name"), " ")).cast(LongType).as("n_words"),
         regexp_extract(col("p_name"), "([a-z]+) ([a-z]+)", 2).as("second_word"),
         regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
@@ -60,9 +60,9 @@ object ScalarQueries {
     Tables.orders(s, d)
       .filter(col("o_orderkey") < 1000)
       .select(col("o_orderkey"),
-        year(col("o_orderdate")).as("y"),
-        month(col("o_orderdate")).as("m"),
-        dayofmonth(col("o_orderdate")).as("dom"),
+        year(col("o_orderdate")).cast(LongType).as("y"),
+        month(col("o_orderdate")).cast(LongType).as("m"),
+        dayofmonth(col("o_orderdate")).cast(LongType).as("dom"),
         date_add(col("o_orderdate").cast(DateType), 30).as("plus30"),
         datediff(col("o_orderdate").cast(DateType), to_date(lit("1995-01-01")))
           .cast(LongType).as("days_since_95"),
@@ -70,7 +70,7 @@ object ScalarQueries {
         unix_timestamp(col("o_orderdate")).as("epoch_s"),
         col("o_orderdate").cast(DateType).as("odate"),
         ((year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")) - 1)
-          .as("months_since_95"))
+          .cast(LongType).as("months_since_95"))
       .orderBy("o_orderkey")
   }
 
@@ -88,7 +88,7 @@ object ScalarQueries {
               round(ln(l_extendedprice), 6) AS price_ln,
               round(exp(l_discount), 6) AS disc_exp,
               ((CAST(l_orderkey AS INT) % 7) + 7) % 7 AS key_mod7,
-              sign(l_extendedprice - 1500) AS over_1500
+              CAST(sign(l_extendedprice - 1500) AS BIGINT) AS over_1500
        FROM lineitem WHERE l_orderkey < 400 ORDER BY l_orderkey, l_linenumber""") { (s, d) =>
     Tables.lineitem(s, d)
       .filter(col("l_orderkey") < 400)
@@ -102,7 +102,7 @@ object ScalarQueries {
         round(log(col("l_extendedprice")), 6).as("price_ln"),
         round(exp(col("l_discount")), 6).as("disc_exp"),
         pmod(col("l_orderkey").cast(IntegerType), lit(7)).as("key_mod7"),
-        signum(col("l_extendedprice") - 1500).as("over_1500"))
+        signum(col("l_extendedprice") - 1500).cast(LongType).as("over_1500"))
       .orderBy("l_orderkey", "l_linenumber")
   }
 

@@ -87,7 +87,7 @@ object RelationalExtra {
   private val q36 = Q(
     "q36_disjunctive_predicates",
     """SELECT count(*) AS n,
-              sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_cents
+              CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
        FROM lineitem JOIN part ON p_partkey = l_partkey
        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 5 AND l_quantity <= 25)
           OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 15 AND l_quantity <= 35)
@@ -110,7 +110,7 @@ object RelationalExtra {
     * ratio of two conditional fixed-point sums per group. */
   private val q37 = Q(
     "q37_region_share_by_year",
-    """SELECT year(o_orderdate) AS o_year,
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
               round(sum(CASE WHEN r_name = 'ASIA'
                         THEN CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)
                         ELSE 0 END) * 1.0
@@ -122,7 +122,7 @@ object RelationalExtra {
          JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
-       GROUP BY year(o_orderdate)
+       GROUP BY CAST(year(o_orderdate) AS BIGINT)
        ORDER BY o_year""") { (s, d) =>
     val cents = round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000).cast(LongType)
     Tables.lineitem(s, d)
@@ -130,7 +130,7 @@ object RelationalExtra {
       .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
-      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .groupBy(year(col("o_orderdate")).cast(LongType).as("o_year"))
       .agg(
         round(sum(when(col("r_name") === "ASIA", cents).otherwise(0L)) * lit(1.0)
           / sum(cents), 6).as("asia_share"),

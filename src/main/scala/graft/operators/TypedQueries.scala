@@ -16,7 +16,7 @@ object TypedQueries {
     """SELECT l_returnflag,
               count(*) AS n,
               CAST(sum(l_quantity) AS BIGINT) AS qty_sum,
-              sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_cents
+              CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, d) =>
     import s.implicits._
     Tables.lineitem(s, d)

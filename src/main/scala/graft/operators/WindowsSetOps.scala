@@ -30,10 +30,10 @@ object WindowsSetOps {
     Tables.orders(s, d)
       .filter(col("o_custkey") < 50)
       .select(col("o_custkey"), col("o_orderkey"),
-        row_number().over(w).as("rn"),
-        rank().over(wp).as("rk"),
-        dense_rank().over(wp).as("drk"),
-        ntile(4).over(w).as("quartile"))
+        row_number().over(w).cast("long").as("rn"),
+        rank().over(wp).cast("long").as("rk"),
+        dense_rank().over(wp).cast("long").as("drk"),
+        ntile(4).over(w).cast("long").as("quartile"))
       .orderBy(col("o_custkey"), col("rn"))
   }
 

@@ -53,7 +53,7 @@ object Similarity {
       .filter(col("cid") =!= col("qid"))
       .withColumn("cos", dotQ(col("qv"), col("cv")) / (sqrt(col("qn")) * sqrt(col("cn"))))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
-    scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("cid"), col("rank"), round(col("cos"), 6).as("cosine"))
   }
@@ -178,7 +178,7 @@ object Similarity {
         col("cell").as("ccell"))
       .join(broadcast(probes), col("ccell") === col("cell") && col("cid") =!= col("qid"))
       .withColumn("cos", dotQ(col("qv"), col("cv2")) / (sqrt(col("qn2")) * sqrt(col("cn2"))))
-      .withColumn("rank", row_number().over(wr))
+      .withColumn("rank", row_number().over(wr).cast("long"))
       .filter(col("rank") <= 3)
       .select(col("qid"), col("cell"), col("cid"), col("rank"), round(col("cos"), 6).as("cosine"))
       .orderBy("qid", "rank")

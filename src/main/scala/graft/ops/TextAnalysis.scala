@@ -111,8 +111,8 @@ object TextAnalysis {
     "t03_token_count",
     """SELECT source,
               count(*) AS n_docs,
-              sum(len(string_split(text, ' '))) AS total_tokens,
-              sum(len(regexp_extract_all(text, '[aeiou]+'))) AS total_vowel_runs,
+              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+              CAST(sum(len(regexp_extract_all(text, '[aeiou]+'))) AS BIGINT) AS total_vowel_runs,
               round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
               max(len(string_split(text, ' '))) AS max_tokens
        FROM documents GROUP BY source ORDER BY source""") { (s, d) =>
@@ -191,7 +191,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"),
         round(col("tf") * log(col("n").cast("double") / col("df")), 6).as("tfidf"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
-    scored.withColumn("rn", row_number().over(w))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
       .select("doc_id", "term", "tfidf", "rn")
       .orderBy("doc_id", "rn")

@@ -45,7 +45,7 @@ object SourceQueries {
   private val src02 = Q(
     "src02_jsonl_roundtrip",
     """SELECT o_orderpriority, count(*) AS n,
-              sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
        FROM orders WHERE o_orderkey < 5000
        GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, d) =>
     val dir = tmp("graft_jsonl")
@@ -64,7 +64,7 @@ object SourceQueries {
   private val src03 = Q(
     "src03_text_roundtrip",
     """SELECT count(*) AS n_lines,
-              sum(len(string_split(text, ' '))) AS n_tokens,
+              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
               min(md5(text)) AS min_hash
        FROM documents""") { (s, d) =>
     val dir = tmp("graft_text")

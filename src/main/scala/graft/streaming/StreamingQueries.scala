@@ -120,7 +120,7 @@ object StreamingQueries {
        per_session AS (
          SELECT user_id, sid, count(*) AS n_events FROM sess GROUP BY user_id, sid)
        SELECT user_id, count(*) AS n_sessions,
-              sum(n_events) AS total_events, max(n_events) AS max_session_events
+              CAST(sum(n_events) AS BIGINT) AS total_events, max(n_events) AS max_session_events
        FROM per_session GROUP BY user_id ORDER BY user_id""") { (s, d) =>
     val agg = eventsStream(s, d)
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
@@ -158,7 +158,7 @@ object StreamingQueries {
   private val s06 = Q(
     "s06_stream_stateful",
     """SELECT user_id, count(*) AS n_events,
-              sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
        FROM events GROUP BY user_id ORDER BY user_id""") { (s, d) =>
     import s.implicits._
     val st = eventsStream(s, d)

@@ -59,7 +59,7 @@ class DedupSimilaritySpec extends SparkTestBase {
       (3L, Array(0.0f, 0.0f, 1.0f))     // orthogonal
     ).toDF("vec_id", "embedding")
     val top = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), 3)
-      .orderBy("rank").as[(Long, Long, Int, Double)].collect()
+      .orderBy("rank").as[(Long, Long, Long, Double)].collect()
     assert(top.map(_._2).toSeq == Seq(1L, 2L, 3L))
     assert(math.abs(top(0)._4 - 1.0) < 1e-6)
     assert(top(2)._4 < 1e-6) // orthogonal ≈ 0
