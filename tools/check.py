@@ -55,6 +55,12 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns exp={list(exp.columns)} got={list(got.columns)}")
             failures += 1
             continue
+        dt = [(c, str(exp[c].dtype), str(got[c].dtype)) for c in exp.columns
+              if str(exp[c].dtype) != str(got[c].dtype)]
+        if dt:
+            print(f"FAIL {name}: dtype mismatch {dt}")
+            failures += 1
+            continue
         if len(exp) != len(got):
             print(f"FAIL {name}: rows exp={len(exp)} got={len(got)}")
             failures += 1
