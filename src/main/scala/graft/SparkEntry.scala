@@ -16,6 +16,7 @@ object SparkEntry {
     operators.Relational.defs ++
       operators.RelationalExtra.defs ++
       operators.TypedQueries.defs ++
+      operators.PivotStats.defs ++
       operators.WindowsSetOps.defs ++
       functions.ScalarQueries.defs ++
       ops.Dedup.defs ++

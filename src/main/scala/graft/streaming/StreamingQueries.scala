@@ -230,5 +230,35 @@ object StreamingQueries {
     acc.toSeq.toDF("event_type", "n").orderBy("event_type")
   }
 
-  val defs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08)
+  /** Stream-stream inner join with watermarks and a time-range condition:
+    * purchase events joined to error events of the same user within the
+    * following 10 minutes. State on both sides is bounded by the
+    * watermark + range bound. */
+  private val s09 = Q(
+    "s09_stream_stream_join",
+    """SELECT p.user_id, count(*) AS n_pairs
+       FROM events p JOIN events e
+         ON p.user_id = e.user_id
+        AND p.event_type = 'purchase' AND e.event_type = 'error'
+        AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 10 MINUTE
+       GROUP BY p.user_id ORDER BY p.user_id""") { (s, d) =>
+    val purchases = eventsStream(s, d)
+      .filter(col("event_type") === "purchase")
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val errors = eventsStream(s, d)
+      .filter(col("event_type") === "error")
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+    val joined = purchases.join(errors,
+      col("p_user") === col("e_user")
+        && col("e_ts") >= col("p_ts")
+        && col("e_ts") <= col("p_ts") + expr("interval 10 minutes"))
+    runToMemory(joined, OutputMode.Append())
+      .groupBy(col("p_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_id")
+  }
+
+  val defs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09)
 }

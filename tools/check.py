@@ -22,6 +22,13 @@ def cmp_cell(a, b):
     if a is None and b is None:
         return True
     try:
+        import pandas as pd
+        an, bn = pd.isna(a), pd.isna(b)
+        if isinstance(an, bool) and isinstance(bn, bool) and (an or bn):
+            return an and bn  # NaT/NaN/None on both sides counts as equal
+    except (TypeError, ValueError):
+        pass
+    try:
         if isinstance(a, float) or isinstance(b, float):
             if a is None or b is None:
                 return False
