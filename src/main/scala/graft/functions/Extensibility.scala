@@ -120,7 +120,21 @@ object Extensibility {
          ORDER BY ida""")
   }
 
-  val defs: Seq[Q] = Seq(x01, x02, x03, x04)
+  /** The TypedImperativeAggregate surface: HLL sketch vs exact distinct
+    * (estimate → rows-only check; accuracy is asserted in HllSpec). */
+  private val x05 = Q.noOracle("x05_hll_sketch") { (s, d) =>
+    HllSketch.register(s)
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        HllSketch.hll_distinct(col("l_partkey")).as("hll_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        HllSketch.hll_distinct(col("l_orderkey")).as("hll_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .orderBy("l_returnflag")
+  }
+
+  val defs: Seq[Q] = Seq(x01, x02, x03, x04, x05)
 }
 
 /** Session-extension injector (spark.sql.extensions=graft.functions.

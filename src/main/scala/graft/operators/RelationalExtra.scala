@@ -138,5 +138,28 @@ object RelationalExtra {
       .orderBy("o_year")
   }
 
-  val defs: Seq[Q] = Seq(q33, q34, q35, q36, q37)
+  /** TPC-H Q22-shaped: uncorrelated scalar subquery (global average) +
+    * NOT EXISTS anti join — wealthy customers with no urgent orders. */
+  private val q47 = Q(
+    "q47_wealthy_inactive",
+    """SELECT c_mktsegment, count(*) AS n_cust,
+              round(sum(c_acctbal), 2) AS total_bal
+       FROM customer
+       WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+         AND NOT EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+       GROUP BY c_mktsegment ORDER BY c_mktsegment""") { (s, d) =>
+    Tables.customer(s, d).createOrReplaceTempView("graft_q47_cust")
+    Tables.orders(s, d).createOrReplaceTempView("graft_q47_orders")
+    s.sql(
+      """SELECT c_mktsegment, count(*) AS n_cust,
+                round(sum(c_acctbal), 2) AS total_bal
+         FROM graft_q47_cust
+         WHERE c_acctbal > (SELECT avg(c_acctbal) FROM graft_q47_cust WHERE c_acctbal > 0)
+           AND NOT EXISTS (SELECT 1 FROM graft_q47_orders
+                           WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+  }
+
+  val defs: Seq[Q] = Seq(q33, q34, q35, q36, q37, q47)
 }
