@@ -5,6 +5,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
+import scala.collection.mutable
+
 /** B9 deduplication operators for large-scale corpus curation: exact
   * (content-hash groupBy), character n-gram Jaccard, MinHash+LSH banding,
   * and SimHash. All hashing is md5-based with fixed seeds so results are
@@ -74,8 +76,11 @@ object Dedup {
     sig.select(col("id"), posexplode(bandKeys).as(Seq("band", "band_key")))
   }
 
-  /** Candidate near-dup pairs from LSH buckets (id_a < id_b, distinct). */
-  def candidatePairs(buckets: DataFrame): DataFrame = {
+  /** Candidate near-dup pairs from LSH buckets (id_a < id_b, distinct).
+    * The bucket pipeline is materialized once — a naive self-join would
+    * run the whole minhash computation for both sides. */
+  def candidatePairs(buckets0: DataFrame): DataFrame = {
+    val buckets = buckets0.localCheckpoint(true)
     val a = buckets.as("a")
     val b = buckets.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key")
@@ -90,13 +95,38 @@ object Dedup {
     * Each iteration is one join + aggregate; the driver only checks a
     * convergence count (no data collected). Diameter of LSH dup-groups is
     * small, so iterations are few; `maxIter` bounds the worst case. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+      driverThreshold: Long = 100000L): DataFrame = {
     // materialize the (expensive) candidate-pair pipeline ONCE and cut its
     // lineage — every loop iteration re-reads this cache, never the
     // upstream minhash stages
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
+
+    // LSH prunes the pair space hard; when the surviving edge list is
+    // small, a driver-side union-find beats paying 2 Spark jobs per
+    // propagation round. Above the threshold, stay fully distributed.
+    val edgeCount = edges.count()
+    if (edgeCount <= driverThreshold) {
+      import edges.sparkSession.implicits._
+      val es = edges.as[(Long, Long)].collect()
+      val parent = mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val labels = parent.keys.map(k => (k, find(k))).toSeq
+      return edges.sparkSession.createDataset(labels).toDF("id", "component")
+    }
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .persist()

@@ -34,6 +34,18 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated doc
   }
 
+  test("connected components: distributed loop agrees with driver union-find") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 1L))
+      .toDF("id_a", "id_b")
+    val viaDriver = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    val viaLoop = Dedup.connectedComponents(pairs, driverThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(viaDriver == viaLoop)
+    // {1,2,3,8,9} → 1 and {5,6} → 5
+    assert(viaDriver(9L) == 1L && viaDriver(3L) == 1L && viaDriver(6L) == 5L)
+  }
+
   test("simhash of identical docs equal; near-dups within small hamming distance") {
     val sh = docs.select($"doc_id", Dedup.simhashExpr("text").as("h"))
       .as[(Long, String)].collect().toMap
