@@ -134,7 +134,33 @@ object Extensibility {
       .orderBy("l_returnflag")
   }
 
-  val defs: Seq[Q] = Seq(x01, x02, x03, x04, x05)
+  /** The whole-operator extension surface: the row_number top-k idiom,
+    * rewritten by TopKRewrite into the native bounded-heap operator
+    * (partial per-partition top-k before the shuffle). Same results as
+    * the window formulation — which is exactly what the oracle checks. */
+  private val x06 = Q(
+    "x06_native_topk",
+    """SELECT o_orderpriority, o_orderkey, o_totalprice, rn FROM (
+         SELECT o_orderpriority, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         FROM orders) t
+       WHERE rn <= 5
+       ORDER BY o_orderpriority, rn""") { (s, d) =>
+    graft.plans.TopKPerGroup.install(s)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select("o_orderpriority", "o_orderkey", "o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        col("rn").cast("long").as("rn"))
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  val defs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06)
 }
 
 /** Session-extension injector (spark.sql.extensions=graft.functions.

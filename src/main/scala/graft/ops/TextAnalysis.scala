@@ -145,6 +145,7 @@ object TextAnalysis {
        SELECT doc_id, array_to_string(list_sort(list(h)), ',') AS fingerprint
        FROM ranked WHERE rn <= 4
        GROUP BY doc_id ORDER BY doc_id""") { (s, d) =>
+    graft.plans.TopKPerGroup.install(s)
     val g = Tables.documents(s, d)
       .select(col("doc_id"),
         explode(Dedup.charShingles("text", 8)).as("s"))
@@ -180,6 +181,7 @@ object TextAnalysis {
          FROM scored)
        SELECT doc_id, term, tfidf, rn FROM ranked WHERE rn <= 3
        ORDER BY doc_id, rn""") { (s, d) =>
+    graft.plans.TopKPerGroup.install(s)
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), explode(toks("text")).as("term"))
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
