@@ -104,5 +104,36 @@ object Multimodal {
       .toDF()
   }
 
-  val defs: Seq[Q] = Seq(m01, m02)
+  /** A3 × B9: binary payloads piped through an external tool — payload →
+    * hex line per record (base64 in Spark is MIME-chunked with embedded
+    * newlines, which would break line-oriented staging) → forked process
+    * computes per-record output → collected rows. The external transform
+    * (hex length) is recomputable by the oracle: |hex(n)| = 2·n. */
+  private val m03 = Q(
+    "m03_multimodal_pipe",
+    """SELECT doc_id || ':' || CAST(2 * length(text) AS VARCHAR) AS line
+       FROM documents ORDER BY line""") { (s, d) =>
+    import s.implicits._
+    import java.nio.file.attribute.PosixFilePermissions
+    import java.nio.file.{Files, Paths}
+    val bin = Paths.get(System.getProperty("java.io.tmpdir"), "graft_mm_pipe_bin")
+    Files.createDirectories(bin)
+    val sh = bin.resolve("measure.sh")
+    // $1=%MCR_ROOT% $2=%INPUT_FILE%; emits "<id>:<len(hex)>" per line
+    Files.writeString(sh,
+      "#!/bin/sh\nawk -F: '{ print $1 \":\" length($2) }' \"$2\" > measured.txt\n")
+    Files.setPosixFilePermissions(sh, PosixFilePermissions.fromString("rwxr-xr-x"))
+    val spec = graft.pipe.PipelineSpec("measure", bin.toString,
+      Seq("measure.sh %MCR_ROOT% %INPUT_FILE%"), "", "")
+    val globals = graft.pipe.PipeGlobals(
+      Files.createTempDirectory("graft_mm_stage").toString, "mcr", "/tmp")
+    val lines = asMediaTable(Tables.documents(s, d))
+      .select(concat_ws(":",
+        col("media_id"), hex(col("payload"))).as("value")).as[String]
+    graft.pipe.ExternalPipeline.run(lines, None, spec, globals)
+      .select(col("line"))
+      .orderBy("line")
+  }
+
+  val defs: Seq[Q] = Seq(m01, m02, m03)
 }

@@ -74,6 +74,21 @@ class PropertySpec extends SparkTestBase with Matchers {
     }
   }
 
+  test("native heap top-k equals window top-k on random data") {
+    graft.plans.TopKPerGroup.install(spark)
+    forSamples(Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 5), Gen.choose(0, 1000)))) { data =>
+      val df = data.zipWithIndex
+        .map { case ((g, v), i) => (g.toLong, v.toLong, i.toLong) }
+        .toDF("g", "v", "id").repartition(3)
+      val w = Window.partitionBy("g").orderBy(col("v").desc, col("id"))
+      val native = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 2)
+        .as[(Long, Long, Long, Int)].collect().toSet
+      val stock = df.withColumn("rn", row_number().over(w) + 0).filter(col("rn") <= 2)
+        .as[(Long, Long, Long, Int)].collect().toSet
+      native shouldBe stock
+    }
+  }
+
   test("windowed running sum equals self-join formulation") {
     forSamples(Gen.nonEmptyListOf(Gen.choose(1, 50))) { (xs: List[Int]) =>
       val df = xs.zipWithIndex.map { case (v, i) => (i.toLong, v.toLong) }.toDF("i", "v")
