@@ -21,6 +21,9 @@ import java.util.concurrent.atomic.AtomicInteger
   */
 object StreamingQueries {
 
+  /** Open-session state for s10 (case class → product encoder). */
+  case class SessState(sessions: Seq[(Long, Long, Long)])
+
   private val sinkCounter = new AtomicInteger(0)
 
   /** events.parquet replayed as a file stream (ts arrives as nanos-long,
@@ -260,5 +263,79 @@ object StreamingQueries {
       .orderBy("user_id")
   }
 
-  val defs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09)
+  /** flatMapGroupsWithState with EventTimeTimeout: hand-built 30-min-gap
+    * sessionization that emits a session only when the watermark passes
+    * its close (last event + gap). Sessions still open at the final
+    * watermark (max_ts − 1h) never emit — the oracle applies the same
+    * closure rule on top of the gaps-and-islands formulation. */
+  private val s10 = Q(
+    "s10_stream_stateful_sessions",
+    """WITH m AS (SELECT max(ts) AS max_ts FROM events),
+       gaps AS (
+         SELECT user_id, ts,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_session
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       sess AS (
+         SELECT user_id, ts,
+                sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         FROM gaps),
+       per_session AS (
+         SELECT user_id, sid, count(*) AS n_events,
+                min(ts) AS start_ts, max(ts) AS end_ts
+         FROM sess GROUP BY user_id, sid)
+       SELECT user_id,
+              epoch_us(start_ts) // 1000000 AS session_start,
+              n_events
+       FROM per_session, m
+       -- Spark's watermark is ms-truncated: wm_ms = epoch_ms(max) - 1h
+       WHERE epoch_us(end_ts) + 1800000000
+             < (epoch_ms(m.max_ts) - 3600000) * 1000
+       ORDER BY user_id, session_start""") { (s, d) =>
+    import org.apache.spark.sql.streaming.OutputMode
+    import s.implicits._
+    val gapMicros = 30L * 60 * 1000000
+    // the watermarked event-time column must stay in the Dataset for
+    // EventTimeTimeout; carry the micros value beside it
+    val events = eventsStream(s, d)
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"))
+      .as[(Long, java.sql.Timestamp, Long)]
+    // state: open sessions (start, lastSeen, count); emit when the
+    // watermark passes lastSeen + gap
+    val out = events.groupByKey(_._1)
+      .flatMapGroupsWithState[SessState, (Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state: GroupState[SessState]) =>
+          val wmMicros = state.getCurrentWatermarkMs() * 1000
+          var sessions = state.getOption.map(_.sessions.toList).getOrElse(Nil)
+          rows.toSeq.sortBy(_._3).foreach { case (_, _, ts) =>
+            sessions match {
+              case (st, last, n) :: rest if ts - last < gapMicros =>
+                sessions = (st, ts, n + 1) :: rest
+              case _ =>
+                sessions = (ts, ts, 1L) :: sessions
+            }
+          }
+          val (closed, open) = sessions.partition { case (_, last, _) =>
+            last + gapMicros < wmMicros
+          }
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SessState(open))
+            // earliest possible close; must be strictly above the watermark
+            val nextMs = (open.map(_._2).min + gapMicros) / 1000
+            state.setTimeoutTimestamp(math.max(nextMs, state.getCurrentWatermarkMs() + 1))
+          }
+          closed.sortBy(_._1).iterator.map { case (st, _, n) => (user, st / 1000000, n) }
+      }
+      .toDF("user_id", "session_start", "n_events")
+    runToMemory(out, OutputMode.Append())
+      .orderBy("user_id", "session_start")
+  }
+
+  val defs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10)
 }
