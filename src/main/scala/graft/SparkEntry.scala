@@ -19,6 +19,7 @@ object SparkEntry {
       operators.PivotStats.defs ++
       operators.WindowsSetOps.defs ++
       functions.ScalarQueries.defs ++
+      functions.GeneratorsDates.defs ++
       ops.Dedup.defs ++
       ops.Similarity.defs ++
       ops.TextAnalysis.defs ++
