@@ -197,5 +197,34 @@ object WindowsSetOps {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
-  val defs: Seq[Q] = Seq(q13, q14, q15, q16, q17, q18, q19, q39)
+  /** B2: explicit three-valued logic — NULL propagation through
+    * comparisons, AND/OR short-circuit truth table, null-safe equality. */
+  private val q52 = Q(
+    "q52_three_valued_logic",
+    """SELECT o_orderkey,
+              (maybe_null = 'F') AS eq_nullable,
+              (maybe_null = 'F') IS NULL AS eq_is_unknown,
+              (maybe_null = 'F' AND o_totalprice > 0) IS NULL AS and_unknown,
+              (maybe_null = 'F' OR TRUE) AS or_true,
+              (maybe_null IS NOT DISTINCT FROM NULL) AS null_safe_eq_null,
+              coalesce(maybe_null, 'fallback') AS coalesced
+       FROM (SELECT o_orderkey, o_totalprice,
+                    nullif(o_orderstatus, 'O') AS maybe_null
+             FROM orders WHERE o_orderkey < 2000) t
+       ORDER BY o_orderkey""") { (s, d) =>
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") < 2000)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        nullif(col("o_orderstatus"), lit("O")).as("maybe_null"))
+      .select(col("o_orderkey"),
+        (col("maybe_null") === "F").as("eq_nullable"),
+        (col("maybe_null") === "F").isNull.as("eq_is_unknown"),
+        (col("maybe_null") === "F" && col("o_totalprice") > 0).isNull.as("and_unknown"),
+        (col("maybe_null") === "F" || lit(true)).as("or_true"),
+        (col("maybe_null") <=> lit(null)).as("null_safe_eq_null"),
+        coalesce(col("maybe_null"), lit("fallback")).as("coalesced"))
+      .orderBy("o_orderkey")
+  }
+
+  val defs: Seq[Q] = Seq(q13, q14, q15, q16, q17, q18, q19, q39, q52)
 }

@@ -72,6 +72,28 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("SortMergeJoin"), s"merge hint ignored:\n$p")
   }
 
+  test("bucketed tables join with no exchange at all (co-located join)") {
+    Tables.orders(spark, sf0001)
+      .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("graft_b_orders")
+    Tables.customer(spark, sf0001)
+      .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("graft_b_cust")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("graft_b_orders")
+        .join(spark.table("graft_b_cust"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment").count()
+      val p = plan(j)
+      assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+      // the join itself must not shuffle either side — bucket layout IS
+      // the partitioning; only the final aggregation exchanges
+      val joinPart = p.substring(p.indexOf("SortMergeJoin"))
+      assert(!joinPart.contains("Exchange"), s"bucketed join still shuffled:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("d05: query side of the similarity join is broadcast") {
     val p = plan(SparkEntry.queries("d05_embed_cosine_topk")(spark, sf0001))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
