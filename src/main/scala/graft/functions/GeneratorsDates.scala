@@ -89,5 +89,30 @@ object GeneratorsDates {
       .orderBy("o_orderkey")
   }
 
-  val defs: Seq[Q] = Seq(q48, q49, q50, q51)
+  /** Bitwise + character scalar family on integer keys. */
+  private val q53 = Q(
+    "q53_bitwise_chars",
+    """SELECT p_partkey,
+              CAST(p_partkey & 255 AS BIGINT) AS low_byte,
+              CAST(p_partkey | 4096 AS BIGINT) AS with_flag,
+              CAST(xor(p_partkey, 170) AS BIGINT) AS xored,
+              CAST(p_size << 2 AS BIGINT) AS shifted_l,
+              CAST(p_partkey >> 3 AS BIGINT) AS shifted_r,
+              CAST(ascii(p_name) AS BIGINT) AS first_char_code,
+              chr(65 + CAST(p_partkey % 26 AS INT)) AS letter
+       FROM part WHERE p_partkey < 400 ORDER BY p_partkey""") { (s, d) =>
+    Tables.part(s, d)
+      .filter(col("p_partkey") < 400)
+      .select(col("p_partkey"),
+        col("p_partkey").bitwiseAND(255).as("low_byte"),
+        col("p_partkey").bitwiseOR(4096).as("with_flag"),
+        col("p_partkey").bitwiseXOR(170).as("xored"),
+        shiftleft(col("p_size"), 2).cast(LongType).as("shifted_l"),
+        shiftright(col("p_partkey"), 3).as("shifted_r"),
+        ascii(col("p_name")).cast(LongType).as("first_char_code"),
+        chr(lit(65) + (col("p_partkey") % 26).cast("int")).as("letter"))
+      .orderBy("p_partkey")
+  }
+
+  val defs: Seq[Q] = Seq(q48, q49, q50, q51, q53)
 }
