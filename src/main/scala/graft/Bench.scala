@@ -28,6 +28,10 @@ object Bench {
     }
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
+      // isolate queries from each other's cache/garbage so numbers reflect
+      // the query, not the predecessor's heap
+      spark.catalog.clearCache()
+      System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

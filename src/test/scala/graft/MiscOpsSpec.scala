@@ -8,6 +8,10 @@ import org.apache.spark.sql.functions._
 class MiscOpsSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("driver entry smoke: flagship query returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("sortWithinPartitions orders rows inside each partition only") {
     val df = spark.createDataset(Seq(5, 3, 9, 1, 7, 2, 8, 4)).toDF("v")
       .repartition(2)
