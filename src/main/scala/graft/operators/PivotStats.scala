@@ -136,5 +136,65 @@ object PivotStats {
       .orderBy("day")
   }
 
-  val defs: Seq[Q] = Seq(q42, q43, q44, q45, q46)
+  /** Equal-width histogram: data-driven [min,max] split into 10 bins —
+    * the two-pass stats-then-bucket pattern (stats side broadcast). */
+  private val q54 = Q(
+    "q54_histogram",
+    """WITH stats AS (
+         SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)
+       SELECT least(CAST(floor((o_totalprice - lo) / ((hi - lo) / 10.0)) AS BIGINT), 9) AS bin,
+              count(*) AS n,
+              round(min(o_totalprice), 2) AS bin_min,
+              round(max(o_totalprice), 2) AS bin_max
+       FROM orders, stats
+       GROUP BY 1 ORDER BY bin""") { (s, d) =>
+    val o = Tables.orders(s, d)
+    val stats = o.agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+    o.crossJoin(broadcast(stats))
+      .select(least(floor((col("o_totalprice") - col("lo"))
+        / ((col("hi") - col("lo")) / 10.0)), lit(9L)).as("bin"),
+        col("o_totalprice"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        round(min("o_totalprice"), 2).as("bin_min"),
+        round(max("o_totalprice"), 2).as("bin_max"))
+      .orderBy("bin")
+  }
+
+  /** Percent-of-total (ratio_to_report): share of revenue per nation.
+    * Done scale-correctly with a broadcast global total — an empty-
+    * partition window (`sum() over ()`) would funnel every row through
+    * one task at 100 TB. */
+  private val q55 = Q(
+    "q55_percent_of_total",
+    """WITH rev AS (
+         SELECT n_name,
+                sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS cents
+         FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name),
+       total AS (SELECT sum(cents) AS t FROM rev)
+       SELECT n_name,
+              round(cents / 10000.0, 2) AS revenue,
+              round(cents * 100.0 / t, 6) AS pct
+       FROM rev, total ORDER BY n_name""") { (s, d) =>
+    val cents = round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+      .cast(org.apache.spark.sql.types.LongType)
+    val rev = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(cents).as("cents"))
+    val total = rev.agg(sum("cents").as("t"))
+    rev.crossJoin(broadcast(total))
+      .select(col("n_name"),
+        round(col("cents") / 10000.0, 2).as("revenue"),
+        round(col("cents") * 100.0 / col("t"), 6).as("pct"))
+      .orderBy("n_name")
+  }
+
+  val defs: Seq[Q] = Seq(q42, q43, q44, q45, q46, q54, q55)
 }
