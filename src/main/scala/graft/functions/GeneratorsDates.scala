@@ -114,5 +114,89 @@ object GeneratorsDates {
       .orderBy("p_partkey")
   }
 
-  val defs: Seq[Q] = Seq(q48, q49, q50, q51, q53)
+  /** Map higher-order functions: transform_keys/values, map_filter,
+    * map_zip_with — extracted to scalars for the oracle (map internals
+    * differ across engines; values must not). */
+  private val q56 = Q(
+    "q56_map_hofs",
+    """SELECT n_nationkey,
+              'NAME' AS upper_key_present,
+              n_name || '!' AS bumped_name_val,
+              CAST(n_regionkey AS VARCHAR) AS kept_region,
+              n_name || '|' || CAST(n_regionkey AS VARCHAR) AS zipped
+       FROM nation ORDER BY n_nationkey""") { (s, d) =>
+    import org.apache.spark.sql.types.StringType
+    val m = map_from_entries(array(
+      struct(lit("name").as("k"), col("n_name").as("v")),
+      struct(lit("region").as("k"), col("n_regionkey").cast(StringType).as("v"))))
+    Tables.nation(s, d)
+      .select(col("n_nationkey"), m.as("m"))
+      .select(col("n_nationkey"),
+        element_at(map_keys(transform_keys(col("m"), (k, _) => upper(k))), 1)
+          .as("upper_key_present"),
+        element_at(transform_values(col("m"), (_, v) => concat(v, lit("!"))), "name")
+          .as("bumped_name_val"),
+        element_at(map_filter(col("m"), (k, _) => k === "region"), "region")
+          .as("kept_region"),
+        element_at(
+          map_zip_with(col("m"), col("m"), (k, v1, v2) =>
+            when(k === "name", concat(v1, lit("|"))).otherwise(v2)), "name")
+          .as("zipped_prefix"))
+      .select(col("n_nationkey"), col("upper_key_present"), col("bumped_name_val"),
+        col("kept_region"),
+        concat(col("zipped_prefix"), col("kept_region")).as("zipped"))
+      .orderBy("n_nationkey")
+  }
+
+  /** Array set operations: union, intersect, except (sorted-distinct on
+    * both sides for a canonical comparison). */
+  private val q57 = Q(
+    "q57_array_setops",
+    """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              array_to_string(list_sort(list_distinct(
+                list_concat(string_split(a.text,' '), string_split(b.text,' ')))), ',') AS union_toks,
+              array_to_string(list_sort(list_distinct(
+                list_intersect(string_split(a.text,' '), string_split(b.text,' ')))), ',') AS common_toks,
+              coalesce(array_to_string(list_sort(list_distinct(list_filter(string_split(a.text,' '),
+                x -> NOT list_contains(string_split(b.text,' '), x)))), ','), '') AS only_a
+       FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+       WHERE a.doc_id < 30
+       ORDER BY id_a""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val a = docs.select(col("doc_id").as("id_a"), split(col("text"), " ").as("ta"))
+      .filter(col("id_a") < 30)
+    val b = docs.select(col("doc_id").as("id_b"), split(col("text"), " ").as("tb"))
+    a.join(b, col("id_b") === col("id_a") + 1)
+      .select(col("id_a"), col("id_b"),
+        array_join(array_sort(array_distinct(array_union(col("ta"), col("tb")))), ",")
+          .as("union_toks"),
+        array_join(array_sort(array_distinct(array_intersect(col("ta"), col("tb")))), ",")
+          .as("common_toks"),
+        array_join(array_sort(array_distinct(array_except(col("ta"), col("tb")))), ",")
+          .as("only_a"))
+      .orderBy("id_a")
+  }
+
+  /** Error-safe arithmetic: try_divide / try_add / safe casts — NULL on
+    * failure instead of an exception. */
+  private val q58 = Q(
+    "q58_try_functions",
+    """SELECT l_orderkey, l_linenumber,
+              CASE WHEN l_linenumber - 1 = 0 THEN NULL
+                   ELSE round(l_quantity / (l_linenumber - 1), 6) END AS qty_per_prev_line,
+              TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int,
+              TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) AS qty_round_trip
+       FROM lineitem WHERE l_orderkey < 300
+       ORDER BY l_orderkey, l_linenumber""") { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") < 300)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(try_divide(col("l_quantity"), col("l_linenumber") - 1), 6)
+          .as("qty_per_prev_line"),
+        col("l_returnflag").try_cast("int").as("flag_as_int"),
+        col("l_quantity").cast("string").try_cast("double").as("qty_round_trip"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val defs: Seq[Q] = Seq(q48, q49, q50, q51, q53, q56, q57, q58)
 }
