@@ -302,5 +302,73 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  val defs: Seq[Q] = Seq(d01, d02, d03, d04, d08)
+  /** The full curation pipeline a training-data run would execute: drop
+    * exact duplicates, collapse near-dup clusters to their root document,
+    * apply a quality floor, report the kept corpus per language. Composes
+    * exact dedup + LSH + connected components + quality scoring into one
+    * dataflow (each piece individually verified by d01/d03/d08/t02). */
+  private val d09 = Q(
+    "d09_curation_pipeline",
+    """WITH RECURSIVE docs AS (
+         SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       sh AS (
+         SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+         FROM (SELECT doc_id, ws,
+                      unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+               FROM docs)),
+       sig AS (
+         SELECT doc_id, seed, min(md5(seed || '|' || sh)) AS mh
+         FROM sh, (SELECT unnest(generate_series(0, 7)) AS seed) seeds
+         GROUP BY doc_id, seed),
+       bands AS (
+         SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+                md5(string_agg(mh, '' ORDER BY seed)) AS band_key
+         FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)),
+       pairs AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       nodes AS (
+         SELECT DISTINCT id FROM (
+           SELECT id_a AS id FROM pairs UNION ALL SELECT id_b AS id FROM pairs)),
+       edges AS (
+         SELECT id_a AS src, id_b AS dst FROM pairs
+         UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+       reach(a, b) AS (
+         SELECT id, id FROM nodes
+         UNION
+         SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+       cc AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a),
+       exact_kept AS (
+         SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       near_removed AS (SELECT doc_id FROM cc WHERE doc_id <> component),
+       kept AS (
+         SELECT d.* FROM documents d
+         JOIN exact_kept e ON d.doc_id = e.doc_id
+         WHERE d.doc_id NOT IN (SELECT doc_id FROM near_removed)
+           AND len(string_split(d.text, ' ')) >= 20)
+       SELECT lang,
+              count(*) AS n_kept,
+              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS kept_tokens,
+              min(doc_id) AS first_kept
+       FROM kept GROUP BY lang ORDER BY lang""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val exactKept = exact(docs, "text", "doc_id").select(col("keep_id").as("doc_id"))
+    val components = connectedComponents(candidatePairs(
+      lshBuckets(docs, "doc_id", "text", shingleWords = 3, bands = 4, rowsPerBand = 2)))
+    val nearRemoved = components.filter(col("id") =!= col("component"))
+      .select(col("id").as("doc_id"))
+    docs
+      .join(exactKept, "doc_id") // survivor of each exact-content group
+      .join(nearRemoved, Seq("doc_id"), "left_anti") // non-root near-dups out
+      .filter(size(split(col("text"), " ")) >= 20) // quality floor
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(size(split(col("text"), " ")).cast(org.apache.spark.sql.types.LongType))
+          .as("kept_tokens"),
+        min(col("doc_id")).as("first_kept"))
+      .orderBy("lang")
+  }
+
+  val defs: Seq[Q] = Seq(d01, d02, d03, d04, d08, d09)
 }
