@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver parses raw JSON lines from `sbt runMain` output;
+// inherit the forked process's stdio so sbt's logger doesn't prefix every
+// line with [info]/[error] (round 1's BENCH json failed to parse because
+// of the decoration).
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -84,17 +84,48 @@ object Extensibility {
       .orderBy("l_returnflag")
   }
 
-  /** Approximate aggregates (HLL distinct, approx quantiles) — estimates
-    * by definition, so no hash oracle: rows-only check (SURVEY.md §5.2). */
-  private val x03 = Q.noOracle("x03_approx_aggs") { (s, d) =>
+  /** Approximate aggregates (HLL distinct, approx quantiles). Estimates
+    * can't hash-match another engine, so the tolerance check itself is the
+    * oracle contract (SURVEY.md §5.2): the engine emits the exact values
+    * plus within-tolerance booleans for each estimate, and the oracle pins
+    * the exact values and asserts every flag is literally `true`.
+    * Spark's approx aggs are deterministic (fixed hash seeds, and register
+    * max / quantile-sketch merge are order-independent), so the flags are
+    * stable across runs and partitionings.
+    * Tolerances: default HLL rsd 0.05 → 0.15 rel (3σ); rsd 0.01 → 0.05;
+    * percentile_approx accuracy 1000 → rank error ≤ 0.001, checked against
+    * the exact quantiles one rank-percent out (±0.01 — 10× slack). */
+  private val x03 = Q(
+    "x03_approx_aggs",
+    """SELECT l_returnflag,
+              count(DISTINCT l_partkey) AS exact_parts,
+              count(DISTINCT l_suppkey) AS exact_supps,
+              true AS approx_parts_ok, true AS approx_supps_ok,
+              true AS p50_ok, true AS p25_ok, true AS p75_ok
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, d) =>
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_suppkey"), 0.01).as("approx_supps"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_approx"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_suppkey")).as("exact_supps"),
+        approx_count_distinct(col("l_partkey")).as("apx_parts"),
+        approx_count_distinct(col("l_suppkey"), 0.01).as("apx_supps"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("apx_p50"),
         percentile_approx(col("l_extendedprice"), array(lit(0.25), lit(0.75)), lit(1000))
-          .as("p25_75_approx"))
+          .as("apx_p2575"),
+        expr("percentile(l_extendedprice, array(0.24, 0.26, 0.49, 0.51, 0.74, 0.76))")
+          .as("pex"))
+      .select(col("l_returnflag"), col("exact_parts"), col("exact_supps"),
+        (abs(col("apx_parts") - col("exact_parts")) <= col("exact_parts") * 0.15)
+          .as("approx_parts_ok"),
+        (abs(col("apx_supps") - col("exact_supps")) <= col("exact_supps") * 0.05)
+          .as("approx_supps_ok"),
+        col("apx_p50").between(element_at(col("pex"), 3), element_at(col("pex"), 4))
+          .as("p50_ok"),
+        element_at(col("apx_p2575"), 1)
+          .between(element_at(col("pex"), 1), element_at(col("pex"), 2)).as("p25_ok"),
+        element_at(col("apx_p2575"), 2)
+          .between(element_at(col("pex"), 5), element_at(col("pex"), 6)).as("p75_ok"))
       .orderBy("l_returnflag")
   }
 
@@ -120,9 +151,16 @@ object Extensibility {
          ORDER BY ida""")
   }
 
-  /** The TypedImperativeAggregate surface: HLL sketch vs exact distinct
-    * (estimate → rows-only check; accuracy is asserted in HllSpec). */
-  private val x05 = Q.noOracle("x05_hll_sketch") { (s, d) =>
+  /** The TypedImperativeAggregate surface: HLL sketch vs exact distinct,
+    * tolerance-as-boolean oracle like x03 (p=11 → σ ≈ 2.3%, flag at 10%;
+    * tighter accuracy asserted in HllSpec). */
+  private val x05 = Q(
+    "x05_hll_sketch",
+    """SELECT l_returnflag,
+              count(DISTINCT l_partkey) AS exact_parts,
+              count(DISTINCT l_orderkey) AS exact_orders,
+              true AS hll_parts_ok, true AS hll_orders_ok
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, d) =>
     HllSketch.register(s)
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
@@ -131,6 +169,11 @@ object Extensibility {
         countDistinct(col("l_partkey")).as("exact_parts"),
         HllSketch.hll_distinct(col("l_orderkey")).as("hll_orders"),
         countDistinct(col("l_orderkey")).as("exact_orders"))
+      .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+        (abs(col("hll_parts") - col("exact_parts")) <= col("exact_parts") * 0.1)
+          .as("hll_parts_ok"),
+        (abs(col("hll_orders") - col("exact_orders")) <= col("exact_orders") * 0.1)
+          .as("hll_orders_ok"))
       .orderBy("l_returnflag")
   }
 

@@ -40,7 +40,7 @@ object Multimodal {
       col("doc_id").as("media_id"),
       encode(col("text"), "UTF-8").as("payload"),
       lit("txt").as("format"),
-      length(col("text")).cast(LongType).as("n_bytes")).as[MediaRecord]
+      octet_length(col("text")).cast(LongType).as("n_bytes")).as[MediaRecord]
   }
 
   /** Per-partition batch "decode" + feature extraction. The decode itself
@@ -78,25 +78,34 @@ object Multimodal {
 
   // ---------------------------------------------------------------- queries
 
+  /** Oracle uses BYTE semantics throughout (`octet_length(encode(text))`),
+    * matching the engine's UTF-8 payload math for any input text; DuckDB's
+    * `md5(VARCHAR)` hashes the string's UTF-8 bytes, so `payload_md5`
+    * is byte-exact too. */
   private val m01 = Q(
     "m01_multimodal_features",
     """SELECT doc_id AS media_id,
-              length(text) AS payload_len,
+              octet_length(encode(text)) AS payload_len,
               md5(text) AS payload_md5,
               'txt' AS format,
-              (length(text) + 63) // 64 AS n_frames,
-              'decoded:txt:' || length(text) AS decode_note
+              (octet_length(encode(text)) + 63) // 64 AS n_frames,
+              'decoded:txt:' || octet_length(encode(text)) AS decode_note
        FROM documents ORDER BY media_id""") { (s, d) =>
     extractFeatures(asMediaTable(Tables.documents(s, d)))
       .orderBy("media_id")
       .toDF()
   }
 
+  /** Frame counts are byte-based (octet_length). `first_frame_md5` hashes
+    * the first 64 BYTES; DuckDB 1.0 can't slice BLOBs, so the oracle's
+    * `substring(text, 1, 64)` is char-based — equivalent only while the
+    * fixture is pure ASCII, which MultimodalSpec asserts explicitly
+    * (zero docs with octet_length ≠ char length). */
   private val m02 = Q(
     "m02_multimodal_frames",
     """SELECT doc_id AS media_id,
-              (length(text) + 63) // 64 AS n_frames,
-              ((length(text) + 63) // 64 + 3) // 4 AS n_sampled,
+              (octet_length(encode(text)) + 63) // 64 AS n_frames,
+              ((octet_length(encode(text)) + 63) // 64 + 3) // 4 AS n_sampled,
               md5(substring(text, 1, 64)) AS first_frame_md5
        FROM documents ORDER BY media_id""") { (s, d) =>
     sampleFrames(asMediaTable(Tables.documents(s, d)))
@@ -111,7 +120,7 @@ object Multimodal {
     * (hex length) is recomputable by the oracle: |hex(n)| = 2·n. */
   private val m03 = Q(
     "m03_multimodal_pipe",
-    """SELECT doc_id || ':' || CAST(2 * length(text) AS VARCHAR) AS line
+    """SELECT doc_id || ':' || CAST(2 * octet_length(encode(text)) AS VARCHAR) AS line
        FROM documents ORDER BY line""") { (s, d) =>
     import s.implicits._
     import java.nio.file.attribute.PosixFilePermissions
