@@ -76,11 +76,22 @@ object Dedup {
     sig.select(col("id"), posexplode(bandKeys).as(Seq("band", "band_key")))
   }
 
+  /** Materialize a DataFrame and truncate its lineage. Uses a RELIABLE
+    * checkpoint when the session has a checkpoint dir configured (the
+    * at-scale path: executor loss stays recoverable because blocks live on
+    * the cluster FS, not in executor memory); falls back to eager
+    * `localCheckpoint` otherwise (fine single-node / for benching, but a
+    * lost executor would make the job unrecoverable — no recompute path
+    * through truncated lineage). */
+  private def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint(true)
+
   /** Candidate near-dup pairs from LSH buckets (id_a < id_b, distinct).
     * The bucket pipeline is materialized once — a naive self-join would
     * run the whole minhash computation for both sides. */
   def candidatePairs(buckets0: DataFrame): DataFrame = {
-    val buckets = buckets0.localCheckpoint(true)
+    val buckets = materialize(buckets0)
     val a = buckets.as("a")
     val b = buckets.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key")
@@ -89,28 +100,64 @@ object Dedup {
       .distinct()
   }
 
-  /** Connected components over an undirected edge list (id_a, id_b):
-    * iterative min-label propagation until fixpoint — the standard Spark
-    * pattern for grouping near-dup candidates into duplicate clusters.
-    * Each iteration is one join + aggregate; the driver only checks a
-    * convergence count (no data collected). Diameter of LSH dup-groups is
-    * small, so iterations are few; `maxIter` bounds the worst case. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+  /** One large-star round: every node connects its strictly-larger
+    * neighbors to the minimum of its closed neighborhood. Input/output
+    * edges are normalized `(hi, lo)` with hi > lo, distinct. */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val bidir = edges.select(col("hi").as("src"), col("lo").as("dst"))
+      .unionAll(edges.select(col("lo").as("src"), col("hi").as("dst")))
+    // per-node min over the closed neighborhood — an aggregate, never a
+    // collected neighbor list, so a high-degree hub costs a partial agg,
+    // not executor memory
+    val mins = bidir.groupBy(col("src"))
+      .agg(least(min(col("dst")), col("src")).as("m"))
+    bidir.join(mins, "src")
+      .filter(col("dst") > col("src"))
+      .select(col("dst").as("hi"), col("m").as("lo"))
+      .distinct()
+  }
+
+  /** One small-star round: every node links its smaller-or-equal
+    * neighborhood (itself included) to that neighborhood's minimum. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val mins = edges.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+    val withMin = edges.join(mins, "hi")
+    withMin.filter(col("lo") =!= col("m"))
+      .select(col("lo").as("hi"), col("m").as("lo"))
+      .unionAll(mins.select(col("hi"), col("m").as("lo")))
+      .distinct()
+  }
+
+  /** Connected components over an undirected edge list (id_a, id_b) — the
+    * step that turns near-dup candidate pairs into duplicate clusters.
+    *
+    * Distributed path: alternating large-star / small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14 — public algorithm), which converges in O(log n) rounds
+    * regardless of graph diameter — unlike min-label propagation, whose
+    * round count is the component diameter. Convergence is CHECKED (edge
+    * set fixpoint); if `maxIter` rounds don't reach it the call THROWS
+    * rather than silently returning partial components.
+    *
+    * LSH prunes the pair space hard, so when the surviving edge list is
+    * small a driver-side union-find beats paying several Spark jobs per
+    * round; above `driverThreshold` it stays fully distributed. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
       driverThreshold: Long = 100000L): DataFrame = {
     // materialize the (expensive) candidate-pair pipeline ONCE and cut its
-    // lineage — every loop iteration re-reads this cache, never the
-    // upstream minhash stages
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true)
+    // lineage — every contraction round re-reads this, never the upstream
+    // minhash stages
+    val edges0 = materialize(
+      pairs.select(
+        greatest(col("id_a"), col("id_b")).as("hi"),
+        least(col("id_a"), col("id_b")).as("lo"))
+        .filter(col("hi") =!= col("lo"))
+        .distinct())
 
-    // LSH prunes the pair space hard; when the surviving edge list is
-    // small, a driver-side union-find beats paying 2 Spark jobs per
-    // propagation round. Above the threshold, stay fully distributed.
-    val edgeCount = edges.count()
+    val edgeCount = edges0.count()
     if (edgeCount <= driverThreshold) {
-      import edges.sparkSession.implicits._
-      val es = edges.as[(Long, Long)].collect()
+      import edges0.sparkSession.implicits._
+      val es = edges0.as[(Long, Long)].collect()
       val parent = mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -125,34 +172,29 @@ object Dedup {
         if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
       }
       val labels = parent.keys.map(k => (k, find(k))).toSeq
-      return edges.sparkSession.createDataset(labels).toDF("id", "component")
+      return edges0.sparkSession.createDataset(labels).toDF("id", "component")
     }
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .persist()
+
+    var edges = edges0
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "dst2").withColumnRenamed("component", "dst_comp"),
-          col("dst") === col("dst2"))
-        .groupBy(col("src").as("id2"))
-        .agg(min(col("dst_comp")).as("nbr_comp"))
-      // eager localCheckpoint: materializes this iteration AND truncates
-      // lineage, so iteration cost stays flat instead of re-deriving the
-      // whole chain each round
-      val next = labels.join(neighborMin, col("id") === col("id2"), "left")
-        .select(col("id"),
-          least(col("component"), coalesce(col("nbr_comp"), col("component"))).as("component"))
-        .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
-        .filter(col("component") < col("old")).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
+      val next = materialize(smallStar(largeStar(edges)))
+      // fixpoint test on the normalized-distinct edge set: same size and
+      // nothing new ⇒ identical
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).isEmpty
+      edges = next
       iter += 1
     }
-    labels
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents: star contraction did not converge in $maxIter rounds " +
+          s"($edgeCount input edges) — component labels would be unreliable")
+    // at the fixpoint every component is a star: each edge is (member, root)
+    edges.select(col("hi").as("id"), col("lo").as("component"))
+      .unionAll(edges.select(col("lo").as("id"), col("lo").as("component")))
+      .distinct()
   }
 
   /** 32-bit SimHash as a '0'/'1' bitstring: bit i is the sign of the sum

@@ -46,6 +46,24 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(viaDriver(9L) == 1L && viaDriver(3L) == 1L && viaDriver(6L) == 5L)
   }
 
+  test("connected components: distributed path handles diameter > round budget " +
+    "(star contraction, not label propagation)") {
+    // a 60-node path graph — diameter 59 would need 59 label-propagation
+    // rounds, far past any sane cap; star contraction closes it in O(log n)
+    val path = (0L until 59L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(path, driverThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == 60)
+    assert(labels.values.forall(_ == 0L))
+    // and a mixed graph: two components + an isolated edge, distributed path
+    val mixed = (0L until 30L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (101L, 102L), (200L, 201L))
+    val m = Dedup.connectedComponents(mixed.toDF("id_a", "id_b"), driverThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert((0L to 30L).forall(m(_) == 0L))
+    assert(m(102L) == 100L && m(201L) == 200L)
+  }
+
   test("simhash of identical docs equal; near-dups within small hamming distance") {
     val sh = docs.select($"doc_id", Dedup.simhashExpr("text").as("h"))
       .as[(Long, String)].collect().toMap
