@@ -22,9 +22,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val names = SparkEntry.benchNames
-    // one warm-up pass so JIT/codegen/class-loading don't dominate q1
-    names.headOption.foreach { n =>
-      try SparkEntry.queries(n)(spark, sfDir).count() catch { case _: Throwable => () }
+    // warm every query's code path once at the smallest SF so the timed
+    // runs measure the operators, not JIT/codegen/classloading (same plan
+    // shapes → whole-stage-codegen cache hits at the target SF)
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    names.foreach { n =>
+      try SparkEntry.queries(n)(spark, warmDir).count() catch { case _: Throwable => () }
     }
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)

@@ -42,17 +42,29 @@ object StreamingQueries {
   }
 
   /** Run a streaming DataFrame to completion into a memory sink and hand
-    * back the materialized table. */
+    * back the materialized table.
+    *
+    * Stateful queries allocate one state store per shuffle partition per
+    * batch; at replay scale that fixed cost dominates (s01 takes the same
+    * wall-clock at sf0.001 and sf0.1), so the partition count is clamped
+    * for the stream's lifetime and restored afterwards. A production
+    * deployment sizes this to state volume, not to the batch default. */
   private def runToMemory(df: DataFrame, mode: OutputMode): DataFrame = {
+    val spark = df.sparkSession
     val name = s"graft_stream_${sinkCounter.incrementAndGet()}_${System.nanoTime()}"
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    df.sparkSession.table(name)
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.min(8, saved.toInt).toString)
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    spark.table(name)
   }
 
   /** Tumbling 1-hour window aggregation per event type. */
