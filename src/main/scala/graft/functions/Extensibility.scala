@@ -203,7 +203,38 @@ object Extensibility {
       .orderBy("o_orderpriority", "rn")
   }
 
-  val defs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06)
+  /** Bloom-filter join pruning (the runtime-filter pattern): build a
+    * bloom filter over the build side's keys (`df.stat.bloomFilter` — a
+    * distributed aggregate, only the filter bits reach the driver),
+    * broadcast it, and pre-filter the probe side BEFORE the exact
+    * semi-join. False positives are removed by the exact join, so the
+    * result is identical to the plain semi-join — which is what the
+    * oracle pins. At 100 TB this turns "shuffle the whole probe table"
+    * into "shuffle the ~matching fraction". */
+  private val x07 = Q(
+    "x07_bloom_prefilter_join",
+    """SELECT c_mktsegment, count(*) AS n_urgent_cust,
+              round(sum(c_acctbal), 2) AS total_bal
+       FROM customer
+       WHERE c_custkey IN (SELECT o_custkey FROM orders
+                           WHERE o_orderpriority = '1-URGENT')
+       GROUP BY c_mktsegment ORDER BY c_mktsegment""") { (s, d) =>
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    val bf = urgent.stat.bloomFilter("o_custkey", 100000L, 0.01)
+    val bfBc = s.sparkContext.broadcast(bf)
+    val mightContain = udf((k: Long) => bfBc.value.mightContainLong(k))
+    Tables.customer(s, d)
+      .filter(mightContain(col("c_custkey"))) // bloom pre-filter (FPs possible)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi") // exact
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_urgent_cust"),
+        round(sum("c_acctbal"), 2).as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val defs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07)
 }
 
 /** Session-extension injector (spark.sql.extensions=graft.functions.

@@ -279,5 +279,27 @@ object ScalarQueries {
       .orderBy("doc_id")
   }
 
-  val defs: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q40)
+  /** B7 string similarity: Levenshtein edit distance between adjacent
+    * part names (a narrow self-join — each row only meets its key
+    * neighbor, never a cross product). */
+  private val q62 = Q(
+    "q62_edit_distance",
+    """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+              CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist,
+              CAST(abs(length(a.p_name) - length(b.p_name)) AS BIGINT) AS len_diff
+       FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+       WHERE a.p_partkey < 200
+       ORDER BY id_a""") { (s, d) =>
+    val p = Tables.part(s, d).select("p_partkey", "p_name")
+    val a = p.as("a"); val b = p.as("b")
+    a.join(b, col("b.p_partkey") === col("a.p_partkey") + 1)
+      .filter(col("a.p_partkey") < 200)
+      .select(
+        col("a.p_partkey").as("id_a"), col("b.p_partkey").as("id_b"),
+        levenshtein(col("a.p_name"), col("b.p_name")).cast(LongType).as("edit_dist"),
+        abs(length(col("a.p_name")) - length(col("b.p_name"))).cast(LongType).as("len_diff"))
+      .orderBy("id_a")
+  }
+
+  val defs: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q40, q62)
 }

@@ -88,5 +88,53 @@ object AdvancedJoins {
          GROUP BY c_mktsegment ORDER BY c_mktsegment""")
   }
 
-  val defs: Seq[Q] = Seq(q29, q30, q38)
+  /** LATERAL correlated subquery join (top-2 customers by balance per
+    * nation). Catalyst decorrelates the per-row ORDER BY + LIMIT into a
+    * window over a single join — no per-outer-row re-execution, which is
+    * what makes the construct usable at scale. */
+  private val q59 = Q(
+    "q59_lateral_join",
+    """SELECT n_name, c_name, round(c_acctbal, 2) AS acctbal
+       FROM nation, LATERAL (
+         SELECT c_name, c_acctbal FROM customer
+         WHERE c_nationkey = n_nationkey
+         ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+       ORDER BY n_name, acctbal DESC, c_name""") { (s, d) =>
+    Tables.nation(s, d).createOrReplaceTempView("graft_lat_nation")
+    Tables.customer(s, d).createOrReplaceTempView("graft_lat_cust")
+    s.sql(
+      """SELECT n_name, c_name, round(c_acctbal, 2) AS acctbal
+         FROM graft_lat_nation, LATERAL (
+           SELECT c_name, c_acctbal FROM graft_lat_cust
+           WHERE c_nationkey = n_nationkey
+           ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+         ORDER BY n_name, acctbal DESC, c_name""")
+  }
+
+  /** EXISTS / NOT EXISTS correlated subqueries (planned as one semi and
+    * one anti join — no subquery re-execution per row). */
+  private val q63 = Q(
+    "q63_exists_subquery",
+    """SELECT c_mktsegment, count(*) AS n_big_no_low
+       FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+         AND NOT EXISTS (SELECT 1 FROM orders o2
+                         WHERE o2.o_custkey = c.c_custkey
+                           AND o2.o_orderpriority = '5-LOW')
+       GROUP BY c_mktsegment ORDER BY c_mktsegment""") { (s, d) =>
+    Tables.customer(s, d).createOrReplaceTempView("graft_ex_cust")
+    Tables.orders(s, d).createOrReplaceTempView("graft_ex_orders")
+    s.sql(
+      """SELECT c_mktsegment, count(*) AS n_big_no_low
+         FROM graft_ex_cust c
+         WHERE EXISTS (SELECT 1 FROM graft_ex_orders o
+                       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+           AND NOT EXISTS (SELECT 1 FROM graft_ex_orders o2
+                           WHERE o2.o_custkey = c.c_custkey
+                             AND o2.o_orderpriority = '5-LOW')
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+  }
+
+  val defs: Seq[Q] = Seq(q29, q30, q38, q59, q63)
 }

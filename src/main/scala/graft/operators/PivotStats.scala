@@ -196,5 +196,29 @@ object PivotStats {
       .orderBy("n_name")
   }
 
-  val defs: Seq[Q] = Seq(q42, q43, q44, q45, q46, q54, q55)
+  /** B4: DYNAMIC pivot — the value list is discovered from the data (an
+    * extra distinct-values job before the pivot aggregation; q42 is the
+    * explicit-list variant that skips it). Null cells → 0 so the shape is
+    * stable regardless of which (priority, year) combos exist. */
+  private val q61 = Q(
+    "q61_dynamic_pivot",
+    """SELECT o_orderpriority,
+              count(*) FILTER (WHERE year(o_orderdate) = 1995) AS "1995",
+              count(*) FILTER (WHERE year(o_orderdate) = 1996) AS "1996",
+              count(*) FILTER (WHERE year(o_orderdate) = 1997) AS "1997",
+              count(*) FILTER (WHERE year(o_orderdate) = 1998) AS "1998",
+              count(*) FILTER (WHERE year(o_orderdate) = 1999) AS "1999",
+              count(*) FILTER (WHERE year(o_orderdate) = 2000) AS "2000",
+              count(*) FILTER (WHERE year(o_orderdate) = 2001) AS "2001"
+       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, d) =>
+    Tables.orders(s, d)
+      .withColumn("yr", year(col("o_orderdate")))
+      .groupBy("o_orderpriority")
+      .pivot("yr") // dynamic: values discovered, sorted → stable columns
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("o_orderpriority")
+  }
+
+  val defs: Seq[Q] = Seq(q42, q43, q44, q45, q46, q54, q55, q61)
 }

@@ -226,5 +226,39 @@ object WindowsSetOps {
       .orderBy("o_orderkey")
   }
 
-  val defs: Seq[Q] = Seq(q13, q14, q15, q16, q17, q18, q19, q39, q52)
+  /** B5/B8: BATCH sessionization via `session_window` — the same gap-based
+    * session semantics as the streaming s04/s10 queries, on bounded data:
+    * one shuffle by user, sessions merged per key (end = last event +
+    * gap). Oracle = classic gaps-and-islands SQL. */
+  private val q60 = Q(
+    "q60_session_window_batch",
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events WHERE user_id < 100),
+         flg AS (
+           SELECT user_id, us,
+                  CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                         OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+                       THEN 1 ELSE 0 END AS new_s
+           FROM e),
+         sess AS (
+           SELECT user_id, us,
+                  sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+           FROM flg)
+       SELECT user_id, min(us) AS session_start_us,
+              max(us) + 1800000000 AS session_end_us,
+              count(*) AS n_events
+       FROM sess GROUP BY user_id, sid
+       ORDER BY user_id, session_start_us""") { (s, d) =>
+    Tables.events(s, d)
+      .filter(col("user_id") < 100)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("session_start_us"),
+        unix_micros(col("sw.end")).as("session_end_us"),
+        col("n_events"))
+      .orderBy("user_id", "session_start_us")
+  }
+
+  val defs: Seq[Q] = Seq(q13, q14, q15, q16, q17, q18, q19, q39, q52, q60)
 }

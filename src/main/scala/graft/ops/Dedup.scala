@@ -412,5 +412,78 @@ object Dedup {
       .orderBy("lang")
   }
 
-  val defs: Seq[Q] = Seq(d01, d02, d03, d04, d08, d09)
+  /** Benchmark decontamination: remove from the training corpus any
+    * document that exactly matches (md5) or near-matches (shares an LSH
+    * band bucket with) a held-out benchmark document — the standard
+    * eval-leakage guard in a training-data pipeline. The benchmark side
+    * is tiny relative to the corpus, so its hashes and bucket keys are
+    * BROADCAST: the corpus is never shuffled, only scanned. Here docs
+    * with doc_id % 7 = 0 stand in as the benchmark set. */
+  private val d10 = Q(
+    "d10_decontaminate",
+    """WITH docs AS (
+         SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       sh AS (
+         SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+         FROM (SELECT doc_id, ws,
+                      unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+               FROM docs)),
+       sig AS (
+         SELECT doc_id, seed, min(md5(seed || '|' || sh)) AS mh
+         FROM sh, (SELECT unnest(generate_series(0, 7)) AS seed) seeds
+         GROUP BY doc_id, seed),
+       bands AS (
+         SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+                md5(string_agg(mh, '' ORDER BY seed)) AS band_key
+         FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)),
+       bench_hashes AS (
+         SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 7 = 0),
+       exact_bad AS (
+         SELECT DISTINCT doc_id FROM documents
+         WHERE doc_id % 7 != 0 AND md5(text) IN (SELECT h FROM bench_hashes)),
+       bench_buckets AS (
+         SELECT DISTINCT band, band_key FROM bands WHERE doc_id % 7 = 0),
+       near_bad AS (
+         SELECT DISTINCT b.doc_id
+         FROM bands b JOIN bench_buckets bb
+           ON b.band = bb.band AND b.band_key = bb.band_key
+         WHERE b.doc_id % 7 != 0)
+       SELECT verdict, count(*) AS n_docs,
+              min(doc_id) AS min_id, max(doc_id) AS max_id
+       FROM (
+         SELECT t.doc_id,
+                CASE WHEN e.doc_id IS NOT NULL THEN 'exact_contaminated'
+                     WHEN n.doc_id IS NOT NULL THEN 'near_contaminated'
+                     ELSE 'clean' END AS verdict
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 7 != 0) t
+         LEFT JOIN exact_bad e ON t.doc_id = e.doc_id
+         LEFT JOIN near_bad n ON t.doc_id = n.doc_id) v
+       GROUP BY verdict ORDER BY verdict""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val train = docs.filter(col("doc_id") % 7 =!= 0)
+    val benchHashes = docs.filter(col("doc_id") % 7 === 0)
+      .select(md5(col("text")).as("bh")).distinct()
+    // one minhash pass over the whole corpus, materialized once (the
+    // benchmark- and training-side bucket scans below both read it)
+    val buckets = materialize(
+      lshBuckets(docs, "doc_id", "text", shingleWords = 3, bands = 4, rowsPerBand = 2))
+    val benchBuckets = buckets.filter(col("id") % 7 === 0)
+      .select("band", "band_key").distinct()
+    val nearIds = buckets.filter(col("id") % 7 =!= 0)
+      .join(broadcast(benchBuckets), Seq("band", "band_key"))
+      .select(col("id").as("near_id")).distinct()
+    train.withColumn("h", md5(col("text")))
+      .join(broadcast(benchHashes), col("h") === col("bh"), "left")
+      .join(broadcast(nearIds), col("doc_id") === col("near_id"), "left")
+      .select(col("doc_id"),
+        when(col("bh").isNotNull, "exact_contaminated")
+          .when(col("near_id").isNotNull, "near_contaminated")
+          .otherwise("clean").as("verdict"))
+      .groupBy("verdict")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy("verdict")
+  }
+
+  val defs: Seq[Q] = Seq(d01, d02, d03, d04, d08, d09, d10)
 }

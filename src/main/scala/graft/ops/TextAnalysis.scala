@@ -220,5 +220,89 @@ object TextAnalysis {
       .limit(20)
   }
 
-  val defs: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06)
+  /** Deterministic train/val/test split (90/5/5): bucket = first 4 hex
+    * digits of md5(doc_id) mod 100 — stable across runs, partitionings,
+    * and engines (no RNG, no shuffle dependence), which is exactly what a
+    * reproducible corpus split needs at 100 TB. The oracle recomputes the
+    * same bucket with strpos digit math. */
+  private val t07 = Q(
+    "t07_train_split",
+    """WITH b AS (
+         SELECT doc_id, n_chars,
+                ((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096 +
+                 (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256 +
+                 (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16 +
+                 (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 100 AS bucket
+         FROM documents)
+       SELECT CASE WHEN bucket < 90 THEN 'train'
+                   WHEN bucket < 95 THEN 'val'
+                   ELSE 'test' END AS split,
+              count(*) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars,
+              min(doc_id) AS min_id, max(doc_id) AS max_id
+       FROM b GROUP BY 1 ORDER BY split""") { (s, d) =>
+    val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast(LongType) % 100)
+    Tables.documents(s, d)
+      .withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy("split")
+  }
+
+  /** PII scrubbing: regex redaction of emails and phone numbers. The
+    * "dirty" text is built deterministically from the customer fixture
+    * (the documents fixture contains no PII), scrubbed with the same
+    * patterns a curation pipeline would use, and the oracle replays the
+    * identical construction + redaction in DuckDB. Pure narrow map —
+    * scales as a scan. */
+  private val t08 = Q(
+    "t08_pii_scrub",
+    """WITH dirty AS (
+         SELECT c_custkey AS cust_id,
+                c_name || ' reach me at contact' || CAST(c_custkey AS VARCHAR)
+                  || '@example-' || lower(c_mktsegment) || '.com or ('
+                  || CAST(300 + c_nationkey AS VARCHAR) || ') 555-'
+                  || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS txt
+         FROM customer),
+       scrubbed AS (
+         SELECT cust_id, txt,
+                regexp_replace(
+                  regexp_replace(txt, '[A-Za-z0-9+._-]+@[A-Za-z0-9.-]+', '[EMAIL]', 'g'),
+                  '\(\d{3}\) \d{3}-\d{4}', '[PHONE]', 'g') AS clean
+         FROM dirty)
+       SELECT cust_id, md5(clean) AS scrub_hash,
+              CAST(len(regexp_extract_all(txt, '[A-Za-z0-9+._-]+@[A-Za-z0-9.-]+')) AS BIGINT) AS n_emails,
+              CAST(len(regexp_extract_all(txt, '\(\d{3}\) \d{3}-\d{4}')) AS BIGINT) AS n_phones,
+              NOT contains(clean, '@') AS emails_gone
+       FROM scrubbed ORDER BY cust_id""") { (s, d) =>
+    val emailRe = "[A-Za-z0-9+._-]+@[A-Za-z0-9.-]+"
+    val phoneRe = "\\(\\d{3}\\) \\d{3}-\\d{4}"
+    val dirty = Tables.customer(s, d).select(
+      col("c_custkey").as("cust_id"),
+      concat(col("c_name"), lit(" reach me at contact"),
+        col("c_custkey").cast("string"),
+        lit("@example-"), lower(col("c_mktsegment")), lit(".com or ("),
+        (lit(300) + col("c_nationkey")).cast("string"), lit(") 555-"),
+        lpad((col("c_custkey") % 10000).cast("string"), 4, "0")).as("txt"))
+    dirty.select(col("cust_id"), col("txt"),
+      regexp_replace(
+        regexp_replace(col("txt"), emailRe, "[EMAIL]"),
+        phoneRe, "[PHONE]").as("clean"))
+      .select(col("cust_id"), md5(col("clean")).as("scrub_hash"),
+        size(regexp_extract_all(col("txt"), lit(emailRe), lit(0))).cast(LongType)
+          .as("n_emails"),
+        size(regexp_extract_all(col("txt"), lit(phoneRe), lit(0))).cast(LongType)
+          .as("n_phones"),
+        (!col("clean").contains("@")).as("emails_gone"))
+      .orderBy("cust_id")
+  }
+
+  val defs: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08)
 }

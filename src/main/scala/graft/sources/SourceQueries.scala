@@ -96,5 +96,53 @@ object SourceQueries {
       .orderBy("o_orderpriority")
   }
 
-  val defs: Seq[Q] = Seq(src01, src02, src03, src04)
+  /** ORC round-trip (columnar alternative to parquet; Spark-native
+    * reader/writer, same pushdown/pruning machinery). */
+  private val src05 = Q(
+    "src05_orc_roundtrip",
+    """SELECT p_brand, count(*) AS n_parts,
+              CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+       FROM part GROUP BY p_brand ORDER BY p_brand""") { (s, d) =>
+    val dir = tmp("graft_orc")
+    Tables.part(s, d).write.mode("overwrite").orc(s"$dir/part_orc")
+    s.read.orc(s"$dir/part_orc")
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(round(col("p_retailprice") * 100).cast(LongType)).as("total_cents"))
+      .orderBy("p_brand")
+  }
+
+  /** Bucketed tables + co-located join: both sides written bucketed and
+    * sorted by the join key into external tables, then joined. With
+    * matching bucket counts the join needs NO shuffle of either side —
+    * the at-100TB pattern for a fact-fact join that runs repeatedly
+    * (pay the bucketing write once, skip the exchange every query).
+    * Exchange-freeness is asserted in PlanSpec; the oracle pins the
+    * result equal to the plain join. */
+  private val src06 = Q(
+    "src06_bucketed_join",
+    """SELECT o_orderpriority, count(*) AS n_items,
+              CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS item_cents
+       FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE o_orderdate >= DATE '1996-01-01'
+       GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, d) =>
+    val dir = tmp("graft_bucketed")
+    Tables.orders(s, d)
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$dir/orders_b").saveAsTable("graft_orders_bucketed")
+    Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$dir/lineitem_b").saveAsTable("graft_lineitem_bucketed")
+    s.table("graft_orders_bucketed")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("date"))
+      .join(s.table("graft_lineitem_bucketed"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(round(col("l_extendedprice") * 100).cast(LongType)).as("item_cents"))
+      .orderBy("o_orderpriority")
+  }
+
+  val defs: Seq[Q] = Seq(src01, src02, src03, src04, src05, src06)
 }

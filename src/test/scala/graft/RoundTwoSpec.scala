@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+import org.apache.spark.sql.functions._
+
+/** Round-2 operators: batch sessionization, deterministic splits,
+  * decontamination, bloom prefilter, bucketed-join query, PII scrub. */
+class RoundTwoSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("q60: session_window closes exactly at the gap boundary") {
+    // Spark merges sessions when next.start <= prev.end: an event at
+    // EXACTLY prev + gap still merges; one microsecond past it does not.
+    // The q60 oracle encodes the same rule (`> gap` opens a session).
+    val mk = (us: Long) => timestamp_micros(lit(us))
+    def sessions(gapUs: Long): Long =
+      spark.range(1)
+        .select(explode(array(mk(0L), mk(gapUs))).as("ts"))
+        .groupBy(session_window(col("ts"), "30 minutes"))
+        .count().count()
+    assert(sessions(1800L * 1000000) == 1, "event at exactly the gap must merge")
+    assert(sessions(1800L * 1000000 + 1) == 2, "event past the gap must open a new session")
+  }
+
+  test("t07: split is deterministic, disjoint, and covers every doc") {
+    val q = SparkEntry.queries("t07_train_split")
+    val a = q(spark, sf0001).collect().map(_.toSeq).toSeq
+    val b = q(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(a == b, "split must be identical run-to-run")
+    val total = a.map(r => r(1).asInstanceOf[Long]).sum
+    val nDocs = Tables.documents(spark, sf0001).count()
+    assert(total == nDocs, s"splits must partition the corpus ($total != $nDocs)")
+    val bySplit = a.map(r => r(0).toString -> r(1).asInstanceOf[Long]).toMap
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"),
+      s"train must dominate a 90/5/5 split: $bySplit")
+  }
+
+  test("d10: every exact text match with the benchmark set is flagged") {
+    val docs = Tables.documents(spark, sf0001)
+    val benchTexts = docs.filter(col("doc_id") % 7 === 0).select("text").distinct()
+    val expectExact = docs.filter(col("doc_id") % 7 =!= 0)
+      .join(benchTexts, Seq("text"), "left_semi").count()
+    val verdicts = SparkEntry.queries("d10_decontaminate")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(verdicts.getOrElse("exact_contaminated", 0L) == expectExact,
+      s"exact flags ($verdicts) must equal the true overlap ($expectExact)")
+    val train = docs.filter(col("doc_id") % 7 =!= 0).count()
+    assert(verdicts.values.sum == train, "verdicts must partition the training corpus")
+  }
+
+  test("x07: bloom pre-filter passes every true member (no false negatives)") {
+    val urgent = Tables.orders(spark, sf0001)
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    val bf = urgent.stat.bloomFilter("o_custkey", 100000L, 0.01)
+    val missed = urgent.distinct().as[Long].collect().filterNot(bf.mightContainLong)
+    assert(missed.isEmpty, s"bloom filter dropped true members: ${missed.take(5).toSeq}")
+    // and the query's result equals the plain semi-join (FPs removed)
+    val viaBloom = SparkEntry.queries("x07_bloom_prefilter_join")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    val plain = Tables.customer(spark, sf0001)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_urgent_cust"), round(sum("c_acctbal"), 2).as("total_bal"))
+      .orderBy("c_mktsegment").collect().map(_.toSeq).toSeq
+    assert(viaBloom == plain, "bloom pre-filter must not change join semantics")
+  }
+
+  test("src06: bucketed join query shuffles neither join input") {
+    val df = SparkEntry.queries("src06_bucketed_join")(spark, sf0001)
+    val p = castToImpl(df).queryExecution.executedPlan.toString
+    val joinAt = p.indexOf("Join")
+    assert(joinAt >= 0, s"no join in plan:\n$p")
+    // nothing below the join may re-shuffle: bucket layout IS the
+    // distribution (broadcast of the small side is also exchange-free
+    // for the big side and acceptable at test SF)
+    assert(!p.substring(joinAt).contains("ShuffleExchange"),
+      s"bucketed join input was shuffled:\n$p")
+  }
+
+  test("t08: scrub redacts all constructed emails and phones") {
+    val out = SparkEntry.queries("t08_pii_scrub")(spark, sf0001)
+    val bad = out.filter(!col("emails_gone") || col("n_emails") =!= 1 || col("n_phones") =!= 1)
+    assert(bad.isEmpty, s"unredacted rows: ${bad.take(3).toSeq}")
+  }
+}
