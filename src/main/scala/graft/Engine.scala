@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The library's session entry point: one call that (a) builds a
+  * SparkSession tuned for the engine's workload shape, and (b) installs
+  * every engine extension (custom expressions, the heap top-k
+  * optimizer rule + strategy) so user queries pick them up
+  * transparently.
+  *
+  * The tuning knobs and their 100 TB rationale:
+  *  - AQE on (+ partition coalescing + skew-join splitting): plans are
+  *    re-sized from runtime statistics, so one static
+  *    `shuffle.partitions` choice doesn't have to fit every stage; a
+  *    skewed join key is split instead of hot-spotting one task.
+  *  - `shuffle.partitions` defaults to the core count locally; on a
+  *    cluster, callers pass ~2-3× total executor cores (AQE coalesces
+  *    the excess; too FEW partitions can't be split up except by the
+  *    skew rule).
+  *  - `files.maxPartitionBytes` stays at Spark's 128 MB default: scan
+  *    tasks sized so a row-group plus shuffle write buffers fit
+  *    executor memory.
+  *  - UTC session timezone: timestamp arithmetic must not depend on
+  *    the cluster's locale.
+  */
+object Engine {
+
+  /** Install engine extensions on an existing session (idempotent):
+    * SQL-callable custom expressions and the top-k rewrite. */
+  def install(spark: SparkSession): SparkSession = {
+    functions.CosineSimilarity.register(spark)
+    functions.LongDot.register(spark)
+    functions.HllSketch.register(spark)
+    plans.TopKPerGroup.install(spark)
+    spark
+  }
+
+  /** Build (or reuse) a tuned local session and install extensions.
+    * `parallelism` is both the local core count and the shuffle
+    * partition count — on a real cluster replace the master and size
+    * shuffle partitions to the executor fleet instead. */
+  def session(parallelism: Int = Runtime.getRuntime.availableProcessors(),
+      appName: String = "graft"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$parallelism]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", parallelism.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    install(spark)
+  }
+}
