@@ -1,0 +1,18 @@
+package graft
+
+/** Dev probe: wall-clock one query (post-warmup) at a given SF.
+  * Usage: sbt 'Test/runMain graft.TimeProbe d11_simhash_dedup /root/testdata/sf0.1'
+  */
+object TimeProbe {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val spark = Engine.session(32, "graft-timeprobe")
+    val fn = SparkEntry.queries(name)
+    fn(spark, "/root/testdata/sf0.001").count() // warm codegen/classes
+    val t0 = System.nanoTime()
+    val n = fn(spark, sfDir).count()
+    println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s, $n rows")
+    spark.stop()
+  }
+}
