@@ -51,7 +51,8 @@ object SparkEntry {
       "q13_window_rank", "q16_topk_per_group", "q18_setops",
       "q33_returned_items", "q37_region_share_by_year",
       "d03_minhash_lsh", "d05_embed_cosine_topk", "d08_dedup_groups",
-      "t05_tfidf", "t06_salted_token_count",
+      "d10_decontaminate", "d11_simhash_dedup",
+      "t05_tfidf", "t06_salted_token_count", "t07_train_split",
       "a01_pipe_cranker", "s01_stream_tumbling")
     val have = queries.keySet
     preferred.filter(have)

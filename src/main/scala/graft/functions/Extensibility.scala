@@ -234,7 +234,25 @@ object Extensibility {
       .orderBy("c_mktsegment")
   }
 
-  val defs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07)
+  /** Sketch-based heavy hitters (`approx_top_k`, space-saving alg).
+    * With maxItemsTracked (10000) >= the column's true cardinality the
+    * sketch is EXACT, so — unlike x03/x05 — this oracle can hash-match
+    * the true counts directly; the struct array is flattened to rows
+    * with a deterministic (count, item) order. */
+  private val x08 = Q(
+    "x08_approx_top_k",
+    """SELECT o_orderpriority AS item, count(*) AS cnt
+       FROM orders GROUP BY o_orderpriority
+       ORDER BY cnt DESC, item""") { (s, d) =>
+    Tables.orders(s, d).createOrReplaceTempView("graft_atk_orders")
+    s.sql(
+      """SELECT item, count AS cnt FROM (
+           SELECT inline(approx_top_k(o_orderpriority, 5, 10000))
+           FROM graft_atk_orders)
+         ORDER BY cnt DESC, item""")
+  }
+
+  val defs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08)
 }
 
 /** Session-extension injector (spark.sql.extensions=graft.functions.

@@ -220,5 +220,25 @@ object PivotStats {
       .orderBy("o_orderpriority")
   }
 
-  val defs: Seq[Q] = Seq(q42, q43, q44, q45, q46, q54, q55, q61)
+  /** B4: ordered string aggregation (`listagg ... WITHIN GROUP`) — the
+    * within-group ORDER BY makes the concatenation deterministic under
+    * any partitioning (unordered listagg would be partition-order-
+    * dependent and unverifiable). */
+  private val q64 = Q(
+    "q64_listagg",
+    """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+              count(*) AS n_nations
+       FROM nation JOIN region ON n_regionkey = r_regionkey
+       GROUP BY r_name ORDER BY r_name""") { (s, d) =>
+    Tables.nation(s, d).createOrReplaceTempView("graft_la_nation")
+    Tables.region(s, d).createOrReplaceTempView("graft_la_region")
+    s.sql(
+      """SELECT r_name,
+                listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations,
+                count(*) AS n_nations
+         FROM graft_la_nation JOIN graft_la_region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""")
+  }
+
+  val defs: Seq[Q] = Seq(q42, q43, q44, q45, q46, q54, q55, q61, q64)
 }
