@@ -349,5 +349,60 @@ object StreamingQueries {
       .orderBy("user_id", "session_start")
   }
 
-  val defs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10)
+  /** transformWithState (the Spark 4 arbitrary-state API, successor to
+    * (flat)mapGroupsWithState): per-user running totals kept in a
+    * ValueState, RocksDB state store provider (required by the API).
+    * Each batch emits the cumulative per-key totals; both counters are
+    * monotone across batches, so `max` per key is the final value
+    * whatever the batch split — the batch oracle is the plain per-user
+    * aggregate. */
+  private val s11 = Q(
+    "s11_stream_transform_with_state",
+    """SELECT user_id, count(*) AS n_events,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+       FROM events GROUP BY user_id ORDER BY user_id""") { (s, d) =>
+    import org.apache.spark.sql.streaming.TimeMode
+    import s.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val saved = s.conf.get(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = eventsStream(s, d)
+        .select(col("user_id"), round(col("value") * 100).cast(LongType).as("cents"))
+        .as[(Long, Long)]
+      val out = events.groupByKey(_._1)
+        .transformWithState(new UserTotalsProcessor, TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "n_events", "total_cents")
+      runToMemory(out, OutputMode.Update())
+        .groupBy("user_id")
+        .agg(max(col("n_events")).as("n_events"), max(col("total_cents")).as("total_cents"))
+        .orderBy("user_id")
+    } finally s.conf.set(providerKey, saved)
+  }
+
+  val defs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11)
+}
+
+/** s11's StatefulProcessor: cumulative (event count, value cents) per
+  * user in a single ValueState cell. */
+class UserTotalsProcessor
+  extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
+  import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.{Encoders, streaming}
+
+  @transient private var totals: ValueState[(Long, Long)] = _
+
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    totals = getHandle.getValueState[(Long, Long)]("totals",
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+      timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+    var (n, cents) = if (totals.exists()) totals.get() else (0L, 0L)
+    rows.foreach { case (_, c) => n += 1; cents += c }
+    totals.update((n, cents))
+    Iterator.single((key, n, cents))
+  }
 }
