@@ -184,5 +184,88 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
-  val defs: Seq[Q] = Seq(d05, d06, d07)
+  /** ANN quality, measured: recall@10 of the IVF probe (d07's index, one
+    * cell probed) against the exact brute-force top-10 (d05's method),
+    * per query. Both algorithms are deterministic integer math, so the
+    * recall numbers themselves hash-match the oracle — the
+    * approximation/speed tradeoff is a measured, verified quantity, not
+    * a hope. */
+  private val d12 = Q(
+    "d12_ann_recall",
+    """WITH e AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+         FROM embeddings),
+       n AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2 FROM e),
+       exact_pairs AS (
+         SELECT q.vec_id AS qid, c.vec_id AS cid,
+                CAST(list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * c.v[i])) AS BIGINT)
+                  / (sqrt(q.n2) * sqrt(c.n2)) AS cos
+         FROM n q JOIN n c ON q.vec_id >= 10 AND q.vec_id < 25 AND c.vec_id <> q.vec_id),
+       exact_top AS (
+         SELECT qid, cid FROM (
+           SELECT qid, cid,
+                  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+           FROM exact_pairs) t WHERE rank <= 10),
+       cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+       scored AS (
+         SELECT n.vec_id, n.v, n.n2, c.cent_id,
+                row_number() OVER (PARTITION BY n.vec_id
+                  ORDER BY CAST(list_sum(list_transform(generate_series(1, 64), i -> n.v[i] * c.cv[i])) AS BIGINT) DESC,
+                           c.cent_id) AS rn
+         FROM n, cents c),
+       assign AS (SELECT vec_id, v, n2, cent_id AS cell FROM scored WHERE rn = 1),
+       ivf_pairs AS (
+         SELECT q.vec_id AS qid, c.vec_id AS cid,
+                CAST(list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * c.v[i])) AS BIGINT)
+                  / (sqrt(q.n2) * sqrt(c.n2)) AS cos
+         FROM assign q JOIN assign c ON q.cell = c.cell AND c.vec_id <> q.vec_id
+         WHERE q.vec_id >= 10 AND q.vec_id < 25),
+       ivf_top AS (
+         SELECT qid, cid FROM (
+           SELECT qid, cid,
+                  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+           FROM ivf_pairs) t WHERE rank <= 10),
+       overlap AS (
+         SELECT e.qid, count(i.cid) AS n_overlap
+         FROM exact_top e LEFT JOIN ivf_top i ON e.qid = i.qid AND e.cid = i.cid
+         GROUP BY e.qid)
+       SELECT qid, n_overlap, round(n_overlap / 10.0, 4) AS recall_at_10
+       FROM overlap ORDER BY qid""") { (s, d) =>
+    graft.functions.LongDot.register(s)
+    val emb = Tables.embeddings(s, d)
+    val isQuery = col("vec_id") >= 10 && col("vec_id") < 25
+    val exactTop = bruteForceTopK(emb, emb.filter(isQuery), 10)
+      .select(col("qid"), col("cid"))
+    // IVF side: same 8-centroid index as d07, k=10, one probed cell
+    val e = emb.select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("n2", norm2Q(col("v")))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val wc = Window.partitionBy(col("vec_id")).orderBy(col("dot").desc, col("cent_id"))
+    val assign = e.crossJoin(broadcast(cents))
+      .withColumn("dot", dotQ(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(wc))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("n2"), col("cent_id").as("cell"))
+    val probes = assign.filter(isQuery)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"), col("cell"))
+    val wr = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    val ivfTop = assign.select(col("vec_id").as("cid"), col("v").as("cv2"),
+        col("n2").as("cn2"), col("cell").as("ccell"))
+      .join(broadcast(probes), col("ccell") === col("cell") && col("cid") =!= col("qid"))
+      .withColumn("cos", dotQ(col("qv"), col("cv2")) / (sqrt(col("qn2")) * sqrt(col("cn2"))))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= 10)
+      .select(col("qid").as("iqid"), col("cid").as("icid"))
+    exactTop
+      .join(ivfTop, col("qid") === col("iqid") && col("cid") === col("icid"), "left")
+      .groupBy("qid")
+      .agg(count(col("icid")).as("n_overlap"))
+      .select(col("qid"), col("n_overlap"),
+        round(col("n_overlap") / 10.0, 4).as("recall_at_10"))
+      .orderBy("qid")
+  }
+
+  val defs: Seq[Q] = Seq(d05, d06, d07, d12)
 }
