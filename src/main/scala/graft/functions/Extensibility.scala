@@ -252,7 +252,31 @@ object Extensibility {
          ORDER BY cnt DESC, item""")
   }
 
-  val defs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08)
+  /** The VARIANT type (Spark 4 semi-structured storage): parse once,
+    * extract typed scalars with variant_get; schema_of_variant shows the
+    * inferred shape. At scale this replaces per-access JSON re-parsing
+    * with a binary-encoded column. */
+  private val x09 = Q(
+    "x09_variant",
+    """SELECT event_id,
+              CAST(json_extract_string(props, '$.k') AS INT) AS k_typed,
+              CAST(json_extract_string(props, '$.k') AS BIGINT) * 2 AS k_doubled,
+              CAST(json_extract_string(props, '$.missing') AS VARCHAR) AS absent,
+              'OBJECT<k: BIGINT>' AS vschema
+       FROM events WHERE event_id < 300 ORDER BY event_id""") { (s, d) =>
+    Tables.events(s, d).createOrReplaceTempView("graft_var_events")
+    s.sql(
+      """SELECT event_id,
+                variant_get(v, '$.k', 'int') AS k_typed,
+                variant_get(v, '$.k', 'long') * 2 AS k_doubled,
+                variant_get(v, '$.missing', 'string') AS absent,
+                schema_of_variant(v) AS vschema
+         FROM (SELECT event_id, parse_json(props) AS v
+               FROM graft_var_events WHERE event_id < 300)
+         ORDER BY event_id""")
+  }
+
+  val defs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09)
 }
 
 /** Session-extension injector (spark.sql.extensions=graft.functions.

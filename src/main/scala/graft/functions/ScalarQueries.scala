@@ -301,5 +301,32 @@ object ScalarQueries {
       .orderBy("id_a")
   }
 
-  val defs: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q40, q62)
+  /** B7 regexp family beyond extract/replace: regexp_count /
+    * regexp_substr / regexp_instr / regexp_like. (For a left-anchored
+    * scan, the first regex match IS the first literal occurrence of its
+    * own text, so `strpos(text, regexp_extract(...))` is an exact
+    * regexp_instr oracle for these patterns.) */
+  private val q65 = Q(
+    "q65_regexp_family",
+    """SELECT doc_id,
+              CAST(len(regexp_extract_all(text, '[aeiou]{2,}')) AS BIGINT) AS n_vowel_runs,
+              coalesce(nullif(regexp_extract(text, '[a-z]{9,}'), ''), '-') AS first_long_word,
+              CAST(CASE WHEN regexp_extract(text, '[aeiou]{2,}') = ''
+                        THEN 0
+                        ELSE strpos(text, regexp_extract(text, '[aeiou]{2,}')) END AS BIGINT)
+                AS first_run_pos,
+              regexp_matches(text, '(the|le|der|el) ') AS has_article
+       FROM documents ORDER BY doc_id""") { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      expr("regexp_count(text, '[aeiou]{2,}')").cast(LongType).as("n_vowel_runs"),
+      // Spark regexp_substr → NULL on no match (DuckDB regexp_extract → '')
+      coalesce(expr("regexp_substr(text, '[a-z]{9,}')"), lit("-"))
+        .as("first_long_word"),
+      expr("regexp_instr(text, '[aeiou]{2,}')").cast(LongType).as("first_run_pos"),
+      expr("regexp_like(text, '(the|le|der|el) ')").as("has_article"))
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q40, q62, q65)
 }
