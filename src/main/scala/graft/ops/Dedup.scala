@@ -552,9 +552,15 @@ object Dedup {
     val p = s.sparkContext.defaultParallelism
     val docs0 = Tables.documents(s, d)
     val docs = if (docs0.rdd.getNumPartitions < p) docs0.repartition(p) else docs0
+    // carry the signature both as the 16-bit band strings (join keys) and
+    // as 4 packed ints: hamming over the ~hundreds-of-thousands candidate
+    // pairs is then 4 XOR+bit_count ops per pair instead of 64 substring
+    // compares (same value as the oracle's character-wise count)
     val sigs = materialize(
       docs.withColumn("md5s", expr("transform(split(text, ' '), t -> md5(t))"))
-        .select(col("doc_id"), simhash64FromMd5s("md5s").as("sig")))
+        .select(col("doc_id"), simhash64FromMd5s("md5s").as("sig"))
+        .withColumn("si", expr(
+          "transform(sequence(0, 3), b -> cast(conv(substring(sig, b*16 + 1, 16), 2, 10) as bigint))")))
     val bands = sigs.select(col("doc_id"),
       posexplode(array((0 until 4).map(b => substring(col("sig"), b * 16 + 1, 16)): _*))
         .as(Seq("b", "bits")))
@@ -565,9 +571,11 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     cand
-      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sa")), "id_a")
-      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sb")), "id_b")
-      .withColumn("hamming", hammingDistance(col("sa"), col("sb")).cast(LongType))
+      .join(sigs.select(col("doc_id").as("id_a"), col("si").as("sa")), "id_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("si").as("sb")), "id_b")
+      .withColumn("hamming", expr(
+        "aggregate(zip_with(sa, sb, (x, y) -> bit_count(x ^ y)), 0, (acc, c) -> acc + c)")
+        .cast(LongType))
       .filter(col("hamming") <= 3)
       .groupBy("hamming")
       .agg(count(lit(1)).as("n_pairs"),
