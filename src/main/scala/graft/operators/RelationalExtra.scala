@@ -161,5 +161,59 @@ object RelationalExtra {
          GROUP BY c_mktsegment ORDER BY c_mktsegment""")
   }
 
-  val defs: Seq[Q] = Seq(q33, q34, q35, q36, q37, q47)
+  /** MERGE/upsert semantics as a batch transform (no table format with
+    * MERGE INTO here, so the engine expresses it as the canonical
+    * full-outer-join merge — matched rows updated, unmatched source rows
+    * inserted, unmatched target rows carried through). At scale this is
+    * one co-partitioned shuffle join; with bucketed tables (src06) even
+    * that exchange disappears. Source = per-customer order revenue, plus
+    * shifted keys standing in for brand-new customers. */
+  private val q66 = Q(
+    "q66_merge_upsert",
+    """WITH src0 AS (
+         SELECT o_custkey AS k,
+                CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+         FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey),
+       src AS (
+         SELECT k, rev_cents FROM src0
+         UNION ALL
+         SELECT k + 100000, rev_cents FROM src0 WHERE k < 50),
+       merged AS (
+         SELECT coalesce(c.c_custkey, s.k) AS k,
+                CASE WHEN c.c_custkey IS NULL THEN 'inserted'
+                     WHEN s.k IS NULL THEN 'unchanged'
+                     ELSE 'updated' END AS status,
+                CASE WHEN c.c_custkey IS NULL THEN s.rev_cents
+                     WHEN s.k IS NULL THEN CAST(round(c.c_acctbal * 100) AS BIGINT)
+                     ELSE CAST(round(c.c_acctbal * 100) AS BIGINT) + s.rev_cents
+                END AS balance_cents
+         FROM customer c FULL OUTER JOIN src s ON c.c_custkey = s.k)
+       SELECT status, count(*) AS n,
+              CAST(sum(balance_cents) AS BIGINT) AS total_cents,
+              min(k) AS min_key, max(k) AS max_key
+       FROM merged GROUP BY status ORDER BY status""") { (s, d) =>
+    val src0 = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_custkey").as("k"))
+      .agg(sum(round(col("o_totalprice") * 100).cast(LongType)).as("rev_cents"))
+    val src = src0.unionAll(
+      src0.filter(col("k") < 50).select((col("k") + 100000).as("k"), col("rev_cents")))
+    val tgt = Tables.customer(s, d)
+      .select(col("c_custkey"), round(col("c_acctbal") * 100).cast(LongType).as("bal_cents"))
+    tgt.join(src, col("c_custkey") === col("k"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("k")).as("mk"),
+        when(col("c_custkey").isNull, "inserted")
+          .when(col("k").isNull, "unchanged")
+          .otherwise("updated").as("status"),
+        when(col("c_custkey").isNull, col("rev_cents"))
+          .when(col("k").isNull, col("bal_cents"))
+          .otherwise(col("bal_cents") + col("rev_cents")).as("balance_cents"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"), sum(col("balance_cents")).as("total_cents"),
+        min(col("mk")).as("min_key"), max(col("mk")).as("max_key"))
+      .orderBy("status")
+  }
+
+  val defs: Seq[Q] = Seq(q33, q34, q35, q36, q37, q47, q66)
 }
