@@ -304,5 +304,43 @@ object TextAnalysis {
       .orderBy("cust_id")
   }
 
-  val defs: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08)
+  /** Repetition quality filter (Gopher-style): a document whose single
+    * most frequent bigram covers too much of the text is boilerplate /
+    * template spam. Top-bigram share is exact integer counts + one
+    * divide; flag at > 0.2. Narrow per-doc computation — scales as a
+    * scan + per-doc hash agg, no cross-doc state. */
+  private val t09 = Q(
+    "t09_repetition_filter",
+    """WITH bg AS (
+         SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bigram
+         FROM (SELECT doc_id, ws,
+                      unnest(generate_series(1, len(ws) - 1)) AS i
+               FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+               WHERE len(ws) >= 2)),
+       cnt AS (
+         SELECT doc_id, bigram, count(*) AS c
+         FROM bg GROUP BY doc_id, bigram),
+       top AS (
+         SELECT doc_id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS n_bigrams
+         FROM cnt GROUP BY doc_id)
+       SELECT doc_id, top_c, n_bigrams,
+              round(top_c * 1.0 / n_bigrams, 4) AS top_share,
+              (top_c * 1.0 / n_bigrams) > 0.2 AS repetitive
+       FROM top ORDER BY doc_id""") { (s, d) =>
+    val bg = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
+        .as("bigram"))
+    val cnt = bg.groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+    cnt.groupBy("doc_id")
+      .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_bigrams"))
+      .select(col("doc_id"), col("top_c"), col("n_bigrams"),
+        round(col("top_c") * 1.0 / col("n_bigrams"), 4).as("top_share"),
+        (col("top_c") * 1.0 / col("n_bigrams") > 0.2).as("repetitive"))
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09)
 }

@@ -77,6 +77,35 @@ class RoundTwoSpec extends SparkTestBase {
       s"bucketed join input was shuffled:\n$p")
   }
 
+  test("d11: 4x16 banding catches every pair within hamming distance 3") {
+    // pure pigeonhole property of the banding scheme: flip <= 3 bits of a
+    // 64-bit string; at least one 16-bit band must remain identical
+    val rnd = new scala.util.Random(42)
+    (1 to 500).foreach { _ =>
+      val base = Array.fill(64)(rnd.nextInt(2))
+      val flipped = base.clone()
+      val nFlips = 1 + rnd.nextInt(3)
+      rnd.shuffle((0 until 64).toList).take(nFlips).foreach(i => flipped(i) = 1 - flipped(i))
+      val shared = (0 until 4).exists(b =>
+        base.slice(b * 16, b * 16 + 16).sameElements(flipped.slice(b * 16, b * 16 + 16)))
+      assert(shared, s"pair with $nFlips flips missed by banding")
+    }
+  }
+
+  test("q66: merge branch counts satisfy the upsert invariants") {
+    val rows = SparkEntry.queries("q66_merge_upsert")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nCust = Tables.customer(spark, sf0001).count()
+    val nInserted = Tables.orders(spark, sf0001)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .filter(col("o_custkey") < 50)
+      .select("o_custkey").distinct().count()
+    assert(rows.getOrElse("updated", 0L) + rows.getOrElse("unchanged", 0L) == nCust,
+      s"target rows must all survive the merge: $rows vs $nCust customers")
+    assert(rows.getOrElse("inserted", 0L) == nInserted,
+      s"inserted must equal the shifted source keys: $rows vs $nInserted")
+  }
+
   test("t08: scrub redacts all constructed emails and phones") {
     val out = SparkEntry.queries("t08_pii_scrub")(spark, sf0001)
     val bad = out.filter(!col("emails_gone") || col("n_emails") =!= 1 || col("n_phones") =!= 1)
