@@ -144,5 +144,28 @@ object Multimodal {
       .orderBy("line")
   }
 
-  val defs: Seq[Q] = Seq(m01, m02, m03)
+  /** Media dedup by content hash (the image-dedup shape): group binary
+    * payloads by md5, keep the lowest id per group — the payload itself
+    * never shuffles, only (hash, id, n_bytes) project through the
+    * exchange; survivors join their payload back by id if needed. */
+  private val m04 = Q(
+    "m04_media_dedup",
+    """SELECT md5(text) AS payload_md5,
+              min(doc_id) AS keep_id,
+              count(*) AS n_copies,
+              CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+       FROM documents
+       GROUP BY md5(text) ORDER BY payload_md5""") { (s, d) =>
+    import s.implicits._
+    asMediaTable(Tables.documents(s, d))
+      .select(col("media_id"), md5(col("payload")).as("payload_md5"),
+        col("n_bytes"))
+      .groupBy("payload_md5")
+      .agg(min(col("media_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        sum(col("n_bytes")).as("total_bytes"))
+      .orderBy("payload_md5")
+  }
+
+  val defs: Seq[Q] = Seq(m01, m02, m03, m04)
 }

@@ -106,6 +106,23 @@ class RoundTwoSpec extends SparkTestBase {
       s"inserted must equal the shifted source keys: $rows vs $nInserted")
   }
 
+  test("results are shuffle-partition-count independent") {
+    // the 100 TB correctness property: partitioning is an execution
+    // detail. Re-run partition-sensitive queries (salted agg, iterative
+    // CC, heap top-k) with a different shuffle width and compare rows.
+    val sensitive = Seq("t06_salted_token_count", "q16_topk_per_group", "d08_dedup_groups")
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    val baseline = sensitive.map(n =>
+      n -> SparkEntry.queries(n)(spark, sf0001).collect().map(_.toSeq).toSeq)
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "2")
+      baseline.foreach { case (n, expected) =>
+        val narrow = SparkEntry.queries(n)(spark, sf0001).collect().map(_.toSeq).toSeq
+        assert(narrow == expected, s"$n changed results under 2 shuffle partitions")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
   test("t08: scrub redacts all constructed emails and phones") {
     val out = SparkEntry.queries("t08_pii_scrub")(spark, sf0001)
     val bad = out.filter(!col("emails_gone") || col("n_emails") =!= 1 || col("n_phones") =!= 1)
