@@ -381,7 +381,36 @@ object StreamingQueries {
     } finally s.conf.set(providerKey, saved)
   }
 
-  val defs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11)
+  /** Streaming parquet file sink (exactly-once via the sink's commit log
+    * + checkpoint): the stream is filtered/projected, written to a
+    * parquet directory, and the files are read back batch-side. The
+    * oracle aggregates the same filter directly — any dropped or
+    * duplicated sink file breaks the hash. */
+  private val s12 = Q(
+    "s12_stream_file_sink",
+    """SELECT event_type, count(*) AS n,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+       FROM events WHERE user_id < 75
+       GROUP BY event_type ORDER BY event_type""") { (s, d) =>
+    val base = java.nio.file.Files.createTempDirectory("graft_fsink").toString
+    val q = eventsStream(s, d)
+      .filter(col("user_id") < 75)
+      .select(col("event_type"), round(col("value") * 100).cast(LongType).as("cents"))
+      .writeStream
+      .format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/chk")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$base/out")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .orderBy("event_type")
+  }
+
+  val defs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12)
 }
 
 /** s11's StatefulProcessor: cumulative (event count, value cents) per
