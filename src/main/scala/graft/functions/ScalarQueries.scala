@@ -328,5 +328,28 @@ object ScalarQueries {
       .orderBy("doc_id")
   }
 
-  val defs: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q40, q62, q65)
+  /** B4/B7: bitwise and boolean aggregates (bit_and/or/xor over partkeys,
+    * bool_and/bool_or over predicates) — partial-aggregable like any
+    * algebraic agg, so they scale as ordinary map-side-combine aggs. */
+  private val q67 = Q(
+    "q67_bit_bool_aggs",
+    """SELECT l_returnflag,
+              bit_and(l_partkey) AS all_and,
+              bit_or(l_partkey) AS all_or,
+              bit_xor(l_partkey) AS all_xor,
+              bool_and(l_quantity > 0) AS qty_positive,
+              bool_or(l_discount > 0.09) AS any_big_discount
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("bit_and(l_partkey)").as("all_and"),
+        expr("bit_or(l_partkey)").as("all_or"),
+        expr("bit_xor(l_partkey)").as("all_xor"),
+        expr("bool_and(l_quantity > 0)").as("qty_positive"),
+        expr("bool_or(l_discount > 0.09)").as("any_big_discount"))
+      .orderBy("l_returnflag")
+  }
+
+  val defs: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q40, q62, q65, q67)
 }
