@@ -31,6 +31,7 @@ object Engine {
     functions.CosineSimilarity.register(spark)
     functions.LongDot.register(spark)
     functions.HllSketch.register(spark)
+    functions.CharShinglesGen.register(spark)
     plans.TopKPerGroup.install(spark)
     spark
   }

@@ -276,7 +276,28 @@ object Extensibility {
          ORDER BY event_id""")
   }
 
-  val defs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09)
+  /** The custom-Generator (UDTF) surface: `char_shingles` fanning each
+    * document into its character 5-grams inside a `Generate` node —
+    * shingles stream into the aggregate, never materialized as a
+    * per-row array. Oracle replays the substring expansion. */
+  private val x10 = Q(
+    "x10_custom_generator",
+    """SELECT doc_id, count(*) AS n_shingles, count(DISTINCT s) AS n_distinct
+       FROM (SELECT doc_id, substring(text, i, 5) AS s
+             FROM (SELECT doc_id, text,
+                          unnest(generate_series(1, greatest(len(text) - 4, 1))) AS i
+                   FROM documents WHERE doc_id < 20))
+       GROUP BY doc_id ORDER BY doc_id""") { (s, d) =>
+    CharShinglesGen.register(s)
+    Tables.documents(s, d)
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"), CharShinglesGen.char_shingles(col("text"), 5).as("s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), countDistinct(col("s")).as("n_distinct"))
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10)
 }
 
 /** Session-extension injector (spark.sql.extensions=graft.functions.

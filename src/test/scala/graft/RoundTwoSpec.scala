@@ -123,6 +123,18 @@ class RoundTwoSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
   }
 
+  test("x10: char_shingles generator handles short strings and nulls") {
+    graft.functions.CharShinglesGen.register(spark)
+    val df = Seq(("abcdef"), ("abc"), (null: String)).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    import spark.implicits._
+    val out = df.toDF("id", "t")
+      .select(col("id"), graft.functions.CharShinglesGen.char_shingles(col("t"), 5).as("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toList.sorted
+    // 6-char string → two 5-grams; 3-char string → itself once; null → no rows
+    assert(out == List((0L, "abcde"), (0L, "bcdef"), (1L, "abc")), s"got $out")
+  }
+
   test("t08: scrub redacts all constructed emails and phones") {
     val out = SparkEntry.queries("t08_pii_scrub")(spark, sf0001)
     val bad = out.filter(!col("emails_gone") || col("n_emails") =!= 1 || col("n_phones") =!= 1)
