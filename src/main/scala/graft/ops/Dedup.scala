@@ -257,8 +257,13 @@ object Dedup {
          JOIN sz sb ON sb.doc_id = id_b
        WHERE ni * 1.0 / (sa.n + sb.n - ni) >= 0.1
        ORDER BY id_a, id_b""") { (s, d) =>
+    graft.functions.CharShinglesGen.register(s)
     val docs = Tables.documents(s, d).filter(col("doc_id") < 40)
-    val sh = docs.select(col("doc_id"), explode(charShingles("text", 5)).as("s")).distinct()
+    // the custom Generator (x10) streams k-grams through Generate — no
+    // per-row shingle array materialization (charShingles is the
+    // array-composition equivalent, kept for in-aggregate uses)
+    val sh = docs.select(col("doc_id"),
+      graft.functions.CharShinglesGen.char_shingles(col("text"), 5).as("s")).distinct()
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.as("a"); val b = sh.as("b")
     val inter = a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))

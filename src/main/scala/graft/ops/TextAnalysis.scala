@@ -146,9 +146,10 @@ object TextAnalysis {
        FROM ranked WHERE rn <= 4
        GROUP BY doc_id ORDER BY doc_id""") { (s, d) =>
     graft.plans.TopKPerGroup.install(s)
+    graft.functions.CharShinglesGen.register(s)
     val g = Tables.documents(s, d)
       .select(col("doc_id"),
-        explode(Dedup.charShingles("text", 8)).as("s"))
+        graft.functions.CharShinglesGen.char_shingles(col("text"), 8).as("s"))
       .select(col("doc_id"), md5(col("s")).as("h"))
       .distinct()
     val w = Window.partitionBy(col("doc_id")).orderBy(col("h"))

@@ -123,6 +123,15 @@ class RoundTwoSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
   }
 
+  test("x10: char_shingles plans as a Generate node (flatMap, not UDF)") {
+    val df = SparkEntry.queries("x10_custom_generator")(spark, sf0001)
+    val p = castToImpl(df).queryExecution.executedPlan.toString
+    // the node prints its class name (charshinglesgen), not the
+    // registered function name
+    assert(p.contains("Generate") && p.toLowerCase.contains("charshingles"),
+      s"generator not planned through Generate:\n$p")
+  }
+
   test("x10: char_shingles generator handles short strings and nulls") {
     graft.functions.CharShinglesGen.register(spark)
     val df = Seq(("abcdef"), ("abc"), (null: String)).zipWithIndex
