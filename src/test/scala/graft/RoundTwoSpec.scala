@@ -144,6 +144,31 @@ class RoundTwoSpec extends SparkTestBase {
     assert(out == List((0L, "abcde"), (0L, "bcdef"), (1L, "abc")), s"got $out")
   }
 
+  test("Engine.install is idempotent (no duplicate rules/strategies)") {
+    Engine.install(spark)
+    Engine.install(spark)
+    val opts = spark.experimental.extraOptimizations
+      .count(_ eq graft.plans.TopKRewrite)
+    val strats = spark.experimental.extraStrategies
+      .count(_ eq graft.plans.TopKStrategy)
+    assert(opts == 1 && strats == 1, s"duplicated: $opts rules, $strats strategies")
+    // registered functions resolve
+    assert(spark.sql("SELECT long_dot(array(2L), array(3L))").head().getLong(0) == 6L)
+    assert(spark.sql("SELECT cosine_sim(array(1.0F), array(1.0F))").head().getDouble(0) == 1.0)
+  }
+
+  test("src05: ORC round-trip scan prunes columns and pushes filters") {
+    val dir = java.nio.file.Files.createTempDirectory("orc-plan").toString
+    Tables.part(spark, sf0001).write.mode("overwrite").orc(s"$dir/p")
+    val df = spark.read.orc(s"$dir/p")
+      .filter(col("p_size") > 20)
+      .groupBy("p_brand").count()
+    val p = castToImpl(df).queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(p_size"),
+      s"ORC filter not pushed:\n$p")
+    assert(!p.contains("p_retailprice"), "ORC scan reads columns the query never uses")
+  }
+
   test("t08: scrub redacts all constructed emails and phones") {
     val out = SparkEntry.queries("t08_pii_scrub")(spark, sf0001)
     val bad = out.filter(!col("emails_gone") || col("n_emails") =!= 1 || col("n_phones") =!= 1)
