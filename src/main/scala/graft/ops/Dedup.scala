@@ -87,11 +87,49 @@ object Dedup {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint(true)
 
+  /** Bucket-cardinality cap for banded self-joins, from
+    * `graft.dedup.maxBucketSize` (default 100000). A bucket of size B
+    * emits B·(B−1)/2 candidate pairs, so one degenerate band key — a
+    * near-constant shingle/bit distribution, common in templated web
+    * text — makes the join quadratic in that bucket. */
+  def bucketCap(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("graft.dedup.maxBucketSize").map(_.toLong).getOrElse(100000L)
+
+  /** Drop (and log) buckets whose cardinality exceeds `cap` before a
+    * banded self-join. Recall on a dropped key is traded for bounded
+    * work — the standard LSH engineering guard: a bucket that collects
+    * more than `cap` docs isn't discriminating anyway, and its pair
+    * expansion would dominate the whole job. The oversized key set is
+    * tiny by construction (≤ rows/cap keys), so it broadcasts into a
+    * left-anti join; the input is scanned, never shuffled, by the guard.
+    * Call this on a MATERIALIZED bucket table — the size census is then
+    * one cheap extra pass instead of a re-run of the hash pipeline. */
+  def dropOversizedBuckets(buckets: DataFrame, keyCols: Seq[String], cap: Long): DataFrame = {
+    val keys = keyCols.map(col)
+    val oversized = buckets.groupBy(keys: _*).agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > cap)
+    val census = oversized
+      .agg(count(lit(1)).as("n_buckets"), coalesce(sum(col("bucket_n")), lit(0L)).as("n_rows"))
+      .head()
+    if (census.getLong(0) == 0L) buckets
+    else {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"dropOversizedBuckets: dropping ${census.getLong(0)} bucket(s) holding " +
+          s"${census.getLong(1)} rows (> $cap rows/bucket) before pairing — " +
+          s"degenerate band keys, candidates there would be quadratic")
+      buckets.join(broadcast(oversized.select(keys: _*)), keyCols, "left_anti")
+    }
+  }
+
   /** Candidate near-dup pairs from LSH buckets (id_a < id_b, distinct).
     * The bucket pipeline is materialized once — a naive self-join would
-    * run the whole minhash computation for both sides. */
-  def candidatePairs(buckets0: DataFrame): DataFrame = {
-    val buckets = materialize(buckets0)
+    * run the whole minhash computation for both sides. Buckets above the
+    * cardinality cap (`cap`, or `graft.dedup.maxBucketSize` when 0) are
+    * dropped first so no band key can go quadratic. */
+  def candidatePairs(buckets0: DataFrame, cap: Long = 0L): DataFrame = {
+    val all = materialize(buckets0)
+    val effCap = if (cap > 0) cap else bucketCap(all.sparkSession)
+    val buckets = dropOversizedBuckets(all, Seq("band", "band_key"), effCap)
     val a = buckets.as("a")
     val b = buckets.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key")
@@ -566,9 +604,13 @@ object Dedup {
         .select(col("doc_id"), simhash64FromMd5s("md5s").as("sig"))
         .withColumn("si", expr(
           "transform(sequence(0, 3), b -> cast(conv(substring(sig, b*16 + 1, 16), 2, 10) as bigint))")))
-    val bands = sigs.select(col("doc_id"),
+    val bands0 = sigs.select(col("doc_id"),
       posexplode(array((0 until 4).map(b => substring(col("sig"), b * 16 + 1, 16)): _*))
         .as(Seq("b", "bits")))
+    // same degenerate-key guard as the MinHash path: a boilerplate-heavy
+    // corpus can collapse a 16-bit band onto one value; cap it before the
+    // self-join (sigs are materialized, so the census is a cheap re-read)
+    val bands = dropOversizedBuckets(bands0, Seq("b", "bits"), bucketCap(s))
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.b") === col("b.b") && col("a.bits") === col("b.bits")

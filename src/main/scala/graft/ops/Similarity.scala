@@ -42,9 +42,17 @@ object Similarity {
     dotQ(a, b) / (sqrt(norm2Q(a)) * sqrt(norm2Q(b)))
 
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
-    * vectors (excluding itself). Queries are broadcast; corpus streams. */
+    * vectors (excluding itself). Queries are broadcast; corpus streams.
+    *
+    * Ranking goes through the engine's heap top-k operator
+    * (graft.plans.TopKPerGroup): the rank filter sits directly on the bare
+    * row_number so the rewrite fires, replacing the full shuffle+sort of
+    * all N·M scored pairs with a bounded per-partition heap (k rows per
+    * query survive the map side — the partial-aggregation shape). The
+    * schema-parity cast to long happens AFTER the filter. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     graft.functions.LongDot.register(corpus.sparkSession)
+    graft.plans.TopKPerGroup.install(corpus.sparkSession)
     val c = corpus.select(col("vec_id").as("cid"), quantize(col("embedding")).as("cv"))
       .withColumn("cn", norm2Q(col("cv")))
     val q = queries.select(col("vec_id").as("qid"), quantize(col("embedding")).as("qv"))
@@ -53,9 +61,10 @@ object Similarity {
       .filter(col("cid") =!= col("qid"))
       .withColumn("cos", dotQ(col("qv"), col("cv")) / (sqrt(col("qn")) * sqrt(col("cn"))))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("qid"), col("cid"), col("rank"), round(col("cos"), 6).as("cosine"))
+      .select(col("qid"), col("cid"), col("rank").cast("long").as("rank"),
+        round(col("cos"), 6).as("cosine"))
   }
 
   /** Deterministic ±1 hyperplane weight for (plane, dim), derived from the
@@ -160,6 +169,7 @@ object Similarity {
        SELECT qid, cell, cid, rank, round(cos, 6) AS cosine
        FROM ranked WHERE rank <= 3 ORDER BY qid, rank""") { (s, d) =>
     graft.functions.LongDot.register(s)
+    graft.plans.TopKPerGroup.install(s)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), quantize(col("embedding")).as("v"))
       .withColumn("n2", norm2Q(col("v")))
@@ -178,9 +188,10 @@ object Similarity {
         col("cell").as("ccell"))
       .join(broadcast(probes), col("ccell") === col("cell") && col("cid") =!= col("qid"))
       .withColumn("cos", dotQ(col("qv"), col("cv2")) / (sqrt(col("qn2")) * sqrt(col("cn2"))))
-      .withColumn("rank", row_number().over(wr).cast("long"))
+      .withColumn("rank", row_number().over(wr))
       .filter(col("rank") <= 3)
-      .select(col("qid"), col("cell"), col("cid"), col("rank"), round(col("cos"), 6).as("cosine"))
+      .select(col("qid"), col("cell"), col("cid"), col("rank").cast("long").as("rank"),
+        round(col("cos"), 6).as("cosine"))
       .orderBy("qid", "rank")
   }
 
@@ -233,6 +244,7 @@ object Similarity {
        SELECT qid, n_overlap, round(n_overlap / 10.0, 4) AS recall_at_10
        FROM overlap ORDER BY qid""") { (s, d) =>
     graft.functions.LongDot.register(s)
+    graft.plans.TopKPerGroup.install(s)
     val emb = Tables.embeddings(s, d)
     val isQuery = col("vec_id") >= 10 && col("vec_id") < 25
     val exactTop = bruteForceTopK(emb, emb.filter(isQuery), 10)

@@ -188,15 +188,20 @@ object TextAnalysis {
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = tok.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
     val n = tok.agg(countDistinct(col("doc_id")).as("n"))
+    // the df (document-frequency) side is the FULL VOCABULARY — billions
+    // of terms at 100 TB, so it must never carry a broadcast hint. Both
+    // sides of the term join come out of groupBys on the same tokens, and
+    // AQE picks broadcast at runtime if the filtered side actually fits.
+    // The 1-row corpus count `n` is the only always-broadcast side.
     val scored = tf.filter(col("doc_id") < 50)
-      .join(broadcast(df), "term")
+      .join(df, "term")
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("term"),
         round(col("tf") * log(col("n").cast("double") / col("df")), 6).as("tfidf"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
-    scored.withColumn("rn", row_number().over(w).cast("long"))
+    scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
-      .select("doc_id", "term", "tfidf", "rn")
+      .select(col("doc_id"), col("term"), col("tfidf"), col("rn").cast("long").as("rn"))
       .orderBy("doc_id", "rn")
   }
 

@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 import scala.collection.mutable
 
@@ -66,10 +67,31 @@ object TopKPerGroup {
   * expression, filter directly on its attribute with a literal bound). */
 object TopKRewrite extends Rule[LogicalPlan] {
 
+  /** The row_number attribute, possibly under an order-preserving widening
+    * cast: `row_number().over(w).cast("long")` is the common idiom for
+    * oracle schema parity (int32 vs int64), and filter pushdown rewrites
+    * the rank predicate to `Cast(rn) <= k` — the rewrite must still fire. */
+  private def isRn(e: Expression, rn: Attribute): Boolean = e match {
+    case a: Attribute => a.semanticEquals(rn)
+    case c: Cast if c.dataType == LongType && c.child.dataType == IntegerType =>
+      isRn(c.child, rn)
+    case _ => false
+  }
+
+  private def intVal(l: Literal): Option[Int] = l match {
+    case Literal(v: Int, IntegerType) => Some(v)
+    case Literal(v: Long, LongType) if v >= Int.MinValue && v <= Int.MaxValue => Some(v.toInt)
+    case _ => None
+  }
+
   private def bound(cond: Expression, rn: Attribute): Option[Int] = cond match {
-    case LessThanOrEqual(a: Attribute, Literal(v: Int, _)) if a.semanticEquals(rn) => Some(v)
-    case LessThan(a: Attribute, Literal(v: Int, _)) if a.semanticEquals(rn) => Some(v - 1)
-    case GreaterThanOrEqual(Literal(v: Int, _), a: Attribute) if a.semanticEquals(rn) => Some(v)
+    case LessThanOrEqual(a, l: Literal) if isRn(a, rn) => intVal(l)
+    case LessThan(a, l: Literal) if isRn(a, rn) => intVal(l).map(_ - 1)
+    case GreaterThanOrEqual(l: Literal, a) if isRn(a, rn) => intVal(l)
+    case GreaterThan(l: Literal, a) if isRn(a, rn) => intVal(l).map(_ - 1)
+    // rn = 1 is top-1 per group (argmax — the IVF cell-assignment idiom)
+    case EqualTo(a, l: Literal) if isRn(a, rn) && intVal(l).contains(1) => Some(1)
+    case EqualTo(l: Literal, a) if isRn(a, rn) && intVal(l).contains(1) => Some(1)
     case _ => None
   }
 

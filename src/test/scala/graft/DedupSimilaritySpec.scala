@@ -64,6 +64,26 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(m(102L) == 100L && m(201L) == 200L)
   }
 
+  test("oversized band buckets are dropped before pairing (quadratic guard)") {
+    // 500 identical docs: every band key degenerates to one 500-doc bucket
+    val many = (0L until 500L).map(i => (i, base)).toDF("doc_id", "text")
+    val buckets = Dedup.lshBuckets(many, "doc_id", "text",
+      shingleWords = 2, bands = 4, rowsPerBand = 2)
+    assert(Dedup.candidatePairs(buckets, cap = 50).count() == 0,
+      "degenerate buckets must be dropped, not expanded quadratically")
+    // under the cap the same corpus pairs fully (the guard is a no-op)
+    val full = Dedup.candidatePairs(Dedup.lshBuckets(many, "doc_id", "text",
+      shingleWords = 2, bands = 4, rowsPerBand = 2), cap = 1000)
+    assert(full.count() == 500L * 499L / 2L)
+    // mixed corpus: the giant bucket is dropped, small-bucket pairs survive
+    val mixed = ((0L until 200L).map(i => (i, base)) ++
+      Seq((900L, distinct1), (901L, distinct1))).toDF("doc_id", "text")
+    val pairs = Dedup.candidatePairs(Dedup.lshBuckets(mixed, "doc_id", "text",
+      shingleWords = 2, bands = 4, rowsPerBand = 2), cap = 50)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((900L, 901L)))
+  }
+
   test("simhash of identical docs equal; near-dups within small hamming distance") {
     val sh = docs.select($"doc_id", Dedup.simhashExpr("text").as("h"))
       .as[(Long, String)].collect().toMap

@@ -99,4 +99,28 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"queries not broadcast:\n$p")
   }
+
+  test("d05: heap top-k operator replaces the rank window on the similarity path") {
+    val p = plan(SparkEntry.queries("d05_embed_cosine_topk")(spark, sf0001))
+    assert(p.contains("TopKPerGroup"), s"heap rewrite did not fire on d05:\n$p")
+    assert(p.contains("LocalTopK"), s"no map-side partial top-k on d05:\n$p")
+  }
+
+  test("d07: Cast/EqualTo-tolerant rewrite fires on both IVF rank filters") {
+    val p = plan(SparkEntry.queries("d07_embed_ivf_topk")(spark, sf0001))
+    // rn === 1 (cell assignment) and rank <= 3 (probe) are both heap top-k
+    assert(p.sliding("TopKPerGroup".length).count(_ == "TopKPerGroup") >= 2,
+      s"expected the rewrite on assignment AND probe:\n$p")
+  }
+
+  test("t05: the vocabulary (document-frequency) join is never broadcast") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // with auto-broadcast off, only an explicit hint could broadcast the
+      // term join — the full vocabulary must shuffle, not broadcast
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan(SparkEntry.queries("t05_tfidf")(spark, sf0001))
+      assert(!p.contains("BroadcastHashJoin"), s"vocabulary join broadcast-hinted:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
