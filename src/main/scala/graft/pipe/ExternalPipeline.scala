@@ -83,10 +83,20 @@ object ExternalPipeline {
         s"stage${tc.stageId()}-part${tc.partitionId()}", s"attempt${tc.taskAttemptId()}")
       val inDir = attemptDir.resolve("in")
       val outDir = attemptDir.resolve("out")
+      val logsDir = attemptDir.resolve("logs")
       Files.createDirectories(inDir)
       Files.createDirectories(outDir)
+      Files.createDirectories(logsDir)
+      // A9 parity (`ExecutorMapper.java:91-102`): every command's drained
+      // output is captured as <attempt>/logs/cmd_N.log. On success the
+      // whole attempt dir goes; on failure the logs stay behind for
+      // post-mortem while the bulky in/out staging is still reclaimed.
+      var pipelineFailed = false
       if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
-        deleteRecursively(attemptDir.toFile)
+        if (pipelineFailed) {
+          deleteRecursively(inDir.toFile)
+          deleteRecursively(outDir.toFile)
+        } else deleteRecursively(attemptDir.toFile)
       }
 
       // (1) stage the partition as one headered local file
@@ -100,20 +110,25 @@ object ExternalPipeline {
       // (2) run the pipeline with shared N-keyed temp files
       val tmpFiles = mutable.HashMap.empty[String, String]
       var tmpCounter = 0
-      commands.foreach { template =>
-        var cmd = (if (binaryDir.nonEmpty) binaryDir + "/" else "") + template
-        cmd = cmd
-          .replace("%MCR_ROOT%", mcrRoot)
-          .replace("%INPUT_FILE%", staged.toString)
-          .replace("%OUT_DIR%", outDir.toString)
-        TmpToken.findAllIn(cmd).toSeq.distinct.foreach { tok =>
-          val path = tmpFiles.getOrElseUpdate(tok, {
-            tmpCounter += 1
-            outDir.resolve(s"tmp_$tmpCounter.mat").toString
-          })
-          cmd = cmd.replace(tok, path)
+      try {
+        commands.zipWithIndex.foreach { case (template, i) =>
+          var cmd = (if (binaryDir.nonEmpty) binaryDir + "/" else "") + template
+          cmd = cmd
+            .replace("%MCR_ROOT%", mcrRoot)
+            .replace("%INPUT_FILE%", staged.toString)
+            .replace("%OUT_DIR%", outDir.toString)
+          TmpToken.findAllIn(cmd).toSeq.distinct.foreach { tok =>
+            val path = tmpFiles.getOrElseUpdate(tok, {
+              tmpCounter += 1
+              outDir.resolve(s"tmp_$tmpCounter.mat").toString
+            })
+            cmd = cmd.replace(tok, path)
+          }
+          exec(cmd, outDir.toFile, Map("MCR_CACHE_ROOT" -> mcrCacheRoot), timeoutSec,
+            logsDir.resolve(s"cmd_${i + 1}.log"))
         }
-        exec(cmd, outDir.toFile, Map("MCR_CACHE_ROOT" -> mcrCacheRoot), timeoutSec)
+      } catch {
+        case e: Throwable => pipelineFailed = true; throw e
       }
 
       // (3) yield every line of every *.txt output, Spark commits the write
@@ -144,12 +159,15 @@ object ExternalPipeline {
 
   /** Tokenized exec (the reference space-splits the command string,
     * `ExecutorMapper.java:243` via `Runtime.exec`), with concurrent
-    * stdout+stderr drain and exit-code check. */
+    * stdout+stderr drain and exit-code check. The full drained output is
+    * streamed to `logFile` (A9 parity, `ExecutorMapper.java:91-102`); a
+    * bounded in-memory tail feeds the failure exception message. */
   private def exec(
       cmd: String,
       cwd: File,
       extraEnv: Map[String, String],
-      timeoutSec: Long): Unit = {
+      timeoutSec: Long,
+      logFile: java.nio.file.Path): Unit = {
     val tokens = cmd.trim.split("\\s+")
     val pb = new ProcessBuilder(tokens: _*)
     pb.directory(cwd)
@@ -159,14 +177,18 @@ object ExternalPipeline {
     // drain on a separate thread so a chatty child can never block on a
     // full pipe while we wait for it
     val tail = new java.util.concurrent.LinkedBlockingDeque[String](64)
+    val lw = Files.newBufferedWriter(logFile, StandardCharsets.UTF_8)
     val drainer = new Thread(() => {
-      val br = new java.io.BufferedReader(
-        new java.io.InputStreamReader(p.getInputStream, StandardCharsets.UTF_8))
-      var line = br.readLine()
-      while (line != null) {
-        if (!tail.offerLast(line)) { tail.pollFirst(); tail.offerLast(line) }
-        line = br.readLine()
-      }
+      try {
+        val br = new java.io.BufferedReader(
+          new java.io.InputStreamReader(p.getInputStream, StandardCharsets.UTF_8))
+        var line = br.readLine()
+        while (line != null) {
+          lw.write(line); lw.newLine()
+          if (!tail.offerLast(line)) { tail.pollFirst(); tail.offerLast(line) }
+          line = br.readLine()
+        }
+      } finally lw.close()
     }, "graft-pipe-drain")
     drainer.setDaemon(true)
     drainer.start()
@@ -182,8 +204,8 @@ object ExternalPipeline {
     if (ret != 0) {
       val out = new java.util.ArrayList[String](); tail.drainTo(out)
       throw new RuntimeException(
-        s"Command '$cmd' exited with non zero return code $ret. Output tail:\n" +
-          String.join("\n", out))
+        s"Command '$cmd' exited with non zero return code $ret " +
+          s"(full output: $logFile). Output tail:\n" + String.join("\n", out))
     }
   }
 

@@ -5,6 +5,7 @@ import org.apache.spark.SparkException
 
 import java.nio.file.attribute.PosixFilePermissions
 import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
 
 /** t1 smoke for the pipe operator (SURVEY.md §5.2 item 1): a 3-stage
   * read→solve→write shell pipeline shaped like the reference's CRANKER
@@ -103,6 +104,59 @@ class PipeSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("non zero return code") ||
       Option(e.getCause).exists(_.getMessage.contains("non zero return code")))
+  }
+
+  test("PipeMain: usage exit 2, abort-if-absent exit 1, end-to-end run via main (Driver.java:33-85)") {
+    // usage: fewer than 2 args → exit 2 (Driver.java:41-45)
+    assert(graft.pipe.PipeMain.run(Array("CRANKER"), spark) == 2)
+    val inDir = Files.createTempDirectory("pipe-main-in")
+    Files.writeString(inDir.resolve("data.txt"), "s0001\tmktayiak\ns0002\tpeptide\n")
+    val outDir = Files.createTempDirectory("pipe-main-out").resolve("result")
+    val conf = Files.createTempFile("pipe-main", ".json")
+    Files.writeString(conf,
+      s"""{
+         |  "stage_dir" : "${Files.createTempDirectory("pipe-main-stage")}",
+         |  "mcr_root" : "/opt/fake_mcr",
+         |  "mcr_cache_root" : "/tmp/graft_cache",
+         |  "algorithms" : [
+         |    { "name":"CRANKER", "binary_dir" : "$binDir",
+         |      "executables" : [
+         |        {"command" : "run_read.sh %MCR_ROOT% %INPUT_FILE% %TMP_MAT_FILE_1%"},
+         |        {"command" : "run_solve.sh %MCR_ROOT% %TMP_MAT_FILE_1% %TMP_MAT_FILE_2%"},
+         |        {"command" : "run_write.sh %MCR_ROOT% %TMP_MAT_FILE_1% %TMP_MAT_FILE_2%"},
+         |      ],
+         |      "hdfs_in_dir" : "$inDir", "hdfs_out_dir" : "$outDir" }
+         |  ]
+         |}""".stripMargin)
+    // unknown algorithm → FATAL, exit 1 (Driver.java:79-85)
+    assert(graft.pipe.PipeMain.run(Array("NOPE", conf.toString, "hdr"), spark) == 1)
+    // header prompted from stdin when argv[2] is absent (Driver.java:91-103);
+    // case-insensitive algorithm lookup (Driver.java:70-76)
+    assert(graft.pipe.PipeMain.run(Array("cranker", conf.toString), spark,
+      stdin = () => "id\tseq") == 0)
+    val lines = spark.read.textFile(s"$outDir/file=result.txt").collect().toSeq
+    assert(lines.sorted == Seq("S0001\tMKTAYIAK", "S0002\tPEPTIDE"))
+    // existing output dir aborts, like the reference's FileOutputFormat
+    assert(graft.pipe.PipeMain.run(Array("CRANKER", conf.toString, "id\tseq"), spark) == 1)
+  }
+
+  test("failing pipeline keeps per-attempt command logs (ExecutorMapper.java:91-102 parity)") {
+    val stageDir = Files.createTempDirectory("pipe-logs-stage")
+    val cfg = PipeConfig.parse(
+      s"""{ "stage_dir" : "$stageDir", "mcr_root" : "", "mcr_cache_root" : "/tmp",
+         |  "algorithms" : [ { "name":"F", "binary_dir" : "$binDir",
+         |    "executables" : [ {"command" : "run_fail.sh %MCR_ROOT% %INPUT_FILE%"} ],
+         |    "hdfs_in_dir" : "", "hdfs_out_dir" : "" } ] }""".stripMargin)
+    intercept[SparkException] {
+      ExternalPipeline.run(spark.createDataset(Seq("x")), None, cfg.algorithm("F"), cfg.globals)
+        .collect()
+    }
+    val logs = Files.walk(stageDir).iterator().asScala
+      .filter(p => p.getFileName.toString == "cmd_1.log").toSeq
+    assert(logs.nonEmpty, s"no cmd_1.log kept under $stageDir after failure")
+    // the bulky staging (in/out) of the failed attempt is still reclaimed
+    val attempt = logs.head.getParent.getParent
+    assert(!Files.exists(attempt.resolve("in")) && !Files.exists(attempt.resolve("out")))
   }
 
   test("repartitionTo controls pipeline invocation count (split-size knob)") {
