@@ -41,7 +41,8 @@ object Engine {
     * partition count — on a real cluster replace the master and size
     * shuffle partitions to the executor fleet instead. */
   def session(parallelism: Int = Runtime.getRuntime.availableProcessors(),
-      appName: String = "graft"): SparkSession = {
+      appName: String = "graft",
+      checkpointDir: Option[String] = None): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$parallelism]")
       .appName(appName)
@@ -51,8 +52,22 @@ object Engine {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // checkpointed RDD files are deleted when their RDD is GC'd instead
+      // of accumulating for the app lifetime (pairs with the reliable
+      // checkpoints below; no-op when the context already exists)
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Reliable-checkpoint dir so iterative ops (Dedup.materialize) truncate
+    // lineage through the cluster FS, not executor memory: explicit arg →
+    // -Dgraft.checkpoint.dir → a self-cleaning temp dir. On a cluster pass
+    // an HDFS/S3 path so executor loss stays recoverable.
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      val dir = checkpointDir
+        .orElse(sys.props.get("graft.checkpoint.dir"))
+        .getOrElse(Scratch.dir("graft-ckpt"))
+      spark.sparkContext.setCheckpointDir(dir)
+    }
     install(spark)
   }
 }

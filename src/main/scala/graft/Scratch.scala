@@ -1,0 +1,23 @@
+package graft
+
+/** Self-cleaning scratch directories for demo sinks and checkpoints.
+  * Everything allocated here is removed by a JVM shutdown hook, so
+  * repeated Verify/Bench runs don't accumulate orphaned sink/checkpoint
+  * dirs in the system temp dir. Paths stay valid for the life of the
+  * process — lazily-read sinks (a parquet dir a returned DataFrame scans
+  * later) are safe.
+  */
+object Scratch {
+
+  /** A fresh temp directory deleted at JVM exit. */
+  def dir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    sys.addShutdownHook(deleteRecursively(d.toFile))
+    d.toString
+  }
+
+  def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+}

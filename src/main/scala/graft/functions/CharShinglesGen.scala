@@ -32,11 +32,18 @@ case class CharShinglesGen(child: Expression, kChild: Expression)
     StructType(StructField("shingle", StringType) :: Nil)
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType && kChild.dataType == IntegerType && kChild.foldable)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"char_shingles expects (string, int literal), got " +
-        s"(${child.dataType.simpleString}, ${kChild.dataType.simpleString})")
+    if (!(child.dataType == StringType && kChild.dataType == IntegerType && kChild.foldable))
+      TypeCheckResult.TypeCheckFailure(
+        s"char_shingles expects (string, int literal), got " +
+          s"(${child.dataType.simpleString}, ${kChild.dataType.simpleString})")
+    else {
+      // k is foldable, so an invalid width is an analysis-time error, not
+      // a per-row eval failure deep inside a running job
+      val kv = kChild.eval(null)
+      if (kv == null || kv.asInstanceOf[Int] < 1)
+        TypeCheckResult.TypeCheckFailure(s"char_shingles needs k >= 1, got $kv")
+      else TypeCheckResult.TypeCheckSuccess
+    }
 
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val raw = child.eval(input)

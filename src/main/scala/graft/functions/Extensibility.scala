@@ -222,7 +222,11 @@ object Extensibility {
     val urgent = Tables.orders(s, d)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_custkey"))
-    val bf = urgent.stat.bloomFilter("o_custkey", 100000L, 0.01)
+    // size the filter from the data: a cheap count over the (pushed-down)
+    // build-side scan. Undersizing blows the FP rate (prefilter stops
+    // pruning); a fixed guess oversizes the broadcast at small SFs and
+    // undersizes it at 100 TB.
+    val bf = urgent.stat.bloomFilter("o_custkey", math.max(urgent.count(), 1L), 0.01)
     val bfBc = s.sparkContext.broadcast(bf)
     val mightContain = udf((k: Long) => bfBc.value.mightContainLong(k))
     Tables.customer(s, d)

@@ -47,7 +47,7 @@ object PipeQueries {
         "run_write.sh %MCR_ROOT% %TMP_MAT_FILE_1% %TMP_MAT_FILE_2%"),
       inDir = "", outDir = "")
     val globals = PipeGlobals(
-      stageDir = Files.createTempDirectory("graft_pipe_stage").toString,
+      stageDir = graft.Scratch.dir("graft_pipe_stage"),
       mcrRoot = "/opt/fake_mcr",
       mcrCacheRoot = "/tmp")
     val lines = Tables.documents(s, dir)

@@ -199,7 +199,14 @@ object PivotStats {
   /** B4: DYNAMIC pivot — the value list is discovered from the data (an
     * extra distinct-values job before the pivot aggregation; q42 is the
     * explicit-list variant that skips it). Null cells → 0 so the shape is
-    * stable regardless of which (priority, year) combos exist. */
+    * stable regardless of which (priority, year) combos exist.
+    *
+    * Oracle invariant (spec-pinned in RoundFourSpec): the fixed 1995-2001
+    * column list in the oracle SQL matches dynamic discovery because the
+    * orders fixture contains all seven order-years at every SF — the
+    * generator draws o_orderdate uniformly from that range. A fixture
+    * missing a year would shrink the discovered schema and rightly fail
+    * the compare; that's the dynamic-pivot contract, not a bug. */
   private val q61 = Q(
     "q61_dynamic_pivot",
     """SELECT o_orderpriority,

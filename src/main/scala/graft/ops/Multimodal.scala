@@ -135,7 +135,7 @@ object Multimodal {
     val spec = graft.pipe.PipelineSpec("measure", bin.toString,
       Seq("measure.sh %MCR_ROOT% %INPUT_FILE%"), "", "")
     val globals = graft.pipe.PipeGlobals(
-      Files.createTempDirectory("graft_mm_stage").toString, "mcr", "/tmp")
+      graft.Scratch.dir("graft_mm_stage"), "mcr", "/tmp")
     val lines = asMediaTable(Tables.documents(s, d))
       .select(concat_ws(":",
         col("media_id"), hex(col("payload"))).as("value")).as[String]

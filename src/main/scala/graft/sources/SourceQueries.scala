@@ -15,7 +15,7 @@ import java.nio.file.Files
 object SourceQueries {
 
   private def tmp(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+    graft.Scratch.dir(prefix) // removed at JVM exit — no sink-dir leaks
 
   /** Headerless TSV with supplied schema (the reference's native shape). */
   private val src01 = Q(

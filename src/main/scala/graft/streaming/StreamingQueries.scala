@@ -221,7 +221,16 @@ object StreamingQueries {
 
   /** foreachBatch sink: micro-batches accumulated through a custom sink
     * function (count per event_type, merged across batches). Batch
-    * boundaries are an execution detail → totals match the batch oracle. */
+    * boundaries are an execution detail → totals match the batch oracle.
+    *
+    * Scale boundary (deliberate, spec-pinned in StreamingSpec): the
+    * aggregation itself is distributed; only the per-batch PARTIALS — one
+    * row per event_type — cross to the driver, so driver state is bounded
+    * by the grouping-key cardinality, NOT the stream size. This sink
+    * pattern is for low-cardinality rollups (dashboards, counters). For
+    * unbounded key spaces, foreachBatch should instead merge into a
+    * store-side target (temp view/Delta/JDBC upsert) and keep no driver
+    * state. */
   private val s08 = Q(
     "s08_stream_foreachbatch",
     """SELECT event_type, count(*) AS n FROM events
@@ -392,7 +401,7 @@ object StreamingQueries {
               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
        FROM events WHERE user_id < 75
        GROUP BY event_type ORDER BY event_type""") { (s, d) =>
-    val base = java.nio.file.Files.createTempDirectory("graft_fsink").toString
+    val base = graft.Scratch.dir("graft_fsink") // removed at JVM exit
     val q = eventsStream(s, d)
       .filter(col("user_id") < 75)
       .select(col("event_type"), round(col("value") * 100).cast(LongType).as("cents"))
