@@ -87,6 +87,18 @@ object Dedup {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint(true)
 
+  /** Eagerly persist for multi-read reuse WITHIN one query. Unlike
+    * [[materialize]] this keeps lineage — an executor loss recomputes the
+    * lost blocks instead of failing the job, and nothing is written to
+    * the checkpoint FS. The right tool when reuse, not iterative lineage
+    * truncation, is the goal; MEMORY_AND_DISK so an oversized stage
+    * spills instead of OOMing. */
+  private def reuse(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    p
+  }
+
   /** Bucket-cardinality cap for banded self-joins, from
     * `graft.dedup.maxBucketSize` (default 100000). A bucket of size B
     * emits B·(B−1)/2 candidate pairs, so one degenerate band key — a
@@ -127,7 +139,7 @@ object Dedup {
     * cardinality cap (`cap`, or `graft.dedup.maxBucketSize` when 0) are
     * dropped first so no band key can go quadratic. */
   def candidatePairs(buckets0: DataFrame, cap: Long = 0L): DataFrame = {
-    val all = materialize(buckets0)
+    val all = reuse(buckets0)
     val effCap = if (cap > 0) cap else bucketCap(all.sparkSession)
     val buckets = dropOversizedBuckets(all, Seq("band", "band_key"), effCap)
     val a = buckets.as("a")
@@ -526,7 +538,7 @@ object Dedup {
       .select(md5(col("text")).as("bh")).distinct()
     // one minhash pass over the whole corpus, materialized once (the
     // benchmark- and training-side bucket scans below both read it)
-    val buckets = materialize(
+    val buckets = reuse(
       lshBuckets(docs, "doc_id", "text", shingleWords = 3, bands = 4, rowsPerBand = 2))
     val benchBuckets = buckets.filter(col("id") % 7 === 0)
       .select("band", "band_key").distinct()
@@ -599,31 +611,34 @@ object Dedup {
     // as 4 packed ints: hamming over the ~hundreds-of-thousands candidate
     // pairs is then 4 XOR+bit_count ops per pair instead of 64 substring
     // compares (same value as the oracle's character-wise count)
-    val sigs = materialize(
+    val sigs = reuse(
       docs.withColumn("md5s", expr("transform(split(text, ' '), t -> md5(t))"))
         .select(col("doc_id"), simhash64FromMd5s("md5s").as("sig"))
         .withColumn("si", expr(
           "transform(sequence(0, 3), b -> cast(conv(substring(sig, b*16 + 1, 16), 2, 10) as bigint))")))
-    val bands0 = sigs.select(col("doc_id"),
+    // the packed signature rides along through the band explode (32 bytes
+    // per row), so the pair stage below never joins back to the signature
+    // table — at scale that deletes two N-sized shuffles
+    val bands0 = sigs.select(col("doc_id"), col("si"),
       posexplode(array((0 until 4).map(b => substring(col("sig"), b * 16 + 1, 16)): _*))
         .as(Seq("b", "bits")))
     // same degenerate-key guard as the MinHash path: a boilerplate-heavy
     // corpus can collapse a 16-bit band onto one value; cap it before the
     // self-join (sigs are materialized, so the census is a cheap re-read)
     val bands = dropOversizedBuckets(bands0, Seq("b", "bits"), bucketCap(s))
-    val cand = bands.as("a")
+    // hamming BEFORE dedup: a pair colliding in k bands is scored k≤4
+    // times at 4 XOR+bit_count ops each — far cheaper than shuffling the
+    // full collision set through distinct and re-joining signatures. The
+    // ≤3 filter then shrinks the set ~100× before the only pair shuffle.
+    bands.as("a")
       .join(bands.as("b"),
         col("a.b") === col("b.b") && col("a.bits") === col("b.bits")
           && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
-    cand
-      .join(sigs.select(col("doc_id").as("id_a"), col("si").as("sa")), "id_a")
-      .join(sigs.select(col("doc_id").as("id_b"), col("si").as("sb")), "id_b")
-      .withColumn("hamming", expr(
-        "aggregate(zip_with(sa, sb, (x, y) -> bit_count(x ^ y)), 0, (acc, c) -> acc + c)")
-        .cast(LongType))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        expr("aggregate(zip_with(a.si, b.si, (x, y) -> bit_count(x ^ y)), 0, (acc, c) -> acc + c)")
+          .cast(LongType).as("hamming"))
       .filter(col("hamming") <= 3)
+      .distinct()
       .groupBy("hamming")
       .agg(count(lit(1)).as("n_pairs"),
         min(col("id_a")).as("min_id_a"), max(col("id_b")).as("max_id_b"))
