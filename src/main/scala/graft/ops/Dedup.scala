@@ -194,10 +194,12 @@ object Dedup {
     * round; above `driverThreshold` it stays fully distributed. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
       driverThreshold: Long = 100000L): DataFrame = {
-    // materialize the (expensive) candidate-pair pipeline ONCE and cut its
-    // lineage — every contraction round re-reads this, never the upstream
-    // minhash stages
-    val edges0 = materialize(
+    // persist the (expensive) candidate-pair pipeline ONCE — the count,
+    // the driver fast path, and contraction round 1 all read the cached
+    // blocks, never the upstream minhash stages. Lineage truncation is
+    // NOT needed here: it's the per-round materialize in the loop that
+    // cuts the growing iteration lineage (reliable checkpoint at scale).
+    val edges0 = reuse(
       pairs.select(
         greatest(col("id_a"), col("id_b")).as("hi"),
         least(col("id_a"), col("id_b")).as("lo"))

@@ -12,14 +12,20 @@ class RoundFourSpec extends SparkTestBase {
 
   val sf01 = "/root/testdata/sf0.1"
 
-  test("Engine.session wires a reliable checkpoint dir and d08 runs through it") {
+  test("Engine.session wires a reliable checkpoint dir and the CC loop runs through it") {
     val s = Engine.session(parallelism = 4, appName = "graft-test")
     val ckpt = s.sparkContext.getCheckpointDir
     assert(ckpt.isDefined, "Engine.session left no checkpoint dir configured")
     val out = SparkEntry.queries("d08_dedup_groups")(s, sf0001).collect()
     assert(out.nonEmpty)
-    // Dedup.materialize saw the dir → df.checkpoint() (reliable path):
-    // the checkpoint dir now holds at least one rdd-* block dir
+    // force the distributed contraction loop (driverThreshold=0): its
+    // per-round materialize must take the RELIABLE path — the checkpoint
+    // dir gains rdd-* block dirs — and agree with the fast path's labels
+    import s.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val viaLoop = ops.Dedup.connectedComponents(pairs, driverThreshold = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(viaLoop == Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L)))
     val rdds = Option(new java.io.File(new java.net.URI(ckpt.get).getPath)
       .listFiles()).map(_.toSeq).getOrElse(Seq.empty)
     assert(rdds.nonEmpty, s"no checkpointed RDD blocks under ${ckpt.get}")
