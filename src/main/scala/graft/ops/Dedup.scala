@@ -41,20 +41,39 @@ object Dedup {
   def minhash(shingles: Column, seed: Int): Column =
     array_min(transform(shingles, sh => md5(concat(lit(s"$seed|"), sh))))
 
-  /** All `numHashes` MinHash values as an array column. */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
+  /** Per-shingle (h1, h2) 32-bit hash pair from ONE md5: hex digits 1-8
+    * and 9-16 as unsigned ints. The nested transform materializes the
+    * md5 array first, so each shingle is digested exactly once — the
+    * whole hash family below derives from this single corpus pass. */
+  def shingleHashPairs(shingles: Column): Column =
+    transform(transform(shingles, sh => md5(sh)), h =>
+      struct(
+        conv(substring(h, 1, 8), 16, 10).cast("long").as("h1"),
+        conv(substring(h, 9, 8), 16, 10).cast("long").as("h2")))
+
+  /** All `numHashes` MinHash values (Kirsch-Mitzenmacher: hash_i =
+    * h1 + i·h2) over a [[shingleHashPairs]] column. One md5 per shingle
+    * replaces numHashes of them — at 100 TB the signature pass is the
+    * dominant corpus-wide CPU cost, so the family derivation is the
+    * difference between 1× and numHashes× total hashing. Integer math
+    * stays exact cross-engine (h1 + 7·h2 < 2^35, no overflow). Pass the
+    * hash-pair array as a REAL column: expressions inside the per-seed
+    * lambda re-evaluate per element, so inlining the md5 here would undo
+    * the single-pass property. */
+  def minhashSignature(hashPairs: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
-      s => array_min(transform(shingles, sh => md5(concat(s.cast("string"), lit("|"), sh)))))
+      i => array_min(transform(hashPairs,
+        p => p.getField("h1") + i * p.getField("h2"))))
 
   /** LSH banding: (id, band, band_key) — docs sharing a band_key in any
     * band are near-dup candidates. numHashes = bands * rowsPerBand.
     *
-    * The tokenization and shingle array are materialized as real columns
-    * BEFORE the per-seed minhash loop: expressions passed into nested
-    * lambdas are re-evaluated per element, so hashing over an attribute
-    * (not a recomputed `split(...)`) keeps the work at
-    * docs × shingles × numHashes md5s and nothing more (measured 10×+ on
-    * the sf0.1 bench). */
+    * The tokenization, shingle array, and per-shingle hash pairs are
+    * materialized as real columns BEFORE the per-seed minhash loop:
+    * expressions passed into nested lambdas are re-evaluated per
+    * element, so staging each as an attribute keeps the corpus-wide
+    * digest work at exactly ONE md5 per shingle (the per-seed family is
+    * integer-derived — see [[minhashSignature]]). */
   def lshBuckets(df: DataFrame, idCol: String, textCol: String,
       shingleWords: Int, bands: Int, rowsPerBand: Int): DataFrame = {
     val numHashes = bands * rowsPerBand
@@ -69,10 +88,11 @@ object Dedup {
       expr(s"transform(sequence(1, greatest(size(ws) - ${k - 1}, 1)), " +
         s"i -> concat_ws(' ', ${(0 until k).map(j => s"element_at(ws, i + $j)").mkString(", ")}))")
         .as("sh"))
-    val sig = sh.select(col("id"), minhashSignature(col("sh"), numHashes).as("mhs"))
+    val hv = sh.select(col("id"), shingleHashPairs(col("sh")).as("hv"))
+    val sig = hv.select(col("id"), minhashSignature(col("hv"), numHashes).as("mhs"))
     val bandKeys = transform(sequence(lit(0), lit(bands - 1)),
-      b => md5(concat_ws("", (0 until rowsPerBand).map(r =>
-        element_at(col("mhs"), (b * rowsPerBand + r + 1).cast("int"))): _*)))
+      b => md5(concat_ws("|", (0 until rowsPerBand).map(r =>
+        element_at(col("mhs"), (b * rowsPerBand + r + 1).cast("int")).cast("string")): _*)))
     sig.select(col("id"), posexplode(bandKeys).as(Seq("band", "band_key")))
   }
 
@@ -344,13 +364,17 @@ object Dedup {
          FROM (SELECT doc_id, ws,
                       unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
                FROM docs)),
+       hs AS (
+         SELECT doc_id, ('0x' || substring(md5(sh), 1, 8))::BIGINT AS h1,
+                ('0x' || substring(md5(sh), 9, 8))::BIGINT AS h2
+         FROM sh),
        sig AS (
-         SELECT doc_id, seed, min(md5(seed || '|' || sh)) AS mh
-         FROM sh, (SELECT unnest(generate_series(0, 7)) AS seed) seeds
+         SELECT doc_id, seed, min(h1 + seed * h2) AS mh
+         FROM hs, (SELECT unnest(generate_series(0, 7)) AS seed) seeds
          GROUP BY doc_id, seed),
        bands AS (
          SELECT doc_id, CAST(seed // 2 AS INT) AS band,
-                md5(string_agg(mh, '' ORDER BY seed)) AS band_key
+                md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS band_key
          FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT))
        SELECT band, band_key, count(*) AS n_docs
        FROM bands GROUP BY band, band_key
@@ -388,13 +412,17 @@ object Dedup {
          FROM (SELECT doc_id, ws,
                       unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
                FROM docs)),
+       hs AS (
+         SELECT doc_id, ('0x' || substring(md5(sh), 1, 8))::BIGINT AS h1,
+                ('0x' || substring(md5(sh), 9, 8))::BIGINT AS h2
+         FROM sh),
        sig AS (
-         SELECT doc_id, seed, min(md5(seed || '|' || sh)) AS mh
-         FROM sh, (SELECT unnest(generate_series(0, 7)) AS seed) seeds
+         SELECT doc_id, seed, min(h1 + seed * h2) AS mh
+         FROM hs, (SELECT unnest(generate_series(0, 7)) AS seed) seeds
          GROUP BY doc_id, seed),
        bands AS (
          SELECT doc_id, CAST(seed // 2 AS INT) AS band,
-                md5(string_agg(mh, '' ORDER BY seed)) AS band_key
+                md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS band_key
          FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)),
        pairs AS (
          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -433,13 +461,17 @@ object Dedup {
          FROM (SELECT doc_id, ws,
                       unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
                FROM docs)),
+       hs AS (
+         SELECT doc_id, ('0x' || substring(md5(sh), 1, 8))::BIGINT AS h1,
+                ('0x' || substring(md5(sh), 9, 8))::BIGINT AS h2
+         FROM sh),
        sig AS (
-         SELECT doc_id, seed, min(md5(seed || '|' || sh)) AS mh
-         FROM sh, (SELECT unnest(generate_series(0, 7)) AS seed) seeds
+         SELECT doc_id, seed, min(h1 + seed * h2) AS mh
+         FROM hs, (SELECT unnest(generate_series(0, 7)) AS seed) seeds
          GROUP BY doc_id, seed),
        bands AS (
          SELECT doc_id, CAST(seed // 2 AS INT) AS band,
-                md5(string_agg(mh, '' ORDER BY seed)) AS band_key
+                md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS band_key
          FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)),
        pairs AS (
          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -503,13 +535,17 @@ object Dedup {
          FROM (SELECT doc_id, ws,
                       unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
                FROM docs)),
+       hs AS (
+         SELECT doc_id, ('0x' || substring(md5(sh), 1, 8))::BIGINT AS h1,
+                ('0x' || substring(md5(sh), 9, 8))::BIGINT AS h2
+         FROM sh),
        sig AS (
-         SELECT doc_id, seed, min(md5(seed || '|' || sh)) AS mh
-         FROM sh, (SELECT unnest(generate_series(0, 7)) AS seed) seeds
+         SELECT doc_id, seed, min(h1 + seed * h2) AS mh
+         FROM hs, (SELECT unnest(generate_series(0, 7)) AS seed) seeds
          GROUP BY doc_id, seed),
        bands AS (
          SELECT doc_id, CAST(seed // 2 AS INT) AS band,
-                md5(string_agg(mh, '' ORDER BY seed)) AS band_key
+                md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS band_key
          FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)),
        bench_hashes AS (
          SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 7 = 0),
