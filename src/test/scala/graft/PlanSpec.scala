@@ -123,4 +123,36 @@ class PlanSpec extends SparkTestBase {
       assert(!p.contains("BroadcastHashJoin"), s"vocabulary join broadcast-hinted:\n$p")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  /** Column names flowing through every hash-partitioned shuffle of the
+    * query's (non-AQE) physical plan. AQE is disabled for the build so
+    * plain ShuffleExchangeExec nodes are inspectable — which columns
+    * shuffle is a static property AQE doesn't change. Round-robin
+    * spreads (the small-scan repartition, a no-op at scale) are excluded
+    * on purpose. */
+  private def hashShuffledColumns(mk: => org.apache.spark.sql.DataFrame): Seq[Seq[String]] = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      castToImpl(mk).queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.outputPartitioning
+              .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] =>
+          e.output.map(_.name)
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("m04: media payloads never shuffle — only hash/id/size cross the wire") {
+    val shuffles = hashShuffledColumns(SparkEntry.queries("m04_media_dedup")(spark, sf0001))
+    assert(shuffles.nonEmpty, "expected at least the dedup aggregation shuffle")
+    val leaked = shuffles.filter(_.exists(c => c.contains("payload") && !c.contains("payload_md5")))
+    assert(leaked.isEmpty, s"binary payload crosses a shuffle: $leaked")
+  }
+
+  test("d10: corpus text never shuffles during decontamination") {
+    val shuffles = hashShuffledColumns(SparkEntry.queries("d10_decontaminate")(spark, sf0001))
+    val leaked = shuffles.filter(_.exists(_ == "text"))
+    assert(leaked.isEmpty, s"document text crosses a hash shuffle: $leaked")
+  }
 }
