@@ -30,6 +30,7 @@ object Engine {
   def install(spark: SparkSession): SparkSession = {
     functions.CosineSimilarity.register(spark)
     functions.LongDot.register(spark)
+    functions.SimHash64.register(spark)
     functions.HllSketch.register(spark)
     functions.CharShinglesGen.register(spark)
     plans.TopKPerGroup.install(spark)

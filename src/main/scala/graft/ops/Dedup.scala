@@ -649,9 +649,13 @@ object Dedup {
     // as 4 packed ints: hamming over the ~hundreds-of-thousands candidate
     // pairs is then 4 XOR+bit_count ops per pair instead of 64 substring
     // compares (same value as the oracle's character-wise count)
+    // native one-pass signature (64 vote counters per token digest)
+    // instead of the 64-aggregate HOF composition — same bitstring,
+    // spec-asserted against simhash64FromMd5s
+    graft.functions.SimHash64.register(s)
     val sigs = reuse(
       docs.withColumn("md5s", expr("transform(split(text, ' '), t -> md5(t))"))
-        .select(col("doc_id"), simhash64FromMd5s("md5s").as("sig"))
+        .select(col("doc_id"), graft.functions.SimHash64.simhash64(col("md5s")).as("sig"))
         .withColumn("si", expr(
           "transform(sequence(0, 3), b -> cast(conv(substring(sig, b*16 + 1, 16), 2, 10) as bigint))")))
     // the packed signature rides along through the band explode (32 bytes

@@ -77,6 +77,24 @@ class RoundFourSpec extends SparkTestBase {
         "(and its Scaladoc invariant) must be updated to match")
   }
 
+  test("simhash64 native expression agrees with the HOF composition on real docs") {
+    graft.functions.SimHash64.register(spark)
+    val md5s = Tables.documents(spark, sf0001)
+      .withColumn("md5s", expr("transform(split(text, ' '), t -> md5(t))"))
+    val both = md5s.select(
+      graft.functions.SimHash64.simhash64(col("md5s")).as("native"),
+      ops.Dedup.simhash64FromMd5s("md5s").as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    // edge cases: empty array (all votes -1 → all zeros), short/junk
+    // digest (missing digits vote -1), null element (nulls every sum)
+    val edge = spark.sql(
+      """SELECT simhash64(cast(array() as array<string>)) AS e, simhash64(array('zz')) AS j,
+               simhash64(array(cast(null as string), md5('x'))) AS n""").head()
+    assert(edge.getString(0) == "0" * 64)
+    assert(edge.getString(1) == "0" * 64)
+    assert(edge.getString(2) == "0" * 64)
+  }
+
   test("s08 boundary: driver-side merged state is bounded by key cardinality") {
     val out = SparkEntry.queries("s08_stream_foreachbatch")(spark, sf0001).collect()
     val nTypes = Tables.events(spark, sf0001)
