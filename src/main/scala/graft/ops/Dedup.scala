@@ -687,5 +687,63 @@ object Dedup {
       .orderBy("hamming")
   }
 
-  val defs: Seq[Q] = Seq(d01, d02, d03, d04, d08, d09, d10, d11)
+  /** Exact 13-gram overlap decontamination — the published standard for
+    * LLM benchmark leakage (GPT-3 appendix C lineage): a training doc is
+    * contaminated iff it shares any exact 13-word-gram with the
+    * benchmark split. Complements d10's LSH variant (near-dup recall)
+    * with the exact-overlap definition evals actually use.
+    *
+    * Scale shape: benchmark grams are distinct-hashed and BROADCAST
+    * (benchmarks are small by premise — the same contract as d10); the
+    * training corpus is scanned narrowly (explode → hash → broadcast
+    * join), and only MATCHED grams — a tiny set — ever shuffle, for the
+    * per-doc distinct hit count. Docs shorter than 13 words contribute
+    * their whole text as one gram (slice clamps on both engines). */
+  private val d13 = Q(
+    "d13_ngram_decontaminate",
+    """WITH docs AS (
+         SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       g AS (
+         SELECT doc_id, md5(array_to_string(ws[i:i+12], ' ')) AS gh
+         FROM (SELECT doc_id, ws,
+                      unnest(generate_series(1, greatest(len(ws) - 12, 1))) AS i
+               FROM docs)),
+       bench AS (SELECT DISTINCT gh FROM g WHERE doc_id % 7 = 0),
+       hits AS (
+         SELECT doc_id, count(*) AS n_hits
+         FROM (SELECT DISTINCT t.doc_id, t.gh
+               FROM g t JOIN bench b ON t.gh = b.gh
+               WHERE t.doc_id % 7 != 0)
+         GROUP BY doc_id),
+       tr AS (
+         SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits
+         FROM (SELECT doc_id FROM docs WHERE doc_id % 7 != 0) d
+         LEFT JOIN hits h ON d.doc_id = h.doc_id)
+       SELECT n_hits > 0 AS contaminated, count(*) AS n_docs,
+              min(doc_id) AS min_id, max(doc_id) AS max_id,
+              CAST(sum(n_hits) AS BIGINT) AS total_hits
+       FROM tr GROUP BY n_hits > 0 ORDER BY contaminated""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val grams = docs
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, greatest(size(ws) - 12, 1)), i -> array_join(slice(ws, i, 13), ' '))"))
+        .as("g"))
+      .select(col("doc_id"), md5(col("g")).as("gh"))
+    val benchGrams = grams.filter(col("doc_id") % 7 === 0).select("gh").distinct()
+    val hits = grams.filter(col("doc_id") % 7 =!= 0)
+      .join(broadcast(benchGrams), "gh") // corpus-side grams never shuffle
+      .select("doc_id", "gh").distinct() // only the matched (tiny) set does
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    docs.filter(col("doc_id") % 7 =!= 0).select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .groupBy((col("n_hits") > 0).as("contaminated"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+        sum(col("n_hits")).as("total_hits"))
+      .orderBy("contaminated")
+  }
+
+  val defs: Seq[Q] = Seq(d01, d02, d03, d04, d08, d09, d10, d11, d13)
 }
