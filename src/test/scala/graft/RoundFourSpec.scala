@@ -95,6 +95,16 @@ class RoundFourSpec extends SparkTestBase {
     assert(edge.getString(2) == "0" * 64)
   }
 
+  test("lshBuckets assignment is partition-count independent") {
+    val docs = Tables.documents(spark, sf0001)
+    def buckets(parts: Int) =
+      ops.Dedup.lshBuckets(docs.repartition(parts), "doc_id", "text",
+          shingleWords = 3, bands = 4, rowsPerBand = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(buckets(1) == buckets(7),
+      "bucket assignment depends on physical partitioning — minhash must be layout-free")
+  }
+
   test("s08 boundary: driver-side merged state is bounded by key cardinality") {
     val out = SparkEntry.queries("s08_stream_foreachbatch")(spark, sf0001).collect()
     val nTypes = Tables.events(spark, sf0001)
