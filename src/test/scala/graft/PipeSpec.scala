@@ -106,6 +106,24 @@ class PipeSpec extends SparkTestBase {
       Option(e.getCause).exists(_.getMessage.contains("non zero return code")))
   }
 
+  test("command exceeding timeoutSec is killed and fails the task") {
+    val cfg = PipeConfig.parse(
+      s"""{ "stage_dir" : "${Files.createTempDirectory("pipe-timeout-stage")}",
+         |  "mcr_root" : "", "mcr_cache_root" : "/tmp",
+         |  "algorithms" : [ { "name":"SLOW", "binary_dir" : "/bin",
+         |    "executables" : [ {"command" : "sleep 30"} ],
+         |    "hdfs_in_dir" : "", "hdfs_out_dir" : "" } ] }""".stripMargin)
+    val ds = spark.createDataset(Seq("x"))
+    val t0 = System.nanoTime()
+    val e = intercept[SparkException] {
+      ExternalPipeline.run(ds, None, cfg.algorithm("SLOW"), cfg.globals, timeoutSec = 1)
+        .collect()
+    }
+    assert((System.nanoTime() - t0) / 1e9 < 25, "timeout did not cut the 30s sleep short")
+    assert(e.getMessage.contains("timed out") ||
+      Option(e.getCause).exists(_.getMessage.contains("timed out")))
+  }
+
   test("PipeMain: usage exit 2, abort-if-absent exit 1, end-to-end run via main (Driver.java:33-85)") {
     // usage: fewer than 2 args → exit 2 (Driver.java:41-45)
     assert(graft.pipe.PipeMain.run(Array("CRANKER"), spark) == 2)
