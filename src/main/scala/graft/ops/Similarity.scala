@@ -279,5 +279,81 @@ object Similarity {
       .orderBy("qid")
   }
 
-  val defs: Seq[Q] = Seq(d05, d06, d07, d12)
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    * embeddings by nearest centroid, compare pairs ONLY within a cluster,
+    * and drop all but the lowest-id member of each above-threshold pair.
+    * The cluster partitioning is what makes this tractable at 100 TB —
+    * pair work is Σ n_c² over cells, and k (the centroid count) is the
+    * knob that bounds n_c (k ~ N / target cell size; the fixture uses the
+    * d07 centroids). The 0.45 threshold is fixture-calibrated: random
+    * Gaussian embeddings top out near cos 0.49 — real corpora use ~0.95+.
+    * Quantized integer dots keep the threshold comparison bit-exact
+    * cross-engine. Output: per-cell dedup census. */
+  private val d14 = Q(
+    "d14_semantic_dedup",
+    """WITH e AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+         FROM embeddings),
+       n AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2 FROM e),
+       cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+       scored AS (
+         SELECT n.vec_id, n.v, n.n2, c.cent_id,
+                row_number() OVER (PARTITION BY n.vec_id
+                  ORDER BY CAST(list_sum(list_transform(generate_series(1, 64), i -> n.v[i] * c.cv[i])) AS BIGINT) DESC,
+                           c.cent_id) AS rn
+         FROM n, cents c),
+       assign AS (SELECT vec_id, v, n2, cent_id AS cell FROM scored WHERE rn = 1),
+       dup_pairs AS (
+         SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b
+         FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         WHERE CAST(list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i])) AS BIGINT)
+               / (sqrt(a.n2) * sqrt(b.n2)) > 0.45),
+       removed AS (SELECT cell, id_b FROM dup_pairs GROUP BY cell, id_b),
+       cells AS (SELECT cell, count(*) AS n_vecs FROM assign GROUP BY cell),
+       pair_n AS (SELECT cell, count(*) AS n_dup_pairs FROM dup_pairs GROUP BY cell),
+       rem_n AS (SELECT cell, count(*) AS n_removed FROM removed GROUP BY cell)
+       SELECT c.cell AS cell, c.n_vecs,
+              coalesce(p.n_dup_pairs, 0) AS n_dup_pairs,
+              coalesce(r.n_removed, 0) AS n_removed,
+              c.n_vecs - coalesce(r.n_removed, 0) AS n_kept
+       FROM cells c
+       LEFT JOIN pair_n p ON c.cell = p.cell
+       LEFT JOIN rem_n r ON c.cell = r.cell
+       ORDER BY c.cell""") { (s, d) =>
+    graft.functions.LongDot.register(s)
+    graft.plans.TopKPerGroup.install(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("n2", norm2Q(col("v")))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val wc = Window.partitionBy(col("vec_id")).orderBy(col("dot").desc, col("cent_id"))
+    val assign = e.crossJoin(broadcast(cents))
+      .withColumn("dot", dotQ(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(wc))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("n2"), col("cent_id").as("cell"))
+    val a = assign.select(col("cell"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("n2").as("na"))
+    val b = assign.select(col("cell").as("cellb"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("n2").as("nb"))
+    val dupPairs = a.join(b, col("cell") === col("cellb") && col("id_a") < col("id_b"))
+      .filter(dotQ(col("va"), col("vb")) / (sqrt(col("na")) * sqrt(col("nb"))) > 0.45)
+      .select(col("cell"), col("id_a"), col("id_b"))
+    val removed = dupPairs.select(col("cell"), col("id_b")).distinct()
+    val cells = assign.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+    val pairN = dupPairs.groupBy("cell").agg(count(lit(1)).as("n_dup_pairs"))
+    val remN = removed.groupBy("cell").agg(count(lit(1)).as("n_removed"))
+    cells
+      .join(pairN, Seq("cell"), "left")
+      .join(remN, Seq("cell"), "left")
+      .select(col("cell"), col("n_vecs"),
+        coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        (col("n_vecs") - coalesce(col("n_removed"), lit(0L))).as("n_kept"))
+      .orderBy("cell")
+  }
+
+  val defs: Seq[Q] = Seq(d05, d06, d07, d12, d14)
 }
