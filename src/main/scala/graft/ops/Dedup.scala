@@ -310,6 +310,11 @@ object Dedup {
     exact(Tables.documents(s, d), "text", "doc_id").orderBy("content_hash")
   }
 
+  /** Exact character-5-gram Jaccard on a bounded subset — BY DESIGN: all-
+    * pairs exact Jaccard is quadratic and exists here to pin the exact
+    * similarity semantics (and to exercise the char_shingles Generator).
+    * The scale path computes Jaccard only on LSH candidate pairs
+    * (d03/d08): band-join first, exact measure on survivors. */
   private val d02 = Q(
     "d02_ngram_jaccard",
     """WITH sh AS (
