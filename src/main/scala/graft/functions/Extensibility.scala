@@ -304,16 +304,35 @@ object Extensibility {
   val defs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10)
 }
 
-/** Session-extension injector (spark.sql.extensions=graft.functions.
-  * GraftExtensions): registers the custom Expression at session build
-  * time — the (c)-level Catalyst extension surface from the build notes.
+/** Session-extension injector (`spark.sql.extensions=graft.functions.
+  * GraftExtensions`): the config-only deployment path — a spark-submit /
+  * Thrift-server / SQL-only user gets the ENTIRE engine extension
+  * surface (all custom expressions, the HLL aggregate, the shingle
+  * generator, and the heap top-k optimizer rule + strategy) at session
+  * build time without calling `Engine.install`. Programmatic sessions
+  * use `Engine.install`, which registers the same set; both entries are
+  * idempotent in effect — the rewrite no longer matches once applied,
+  * and a duplicated strategy just offers the planner an identical
+  * candidate.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  private def fn(name: String, clazz: Class[_], builder: Seq[Expression] => Expression) =
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), builder)
+
   override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        CosineSimilarity(exprs.head, exprs(1))))
+    e.injectFunction(fn("cosine_sim", classOf[CosineSimilarity],
+      exprs => CosineSimilarity(exprs.head, exprs(1))))
+    e.injectFunction(fn("long_dot", classOf[LongDot],
+      exprs => LongDot(exprs.head, exprs(1))))
+    e.injectFunction(fn("simhash64", classOf[SimHash64],
+      exprs => SimHash64(exprs.head)))
+    e.injectFunction(fn("hll_distinct", classOf[HllSketch],
+      exprs => HllSketch(exprs.head).toAggregateExpression()))
+    e.injectFunction(fn("char_shingles", classOf[CharShinglesGen],
+      exprs => CharShinglesGen(exprs.head, exprs(1))))
+    e.injectOptimizerRule(_ => graft.plans.TopKRewrite)
+    e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }
