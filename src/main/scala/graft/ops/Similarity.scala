@@ -67,20 +67,35 @@ object Similarity {
         round(col("cos"), 6).as("cosine"))
   }
 
-  /** Deterministic ±1 hyperplane weight for (plane, dim), derived from the
-    * first hex digit of md5("plane_dim") — reproducible everywhere. */
-  private def planeWeights(plane: Column, dim: Int): Column =
-    transform(sequence(lit(1), lit(dim)), i =>
-      when(substring(md5(concat(plane.cast("string"), lit("_"), i.cast("string"))), 1, 1)
-        .isin("8", "9", "a", "b", "c", "d", "e", "f"), -1L).otherwise(1L))
+  /** Deterministic ±1 hyperplane weights for (plane, dim), derived from
+    * the first hex digit of md5("plane_dim") — reproducible everywhere.
+    * Computed ONCE on the driver and shipped as a literal: the weights
+    * are row-constant, so deriving them in the expression tree would
+    * digest planes×dim md5s per ROW (512/row at the defaults) for values
+    * that never change. The oracle keeps the in-SQL md5 derivation —
+    * identical values, different (per-engine-sensible) evaluation site. */
+  private def planeWeightArrays(planes: Int, dim: Int): Seq[Seq[Long]] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    (0 until planes).map { p =>
+      (1 to dim).map { i =>
+        val hex = digest.digest(s"${p}_$i".getBytes("UTF-8"))
+        // first hex digit = high nibble of byte 0; MSB set → -1 else +1
+        if (((hex(0) >> 4) & 0xF) >= 8) -1L else 1L
+      }
+    }
+  }
 
   /** Random-hyperplane LSH bucket signature (`planes` sign bits) for each
-    * vector — the ANN scale path's partitioning key. */
-  def lshBucket(vec: Column, planes: Int, dim: Int): Column =
+    * vector — the ANN scale path's partitioning key. `vec` should be an
+    * ATTRIBUTE (not a recomputed expression): it is referenced once per
+    * plane in the sign loop. */
+  def lshBucket(vec: Column, planes: Int, dim: Int): Column = {
+    val w = typedLit(planeWeightArrays(planes, dim))
     array_join(
       transform(sequence(lit(0), lit(planes - 1)), p =>
-        when(dotQ(quantize(vec), planeWeights(p, dim)) >= 0, "1").otherwise("0")),
+        when(dotQ(vec, element_at(w, (p + 1).cast("int"))) >= 0, "1").otherwise("0")),
       "")
+  }
 
   // ---------------------------------------------------------------- queries
 
@@ -129,7 +144,8 @@ object Similarity {
        FROM sig GROUP BY bucket ORDER BY bucket""") { (s, d) =>
     graft.functions.LongDot.register(s)
     Tables.embeddings(s, d)
-      .select(col("vec_id"), lshBucket(col("embedding"), planes = 8, dim = 64).as("bucket"))
+      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .select(col("vec_id"), lshBucket(col("qv"), planes = 8, dim = 64).as("bucket"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("first_vec"))
       .orderBy("bucket")

@@ -122,11 +122,11 @@ class DedupSimilaritySpec extends SparkTestBase {
       (1L, Array.fill(64)(0.25f)),
       (2L, Array.tabulate(64)(i => if (i % 2 == 0) 0.5f else -0.5f))
     ).toDF("vec_id", "embedding")
-    val b = vecs.select($"vec_id", Similarity.lshBucket($"embedding", 8, 64).as("bucket"))
+    val b = vecs.select($"vec_id", Similarity.lshBucket(Similarity.quantize($"embedding"), 8, 64).as("bucket"))
       .as[(Long, String)].collect().toMap
     assert(b(0L) == b(1L))
     assert(b(0L).matches("[01]{8}"))
-    val b2 = vecs.select($"vec_id", Similarity.lshBucket($"embedding", 8, 64).as("bucket"))
+    val b2 = vecs.select($"vec_id", Similarity.lshBucket(Similarity.quantize($"embedding"), 8, 64).as("bucket"))
       .as[(Long, String)].collect().toMap
     assert(b == b2) // run-to-run determinism
   }
