@@ -400,8 +400,15 @@ object Dedup {
                   CASE WHEN substring(md5(t), i, 1) IN ('8','9','a','b','c','d','e','f')
                        THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END), '') AS simhash
        FROM documents ORDER BY doc_id""") { (s, d) =>
+    // the 32-bit simhash is exactly the MSB half of the 64-bit one (bit i
+    // = sign of the vote on the high bit of md5 hex digit i), so this
+    // rides the native one-pass expression instead of simhashExpr's
+    // 32-aggregate HOF (which re-splits and re-hashes per bit)
+    graft.functions.SimHash64.register(s)
     Tables.documents(s, d)
-      .select(col("doc_id"), simhashExpr("text").as("simhash"))
+      .withColumn("md5s", expr("transform(split(text, ' '), t -> md5(t))"))
+      .select(col("doc_id"),
+        substring(graft.functions.SimHash64.simhash64(col("md5s")), 1, 32).as("simhash"))
       .orderBy("doc_id")
   }
 
