@@ -155,4 +155,11 @@ class PlanSpec extends SparkTestBase {
     val leaked = shuffles.filter(_.exists(_ == "text"))
     assert(leaked.isEmpty, s"document text crosses a hash shuffle: $leaked")
   }
+
+  test("d13: neither text nor raw grams shuffle — only matched gram hashes") {
+    val shuffles = hashShuffledColumns(
+      SparkEntry.queries("d13_ngram_decontaminate")(spark, sf0001))
+    val leaked = shuffles.filter(_.exists(c => c == "text" || c == "g"))
+    assert(leaked.isEmpty, s"wide column crosses a hash shuffle: $leaked")
+  }
 }
