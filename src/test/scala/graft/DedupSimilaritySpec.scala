@@ -84,6 +84,34 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(pairs == Set((900L, 901L)))
   }
 
+  test("jaccard verification drops a band-collision pair below tau; CC clusters only verified pairs") {
+    // one low-overlap doc (shares only the 'the quick' bigram with base)
+    val withOverlap = docs.unionAll(Seq(
+      (4L, "the quick red cat sleeps under a tall tree tonight maybe")).toDF("doc_id", "text"))
+    // inject the band collisions directly: (0,2) is a true near-dup,
+    // (0,3)/(0,4) are the false positives a degenerate band key produces
+    val pairs = Seq((0L, 2L), (0L, 3L), (0L, 4L)).toDF("id_a", "id_b")
+    val sh = Dedup.wordShingleHashes(withOverlap, "doc_id", "text", 2)
+    val verified = Dedup.jaccardVerifiedPairs(pairs, sh, tau = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(verified.map(p => (p._1, p._2)).toSet == Set((0L, 2L)),
+      "only the measured-similar pair may survive verification")
+    assert(verified.head._3 >= 0.5 && verified.head._3 <= 1.0)
+    // and the cluster step sees only verified edges: 3 and 4 are NOT clustered
+    val comp = Dedup.connectedComponents(
+      Dedup.jaccardVerifiedPairs(pairs, sh, tau = 0.5))
+      .as[(Long, Long)].collect().toMap
+    assert(comp.get(3L).isEmpty && comp.get(4L).isEmpty,
+      "an unverified band collision must not cluster")
+    assert(comp(0L) == 0L && comp(2L) == 0L)
+    // tau is a real knob: lowered, the small-overlap pair survives too
+    // (the zero-overlap pair (0,3) never does — Jaccard 0 is never >= a
+    // meaningful tau, and it has no intersection row at all)
+    val loose = Dedup.jaccardVerifiedPairs(pairs, sh, tau = 0.01)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(loose == Set((0L, 2L), (0L, 4L)))
+  }
+
   test("simhash of identical docs equal; near-dups within small hamming distance") {
     val sh = docs.select($"doc_id", Dedup.simhashExpr("text").as("h"))
       .as[(Long, String)].collect().toMap
