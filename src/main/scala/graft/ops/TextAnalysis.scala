@@ -18,7 +18,26 @@ import org.apache.spark.sql.types.LongType
   */
 object TextAnalysis {
 
-  private def toks(textCol: String): Column = split(col(textCol), " ")
+  /** Unicode-aware token pattern: maximal runs of letters/digits (any
+    * script — `\p{L}`/`\p{N}` are identical classes in Java regex and
+    * DuckDB's RE2). "Customer#000000001" → [Customer, 000000001]. */
+  val unicodeTokenRe = "[\\p{L}\\p{N}]+"
+
+  /** Tokenizer seam for every text operator: `whitespace` is the exact
+    * split(' ') the corpus fixtures are built around; `unicode` extracts
+    * letter/digit runs, the mode a real crawled corpus needs (punctuation
+    * and case survive whitespace splits). Both are narrow map-side
+    * expressions — tokenizer choice never changes a query's shuffle
+    * shape, so every dedup/text op is tokenizer-parametric by
+    * construction (swap the Column, keep the plan). */
+  def tokens(textCol: Column, mode: String): Column = mode match {
+    case "whitespace" => split(textCol, " ")
+    case "unicode"    => regexp_extract_all(textCol, lit(unicodeTokenRe), lit(0))
+    case other => throw new IllegalArgumentException(
+      s"unknown tokenizer mode '$other' (whitespace | unicode)")
+  }
+
+  private def toks(textCol: String): Column = tokens(col(textCol), "whitespace")
 
   /** Count of exact token matches against a word set. */
   def tokenSetCount(textCol: String, words: Seq[String]): Column =
@@ -348,5 +367,42 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val defs: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09)
+  /** Tokenizer-mode comparison on REAL punctuated text (the documents
+    * fixture is pure space-separated words, where the modes coincide, so
+    * the text here is built from the customer fixture's punctuated
+    * fields — 'Customer#000000001' etc., the t08 construction pattern).
+    * Whitespace tokenization glues punctuation to words;
+    * the unicode mode recovers the letter/digit runs — per-segment
+    * totals quantify exactly how much the two disagree. */
+  private val t10 = Q(
+    "t10_regex_tokens",
+    """WITH txts AS (
+         SELECT c_mktsegment AS segment,
+                c_name || ' holds account-' || CAST(c_custkey AS VARCHAR)
+                  || ' (nation#' || CAST(c_nationkey AS VARCHAR) || '); segment='
+                  || c_mktsegment AS txt
+         FROM customer)
+       SELECT segment,
+              count(*) AS n_rows,
+              CAST(sum(len(string_split(txt, ' '))) AS BIGINT) AS ws_tokens,
+              CAST(sum(len(regexp_extract_all(txt, '[\p{L}\p{N}]+'))) AS BIGINT) AS uni_tokens,
+              CAST(sum(len(list_distinct(regexp_extract_all(txt, '[\p{L}\p{N}]+')))) AS BIGINT) AS uni_uniq,
+              min(regexp_extract_all(txt, '[\p{L}\p{N}]+')[1]) AS first_token
+       FROM txts GROUP BY segment ORDER BY segment""") { (s, d) =>
+    val txt = Tables.customer(s, d).select(
+      col("c_mktsegment").as("segment"),
+      concat(col("c_name"), lit(" holds account-"), col("c_custkey").cast("string"),
+        lit(" (nation#"), col("c_nationkey").cast("string"), lit("); segment="),
+        col("c_mktsegment")).as("txt"))
+    txt.groupBy("segment")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(size(tokens(col("txt"), "whitespace")).cast(LongType)).as("ws_tokens"),
+        sum(size(tokens(col("txt"), "unicode")).cast(LongType)).as("uni_tokens"),
+        sum(size(array_distinct(tokens(col("txt"), "unicode"))).cast(LongType)).as("uni_uniq"),
+        min(element_at(tokens(col("txt"), "unicode"), 1)).as("first_token"))
+      .orderBy("segment")
+  }
+
+  val defs: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10)
 }
