@@ -31,6 +31,9 @@ object Multimodal {
   private def md5hex(b: Array[Byte]): String =
     MessageDigest.getInstance("MD5").digest(b).map("%02x".format(_)).mkString
 
+  private def hexUpper(b: Array[Byte]): String =
+    b.map("%02X".format(_)).mkString
+
   /** Wrap a text corpus as a media table (payload = utf-8 bytes). In a
     * real deployment payloads come from image/audio files; the column
     * shape (binary + metadata) is identical. */
@@ -63,7 +66,15 @@ object Multimodal {
   }
 
   /** Frame sampling: slice the payload into fixed-size frames, keep every
-    * `stride`-th one (video keyframe-sampling shape). */
+    * `stride`-th one (video keyframe-sampling shape).
+    *
+    * `first_frame_md5` is a HEX-LIFTED fingerprint: md5 of the frame's
+    * uppercase-hex encoding rather than of the raw bytes. Same
+    * identification power (hex is injective), but the hashed value is
+    * pure ASCII, so a VARCHAR-only oracle (DuckDB 1.0 md5 takes no BLOB)
+    * replays it byte-exactly for ANY payload — including frames that cut
+    * a multi-byte character in half, where a char-based formulation
+    * diverges. */
   def sampleFrames(media: Dataset[MediaRecord], frameBytes: Int = 64, stride: Int = 4): Dataset[FrameSample] = {
     import media.sparkSession.implicits._
     media.mapPartitions { records =>
@@ -71,7 +82,7 @@ object Multimodal {
         val frames = r.payload.grouped(frameBytes).toArray
         val sampled = frames.zipWithIndex.collect { case (f, i) if i % stride == 0 => f }
         FrameSample(r.media_id, frames.length.toLong, sampled.length.toLong,
-          if (frames.isEmpty) "" else md5hex(frames.head))
+          if (frames.isEmpty) "" else md5hex(hexUpper(frames.head).getBytes("US-ASCII")))
       }
     }
   }
@@ -96,17 +107,17 @@ object Multimodal {
       .toDF()
   }
 
-  /** Frame counts are byte-based (octet_length). `first_frame_md5` hashes
-    * the first 64 BYTES; DuckDB 1.0 can't slice BLOBs, so the oracle's
-    * `substring(text, 1, 64)` is char-based — equivalent only while the
-    * fixture is pure ASCII, which MultimodalSpec asserts explicitly
-    * (zero docs with octet_length ≠ char length). */
+  /** Frame counts are byte-based (octet_length). `first_frame_md5` is the
+    * hex-lifted fingerprint (see [[sampleFrames]]): the oracle slices the
+    * first 64 bytes as 128 HEX chars — `substring(hex(encode(text)), 1,
+    * 128)` — and md5s that ASCII string, byte-exact for any input
+    * (non-ASCII included); no char/byte equivalence precondition. */
   private val m02 = Q(
     "m02_multimodal_frames",
     """SELECT doc_id AS media_id,
               (octet_length(encode(text)) + 63) // 64 AS n_frames,
               ((octet_length(encode(text)) + 63) // 64 + 3) // 4 AS n_sampled,
-              md5(substring(text, 1, 64)) AS first_frame_md5
+              md5(substring(hex(encode(text)), 1, 128)) AS first_frame_md5
        FROM documents ORDER BY media_id""") { (s, d) =>
     sampleFrames(asMediaTable(Tables.documents(s, d)))
       .orderBy("media_id")
@@ -125,8 +136,9 @@ object Multimodal {
     import s.implicits._
     import java.nio.file.attribute.PosixFilePermissions
     import java.nio.file.{Files, Paths}
-    val bin = Paths.get(System.getProperty("java.io.tmpdir"), "graft_mm_pipe_bin")
-    Files.createDirectories(bin)
+    // per-run scratch dir (self-cleaning): a fixed tmpdir path would race
+    // between two concurrent JVMs writing/executing the same script file
+    val bin = Paths.get(graft.Scratch.dir("graft_mm_pipe_bin"))
     val sh = bin.resolve("measure.sh")
     // $1=%MCR_ROOT% $2=%INPUT_FILE%; emits "<id>:<len(hex)>" per line
     Files.writeString(sh,

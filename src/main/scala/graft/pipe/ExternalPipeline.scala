@@ -76,6 +76,7 @@ object ExternalPipeline {
     val binaryDir = spec.binaryDir
     val commands = spec.commands
     val headerOpt = header
+    val quotedArgs = spec.quotedArgs
 
     input.mapPartitions { rows =>
       val tc = TaskContext.get()
@@ -125,7 +126,7 @@ object ExternalPipeline {
             cmd = cmd.replace(tok, path)
           }
           exec(cmd, outDir.toFile, Map("MCR_CACHE_ROOT" -> mcrCacheRoot), timeoutSec,
-            logsDir.resolve(s"cmd_${i + 1}.log"))
+            logsDir.resolve(s"cmd_${i + 1}.log"), quotedArgs)
         }
       } catch {
         case e: Throwable => pipelineFailed = true; throw e
@@ -157,18 +158,47 @@ object ExternalPipeline {
     run(lines, header, spec, config.globals)
   }
 
-  /** Tokenized exec (the reference space-splits the command string,
-    * `ExecutorMapper.java:243` via `Runtime.exec`), with concurrent
-    * stdout+stderr drain and exit-code check. The full drained output is
-    * streamed to `logFile` (A9 parity, `ExecutorMapper.java:91-102`); a
-    * bounded in-memory tail feeds the failure exception message. */
+  /** Split a command string into exec argv. Default mode is the
+    * reference's bare whitespace split (`ExecutorMapper.java:243` via
+    * `Runtime.exec`) — faithful, but unable to pass an argument that
+    * contains a space. `quoted = true` opts into minimal shell-style
+    * quoting: single- or double-quoted segments keep embedded whitespace
+    * and the quotes themselves are stripped; no escape processing, no
+    * variable expansion (predictability over shell emulation). An
+    * unbalanced quote is rejected eagerly. */
+  private[graft] def tokenize(cmd: String, quoted: Boolean): Seq[String] =
+    if (!quoted) cmd.trim.split("\\s+").toSeq
+    else {
+      val out = mutable.ArrayBuffer.empty[String]
+      val cur = new StringBuilder
+      var inSingle = false; var inDouble = false
+      var started = false // set even for empty quoted tokens ('')
+      cmd.foreach {
+        case '\'' if !inDouble => inSingle = !inSingle; started = true
+        case '"' if !inSingle => inDouble = !inDouble; started = true
+        case c if c.isWhitespace && !inSingle && !inDouble =>
+          if (started) { out += cur.toString; cur.clear(); started = false }
+        case c => cur.append(c); started = true
+      }
+      if (inSingle || inDouble)
+        throw new IllegalArgumentException(s"Unbalanced quote in command: $cmd")
+      if (started) out += cur.toString
+      out.toSeq
+    }
+
+  /** Tokenized exec (see [[tokenize]] for the quoting contract), with
+    * concurrent stdout+stderr drain and exit-code check. The full drained
+    * output is streamed to `logFile` (A9 parity,
+    * `ExecutorMapper.java:91-102`); a bounded in-memory tail feeds the
+    * failure exception message. */
   private def exec(
       cmd: String,
       cwd: File,
       extraEnv: Map[String, String],
       timeoutSec: Long,
-      logFile: java.nio.file.Path): Unit = {
-    val tokens = cmd.trim.split("\\s+")
+      logFile: java.nio.file.Path,
+      quotedArgs: Boolean = false): Unit = {
+    val tokens = tokenize(cmd, quotedArgs)
     val pb = new ProcessBuilder(tokens: _*)
     pb.directory(cwd)
     pb.redirectErrorStream(true) // concurrent drain: one merged stream

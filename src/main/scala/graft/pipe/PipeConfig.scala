@@ -15,12 +15,19 @@ import scala.jdk.CollectionConverters._
   * (`properties.json:12`) that its Jettison parser tolerates — we enable
   * Jackson's ALLOW_TRAILING_COMMA so the same file loads here.
   */
+/** @param quotedArgs opt-in shell-style quoting for command tokenization
+  *                    (config key `quoted_args`): single/double-quoted
+  *                    segments keep embedded whitespace. Default false =
+  *                    the reference's bare space-split
+  *                    (`ExecutorMapper.java:243`), which cannot pass an
+  *                    argument containing a space. */
 final case class PipelineSpec(
     name: String,
     binaryDir: String,
     commands: Seq[String],
     inDir: String,
-    outDir: String)
+    outDir: String,
+    quotedArgs: Boolean = false)
 
 final case class PipeGlobals(
     stageDir: String,
@@ -64,7 +71,8 @@ object PipeConfig {
           commands = Option(a.get("executables")).map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
             .map(e => str(e, "command")),
           inDir = str(a, "hdfs_in_dir", ""),
-          outDir = str(a, "hdfs_out_dir", ""))
+          outDir = str(a, "hdfs_out_dir", ""),
+          quotedArgs = Option(a.get("quoted_args")).exists(_.asBoolean(false)))
       }
     PipeConfig(globals, algos)
   }

@@ -419,7 +419,49 @@ object StreamingQueries {
       .orderBy("event_type")
   }
 
-  val defs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12)
+  /** Streaming curation bridge — the B9 decontamination + dedup operators
+    * running INSIDE Structured Streaming (B8 and B9 composing, not just
+    * coexisting): a static benchmark hash set (event_id % 7 = 0, the d10
+    * convention) is broadcast into a streaming anti-join that drops
+    * contaminated arrivals, then watermark + dropDuplicates keeps one row
+    * per distinct clean content. Content is a composite (user, type,
+    * props) hash — the fixture's props column alone has ~100 distinct
+    * values, which the benchmark split would cover entirely.
+    *
+    * Scale: the bench side is tiny-by-premise (same broadcast contract as
+    * d10/d13); dedup state is bounded by distinct-content cardinality and
+    * the watermark. Dedup key includes event_type, so the census is
+    * independent of arrival order — stream-batch equivalence holds under
+    * any partition race. */
+  private val s13 = Q(
+    "s13_stream_decontaminate_dedup",
+    """WITH c AS (
+         SELECT event_id, event_type,
+                md5(CAST(user_id AS VARCHAR) || '|' || event_type || '|' || props) AS h
+         FROM events),
+       bench AS (SELECT DISTINCT h FROM c WHERE event_id % 7 = 0),
+       clean AS (
+         SELECT DISTINCT event_type, h FROM c
+         WHERE event_id % 7 != 0 AND h NOT IN (SELECT h FROM bench))
+       SELECT event_type, count(*) AS n_clean_distinct
+       FROM clean GROUP BY event_type ORDER BY event_type""") { (s, d) =>
+    val contentHash =
+      md5(concat_ws("|", col("user_id").cast("string"), col("event_type"), col("props")))
+    val bench = Tables.events(s, d)
+      .filter(col("event_id") % 7 === 0)
+      .select(contentHash.as("bh")).distinct()
+    val clean = eventsStream(s, d)
+      .filter(col("event_id") % 7 =!= 0)
+      .withColumn("h", contentHash)
+      .join(broadcast(bench), col("h") === col("bh"), "left_anti")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_type", "h")
+    val agg = clean.groupBy(col("event_type")).agg(count(lit(1)).as("n_clean_distinct"))
+    runToMemory(agg, OutputMode.Complete())
+      .orderBy("event_type")
+  }
+
+  val defs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13)
 }
 
 /** s11's StatefulProcessor: cumulative (event count, value cents) per

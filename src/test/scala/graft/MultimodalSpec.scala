@@ -8,16 +8,13 @@ import org.apache.spark.sql.functions._
   */
 class MultimodalSpec extends SparkTestBase {
 
-  test("documents fixtures are pure ASCII (m02 oracle precondition: " +
-    "char substring == byte slice)") {
-    // The m02 oracle hashes substring(text,1,64) (chars) against the
-    // engine's first-64-BYTES frame; DuckDB 1.0 can't slice BLOBs, so
-    // parity requires byte length == char length on every doc.
+  test("documents fixtures are pure ASCII (fixture sanity only — the m02 " +
+    "oracle is byte-exact regardless since the hex-lift change)") {
     for (sf <- Seq(sf0001, sf001)) {
       val nonAscii = Tables.documents(spark, sf)
         .filter(octet_length(col("text")) =!= length(col("text")))
         .count()
-      assert(nonAscii == 0, s"non-ASCII docs in $sf break the m02 oracle")
+      assert(nonAscii == 0, s"unexpected non-ASCII docs in $sf (fixture drift)")
     }
   }
 
@@ -43,7 +40,7 @@ class MultimodalSpec extends SparkTestBase {
     assert(feats(3L).payload_md5 == expected)
   }
 
-  test("sampleFrames: stride sampling and first-frame hash") {
+  test("sampleFrames: stride sampling and hex-lifted first-frame hash") {
     import spark.implicits._
     val docs = Seq((1L, "x" * 300)).toDF("doc_id", "text")
       .withColumn("lang", lit("xx")).withColumn("source", lit("t"))
@@ -51,8 +48,33 @@ class MultimodalSpec extends SparkTestBase {
     val fs = Multimodal.sampleFrames(Multimodal.asMediaTable(docs)).collect().head
     assert(fs.n_frames == 5)   // ceil(300/64)
     assert(fs.n_sampled == 2)  // frames 0 and 4 (stride 4)
+    val hexFrame = ("x" * 64).getBytes("UTF-8").map("%02X".format(_)).mkString
     val expected = java.security.MessageDigest.getInstance("MD5")
-      .digest(("x" * 64).getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .digest(hexFrame.getBytes("US-ASCII")).map("%02x".format(_)).mkString
     assert(fs.first_frame_md5 == expected)
+  }
+
+  test("first-frame hash is byte-exact on non-ASCII, even when the frame " +
+    "boundary splits a multi-byte character") {
+    import spark.implicits._
+    // 63 ASCII chars then 'é' (2 bytes): byte 64 is the FIRST byte of é,
+    // so the first frame ends mid-character — a char-based slice cannot
+    // express this frame; the hex-lift formulation can
+    val text = "a" * 63 + "é" + "tail"
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+      .withColumn("lang", lit("xx")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val fs = Multimodal.sampleFrames(Multimodal.asMediaTable(docs)).collect().head
+    val frameBytes = text.getBytes("UTF-8").take(64)
+    val hexFrame = frameBytes.map("%02X".format(_)).mkString
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest(hexFrame.getBytes("US-ASCII")).map("%02x".format(_)).mkString
+    assert(fs.first_frame_md5 == expected)
+    // and the oracle formulation computes the same value: md5 of the
+    // first 128 chars of the payload's hex — replayed here in Spark SQL
+    val viaSql = docs.select(
+      md5(substring(hex(encode(col("text"), "UTF-8")), 1, 128)).as("h"))
+      .as[String].head()
+    assert(viaSql == expected)
   }
 }

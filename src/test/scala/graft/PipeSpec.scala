@@ -96,6 +96,36 @@ class PipeSpec extends SparkTestBase {
     assert(out.map(_._2).count(Set("A", "B", "C", "D")) == 4)
   }
 
+  test("tokenize: default is the reference space-split; quoted mode keeps spaces inside quotes") {
+    val cmd = """prog 'b c' "d e" f"""
+    assert(ExternalPipeline.tokenize(cmd, quoted = false) ==
+      Seq("prog", "'b", "c'", "\"d", "e\"", "f"))
+    assert(ExternalPipeline.tokenize(cmd, quoted = true) ==
+      Seq("prog", "b c", "d e", "f"))
+    assert(ExternalPipeline.tokenize("x '' y", quoted = true) == Seq("x", "", "y"))
+    intercept[IllegalArgumentException](ExternalPipeline.tokenize("a 'b", quoted = true))
+  }
+
+  test("quoted_args: an argument containing spaces round-trips through the pipeline") {
+    writeScript(binDir, "run_echo_arg.sh", """echo "arg=$2" > quoted.txt""")
+    def cfg(quotedArgs: Boolean) = PipeConfig.parse(
+      s"""{ "stage_dir" : "${Files.createTempDirectory("pipe-quote-stage")}",
+         |  "mcr_root" : "/opt/fake_mcr", "mcr_cache_root" : "/tmp",
+         |  "algorithms" : [ { "name":"Q", "binary_dir" : "$binDir",
+         |    "quoted_args" : $quotedArgs,
+         |    "executables" : [ {"command" : "run_echo_arg.sh %MCR_ROOT% 'hello spaced world'"} ],
+         |    "hdfs_in_dir" : "", "hdfs_out_dir" : "" } ] }""".stripMargin)
+    val ds = spark.createDataset(Seq("x")).repartition(1)
+    val got = ExternalPipeline.run(ds, None, cfg(true).algorithm("Q"), cfg(true).globals)
+      .as[(String, String)].collect()
+    assert(got.toSeq == Seq(("quoted.txt", "arg=hello spaced world")))
+    // default mode is reference-faithful: the same template space-splits,
+    // so $2 is just the first word (with its opening quote glued on)
+    val dflt = ExternalPipeline.run(ds, None, cfg(false).algorithm("Q"), cfg(false).globals)
+      .as[(String, String)].collect()
+    assert(dflt.toSeq == Seq(("quoted.txt", "arg='hello")))
+  }
+
   test("non-zero exit fails the task (reference ExecutorMapper.java:265-269)") {
     val cfg = PipeConfig.parse(configJson("""{"command" : "run_fail.sh %MCR_ROOT% %INPUT_FILE%"}"""))
     val ds = spark.createDataset(Seq("x"))
