@@ -52,8 +52,9 @@ object SparkEntry {
       "q33_returned_items", "q37_region_share_by_year",
       "d03_minhash_lsh", "d05_embed_cosine_topk", "d08_dedup_groups",
       "d10_decontaminate", "d11_simhash_dedup",
+      "d13_ngram_decontaminate", "d14_semantic_dedup", "d15_verified_dedup_groups",
       "t05_tfidf", "t06_salted_token_count", "t07_train_split",
-      "a01_pipe_cranker", "s01_stream_tumbling")
+      "a01_pipe_cranker", "s01_stream_tumbling", "s10_stream_stateful_sessions")
     val have = queries.keySet
     preferred.filter(have)
   }

@@ -113,7 +113,7 @@ object Dedup {
     * the checkpoint FS. The right tool when reuse, not iterative lineage
     * truncation, is the goal; MEMORY_AND_DISK so an oversized stage
     * spills instead of OOMing. */
-  private def reuse(df: DataFrame): DataFrame = {
+  private[ops] def reuse(df: DataFrame): DataFrame = {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     p.count()
     p
@@ -157,9 +157,14 @@ object Dedup {
     * The bucket pipeline is materialized once — a naive self-join would
     * run the whole minhash computation for both sides. Buckets above the
     * cardinality cap (`cap`, or `graft.dedup.maxBucketSize` when 0) are
-    * dropped first so no band key can go quadratic. */
-  def candidatePairs(buckets0: DataFrame, cap: Long = 0L): DataFrame = {
-    val all = reuse(buckets0)
+    * dropped first so no band key can go quadratic. Pass
+    * `materialize = false` ONLY when `buckets0` is already cheap to
+    * recompute (e.g. derived from a persisted digest table, as in
+    * [[lshBucketsAndShingles]]) — it skips the persist+count job and lets
+    * the census and both join sides re-derive from the upstream cache. */
+  def candidatePairs(buckets0: DataFrame, cap: Long = 0L,
+      materialize: Boolean = true): DataFrame = {
+    val all = if (materialize) reuse(buckets0) else buckets0
     val effCap = if (cap > 0) cap else bucketCap(all.sparkSession)
     val buckets = dropOversizedBuckets(all, Seq("band", "band_key"), effCap)
     val a = buckets.as("a")
@@ -269,18 +274,56 @@ object Dedup {
       .distinct()
   }
 
-  /** Distinct word-k-shingle md5 SET per document: (id, h). The 128-bit
-    * hash stands in for the shingle string everywhere downstream — exact
-    * set semantics at a fixed 32-byte width, so the verification joins
-    * below never shuffle raw text. */
+  /** Per-OCCURRENCE word-k-shingle hashes: (id, h), duplicates included —
+    * one row per shingle position. h is the first 15 hex digits of the
+    * shingle's md5 as a 60-bit integer: an 8-byte join/shuffle key in
+    * place of the 32-char hex string (4× narrower exchanges), with the
+    * same value derivable in ANSI SQL. Collisions (~n²/2^61) are
+    * deterministic and engine-identical, so set comparisons stay
+    * cross-engine exact. Deduplication to a SET is the consumer's job —
+    * deliberately, so a consumer that first restricts to a document
+    * subset (see [[jaccardVerifiedPairs]]) pays the distinct shuffle only
+    * for the rows it keeps. */
   def wordShingleHashes(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     df.select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
       .select(col("id"), explode(expr(
         s"transform(sequence(1, greatest(size(ws) - ${k - 1}, 1)), " +
           s"i -> concat_ws(' ', ${(0 until k).map(j => s"element_at(ws, i + $j)").mkString(", ")}))"))
         .as("sh"))
-      .select(col("id"), md5(col("sh")).as("h"))
-      .distinct()
+      .select(col("id"), conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h"))
+
+  /** ONE corpus digest pass serving BOTH the LSH banding and the exact
+    * verification sets: computes the per-shingle (h1, h2) pairs once
+    * (persisted), then derives (a) the minhash band buckets exactly as
+    * [[lshBuckets]] does and (b) the per-occurrence 60-bit shingle hashes
+    * (h1·2^27 + h2 mod 2^27 — both halves of the same md5) that
+    * [[jaccardVerifiedPairs]] consumes. At 100 TB the corpus-wide digest
+    * is the dominant CPU cost of the dedup pipeline; a verified-dedup run
+    * through this helper hashes each shingle exactly once END TO END,
+    * where composing lshBuckets + wordShingleHashes would digest the
+    * corpus twice. */
+  def lshBucketsAndShingles(df: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int, bands: Int, rowsPerBand: Int): (DataFrame, DataFrame) = {
+    val numHashes = bands * rowsPerBand
+    val k = shingleWords
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val spread = if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    val toks = spread.select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
+    val sh = toks.select(col("id"),
+      expr(s"transform(sequence(1, greatest(size(ws) - ${k - 1}, 1)), " +
+        s"i -> concat_ws(' ', ${(0 until k).map(j => s"element_at(ws, i + $j)").mkString(", ")}))")
+        .as("sh"))
+    val hv = reuse(sh.select(col("id"), shingleHashPairs(col("sh")).as("hv")))
+    val sig = hv.select(col("id"), minhashSignature(col("hv"), numHashes).as("mhs"))
+    val bandKeys = transform(sequence(lit(0), lit(bands - 1)),
+      b => md5(concat_ws("|", (0 until rowsPerBand).map(r =>
+        element_at(col("mhs"), (b * rowsPerBand + r + 1).cast("int")).cast("string")): _*)))
+    val buckets = sig.select(col("id"), posexplode(bandKeys).as(Seq("band", "band_key")))
+    val shingles = hv.select(col("id"), explode(col("hv")).as("p"))
+      .select(col("id"),
+        (col("p.h1") * lit(134217728L) + col("p.h2") % lit(134217728L)).as("h"))
+    (buckets, shingles)
+  }
 
   /** Exact-Jaccard verification of LSH candidate pairs — the step a
     * production MinHash pipeline runs between banding and clustering:
@@ -290,16 +333,23 @@ object Dedup {
     * with Jaccard ≥ `tau` become dedup edges.
     *
     * Scale shape: `pairs` is already LSH-bounded (never O(N²)); the
-    * shingle table is cut to candidate docs FIRST (semi-joins on both id
-    * columns), so the per-pair expansion is |pairs| × doc shingle count —
-    * the irreducible verification cost — and non-candidate docs never
-    * shuffle a single shingle. Returns (id_a, id_b, jaccard). */
-  def jaccardVerifiedPairs(pairs: DataFrame, shingleSets: DataFrame,
+    * shingle stream is cut to candidate docs FIRST (a semi-join applied
+    * BEFORE the set-distinct, so non-candidate docs never shuffle a
+    * single shingle — at 100 TB the candidate subset is a sliver of the
+    * corpus), then deduped to sets. The per-pair expansion is |pairs| ×
+    * doc shingle count — the irreducible verification cost.
+    * `shingles` is per-occurrence (id, h) as produced by
+    * [[wordShingleHashes]]; returns (id_a, id_b, jaccard). */
+  def jaccardVerifiedPairs(pairs: DataFrame, shingles: DataFrame,
       tau: Double): DataFrame = {
     val p = reuse(pairs.select(col("id_a"), col("id_b")))
     val candIds = p.select(col("id_a").as("id"))
       .unionAll(p.select(col("id_b").as("id"))).distinct()
-    val sh = shingleSets.join(candIds, "id")
+    // the candidate-restricted shingle SET feeds three consumers (the
+    // size census and both sides of the intersection join) — persist it
+    // once or the scan+explode+digest pipeline runs three times. Its size
+    // is bounded by the candidate docs, not the corpus.
+    val sh = reuse(shingles.join(candIds, Seq("id"), "left_semi").distinct())
     val sz = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = p
       .join(sh.select(col("id").as("id_a"), col("h")), "id_a")
@@ -835,7 +885,8 @@ object Dedup {
          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          FROM bands a JOIN bands b
            ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-       shd AS (SELECT DISTINCT doc_id, md5(sh) AS h FROM sh),
+       shd AS (SELECT DISTINCT doc_id, h1 * 134217728 + h2 % 134217728 AS h
+               FROM hs),
        sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
        inter AS (
          SELECT p.id_a, p.id_b, count(*) AS ni
@@ -861,10 +912,11 @@ object Dedup {
        SELECT a AS doc_id, min(b) AS component
        FROM reach GROUP BY a ORDER BY doc_id""") { (s, d) =>
     val docs = Tables.documents(s, d)
-    val pairs = candidatePairs(
-      lshBuckets(docs, "doc_id", "text", shingleWords = 3, bands = 4, rowsPerBand = 2))
-    val verified = jaccardVerifiedPairs(pairs,
-      wordShingleHashes(docs, "doc_id", "text", 3), tau = 0.5)
+    // single corpus digest: bands and verification sets from one md5 pass
+    val (buckets, shingles) = lshBucketsAndShingles(docs, "doc_id", "text",
+      shingleWords = 3, bands = 4, rowsPerBand = 2)
+    val verified = jaccardVerifiedPairs(
+      candidatePairs(buckets, materialize = false), shingles, tau = 0.5)
     connectedComponents(verified)
       .select(col("id").as("doc_id"), col("component"))
       .orderBy("doc_id")
