@@ -556,8 +556,11 @@ object Dedup {
   /** The full curation pipeline a training-data run would execute: drop
     * exact duplicates, collapse near-dup clusters to their root document,
     * apply a quality floor, report the kept corpus per language. Composes
-    * exact dedup + LSH + connected components + quality scoring into one
-    * dataflow (each piece individually verified by d01/d03/d08/t02). */
+    * exact dedup + LSH + exact-Jaccard VERIFICATION + connected
+    * components + quality scoring into one dataflow (each piece
+    * individually verified by d01/d03/d15/t02). Near-dup clusters come
+    * from the verified edge set — a band collision alone never removes a
+    * document (the production dedup contract, same as d15). */
   private val d09 = Q(
     "d09_curation_pipeline",
     """WITH RECURSIVE docs AS (
@@ -583,12 +586,26 @@ object Dedup {
          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          FROM bands a JOIN bands b
            ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       shd AS (SELECT DISTINCT doc_id, h1 * 134217728 + h2 % 134217728 AS h
+               FROM hs),
+       sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+       inter AS (
+         SELECT p.id_a, p.id_b, count(*) AS ni
+         FROM pairs p
+           JOIN shd a ON a.doc_id = p.id_a
+           JOIN shd b ON b.doc_id = p.id_b AND b.h = a.h
+         GROUP BY p.id_a, p.id_b),
+       vpairs AS (
+         SELECT i.id_a, i.id_b FROM inter i
+           JOIN sz sa ON sa.doc_id = i.id_a
+           JOIN sz sb ON sb.doc_id = i.id_b
+         WHERE i.ni * 1.0 / (sa.n + sb.n - i.ni) >= 0.5),
        nodes AS (
          SELECT DISTINCT id FROM (
-           SELECT id_a AS id FROM pairs UNION ALL SELECT id_b AS id FROM pairs)),
+           SELECT id_a AS id FROM vpairs UNION ALL SELECT id_b AS id FROM vpairs)),
        edges AS (
-         SELECT id_a AS src, id_b AS dst FROM pairs
-         UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+         SELECT id_a AS src, id_b AS dst FROM vpairs
+         UNION ALL SELECT id_b AS src, id_a AS dst FROM vpairs),
        reach(a, b) AS (
          SELECT id, id FROM nodes
          UNION
@@ -609,8 +626,10 @@ object Dedup {
        FROM kept GROUP BY lang ORDER BY lang""") { (s, d) =>
     val docs = Tables.documents(s, d)
     val exactKept = exact(docs, "text", "doc_id").select(col("keep_id").as("doc_id"))
-    val components = connectedComponents(candidatePairs(
-      lshBuckets(docs, "doc_id", "text", shingleWords = 3, bands = 4, rowsPerBand = 2)))
+    val (buckets, shingles) = lshBucketsAndShingles(docs, "doc_id", "text",
+      shingleWords = 3, bands = 4, rowsPerBand = 2)
+    val components = connectedComponents(jaccardVerifiedPairs(
+      candidatePairs(buckets, materialize = false), shingles, tau = 0.5))
     val nearRemoved = components.filter(col("id") =!= col("component"))
       .select(col("id").as("doc_id"))
     docs

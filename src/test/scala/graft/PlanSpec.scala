@@ -162,4 +162,81 @@ class PlanSpec extends SparkTestBase {
     val leaked = shuffles.filter(_.exists(c => c == "text" || c == "g"))
     assert(leaked.isEmpty, s"wide column crosses a hash shuffle: $leaked")
   }
+
+  test("d15: the verification dataflow shuffles only ids/60-bit hashes — " +
+    "never text, token arrays, or shingle strings") {
+    // the full d15 query materializes stage by stage (reuse/checkpoint),
+    // so its FINAL plan is just the tiny CC output; the shuffle contract
+    // lives in the verification segment — rebuild it un-materialized from
+    // the same public pieces jaccardVerifiedPairs composes and inspect
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf0001)
+    val candIds = Seq(1L, 2L, 3L).toDF("id")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val sh = graft.ops.Dedup.wordShingleHashes(docs, "doc_id", "text", 3)
+      .join(candIds, Seq("id"), "left_semi").distinct()
+    val sz = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.select(col("id").as("id_a"), col("h")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("h")), Seq("id_b", "h"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("ni"))
+      .join(sz.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+    val shuffles = hashShuffledColumns(inter)
+    assert(shuffles.nonEmpty, "expected the set-distinct/intersection shuffles")
+    val leaked = shuffles.filter(_.exists(c => c == "text" || c == "ws" || c == "sh"))
+    assert(leaked.isEmpty, s"wide column crosses a hash shuffle: $leaked")
+    // and the shingle key that does shuffle is the 8-byte long, not a string
+    val hTypes = castToImpl(sh).schema("h").dataType
+    assert(hTypes == org.apache.spark.sql.types.LongType)
+  }
+
+  test("d16: probe set is broadcast — the corpus is never shuffled for the " +
+    "bucketed ANN join") {
+    val p = plan(SparkEntry.queries("d16_hyperplane_ann_recall")(spark, sf0001))
+    assert(p.contains("BroadcastExchange"), s"probes not broadcast:\n$p")
+    // quantized vectors may ride the broadcast (the tiny probe side) and
+    // the persisted pair table, but must never hash-shuffle corpus-wide
+    val shuffles = hashShuffledColumns(
+      SparkEntry.queries("d16_hyperplane_ann_recall")(spark, sf0001))
+    val leaked = shuffles.filter(_.exists(c => c == "v" || c == "cv" || c == "embedding"))
+    assert(leaked.isEmpty, s"corpus vectors cross a hash shuffle: $leaked")
+  }
+
+  test("s13: benchmark hash set enters the stream as a broadcast anti-join") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    // rebuild s13's streaming graph and inspect the executed micro-batch
+    // plan: the static bench side must be a BroadcastExchange feeding a
+    // LeftAnti BroadcastHashJoin — the stream is scanned, never shuffled,
+    // by decontamination
+    val contentHash = md5(concat_ws("|",
+      col("user_id").cast("string"), col("event_type"), col("props")))
+    val bench = Tables.events(spark, sf0001)
+      .filter(col("event_id") % 7 === 0).select(contentHash.as("bh")).distinct()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sf0001)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .filter(col("event_id") % 7 =!= 0)
+      .withColumn("h", contentHash)
+      .join(broadcast(bench), col("h") === col("bh"), "left_anti")
+    val q = stream.writeStream.format("memory").queryName("s13_plan_probe")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination() // the streaming graph itself runs clean
+    assert(q.exception.isEmpty, s"s13-shaped stream failed: ${q.exception}")
+    // per-micro-batch plans aren't exposed through a stable API; the same
+    // join on the batch relation compiles to the identical operator pair,
+    // so assert the shape there
+    val batchPlan = plan(Tables.events(spark, sf0001)
+      .filter(col("event_id") % 7 =!= 0).withColumn("h", contentHash)
+      .join(broadcast(bench), col("h") === col("bh"), "left_anti"))
+    assert(batchPlan.contains("BroadcastHashJoin") && batchPlan.contains("LeftAnti"),
+      s"bench side not a broadcast anti-join:\n$batchPlan")
+  }
 }
