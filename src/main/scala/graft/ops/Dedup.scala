@@ -21,6 +21,19 @@ import scala.collection.mutable
   */
 object Dedup {
 
+  /** Spread a small scan across the cluster's cores before a CPU-heavy
+    * stage. Small-file corpora arrive as ONE scan partition (a single
+    * parquet file under maxPartitionBytes), which would serialize the
+    * whole digest pipeline on one core; at scale the scan is already
+    * many-partition and this is a no-op. The partition census builds the
+    * RDD lineage once — harmless, but centralized here so the cost and
+    * the rationale live in one place (callers: lshBuckets,
+    * lshBucketsAndShingles, d11). */
+  private[ops] def spreadToCores(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Exact dedup: one row per distinct content hash with the surviving
     * (minimum) id and the duplicate count. */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
@@ -78,12 +91,7 @@ object Dedup {
       shingleWords: Int, bands: Int, rowsPerBand: Int): DataFrame = {
     val numHashes = bands * rowsPerBand
     val k = shingleWords
-    // small-file corpora arrive as one scan partition; spread the
-    // hash-heavy stage across all cores (at scale the scan is already
-    // many-partition and this coalesces to a no-op-sized shuffle)
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    val spread = if (df.rdd.getNumPartitions < p) df.repartition(p) else df
-    val toks = spread.select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
+    val toks = spreadToCores(df).select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
     val sh = toks.select(col("id"),
       expr(s"transform(sequence(1, greatest(size(ws) - ${k - 1}, 1)), " +
         s"i -> concat_ws(' ', ${(0 until k).map(j => s"element_at(ws, i + $j)").mkString(", ")}))")
@@ -306,9 +314,7 @@ object Dedup {
       shingleWords: Int, bands: Int, rowsPerBand: Int): (DataFrame, DataFrame) = {
     val numHashes = bands * rowsPerBand
     val k = shingleWords
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    val spread = if (df.rdd.getNumPartitions < p) df.repartition(p) else df
-    val toks = spread.select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
+    val toks = spreadToCores(df).select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
     val sh = toks.select(col("id"),
       expr(s"transform(sequence(1, greatest(size(ws) - ${k - 1}, 1)), " +
         s"i -> concat_ws(' ', ${(0 until k).map(j => s"element_at(ws, i + $j)").mkString(", ")}))")
@@ -767,9 +773,7 @@ object Dedup {
     // signatures are CPU-heavy and read three times (band explode + both
     // sides of the pair lookup) — spread across cores, hash each token
     // ONCE, materialize
-    val p = s.sparkContext.defaultParallelism
-    val docs0 = Tables.documents(s, d)
-    val docs = if (docs0.rdd.getNumPartitions < p) docs0.repartition(p) else docs0
+    val docs = spreadToCores(Tables.documents(s, d))
     // carry the signature both as the 16-bit band strings (join keys) and
     // as 4 packed ints: hamming over the ~hundreds-of-thousands candidate
     // pairs is then 4 XOR+bit_count ops per pair instead of 64 substring
@@ -941,5 +945,67 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  val defs: Seq[Q] = Seq(d01, d02, d03, d04, d08, d09, d10, d11, d13, d15)
+  /** MinHash sketch MERGE — the sketch-algebra property that makes
+    * minhash viable at 100 TB: the signature of a UNION of shingle sets
+    * is the elementwise min of the parts' signatures, so sketches are a
+    * distributive aggregate (they combine in map-side partials, merge
+    * across partitions/sources/days in any order, and never need the
+    * underlying sets again). The query computes per-source sketches, the
+    * whole-corpus sketch directly, AND the merge of the per-source
+    * sketches — and emits the merge==direct comparison as a verified
+    * output column, so the algebra is checked, not assumed. */
+  private val d17 = Q(
+    "d17_sketch_merge",
+    """WITH docs AS (
+         SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+       sh AS (
+         SELECT doc_id, source, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+         FROM (SELECT doc_id, source, ws,
+                      unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+               FROM docs)),
+       hs AS (
+         SELECT source, ('0x' || substring(md5(sh), 1, 8))::BIGINT AS h1,
+                ('0x' || substring(md5(sh), 9, 8))::BIGINT AS h2
+         FROM sh),
+       seeds AS (SELECT unnest(generate_series(0, 7)) AS seed),
+       src_sig AS (
+         SELECT source, seed, min(h1 + seed * h2) AS mh
+         FROM hs, seeds GROUP BY source, seed),
+       corpus_direct AS (
+         SELECT seed, min(h1 + seed * h2) AS mh FROM hs, seeds GROUP BY seed),
+       merged AS (SELECT seed, min(mh) AS mh FROM src_sig GROUP BY seed)
+       SELECT s.source, s.seed, s.mh AS source_minhash,
+              m.mh AS merged_corpus_minhash,
+              (m.mh = c.mh) AS merge_matches_direct
+       FROM src_sig s
+         JOIN merged m ON s.seed = m.seed
+         JOIN corpus_direct c ON s.seed = c.seed
+       ORDER BY s.source, s.seed""") { (s, d) =>
+    val docs = spreadToCores(Tables.documents(s, d))
+    val hs = docs
+      .select(col("source"), split(col("text"), " ").as("ws"))
+      .select(col("source"), expr(
+        "transform(sequence(1, greatest(size(ws) - 2, 1)), " +
+          "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))")
+        .as("sh"))
+      .select(col("source"), explode(shingleHashPairs(col("sh"))).as("p"))
+      .select(col("source"), col("p.h1").as("h1"), col("p.h2").as("h2"))
+      .select(col("source"), explode(expr("sequence(0L, 7L)")).as("seed"),
+        col("h1"), col("h2"))
+      .select(col("source"), col("seed"), (col("h1") + col("seed") * col("h2")).as("hv"))
+    // per-source sketch: ONE hash agg; map-side partials already ARE
+    // partial sketches — this is the distributive-aggregate shape
+    val srcSig = reuse(hs.groupBy("source", "seed").agg(min(col("hv")).as("mh")))
+    val corpusDirect = hs.groupBy("seed").agg(min(col("hv")).as("cmh"))
+    val merged = srcSig.groupBy("seed").agg(min(col("mh")).as("mmh"))
+    srcSig
+      .join(broadcast(merged), "seed")
+      .join(broadcast(corpusDirect), "seed")
+      .select(col("source"), col("seed"), col("mh").as("source_minhash"),
+        col("mmh").as("merged_corpus_minhash"),
+        (col("mmh") === col("cmh")).as("merge_matches_direct"))
+      .orderBy("source", "seed")
+  }
+
+  val defs: Seq[Q] = Seq(d01, d02, d03, d04, d08, d09, d10, d11, d13, d15, d17)
 }

@@ -404,5 +404,131 @@ object TextAnalysis {
       .orderBy("segment")
   }
 
-  val defs: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10)
+  /** Deterministic per-source sampling cap — the data-mixing operator a
+    * training run uses to stop one source from dominating the blend: keep
+    * at most 15 docs per source, selected by md5(doc_id) rank (seed-free,
+    * partition-independent, stable across runs — the t07 split contract
+    * applied to sampling). The rank filter is the bare row_number shape,
+    * so the heap top-k operator replaces the per-source sort: k rows per
+    * source survive the map side, the full corpus never sorts. */
+  private val t11 = Q(
+    "t11_source_cap",
+    """WITH ranked AS (
+         SELECT doc_id, source, n_chars,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         FROM documents),
+       kept AS (
+         SELECT source, count(*) AS n_kept,
+                CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+                min(doc_id) AS first_kept
+         FROM ranked WHERE rk <= 15 GROUP BY source),
+       totals AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+       SELECT t.source, t.n_docs, k.n_kept, k.kept_chars, k.first_kept
+       FROM totals t JOIN kept k ON t.source = k.source
+       ORDER BY t.source""") { (s, d) =>
+    graft.plans.TopKPerGroup.install(s)
+    val docs = Tables.documents(s, d)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val kept = docs
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 15)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).as("kept_chars"),
+        min(col("doc_id")).as("first_kept"))
+    val totals = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    totals.join(kept, "source")
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        col("kept_chars"), col("first_kept"))
+      .orderBy("source")
+  }
+
+  /** Sequence-packing census: assign docs (in deterministic doc_id order
+    * within each source) to 512-token context windows by cumulative
+    * token offset — the sample-packing bookkeeping a training pipeline
+    * runs before writing batches. Pure integer window math, so bin
+    * assignment is partition-independent and cross-engine exact. At
+    * scale the only wide exchange is the per-source window sort; the
+    * physical pack (shuffle by bin) happens downstream of this census. */
+  private val t12 = Q(
+    "t12_sequence_pack",
+    """WITH t AS (
+         SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok FROM documents),
+       c AS (
+         SELECT source, doc_id, n_tok,
+                sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM t),
+       b AS (SELECT source, doc_id, n_tok,
+                    CAST((cum - n_tok) // 512 AS BIGINT) AS bin FROM c),
+       per_bin AS (
+         SELECT source, bin, count(*) AS n_docs,
+                CAST(sum(n_tok) AS BIGINT) AS bin_tokens
+         FROM b GROUP BY source, bin)
+       SELECT source, count(*) AS n_bins,
+              max(bin_tokens) AS max_bin_tokens,
+              CAST(sum(bin_tokens) AS BIGINT) AS total_tokens,
+              round(avg(n_docs), 4) AS avg_docs_per_bin
+       FROM per_bin GROUP BY source ORDER BY source""") { (s, d) =>
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(toks("text")).cast(LongType).as("n_tok"))
+    val b = t.withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("bin", expr("(cum - n_tok) div 512"))
+    b.groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bin_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_bins"),
+        max(col("bin_tokens")).as("max_bin_tokens"),
+        sum(col("bin_tokens")).as("total_tokens"),
+        round(avg(col("n_docs")), 4).as("avg_docs_per_bin"))
+      .orderBy("source")
+  }
+
+  /** Unigram-LM surprisal quality score (the CCNet/Gopher-style "does
+    * this doc look like the corpus" filter, with the corpus itself as the
+    * LM): per-token self-information ln(N/count) quantized to integer
+    * micro-nats BEFORE the per-doc sum, so the aggregation is exact
+    * integer math in any order — only the final per-doc divide is fp.
+    * The term-frequency join is the t05 vocabulary shape: both sides
+    * derive from the same token stream, no broadcast hint (AQE decides —
+    * the vocabulary is corpus-sized at 100 TB). */
+  private val t13 = Q(
+    "t13_unigram_surprisal",
+    """WITH tok AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       freq AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+       tot AS (SELECT count(*) AS n FROM tok),
+       scored AS (
+         SELECT t.doc_id,
+                CAST(round(ln(CAST(n AS DOUBLE) / c) * 1000000) AS BIGINT) AS q
+         FROM tok t JOIN freq f ON t.term = f.term CROSS JOIN tot),
+       agg AS (
+         SELECT doc_id, count(*) AS n_tokens, CAST(sum(q) AS BIGINT) AS sq
+         FROM scored GROUP BY doc_id)
+       SELECT doc_id, n_tokens,
+              round(sq / n_tokens / 1000000.0, 4) AS avg_surprisal
+       FROM agg ORDER BY doc_id""") { (s, d) =>
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks("text")).as("term"))
+    val freq = tok.groupBy("term").agg(count(lit(1)).as("c"))
+    val tot = tok.agg(count(lit(1)).as("n"))
+    tok.join(freq, "term")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        round(log(col("n").cast("double") / col("c")) * 1000000)
+          .cast(LongType).as("q"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("q")).as("sq"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("sq") / col("n_tokens") / 1000000.0, 4).as("avg_surprisal"))
+      .orderBy("doc_id")
+  }
+
+  val defs: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
+    t11, t12, t13)
 }

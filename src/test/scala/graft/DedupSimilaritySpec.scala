@@ -112,6 +112,27 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(loose == Set((0L, 2L), (0L, 4L)))
   }
 
+  test("lshBucketsAndShingles: buckets identical to lshBuckets; shingle " +
+    "stream carries the true per-doc set sizes") {
+    val (buckets, shingles) = Dedup.lshBucketsAndShingles(
+      docs, "doc_id", "text", shingleWords = 2, bands = 4, rowsPerBand = 2)
+    val combined = buckets.as[(Long, Int, String)].collect().toSet
+    val direct = Dedup.lshBuckets(docs, "doc_id", "text", 2, 4, 2)
+      .as[(Long, Int, String)].collect().toSet
+    assert(combined == direct,
+      "single-digest helper must band identically to lshBuckets")
+    // per-doc DISTINCT shingle-hash count == true distinct word-bigram count
+    val gotSizes = shingles.distinct().groupBy("id").count()
+      .as[(Long, Long)].collect().toMap
+    val expSizes = docs.collect().map { r =>
+      val ws = r.getString(1).split(" ")
+      val grams = if (ws.length < 2) Seq(ws.mkString(" "))
+        else ws.sliding(2).map(_.mkString(" ")).toSeq
+      r.getLong(0) -> grams.distinct.size.toLong
+    }.toMap
+    assert(gotSizes == expSizes)
+  }
+
   test("simhash of identical docs equal; near-dups within small hamming distance") {
     val sh = docs.select($"doc_id", Dedup.simhashExpr("text").as("h"))
       .as[(Long, String)].collect().toMap

@@ -190,6 +190,13 @@ class PlanSpec extends SparkTestBase {
     assert(hTypes == org.apache.spark.sql.types.LongType)
   }
 
+  test("t11: the per-source sampling cap runs on the heap top-k operator, " +
+    "not a full per-source sort") {
+    val p = plan(SparkEntry.queries("t11_source_cap")(spark, sf0001))
+    assert(p.contains("TopKPerGroup"), s"heap rewrite did not fire on t11:\n$p")
+    assert(p.contains("LocalTopK"), s"no map-side partial top-k on t11:\n$p")
+  }
+
   test("d16: probe set is broadcast — the corpus is never shuffled for the " +
     "bucketed ANN join") {
     val p = plan(SparkEntry.queries("d16_hyperplane_ann_recall")(spark, sf0001))

@@ -29,4 +29,45 @@ class RoundFiveSpec extends SparkTestBase {
       TextAnalysis.tokens($"t", "bpe")
     }
   }
+
+  test("sequence packing: bin = starting token offset div window; docs are " +
+    "never split and assignment is order-deterministic") {
+    // window 512: doc starting below the boundary lands in the earlier
+    // bin even when it overflows it (census semantics — bins record where
+    // a doc STARTS; the physical packer decides about splitting)
+    val docs = Seq(
+      (1L, "src", 300L), (2L, "src", 300L), (3L, "src", 300L))
+      .toDF("doc_id", "source", "n_tok")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val bins = docs.withColumn("cum", sum($"n_tok").over(w))
+      .withColumn("bin", expr("(cum - n_tok) div 512"))
+      .select($"doc_id", $"bin").as[(Long, Long)].collect().toMap
+    // starts at 0, 300, 600 → bins 0, 0, 1
+    assert(bins == Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
+  }
+
+  test("minhash sketch merge: sketch of a union == elementwise min of part " +
+    "sketches (distributive aggregate), on disjoint synthetic corpora") {
+    import graft.ops.Dedup
+    val part1 = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "eta theta iota kappa lambda mu")).toDF("doc_id", "text")
+    val part2 = Seq((3L, "nu xi omicron pi rho sigma")).toDF("doc_id", "text")
+    def sketch(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select(split($"text", " ").as("ws"))
+        .select(expr(
+          "transform(sequence(1, greatest(size(ws) - 2, 1)), " +
+            "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))")
+          .as("sh"))
+        .select(explode(Dedup.shingleHashPairs($"sh")).as("p"))
+        .select(explode(expr("sequence(0L, 7L)")).as("seed"), $"p.h1", $"p.h2")
+        .groupBy("seed").agg(min($"h1" + $"seed" * $"h2").as("mh"))
+        .as[(Long, Long)].collect().toMap
+    val s1 = sketch(part1); val s2 = sketch(part2)
+    val direct = sketch(part1.unionAll(part2))
+    val merged = s1.map { case (seed, v) => seed -> math.min(v, s2(seed)) }
+    assert(merged == direct)
+  }
 }
