@@ -32,6 +32,7 @@ object Engine {
     functions.LongDot.register(spark)
     functions.SimHash64.register(spark)
     functions.HllSketch.register(spark)
+    functions.MinHashSketch.register(spark)
     functions.CharShinglesGen.register(spark)
     plans.TopKPerGroup.install(spark)
     spark

@@ -301,7 +301,48 @@ object Extensibility {
       .orderBy("doc_id")
   }
 
-  val defs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10)
+  /** The MinHash sketch as a REAL aggregate (TypedImperativeAggregate
+    * with an 8-byte × k buffer and elementwise-min merge — see
+    * [[MinHashSketch]]): per-source sketches computed in ONE hash-agg
+    * pass over the per-doc hash-pair arrays. The oracle recomputes the
+    * same registers relationally (min over h1 + seed·h2 per source) —
+    * exact integer parity, so the sketch aggregate is hash-verified, not
+    * approximated. d17 proves the merge algebra; this is the operator
+    * production code would actually call. */
+  private val x11 = Q(
+    "x11_minhash_sketch_agg",
+    """WITH docs AS (
+         SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+       sh AS (
+         SELECT source, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+         FROM (SELECT source, ws,
+                      unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+               FROM docs)),
+       hs AS (
+         SELECT source, ('0x' || substring(md5(sh), 1, 8))::BIGINT AS h1,
+                ('0x' || substring(md5(sh), 9, 8))::BIGINT AS h2
+         FROM sh),
+       seeds AS (SELECT unnest(generate_series(0, 7)) AS seed)
+       SELECT source, seed, min(h1 + seed * h2) AS mh
+       FROM hs, seeds GROUP BY source, seed
+       ORDER BY source, seed""") { (s, d) =>
+    MinHashSketch.register(s)
+    val docs = graft.ops.Dedup.spreadToCores(Tables.documents(s, d))
+    val perDoc = docs
+      .select(col("source"), split(col("text"), " ").as("ws"))
+      .select(col("source"), expr(
+        "transform(sequence(1, greatest(size(ws) - 2, 1)), " +
+          "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))")
+        .as("sh"))
+      .select(col("source"), graft.ops.Dedup.shingleHashPairs(col("sh")).as("hv"))
+    perDoc.groupBy("source")
+      .agg(MinHashSketch.minhash_sketch(col("hv"), 8).as("sketch"))
+      .select(col("source"), posexplode(col("sketch")).as(Seq("seed", "mh")))
+      .select(col("source"), col("seed").cast("long").as("seed"), col("mh"))
+      .orderBy("source", "seed")
+  }
+
+  val defs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11)
 }
 
 /** Session-extension injector (`spark.sql.extensions=graft.functions.
@@ -330,6 +371,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => SimHash64(exprs.head)))
     e.injectFunction(fn("hll_distinct", classOf[HllSketch],
       exprs => HllSketch(exprs.head).toAggregateExpression()))
+    e.injectFunction(fn("minhash_sketch", classOf[MinHashSketchAgg],
+      exprs => MinHashSketchAgg(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression()))
     e.injectFunction(fn("char_shingles", classOf[CharShinglesGen],
       exprs => CharShinglesGen(exprs.head, exprs(1))))
     e.injectOptimizerRule(_ => graft.plans.TopKRewrite)

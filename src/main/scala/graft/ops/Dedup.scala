@@ -29,7 +29,7 @@ object Dedup {
     * RDD lineage once — harmless, but centralized here so the cost and
     * the rationale live in one place (callers: lshBuckets,
     * lshBucketsAndShingles, d11). */
-  private[ops] def spreadToCores(df: DataFrame): DataFrame = {
+  private[graft] def spreadToCores(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }

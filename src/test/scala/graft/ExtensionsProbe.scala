@@ -27,6 +27,9 @@ object ExtensionsProbe {
     assert(spark.sql("SELECT hll_distinct(c) FROM VALUES (1L),(2L),(2L) AS t(c)")
       .head().getLong(0) == 2L)
     assert(spark.sql("SELECT char_shingles('abcd', 3)").count() == 2L)
+    assert(spark.sql(
+      "SELECT minhash_sketch(array(named_struct('h1', 5L, 'h2', 3L)), 4) AS sk")
+      .head().getSeq[Long](0) == Seq(5L, 8L, 11L, 14L))
 
     val topk = spark.sql(
       """SELECT * FROM (

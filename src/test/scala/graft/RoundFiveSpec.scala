@@ -49,6 +49,80 @@ class RoundFiveSpec extends SparkTestBase {
     assert(bins == Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
   }
 
+  test("minhash_sketch aggregate: partition-independent, equals the " +
+    "relational register formulation, rejects bad input") {
+    import graft.functions.MinHashSketch
+    import graft.ops.Dedup
+    MinHashSketch.register(spark)
+    val docs = Seq(
+      (1L, "s1", "alpha beta gamma delta epsilon zeta"),
+      (2L, "s1", "eta theta iota kappa lambda mu"),
+      (3L, "s2", "nu xi omicron pi rho sigma")).toDF("doc_id", "source", "text")
+    def viaAgg(parts: Int): Map[(String, Int), Long] =
+      docs.repartition(parts)
+        .select($"source", split($"text", " ").as("ws"))
+        .select($"source", expr(
+          "transform(sequence(1, greatest(size(ws) - 2, 1)), " +
+            "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))")
+          .as("sh"))
+        .select($"source", Dedup.shingleHashPairs($"sh").as("hv"))
+        .groupBy("source").agg(MinHashSketch.minhash_sketch($"hv", 8).as("sk"))
+        .select($"source", posexplode($"sk").as(Seq("seed", "mh")))
+        .as[(String, Int, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+    // relational formulation: min over h1 + seed*h2 per (source, seed)
+    val relational = docs
+      .select($"source", split($"text", " ").as("ws"))
+      .select($"source", expr(
+        "transform(sequence(1, greatest(size(ws) - 2, 1)), " +
+          "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))")
+        .as("sh"))
+      .select($"source", explode(Dedup.shingleHashPairs($"sh")).as("p"))
+      .select($"source", explode(expr("sequence(0, 7)")).as("seed"),
+        ($"p.h1" + col("seed") * $"p.h2").as("h"))
+      .groupBy("source", "seed").agg(min($"h").as("mh"))
+      .as[(String, Int, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val one = viaAgg(1)
+    assert(one == relational, "aggregate must equal the register formulation")
+    assert(viaAgg(7) == one, "sketch must be partition-independent")
+    // analysis-time rejection of a wrong input type
+    val e = intercept[Exception] {
+      docs.groupBy("source")
+        .agg(MinHashSketch.minhash_sketch($"text", 8)).collect()
+    }
+    assert(e.getMessage.contains("minhash_sketch") || e.getMessage.contains("DATATYPE"))
+  }
+
+  test("jaccardVerifiedPairs matches a scala-reference Jaccard on random corpora") {
+    import graft.ops.Dedup
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val docs = (0L until 30L).map { i =>
+      (i, Seq.fill(6 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val docsDf = docs.toDF("doc_id", "text")
+    val pairs = (for (a <- 0L until 30L; b <- a + 1 until 30L if rnd.nextBoolean())
+      yield (a, b)).toDF("id_a", "id_b")
+    val got = Dedup.jaccardVerifiedPairs(pairs,
+      Dedup.wordShingleHashes(docsDf, "doc_id", "text", 2), tau = 0.3)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // scala reference: exact Jaccard over distinct word-bigram sets
+    def grams(t: String): Set[String] = {
+      val ws = t.split(" ")
+      if (ws.length < 2) Set(ws.mkString(" "))
+      else ws.sliding(2).map(_.mkString(" ")).toSet
+    }
+    val byId = docs.toMap
+    val expected = pairs.as[(Long, Long)].collect().flatMap { case (a, b) =>
+      val (ga, gb) = (grams(byId(a)), grams(byId(b)))
+      val j = (ga & gb).size.toDouble / (ga | gb).size
+      if (j >= 0.3) Some((a, b) -> j) else None
+    }.toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (k, j) => assert(math.abs(got(k) - j) < 1e-12) }
+  }
+
   test("minhash sketch merge: sketch of a union == elementwise min of part " +
     "sketches (distributive aggregate), on disjoint synthetic corpora") {
     import graft.ops.Dedup
