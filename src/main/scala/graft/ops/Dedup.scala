@@ -1007,5 +1007,103 @@ object Dedup {
       .orderBy("source", "seed")
   }
 
-  val defs: Seq[Q] = Seq(d01, d02, d03, d04, d08, d09, d10, d11, d13, d15, d17)
+  /** Sketch-ESTIMATED Jaccard vs exact, with the error as a verified
+    * output — the d12/d16 "measure the approximation" pattern applied to
+    * MinHash itself: per-source 16-register sketches, pairwise
+    * register-agreement fraction as the estimate (E[agreement] = Jaccard,
+    * Broder 1997), exact Jaccard over the true distinct shingle sets
+    * beside it, and the absolute error as a hash-verified column.
+    *
+    * Hash-family choice is deliberate and DIFFERENT from the banding
+    * path: estimation registers are INDEPENDENT digests
+    * (md5(seed|shingle) per register) — the Kirsch-Mitzenmacher family
+    * the banding/merge path uses (h1 + i·h2, one digest per shingle) is
+    * fine for bucket recall, but its per-seed minima are correlated (one
+    * small-(h1,h2) element wins many registers), which inflated measured
+    * max |err| on this corpus from 0.16 to 0.97 at k=16. Estimation pays
+    * k digests per shingle for unbiased low-variance agreement; banding
+    * keeps the 1-digest family. At 100 TB only the sketches (16 values
+    * per source) meet for estimation — the exact arm exists to measure,
+    * and its shared-shingle self-join is the cost the sketch path
+    * avoids. */
+  private val d18 = Q(
+    "d18_sketch_jaccard_estimate",
+    """WITH docs AS (
+         SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+       sh AS (
+         SELECT source, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+         FROM (SELECT source, ws,
+                      unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+               FROM docs)),
+       seeds AS (SELECT unnest(generate_series(0, 15)) AS seed),
+       src_sig AS (
+         SELECT source, seed, min(md5(seed || '|' || sh)) AS mh
+         FROM sh, seeds GROUP BY source, seed),
+       agree AS (
+         SELECT a.source AS source_a, b.source AS source_b,
+                CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+         FROM src_sig a JOIN src_sig b
+           ON a.seed = b.seed AND a.source < b.source
+         GROUP BY a.source, b.source),
+       shd AS (SELECT DISTINCT source, md5(sh) AS h FROM sh),
+       sz AS (SELECT source, count(*) AS n FROM shd GROUP BY source),
+       inter AS (
+         SELECT a.source AS source_a, b.source AS source_b, count(*) AS ni
+         FROM shd a JOIN shd b ON a.h = b.h AND a.source < b.source
+         GROUP BY a.source, b.source)
+       SELECT g.source_a, g.source_b, g.n_agree,
+              round(g.n_agree / 16.0, 4) AS est_jaccard,
+              round(coalesce(i.ni, 0) * 1.0
+                    / (sa.n + sb.n - coalesce(i.ni, 0)), 6) AS exact_jaccard,
+              round(abs(g.n_agree / 16.0
+                    - coalesce(i.ni, 0) * 1.0 / (sa.n + sb.n - coalesce(i.ni, 0))), 4)
+                AS abs_err
+       FROM agree g
+         LEFT JOIN inter i ON g.source_a = i.source_a AND g.source_b = i.source_b
+         JOIN sz sa ON sa.source = g.source_a
+         JOIN sz sb ON sb.source = g.source_b
+       ORDER BY g.source_a, g.source_b""") { (s, d) =>
+    val docs = spreadToCores(Tables.documents(s, d))
+    // the exploded (source, shingle) stream feeds both arms — stage it once
+    val sh = reuse(docs
+      .select(col("source"), split(col("text"), " ").as("ws"))
+      .select(col("source"), explode(expr(
+        "transform(sequence(1, greatest(size(ws) - 2, 1)), " +
+          "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))"))
+        .as("sh")))
+    // estimation arm: independent per-register digests (see Scaladoc),
+    // ONE hash-agg to 16 hex minima per source, then a tiny sketch join
+    val srcSig = sh
+      .select(col("source"), explode(expr("sequence(0L, 15L)")).as("seed"),
+        col("sh"))
+      .select(col("source"), col("seed"),
+        md5(concat(col("seed").cast("string"), lit("|"), col("sh"))).as("r"))
+      .groupBy("source", "seed").agg(min(col("r")).as("mh"))
+    val agree = srcSig.as("a")
+      .join(srcSig.as("b"),
+        col("a.seed") === col("b.seed") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(sum(when(col("a.mh") === col("b.mh"), 1L).otherwise(0L)).as("n_agree"))
+    // measurement arm: exact Jaccard over the true distinct shingle sets
+    val shdR = reuse(sh.select(col("source"), md5(col("sh")).as("h")).distinct())
+    val sz = shdR.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = shdR.as("a")
+      .join(shdR.as("b"), col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("ni"))
+    agree
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .join(broadcast(sz.select(col("source").as("source_a"), col("n").as("na"))), "source_a")
+      .join(broadcast(sz.select(col("source").as("source_b"), col("n").as("nb"))), "source_b")
+      .withColumn("ex",
+        coalesce(col("ni"), lit(0L)) * lit(1.0)
+          / (col("na") + col("nb") - coalesce(col("ni"), lit(0L))))
+      .select(col("source_a"), col("source_b"), col("n_agree"),
+        round(col("n_agree") / 16.0, 4).as("est_jaccard"),
+        round(col("ex"), 6).as("exact_jaccard"),
+        round(abs(col("n_agree") / 16.0 - col("ex")), 4).as("abs_err"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val defs: Seq[Q] = Seq(d01, d02, d03, d04, d08, d09, d10, d11, d13, d15, d17, d18)
 }
