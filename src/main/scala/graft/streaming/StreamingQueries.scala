@@ -461,7 +461,43 @@ object StreamingQueries {
       .orderBy("event_type")
   }
 
-  val defs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13)
+  /** Streaming sketch maintenance — the x11 MinHash aggregate running
+    * INSIDE a streaming aggregation (B8 × B10): per-event-type content
+    * sketches stay current as events arrive, because the sketch is a
+    * distributive aggregate (elementwise-min merge) and therefore legal
+    * streaming state — exactly how a production pipeline keeps a
+    * continuously-updated dedup/similarity index without re-scanning old
+    * data. The batch oracle recomputes the same registers relationally;
+    * stream-batch equivalence holds under any batch split because min is
+    * order-independent. */
+  private val s14 = Q(
+    "s14_stream_sketch_maintenance",
+    """WITH c AS (
+         SELECT event_type,
+                ('0x' || substring(md5(CAST(user_id AS VARCHAR) || '|' || props), 1, 8))::BIGINT AS h1,
+                ('0x' || substring(md5(CAST(user_id AS VARCHAR) || '|' || props), 9, 8))::BIGINT AS h2
+         FROM events),
+       seeds AS (SELECT unnest(generate_series(0, 7)) AS seed)
+       SELECT event_type, seed, min(h1 + seed * h2) AS mh
+       FROM c, seeds GROUP BY event_type, seed
+       ORDER BY event_type, seed""") { (s, d) =>
+    graft.functions.MinHashSketch.register(s)
+    val contentMd5 = md5(concat(col("user_id").cast("string"), lit("|"), col("props")))
+    val hv = array(struct(
+      conv(substring(contentMd5, 1, 8), 16, 10).cast(LongType).as("h1"),
+      conv(substring(contentMd5, 9, 8), 16, 10).cast(LongType).as("h2")))
+    val agg = eventsStream(s, d)
+      .select(col("event_type"), hv.as("hv"))
+      .groupBy(col("event_type"))
+      .agg(graft.functions.MinHashSketch.minhash_sketch(col("hv"), 8).as("sk"))
+    runToMemory(agg, OutputMode.Complete())
+      .select(col("event_type"), posexplode(col("sk")).as(Seq("seed", "mh")))
+      .select(col("event_type"), col("seed").cast(LongType).as("seed"), col("mh"))
+      .orderBy("event_type", "seed")
+  }
+
+  val defs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
+    s11, s12, s13, s14)
 }
 
 /** s11's StatefulProcessor: cumulative (event count, value cents) per
