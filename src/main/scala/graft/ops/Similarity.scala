@@ -467,5 +467,68 @@ object Similarity {
       .orderBy("qid")
   }
 
-  val defs: Seq[Q] = Seq(d05, d06, d07, d12, d14, d16)
+  /** Int8 embedding quantization with MEASURED quality — the 4× storage
+    * compression a 100 TB embedding store runs (float32 → int8 + one
+    * float scale per vector), with reconstruction error and cosine drift
+    * as verified outputs rather than claims. Per-vector absmax scaling:
+    * q_i = round(x_i/scale·127). The cosine check quantizes the
+    * dequantized values to integer micro-units first (the d05 contract),
+    * so every aggregation is exact integer math and the comparison is
+    * bit-stable cross-engine; scale/error arithmetic is per-element fp on
+    * identical doubles — no cross-row fp accumulation anywhere. */
+  private val d19 = Q(
+    "d19_int8_quantization",
+    """WITH e AS (
+         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         FROM embeddings WHERE vec_id < 100),
+       s AS (
+         SELECT vec_id, v,
+                list_max(list_transform(v, x -> abs(x))) AS scale
+         FROM e),
+       q AS (
+         SELECT vec_id, v, scale,
+                list_transform(v, x -> CAST(round(x / scale * 127) AS BIGINT)) AS qv
+         FROM s),
+       dq AS (
+         SELECT vec_id, v, scale, qv,
+                list_transform(qv, x -> x * scale / 127) AS dv
+         FROM q),
+       err AS (
+         SELECT vec_id, scale,
+                list_max(list_transform(generate_series(1, 64),
+                  i -> abs(v[i] - dv[i]))) AS max_abs_err,
+                CAST(list_sum(list_transform(v, x -> CAST(round(x * 1000000) AS BIGINT)
+                     * CAST(round(x * 1000000) AS BIGINT))) AS BIGINT) AS n2o,
+                CAST(list_sum(list_transform(dv, x -> CAST(round(x * 1000000) AS BIGINT)
+                     * CAST(round(x * 1000000) AS BIGINT))) AS BIGINT) AS n2d,
+                CAST(list_sum(list_transform(generate_series(1, 64),
+                  i -> CAST(round(v[i] * 1000000) AS BIGINT)
+                     * CAST(round(dv[i] * 1000000) AS BIGINT))) AS BIGINT) AS dot
+         FROM dq)
+       SELECT vec_id, round(scale, 6) AS scale,
+              round(max_abs_err, 6) AS max_abs_err,
+              round(dot / (sqrt(n2o) * sqrt(n2d)), 6) AS cos_orig_dequant
+       FROM err ORDER BY vec_id""") { (s, d) =>
+    graft.functions.LongDot.register(s)
+    val e = Tables.embeddings(s, d).filter(col("vec_id") < 100)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val q = e
+      .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("qv", transform(col("v"),
+        x => round(x / col("scale") * 127).cast("long")))
+      .withColumn("dv", transform(col("qv"), x => x * col("scale") / 127))
+    val micro = (c: Column) => transform(c, x => round(x * 1000000).cast("long"))
+    q.select(col("vec_id"), col("scale"),
+        array_max(zip_with(col("v"), col("dv"), (a, b) => abs(a - b))).as("max_abs_err"),
+        dotQ(micro(col("v")), micro(col("v"))).as("n2o"),
+        dotQ(micro(col("dv")), micro(col("dv"))).as("n2d"),
+        dotQ(micro(col("v")), micro(col("dv"))).as("dot"))
+      .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+        round(col("max_abs_err"), 6).as("max_abs_err"),
+        round(col("dot") / (sqrt(col("n2o")) * sqrt(col("n2d"))), 6).as("cos_orig_dequant"))
+      .orderBy("vec_id")
+  }
+
+  val defs: Seq[Q] = Seq(d05, d06, d07, d12, d14, d16, d19)
 }

@@ -113,14 +113,17 @@ class PlanSpec extends SparkTestBase {
       s"expected the rewrite on assignment AND probe:\n$p")
   }
 
-  test("t05: the vocabulary (document-frequency) join is never broadcast") {
+  test("t05/t13: the vocabulary (term-frequency) join is never broadcast") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       // with auto-broadcast off, only an explicit hint could broadcast the
-      // term join — the full vocabulary must shuffle, not broadcast
+      // term join — the full vocabulary must shuffle, not broadcast.
+      // (the 1-row corpus total is exempt: BroadcastNestedLoopJoin only)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val p = plan(SparkEntry.queries("t05_tfidf")(spark, sf0001))
-      assert(!p.contains("BroadcastHashJoin"), s"vocabulary join broadcast-hinted:\n$p")
+      for (q <- Seq("t05_tfidf", "t13_unigram_surprisal")) {
+        val p = plan(SparkEntry.queries(q)(spark, sf0001))
+        assert(!p.contains("BroadcastHashJoin"), s"$q vocabulary join broadcast-hinted:\n$p")
+      }
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
