@@ -529,6 +529,81 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** The per-language curation REPORT — the single artifact a data team
+    * reads before a training run, composing the engine's scan-level
+    * signals in one query: corpus size, exact-dup volume (d01's measure),
+    * quality-floor failures (t02's rule), repetition flags (t09's rule),
+    * token totals, and the t07 split distribution. Everything is a
+    * count/sum over one corpus scan plus the per-doc bigram census join —
+    * the report costs two aggregations, not ten queries. */
+  private val t14 = Q(
+    "t14_curation_report",
+    """WITH rep AS (
+         SELECT doc_id,
+                (max(c) * 1.0 / CAST(sum(c) AS BIGINT)) > 0.2 AS repetitive
+         FROM (
+           SELECT doc_id, bigram, count(*) AS c
+           FROM (
+             SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bigram
+             FROM (SELECT doc_id, ws,
+                          unnest(generate_series(1, len(ws) - 1)) AS i
+                   FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+                   WHERE len(ws) >= 2))
+           GROUP BY doc_id, bigram)
+         GROUP BY doc_id),
+       base AS (
+         SELECT d.doc_id, d.lang, d.text,
+                len(string_split(d.text, ' ')) AS n_tok,
+                len(list_distinct(string_split(d.text, ' '))) AS n_uniq,
+                ((strpos('0123456789abcdef', substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1) * 4096 +
+                 (strpos('0123456789abcdef', substring(md5(CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1) * 256 +
+                 (strpos('0123456789abcdef', substring(md5(CAST(d.doc_id AS VARCHAR)), 3, 1)) - 1) * 16 +
+                 (strpos('0123456789abcdef', substring(md5(CAST(d.doc_id AS VARCHAR)), 4, 1)) - 1)) % 100 AS bucket,
+                coalesce(r.repetitive, false) AS repetitive
+         FROM documents d LEFT JOIN rep r ON d.doc_id = r.doc_id)
+       SELECT lang,
+              count(*) AS n_docs,
+              CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_exact_dup,
+              CAST(sum(CASE WHEN n_tok >= 20 AND n_uniq >= 10 THEN 0 ELSE 1 END) AS BIGINT) AS n_quality_fail,
+              CAST(sum(CASE WHEN repetitive THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+              CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+              CAST(sum(CASE WHEN bucket < 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+              CAST(sum(CASE WHEN bucket >= 90 AND bucket < 95 THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+              CAST(sum(CASE WHEN bucket >= 95 THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+       FROM base GROUP BY lang ORDER BY lang""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val rep = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
+        .as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg((max(col("c")) * lit(1.0) / sum(col("c")) > 0.2).as("repetitive"))
+    val ts = toks("text")
+    val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast(LongType) % 100)
+    docs
+      .join(rep, Seq("doc_id"), "left")
+      .select(col("lang"), col("text"),
+        size(ts).cast(LongType).as("n_tok"),
+        size(array_distinct(ts)).cast(LongType).as("n_uniq"),
+        bucket.as("bucket"),
+        coalesce(col("repetitive"), lit(false)).as("repetitive"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        (count(lit(1)) - countDistinct(md5(col("text")))).as("n_exact_dup"),
+        sum(when(col("n_tok") >= 20 && col("n_uniq") >= 10, 0L).otherwise(1L))
+          .as("n_quality_fail"),
+        sum(when(col("repetitive"), 1L).otherwise(0L)).as("n_repetitive"),
+        sum(col("n_tok")).as("total_tokens"),
+        sum(when(col("bucket") < 90, 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("bucket") >= 90 && col("bucket") < 95, 1L).otherwise(0L)).as("n_val"),
+        sum(when(col("bucket") >= 95, 1L).otherwise(0L)).as("n_test"))
+      .orderBy("lang")
+  }
+
   val defs: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
-    t11, t12, t13)
+    t11, t12, t13, t14)
 }
