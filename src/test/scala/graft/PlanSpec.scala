@@ -193,6 +193,36 @@ class PlanSpec extends SparkTestBase {
     assert(hTypes == org.apache.spark.sql.types.LongType)
   }
 
+  test("AQE splits a skewed join partition at runtime (the no-salt skew path)") {
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // shrink thresholds so the fixture-sized skew triggers the optimizer
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // 200k rows on ONE key vs a uniform right side: the classic hot key.
+      // Downstream must NOT require distribution on the join key (a
+      // groupBy(k) would — AQE declines to split when that forces a
+      // re-shuffle, unless forceOptimizeSkewedJoin); the global sum has
+      // no such requirement, so the split is free
+      val skewed = spark.range(200000).select(lit(7L).as("k"), $"id".as(s"payload"))
+        .unionAll(spark.range(2000).select(($"id" % 100).as("k"), $"id".as("payload")))
+      val right = spark.range(100).select($"id".as("k"), ($"id" * 2).as("v"))
+      val joined = skewed.join(right, "k").agg(sum("payload").as("s"))
+      joined.collect() // AQE finalizes only on execution of THIS plan
+      val p = castToImpl(joined).queryExecution.executedPlan.toString
+      assert(p.contains("skew=true") && p.contains("AQEShuffleRead skewed"),
+        s"AQE skew-join did not split the hot partition:\n$p")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("t11: the per-source sampling cap runs on the heap top-k operator, " +
     "not a full per-source sort") {
     val p = plan(SparkEntry.queries("t11_source_cap")(spark, sf0001))
