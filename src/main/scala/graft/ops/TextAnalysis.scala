@@ -56,6 +56,51 @@ object TextAnalysis {
   def langIdScores(textCol: String): Seq[(String, Column)] =
     Seq("en", "es", "de", "fr").map(l => l -> tokenSetCount(textCol, langStopwords(l)))
 
+  /** Distributed two-phase prefix sum: exact running total of `valueCol`
+    * over rows ordered by (`groupCol`, `orderCol`), with parallelism set
+    * by the partition count, not the group count.
+    *
+    * `Window.partitionBy(group).orderBy(order)` computes the same thing
+    * but plans ONE task per group — a scale-killer when groups are few
+    * and huge (AQE cannot split a window partition). Instead:
+    *
+    *  1. range-partition on (group, order) into many partitions — range,
+    *     not hash, so partition id order IS global sort order;
+    *  2. per partition, a (partition_id, group) window computes the
+    *     LOCAL running sum — thousands of small window partitions;
+    *  3. the per-(partition, group) subtotal table (≤ partitions ×
+    *     groups rows) is aggregated, offset by a window over partition
+    *     id, and BROADCAST back;
+    *  4. global cum = broadcast offset + local running sum, derived
+    *     partition-locally.
+    *
+    * The ranged stream is persisted so phases 1 and 3 read the SAME
+    * partition assignment (range boundaries come from sampling; two
+    * independent executions must not disagree). Output: input columns
+    * plus `outCol`. */
+  def distributedPrefixSum(df: DataFrame, groupCol: String, orderCol: String,
+                           valueCol: String, outCol: String): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = graft.ops.Dedup.reuse(
+      df.repartitionByRange(parts, col(groupCol), col(orderCol))
+        .withColumn("_pid", spark_partition_id()))
+    val wLocal = Window.partitionBy(col("_pid"), col(groupCol))
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val localCum = ranged.withColumn("_local", sum(col(valueCol)).over(wLocal))
+    // Tiny table: one row per (partition, group). The window below runs
+    // over ≤ `parts` rows per group — driver-scale, not data-scale.
+    val wOff = Window.partitionBy(col(groupCol)).orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy(col("_pid"), col(groupCol))
+      .agg(sum(col(valueCol)).as("_ptotal"))
+      .withColumn("_offset", coalesce(sum(col("_ptotal")).over(wOff), lit(0L)))
+      .select(col("_pid"), col(groupCol), col("_offset"))
+    localCum.join(broadcast(offsets), Seq("_pid", groupCol))
+      .withColumn(outCol, col("_local") + col("_offset"))
+      .drop("_pid", "_local", "_offset")
+  }
+
   // ---------------------------------------------------------------- queries
 
   private def duckTokCount(words: Seq[String]): String =
@@ -448,10 +493,18 @@ object TextAnalysis {
   /** Sequence-packing census: assign docs (in deterministic doc_id order
     * within each source) to 512-token context windows by cumulative
     * token offset — the sample-packing bookkeeping a training pipeline
-    * runs before writing batches. Pure integer window math, so bin
-    * assignment is partition-independent and cross-engine exact. At
-    * scale the only wide exchange is the per-source window sort; the
-    * physical pack (shuffle by bin) happens downstream of this census. */
+    * runs before writing batches. Pure integer math, so bin assignment
+    * is partition-independent and cross-engine exact.
+    *
+    * The cumulative offset is a distributed two-phase prefix sum
+    * ([[distributedPrefixSum]]), NOT a `Window.partitionBy(source)` —
+    * that window plans as ONE task per source, so at 100 TB with tens
+    * of sources each task would sort terabytes. Here the doc stream is
+    * range-partitioned on (source, doc_id) into many partitions; each
+    * computes a local running sum, the tiny per-(partition, source)
+    * subtotal table is broadcast back, and exact global offsets are
+    * derived partition-locally. Parallelism is the partition count,
+    * not the source count (plan-asserted in RoundSixSpec). */
   private val t12 = Q(
     "t12_sequence_pack",
     """WITH t AS (
@@ -472,12 +525,10 @@ object TextAnalysis {
               CAST(sum(bin_tokens) AS BIGINT) AS total_tokens,
               round(avg(n_docs), 4) AS avg_docs_per_bin
        FROM per_bin GROUP BY source ORDER BY source""") { (s, d) =>
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val t = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         size(toks("text")).cast(LongType).as("n_tok"))
-    val b = t.withColumn("cum", sum(col("n_tok")).over(w))
+    val b = distributedPrefixSum(t, "source", "doc_id", "n_tok", "cum")
       .withColumn("bin", expr("(cum - n_tok) div 512"))
     b.groupBy("source", "bin")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bin_tokens"))
