@@ -1195,6 +1195,113 @@ object Dedup {
       .orderBy("new_doc_id")
   }
 
+  /** Incremental dedup against a STORED band index — the production form
+    * d20's docstring promises. The corpus band keys are WRITTEN once as a
+    * bucketed table (8 buckets on the probe key, the src06 machinery) and
+    * the ingest batch probes the table: the index side reads its bucketed
+    * layout with NO exchange — only the tiny new-batch keys move — and at
+    * 100 TB the signature pass over the corpus is skipped entirely on
+    * every ingest (the index is maintained by d17's sketch merge).
+    * Verification then re-shingles ONLY candidate docs (the
+    * [[jaccardVerifiedPairs]] semi-join), not the corpus. Probe
+    * exchange-freeness on the bucketed side is plan-asserted in
+    * RoundSixSpec. Batch split (doc_id % 7 = 3) differs from d20's so the
+    * two queries pin different data paths. */
+  private val d21 = Q(
+    "d21_stored_index_dedup",
+    """WITH docs AS (
+         SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       sh AS (
+         SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+         FROM (SELECT doc_id, ws,
+                      unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+               FROM docs)),
+       hs AS (
+         SELECT doc_id, ('0x' || substring(md5(sh), 1, 8))::BIGINT AS h1,
+                ('0x' || substring(md5(sh), 9, 8))::BIGINT AS h2
+         FROM sh),
+       sig AS (
+         SELECT doc_id, seed, min(h1 + seed * h2) AS mh
+         FROM hs, (SELECT unnest(generate_series(0, 7)) AS seed) seeds
+         GROUP BY doc_id, seed),
+       bands AS (
+         SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+                md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS band_key
+         FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)),
+       cand AS (
+         SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+         FROM (SELECT * FROM bands WHERE doc_id % 7 = 3) n
+         JOIN (SELECT * FROM bands WHERE doc_id % 7 != 3) o
+           ON n.band = o.band AND n.band_key = o.band_key),
+       shd AS (SELECT DISTINCT doc_id, h1 * 134217728 + h2 % 134217728 AS h
+               FROM hs),
+       sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+       inter AS (
+         SELECT c.new_id, c.old_id, count(*) AS ni
+         FROM cand c
+           JOIN shd a ON a.doc_id = c.new_id
+           JOIN shd b ON b.doc_id = c.old_id AND b.h = a.h
+         GROUP BY c.new_id, c.old_id),
+       ver AS (
+         SELECT i.new_id, i.old_id FROM inter i
+           JOIN sz sa ON sa.doc_id = i.new_id
+           JOIN sz sb ON sb.doc_id = i.old_id
+         WHERE i.ni * 1.0 / (sa.n + sb.n - i.ni) >= 0.5),
+       cand_n AS (SELECT new_id, count(*) AS n_cand FROM cand GROUP BY new_id),
+       ver_n AS (SELECT new_id, count(*) AS n_ver, min(old_id) AS best_match
+                 FROM ver GROUP BY new_id)
+       SELECT d.doc_id AS new_doc_id,
+              CAST(coalesce(c.n_cand, 0) AS BIGINT) AS n_candidates,
+              CAST(coalesce(v.n_ver, 0) AS BIGINT) AS n_verified,
+              CASE WHEN v.new_id IS NOT NULL THEN 'duplicate' ELSE 'unique' END AS verdict,
+              v.best_match
+       FROM (SELECT doc_id FROM documents WHERE doc_id % 7 = 3) d
+         LEFT JOIN cand_n c ON d.doc_id = c.new_id
+         LEFT JOIN ver_n v ON d.doc_id = v.new_id
+       ORDER BY new_doc_id""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val (buckets, shingles) = lshBucketsAndShingles(docs, "doc_id", "text",
+      shingleWords = 3, bands = 4, rowsPerBand = 2)
+    val isNew = col("id") % 7 === 3
+    val cand = storedIndexCandidates(s, buckets, isNew)
+    val verified = jaccardVerifiedPairs(cand, shingles, tau = 0.5)
+    val candN = cand.groupBy(col("id_a").as("new_id"))
+      .agg(count(lit(1)).as("n_cand"))
+    val verN = verified.groupBy(col("id_a").as("new_id"))
+      .agg(count(lit(1)).as("n_ver"), min(col("id_b")).as("best_match"))
+    docs.filter(col("doc_id") % 7 === 3).select(col("doc_id").as("new_doc_id"))
+      .join(candN, col("new_doc_id") === candN("new_id"), "left")
+      .join(verN, col("new_doc_id") === verN("new_id"), "left")
+      .select(col("new_doc_id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_ver"), lit(0L)).as("n_verified"),
+        when(verN("new_id").isNotNull, "duplicate").otherwise("unique").as("verdict"),
+        col("best_match"))
+      .orderBy("new_doc_id")
+  }
+
+  /** Writes the corpus (non-new) side of `buckets` as a bucketed band
+    * index table and probes it with the new-batch keys. The single join
+    * column `bk` = band:band_key (fixed-width hex suffix — concat is
+    * collision-free) matches the table's bucketing, so the index side
+    * satisfies the join's distribution straight from its file layout:
+    * no exchange, whether the probe plans as broadcast or shuffled
+    * (only the new side ever moves). Returns candidate (id_a=new,
+    * id_b=old) pairs. */
+  def storedIndexCandidates(s: org.apache.spark.sql.SparkSession,
+      buckets: DataFrame, isNew: Column): DataFrame = {
+    val dir = graft.Scratch.dir("graft_band_index")
+    val bk = concat_ws(":", col("band"), col("band_key"))
+    buckets.filter(!isNew).select(bk.as("bk"), col("id"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "bk").sortBy("bk")
+      .option("path", s"$dir/band_index").saveAsTable("graft_band_index")
+    s.table("graft_band_index")
+      .join(buckets.filter(isNew).select(bk.as("bk"), col("id").as("new_id")), "bk")
+      .select(col("new_id").as("id_a"), col("id").as("id_b"))
+      .distinct()
+  }
+
   val defs: Seq[Q] = Seq(d01, d02, d03, d04, d08, d09, d10, d11, d13, d15,
-    d17, d18, d20)
+    d17, d18, d20, d21)
 }

@@ -77,6 +77,46 @@ class RoundSixSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("d21: the stored band index is probed straight from its bucketed " +
+    "layout — no exchange ever touches the index side") {
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "false",
+      // force the shuffled-join path: broadcast would hide whether the
+      // bucketed layout satisfies the join's distribution on its own
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val docs = Tables.documents(spark, sf0001)
+      val (buckets, _) = graft.ops.Dedup.lshBucketsAndShingles(
+        docs, "doc_id", "text", shingleWords = 3, bands = 4, rowsPerBand = 2)
+      val cand = graft.ops.Dedup.storedIndexCandidates(
+        spark, buckets, col("id") % 7 === 3)
+      val plan = castToImpl(cand).queryExecution.executedPlan
+      // the probe must be a real join (not collapsed away)…
+      val join = plan.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }
+      assert(join.isDefined, s"expected a shuffled join against the index:\n$plan")
+      // …whose index-side child reaches the join straight from the
+      // bucketed scan: no exchange anywhere in that subtree (the
+      // new-batch side and the downstream distinct shuffle freely)
+      val indexSide = join.get.children
+        .filter(_.toString.contains("band_index"))
+      assert(indexSide.size == 1, s"index scan not under the probe join:\n$plan")
+      val indexExchanges = indexSide.head.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(indexExchanges.isEmpty,
+        s"the stored index side got re-shuffled:\n${indexExchanges.mkString("\n")}")
+      // the index scan itself reads the bucketed files
+      assert(plan.toString.contains("Bucketed: true") ||
+        plan.toString.contains("SelectedBucketsCount"),
+        s"index scan is not bucket-aware:\n$plan")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("t12 scale contract: one source really spans many range partitions") {
     val parts = spark.sessionState.conf.numShufflePartitions
     val df = spark.range(10000)
