@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -1302,6 +1303,109 @@ object Dedup {
       .distinct()
   }
 
+  /** Positioned word k-grams: one row per (doc, position) with the
+    * 60-bit gram hash — the index ExactSubstr-style dedup runs on. Only
+    * (id, pos, h) longs ever leave this projection; gram strings are
+    * digested in the map stage and never shuffle. */
+  def wordGramPositions(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    spreadToCores(df)
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
+      .select(col("id"), posexplode(expr(
+        s"transform(sequence(1, greatest(size(ws) - ${k - 1}, 1)), " +
+          s"i -> concat_ws(' ', ${(0 until k).map(j => s"element_at(ws, i + $j)").mkString(", ")}))"))
+        .as(Seq("p", "gram")))
+      .select(col("id"), (col("p") + 1).as("pos"),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast(LongType).as("h"))
+
+  /** Exact-substring dedup (the ExactSubstr family of Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): flag
+    * document pairs sharing a ≥20-token VERBATIM run — overlap near-dup
+    * scoring (Jaccard) cannot see, e.g. a long quotation inside two
+    * otherwise-different docs. The suffix-array formulation is replaced
+    * by a relational one that Spark executes wholesale:
+    *
+    *  1. anchor k-grams (k=8): positioned gram hashes; grams seen in
+    *     2..10 distinct docs anchor candidates (the cap is the LSH
+    *     maxBucketSize guard — boilerplate grams in >10 docs would
+    *     explode the self-join; the oracle applies the same rule);
+    *  2. candidate pairs from anchor co-occurrence (only 8-byte hashes
+    *     + ids shuffle — plan-asserted in PlanSpec);
+    *  3. per-pair verification over the FULL gram sets of candidate
+    *     docs only (the d15 semi-join discipline): matched positions
+    *     (pa, pb) group by diagonal pa−pb, and a gaps-and-islands
+    *     window finds the longest consecutive run — run r means a
+    *     verbatim overlap of r+k−1 tokens. The window keys on
+    *     (pair, diagonal): millions of small partitions at corpus
+    *     scale, never one task per anything. */
+  private val d22 = Q(
+    "d22_exact_substring",
+    """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       g AS (
+         SELECT doc_id AS id, i AS pos,
+                ('0x' || substring(md5(concat_ws(' ', ws[i], ws[i+1], ws[i+2],
+                   ws[i+3], ws[i+4], ws[i+5], ws[i+6], ws[i+7])), 1, 15))::BIGINT AS h
+         FROM (SELECT doc_id, ws,
+                      unnest(generate_series(1, greatest(len(ws) - 7, 1))) AS i
+               FROM docs)),
+       anchors AS (SELECT h FROM (SELECT h, count(DISTINCT id) AS nd
+                                  FROM g GROUP BY h)
+                   WHERE nd BETWEEN 2 AND 10),
+       cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                FROM g a JOIN g b ON a.h = b.h AND a.id < b.id
+                WHERE a.h IN (SELECT h FROM anchors)),
+       cids AS (SELECT id_a AS id FROM cand UNION SELECT id_b FROM cand),
+       gc AS (SELECT * FROM g WHERE id IN (SELECT id FROM cids)),
+       m AS (SELECT c.id_a, c.id_b, a.pos AS pa, b.pos AS pb
+             FROM cand c
+               JOIN gc a ON a.id = c.id_a
+               JOIN gc b ON b.id = c.id_b AND b.h = a.h),
+       runs AS (SELECT id_a, id_b, pa - pb AS diag, pa,
+                       row_number() OVER (PARTITION BY id_a, id_b, pa - pb
+                                          ORDER BY pa) AS rn
+                FROM m),
+       isl AS (SELECT id_a, id_b, count(*) AS run
+               FROM runs GROUP BY id_a, id_b, diag, pa - rn),
+       mx AS (SELECT id_a, id_b, max(run) AS max_run FROM isl GROUP BY id_a, id_b),
+       nm AS (SELECT id_a, id_b, count(*) AS n_matched_grams FROM m GROUP BY id_a, id_b)
+       SELECT n.id_a, n.id_b,
+              CAST(n.n_matched_grams AS BIGINT) AS n_matched_grams,
+              CAST(x.max_run + 7 AS BIGINT) AS longest_overlap_tokens
+       FROM nm n JOIN mx x ON n.id_a = x.id_a AND n.id_b = x.id_b
+       WHERE x.max_run + 7 >= 20
+       ORDER BY n.id_a, n.id_b""") { (s, d) =>
+    val k = 8
+    val g = reuse(wordGramPositions(Tables.documents(s, d), "doc_id", "text", k))
+    val anchors = g.groupBy("h").agg(countDistinct(col("id")).as("nd"))
+      .filter(col("nd").between(2, 10)).select("h")
+    val ag = g.join(anchors, Seq("h"), "left_semi")
+    val cand = reuse(ag.select(col("h"), col("id").as("id_a"))
+      .join(ag.select(col("h"), col("id").as("id_b")), "h")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct())
+    val cids = cand.select(col("id_a").as("id"))
+      .unionAll(cand.select(col("id_b").as("id"))).distinct()
+    val gc = reuse(g.join(cids, Seq("id"), "left_semi"))
+    val m = reuse(cand
+      .join(gc.select(col("id").as("id_a"), col("pos").as("pa"), col("h")), "id_a")
+      .join(gc.select(col("id").as("id_b"), col("pos").as("pb"), col("h")),
+        Seq("id_b", "h")))
+    val wRn = Window.partitionBy(col("id_a"), col("id_b"), col("diag"))
+      .orderBy(col("pa"))
+    val mx = m.withColumn("diag", col("pa") - col("pb"))
+      .withColumn("rn", row_number().over(wRn))
+      .groupBy(col("id_a"), col("id_b"), col("diag"),
+        (col("pa") - col("rn")).as("grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy("id_a", "id_b").agg(max(col("run")).as("max_run"))
+    m.groupBy("id_a", "id_b").agg(count(lit(1)).as("n_matched_grams"))
+      .join(mx, Seq("id_a", "id_b"))
+      .filter(col("max_run") + (k - 1) >= 20)
+      .select(col("id_a"), col("id_b"), col("n_matched_grams"),
+        (col("max_run") + lit(k - 1).cast(LongType)).as("longest_overlap_tokens"))
+      .orderBy("id_a", "id_b")
+  }
+
   val defs: Seq[Q] = Seq(d01, d02, d03, d04, d08, d09, d10, d11, d13, d15,
-    d17, d18, d20, d21)
+    d17, d18, d20, d21, d22)
 }

@@ -193,6 +193,30 @@ class PlanSpec extends SparkTestBase {
     assert(hTypes == org.apache.spark.sql.types.LongType)
   }
 
+  test("d22: the substring-dedup dataflow shuffles only ids, positions, " +
+    "and 8-byte gram hashes — never text, token arrays, or gram strings") {
+    // the shipped query materializes stage by stage (reuse), so rebuild
+    // the anchor→candidate→verification segment un-materialized from the
+    // same public pieces and inspect its single combined plan
+    val g = graft.ops.Dedup.wordGramPositions(
+      Tables.documents(spark, sf0001), "doc_id", "text", 8)
+    val anchors = g.groupBy("h").agg(countDistinct(col("id")).as("nd"))
+      .filter(col("nd").between(2, 10)).select("h")
+    val ag = g.join(anchors, Seq("h"), "left_semi")
+    val cand = ag.select(col("h"), col("id").as("id_a"))
+      .join(ag.select(col("h"), col("id").as("id_b")), "h")
+      .filter(col("id_a") < col("id_b")).select("id_a", "id_b").distinct()
+    val m = cand
+      .join(g.select(col("id").as("id_a"), col("pos").as("pa"), col("h")), "id_a")
+      .join(g.select(col("id").as("id_b"), col("pos").as("pb"), col("h")),
+        Seq("id_b", "h"))
+    val shuffles = hashShuffledColumns(m)
+    assert(shuffles.nonEmpty, "expected the anchor/candidate/match shuffles")
+    val leaked = shuffles.filter(_.exists(c =>
+      c == "text" || c == "ws" || c == "gram"))
+    assert(leaked.isEmpty, s"wide column crosses a hash shuffle: $leaked")
+  }
+
   test("AQE splits a skewed join partition at runtime (the no-salt skew path)") {
     import spark.implicits._
     val confs = Seq(

@@ -117,6 +117,31 @@ class RoundSixSpec extends SparkTestBase {
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("d22: a planted 30-token verbatim run is recovered exactly; " +
+    "sub-threshold and disjoint docs stay unflagged") {
+    // doc 1 and doc 2 share EXACTLY tokens c1..c30 (distinct filler on
+    // both sides, so junction-spanning grams differ); doc 3 shares a
+    // 10-token run with doc 1 (below the 20-token floor); doc 4 disjoint
+    val common = (1 to 30).map(i => s"c$i").mkString(" ")
+    val short = (1 to 10).map(i => s"s$i").mkString(" ")
+    val mk = (pre: String, n: Int) => (1 to n).map(i => s"$pre$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${mk("a", 10)} $common ${mk("z", 10)} $short", "en", "web", 0L),
+      (2L, s"${mk("b", 5)} $common ${mk("y", 10)}", "en", "web", 0L),
+      (3L, s"${mk("d", 12)} $short ${mk("e", 12)}", "en", "web", 0L),
+      (4L, mk("f", 40), "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("d22fix").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("d22_exact_substring")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toList
+    // run of 23 consecutive grams ⇒ 23 + 7 = 30 tokens; the 10-token
+    // shared run yields 3-gram-long runs (10 − 8 + 1), i.e. 10 tokens —
+    // below the 20-token report floor
+    assert(got == List((1L, 2L, 23L, 30L)),
+      s"expected exactly the planted (1,2) overlap, got $got")
+  }
+
   test("t12 scale contract: one source really spans many range partitions") {
     val parts = spark.sessionState.conf.numShufflePartitions
     val df = spark.range(10000)
