@@ -496,8 +496,115 @@ object StreamingQueries {
       .orderBy("event_type", "seed")
   }
 
+  /** Plan evidence recorded by s15's foreachBatch: the output columns of
+    * every broadcast exchange in the per-batch probe plan (read by the
+    * RoundSixSpec assertion — a streaming plan can't be inspected from
+    * the outside after the query finishes). */
+  @volatile var s15ProbeBroadcasts: Seq[Seq[String]] = Nil
+
+  /** Streaming ANN ingestion — the similarity surface running INSIDE
+    * Structured Streaming (B8 × B9, the s13 pattern applied to vectors):
+    * new embeddings arrive on a stream and each micro-batch probes the
+    * STATIC hyperplane bucket index (d16's structure) for its top-3
+    * nearest neighbors. The batch side of the asymmetry is the d20/d21
+    * one: the tiny arrival batch is BROADCAST (recorded per batch,
+    * asserted in RoundSixSpec) while the corpus index is scanned, never
+    * shuffled — at 100 TB the scan side would be d21's stored bucketed
+    * table. Inside foreachBatch the arrivals are a plain DataFrame, so
+    * the per-query top-k is the ordinary d16 window — no streaming
+    * limitation on ranking — and results append to a parquet sink.
+    * Every arrival is scored exactly once (appears in exactly one
+    * batch), so stream-batch equivalence is structural. */
+  private val s15 = Q(
+    "s15_stream_ann_ingest",
+    """WITH e AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+         FROM embeddings),
+       n AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2 FROM e),
+       sig AS (
+         SELECT vec_id,
+                array_to_string(list_transform(generate_series(0, 3), p ->
+                  CASE WHEN CAST(list_sum(list_transform(generate_series(1, 64), i ->
+                    v[i] * (CASE WHEN substring(md5(p || '_' || i), 1, 1)
+                                 IN ('8','9','a','b','c','d','e','f')
+                            THEN -1 ELSE 1 END))) AS BIGINT) >= 0
+                  THEN '1' ELSE '0' END), '') AS bucket
+         FROM e),
+       pairs AS (
+         SELECT q.vec_id AS qid, c.vec_id AS cid,
+                CAST(list_sum(list_transform(generate_series(1, 64), i -> qn.v[i] * cn.v[i])) AS BIGINT)
+                  / (sqrt(qn.n2) * sqrt(cn.n2)) AS cos
+         FROM sig q JOIN sig c ON q.bucket = c.bucket
+           JOIN n qn ON qn.vec_id = q.vec_id
+           JOIN n cn ON cn.vec_id = c.vec_id
+         WHERE q.vec_id % 10 = 5 AND c.vec_id % 10 != 5),
+       top AS (SELECT qid, rank, cid, cos FROM (
+           SELECT qid, cid, cos,
+                  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+           FROM pairs) t WHERE rank <= 3)
+       SELECT qid, rank, cid, round(cos, 4) AS cos
+       FROM top ORDER BY qid, rank""") { (s, d) =>
+    import graft.ops.Similarity.{dotQ, lshBucket, norm2Q, quantize}
+    import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+    graft.functions.LongDot.register(s)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    // static corpus index: signature computed once per vector (at 100 TB
+    // this is d21's stored bucketed band table, maintained at ingest)
+    val corpusIdx = Tables.embeddings(s, d)
+      .filter(col("vec_id") % 10 =!= 5)
+      .select(col("vec_id").as("cid"), quantize(col("embedding")).as("cv"))
+      .withColumn("cn2", norm2Q(col("cv")))
+      .withColumn("bucket", lshBucket(col("cv"), planes = 4, dim = 64))
+    val outDir = graft.Scratch.dir("graft_s15_sink")
+    val evidence = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(d)
+      .filter(col("vec_id") % 10 === 5)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val probes = batch
+          .select(col("vec_id").as("qid"), quantize(col("embedding")).as("qv"))
+          .withColumn("qn2", norm2Q(col("qv")))
+          .withColumn("qbucket", lshBucket(col("qv"), planes = 4, dim = 64))
+        val topk = corpusIdx
+          .join(broadcast(probes), col("bucket") === col("qbucket"))
+          .withColumn("cos",
+            dotQ(col("qv"), col("cv")) / (sqrt(col("qn2")) * sqrt(col("cn2"))))
+          .withColumn("rank", row_number().over(w).cast(LongType))
+          .filter(col("rank") <= 3)
+          .select(col("qid"), col("rank"), col("cid"), col("cos"))
+        // exchanges are inserted by plan preparation (EnsureRequirements)
+        // and AQE wraps the tree in an opaque adaptive node — descend it
+        def collectB(p: org.apache.spark.sql.execution.SparkPlan): Seq[Seq[String]] =
+          p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              collectB(a.executedPlan)
+            case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+              b.output.map(_.name) +: b.children.flatMap(collectB)
+            case other => other.children.flatMap(collectB)
+          }
+        evidence ++= collectB(castToImpl(topk).queryExecution.executedPlan)
+        topk.write.mode("append").parquet(outDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s15ProbeBroadcasts = evidence.toSeq
+    s.read.parquet(outDir)
+      .select(col("qid"), col("rank"), col("cid"), round(col("cos"), 4).as("cos"))
+      .orderBy("qid", "rank")
+  }
+
   val defs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
-    s11, s12, s13, s14)
+    s11, s12, s13, s14, s15)
 }
 
 /** s11's StatefulProcessor: cumulative (event count, value cents) per

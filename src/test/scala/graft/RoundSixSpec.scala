@@ -142,6 +142,18 @@ class RoundSixSpec extends SparkTestBase {
       s"expected exactly the planted (1,2) overlap, got $got")
   }
 
+  test("s15: inside the stream, the ARRIVAL batch broadcasts and the " +
+    "corpus index side never does") {
+    graft.streaming.StreamingQueries.s15ProbeBroadcasts = Nil
+    val rows = SparkEntry.queries("s15_stream_ann_ingest")(spark, sf0001).collect()
+    assert(rows.nonEmpty, "stream produced no neighbors")
+    val bcasts = graft.streaming.StreamingQueries.s15ProbeBroadcasts
+    assert(bcasts.nonEmpty, "no broadcast exchange recorded in the probe plan")
+    // every broadcast carries the probe-side columns, never the corpus's
+    assert(bcasts.forall(cols => cols.contains("qid") && !cols.contains("cid")),
+      s"corpus side got broadcast: $bcasts")
+  }
+
   test("t12 scale contract: one source really spans many range partitions") {
     val parts = spark.sessionState.conf.numShufflePartitions
     val df = spark.range(10000)
