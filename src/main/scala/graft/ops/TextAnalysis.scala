@@ -545,9 +545,19 @@ object TextAnalysis {
     * LM): per-token self-information ln(N/count) quantized to integer
     * micro-nats BEFORE the per-doc sum, so the aggregation is exact
     * integer math in any order — only the final per-doc divide is fp.
-    * The term-frequency join is the t05 vocabulary shape: both sides
-    * derive from the same token stream, no broadcast hint (AQE decides —
-    * the vocabulary is corpus-sized at 100 TB). */
+    *
+    * The term-frequency join keys on `term` — stopword keys are the
+    * classic corpus-scale skew, and AQE's skew split CANNOT rescue this
+    * shape: `OptimizeSkewedJoin` only matches a join whose children are
+    * bare shuffle stages, and the frequency side carries its final
+    * aggregate above the shuffle. So the skew is removed structurally
+    * (the hybrid hot/tail form): the top-32 hottest terms — a global
+    * TakeOrdered, tiny by construction — BROADCAST-tag the token stream,
+    * serving stopword tokens map-side; only tail tokens (uniform keys by
+    * construction) reach the shuffled join. The corpus total reuses the
+    * persisted frequency table (sum of counts), so the hybrid costs the
+    * same number of corpus passes as the naive form. Plan evidence in
+    * RoundSixSpec: the hot term never crosses the tail exchange. */
   private val t13 = Q(
     "t13_unigram_surprisal",
     """WITH tok AS (
@@ -566,9 +576,19 @@ object TextAnalysis {
        FROM agg ORDER BY doc_id""") { (s, d) =>
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), explode(toks("text")).as("term"))
-    val freq = tok.groupBy("term").agg(count(lit(1)).as("c"))
-    val tot = tok.agg(count(lit(1)).as("n"))
-    tok.join(freq, "term")
+    val freq = Dedup.reuse(tok.groupBy("term").agg(count(lit(1)).as("c")))
+    val tot = freq.agg(sum(col("c")).as("n"))
+    val hot = freq.orderBy(col("c").desc, col("term")).limit(32)
+    val tagged = tok.join(
+      broadcast(hot.select(col("term"), col("c").as("hot_c"))),
+      Seq("term"), "left")
+    val hotPart = tagged.filter(col("hot_c").isNotNull)
+      .select(col("doc_id"), col("hot_c").as("c"))
+    val tailPart = tagged.filter(col("hot_c").isNull)
+      .select(col("doc_id"), col("term"))
+      .join(freq, "term")
+      .select(col("doc_id"), col("c"))
+    hotPart.unionByName(tailPart)
       .crossJoin(broadcast(tot))
       .select(col("doc_id"),
         round(log(col("n").cast("double") / col("c")) * 1000000)

@@ -113,17 +113,24 @@ class PlanSpec extends SparkTestBase {
       s"expected the rewrite on assignment AND probe:\n$p")
   }
 
-  test("t05/t13: the vocabulary (term-frequency) join is never broadcast") {
+  test("t05/t13: the FULL vocabulary (term-frequency) table is never " +
+    "broadcast — t13's only broadcast hash join carries the LIMITed hot set") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       // with auto-broadcast off, only an explicit hint could broadcast the
       // term join — the full vocabulary must shuffle, not broadcast.
       // (the 1-row corpus total is exempt: BroadcastNestedLoopJoin only)
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      for (q <- Seq("t05_tfidf", "t13_unigram_surprisal")) {
-        val p = plan(SparkEntry.queries(q)(spark, sf0001))
-        assert(!p.contains("BroadcastHashJoin"), s"$q vocabulary join broadcast-hinted:\n$p")
-      }
+      val p05 = plan(SparkEntry.queries("t05_tfidf")(spark, sf0001))
+      assert(!p05.contains("BroadcastHashJoin"),
+        s"t05 vocabulary join broadcast-hinted:\n$p05")
+      // t13 is the hybrid hot/tail form: the broadcast side must be the
+      // bounded top-K (a global limit), and the tail must still shuffle
+      val p13 = plan(SparkEntry.queries("t13_unigram_surprisal")(spark, sf0001))
+      assert(p13.contains("BroadcastHashJoin"), s"t13 hot tag join missing:\n$p13")
+      assert(p13.contains("SortMergeJoin"), s"t13 tail shuffle join missing:\n$p13")
+      assert(p13.contains("TakeOrderedAndProject"),
+        s"t13's broadcast side is not the bounded top-K:\n$p13")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 

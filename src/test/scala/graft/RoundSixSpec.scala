@@ -154,6 +154,76 @@ class RoundSixSpec extends SparkTestBase {
       s"corpus side got broadcast: $bcasts")
   }
 
+  test("t13: the hot stopword rides the broadcast path and the tail " +
+    "exchange stays balanced (AQE cannot split this join shape — the " +
+    "frequency side's final aggregate sits above its shuffle, so " +
+    "OptimizeSkewedJoin's bare-shuffle-children pattern never matches)") {
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      // kill auto-broadcast so the ONLY broadcasts are the explicit
+      // hot-set/total hints — at corpus scale freq is corpus-sized
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // every doc is ~99% the stopword 'the' — the classic hot term
+      val hotBlock = Array.fill(290)("the").mkString(" ")
+      val docs = spark.range(4000).select(
+        $"id".as("doc_id"),
+        concat_ws(" ", lit(hotBlock), concat(lit("u"), $"id"),
+          concat(lit("v"), $"id")).as("text"),
+        lit("en").as("lang"), lit("web").as("source"), lit(0L).as("n_chars"))
+      val dir = java.nio.file.Files.createTempDirectory("t13skew").toString
+      docs.repartition(8).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val df = SparkEntry.queries("t13_unigram_surprisal")(spark, dir)
+      val rows = df.collect() // AQE finalizes only on execution of THIS plan
+      assert(rows.length == 4000)
+      // hybrid == naive: per-doc surprisal matches the direct formulation
+      val tok = spark.read.parquet(s"$dir/documents.parquet")
+        .select($"doc_id", explode(split($"text", " ")).as("term"))
+      val freq = tok.groupBy("term").agg(count(lit(1)).as("c"))
+      val naive = tok.join(freq, "term")
+        .crossJoin(tok.agg(count(lit(1)).as("n")))
+        .select($"doc_id",
+          round(log($"n".cast("double") / $"c") * 1000000).cast("long").as("q"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(sum($"q") / count(lit(1)) / 1000000.0, 4).as("avg"))
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      rows.foreach { r =>
+        val (n, avg) = naive(r.getLong(0))
+        assert(r.getLong(1) == n && r.getDouble(2) == avg,
+          s"hybrid diverged from naive at doc ${r.getLong(0)}")
+      }
+      // plan evidence: the hot tag join broadcasts a LIMITed set, and the
+      // tail exchange no longer carries the hot partition — every shuffle
+      // feeding the term join is balanced (max ≤ 4× median; the naive
+      // form measured 14× on this fixture)
+      def allNodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+        p +: (p.children ++ (p match {
+          case ad: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            Seq(ad.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+          case _ => Nil
+        })).flatMap(allNodes)
+      val nodes = allNodes(castToImpl(df).queryExecution.executedPlan)
+      assert(nodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+        "hot tag join is not a broadcast join")
+      val termStages = nodes.collect {
+        case s: org.apache.spark.sql.execution.adaptive.ShuffleQueryStageExec
+            if s.plan.toString.contains("hashpartitioning(term") => s
+      }
+      assert(termStages.nonEmpty, "no term-keyed exchange found (tail join missing?)")
+      termStages.foreach { s =>
+        val sizes = s.mapStats.get.bytesByPartitionId.filter(_ > 0).sorted
+        val median = math.max(sizes(sizes.length / 2), 1L)
+        assert(sizes.last <= 4 * median,
+          s"tail exchange still skewed: sizes=${sizes.mkString(",")}")
+      }
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("t12 scale contract: one source really spans many range partitions") {
     val parts = spark.sessionState.conf.numShufflePartitions
     val df = spark.range(10000)
