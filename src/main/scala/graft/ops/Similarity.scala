@@ -301,8 +301,11 @@ object Similarity {
     * The cluster partitioning is what makes this tractable at 100 TB —
     * pair work is Σ n_c² over cells, and k (the centroid count) is the
     * knob that bounds n_c (k ~ N / target cell size; the fixture uses the
-    * d07 centroids). The 0.45 threshold is fixture-calibrated: random
-    * Gaussian embeddings top out near cos 0.49 — real corpora use ~0.95+.
+    * d07 centroids). The 0.45 threshold is fixture-calibrated: the
+    * random-Gaussian pair extreme measures 0.479/0.513/0.601 at the
+    * three SFs (growing with pair count, invariant-pinned < 0.7 in
+    * RoundSixSpec), so 0.45 flags only the extreme random tail here —
+    * real corpora deduplicate at ~0.95+.
     * Quantized integer dots keep the threshold comparison bit-exact
     * cross-engine. Output: per-cell dedup census. */
   private val d14 = Q(

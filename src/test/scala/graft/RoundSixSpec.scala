@@ -224,6 +224,57 @@ class RoundSixSpec extends SparkTestBase {
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  // --- fixture-coupling invariants: each documented calibration below is
+  // --- asserted executable, so a regenerated fixture fails LOUDLY here
+  // --- instead of silently degrading the coupled query (e.g. d02's
+  // --- subset going empty would still "hash-match" an empty oracle)
+
+  test("fixture invariant (d02): the doc_id<40 exact-Jaccard subset is " +
+    "fully populated and produces similar pairs at every SF") {
+    for (sf <- Seq(sf0001, sf001, "/root/testdata/sf0.1")) {
+      val n = Tables.documents(spark, sf).filter($"doc_id" < 40).count()
+      assert(n == 40, s"$sf: expected 40 docs below id 40, found $n — " +
+        "d02's bounded all-pairs subset drifted")
+      val pairs = SparkEntry.queries("d02_ngram_jaccard")(spark, sf).count()
+      assert(pairs > 0, s"$sf: d02 subset contains no pairs above jaccard 0.1 " +
+        "— the semantics pin is vacuous on this fixture")
+    }
+  }
+
+  test("fixture invariant (d14): embedding pairs stay in the random-tail " +
+    "regime (max cos < 0.7) at every SF — the calibration behind tau=0.45") {
+    import graft.ops.Similarity.{dotQ, norm2Q, quantize}
+    graft.functions.LongDot.register(spark)
+    // measured on the current fixtures: 0.479 / 0.513 / 0.601 — the
+    // extreme of ~125k-2M random-Gaussian pairs grows with corpus size
+    // but stays far from the ~0.95+ regime of genuine near-duplicates
+    for (sf <- Seq(sf0001, sf001, "/root/testdata/sf0.1")) {
+      val e = Tables.embeddings(spark, sf)
+        .select($"vec_id", quantize($"embedding").as("v"))
+        .withColumn("n2", norm2Q($"v"))
+      val maxCos = e.as("a")
+        .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select((dotQ(col("a.v"), col("b.v"))
+          / (sqrt(col("a.n2")) * sqrt(col("b.n2")))).as("cos"))
+        .agg(max($"cos")).head().getDouble(0)
+      assert(maxCos < 0.7,
+        s"$sf: max pairwise cosine $maxCos ≥ 0.7 — the fixture now contains " +
+          "genuinely-similar vectors; d14's tau=0.45 must be recalibrated")
+    }
+  }
+
+  test("fixture invariant (q61): all seven 1995-2001 order-years are " +
+    "present at every SF — the dynamic-pivot column contract") {
+    for (sf <- Seq(sf0001, sf001, "/root/testdata/sf0.1")) {
+      val years = Tables.orders(spark, sf)
+        .select(year($"o_orderdate").as("yr")).distinct()
+        .collect().map(_.getInt(0)).sorted.toSeq
+      assert(years == (1995 to 2001),
+        s"$sf: order-years drifted to $years — q61's oracle column list " +
+          "(and its Scaladoc invariant) must be updated to match")
+    }
+  }
+
   test("t12 scale contract: one source really spans many range partitions") {
     val parts = spark.sessionState.conf.numShufflePartitions
     val df = spark.range(10000)
