@@ -126,6 +126,38 @@ class PipeSpec extends SparkTestBase {
     assert(dflt.toSeq == Seq(("quoted.txt", "arg='hello")))
   }
 
+  test("a task failing AFTER producing pipe output commits NOTHING; the " +
+    "retry commits exactly one copy of each line (SURVEY §3.3: the " +
+    "reference wrote attempt output straight to the final dir, so a " +
+    "failed-then-retried mapper left two copies — Spark's commit " +
+    "protocol is the fix, proven here)") {
+    val markers = Files.createTempDirectory("pipe-retry-markers")
+    // the nasty ordering: output is fully written BEFORE the failure
+    writeScript(binDir, "flaky.sh",
+      s"""cp "$$2" out.txt
+         |if [ ! -f "$markers/done" ]; then touch "$markers/done"; exit 1; fi""".stripMargin)
+    val cfg = PipeConfig.parse(configJson(
+      """{"command" : "flaky.sh %MCR_ROOT% %INPUT_FILE%"}"""))
+    def pipeDf = ExternalPipeline.run(
+      spark.createDataset(Seq("r1", "r2", "r3")).repartition(1),
+      None, cfg.algorithm("CRANKER"), cfg.globals)
+    val outDir = Files.createTempDirectory("pipe-retry-out").resolve("sink").toString
+    // attempt 1: out.txt exists when the task dies — the write job fails
+    // and the attempt's output must never reach the final directory
+    intercept[SparkException] {
+      pipeDf.select("line").write.text(outDir)
+    }
+    val committedAfterFailure = Option(new java.io.File(outDir).listFiles())
+      .getOrElse(Array.empty).filter(f => f.isFile && f.getName.startsWith("part-"))
+    assert(committedAfterFailure.isEmpty,
+      s"failed attempt leaked committed files: ${committedAfterFailure.mkString(",")}")
+    // the retry (marker present → command succeeds): exactly ONE copy
+    pipeDf.select("line").write.mode("overwrite").text(outDir)
+    val lines = spark.read.textFile(outDir).collect().sorted.toSeq
+    assert(lines == Seq("r1", "r2", "r3"),
+      s"retry did not commit exactly one copy of each line: $lines")
+  }
+
   test("non-zero exit fails the task (reference ExecutorMapper.java:265-269)") {
     val cfg = PipeConfig.parse(configJson("""{"command" : "run_fail.sh %MCR_ROOT% %INPUT_FILE%"}"""))
     val ds = spark.createDataset(Seq("x"))
