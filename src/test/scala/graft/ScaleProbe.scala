@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** One scaling datapoint beyond sf0.1 (round-6 item 8): synthesizes an
+  * sf1-EQUIVALENT documents corpus (50,000 docs — 10× sf0.1) with the
+  * fixture's measured statistics — the same 31-word vocabulary, 10-100
+  * token uniform lengths, 20 sources, and the same 0.16% exact-duplicate
+  * rate — deterministically from md5 (no RNG), then times the three
+  * heaviest dedup pipelines at 5k and 50k docs. Near-linear growth here
+  * means no hidden candidate-pair blowup: LSH bucket population is the
+  * quadratic hazard, and it is driven by the vocabulary/length profile
+  * this generator reproduces.
+  *
+  * Run: sbt 'Test/runMain graft.ScaleProbe'; the JSON line is copied into
+  * BENCH_SCALE_r06.json and summarized in SURVEY §6.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = Engine.session(appName = "graft-scale-probe")
+    import spark.implicits._
+
+    val sf01 = "/root/testdata/sf0.1"
+    val vocab = Tables.documents(spark, sf01)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .distinct().as[String].collect().sorted.toSeq
+    require(vocab.size == 31, s"vocab drifted: ${vocab.size}")
+    val vlit = typedLit(vocab)
+
+    def h(seed: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      conv(substring(md5(seed), 1, 7), 16, 10).cast("long")
+
+    val n = 50000L
+    val docs = spark.range(n)
+      .withColumn("eid",
+        when(col("id") % 625 === 624, col("id") - 1).otherwise(col("id")))
+      .withColumn("n_tok", (h(concat(col("eid"), lit("|n"))) % 91 + 10).cast("int"))
+      .select(
+        col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(1), col("n_tok")),
+          j => element_at(vlit,
+            (h(concat(col("eid"), lit("|"), j)) % 31 + 1).cast("int")))).as("text"),
+        lit("en").as("lang"),
+        concat(lit("src"), col("id") % 20).as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = Scratch.dir("graft_sf1_docs")
+    docs.repartition(8).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val names = Seq("d08_dedup_groups", "d11_simhash_dedup", "d15_verified_dedup_groups")
+    // JIT/codegen warm at the smallest SF (Bench methodology)
+    names.foreach(nm =>
+      SparkEntry.queries(nm)(spark, "/root/testdata/sf0.001").count())
+
+    def time(nm: String, d: String): (Double, Long) = {
+      val ts = (1 to 2).map { _ =>
+        spark.catalog.clearCache(); System.gc()
+        val t0 = System.nanoTime()
+        val rows = SparkEntry.queries(nm)(spark, d).count()
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+      (ts.map(_._1).min, ts.head._2)
+    }
+    val entries = names.map { nm =>
+      val (t5k, r5k) = time(nm, sf01)
+      val (t50k, r50k) = time(nm, dir)
+      val ratio = t50k / t5k
+      s""""$nm":{"sec_5k":${f"$t5k%.2f"},"sec_50k":${f"$t50k%.2f"},""" +
+        s""""ratio":${f"$ratio%.2f"},"rows_5k":$r5k,"rows_50k":$r50k}"""
+    }
+    println(s"""{"metric":"scale_10x","docs_small":5000,"docs_large":$n,""" +
+      entries.mkString("\"queries\":{", ",", "}}"))
+    spark.stop()
+  }
+}
