@@ -53,7 +53,9 @@ object SparkEntry {
       "d03_minhash_lsh", "d05_embed_cosine_topk", "d08_dedup_groups",
       "d10_decontaminate", "d11_simhash_dedup",
       "d13_ngram_decontaminate", "d14_semantic_dedup", "d15_verified_dedup_groups",
+      "d22_exact_substring",
       "t05_tfidf", "t06_salted_token_count", "t07_train_split",
+      "t12_sequence_pack", "t13_unigram_surprisal",
       "a01_pipe_cranker", "s01_stream_tumbling", "s10_stream_stateful_sessions")
     val have = queries.keySet
     preferred.filter(have)
