@@ -1406,6 +1406,51 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Bloom-filtered ingest-time EXACT dedup — the d20/d21 asymmetry
+    * applied to whole-content hashes: a tiny arriving batch is checked
+    * against the full corpus without the corpus ever shuffling. The
+    * batch's content hashes build a Bloom filter (sized from the batch,
+    * x07's rule) that pre-filters the corpus scan map-side; only the
+    * handful of bloom-positive corpus rows reach the exact
+    * broadcast-join that eliminates false positives, so the output is
+    * EXACTLY the semi-join semantics (oracle needs no bloom model).
+    * At 100 TB the alternative direction — a persistent corpus-side
+    * bloom maintained at ingest like d21's stored index — trades a
+    * GB-scale broadcast for skipping the corpus scan; both asymmetries
+    * are one-sided by design. Corpus text never shuffles; zero wide
+    * exchanges (plan-asserted in RoundSixSpec). */
+  private val d23 = Q(
+    "d23_bloom_ingest_dedup",
+    """WITH corpus AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 9 != 4),
+       n AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 9 = 4),
+       m AS (SELECT n.doc_id AS new_doc_id, min(c.doc_id) AS dup_of
+             FROM n JOIN corpus c ON n.h = c.h GROUP BY n.doc_id)
+       SELECT n.doc_id AS new_doc_id,
+              CASE WHEN m.new_doc_id IS NOT NULL THEN 'duplicate' ELSE 'unique' END AS verdict,
+              m.dup_of
+       FROM n LEFT JOIN m ON n.doc_id = m.new_doc_id
+       ORDER BY new_doc_id""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val isNew = col("doc_id") % 9 === 4
+    val newH = reuse(docs.filter(isNew)
+      .select(col("doc_id"), md5(col("text")).as("h")))
+    val bf = newH.stat.bloomFilter("h", math.max(newH.count(), 1L), 0.01)
+    val bfBc = s.sparkContext.broadcast(bf)
+    val mightContain = udf((h: String) => h != null && bfBc.value.mightContain(h))
+    val matches = docs.filter(!isNew)
+      .select(col("doc_id").as("c_id"), md5(col("text")).as("h"))
+      .filter(mightContain(col("h"))) // bloom pre-filter: FPs possible
+      .join(broadcast(newH.select(col("doc_id").as("new_doc_id"), col("h"))),
+        "h") // exact join eliminates FPs; corpus rows never shuffle
+      .groupBy("new_doc_id").agg(min(col("c_id")).as("dup_of"))
+    newH.select(col("doc_id").as("new_doc_id"))
+      .join(matches, Seq("new_doc_id"), "left")
+      .select(col("new_doc_id"),
+        when(col("dup_of").isNotNull, "duplicate").otherwise("unique").as("verdict"),
+        col("dup_of"))
+      .orderBy("new_doc_id")
+  }
+
   val defs: Seq[Q] = Seq(d01, d02, d03, d04, d08, d09, d10, d11, d13, d15,
-    d17, d18, d20, d21, d22)
+    d17, d18, d20, d21, d22, d23)
 }

@@ -11,6 +11,16 @@ import org.apache.spark.sql.functions._
 class RoundSixSpec extends SparkTestBase {
   import spark.implicits._
 
+  /** Every node of an executed plan, descending through AQE wrappers and
+    * materialized query stages (collect() alone stops at both). */
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+    p +: (p.children ++ (p match {
+      case ad: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(ad.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case _ => Nil
+    })).flatMap(allNodes)
+
   test("distributedPrefixSum equals the window prefix sum exactly " +
     "(single huge source, many partitions)") {
     // one source — the shape that collapses Window.partitionBy(source)
@@ -199,13 +209,6 @@ class RoundSixSpec extends SparkTestBase {
       // tail exchange no longer carries the hot partition — every shuffle
       // feeding the term join is balanced (max ≤ 4× median; the naive
       // form measured 14× on this fixture)
-      def allNodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
-        p +: (p.children ++ (p match {
-          case ad: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-            Seq(ad.executedPlan)
-          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
-          case _ => Nil
-        })).flatMap(allNodes)
       val nodes = allNodes(castToImpl(df).queryExecution.executedPlan)
       assert(nodes.exists(
         _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
@@ -272,6 +275,59 @@ class RoundSixSpec extends SparkTestBase {
       assert(years == (1995 to 2001),
         s"$sf: order-years drifted to $years — q61's oracle column list " +
           "(and its Scaladoc invariant) must be updated to match")
+    }
+  }
+
+  test("d23: the corpus side runs map-side only — bloom pre-filter above " +
+    "the scan, batch broadcast into the exact join, no corpus exchange") {
+    // a fixture WITH a cross-split duplicate: at sf0.001 there are no
+    // exact dups, the bloom matches nothing, and AQE's empty-relation
+    // propagation erases the probe join from the final plan entirely
+    val mk = (pre: String, n: Int) => (1 to n).map(i => s"$pre$i").mkString(" ")
+    val docs = (0L to 19L).map { i =>
+      val text = if (i == 4L) mk("dup", 30) // doc 4 (ingest: 4 % 9 == 4)…
+      else if (i == 7L) mk("dup", 30)       // …duplicates corpus doc 7
+      else mk(s"t$i-", 30)
+      (i, text, "en", "web", 0L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("d23fix").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val df = SparkEntry.queries("d23_bloom_ingest_dedup")(spark, dir)
+    val rows = df.collect() // finalize AQE
+    // doc 4 is flagged against its corpus twin; doc 13 (the other ingest
+    // doc) is unique
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((4L, "duplicate"), (13L, "unique")), rows.mkString(","))
+    assert(rows.head.getLong(2) == 7L)
+    val nodes = allNodes(castToImpl(df).queryExecution.executedPlan)
+    def hasDocsScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      allNodes(p).exists {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.toString.contains("documents.parquet")
+        case _ => false
+      }
+    // the probe join is the INNER one on h (the final verdict join is a
+    // left-outer over the already-aggregated matches)
+    val probeJoins = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.Inner &&
+            hasDocsScan(j) => j
+    }
+    assert(probeJoins.nonEmpty, "exact probe join is not a broadcast join")
+    val corpusSide = probeJoins.head.children.filter(hasDocsScan)
+    assert(corpusSide.nonEmpty)
+    corpusSide.foreach { side =>
+      // the bloom pre-filter is a UDF filter in the corpus's map stage…
+      assert(allNodes(side).exists {
+        case f: org.apache.spark.sql.execution.FilterExec =>
+          f.condition.toString.contains("UDF")
+        case _ => false
+      }, s"bloom pre-filter missing above the corpus scan:\n$side")
+      // …and nothing on this side ever shuffles
+      val ex = allNodes(side).collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(ex.isEmpty, s"corpus side shuffled:\n${ex.mkString("\n")}")
     }
   }
 
