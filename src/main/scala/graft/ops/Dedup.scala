@@ -122,7 +122,7 @@ object Dedup {
     * the checkpoint FS. The right tool when reuse, not iterative lineage
     * truncation, is the goal; MEMORY_AND_DISK so an oversized stage
     * spills instead of OOMing. */
-  private[ops] def reuse(df: DataFrame): DataFrame = {
+  private[graft] def reuse(df: DataFrame): DataFrame = {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     p.count()
     p
@@ -1291,17 +1291,35 @@ object Dedup {
     * id_b=old) pairs. */
   def storedIndexCandidates(s: org.apache.spark.sql.SparkSession,
       buckets: DataFrame, isNew: Column): DataFrame = {
-    val dir = graft.Scratch.dir("graft_band_index")
-    val bk = concat_ws(":", col("band"), col("band_key"))
-    buckets.filter(!isNew).select(bk.as("bk"), col("id"))
+    writeBandIndex(s, buckets.filter(!isNew), "graft_band_index")
+    probeBandIndex(s, "graft_band_index", buckets.filter(isNew))
+  }
+
+  /** The single probe key: band:band_key (fixed-width hex suffix — the
+    * concat is collision-free). */
+  private def bandKey: Column = concat_ws(":", col("band"), col("band_key"))
+
+  /** Writes a band-bucket DataFrame as the stored index table, bucketed
+    * on the probe key. Paid once per corpus build; maintained at ingest
+    * in production (d17 sketch merge). */
+  def writeBandIndex(s: org.apache.spark.sql.SparkSession,
+      corpusBuckets: DataFrame, table: String): Unit = {
+    val dir = graft.Scratch.dir(s"graft_$table")
+    corpusBuckets.select(bandKey.as("bk"), col("id"))
       .write.mode("overwrite").format("parquet")
       .bucketBy(8, "bk").sortBy("bk")
-      .option("path", s"$dir/band_index").saveAsTable("graft_band_index")
-    s.table("graft_band_index")
-      .join(buckets.filter(isNew).select(bk.as("bk"), col("id").as("new_id")), "bk")
+      .option("path", s"$dir/band_index").saveAsTable(table)
+  }
+
+  /** Probes a stored band index with (small) new-batch buckets: the index
+    * side reads its bucketed layout with no exchange. Returns candidate
+    * (id_a=new, id_b=old) pairs. */
+  def probeBandIndex(s: org.apache.spark.sql.SparkSession,
+      table: String, newBuckets: DataFrame): DataFrame =
+    s.table(table)
+      .join(newBuckets.select(bandKey.as("bk"), col("id").as("new_id")), "bk")
       .select(col("new_id").as("id_a"), col("id").as("id_b"))
       .distinct()
-  }
 
   /** Positioned word k-grams: one row per (doc, position) with the
     * 60-bit gram hash — the index ExactSubstr-style dedup runs on. Only

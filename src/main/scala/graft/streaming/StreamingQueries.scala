@@ -603,8 +603,114 @@ object StreamingQueries {
       .orderBy("qid", "rank")
   }
 
+  /** Streaming incremental dedup against the STORED band index — the full
+    * production ingest loop (d21 × s13): the corpus band index is written
+    * ONCE as a bucketed table; arriving documents derive their band keys
+    * per micro-batch, probe the table (the d21 helper whose index-side
+    * exchange-freeness is plan-asserted in RoundSixSpec), and candidates
+    * are Jaccard-verified against the corpus shingle sets before a
+    * duplicate/unique verdict is appended to the sink. New-batch work is
+    * proportional to the batch; the corpus is never re-signed and never
+    * shuffled. Each arrival verdicts in exactly one batch, so
+    * stream-batch equivalence is structural (the d20/d21 oracle shape on
+    * a third split). */
+  private val s16 = Q(
+    "s16_stream_stored_index_dedup",
+    """WITH docs AS (
+         SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       sh AS (
+         SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+         FROM (SELECT doc_id, ws,
+                      unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+               FROM docs)),
+       hs AS (
+         SELECT doc_id, ('0x' || substring(md5(sh), 1, 8))::BIGINT AS h1,
+                ('0x' || substring(md5(sh), 9, 8))::BIGINT AS h2
+         FROM sh),
+       sig AS (
+         SELECT doc_id, seed, min(h1 + seed * h2) AS mh
+         FROM hs, (SELECT unnest(generate_series(0, 7)) AS seed) seeds
+         GROUP BY doc_id, seed),
+       bands AS (
+         SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+                md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS band_key
+         FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)),
+       cand AS (
+         SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+         FROM (SELECT * FROM bands WHERE doc_id % 11 = 5) n
+         JOIN (SELECT * FROM bands WHERE doc_id % 11 != 5) o
+           ON n.band = o.band AND n.band_key = o.band_key),
+       shd AS (SELECT DISTINCT doc_id, h1 * 134217728 + h2 % 134217728 AS h
+               FROM hs),
+       sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+       inter AS (
+         SELECT c.new_id, c.old_id, count(*) AS ni
+         FROM cand c
+           JOIN shd a ON a.doc_id = c.new_id
+           JOIN shd b ON b.doc_id = c.old_id AND b.h = a.h
+         GROUP BY c.new_id, c.old_id),
+       ver AS (
+         SELECT i.new_id, i.old_id FROM inter i
+           JOIN sz sa ON sa.doc_id = i.new_id
+           JOIN sz sb ON sb.doc_id = i.old_id
+         WHERE i.ni * 1.0 / (sa.n + sb.n - i.ni) >= 0.5),
+       cand_n AS (SELECT new_id, count(*) AS n_cand FROM cand GROUP BY new_id),
+       ver_n AS (SELECT new_id, count(*) AS n_ver, min(old_id) AS best_match
+                 FROM ver GROUP BY new_id)
+       SELECT d.doc_id AS new_doc_id,
+              CAST(coalesce(c.n_cand, 0) AS BIGINT) AS n_candidates,
+              CAST(coalesce(v.n_ver, 0) AS BIGINT) AS n_verified,
+              CASE WHEN v.new_id IS NOT NULL THEN 'duplicate' ELSE 'unique' END AS verdict,
+              v.best_match
+       FROM (SELECT doc_id FROM documents WHERE doc_id % 11 = 5) d
+         LEFT JOIN cand_n c ON d.doc_id = c.new_id
+         LEFT JOIN ver_n v ON d.doc_id = v.new_id
+       ORDER BY new_doc_id""") { (s, d) =>
+    import graft.ops.Dedup
+    val corpus = Tables.documents(s, d).filter(col("doc_id") % 11 =!= 5)
+    val (corpusBuckets, corpusShingles) = Dedup.lshBucketsAndShingles(
+      corpus, "doc_id", "text", shingleWords = 3, bands = 4, rowsPerBand = 2)
+    Dedup.writeBandIndex(s, corpusBuckets, "graft_band_index_s16")
+    val outDir = graft.Scratch.dir("graft_s16_sink")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(d)
+      .filter(col("doc_id") % 11 === 5)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val (bBuckets, bShingles) = Dedup.lshBucketsAndShingles(
+          batch.toDF(), "doc_id", "text", shingleWords = 3, bands = 4, rowsPerBand = 2)
+        val cand = Dedup.reuse(
+          Dedup.probeBandIndex(s, "graft_band_index_s16", bBuckets))
+        val verified = Dedup.jaccardVerifiedPairs(
+          cand, bShingles.unionAll(corpusShingles), tau = 0.5)
+        val candN = cand.groupBy(col("id_a").as("new_id"))
+          .agg(count(lit(1)).as("n_cand"))
+        val verN = verified.groupBy(col("id_a").as("new_id"))
+          .agg(count(lit(1)).as("n_ver"), min(col("id_b")).as("best_match"))
+        batch.select(col("doc_id").as("new_doc_id"))
+          .join(candN, col("new_doc_id") === candN("new_id"), "left")
+          .join(verN, col("new_doc_id") === verN("new_id"), "left")
+          .select(col("new_doc_id"),
+            coalesce(col("n_cand"), lit(0L)).as("n_candidates"),
+            coalesce(col("n_ver"), lit(0L)).as("n_verified"),
+            when(verN("new_id").isNotNull, "duplicate").otherwise("unique").as("verdict"),
+            col("best_match"))
+          .write.mode("append").parquet(outDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(outDir).orderBy("new_doc_id")
+  }
+
   val defs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
-    s11, s12, s13, s14, s15)
+    s11, s12, s13, s14, s15, s16)
 }
 
 /** s11's StatefulProcessor: cumulative (event count, value cents) per
