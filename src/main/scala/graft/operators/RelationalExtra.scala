@@ -215,5 +215,39 @@ object RelationalExtra {
       .orderBy("status")
   }
 
-  val defs: Seq[Q] = Seq(q33, q34, q35, q36, q37, q47, q66)
+  /** Recursive CTE (new in Spark 4) — the one query family Spark
+    * historically could not express: an iterative month spine built by
+    * the recursion itself (no `sequence()` crutch), left-joined to
+    * monthly order volume so empty months surface as zeros. The
+    * recursion is driver-bounded (84 iterations of a 1-row frontier);
+    * the data-side work is a single pass over orders — recursive CTEs at
+    * scale are for SMALL iterative frontiers (spines, hierarchies, BOM
+    * walks), never for corpus-sized state, and this query is shaped
+    * accordingly. */
+  private val q68 = Q(
+    "q68_recursive_cte",
+    """WITH RECURSIVE months(mon) AS (
+         SELECT DATE '1995-01-01'
+         UNION ALL
+         SELECT CAST(mon + INTERVAL 1 MONTH AS DATE) FROM months
+         WHERE mon < DATE '2001-12-01')
+       SELECT strftime(mon, '%Y-%m') AS month,
+              count(o_orderkey) AS n_orders,
+              CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0) AS BIGINT) AS total_cents
+       FROM months LEFT JOIN orders ON strftime(o_orderdate, '%Y-%m') = strftime(mon, '%Y-%m')
+       GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    s.sql(
+      s"""WITH RECURSIVE months(mon) AS (
+            SELECT DATE '1995-01-01'
+            UNION ALL
+            SELECT add_months(mon, 1) FROM months WHERE mon < DATE '2001-12-01')
+          SELECT date_format(mon, 'yyyy-MM') AS month,
+                 count(o_orderkey) AS n_orders,
+                 CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0) AS BIGINT) AS total_cents
+          FROM months LEFT JOIN parquet.`$d/orders.parquet`
+            ON date_format(o_orderdate, 'yyyy-MM') = date_format(mon, 'yyyy-MM')
+          GROUP BY 1 ORDER BY 1""")
+  }
+
+  val defs: Seq[Q] = Seq(q33, q34, q35, q36, q37, q47, q66, q68)
 }
