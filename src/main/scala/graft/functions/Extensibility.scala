@@ -342,7 +342,32 @@ object Extensibility {
       .orderBy("source", "seed")
   }
 
-  val defs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11)
+  /** SQL-defined scalar UDF (new in Spark 4): the function body is
+    * declared in pure SQL and Catalyst INLINES it into the caller's plan
+    * as an ordinary expression — unlike a JVM/Python UDF there is no
+    * black-box call boundary, so predicate pushdown and whole-stage
+    * codegen keep working (plan-asserted in RoundSixSpec: the executed
+    * plan contains the expanded arithmetic, no `UDF(...)` node). The
+    * right tool when a shared business expression must live in SQL
+    * space; the custom-Expression tier (x01/x04) stays for logic SQL
+    * cannot express. */
+  private val x12 = Q(
+    "x12_sql_udf",
+    """SELECT l_returnflag, count(*) AS n,
+              CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS net_cents
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""") { (s, d) =>
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_net_cents(p DOUBLE, disc DOUBLE)
+         RETURNS BIGINT RETURN CAST(round(p * (1 - disc) * 100) AS BIGINT)""")
+    s.sql(
+      s"""SELECT l_returnflag, count(*) AS n,
+                 CAST(sum(graft_net_cents(l_extendedprice, l_discount)) AS BIGINT) AS net_cents
+          FROM parquet.`$d/lineitem.parquet`
+          GROUP BY l_returnflag ORDER BY l_returnflag""")
+  }
+
+  val defs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11,
+    x12)
 }
 
 /** Session-extension injector (`spark.sql.extensions=graft.functions.

@@ -331,6 +331,15 @@ class RoundSixSpec extends SparkTestBase {
     }
   }
 
+  test("x12: the SQL-defined UDF is inlined by Catalyst — expanded " +
+    "arithmetic in the plan, no black-box UDF node, codegen intact") {
+    val df = SparkEntry.queries("x12_sql_udf")(spark, sf0001)
+    df.collect()
+    val p = castToImpl(df).queryExecution.executedPlan.toString
+    assert(!p.contains("UDF("), s"SQL UDF left a black-box call:\n$p")
+    assert(p.contains("l_discount"), s"inlined body missing from the plan:\n$p")
+  }
+
   test("t12 scale contract: one source really spans many range partitions") {
     val parts = spark.sessionState.conf.numShufflePartitions
     val df = spark.range(10000)
