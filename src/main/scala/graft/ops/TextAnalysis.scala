@@ -675,6 +675,183 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** Overlapping context-window chunking — the RAG/pretraining prep step
+    * that splits each document into fixed-size token windows (32 tokens,
+    * stride 24, 8-token overlap) with exact offsets and a per-chunk
+    * content hash. Chunk starts come from a stepped `sequence` generator,
+    * so the whole operator is a narrow map + generate: zero shuffles
+    * before the oracle's final sort, trivially scan-parallel at 100 TB.
+    * The chunk hash (md5 of the joined token slice) is what downstream
+    * chunk-level dedup/decontamination keys on. */
+  private val t15 = Q(
+    "t15_chunking",
+    """WITH t AS (
+         SELECT doc_id, string_split(text, ' ') AS ws,
+                len(string_split(text, ' ')) AS n_tok
+         FROM documents),
+       c AS (
+         SELECT doc_id, ws, n_tok,
+                unnest(generate_series(0, n_tok - 1, 24)) AS start
+         FROM t)
+       SELECT doc_id,
+              CAST(start // 24 AS BIGINT) AS chunk_idx,
+              CAST(start AS BIGINT) AS start,
+              CAST(least(32, n_tok - start) AS BIGINT) AS chunk_len,
+              md5(array_to_string(
+                list_slice(ws, start + 1, start + least(32, n_tok - start)),
+                ' ')) AS chunk_hash
+       FROM c ORDER BY doc_id, chunk_idx""") { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("n_tok", size(col("ws")))
+      .select(col("doc_id"), col("ws"), col("n_tok"),
+        explode(sequence(lit(0), col("n_tok") - 1, lit(24))).as("start"))
+      .withColumn("chunk_len", least(lit(32), col("n_tok") - col("start")))
+      .select(col("doc_id"),
+        (col("start") / 24).cast(LongType).as("chunk_idx"),
+        col("start").cast(LongType).as("start"),
+        col("chunk_len").cast(LongType).as("chunk_len"),
+        md5(array_join(slice(col("ws"), col("start") + 1, col("chunk_len")), " "))
+          .as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Rate-based deterministic source sampler — the O(1)-memory data-mixing
+    * primitive: hit a global 30% token budget with equal per-source shares
+    * by hashing each doc into 4096 buckets and keeping buckets below a
+    * per-source threshold derived from the source's row count. Where t11's
+    * cap needs a per-source top-k (a heap pass), this is the pure MAP-SIDE
+    * form a 100 TB mixing job uses: the per-source counts are one tiny
+    * aggregate, the threshold table is broadcast back, and selection is a
+    * stateless filter on md5(doc_id) — no sort, no heap, no corpus
+    * shuffle. All threshold math is integer (floor division), so the
+    * selected set is bit-stable across engines and partitionings. */
+  private val t16 = Q(
+    "t16_hash_sample",
+    """WITH docs AS (
+         SELECT doc_id, source,
+                (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 256 +
+                (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 16 +
+                (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) AS bucket
+         FROM documents),
+       per_source AS (SELECT source, count(*) AS n_docs FROM docs GROUP BY source),
+       totals AS (
+         SELECT CAST(sum(n_docs) AS BIGINT) AS total, count(*) AS n_sources
+         FROM per_source),
+       thresholds AS (
+         SELECT source, n_docs,
+                least(4096, ((total * 3) // (10 * n_sources)) * 4096 // n_docs) AS threshold
+         FROM per_source CROSS JOIN totals)
+       SELECT t.source, t.n_docs, CAST(t.threshold AS BIGINT) AS threshold,
+              CAST(sum(CASE WHEN d.bucket < t.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+              CAST(sum(CASE WHEN d.bucket < t.threshold THEN d.doc_id ELSE 0 END) AS BIGINT) AS sel_id_sum
+       FROM docs d JOIN thresholds t ON d.source = t.source
+       GROUP BY t.source, t.n_docs, t.threshold
+       ORDER BY t.source""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 3), 16, 10)
+          .cast(LongType).as("bucket"))
+    val perSource = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val totals = perSource.agg(sum(col("n_docs")).as("total"),
+      count(lit(1)).as("n_sources"))
+    val thresholds = perSource.crossJoin(broadcast(totals))
+      .withColumn("threshold",
+        least(lit(4096L),
+          expr("((total * 3) div (10 * n_sources)) * 4096 div n_docs")))
+      .select(col("source"), col("n_docs"), col("threshold"))
+    docs.join(broadcast(thresholds), "source")
+      .groupBy("source", "n_docs", "threshold")
+      .agg(
+        sum(when(col("bucket") < col("threshold"), 1L).otherwise(0L)).as("n_selected"),
+        sum(when(col("bucket") < col("threshold"), col("doc_id")).otherwise(0L)).as("sel_id_sum"))
+      .orderBy("source")
+  }
+
+  /** BM25 retrieval (k1=1.2, b=0.75) — full-text relevance ranking of the
+    * corpus against a small query set, the retrieval step of a RAG or
+    * eval-curation pipeline. Per-(doc, term) scores are quantized to
+    * integer micro-units BEFORE the per-doc sum (the t13 contract), so
+    * aggregation order cannot move a score and the ranking hash-matches
+    * any engine.
+    *
+    * Scale shape: the query vocabulary is a LITERAL in-filter, so
+    * non-matching tokens die map-side at the scan — the tf aggregation
+    * shuffles only (doc, query-term) pairs. df and the corpus stats are
+    * tiny aggregates broadcast back; the final ranking rides the heap
+    * top-k operator, never a full sort of all scored docs. */
+  private val t17 = Q(
+    "t17_bm25",
+    """WITH qt AS (
+         SELECT * FROM (VALUES
+           ('q01','merge'),('q01','sort'),
+           ('q02','stream'),('q02','window'),
+           ('q03','customer'),('q03','value')) AS t(query_id, term)),
+       tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+       stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tok FROM dl),
+       tf AS (
+         SELECT doc_id, term, count(*) AS tf FROM tok
+         WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, term),
+       df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       scored AS (
+         SELECT q.query_id, f.doc_id,
+                CAST(round(
+                  ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+                  (f.tf * 2.2) /
+                  (f.tf + 1.2 * (0.25 + 0.75 * d.dl * n_docs / CAST(total_tok AS DOUBLE)))
+                  * 1000000) AS BIGINT) AS q_score
+         FROM tf f
+         JOIN qt q ON f.term = q.term
+         JOIN df ON f.term = df.term
+         JOIN dl d ON f.doc_id = d.doc_id
+         CROSS JOIN stats),
+       agg AS (
+         SELECT query_id, doc_id, CAST(sum(q_score) AS BIGINT) AS s
+         FROM scored GROUP BY query_id, doc_id),
+       ranked AS (
+         SELECT query_id, doc_id, s,
+                row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rank
+         FROM agg)
+       SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank,
+              round(s / 1000000.0, 4) AS bm25
+       FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""") { (s, d) =>
+    graft.plans.TopKPerGroup.install(s)
+    val queryTerms = Seq(
+      "q01" -> "merge", "q01" -> "sort",
+      "q02" -> "stream", "q02" -> "window",
+      "q03" -> "customer", "q03" -> "value")
+    import s.implicits._
+    val qt = queryTerms.toDF("query_id", "term")
+    val vocab = queryTerms.map(_._2).distinct
+    val docs = Tables.documents(s, d)
+    val dl = docs.select(col("doc_id"), size(toks("text")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tok"))
+    val tf = docs
+      .select(col("doc_id"), explode(toks("text")).as("term"))
+      .filter(col("term").isin(vocab.map(v => v: Any): _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val wr = Window.partitionBy(col("query_id")).orderBy(col("s").desc, col("doc_id"))
+    tf.join(broadcast(qt), "term")
+      .join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        round(
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+            (col("tf") * 2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") * col("n_docs") / col("total_tok").cast("double")))
+            * 1000000)
+          .cast(LongType).as("q_score"))
+      .groupBy("query_id", "doc_id").agg(sum(col("q_score")).as("s"))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("doc_id"), col("rank").cast(LongType).as("rank"),
+        round(col("s") / 1000000.0, 4).as("bm25"))
+      .orderBy("query_id", "rank")
+  }
+
   val defs: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
-    t11, t12, t13, t14)
+    t11, t12, t13, t14, t15, t16, t17)
 }
