@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -249,5 +250,63 @@ object RelationalExtra {
           GROUP BY 1 ORDER BY 1""")
   }
 
-  val defs: Seq[Q] = Seq(q33, q34, q35, q36, q37, q47, q66, q68)
+  /** SCD2 history build — the CDC batch transform that turns an ordered
+    * change feed into effective-dated dimension rows: each customer's
+    * order-value tier (H/M/L by total price) becomes [valid_from,
+    * valid_to) intervals via gaps-and-islands (the difference of two
+    * row_numbers identifies consecutive same-tier runs), with lead() over
+    * run starts supplying the closing date and NULL→'9999-12-31' marking
+    * the open (current) row. All windows partition by customer — millions
+    * of small partitions at scale, never one task per anything; dates are
+    * emitted as strings (the no-raw-timestamp oracle contract). */
+  private val q69 = Q(
+    "q69_scd2_history",
+    """WITH t AS (
+         SELECT o_custkey AS custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od,
+                CASE WHEN o_totalprice >= 300000 THEN 'H'
+                     WHEN o_totalprice >= 150000 THEN 'M' ELSE 'L' END AS tier
+         FROM orders),
+       g AS (
+         SELECT custkey, o_orderkey, od, tier,
+                row_number() OVER (PARTITION BY custkey ORDER BY od, o_orderkey)
+              - row_number() OVER (PARTITION BY custkey, tier ORDER BY od, o_orderkey) AS grp
+         FROM t),
+       runs AS (
+         SELECT custkey, tier, grp, min(od) AS valid_from,
+                count(*) AS n_orders, min(o_orderkey) AS first_order
+         FROM g GROUP BY custkey, tier, grp),
+       scd AS (
+         SELECT custkey, tier, valid_from, n_orders,
+                lead(valid_from) OVER (PARTITION BY custkey
+                  ORDER BY valid_from, first_order) AS valid_to
+         FROM runs)
+       SELECT custkey, tier, CAST(valid_from AS VARCHAR) AS valid_from,
+              coalesce(CAST(valid_to AS VARCHAR), '9999-12-31') AS valid_to,
+              n_orders, (valid_to IS NULL) AS is_current
+       FROM scd ORDER BY custkey, valid_from, tier""") { (s, d) =>
+    val t = Tables.orders(s, d).select(
+      col("o_custkey").as("custkey"), col("o_orderkey"),
+      col("o_orderdate").cast("date").as("od"),
+      when(col("o_totalprice") >= 300000, "H")
+        .when(col("o_totalprice") >= 150000, "M").otherwise("L").as("tier"))
+    val wAll = Window.partitionBy(col("custkey")).orderBy(col("od"), col("o_orderkey"))
+    val wTier = Window.partitionBy(col("custkey"), col("tier"))
+      .orderBy(col("od"), col("o_orderkey"))
+    val runs = t
+      .withColumn("grp", row_number().over(wAll) - row_number().over(wTier))
+      .groupBy("custkey", "tier", "grp")
+      .agg(min(col("od")).as("valid_from"), count(lit(1)).as("n_orders"),
+        min(col("o_orderkey")).as("first_order"))
+    val wLead = Window.partitionBy(col("custkey"))
+      .orderBy(col("valid_from"), col("first_order"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wLead))
+      .select(col("custkey"), col("tier"),
+        col("valid_from").cast("string").as("valid_from"),
+        coalesce(col("valid_to").cast("string"), lit("9999-12-31")).as("valid_to"),
+        col("n_orders"), col("valid_to").isNull.as("is_current"))
+      .orderBy("custkey", "valid_from", "tier")
+  }
+
+  val defs: Seq[Q] = Seq(q33, q34, q35, q36, q37, q47, q66, q68, q69)
 }
