@@ -709,8 +709,59 @@ object StreamingQueries {
     s.read.parquet(outDir).orderBy("new_doc_id")
   }
 
+  /** Stream-stream LEFT OUTER join with watermarks — s09's inner join
+    * plus the outer-emission semantics: a purchase with no error in its
+    * 10-minute window emits a NULL-padded row only when the watermark
+    * passes the end of its match window (state eviction), so unmatched
+    * results are exact, not racy. With AvailableNow replay the final
+    * watermark is min(max purchase ts, max error ts) − 1h (the global
+    * watermark is the min over both inputs); purchases whose window is
+    * still open at that point never emit — the oracle applies the same
+    * closure rule, making the eviction semantics itself the verified
+    * quantity. State on both sides stays bounded by watermark + range. */
+  private val s17 = Q(
+    "s17_stream_outer_join",
+    """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+       e AS (SELECT user_id, ts FROM events WHERE event_type = 'error'),
+       wm AS (SELECT least((SELECT max(ts) FROM p), (SELECT max(ts) FROM e))
+                     - INTERVAL 1 HOUR AS w),
+       m AS (
+         SELECT p.event_id, p.user_id, p.ts, count(e.user_id) AS n_err
+         FROM p LEFT JOIN e
+           ON p.user_id = e.user_id
+          AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 10 MINUTE
+         GROUP BY p.event_id, p.user_id, p.ts),
+       agg AS (
+         SELECT user_id,
+                CAST(sum(n_err) AS BIGINT) AS n_matched,
+                CAST(sum(CASE WHEN n_err = 0 AND ts + INTERVAL 10 MINUTE < w
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
+         FROM m CROSS JOIN wm GROUP BY user_id)
+       SELECT user_id, n_matched, n_unmatched FROM agg
+       WHERE n_matched > 0 OR n_unmatched > 0 ORDER BY user_id""") { (s, d) =>
+    val purchases = eventsStream(s, d)
+      .filter(col("event_type") === "purchase")
+      .withWatermark("ts", "1 hour")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val errors = eventsStream(s, d)
+      .filter(col("event_type") === "error")
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+    val joined = purchases.join(errors,
+      col("p_user") === col("e_user")
+        && col("e_ts") >= col("p_ts")
+        && col("e_ts") <= col("p_ts") + expr("interval 10 minutes"),
+      "leftOuter")
+    runToMemory(joined, OutputMode.Append())
+      .groupBy(col("p_user").as("user_id"))
+      .agg(count(col("e_user")).as("n_matched"),
+        sum(when(col("e_user").isNull, 1L).otherwise(0L)).as("n_unmatched"))
+      .orderBy("user_id")
+  }
+
   val defs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
-    s11, s12, s13, s14, s15, s16)
+    s11, s12, s13, s14, s15, s16, s17)
 }
 
 /** s11's StatefulProcessor: cumulative (event count, value cents) per
