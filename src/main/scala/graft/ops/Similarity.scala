@@ -533,5 +533,170 @@ object Similarity {
       .orderBy("vec_id")
   }
 
-  val defs: Seq[Q] = Seq(d05, d06, d07, d12, d14, d16, d19)
+  /** One Lloyd assignment pass against a DRIVER-HELD centroid array,
+    * embedded as literals: each vector's nearest centroid (min squared L2,
+    * tie on centroid id) is an `array_min` over a per-centroid struct
+    * array — a pure map-side expression, NO shuffle and NO join for the
+    * assignment. This is the production Spark k-means shape (centroids
+    * are k×dim ≈ bytes; re-broadcasting them per iteration is free, while
+    * shipping every vector through a join never is). All distance math is
+    * exact integer (quantized micro-units): dist2 = n2 + c2 − 2·dot.
+    * Carries (cell, dist2, dot, c2) for downstream stats. */
+  private[graft] def lloydAssign(e: DataFrame, cents: Array[(Long, Array[Long])]): DataFrame = {
+    val structs = cents.map { case (id, cv) =>
+      val cvLit = array(cv.map(lit(_)): _*)
+      val c2 = cv.map(x => x * x).sum
+      val dot = dotQ(col("v"), cvLit)
+      struct(
+        (lit(c2) + col("n2") - lit(2L) * dot).as("dist2"),
+        lit(id).as("cent_id"),
+        dot.as("dot"),
+        lit(c2).as("c2"))
+    }
+    e.withColumn("m", array_min(array(structs: _*)))
+      .select(col("vec_id"), col("v"), col("n2"),
+        col("m.cent_id").as("cell"), col("m.dist2").as("dist2"),
+        col("m.dot").as("dot"), col("m.c2").as("c2"))
+  }
+
+  /** Distributed Lloyd k-means, `rounds` update steps from the fixed seed
+    * centroids (vec_id < 8, the d07 convention): assign map-side (see
+    * [[lloydAssign]]), then the centroid update as a per-(cell, dim)
+    * partial-aggregable sum — posexplode shuffles only (cell, pos, long)
+    * triples with map-side combine, so the exchange carries k×64 rows per
+    * partition regardless of corpus size. New centroid components are
+    * round(sum/count) on an EXACT integer sum (never fp `avg`, whose
+    * accumulation order would ruin cross-engine parity); the tiny k×dim
+    * result is collected and re-embedded as literals for the next pass —
+    * the same collect-and-rebroadcast loop MLlib's KMeans runs. Returns
+    * the final assignment (against the last updated centroids). */
+  private[graft] def centroidUpdateDF(a: DataFrame): DataFrame =
+    a.select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos")
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
+      .withColumn("m", round(col("sx").cast("double") / col("cnt")).cast("long"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell"), transform(col("pm"), p => p.getField("m")).as("cv"))
+
+  private def kmeansAssign(s: org.apache.spark.sql.SparkSession, d: String,
+      rounds: Int): DataFrame = {
+    graft.functions.LongDot.register(s)
+    val e = Dedup.reuse(Tables.embeddings(s, d)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("n2", norm2Q(col("v"))))
+    var cents: Array[(Long, Array[Long])] = e.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+    for (_ <- 1 to rounds) {
+      cents = centroidUpdateDF(lloydAssign(e, cents))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+    }
+    lloydAssign(e, cents)
+  }
+
+  /** Shared oracle text for the 2-round Lloyd pipeline (init = vec_id<8
+    * seeds; two exact integer assignment passes with round(sum/count)
+    * centroid updates between them; a3 = final assignment). DuckDB
+    * evaluates the same math on the same integers, so cluster membership
+    * and inertia hash-match. */
+  private val lloydOracleCtes =
+    """WITH e AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+         FROM embeddings),
+       n AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2 FROM e),
+       c0 AS (SELECT vec_id AS cent_id, v AS cv,
+                     CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS c2
+              FROM e WHERE vec_id < 8),
+       a1 AS (
+         SELECT vec_id, v, cell FROM (
+           SELECT n.vec_id, n.v, c.cent_id AS cell,
+                  row_number() OVER (PARTITION BY n.vec_id
+                    ORDER BY n.n2 + c.c2 - 2 * CAST(list_sum(list_transform(generate_series(1, 64), i -> n.v[i] * c.cv[i])) AS BIGINT) ASC,
+                             c.cent_id) AS rn
+           FROM n, c0 c) t WHERE rn = 1),
+       u1 AS (
+         SELECT cell, i, CAST(round(CAST(sum(v[i]) AS DOUBLE) / count(*)) AS BIGINT) AS m
+         FROM a1 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) ix
+         GROUP BY cell, i),
+       c1 AS (
+         SELECT cell AS cent_id, list(m ORDER BY i) AS cv,
+                CAST(list_sum(list_transform(list(m ORDER BY i), x -> x * x)) AS BIGINT) AS c2
+         FROM u1 GROUP BY cell),
+       a2 AS (
+         SELECT vec_id, v, cell FROM (
+           SELECT n.vec_id, n.v, c.cent_id AS cell,
+                  row_number() OVER (PARTITION BY n.vec_id
+                    ORDER BY n.n2 + c.c2 - 2 * CAST(list_sum(list_transform(generate_series(1, 64), i -> n.v[i] * c.cv[i])) AS BIGINT) ASC,
+                             c.cent_id) AS rn
+           FROM n, c1 c) t WHERE rn = 1),
+       u2 AS (
+         SELECT cell, i, CAST(round(CAST(sum(v[i]) AS DOUBLE) / count(*)) AS BIGINT) AS m
+         FROM a2 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) ix
+         GROUP BY cell, i),
+       c2t AS (
+         SELECT cell AS cent_id, list(m ORDER BY i) AS cv,
+                CAST(list_sum(list_transform(list(m ORDER BY i), x -> x * x)) AS BIGINT) AS c2
+         FROM u2 GROUP BY cell),
+       a3 AS (
+         SELECT vec_id, n2, cell, dist2, dot, c2 FROM (
+           SELECT n.vec_id, n.n2, c.cent_id AS cell, c.c2,
+                  CAST(list_sum(list_transform(generate_series(1, 64), i -> n.v[i] * c.cv[i])) AS BIGINT) AS dot,
+                  n.n2 + c.c2 - 2 * CAST(list_sum(list_transform(generate_series(1, 64), i -> n.v[i] * c.cv[i])) AS BIGINT) AS dist2,
+                  row_number() OVER (PARTITION BY n.vec_id
+                    ORDER BY n.n2 + c.c2 - 2 * CAST(list_sum(list_transform(generate_series(1, 64), i -> n.v[i] * c.cv[i])) AS BIGINT) ASC,
+                             c.cent_id) AS rn
+           FROM n, c2t c) t WHERE rn = 1)"""
+
+  /** Distributed k-means over the embedding corpus — the clustering pass
+    * a curation pipeline runs before SemDeDup (d14 consumes exactly this
+    * kind of cell structure) or IVF index builds (d07's cells are its
+    * 0-round special case). Two Lloyd rounds from fixed seeds; outputs
+    * per-cluster membership stats and EXACT integer inertia — the
+    * convergence quantity — as verified columns. */
+  private val d24 = Q(
+    "d24_kmeans",
+    lloydOracleCtes +
+      """
+       SELECT cell AS cluster, count(*) AS n_vecs, min(vec_id) AS first_vec,
+              CAST(sum(dist2) AS BIGINT) AS inertia
+       FROM a3 GROUP BY cell ORDER BY cluster""") { (s, d) =>
+    kmeansAssign(s, d, rounds = 2)
+      .groupBy(col("cell").as("cluster"))
+      .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("first_vec"),
+        sum(col("dist2")).as("inertia"))
+      .orderBy("cluster")
+  }
+
+  /** Cluster-representative selection — the "keep one per cluster" policy
+    * step (SemDeDup keeps the member closest to the centroid; so does
+    * this): per final k-means cell, the vector with minimal dist2 (tie on
+    * vec_id), with its centroid cosine as a verified quality column. The
+    * argmin is a `min(struct(...))` hash aggregate — map-side
+    * combinable, no per-cell sort, no window. */
+  private val d25 = Q(
+    "d25_cluster_reps",
+    lloydOracleCtes +
+      """,
+       rep AS (
+         SELECT cell, vec_id, dot, n2, c2,
+                row_number() OVER (PARTITION BY cell ORDER BY dist2 ASC, vec_id) AS rn,
+                count(*) OVER (PARTITION BY cell) AS n_vecs
+         FROM a3)
+       SELECT cell AS cluster, vec_id AS rep_vec, n_vecs,
+              round(dot / (sqrt(n2) * sqrt(c2)), 6) AS rep_cos
+       FROM rep WHERE rn = 1 ORDER BY cluster""") { (s, d) =>
+    kmeansAssign(s, d, rounds = 2)
+      .groupBy(col("cell").as("cluster"))
+      .agg(
+        min(struct(col("dist2"), col("vec_id"), col("dot"), col("n2"), col("c2"))).as("r"),
+        count(lit(1)).as("n_vecs"))
+      .select(col("cluster"), col("r.vec_id").as("rep_vec"), col("n_vecs"),
+        round(col("r.dot") / (sqrt(col("r.n2")) * sqrt(col("r.c2"))), 6).as("rep_cos"))
+      .orderBy("cluster")
+  }
+
+  val defs: Seq[Q] = Seq(d05, d06, d07, d12, d14, d16, d19, d24, d25)
 }
