@@ -698,5 +698,163 @@ object Similarity {
       .orderBy("cluster")
   }
 
-  val defs: Seq[Q] = Seq(d05, d06, d07, d12, d14, d16, d19, d24, d25)
+  /** Product-quantization ANN with MEASURED recall (the FAISS-style PQ
+    * path: 64 dims → 8 subspaces × 64 codes, codebook from the vec_id<64
+    * seeds' subvectors): each vector compresses to 8 code bytes (64× vs
+    * float32), queries score candidates by ASYMMETRIC distance — the
+    * query precomputes its 8×16 LUT of subspace distances once, and each
+    * candidate costs 8 table lookups instead of a 64-dim dot.
+    *
+    * This runs the full production funnel: ADC ranks the whole corpus
+    * from codes alone, the top-50 candidates are RE-RANKED by exact
+    * distance (the float-refine step every deployed PQ system adds), and
+    * BOTH recalls — raw ADC@10 and funnel@10 — are emitted per query as
+    * verified columns, so the lift the re-rank buys is itself a measured,
+    * hash-checked quantity.
+    *
+    * Scale shape: encoding is a pure map (argmin over literal codebook
+    * structs, the lloydAssign trick per subspace — no join, no shuffle);
+    * the query LUTs ride a 15-row broadcast; the corpus streams once and
+    * only (qid, cid, approx) longs reach the heap top-k; the exact
+    * re-rank touches 50 vectors per query, not the corpus. All distance
+    * math is exact integers end to end. */
+  private val d26 = Q(
+    "d26_pq_recall",
+    """WITH e AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+         FROM embeddings),
+       subs AS (SELECT unnest(generate_series(0, 7)) AS s),
+       vs AS (
+         SELECT vec_id, s, list_slice(v, s * 8 + 1, s * 8 + 8) AS sv
+         FROM e CROSS JOIN subs),
+       cbs AS (SELECT vec_id AS code, s, sv AS cv FROM vs WHERE vec_id < 64),
+       enc AS (
+         SELECT vec_id, s, code FROM (
+           SELECT v.vec_id, v.s, c.code,
+                  row_number() OVER (PARTITION BY v.vec_id, v.s
+                    ORDER BY CAST(list_sum(list_transform(generate_series(1, 8),
+                               i -> (v.sv[i] - c.cv[i]) * (v.sv[i] - c.cv[i]))) AS BIGINT) ASC,
+                             c.code) AS rn
+           FROM vs v JOIN cbs c ON v.s = c.s) t WHERE rn = 1),
+       qs AS (SELECT vec_id AS qid, s, sv FROM vs WHERE vec_id >= 10 AND vec_id < 25),
+       adc AS (
+         SELECT q.qid, en.vec_id AS cid,
+                CAST(sum(list_sum(list_transform(generate_series(1, 8),
+                  i -> (q.sv[i] - c.cv[i]) * (q.sv[i] - c.cv[i])))) AS BIGINT) AS ad
+         FROM qs q
+         JOIN enc en ON en.s = q.s AND en.vec_id <> q.qid
+         JOIN cbs c ON c.s = en.s AND c.code = en.code
+         GROUP BY q.qid, en.vec_id),
+       adc_ranked AS (
+         SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY ad ASC, cid) AS rk
+         FROM adc),
+       adc_top AS (SELECT qid, cid FROM adc_ranked WHERE rk <= 10),
+       approx50 AS (SELECT qid, cid FROM adc_ranked WHERE rk <= 50),
+       n AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2 FROM e),
+       exact_pairs AS (
+         SELECT q.vec_id AS qid, c.vec_id AS cid,
+                q.n2 + c.n2 - 2 * CAST(list_sum(list_transform(generate_series(1, 64),
+                  i -> q.v[i] * c.v[i])) AS BIGINT) AS d2
+         FROM n q JOIN n c ON q.vec_id >= 10 AND q.vec_id < 25 AND c.vec_id <> q.vec_id),
+       exact_top AS (
+         SELECT qid, cid FROM (
+           SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, cid) AS rk
+           FROM exact_pairs) t WHERE rk <= 10),
+       rerank_top AS (
+         SELECT qid, cid FROM (
+           SELECT a.qid, a.cid,
+                  row_number() OVER (PARTITION BY a.qid ORDER BY p.d2 ASC, a.cid) AS rk
+           FROM approx50 a JOIN exact_pairs p ON p.qid = a.qid AND p.cid = a.cid) t
+         WHERE rk <= 10),
+       overlap AS (
+         SELECT e.qid,
+                count(a.cid) AS n_overlap_adc,
+                count(r.cid) AS n_overlap
+         FROM exact_top e
+         LEFT JOIN adc_top a ON e.qid = a.qid AND e.cid = a.cid
+         LEFT JOIN rerank_top r ON e.qid = r.qid AND e.cid = r.cid
+         GROUP BY e.qid)
+       SELECT qid, n_overlap_adc, round(n_overlap_adc / 10.0, 4) AS recall_adc,
+              n_overlap, round(n_overlap / 10.0, 4) AS recall_at_10
+       FROM overlap ORDER BY qid""") { (s, d) =>
+    graft.functions.LongDot.register(s)
+    graft.plans.TopKPerGroup.install(s)
+    val e = Dedup.reuse(Tables.embeddings(s, d)
+      .select(col("vec_id"), quantize(col("embedding")).as("v")))
+    // codebook: 8 subspaces × 64 codes, collected once (64×64 ints)
+    val seeds = e.filter(col("vec_id") < 64).select(col("vec_id"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+    val codebook: Array[Array[(Long, Array[Long])]] =
+      Array.tabulate(8)(sub => seeds.map { case (code, v) =>
+        (code, v.slice(sub * 8, sub * 8 + 8)) })
+    def subCol(sub: Int): Column = slice(col("v"), sub * 8 + 1, 8)
+    def subDist2(sv: Column, cv: Array[Long]): Column =
+      (0 until 8).map { i =>
+        val diff = element_at(sv, i + 1) - lit(cv(i))
+        diff * diff
+      }.reduce(_ + _)
+    // encode map-side: per subspace, argmin over the 64 literal codes
+    val encoded = e.select(col("vec_id").as("cid"),
+      array((0 until 8).map { sub =>
+        array_min(array(codebook(sub).map { case (code, cv) =>
+          struct(subDist2(subCol(sub), cv).as("d2"), lit(code).as("code"))
+        }: _*)).getField("code")
+      }: _*).as("codes"))
+    // query LUT: dist2(q_sub, codebook[sub][code]) for all 8×64 entries
+    val qlut = e.filter(col("vec_id") >= 10 && col("vec_id") < 25)
+      .select(col("vec_id").as("qid"),
+        array((0 until 8).map { sub =>
+          array(codebook(sub).map { case (_, cv) =>
+            subDist2(subCol(sub), cv)
+          }: _*)
+        }: _*).as("lut"))
+    val wr = Window.partitionBy(col("qid")).orderBy(col("ad").asc, col("cid"))
+    val adcRanked = Dedup.reuse(encoded.crossJoin(broadcast(qlut))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        (0 until 8).map(sub =>
+          element_at(element_at(col("lut"), sub + 1),
+            (element_at(col("codes"), sub + 1) + 1).cast("int"))
+        ).reduce(_ + _).as("ad"))
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= 50)
+      .select(col("qid"), col("cid"), col("rk")))
+    val adcTop = adcRanked.filter(col("rk") <= 10).select(col("qid"), col("cid"))
+    val approx50 = adcRanked.select(col("qid"), col("cid"))
+    val n = e.withColumn("n2", norm2Q(col("v")))
+    val q = n.filter(col("vec_id") >= 10 && col("vec_id") < 25)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+    val pairsD2 = Dedup.reuse(
+      n.select(col("vec_id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
+        .crossJoin(broadcast(q))
+        .filter(col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid"),
+          (col("qn2") + col("cn2") - lit(2L) * dotQ(col("qv"), col("cv"))).as("d2")))
+    val we = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("cid"))
+    val exactTop = pairsD2
+      .withColumn("rk", row_number().over(we))
+      .filter(col("rk") <= 10)
+      .select(col("qid").as("eqid"), col("cid").as("ecid"))
+    // exact re-rank of the 50 ADC survivors (750 pairs, broadcast side)
+    val rerankTop = pairsD2
+      .join(broadcast(approx50), Seq("qid", "cid"))
+      .withColumn("rk", row_number().over(we))
+      .filter(col("rk") <= 10)
+      .select(col("qid").as("rqid"), col("cid").as("rcid"))
+    exactTop
+      .join(adcTop,
+        col("eqid") === adcTop("qid") && col("ecid") === adcTop("cid"), "left")
+      .join(rerankTop,
+        col("eqid") === col("rqid") && col("ecid") === col("rcid"), "left")
+      .groupBy(col("eqid").as("qid"))
+      .agg(count(adcTop("cid")).as("n_overlap_adc"),
+        count(col("rcid")).as("n_overlap"))
+      .select(col("qid"),
+        col("n_overlap_adc"), round(col("n_overlap_adc") / 10.0, 4).as("recall_adc"),
+        col("n_overlap"), round(col("n_overlap") / 10.0, 4).as("recall_at_10"))
+      .orderBy("qid")
+  }
+
+  val defs: Seq[Q] = Seq(d05, d06, d07, d12, d14, d16, d19, d24, d25, d26)
 }

@@ -126,6 +126,22 @@ class ExtensionOpsSpec extends SparkTestBase {
       }
   }
 
+  test("d26 PQ funnel: query LUTs broadcast, ranking rides the heap " +
+    "top-k, and no corpus vector/code array ever crosses a shuffle") {
+    val df = SparkEntry.queries("d26_pq_recall")(spark, sf0001)
+    val p = plan(df)
+    assert(p.contains("TopKPerGroup"),
+      s"ADC ranking should use the heap top-k operator:\n$p")
+    val ex = shuffles(df)
+    assert(ex.nonEmpty)
+    val banned = Set("v", "codes", "lut", "qv", "cv", "embedding")
+    ex.foreach { e =>
+      val wide = e.child.schema.fieldNames.filter(banned)
+      assert(wide.isEmpty,
+        s"shuffle carries corpus-sized array columns ${wide.mkString(",")}:\n$e")
+    }
+  }
+
   test("d24/d25 invariants at sf0.001: clusters partition the corpus and " +
     "every representative belongs to its cluster") {
     val km = SparkEntry.queries("d24_kmeans")(spark, sf0001).collect()
