@@ -789,25 +789,39 @@ object Similarity {
       Array.tabulate(8)(sub => seeds.map { case (code, v) =>
         (code, v.slice(sub * 8, sub * 8 + 8)) })
     def subCol(sub: Int): Column = slice(col("v"), sub * 8 + 1, 8)
-    def subDist2(sv: Column, cv: Array[Long]): Column =
-      (0 until 8).map { i =>
-        val diff = element_at(sv, i + 1) - lit(cv(i))
-        diff * diff
-      }.reduce(_ + _)
-    // encode map-side: per subspace, argmin over the 64 literal codes
+    // subspace distance as a HOF pair (zip_with + aggregate): the 64-code
+    // scan stays a COMPACT expression tree that loops at eval time —
+    // unrolling 8 subspaces × 64 codes × 8 dims into literal terms makes
+    // janino spend ~40s compiling the projection (measured), for the same
+    // integers
+    def hofDist2(sv: Column, cv: Column): Column =
+      aggregate(zip_with(sv, cv, (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+    // encode map-side: per subspace, argmin over the literal codebook
+    // (codes are the contiguous seed ids 0..63, so code == position — the
+    // LUT lookup below indexes on that invariant)
     val encoded = e.select(col("vec_id").as("cid"),
       array((0 until 8).map { sub =>
-        array_min(array(codebook(sub).map { case (code, cv) =>
-          struct(subDist2(subCol(sub), cv).as("d2"), lit(code).as("code"))
-        }: _*)).getField("code")
+        val cbV = typedLit(codebook(sub).map(_._2.toSeq))
+        val cbI = typedLit(codebook(sub).map(_._1))
+        val sv = subCol(sub)
+        aggregate(
+          sequence(lit(0), lit(codebook(sub).length - 1)),
+          struct(lit(Long.MaxValue).as("d2"), lit(Long.MaxValue).as("code")),
+          (acc, j) => {
+            val cv = element_at(cbV, (j + 1).cast("int"))
+            val d2 = hofDist2(sv, cv)
+            val code = element_at(cbI, (j + 1).cast("int"))
+            when(d2 < acc.getField("d2"),
+              struct(d2.as("d2"), code.as("code"))).otherwise(acc)
+          }).getField("code")
       }: _*).as("codes"))
     // query LUT: dist2(q_sub, codebook[sub][code]) for all 8×64 entries
     val qlut = e.filter(col("vec_id") >= 10 && col("vec_id") < 25)
       .select(col("vec_id").as("qid"),
         array((0 until 8).map { sub =>
-          array(codebook(sub).map { case (_, cv) =>
-            subDist2(subCol(sub), cv)
-          }: _*)
+          val cbV = typedLit(codebook(sub).map(_._2.toSeq))
+          transform(cbV, cv => hofDist2(subCol(sub), cv))
         }: _*).as("lut"))
     val wr = Window.partitionBy(col("qid")).orderBy(col("ad").asc, col("cid"))
     val adcRanked = Dedup.reuse(encoded.crossJoin(broadcast(qlut))
