@@ -179,5 +179,82 @@ object Multimodal {
       .orderBy("payload_md5")
   }
 
-  val defs: Seq[Q] = Seq(m01, m02, m03, m04)
+  /** Media NEAR-dup detection — m04 catches byte-identical copies; this
+    * catches re-encodes/corruptions that perturb a few bytes: a 64-bit
+    * simhash over overlapping byte 4-grams of the payload (hex-lifted —
+    * every byte boundary starts a shingle, so the fingerprint is robust
+    * to local edits AND to byte shifts, unlike fixed-frame hashing),
+    * banded 4×16 bits so hamming ≤ 3 pairs are found by equi-join
+    * pigeonhole — never an O(n²) payload comparison.
+    *
+    * Scale shape: d11's contract on binary — payloads are hashed
+    * map-side and never shuffle; only (media_id, 64-bit sig) enter the
+    * band join, the packed signature rides the band rows so the pair
+    * stage never joins back, and the bucket cap kills degenerate bands.
+    * Output is the pair census per hamming distance. */
+  private val m05 = Q(
+    "m05_media_near_dup",
+    """WITH hx AS (SELECT doc_id, hex(encode(text)) AS h FROM documents),
+       hashed AS (
+         SELECT doc_id,
+                list_transform(generate_series(1, length(h) - 7, 2),
+                  i -> md5(substring(h, i, 8))) AS md5s
+         FROM hx),
+       s AS (
+         SELECT doc_id,
+                array_to_string(list_transform(generate_series(1, 64), i ->
+                  CASE WHEN list_sum(list_transform(md5s, m ->
+                    CASE WHEN i <= 32
+                         THEN CASE WHEN substring(m, i, 1) IN ('8','9','a','b','c','d','e','f')
+                              THEN 1 ELSE -1 END
+                         ELSE CASE WHEN substring(m, i - 32, 1) IN ('1','3','5','7','9','b','d','f')
+                              THEN 1 ELSE -1 END
+                    END)) > 0 THEN '1' ELSE '0' END), '') AS sig
+         FROM hashed),
+       bands AS (
+         SELECT doc_id, b, substring(sig, b*16 + 1, 16) AS bits
+         FROM s, (SELECT unnest(generate_series(0, 3)) AS b) bs),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.b = b.b AND a.bits = b.bits AND a.doc_id < b.doc_id),
+       h AS (
+         SELECT id_a, id_b,
+                CAST(list_sum(list_transform(generate_series(1, 64), i ->
+                  CASE WHEN substring(sa.sig, i, 1) = substring(sb.sig, i, 1)
+                       THEN 0 ELSE 1 END)) AS BIGINT) AS hamming
+         FROM cand JOIN s sa ON sa.doc_id = id_a JOIN s sb ON sb.doc_id = id_b)
+       SELECT hamming, count(*) AS n_pairs,
+              min(id_a) AS min_id_a, max(id_b) AS max_id_b
+       FROM h WHERE hamming <= 3
+       GROUP BY hamming ORDER BY hamming""") { (s, d) =>
+    graft.functions.SimHash64.register(s)
+    val media = Dedup.spreadToCores(asMediaTable(Tables.documents(s, d)).toDF())
+    val sigs = Dedup.reuse(media
+      .select(col("media_id").as("doc_id"), hex(col("payload")).as("h"))
+      .withColumn("md5s",
+        expr("transform(sequence(1, length(h) - 7, 2), i -> md5(substring(h, i, 8)))"))
+      .select(col("doc_id"), graft.functions.SimHash64.simhash64(col("md5s")).as("sig"))
+      .withColumn("si", expr(
+        "transform(sequence(0, 3), b -> cast(conv(substring(sig, b*16 + 1, 16), 2, 10) as bigint))")))
+    val bands0 = sigs.select(col("doc_id"), col("si"),
+      posexplode(array((0 until 4).map(b => substring(col("sig"), b * 16 + 1, 16)): _*))
+        .as(Seq("b", "bits")))
+    val bands = Dedup.dropOversizedBuckets(bands0, Seq("b", "bits"), Dedup.bucketCap(s))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.b") === col("b.b") && col("a.bits") === col("b.bits")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        expr("aggregate(zip_with(a.si, b.si, (x, y) -> bit_count(x ^ y)), 0, (acc, c) -> acc + c)")
+          .cast(LongType).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct()
+      .groupBy("hamming")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("id_a")).as("min_id_a"), max(col("id_b")).as("max_id_b"))
+      .orderBy("hamming")
+  }
+
+  val defs: Seq[Q] = Seq(m01, m02, m03, m04, m05)
 }

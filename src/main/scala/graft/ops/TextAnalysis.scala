@@ -852,6 +852,64 @@ object TextAnalysis {
       .orderBy("query_id", "rank")
   }
 
+  /** Corpus-wide boilerplate removal (the RefinedWeb/CCNet line-dedup
+    * family, on token segments since the fixture has no newlines): cut
+    * each doc into non-overlapping 4-token segments, find segments
+    * appearing in ≥5 DISTINCT documents (headers, footers, templates),
+    * and report per-doc how many tokens survive their removal — the
+    * cross-document sibling of t09's within-doc repetition filter, and a
+    * REMOVER where d22's substring detector is a flagger.
+    *
+    * Scale shape: segments shuffle only as md5 keys for the distinct-doc
+    * census; the boilerplate set (only segments repeated ≥5×) is small by
+    * construction and BROADCAST back, so the removal pass is map-side on
+    * the corpus scan. */
+  private val t18 = Q(
+    "t18_boilerplate_segments",
+    """WITH t AS (
+         SELECT doc_id, string_split(text, ' ') AS ws,
+                len(string_split(text, ' ')) AS n
+         FROM documents),
+       seg AS (
+         SELECT doc_id, least(4, n - st) AS seg_len,
+                md5(array_to_string(list_slice(ws, st + 1, st + least(4, n - st)), ' ')) AS h
+         FROM (SELECT doc_id, ws, n,
+                      unnest(generate_series(0, n - 1, 4)) AS st FROM t)),
+       boiler AS (
+         SELECT h FROM (
+           SELECT h, count(DISTINCT doc_id) AS nd FROM seg GROUP BY h) c
+         WHERE nd >= 5),
+       flagged AS (
+         SELECT s.doc_id, s.seg_len, (b.h IS NOT NULL) AS is_boiler
+         FROM seg s LEFT JOIN boiler b ON s.h = b.h)
+       SELECT doc_id,
+              count(*) AS n_segments,
+              CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler_segments,
+              CAST(sum(seg_len) AS BIGINT) AS total_tokens,
+              CAST(sum(CASE WHEN is_boiler THEN 0 ELSE seg_len END) AS BIGINT) AS retained_tokens
+       FROM flagged GROUP BY doc_id ORDER BY doc_id""") { (s, d) =>
+    val seg = Dedup.reuse(Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("n", size(col("ws")))
+      .select(col("doc_id"), col("ws"), col("n"),
+        explode(sequence(lit(0), col("n") - 1, lit(4))).as("st"))
+      .withColumn("seg_len", least(lit(4), col("n") - col("st")))
+      .select(col("doc_id"), col("seg_len"),
+        md5(array_join(slice(col("ws"), col("st") + 1, col("seg_len")), " ")).as("h")))
+    val boiler = seg.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 5)
+      .select(col("h").as("bh"))
+    seg.join(broadcast(boiler), col("h") === col("bh"), "left")
+      .select(col("doc_id"), col("seg_len"), col("bh").isNotNull.as("is_boiler"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("is_boiler"), 1L).otherwise(0L)).as("n_boiler_segments"),
+        sum(col("seg_len")).as("total_tokens"),
+        sum(when(col("is_boiler"), 0L).otherwise(col("seg_len"))).as("retained_tokens"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
-    t11, t12, t13, t14, t15, t16, t17)
+    t11, t12, t13, t14, t15, t16, t17, t18)
 }

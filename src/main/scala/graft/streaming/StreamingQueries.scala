@@ -760,8 +760,44 @@ object StreamingQueries {
       .orderBy("user_id")
   }
 
+  /** Stream-stream LEFT SEMI join — the third watermark-join mode (s09
+    * inner, s17 left outer): flag purchases that saw ≥1 error in their
+    * 10-minute window, emitting each qualifying purchase exactly once
+    * with nothing from the right side. Semi state is cheaper than inner:
+    * a matched left row retires immediately instead of waiting to pair
+    * with further right rows. */
+  private val s18 = Q(
+    "s18_stream_semi_join",
+    """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+       e AS (SELECT user_id, ts FROM events WHERE event_type = 'error'),
+       hits AS (
+         SELECT DISTINCT p.event_id, p.user_id
+         FROM p JOIN e ON p.user_id = e.user_id
+          AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 10 MINUTE)
+       SELECT user_id, count(*) AS n_flagged
+       FROM hits GROUP BY user_id ORDER BY user_id""") { (s, d) =>
+    val purchases = eventsStream(s, d)
+      .filter(col("event_type") === "purchase")
+      .withWatermark("ts", "1 hour")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val errors = eventsStream(s, d)
+      .filter(col("event_type") === "error")
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+    val joined = purchases.join(errors,
+      col("p_user") === col("e_user")
+        && col("e_ts") >= col("p_ts")
+        && col("e_ts") <= col("p_ts") + expr("interval 10 minutes"),
+      "left_semi")
+    runToMemory(joined, OutputMode.Append())
+      .groupBy(col("p_user").as("user_id"))
+      .agg(count(lit(1)).as("n_flagged"))
+      .orderBy("user_id")
+  }
+
   val defs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
-    s11, s12, s13, s14, s15, s16, s17)
+    s11, s12, s13, s14, s15, s16, s17, s18)
 }
 
 /** s11's StatefulProcessor: cumulative (event count, value cents) per

@@ -178,6 +178,42 @@ class ExtensionOpsSpec extends SparkTestBase {
     }
   }
 
+  test("m05 media near-dup: payloads and hex/shingle columns never " +
+    "shuffle — only ids, signatures, and band bits cross the wire") {
+    val df = SparkEntry.queries("m05_media_near_dup")(spark, sf0001)
+    val banned = Set("payload", "h", "md5s", "text")
+    shuffles(df).foreach { e =>
+      val wide = e.child.schema.fieldNames.filter(banned)
+      assert(wide.isEmpty,
+        s"shuffle carries payload-sized columns ${wide.mkString(",")}:\n$e")
+    }
+  }
+
+  test("t18 boilerplate removal: the boiler set reaches the corpus as a " +
+    "broadcast and no shuffle carries text or token arrays") {
+    val df = SparkEntry.queries("t18_boilerplate_segments")(spark, sf0001)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"boiler set should broadcast back to the segment stream:\n$p")
+    val banned = Set("text", "ws")
+    shuffles(df).foreach { e =>
+      val wide = e.child.schema.fieldNames.filter(banned)
+      assert(wide.isEmpty,
+        s"shuffle carries corpus text columns ${wide.mkString(",")}:\n$e")
+    }
+  }
+
+  test("s18 semi stream join: qualifying purchases are flagged exactly " +
+    "once (counts bounded by the purchase count)") {
+    val res = SparkEntry.queries("s18_stream_semi_join")(spark, sf001)
+      .select($"user_id", $"n_flagged").as[(Long, Long)].collect()
+    assert(res.nonEmpty, "semi join produced nothing at sf0.01")
+    assert(res.forall(_._2 > 0))
+    val purchases = spark.read.parquet(s"$sf001/events.parquet")
+      .where("event_type = 'purchase'").count()
+    assert(res.map(_._2).sum <= purchases)
+  }
+
   test("s17 left-outer stream join: both match and watermark-closed " +
     "no-match emissions are exercised") {
     // sf0.01: the smallest fixture with purchase→error pairs inside 10min
