@@ -46,7 +46,22 @@ object ScaleProbe {
     val dir = Scratch.dir("graft_sf1_docs")
     docs.repartition(8).write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
-    val names = Seq("d08_dedup_groups", "d11_simhash_dedup", "d15_verified_dedup_groups")
+    // 10× embeddings (20,000 vectors vs sf0.1's 2,000), matching the
+    // fixture's profile: 64 dims, components uniform in ±0.575, 10
+    // labels — deterministic from md5 like the docs. Covers the
+    // clustering/ANN family (d24 k-means, d26 PQ funnel) whose quadratic
+    // hazard is cell/candidate population, not LSH buckets.
+    val ne = 20000L
+    spark.range(ne)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(1), lit(64)),
+          j => ((h(concat(col("id"), lit("|e"), j)) % 1150001 - 575000) / 1e6)
+            .cast("float")).as("embedding"),
+        (col("id") % 10).cast("int").as("label"))
+      .repartition(8).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val names = Seq("d08_dedup_groups", "d11_simhash_dedup", "d15_verified_dedup_groups",
+      "m05_media_near_dup", "d24_kmeans", "d26_pq_recall")
     // JIT/codegen warm at the smallest SF (Bench methodology)
     names.foreach(nm =>
       SparkEntry.queries(nm)(spark, "/root/testdata/sf0.001").count())
