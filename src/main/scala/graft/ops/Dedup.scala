@@ -1469,6 +1469,106 @@ object Dedup {
       .orderBy("new_doc_id")
   }
 
+  /** The τ OPERATING CURVE for verified dedup — the tuning artifact a
+    * data team reads before picking d15's threshold: candidates are
+    * banded and Jaccard-scored ONCE (τ=0 keeps every scored pair), then
+    * one tiny broadcast of the τ grid fans the scored pairs into
+    * per-threshold counts: verified pairs, band precision (what fraction
+    * of LSH collisions survive), docs flagged, and the verified-Jaccard
+    * range. Sweeping τ costs ONE extra pass over the scored-pair table —
+    * never a re-shingle, never a re-band — because the expensive pipeline
+    * is threshold-independent by construction. Order statistics (min/max)
+    * rather than a mean keep the fp outputs exact (each Jaccard is a
+    * single divide; a mean would accumulate fp across rows). */
+  private val d27 = Q(
+    "d27_dedup_tau_sweep",
+    """WITH docs AS (
+         SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       sh AS (
+         SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+         FROM (SELECT doc_id, ws,
+                      unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+               FROM docs)),
+       hs AS (
+         SELECT doc_id, ('0x' || substring(md5(sh), 1, 8))::BIGINT AS h1,
+                ('0x' || substring(md5(sh), 9, 8))::BIGINT AS h2
+         FROM sh),
+       sig AS (
+         SELECT doc_id, seed, min(h1 + seed * h2) AS mh
+         FROM hs, (SELECT unnest(generate_series(0, 7)) AS seed) seeds
+         GROUP BY doc_id, seed),
+       bands AS (
+         SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+                md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS band_key
+         FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)),
+       pairs AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       shd AS (SELECT DISTINCT doc_id, h1 * 134217728 + h2 % 134217728 AS h
+               FROM hs),
+       sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+       inter AS (
+         SELECT p.id_a, p.id_b, count(*) AS ni
+         FROM pairs p
+           JOIN shd a ON a.doc_id = p.id_a
+           JOIN shd b ON b.doc_id = p.id_b AND b.h = a.h
+         GROUP BY p.id_a, p.id_b),
+       scored AS (
+         SELECT i.id_a, i.id_b, i.ni * 1.0 / (sa.n + sb.n - i.ni) AS j
+         FROM inter i
+           JOIN sz sa ON sa.doc_id = i.id_a
+           JOIN sz sb ON sb.doc_id = i.id_b),
+       taus AS (SELECT unnest([0.3, 0.5, 0.7, 0.96, 0.98]) AS tau),
+       nc AS (SELECT count(*) AS n_candidates FROM pairs),
+       pa AS (
+         SELECT t.tau, count(*) AS n_verified,
+                round(min(s.j), 6) AS min_jaccard, round(max(s.j), 6) AS max_jaccard
+         FROM taus t JOIN scored s ON s.j >= t.tau GROUP BY t.tau),
+       da AS (
+         SELECT tau, count(DISTINCT id) AS n_docs_flagged FROM (
+           SELECT t.tau, s.id_a AS id FROM taus t JOIN scored s ON s.j >= t.tau
+           UNION ALL
+           SELECT t.tau, s.id_b FROM taus t JOIN scored s ON s.j >= t.tau) u
+         GROUP BY tau)
+       SELECT t.tau, nc.n_candidates,
+              CAST(coalesce(pa.n_verified, 0) AS BIGINT) AS n_verified,
+              round(coalesce(pa.n_verified, 0) * 1.0 / nc.n_candidates, 4) AS band_precision,
+              CAST(coalesce(da.n_docs_flagged, 0) AS BIGINT) AS n_docs_flagged,
+              pa.min_jaccard, pa.max_jaccard
+       FROM taus t CROSS JOIN nc
+         LEFT JOIN pa ON pa.tau = t.tau
+         LEFT JOIN da ON da.tau = t.tau
+       ORDER BY t.tau""") { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val (buckets, shingles) = lshBucketsAndShingles(docs, "doc_id", "text",
+      shingleWords = 3, bands = 4, rowsPerBand = 2)
+    val cand = reuse(candidatePairs(buckets, materialize = false))
+    val scored = reuse(jaccardVerifiedPairs(cand, shingles, tau = 0.0))
+    val taus = Seq(0.3, 0.5, 0.7, 0.96, 0.98).toDF("tau")
+    val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+    val sweep = scored.crossJoin(broadcast(taus))
+      .filter(col("jaccard") >= col("tau"))
+    val pa = sweep.groupBy("tau")
+      .agg(count(lit(1)).as("n_verified"),
+        round(min(col("jaccard")), 6).as("min_jaccard"),
+        round(max(col("jaccard")), 6).as("max_jaccard"))
+    val da = sweep.select(col("tau"), col("id_a").as("id"))
+      .unionAll(sweep.select(col("tau"), col("id_b").as("id")))
+      .groupBy("tau").agg(countDistinct(col("id")).as("n_docs_flagged"))
+    taus.crossJoin(broadcast(nCand))
+      .join(pa, Seq("tau"), "left")
+      .join(da, Seq("tau"), "left")
+      .select(col("tau"), col("n_candidates"),
+        coalesce(col("n_verified"), lit(0L)).as("n_verified"),
+        round(coalesce(col("n_verified"), lit(0L)) * lit(1.0) / col("n_candidates"), 4)
+          .as("band_precision"),
+        coalesce(col("n_docs_flagged"), lit(0L)).as("n_docs_flagged"),
+        col("min_jaccard"), col("max_jaccard"))
+      .orderBy("tau")
+  }
+
   val defs: Seq[Q] = Seq(d01, d02, d03, d04, d08, d09, d10, d11, d13, d15,
-    d17, d18, d20, d21, d22, d23)
+    d17, d18, d20, d21, d22, d23, d27)
 }
