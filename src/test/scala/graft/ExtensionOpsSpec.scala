@@ -214,6 +214,44 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(res.map(_._2).sum <= purchases)
   }
 
+  test("multi-batch replay: the streaming sketch aggregate across 3 real " +
+    "micro-batches equals the one-pass batch result (state restore + " +
+    "merge-order independence, not just single-batch equivalence)") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    graft.functions.MinHashSketch.register(spark)
+    val dir = graft.Scratch.dir("graft_replay")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sf001/events.parquet")
+      .select($"event_type", $"user_id", $"props")
+      .repartition(3).write.mode("overwrite").parquet(s"$dir/ev")
+    val contentMd5 = md5(concat($"user_id".cast("string"), lit("|"), $"props"))
+    val hv = array(struct(
+      conv(substring(contentMd5, 1, 8), 16, 10).cast("long").as("h1"),
+      conv(substring(contentMd5, 9, 8), 16, 10).cast("long").as("h2")))
+    def sketch(df: org.apache.spark.sql.DataFrame) =
+      df.select($"event_type", hv.as("hv"))
+        .groupBy($"event_type")
+        .agg(graft.functions.MinHashSketch.minhash_sketch($"hv", 8).as("sk"))
+    val truth = sketch(spark.read.parquet(s"$dir/ev"))
+      .as[(String, Seq[Long])].collect().toMap
+    val src = spark.readStream
+      .schema(spark.read.parquet(s"$dir/ev").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/ev")
+    val q = sketch(src).writeStream
+      .format("memory").queryName("replay_sketch")
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    assert(batches >= 3, s"expected ≥3 data micro-batches, saw $batches")
+    val got = spark.table("replay_sketch")
+      .as[(String, Seq[Long])].collect().toMap
+    assert(got == truth,
+      "streaming sketch across 3 batches diverged from the batch sketch")
+  }
+
   test("s17 left-outer stream join: both match and watermark-closed " +
     "no-match emissions are exercised") {
     // sf0.01: the smallest fixture with purchase→error pairs inside 10min
