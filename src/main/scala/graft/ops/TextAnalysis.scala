@@ -910,6 +910,63 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Model-scored quality filter — the FineWeb-Edu/DCLM shape: a trained
+    * classifier scores every document and a threshold keeps the top
+    * slice. The MODEL IS A STUB (fixed logistic weights — no training
+    * libs in this container, builder-prompt directive); the Spark side a
+    * real deployment needs is all here and real: integer-derived features
+    * computed map-side in one scan, the weight vector living in the
+    * closure (a broadcast at fleet scale), the score a single fp
+    * expression per row — no shuffle anywhere before the presentation
+    * sort, so scoring 100 TB is embarrassingly scan-parallel.
+    *
+    * Feature fp discipline: every feature is a ratio of two integers from
+    * the same row, the dot product is a fixed-order sum of 4 terms, and
+    * sigmoid is one exp+divide — identical operand-by-operand on any
+    * engine; no cross-row fp accumulation exists to reorder. */
+  private val t19 = Q(
+    "t19_model_quality",
+    """WITH f AS (
+         SELECT doc_id,
+                len(string_split(text, ' ')) AS n_tok,
+                len(list_distinct(string_split(text, ' '))) AS n_uniq,
+                length(text) AS n_chars,
+                len(list_filter(string_split(text, ' '),
+                  t -> t IN ('the', 'a', 'of', 'el', 'la', 'de'))) AS n_stop
+         FROM documents),
+       s AS (
+         SELECT doc_id, n_tok,
+                1.0 / (1.0 + exp(-(
+                  -2.0
+                  + 0.02 * n_tok
+                  + 3.0 * (n_uniq * 1.0 / n_tok)
+                  + 8.0 * (n_stop * 1.0 / n_tok)
+                  - 0.5 * (n_chars * 1.0 / n_tok / 10.0)))) AS score
+         FROM f)
+       SELECT doc_id, n_tok, round(score, 4) AS score,
+              (score >= 0.5) AS kept
+       FROM s ORDER BY doc_id""") { (s, d) =>
+    val ws = toks("text")
+    val stops = Seq("the", "a", "of", "el", "la", "de")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(ws).as("n_tok"),
+        size(array_distinct(ws)).as("n_uniq"),
+        length(col("text")).as("n_chars"),
+        size(filter(ws, t => t.isin(stops.map(x => x: Any): _*))).as("n_stop"))
+      .select(col("doc_id"), col("n_tok").cast(LongType).as("n_tok"),
+        (lit(1.0) / (lit(1.0) + exp(-(
+          lit(-2.0)
+            + lit(0.02) * col("n_tok")
+            + lit(3.0) * (col("n_uniq") * lit(1.0) / col("n_tok"))
+            + lit(8.0) * (col("n_stop") * lit(1.0) / col("n_tok"))
+            - lit(0.5) * (col("n_chars") * lit(1.0) / col("n_tok") / lit(10.0))))))
+          .as("score"))
+      .select(col("doc_id"), col("n_tok"), round(col("score"), 4).as("score"),
+        (col("score") >= 0.5).as("kept"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
-    t11, t12, t13, t14, t15, t16, t17, t18)
+    t11, t12, t13, t14, t15, t16, t17, t18, t19)
 }
