@@ -1569,6 +1569,100 @@ object Dedup {
       .orderBy("tau")
   }
 
+  /** Canonical-survivor selection — the final act of the dedup story
+    * (band → verify → cluster → CHOOSE WHO LIVES): per verified duplicate
+    * cluster (d15's components), keep the longest member (ties → lowest
+    * id; "keep the most complete copy" is the standard crawl policy) and
+    * account for exactly how many docs/tokens deletion saves. The argmax
+    * is a `min(struct(-n_tok, id))` hash aggregate — map-side combinable,
+    * no per-cluster sort — and only (id, component, n_tok) triples ever
+    * shuffle; the corpus text stays in the scan. */
+  private val d28 = Q(
+    "d28_cluster_canonical",
+    """WITH RECURSIVE docs AS (
+         SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       sh AS (
+         SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+         FROM (SELECT doc_id, ws,
+                      unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+               FROM docs)),
+       hs AS (
+         SELECT doc_id, ('0x' || substring(md5(sh), 1, 8))::BIGINT AS h1,
+                ('0x' || substring(md5(sh), 9, 8))::BIGINT AS h2
+         FROM sh),
+       sig AS (
+         SELECT doc_id, seed, min(h1 + seed * h2) AS mh
+         FROM hs, (SELECT unnest(generate_series(0, 7)) AS seed) seeds
+         GROUP BY doc_id, seed),
+       bands AS (
+         SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+                md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS band_key
+         FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)),
+       pairs AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       shd AS (SELECT DISTINCT doc_id, h1 * 134217728 + h2 % 134217728 AS h
+               FROM hs),
+       sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+       inter AS (
+         SELECT p.id_a, p.id_b, count(*) AS ni
+         FROM pairs p
+           JOIN shd a ON a.doc_id = p.id_a
+           JOIN shd b ON b.doc_id = p.id_b AND b.h = a.h
+         GROUP BY p.id_a, p.id_b),
+       vpairs AS (
+         SELECT i.id_a, i.id_b FROM inter i
+           JOIN sz sa ON sa.doc_id = i.id_a
+           JOIN sz sb ON sb.doc_id = i.id_b
+         WHERE i.ni * 1.0 / (sa.n + sb.n - i.ni) >= 0.5),
+       nodes AS (
+         SELECT DISTINCT id FROM (
+           SELECT id_a AS id FROM vpairs UNION ALL SELECT id_b AS id FROM vpairs)),
+       edges AS (
+         SELECT id_a AS src, id_b AS dst FROM vpairs
+         UNION ALL SELECT id_b AS src, id_a AS dst FROM vpairs),
+       reach(a, b) AS (
+         SELECT id, id FROM nodes
+         UNION
+         SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+       cc AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a),
+       m AS (
+         SELECT c.component, c.doc_id,
+                len(string_split(d.text, ' ')) AS n_tok
+         FROM cc c JOIN documents d ON d.doc_id = c.doc_id),
+       ranked AS (
+         SELECT component, doc_id, n_tok,
+                row_number() OVER (PARTITION BY component
+                  ORDER BY n_tok DESC, doc_id) AS rn,
+                count(*) OVER (PARTITION BY component) AS n_members,
+                CAST(sum(n_tok) OVER (PARTITION BY component) AS BIGINT) AS total_tok
+         FROM m)
+       SELECT component, doc_id AS keep_id, CAST(n_tok AS BIGINT) AS keep_tokens,
+              n_members, CAST(total_tok - n_tok AS BIGINT) AS tokens_dropped
+       FROM ranked WHERE rn = 1 ORDER BY component""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val (buckets, shingles) = lshBucketsAndShingles(docs, "doc_id", "text",
+      shingleWords = 3, bands = 4, rowsPerBand = 2)
+    val verified = jaccardVerifiedPairs(
+      candidatePairs(buckets, materialize = false), shingles, tau = 0.5)
+    val cc = connectedComponents(verified)
+      .select(col("id").as("doc_id"), col("component"))
+    val m = cc.join(
+      docs.select(col("doc_id"), size(split(col("text"), " ")).cast(LongType).as("n_tok")),
+      "doc_id")
+    m.groupBy("component")
+      .agg(
+        min(struct((-col("n_tok")).as("neg"), col("doc_id").as("id"))).as("best"),
+        count(lit(1)).as("n_members"),
+        sum(col("n_tok")).as("total_tok"))
+      .select(col("component"), col("best.id").as("keep_id"),
+        (-col("best.neg")).as("keep_tokens"),
+        col("n_members"),
+        (col("total_tok") + col("best.neg")).as("tokens_dropped"))
+      .orderBy("component")
+  }
+
   val defs: Seq[Q] = Seq(d01, d02, d03, d04, d08, d09, d10, d11, d13, d15,
-    d17, d18, d20, d21, d22, d23, d27)
+    d17, d18, d20, d21, d22, d23, d27, d28)
 }
