@@ -870,5 +870,132 @@ object Similarity {
       .orderBy("qid")
   }
 
-  val defs: Seq[Q] = Seq(d05, d06, d07, d12, d14, d16, d19, d24, d25, d26)
+  /** Diversified top-k (MMR, λ=0.7) — relevance alone returns near-clones
+    * of each other (this corpus HAS near-dup vectors by construction);
+    * the diversified ranking penalizes each candidate by its similarity
+    * to everything already picked, the selection shape behind diverse
+    * sample curation and dedup-aware retrieval (and the diversified
+    * top-k line of work, e.g. EDBT'20 best-region search).
+    *
+    * Greedy MMR is sequential BY DEFINITION, so the scale design is the
+    * d26 funnel: the DISTRIBUTED stage scores the corpus and keeps 12
+    * candidates per query through the heap top-k; the sequential stage
+    * then runs on the tiny candidate set as three unrolled argmax steps
+    * over (candidate × selected) similarity joins — bounded by k² pairs
+    * per query, corpus-independent. All similarities are single divides
+    * of exact integer dots; selection compares those doubles identically
+    * on any engine. */
+  private val d29 = Q(
+    "d29_diversified_topk",
+    """WITH e AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+         FROM embeddings),
+       n AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2 FROM e),
+       q AS (SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM n WHERE vec_id >= 10 AND vec_id < 13),
+       scored AS (
+         SELECT q.qid, c.vec_id AS cid, c.v AS cv, c.n2 AS cn2,
+                CAST(list_sum(list_transform(generate_series(1, 64), i -> q.qv[i] * c.v[i])) AS BIGINT)
+                  / (sqrt(q.qn2) * sqrt(c.n2)) AS rel
+         FROM q JOIN n c ON c.vec_id <> q.qid),
+       cand AS (
+         SELECT qid, cid, cv, cn2, rel FROM (
+           SELECT qid, cid, cv, cn2, rel,
+                  row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rk
+           FROM scored) t WHERE rk <= 12),
+       simm AS (
+         SELECT a.qid, a.cid AS ca, b.cid AS cb,
+                CAST(list_sum(list_transform(generate_series(1, 64), i -> a.cv[i] * b.cv[i])) AS BIGINT)
+                  / (sqrt(a.cn2) * sqrt(b.cn2)) AS sim
+         FROM cand a JOIN cand b ON a.qid = b.qid AND a.cid <> b.cid),
+       s1 AS (
+         SELECT qid, cid, rel, rel AS mmr FROM (
+           SELECT qid, cid, rel,
+                  row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid) AS rn
+           FROM cand) t WHERE rn = 1),
+       r2 AS (
+         SELECT c.qid, c.cid, c.rel,
+                0.7 * c.rel - 0.3 * max(m.sim) AS score
+         FROM cand c
+           JOIN s1 ON c.qid = s1.qid AND c.cid <> s1.cid
+           JOIN simm m ON m.qid = c.qid AND m.ca = c.cid AND m.cb = s1.cid
+         GROUP BY c.qid, c.cid, c.rel),
+       s2 AS (
+         SELECT qid, cid, rel, score AS mmr FROM (
+           SELECT qid, cid, rel, score,
+                  row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
+           FROM r2) t WHERE rn = 1),
+       sel12 AS (SELECT qid, cid FROM s1 UNION ALL SELECT qid, cid FROM s2),
+       r3 AS (
+         SELECT c.qid, c.cid, c.rel,
+                0.7 * c.rel - 0.3 * max(m.sim) AS score
+         FROM cand c
+           JOIN simm m ON m.qid = c.qid AND m.ca = c.cid
+           JOIN sel12 s ON s.qid = m.qid AND s.cid = m.cb
+         WHERE NOT EXISTS (SELECT 1 FROM sel12 x WHERE x.qid = c.qid AND x.cid = c.cid)
+         GROUP BY c.qid, c.cid, c.rel),
+       s3 AS (
+         SELECT qid, cid, rel, score AS mmr FROM (
+           SELECT qid, cid, rel, score,
+                  row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
+           FROM r3) t WHERE rn = 1),
+       out AS (
+         SELECT qid, 1 AS pick, cid, rel, mmr FROM s1
+         UNION ALL SELECT qid, 2, cid, rel, mmr FROM s2
+         UNION ALL SELECT qid, 3, cid, rel, mmr FROM s3)
+       SELECT qid, CAST(pick AS BIGINT) AS pick, cid,
+              round(rel, 6) AS rel, round(mmr, 6) AS mmr
+       FROM out ORDER BY qid, pick""") { (s, d) =>
+    graft.functions.LongDot.register(s)
+    graft.plans.TopKPerGroup.install(s)
+    val n = Dedup.reuse(Tables.embeddings(s, d)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("n2", norm2Q(col("v"))))
+    val q = n.filter(col("vec_id") >= 10 && col("vec_id") < 13)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+    val wr = Window.partitionBy(col("qid")).orderBy(col("rel").desc, col("cid"))
+    val cand = Dedup.reuse(n
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
+      .crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"), col("cv"), col("cn2"),
+        (dotQ(col("qv"), col("cv")) / (sqrt(col("qn2")) * sqrt(col("cn2")))).as("rel"))
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= 12)
+      .select(col("qid"), col("cid"), col("cv"), col("cn2"), col("rel")))
+    val simm = Dedup.reuse(cand.as("a")
+      .join(cand.as("b"),
+        col("a.qid") === col("b.qid") && col("a.cid") =!= col("b.cid"))
+      .select(col("a.qid").as("qid"), col("a.cid").as("ca"), col("b.cid").as("cb"),
+        (dotQ(col("a.cv"), col("b.cv")) / (sqrt(col("a.cn2")) * sqrt(col("b.cn2"))))
+          .as("sim")))
+    def argmax(df: DataFrame, scoreCol: String): DataFrame = {
+      val w = Window.partitionBy(col("qid")).orderBy(col(scoreCol).desc, col("cid"))
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    }
+    val s1 = argmax(cand.select(col("qid"), col("cid"), col("rel")), "rel")
+      .withColumn("mmr", col("rel"))
+    def mmrStep(selected: DataFrame): DataFrame = {
+      val rem = cand.select(col("qid"), col("cid"), col("rel"))
+        .join(selected.select(col("qid"), col("cid")), Seq("qid", "cid"), "left_anti")
+      val scored = rem
+        .join(simm.join(selected.select(col("qid"), col("cid").as("cb")), Seq("qid", "cb"))
+            .groupBy(col("qid"), col("ca").as("cid")).agg(max(col("sim")).as("msim")),
+          Seq("qid", "cid"))
+        .select(col("qid"), col("cid"), col("rel"),
+          (lit(0.7) * col("rel") - lit(0.3) * col("msim")).as("score"))
+      argmax(scored, "score").withColumn("mmr", col("score")).drop("score")
+    }
+    val s2 = mmrStep(s1)
+    val s3 = mmrStep(s1.select(col("qid"), col("cid"))
+      .unionAll(s2.select(col("qid"), col("cid"))))
+    s1.withColumn("pick", lit(1L))
+      .unionByName(s2.withColumn("pick", lit(2L)))
+      .unionByName(s3.withColumn("pick", lit(3L)))
+      .select(col("qid"), col("pick"), col("cid"),
+        round(col("rel"), 6).as("rel"), round(col("mmr"), 6).as("mmr"))
+      .orderBy("qid", "pick")
+  }
+
+  val defs: Seq[Q] = Seq(d05, d06, d07, d12, d14, d16, d19, d24, d25, d26, d29)
 }
