@@ -392,6 +392,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => CosineSimilarity(exprs.head, exprs(1))))
     e.injectFunction(fn("long_dot", classOf[LongDot],
       exprs => LongDot(exprs.head, exprs(1))))
+    e.injectFunction(fn("long_l2", classOf[LongL2],
+      exprs => LongL2(exprs.head, exprs(1))))
     e.injectFunction(fn("simhash64", classOf[SimHash64],
       exprs => SimHash64(exprs.head)))
     e.injectFunction(fn("hll_distinct", classOf[HllSketch],

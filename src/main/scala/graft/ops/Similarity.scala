@@ -789,14 +789,14 @@ object Similarity {
       Array.tabulate(8)(sub => seeds.map { case (code, v) =>
         (code, v.slice(sub * 8, sub * 8 + 8)) })
     def subCol(sub: Int): Column = slice(col("v"), sub * 8 + 1, 8)
-    // subspace distance as a HOF pair (zip_with + aggregate): the 64-code
-    // scan stays a COMPACT expression tree that loops at eval time —
-    // unrolling 8 subspaces × 64 codes × 8 dims into literal terms makes
-    // janino spend ~40s compiling the projection (measured), for the same
-    // integers
+    // subspace distance via the fused long_l2 Expression: the 64-code
+    // scan stays a COMPACT expression tree (unrolling 8 subspaces × 64
+    // codes × 8 dims into literal terms makes janino spend ~40s compiling
+    // the projection — measured), and each per-code distance is one
+    // unboxed loop instead of zip_with's array alloc + lambda dispatch
+    graft.functions.LongL2.register(s)
     def hofDist2(sv: Column, cv: Column): Column =
-      aggregate(zip_with(sv, cv, (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x)
+      graft.functions.LongL2.long_l2(sv, cv)
     // encode map-side: per subspace, argmin over the literal codebook
     // (codes are the contiguous seed ids 0..63, so code == position — the
     // LUT lookup below indexes on that invariant)

@@ -142,6 +142,22 @@ class ExtensionOpsSpec extends SparkTestBase {
     }
   }
 
+  test("long_l2 fused distance: same integers as the HOF composition, " +
+    "NULL on length mismatch") {
+    graft.functions.LongL2.register(spark)
+    val df = spark.range(200).select(
+      transform(sequence(lit(0), lit(15)),
+        i => (pmod($"id" * 7 + i * 13, lit(2000)) - 1000).cast("long")).as("a"),
+      transform(sequence(lit(0), lit(15)),
+        i => (pmod($"id" * 11 + i * 5, lit(2000)) - 1000).cast("long")).as("b"))
+    val diverged = df.select(expr("long_l2(a, b)").as("x"),
+      expr("aggregate(zip_with(a, b, (p, q) -> (p - q) * (p - q)), 0L, (acc, v) -> acc + v)").as("y"))
+      .filter($"x" =!= $"y").count()
+    assert(diverged == 0)
+    assert(spark.sql("SELECT long_l2(array(1L,2L), array(1L)) AS v")
+      .collect().head.isNullAt(0))
+  }
+
   test("d24/d25 invariants at sf0.001: clusters partition the corpus and " +
     "every representative belongs to its cluster") {
     val km = SparkEntry.queries("d24_kmeans")(spark, sf0001).collect()
