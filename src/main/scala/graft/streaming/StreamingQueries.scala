@@ -796,8 +796,102 @@ object StreamingQueries {
       .orderBy("user_id")
   }
 
+  /** Plan evidence recorded by s19's foreachBatch: output columns of every
+    * broadcast exchange in the per-batch plan (the s15 pattern — a
+    * finished streaming query's batch plans aren't inspectable from
+    * outside). */
+  @volatile var s19ProbeBroadcasts: Seq[Seq[String]] = Nil
+
+  /** Streaming CHUNK-level decontamination (t15 × s13): documents arrive
+    * on a stream, each micro-batch chunks them into the t15 context
+    * windows and tests every chunk hash against the held-out benchmark's
+    * chunk set — the contamination granularity retrieval pipelines
+    * actually need (a clean doc can still embed a contaminated chunk;
+    * d13's doc-level grams can't see which window to drop). The
+    * benchmark chunk set is computed ONCE from the static split and
+    * BROADCAST into the per-batch join (recorded + spec-asserted); the
+    * arriving corpus is scanned narrowly, chunked map-side, and only
+    * (doc, chunk-hash) pairs meet the broadcast. Each doc verdicts in
+    * exactly one batch → stream-batch equivalence is structural. */
+  private val s19 = Q(
+    "s19_stream_chunk_decontaminate",
+    """WITH t AS (
+         SELECT doc_id, string_split(text, ' ') AS ws,
+                len(string_split(text, ' ')) AS n_tok
+         FROM documents),
+       c AS (
+         SELECT doc_id,
+                md5(array_to_string(
+                  list_slice(ws, start + 1, start + least(32, n_tok - start)),
+                  ' ')) AS chunk_hash
+         FROM (SELECT doc_id, ws, n_tok,
+                      unnest(generate_series(0, n_tok - 1, 24)) AS start
+               FROM t)),
+       bench AS (SELECT DISTINCT chunk_hash FROM c WHERE doc_id % 13 = 7),
+       corpus AS (SELECT doc_id, chunk_hash FROM c WHERE doc_id % 13 <> 7),
+       census AS (
+         SELECT k.doc_id, count(*) AS n_chunks,
+                CAST(sum(CASE WHEN b.chunk_hash IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_contaminated
+         FROM corpus k LEFT JOIN bench b ON k.chunk_hash = b.chunk_hash
+         GROUP BY k.doc_id)
+       SELECT doc_id, n_chunks, n_contaminated,
+              CASE WHEN n_contaminated > 0 THEN 'contaminated' ELSE 'clean' END AS verdict
+       FROM census ORDER BY doc_id""") { (s, d) =>
+    def chunks(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("n_tok", size(col("ws")))
+      .select(col("doc_id"), col("ws"), col("n_tok"),
+        explode(sequence(lit(0), col("n_tok") - 1, lit(24))).as("start"))
+      .select(col("doc_id"),
+        md5(array_join(
+          slice(col("ws"), col("start") + 1,
+            least(lit(32), col("n_tok") - col("start"))), " ")).as("chunk_hash"))
+    val benchSet = chunks(Tables.documents(s, d).filter(col("doc_id") % 13 === 7))
+      .select(col("chunk_hash").as("bh")).distinct()
+    val outDir = graft.Scratch.dir("graft_s19_sink")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(d)
+      .filter(col("doc_id") % 13 =!= 7)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val out = chunks(batch.toDF())
+          .join(broadcast(benchSet), col("chunk_hash") === col("bh"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("bh").isNotNull, 1L).otherwise(0L)).as("n_contaminated"))
+          .select(col("doc_id"), col("n_chunks"), col("n_contaminated"),
+            when(col("n_contaminated") > 0, "contaminated").otherwise("clean")
+              .as("verdict"))
+        // descend AQE's opaque adaptive node to reach the inserted
+        // exchanges (the s15 recording pattern)
+        def collectB(p: org.apache.spark.sql.execution.SparkPlan): Seq[Seq[String]] =
+          p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              collectB(a.executedPlan)
+            case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+              b.output.map(_.name) +: b.children.flatMap(collectB)
+            case other => other.children.flatMap(collectB)
+          }
+        s19ProbeBroadcasts = s19ProbeBroadcasts ++ collectB(
+          org.apache.spark.sql.classic.ClassicConversions.castToImpl(out)
+            .queryExecution.executedPlan)
+        out.write.mode("append").parquet(outDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(outDir).orderBy("doc_id")
+  }
+
   val defs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
-    s11, s12, s13, s14, s15, s16, s17, s18)
+    s11, s12, s13, s14, s15, s16, s17, s18, s19)
 }
 
 /** s11's StatefulProcessor: cumulative (event count, value cents) per

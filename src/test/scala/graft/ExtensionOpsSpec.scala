@@ -230,6 +230,15 @@ class ExtensionOpsSpec extends SparkTestBase {
     assert(res.map(_._2).sum <= purchases)
   }
 
+  test("s19 streaming chunk decontamination: the benchmark chunk set " +
+    "enters every micro-batch as a broadcast (recorded from the batch plan)") {
+    SparkEntry.queries("s19_stream_chunk_decontaminate")(spark, sf0001).collect()
+    val bs = graft.streaming.StreamingQueries.s19ProbeBroadcasts
+    assert(bs.nonEmpty, "no broadcast exchange recorded in the batch plan")
+    assert(bs.exists(_.contains("bh")),
+      s"benchmark chunk set not among broadcasts: $bs")
+  }
+
   test("multi-batch replay: the streaming sketch aggregate across 3 real " +
     "micro-batches equals the one-pass batch result (state restore + " +
     "merge-order independence, not just single-batch equivalence)") {
