@@ -308,5 +308,59 @@ object RelationalExtra {
       .orderBy("custkey", "valid_from", "tier")
   }
 
-  val defs: Seq[Q] = Seq(q33, q34, q35, q36, q37, q47, q66, q68, q69)
+  /** Conversion-funnel analysis (view → click → purchase, each step
+    * within 30 minutes of the previous): per view, the FIRST qualifying
+    * click (min over a bounded range join), then per completed step the
+    * first qualifying purchase — the sequential-pattern query every
+    * event warehouse runs. Scale shape: every join keys on user_id with
+    * a watermark-style ±30min bound, so state per key is a bounded time
+    * slice; the min-per-step is an aggregate after the range join, never
+    * a sort. */
+  private val q70 = Q(
+    "q70_funnel",
+    """WITH v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'),
+       c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+       p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+       vc AS (
+         SELECT v.user_id, v.event_id, min(c.ts) AS c_ts
+         FROM v LEFT JOIN c
+           ON c.user_id = v.user_id AND c.ts >= v.ts
+          AND c.ts <= v.ts + INTERVAL 30 MINUTE
+         GROUP BY v.user_id, v.event_id),
+       vcp AS (
+         SELECT vc.user_id, vc.event_id, vc.c_ts, min(p.ts) AS p_ts
+         FROM vc LEFT JOIN p
+           ON vc.c_ts IS NOT NULL AND p.user_id = vc.user_id
+          AND p.ts >= vc.c_ts AND p.ts <= vc.c_ts + INTERVAL 30 MINUTE
+         GROUP BY vc.user_id, vc.event_id, vc.c_ts)
+       SELECT user_id, count(*) AS n_views,
+              CAST(sum(CASE WHEN c_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked,
+              CAST(sum(CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased
+       FROM vcp GROUP BY user_id ORDER BY user_id""") { (s, d) =>
+    val ev = Tables.events(s, d)
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"))
+    val vc = v.join(c,
+        col("cu") === col("user_id") && col("cts") >= col("ts")
+          && col("cts") <= col("ts") + expr("interval 30 minutes"), "left")
+      .groupBy("user_id", "event_id")
+      .agg(min(col("cts")).as("c_ts"))
+    val vcp = vc.join(p,
+        col("c_ts").isNotNull && col("pu") === col("user_id")
+          && col("pts") >= col("c_ts")
+          && col("pts") <= col("c_ts") + expr("interval 30 minutes"), "left")
+      .groupBy("user_id", "event_id", "c_ts")
+      .agg(min(col("pts")).as("p_ts"))
+    vcp.groupBy("user_id")
+      .agg(count(lit(1)).as("n_views"),
+        sum(when(col("c_ts").isNotNull, 1L).otherwise(0L)).as("n_clicked"),
+        sum(when(col("p_ts").isNotNull, 1L).otherwise(0L)).as("n_purchased"))
+      .orderBy("user_id")
+  }
+
+  val defs: Seq[Q] = Seq(q33, q34, q35, q36, q37, q47, q66, q68, q69, q70)
 }

@@ -967,6 +967,61 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Column-profiling census (the deequ/data-card shape) — the artifact a
+    * data team generates before wiring a new table into the pipeline:
+    * per column, row/null/distinct counts and min/max, computed in ONE
+    * corpus scan (a single multi-aggregate; the per-column rows are then
+    * exploded from the one aggregate row — never five scans). Exact
+    * distincts here for oracle parity; a 100 TB profiler swaps in
+    * `approx_count_distinct` per column with the same plan shape. */
+  private val t20 = Q(
+    "t20_profile",
+    """SELECT * FROM (
+         SELECT 'doc_id' AS column_name, count(*) AS n_rows,
+                CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+                count(DISTINCT doc_id) AS n_distinct,
+                CAST(min(doc_id) AS VARCHAR) AS min_value,
+                CAST(max(doc_id) AS VARCHAR) AS max_value
+         FROM documents
+         UNION ALL
+         SELECT 'lang', count(*),
+                CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                count(DISTINCT lang), min(lang), max(lang) FROM documents
+         UNION ALL
+         SELECT 'n_chars', count(*),
+                CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                count(DISTINCT n_chars),
+                CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents
+         UNION ALL
+         SELECT 'source', count(*),
+                CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                count(DISTINCT source), min(source), max(source) FROM documents
+         UNION ALL
+         SELECT 'text', count(*),
+                CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                count(DISTINCT text), min(text), max(text) FROM documents
+       ) t ORDER BY column_name""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val cols = Seq("doc_id", "lang", "n_chars", "source", "text")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_distinct"),
+        min(col(c)).cast("string").as(s"${c}_min"),
+        max(col(c)).cast("string").as(s"${c}_max"))
+    }
+    val one = docs.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("column_name"), col("n_rows"),
+        col(s"${c}_nulls").as("n_null"),
+        col(s"${c}_distinct").as("n_distinct"),
+        col(s"${c}_min").as("min_value"),
+        col(s"${c}_max").as("max_value"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+      .orderBy("column_name")
+  }
+
   val defs: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
-    t11, t12, t13, t14, t15, t16, t17, t18, t19)
+    t11, t12, t13, t14, t15, t16, t17, t18, t19, t20)
 }
