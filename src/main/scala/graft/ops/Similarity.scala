@@ -997,5 +997,88 @@ object Similarity {
       .orderBy("qid", "pick")
   }
 
-  val defs: Seq[Q] = Seq(d05, d06, d07, d12, d14, d16, d19, d24, d25, d26, d29)
+  /** Truncated-dimension retrieval quality (the Matryoshka/MRL question:
+    * how much ranking survives keeping only the first 16 of 64 dims —
+    * a 4× index shrink): exact cosine top-10 under the truncated
+    * representation vs the full-dimension top-10, recall@10 per query as
+    * a verified column, alongside the truncated norm share (how much of
+    * the vector's energy the prefix carries). Same funnel economics as
+    * d26 — a production system retrieves with the cheap prefix and
+    * re-ranks survivors at full width; this measures exactly what that
+    * first stage loses. One corpus pass per width, queries broadcast,
+    * heap top-k ranking, exact integer dots throughout. */
+  private val d30 = Q(
+    "d30_matryoshka_recall",
+    """WITH e AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+         FROM embeddings),
+       n AS (
+         SELECT vec_id, v,
+                CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2,
+                list_slice(v, 1, 16) AS t,
+                CAST(list_sum(list_transform(list_slice(v, 1, 16), x -> x * x)) AS BIGINT) AS t2
+         FROM e),
+       full_pairs AS (
+         SELECT q.vec_id AS qid, c.vec_id AS cid,
+                CAST(list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * c.v[i])) AS BIGINT)
+                  / (sqrt(q.n2) * sqrt(c.n2)) AS cos
+         FROM n q JOIN n c ON q.vec_id >= 10 AND q.vec_id < 25 AND c.vec_id <> q.vec_id),
+       full_top AS (
+         SELECT qid, cid FROM (
+           SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+           FROM full_pairs) x WHERE rk <= 10),
+       trunc_pairs AS (
+         SELECT q.vec_id AS qid, c.vec_id AS cid,
+                CAST(list_sum(list_transform(generate_series(1, 16), i -> q.t[i] * c.t[i])) AS BIGINT)
+                  / (sqrt(q.t2) * sqrt(c.t2)) AS cos
+         FROM n q JOIN n c ON q.vec_id >= 10 AND q.vec_id < 25 AND c.vec_id <> q.vec_id),
+       trunc_top AS (
+         SELECT qid, cid FROM (
+           SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+           FROM trunc_pairs) x WHERE rk <= 10),
+       overlap AS (
+         SELECT f.qid, count(t.cid) AS n_overlap
+         FROM full_top f LEFT JOIN trunc_top t ON f.qid = t.qid AND f.cid = t.cid
+         GROUP BY f.qid)
+       SELECT o.qid, o.n_overlap, round(o.n_overlap / 10.0, 4) AS recall_at_10,
+              round(sqrt(CAST(n.t2 AS DOUBLE) / n.n2), 4) AS norm_share
+       FROM overlap o JOIN n ON n.vec_id = o.qid
+       ORDER BY o.qid""") { (s, d) =>
+    graft.functions.LongDot.register(s)
+    graft.plans.TopKPerGroup.install(s)
+    val n = Dedup.reuse(Tables.embeddings(s, d)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("n2", norm2Q(col("v")))
+      .withColumn("t", slice(col("v"), 1, 16))
+      .withColumn("t2", dotQ(col("t"), col("t"))))
+    def topOf(vCol: String, nCol: String): DataFrame = {
+      val q = n.filter(col("vec_id") >= 10 && col("vec_id") < 25)
+        .select(col("vec_id").as("qid"), col(vCol).as("qv"), col(nCol).as("qn"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+      n.select(col("vec_id").as("cid"), col(vCol).as("cv"), col(nCol).as("cn"))
+        .crossJoin(broadcast(q))
+        .filter(col("cid") =!= col("qid"))
+        .select(col("qid"), col("cid"),
+          (dotQ(col("qv"), col("cv")) / (sqrt(col("qn")) * sqrt(col("cn")))).as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("qid"), col("cid"))
+    }
+    val fullTop = topOf("v", "n2")
+    val truncTop = topOf("t", "t2").select(col("qid").as("tqid"), col("cid").as("tcid"))
+    fullTop
+      .join(truncTop,
+        col("qid") === col("tqid") && col("cid") === col("tcid"), "left")
+      .groupBy("qid")
+      .agg(count(col("tcid")).as("n_overlap"))
+      .join(n.select(col("vec_id"), col("n2"), col("t2")),
+        col("qid") === col("vec_id"))
+      .select(col("qid"), col("n_overlap"),
+        round(col("n_overlap") / 10.0, 4).as("recall_at_10"),
+        round(sqrt(col("t2").cast("double") / col("n2")), 4).as("norm_share"))
+      .orderBy("qid")
+  }
+
+  val defs: Seq[Q] = Seq(d05, d06, d07, d12, d14, d16, d19, d24, d25, d26, d29, d30)
 }
