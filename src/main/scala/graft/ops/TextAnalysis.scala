@@ -1022,6 +1022,104 @@ object TextAnalysis {
       .orderBy("column_name")
   }
 
+  /** Temperature-based source mixture weights — the multilingual /
+    * data-mixing primitive (sampling probability ∝ tokens^α flattens the
+    * head and lifts the tail; α = 0.5 here so the power is `sqrt`, which
+    * IEEE 754 rounds correctly on every engine — no libm variance).
+    * Emits, per source, its raw token share, its tempered mixture
+    * weight, and the number of epochs a 100k-token budget implies — the
+    * table a sampler (t16) consumes as its rate input.
+    *
+    * fp discipline: sqrt(integer) is quantized to integer micro-units
+    * BEFORE the cross-source sum (the t13 contract), so the normalizer
+    * is exact integer math; weight and epochs are single divides of
+    * identical integers. Scale shape: one corpus scan → per-source agg
+    * (20 rows) → broadcast totals; the output is dimension-table sized
+    * regardless of corpus size. */
+  private val t21 = Q(
+    "t21_mixture_weights",
+    """WITH per_src AS (
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         FROM documents GROUP BY source),
+       w AS (
+         SELECT source, n_docs, n_tokens,
+                CAST(round(sqrt(n_tokens) * 1000000) AS BIGINT) AS w_micro
+         FROM per_src),
+       tot AS (
+         SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                CAST(sum(w_micro) AS BIGINT) AS total_w
+         FROM w)
+       SELECT source, n_docs, n_tokens,
+              round(n_tokens * 1.0 / total_tokens, 6) AS raw_share,
+              round(w_micro * 1.0 / total_w, 6) AS mix_weight,
+              round((100000.0 * w_micro) / (total_w * n_tokens), 4) AS epochs
+       FROM w CROSS JOIN tot ORDER BY source""") { (s, d) =>
+    val perSrc = Tables.documents(s, d)
+      .select(col("source"), size(toks("text")).cast(LongType).as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .withColumn("w_micro", round(sqrt(col("n_tokens")) * 1e6).cast(LongType))
+    val tot = perSrc.agg(sum(col("n_tokens")).as("total_tokens"),
+      sum(col("w_micro")).as("total_w"))
+    perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") * lit(1.0) / col("total_tokens"), 6).as("raw_share"),
+        round(col("w_micro") * lit(1.0) / col("total_w"), 6).as("mix_weight"),
+        round((lit(100000.0) * col("w_micro")) / (col("total_w") * col("n_tokens")), 4)
+          .as("epochs"))
+      .orderBy("source")
+  }
+
+  /** Token-balanced output-shard assignment — the shard-writer step at
+    * the end of a curation pipeline: docs are ranked globally by token
+    * count (desc, doc_id tiebreak) and dealt round-robin across 16
+    * shards, the streaming-friendly form of LPT bin packing (adjacent
+    * ranks land on different shards, so shard token totals stay within
+    * one max-doc of each other). Emits per-shard docs/tokens and the
+    * balance ratio vs the perfectly even split.
+    *
+    * Scale shape: the global rank does NOT use a single-partition
+    * `row_number()` window (the t12 trap — one task for the whole
+    * corpus); it reuses `distributedPrefixSum` over a constant group,
+    * whose parallelism is the partition count. The rank order rides ONE
+    * numeric key (doc_id - n_tok·10^9 — monotone in (n_tok desc,
+    * doc_id)), so range partitioning gives global order for free. */
+  private val t22 = Q(
+    "t22_shard_pack",
+    """WITH t AS (
+         SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
+       r AS (
+         SELECT doc_id, n_tok,
+                row_number() OVER (ORDER BY n_tok DESC, doc_id) AS rnk
+         FROM t),
+       sh AS (
+         SELECT CAST((rnk - 1) % 16 AS BIGINT) AS shard_id, n_tok FROM r),
+       per_shard AS (
+         SELECT shard_id, count(*) AS n_docs,
+                CAST(sum(n_tok) AS BIGINT) AS shard_tokens
+         FROM sh GROUP BY shard_id),
+       tot AS (SELECT CAST(sum(shard_tokens) AS BIGINT) AS total_tokens
+               FROM per_shard)
+       SELECT shard_id, n_docs, shard_tokens,
+              round(shard_tokens * 16.0 / total_tokens, 4) AS balance
+       FROM per_shard CROSS JOIN tot ORDER BY shard_id""") { (s, d) =>
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), size(toks("text")).cast(LongType).as("n_tok"))
+      .withColumn("ord", col("doc_id") - col("n_tok") * lit(1000000000L))
+      .withColumn("g", lit(0))
+      .withColumn("one", lit(1L))
+    val perShard = distributedPrefixSum(t, "g", "ord", "one", "rnk")
+      .withColumn("shard_id", (col("rnk") - 1) % 16)
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("shard_tokens"))
+    val tot = perShard.agg(sum(col("shard_tokens")).as("total_tokens"))
+    perShard.crossJoin(broadcast(tot))
+      .select(col("shard_id"), col("n_docs"), col("shard_tokens"),
+        round(col("shard_tokens") * lit(16.0) / col("total_tokens"), 4).as("balance"))
+      .orderBy("shard_id")
+  }
+
   val defs: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
-    t11, t12, t13, t14, t15, t16, t17, t18, t19, t20)
+    t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22)
 }
