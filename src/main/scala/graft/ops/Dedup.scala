@@ -1663,6 +1663,84 @@ object Dedup {
       .orderBy("component")
   }
 
+  /** Cross-source duplication matrix — the provenance diagnostic a corpus
+    * team reads before setting mixture weights (t21): for every pair of
+    * sources, how many VERIFIED near-duplicate document pairs (Jaccard ≥
+    * 0.5, the d15 gate) span them. A hot off-diagonal cell means two
+    * feeds crawl the same site and their tokens double-count; a hot
+    * diagonal cell means a feed self-duplicates (templates, mirrors).
+    *
+    * Scale shape: the pair set is LSH-bounded (never O(N²)) and already
+    * verified; attaching provenance joins the pair ids against the
+    * (doc_id, source) projection — only 8-byte ids and short source
+    * strings shuffle, and the matrix itself is #sources² at most. */
+  private val d31 = Q(
+    "d31_source_overlap",
+    """WITH docs AS (
+         SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       sh AS (
+         SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+         FROM (SELECT doc_id, ws,
+                      unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+               FROM docs)),
+       hs AS (
+         SELECT doc_id, ('0x' || substring(md5(sh), 1, 8))::BIGINT AS h1,
+                ('0x' || substring(md5(sh), 9, 8))::BIGINT AS h2
+         FROM sh),
+       sig AS (
+         SELECT doc_id, seed, min(h1 + seed * h2) AS mh
+         FROM hs, (SELECT unnest(generate_series(0, 7)) AS seed) seeds
+         GROUP BY doc_id, seed),
+       bands AS (
+         SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+                md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS band_key
+         FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)),
+       pairs AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       shd AS (SELECT DISTINCT doc_id, h1 * 134217728 + h2 % 134217728 AS h
+               FROM hs),
+       sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+       inter AS (
+         SELECT p.id_a, p.id_b, count(*) AS ni
+         FROM pairs p
+           JOIN shd a ON a.doc_id = p.id_a
+           JOIN shd b ON b.doc_id = p.id_b AND b.h = a.h
+         GROUP BY p.id_a, p.id_b),
+       vpairs AS (
+         SELECT i.id_a, i.id_b FROM inter i
+           JOIN sz sa ON sa.doc_id = i.id_a
+           JOIN sz sb ON sb.doc_id = i.id_b
+         WHERE i.ni * 1.0 / (sa.n + sb.n - i.ni) >= 0.5),
+       src AS (SELECT doc_id, source FROM documents),
+       m AS (
+         SELECT least(sa.source, sb.source) AS source_a,
+                greatest(sa.source, sb.source) AS source_b
+         FROM vpairs v
+           JOIN src sa ON sa.doc_id = v.id_a
+           JOIN src sb ON sb.doc_id = v.id_b)
+       SELECT source_a, source_b, count(*) AS n_pairs,
+              (source_a = source_b) AS same_source
+       FROM m GROUP BY source_a, source_b
+       ORDER BY source_a, source_b""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val (buckets, shingles) = lshBucketsAndShingles(docs, "doc_id", "text",
+      shingleWords = 3, bands = 4, rowsPerBand = 2)
+    val verified = jaccardVerifiedPairs(
+      candidatePairs(buckets, materialize = false), shingles, tau = 0.5)
+    val src = docs.select(col("doc_id"), col("source"))
+    verified
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("same_source", col("source_a") === col("source_b"))
+      .orderBy("source_a", "source_b")
+  }
+
   val defs: Seq[Q] = Seq(d01, d02, d03, d04, d08, d09, d10, d11, d13, d15,
-    d17, d18, d20, d21, d22, d23, d27, d28)
+    d17, d18, d20, d21, d22, d23, d27, d28, d31)
 }

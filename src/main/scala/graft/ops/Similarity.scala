@@ -1080,5 +1080,153 @@ object Similarity {
       .orderBy("qid")
   }
 
-  val defs: Seq[Q] = Seq(d05, d06, d07, d12, d14, d16, d19, d24, d25, d26, d29, d30)
+  /** Dot-max IVF cell assignment against the fixed vec_id<8 seed
+    * centroids (the d07 convention): quantized corpus × broadcast
+    * centroids, argmax dot with cent_id tiebreak. Map-side but for the
+    * tiny centroid broadcast; returns (vec_id, v, n2, cell). */
+  private def ivfAssign(e: DataFrame): DataFrame = {
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val wc = Window.partitionBy(col("vec_id")).orderBy(col("dot").desc, col("cent_id"))
+    e.crossJoin(broadcast(cents))
+      .withColumn("dot", dotQ(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(wc))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("n2"), col("cent_id").as("cell"))
+  }
+
+  /** Mutual-kNN graph over the whole embedding corpus — the graph every
+    * density/dataset-cartography step (clustering, outlier pruning,
+    * graph-based dedup) consumes: each vector's top-3 cosine neighbors
+    * WITHIN its IVF cell, with a `mutual` flag marking edges present in
+    * both directions (mutual-kNN edges are the high-precision subset).
+    *
+    * Scale shape: the candidate join is cell-blocked (Σ n_c² pair work,
+    * never corpus²) — the centroid count is the parallelism/recall knob,
+    * 8 here by the fixture convention, thousands at 100 TB. Ranking
+    * rides the heap top-k operator (no full sort of scored pairs), and
+    * the mutuality check joins the 3N-row edge list against itself
+    * reversed — ids only, no vectors. */
+  private val d32 = Q(
+    "d32_knn_graph",
+    """WITH e AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+         FROM embeddings),
+       n AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2 FROM e),
+       cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+       scored AS (
+         SELECT n.vec_id, n.v, n.n2, c.cent_id,
+                row_number() OVER (PARTITION BY n.vec_id
+                  ORDER BY CAST(list_sum(list_transform(generate_series(1, 64), i -> n.v[i] * c.cv[i])) AS BIGINT) DESC,
+                           c.cent_id) AS rn
+         FROM n, cents c),
+       assign AS (SELECT vec_id, v, n2, cent_id AS cell FROM scored WHERE rn = 1),
+       pairs AS (
+         SELECT q.vec_id AS src, c.vec_id AS nbr,
+                CAST(list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * c.v[i])) AS BIGINT)
+                  / (sqrt(q.n2) * sqrt(c.n2)) AS cos
+         FROM assign q JOIN assign c ON q.cell = c.cell AND c.vec_id <> q.vec_id),
+       top3 AS (
+         SELECT src, nbr, cos, rank FROM (
+           SELECT src, nbr, cos,
+                  row_number() OVER (PARTITION BY src ORDER BY cos DESC, nbr) AS rank
+           FROM pairs) t WHERE rank <= 3)
+       SELECT a.src AS vec_id, a.rank AS rank, a.nbr AS nbr_id,
+              round(a.cos, 6) AS cosine,
+              (b.src IS NOT NULL) AS mutual
+       FROM top3 a LEFT JOIN top3 b ON b.src = a.nbr AND b.nbr = a.src
+       ORDER BY vec_id, rank""") { (s, d) =>
+    graft.functions.LongDot.register(s)
+    graft.plans.TopKPerGroup.install(s)
+    val e = Dedup.reuse(Tables.embeddings(s, d)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("n2", norm2Q(col("v"))))
+    val assign = Dedup.reuse(ivfAssign(e))
+    val wr = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("nbr"))
+    val top3 = Dedup.reuse(assign.select(col("vec_id").as("src"), col("v").as("qv"),
+        col("n2").as("qn2"), col("cell"))
+      .join(assign.select(col("vec_id").as("nbr"), col("v").as("cv2"),
+        col("n2").as("cn2"), col("cell").as("ccell")),
+        col("ccell") === col("cell") && col("nbr") =!= col("src"))
+      .withColumn("cos", dotQ(col("qv"), col("cv2")) / (sqrt(col("qn2")) * sqrt(col("cn2"))))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= 3)
+      .select(col("src"), col("rank"), col("nbr"), col("cos")))
+    top3
+      .join(top3.select(col("src").as("rsrc"), col("nbr").as("rnbr")),
+        col("rsrc") === col("nbr") && col("rnbr") === col("src"), "left")
+      .select(col("src").as("vec_id"), col("rank").cast("long").as("rank"),
+        col("nbr").as("nbr_id"), round(col("cos"), 6).as("cosine"),
+        col("rsrc").isNotNull.as("mutual"))
+      .orderBy("vec_id", "rank")
+  }
+
+  /** IVF probe against a STORED index — the vector sibling of d21's
+    * stored band index: the cell-assigned corpus (id, vector, norm,
+    * cell) is written ONCE as a parquet table bucketed on `cell`, and
+    * queries probe it by joining on their assigned cell. Because the
+    * table's bucketing matches the join key, the index side satisfies
+    * the join's distribution straight from its file layout — no
+    * exchange, no re-derivation per batch (the production form: build
+    * the index in the ingest job, probe it from every search job).
+    * Output contract (and oracle) identical to d07, which re-derives
+    * the same index in-query. */
+  private val d33 = Q(
+    "d33_stored_ivf_topk",
+    """WITH e AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+         FROM embeddings),
+       n AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2 FROM e),
+       cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+       scored AS (
+         SELECT n.vec_id, n.v, n.n2, c.cent_id,
+                CAST(list_sum(list_transform(generate_series(1, 64), i -> n.v[i] * c.cv[i])) AS BIGINT) AS dot,
+                row_number() OVER (PARTITION BY n.vec_id
+                  ORDER BY CAST(list_sum(list_transform(generate_series(1, 64), i -> n.v[i] * c.cv[i])) AS BIGINT) DESC,
+                           c.cent_id) AS rn
+         FROM n, cents c),
+       assign AS (SELECT vec_id, v, n2, cent_id AS cell FROM scored WHERE rn = 1),
+       probes AS (
+         SELECT q.vec_id AS qid, q.cell, c.vec_id AS cid,
+                CAST(list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * c.v[i])) AS BIGINT)
+                  / (sqrt(q.n2) * sqrt(c.n2)) AS cos
+         FROM assign q JOIN assign c ON q.cell = c.cell AND c.vec_id <> q.vec_id
+         WHERE q.vec_id >= 10 AND q.vec_id < 15),
+       ranked AS (
+         SELECT qid, cell, cid, cos,
+                row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+         FROM probes)
+       SELECT qid, cell, cid, rank, round(cos, 6) AS cosine
+       FROM ranked WHERE rank <= 3 ORDER BY qid, rank""") { (s, d) =>
+    graft.functions.LongDot.register(s)
+    graft.plans.TopKPerGroup.install(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("n2", norm2Q(col("v")))
+    val assign = Dedup.reuse(ivfAssign(e))
+    // index build: paid once per corpus, maintained at ingest
+    val dir = graft.Scratch.dir("graft_ivf_index")
+    assign.select(col("cell"), col("vec_id").as("cid"), col("v").as("cv2"),
+        col("n2").as("cn2"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "cell").sortBy("cell")
+      .option("path", s"$dir/ivf_index").saveAsTable("graft_ivf_index")
+    val probes = assign.filter(col("vec_id") >= 10 && col("vec_id") < 15)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"),
+        col("cell").as("qcell"))
+    val wr = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    e.sparkSession.table("graft_ivf_index")
+      .join(broadcast(probes), col("cell") === col("qcell") && col("cid") =!= col("qid"))
+      .withColumn("cos", dotQ(col("qv"), col("cv2")) / (sqrt(col("qn2")) * sqrt(col("cn2"))))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("cell"), col("cid"), col("rank").cast("long").as("rank"),
+        round(col("cos"), 6).as("cosine"))
+      .orderBy("qid", "rank")
+  }
+
+  val defs: Seq[Q] = Seq(d05, d06, d07, d12, d14, d16, d19, d24, d25, d26, d29,
+    d30, d32, d33)
 }
