@@ -362,5 +362,48 @@ object RelationalExtra {
       .orderBy("user_id")
   }
 
-  val defs: Seq[Q] = Seq(q33, q34, q35, q36, q37, q47, q66, q68, q69, q70)
+  /** Weekly cohort retention — the activation/engagement matrix every
+    * product warehouse derives from its event stream: users are
+    * cohorted by the week of their FIRST event, and each (cohort,
+    * week-offset) cell counts how many came back that week, as a share
+    * of the cohort. Scale shape: first-event per user is one hash agg;
+    * the activity join keys on user_id (the cohort map is a narrow
+    * two-column table, broadcastable when users ≪ events); the matrix
+    * itself is weeks² rows. */
+  private val q71 = Q(
+    "q71_retention_cohorts",
+    """WITH f AS (
+         SELECT user_id,
+                CAST(floor(epoch(min(ts)) / 604800) AS BIGINT) AS cohort_week
+         FROM events GROUP BY user_id),
+       act AS (
+         SELECT DISTINCT e.user_id, f.cohort_week,
+                CAST(floor(epoch(e.ts) / 604800) AS BIGINT) - f.cohort_week AS week_offset
+         FROM events e JOIN f ON e.user_id = f.user_id),
+       cs AS (SELECT cohort_week, count(*) AS cohort_size FROM f GROUP BY cohort_week)
+       SELECT a.cohort_week AS cohort_week, a.week_offset, cs.cohort_size,
+              count(*) AS n_active,
+              round(count(*) * 1.0 / cs.cohort_size, 4) AS retention
+       FROM act a JOIN cs ON a.cohort_week = cs.cohort_week
+       GROUP BY a.cohort_week, a.week_offset, cs.cohort_size
+       ORDER BY 1, 2""") { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"),
+        floor(unix_timestamp(col("ts")) / 604800).cast(LongType).as("week"))
+    val f = ev.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    val act = ev.join(broadcast(f), "user_id")
+      .select(col("user_id"), col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .distinct()
+    val cs = f.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+    act.join(broadcast(cs), "cohort_week")
+      .groupBy("cohort_week", "week_offset", "cohort_size")
+      .agg(count(lit(1)).as("n_active"))
+      .select(col("cohort_week"), col("week_offset"), col("cohort_size"),
+        col("n_active"),
+        round(col("n_active") * lit(1.0) / col("cohort_size"), 4).as("retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val defs: Seq[Q] = Seq(q33, q34, q35, q36, q37, q47, q66, q68, q69, q70, q71)
 }

@@ -260,5 +260,65 @@ object WindowsSetOps {
       .orderBy("user_id", "session_start_us")
   }
 
-  val defs: Seq[Q] = Seq(q13, q14, q15, q16, q17, q18, q19, q39, q52, q60)
+  /** Per-user rolling z-score anomaly detection — the monitoring query a
+    * metrics warehouse runs over its event stream: each event's value is
+    * scored against the trailing 20 events of the SAME user (frame ends
+    * at 1 PRECEDING, so the scored point never contaminates its own
+    * baseline), and |z| ≥ 3 with ≥10 baseline points flags an anomaly.
+    *
+    * fp discipline (the t13 contract): values are quantized to integer
+    * cents; rolling sum and sum-of-squares are exact integer window
+    * aggregates, variance is the integer n·Σx²−(Σx)² scaled by one
+    * divide, and z is one subtract/divide chain on identical operands —
+    * bit-stable across engines and frame evaluation orders. Scale
+    * shape: one shuffle by user_id, then narrow per-partition frames;
+    * no global sort (the presentation ORDER BY is the oracle contract,
+    * driver-side only on the anomaly sliver). */
+  private val q72 = Q(
+    "q72_rolling_anomaly",
+    """WITH v AS (
+         SELECT event_id, user_id, ts,
+                CAST(round(value * 100) AS BIGINT) AS vc
+         FROM events),
+       w AS (
+         SELECT event_id, user_id, ts, vc,
+                count(vc) OVER fr AS n,
+                sum(vc) OVER fr AS s1,
+                sum(vc * vc) OVER fr AS s2
+         FROM v
+         WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+       z AS (
+         SELECT event_id, user_id, ts, vc, n,
+                (vc * n - s1) * 1.0 / (n * sqrt((s2 * n - s1 * s1) * 1.0 / (n * n))) AS z
+         FROM w WHERE n >= 10 AND s2 * n - s1 * s1 > 0)
+       SELECT event_id, user_id,
+              CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+              round(vc / 100.0, 2) AS value,
+              round(z, 4) AS zscore
+       FROM z WHERE abs(z) >= 3
+       ORDER BY user_id, ts_us, event_id""") { (s, d) =>
+    val fr = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-20, -1)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        round(col("value") * 100).cast(org.apache.spark.sql.types.LongType).as("vc"))
+      .withColumn("n", count(col("vc")).over(fr))
+      .withColumn("s1", sum(col("vc")).over(fr))
+      .withColumn("s2", sum(col("vc") * col("vc")).over(fr))
+      .filter(col("n") >= 10 && col("s2") * col("n") - col("s1") * col("s1") > 0)
+      .withColumn("z",
+        (col("vc") * col("n") - col("s1")) * lit(1.0) /
+          (col("n") * sqrt((col("s2") * col("n") - col("s1") * col("s1")) * lit(1.0) /
+            (col("n") * col("n")))))
+      .filter(abs(col("z")) >= 3)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        round(col("vc") / 100.0, 2).as("value"),
+        round(col("z"), 4).as("zscore"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
+  val defs: Seq[Q] = Seq(q13, q14, q15, q16, q17, q18, q19, q39, q52, q60, q72)
 }
