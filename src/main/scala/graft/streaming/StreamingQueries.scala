@@ -890,8 +890,112 @@ object StreamingQueries {
     s.read.parquet(outDir).orderBy("doc_id")
   }
 
+  /** Stream-stream FULL OUTER join — completing the watermark-join family
+    * (s09 inner, s17 left outer, s18 left semi): purchases pair with
+    * errors in their 10-minute window; watermark passage emits BOTH the
+    * never-errored purchases (left nulls) and the orphan errors that
+    * followed no purchase (right nulls). The oracle derives the SAME
+    * eviction rule the state store applies — a left row retires when its
+    * whole match window clears the watermark, a right row as soon as its
+    * own timestamp does (its matches can only be in its past) — so the
+    * watermark semantics themselves are the verified quantity, per side. */
+  private val s20 = Q(
+    "s20_stream_full_outer_join",
+    """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+       e AS (SELECT user_id, ts FROM events WHERE event_type = 'error'),
+       wm AS (SELECT least((SELECT max(ts) FROM p), (SELECT max(ts) FROM e))
+                     - INTERVAL 1 HOUR AS w),
+       matched AS (
+         SELECT p.event_id, p.user_id AS pu, e.user_id AS eu, e.ts AS e_ts
+         FROM p JOIN e
+           ON p.user_id = e.user_id
+          AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 10 MINUTE),
+       left_un AS (
+         SELECT p.user_id FROM p CROSS JOIN wm
+         WHERE p.ts + INTERVAL 10 MINUTE < wm.w
+           AND NOT EXISTS (
+             SELECT 1 FROM e WHERE e.user_id = p.user_id
+               AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 10 MINUTE)),
+       right_un AS (
+         SELECT e.user_id FROM e CROSS JOIN wm
+         WHERE e.ts < wm.w
+           AND NOT EXISTS (
+             SELECT 1 FROM p WHERE p.user_id = e.user_id
+               AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 10 MINUTE)),
+       u AS (
+         SELECT pu AS user_id, 1 AS m, 0 AS lu, 0 AS ru FROM matched
+         UNION ALL SELECT user_id, 0, 1, 0 FROM left_un
+         UNION ALL SELECT user_id, 0, 0, 1 FROM right_un)
+       SELECT user_id,
+              CAST(sum(m) AS BIGINT) AS n_matched,
+              CAST(sum(lu) AS BIGINT) AS n_left_unmatched,
+              CAST(sum(ru) AS BIGINT) AS n_right_unmatched
+       FROM u GROUP BY user_id ORDER BY user_id""") { (s, d) =>
+    val purchases = eventsStream(s, d)
+      .filter(col("event_type") === "purchase")
+      .withWatermark("ts", "1 hour")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val errors = eventsStream(s, d)
+      .filter(col("event_type") === "error")
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+    val joined = purchases.join(errors,
+      col("p_user") === col("e_user")
+        && col("e_ts") >= col("p_ts")
+        && col("e_ts") <= col("p_ts") + expr("interval 10 minutes"),
+      "fullOuter")
+    runToMemory(joined, OutputMode.Append())
+      .select(coalesce(col("p_user"), col("e_user")).as("user_id"),
+        when(col("p_user").isNotNull && col("e_user").isNotNull, 1L).otherwise(0L).as("m"),
+        when(col("e_user").isNull, 1L).otherwise(0L).as("lu"),
+        when(col("p_user").isNull, 1L).otherwise(0L).as("ru"))
+      .groupBy("user_id")
+      .agg(sum(col("m")).as("n_matched"),
+        sum(col("lu")).as("n_left_unmatched"),
+        sum(col("ru")).as("n_right_unmatched"))
+      .orderBy("user_id")
+  }
+
+  /** Streaming leaderboard — the aggregate-in-stream / rank-at-serving
+    * split every real-time "trending" surface uses: the STREAM maintains
+    * per-(hour, event_type) counts (the incremental, state-bounded
+    * part); the top-3-per-window rank runs on the materialized
+    * aggregate at read time (ranking is not an incremental aggregate —
+    * a rank can change retroactively within a window, which is exactly
+    * why Spark disallows streaming window-functions; pushing it to the
+    * serving query is the production idiom, and the rank input is
+    * windows × types rows, not events). */
+  private val s21 = Q(
+    "s21_stream_leaderboard",
+    """WITH c AS (
+         SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+                event_type, count(*) AS n
+         FROM events GROUP BY 1, 2),
+       r AS (
+         SELECT window_start, event_type, n,
+                row_number() OVER (PARTITION BY window_start
+                  ORDER BY n DESC, event_type) AS rank
+         FROM c)
+       SELECT window_start, rank, event_type, n
+       FROM r WHERE rank <= 3 ORDER BY window_start, rank""") { (s, d) =>
+    val agg = eventsStream(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_start")).orderBy(col("n").desc, col("event_type"))
+    runToMemory(agg, OutputMode.Complete())
+      .select(unix_timestamp(col("window.start")).as("window_start"),
+        col("event_type"), col("n"))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= 3)
+      .select(col("window_start"), col("rank").cast(LongType).as("rank"),
+        col("event_type"), col("n"))
+      .orderBy("window_start", "rank")
+  }
+
   val defs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
-    s11, s12, s13, s14, s15, s16, s17, s18, s19)
+    s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21)
 }
 
 /** s11's StatefulProcessor: cumulative (event count, value cents) per
