@@ -366,8 +366,69 @@ object Extensibility {
           GROUP BY l_returnflag ORDER BY l_returnflag""")
   }
 
+  /** Count-Min sketch heavy hitters — the third custom
+    * `TypedImperativeAggregate` (x05 HLL counts distincts, x11 minhash
+    * sketches sets, x13 CMS counts frequencies): ONE corpus pass builds
+    * a 4×256-counter sketch of the token stream (map-side partials,
+    * elementwise-add merge), and the top-10 exact terms are then probed
+    * against it — estimate, exact, and the overcount (provably ≥ 0: CMS
+    * only ever inflates) all emitted as hash-verified columns, the
+    * d18-style "measure the approximation" contract. At 100 TB this is
+    * how hot keys are found withOUT a full term aggregation: 8 KB of
+    * state per executor vs a vocabulary-sized shuffle — the detector
+    * that feeds t06's salting and t13's hot-term broadcast decisions. */
+  private val x13 = Q(
+    "x13_cms_heavy_hitters",
+    """WITH tok AS (
+         SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+       h AS (
+         SELECT term,
+                ('0x' || substring(md5(term), 1, 8))::BIGINT AS h1,
+                ('0x' || substring(md5(term), 9, 8))::BIGINT AS h2
+         FROM tok),
+       seeds AS (SELECT unnest(generate_series(0, 3)) AS i),
+       cms AS (
+         SELECT i, (h1 + i * h2) % 256 AS b, count(*) AS c
+         FROM h CROSS JOIN seeds GROUP BY i, b),
+       exact AS (
+         SELECT term, min(h1) AS h1, min(h2) AS h2, count(*) AS exact_n
+         FROM h GROUP BY term),
+       top AS (SELECT * FROM exact ORDER BY exact_n DESC, term LIMIT 10),
+       est AS (
+         SELECT t.term, t.exact_n, min(c.c) AS cms_estimate
+         FROM top t CROSS JOIN seeds s
+           JOIN cms c ON c.i = s.i AND c.b = (t.h1 + s.i * t.h2) % 256
+         GROUP BY t.term, t.exact_n)
+       SELECT term, exact_n, cms_estimate,
+              cms_estimate - exact_n AS overcount
+       FROM est ORDER BY exact_n DESC, term""") { (s, d) =>
+    CmsSketch.register(s)
+    val docs = graft.ops.Dedup.spreadToCores(Tables.documents(s, d))
+    // whole-corpus sketch: one aggregate row, 4×256 counters
+    val sk = docs
+      .select(graft.ops.Dedup.shingleHashPairs(split(col("text"), " ")).as("hv"))
+      .agg(CmsSketch.cms_sketch(col("hv"), 4, 256).as("sk"))
+    val exact = docs
+      .select(explode(split(col("text"), " ")).as("term"))
+      .select(col("term"),
+        conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long").as("h1"),
+        conv(substring(md5(col("term")), 9, 8), 16, 10).cast("long").as("h2"))
+      .groupBy("term")
+      .agg(min(col("h1")).as("h1"), min(col("h2")).as("h2"),
+        count(lit(1)).as("exact_n"))
+    val top = exact.orderBy(col("exact_n").desc, col("term")).limit(10)
+    val probes = (0 until 4).map(i =>
+      element_at(col("sk"),
+        (lit(i * 256) + (col("h1") + lit(i.toLong) * col("h2")) % 256).cast("int") + 1))
+    top.crossJoin(broadcast(sk))
+      .withColumn("cms_estimate", least(probes: _*))
+      .select(col("term"), col("exact_n"), col("cms_estimate"),
+        (col("cms_estimate") - col("exact_n")).as("overcount"))
+      .orderBy(col("exact_n").desc, col("term"))
+  }
+
   val defs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11,
-    x12)
+    x12, x13)
 }
 
 /** Session-extension injector (`spark.sql.extensions=graft.functions.
@@ -401,6 +462,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(fn("minhash_sketch", classOf[MinHashSketchAgg],
       exprs => MinHashSketchAgg(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue()).toAggregateExpression()))
+    e.injectFunction(fn("cms_sketch", classOf[CmsSketchAgg],
+      exprs => CmsSketchAgg(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression()))
     e.injectFunction(fn("char_shingles", classOf[CharShinglesGen],
       exprs => CharShinglesGen(exprs.head, exprs(1))))
     e.injectOptimizerRule(_ => graft.plans.TopKRewrite)

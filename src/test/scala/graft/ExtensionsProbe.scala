@@ -30,6 +30,11 @@ object ExtensionsProbe {
     assert(spark.sql(
       "SELECT minhash_sketch(array(named_struct('h1', 5L, 'h2', 3L)), 4) AS sk")
       .head().getSeq[Long](0) == Seq(5L, 8L, 11L, 14L))
+    // cms_sketch: depth 2 × width 4; token (h1=5, h2=3) lands in buckets
+    // 5%4=1 (row 0) and (5+3)%4=0 (row 1)
+    assert(spark.sql(
+      "SELECT cms_sketch(array(named_struct('h1', 5L, 'h2', 3L)), 2, 4) AS sk")
+      .head().getSeq[Long](0) == Seq(0L, 1L, 0L, 0L, 1L, 0L, 0L, 0L))
 
     val topk = spark.sql(
       """SELECT * FROM (
