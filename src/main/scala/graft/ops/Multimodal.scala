@@ -256,5 +256,82 @@ object Multimodal {
       .orderBy("hamming")
   }
 
-  val defs: Seq[Q] = Seq(m01, m02, m03, m04, m05)
+  /** Cross-modal caption↔embedding alignment scoring — the CLIP-score
+    * filter every image-text pair pipeline runs (LAION-style: drop pairs
+    * whose caption and media embedding disagree). The TEXT ENCODER IS A
+    * STUB (a deterministic ±1 hashed bag-of-words projection into the
+    * embedding space — no model runtimes in this container, builder
+    * directive); the Spark side a real deployment needs is all here and
+    * real: the caption table and the media-embedding table joined 1:1 by
+    * id, the projection computed MAP-SIDE on the caption scan (one md5
+    * per token, reused across all 64 dims), exact integer dot/norms via
+    * the fused long_dot Expression, one fp divide per pair, and a
+    * threshold verdict — swap the projection lambda for a model server
+    * call and the plan is unchanged.
+    *
+    * Scale shape: narrow scan + one equi-join on the id; only the id,
+    * the 64-long projection, and the quantized embedding cross the
+    * exchange — no payloads, no token stream. */
+  private val m06 = Q(
+    "m06_caption_alignment",
+    """WITH tok AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       h AS (
+         SELECT doc_id,
+                ('0x' || substring(md5(term), 1, 8))::BIGINT % 64 AS dim,
+                CASE WHEN ('0x' || substring(md5(term), 9, 8))::BIGINT % 2 = 0
+                     THEN 1 ELSE -1 END AS sgn
+         FROM tok),
+       dims AS (SELECT unnest(generate_series(0, 63)) AS dim),
+       tv AS (
+         SELECT d.doc_id, x.dim, coalesce(sum(h.sgn), 0) AS tval
+         FROM (SELECT DISTINCT doc_id FROM documents) d CROSS JOIN dims x
+         LEFT JOIN h ON h.doc_id = d.doc_id AND h.dim = x.dim
+         GROUP BY d.doc_id, x.dim),
+       tvl AS (SELECT doc_id, list(tval ORDER BY dim) AS tv FROM tv GROUP BY doc_id),
+       e AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+         FROM embeddings),
+       sc AS (
+         SELECT t.doc_id,
+                CAST(list_sum(list_transform(generate_series(1, 64), i -> t.tv[i] * e.v[i])) AS BIGINT) AS dot,
+                CAST(list_sum(list_transform(t.tv, x -> x * x)) AS BIGINT) AS t2,
+                CAST(list_sum(list_transform(e.v, x -> x * x)) AS BIGINT) AS e2
+         FROM tvl t JOIN e ON e.vec_id = t.doc_id)
+       SELECT doc_id AS media_id,
+              round(dot / (sqrt(t2) * sqrt(e2)), 6) AS align_cos,
+              (dot >= 0) AS kept
+       FROM sc WHERE t2 > 0 ORDER BY media_id""") { (s, d) =>
+    graft.functions.LongDot.register(s)
+    val dot64 = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      graft.functions.LongDot.long_dot(a, b)
+    // STUB text encoder: token t → dim h1(t) mod 64, sign from h2(t)
+    // parity; one md5 per token (shingleHashPairs), reused by all dims
+    val tproj = Tables.documents(s, d)
+      .select(col("doc_id"),
+        Dedup.shingleHashPairs(split(col("text"), " ")).as("hv"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(63)), dim =>
+          aggregate(col("hv"), lit(0L), (acc, p) =>
+            acc + when(p.getField("h1") % 64 === dim.cast("long"),
+              when(p.getField("h2") % 2 === 0, 1L).otherwise(-1L))
+              .otherwise(0L))).as("tv"))
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double") * 1000000).cast("long"))
+          .as("v"))
+    tproj.join(e, col("vec_id") === col("doc_id"))
+      .select(col("doc_id"),
+        dot64(col("tv"), col("v")).as("dot"),
+        dot64(col("tv"), col("tv")).as("t2"),
+        dot64(col("v"), col("v")).as("e2"))
+      .filter(col("t2") > 0)
+      .select(col("doc_id").as("media_id"),
+        round(col("dot") / (sqrt(col("t2")) * sqrt(col("e2"))), 6).as("align_cos"),
+        (col("dot") >= 0).as("kept"))
+      .orderBy("media_id")
+  }
+
+  val defs: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06)
 }
