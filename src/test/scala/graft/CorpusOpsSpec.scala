@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.ArrayType
+
+/** Round-6 third-batch operators: plan/scale and algebra contracts for
+  * the mixture/shard planners (t21/t22), the provenance matrix (d31),
+  * the kNN graph (d32), the stored IVF index (d33), the full-outer
+  * stream join (s20), the CMS aggregate (x13), and the cross-modal
+  * alignment filter (m06).
+  */
+class CorpusOpsSpec extends SparkTestBase {
+
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+    p +: (p.children ++ (p match {
+      case ad: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(ad.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case _ => Nil
+    })).flatMap(allNodes)
+
+  private def shuffles(df: org.apache.spark.sql.DataFrame): Seq[ShuffleExchangeExec] = {
+    df.collect()
+    allNodes(castToImpl(df).queryExecution.executedPlan).collect {
+      case e: ShuffleExchangeExec => e
+    }
+  }
+
+  test("t22 shard pack: the global rank is the distributed prefix sum — " +
+    "every data-stream window keys on the partition id, and round-robin " +
+    "dealing balances doc counts to within one") {
+    val df = SparkEntry.queries("t22_shard_pack")(spark, sf0001)
+    df.collect()
+    val windows = allNodes(castToImpl(df).queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "expected the local-running-sum window")
+    // the corpus-sized window must partition on _pid (thousands of small
+    // partitions), never run as ONE task over the whole constant group;
+    // the offset-table window (≤ partitions × groups rows) is exempt
+    val dataWindows = windows.filterNot(_.toString.contains("_ptotal"))
+    assert(dataWindows.forall(_.partitionSpec.exists(_.toString.contains("_pid"))),
+      s"a full-corpus window is not keyed on the partition id:\n${dataWindows.mkString("\n")}")
+    val counts = df.select(col("n_docs")).collect().map(_.getLong(0))
+    assert(counts.max - counts.min <= 1,
+      s"round-robin dealing must balance doc counts to within 1: ${counts.toSeq}")
+  }
+
+  test("d31 provenance matrix: pair counts are symmetric-complete — the " +
+    "matrix accounts for every verified pair exactly once, keyed by the " +
+    "unordered source pair") {
+    val m = SparkEntry.queries("d31_source_overlap")(spark, sf0001).collect()
+    // unordered keying: no (b, a) row may coexist with (a, b)
+    val keys = m.map(r => (r.getString(0), r.getString(1)))
+    assert(keys.forall { case (a, b) => a <= b }, s"unordered keying violated: ${keys.toSeq}")
+    assert(keys.distinct.length == keys.length)
+    // total pairs equals the verified-pair count from the dedup pipeline
+    val docs = Tables.documents(spark, sf0001)
+    val (buckets, shingles) = graft.ops.Dedup.lshBucketsAndShingles(
+      docs, "doc_id", "text", shingleWords = 3, bands = 4, rowsPerBand = 2)
+    val nPairs = graft.ops.Dedup.jaccardVerifiedPairs(
+      graft.ops.Dedup.candidatePairs(buckets, materialize = false), shingles, tau = 0.5)
+      .count()
+    assert(m.map(_.getLong(2)).sum == nPairs,
+      s"matrix total ${m.map(_.getLong(2)).sum} != verified pairs $nPairs")
+  }
+
+  test("d32 kNN graph: the mutual flag is consistent — every edge marked " +
+    "mutual has its reverse edge in the graph, and no unmarked edge does") {
+    val edges = SparkEntry.queries("d32_knn_graph")(spark, sf0001)
+      .select("vec_id", "nbr_id", "mutual").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val edgeSet = edges.map { case (a, b, _) => (a, b) }.toSet
+    edges.foreach { case (a, b, mutual) =>
+      assert(mutual == edgeSet.contains((b, a)),
+        s"edge ($a,$b) mutual=$mutual but reverse-present=${edgeSet.contains((b, a))}")
+    }
+    // every vector got its full k=3 neighborhood on this fixture
+    assert(edges.groupBy(_._1).forall(_._2.length == 3))
+  }
+
+  test("d33: the stored IVF index joins straight from its bucketed " +
+    "layout — no exchange on the index side even under a forced " +
+    "shuffled join") {
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // build + register the stored index (the query writes it)
+      SparkEntry.queries("d33_stored_ivf_topk")(spark, sf0001).collect()
+      // probe WITHOUT the broadcast hint: the bucketed layout alone must
+      // satisfy the join's distribution on the index side
+      val probe = spark.table("graft_ivf_index")
+        .join(spark.table("graft_ivf_index")
+          .select(col("cell").as("qcell"), col("cid").as("qid"))
+          .filter(col("qid") >= 10 && col("qid") < 15),
+          col("cell") === col("qcell"))
+      val plan = castToImpl(probe).queryExecution.executedPlan
+      val join = plan.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }
+      assert(join.isDefined, s"expected a shuffled join against the index:\n$plan")
+      val leftExchanges = join.get.children.head.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(leftExchanges.isEmpty,
+        s"the stored IVF index side got re-shuffled:\n$leftExchanges")
+      assert(plan.toString.contains("Bucketed: true") ||
+        plan.toString.contains("SelectedBucketsCount"),
+        s"index scan is not bucket-aware:\n$plan")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
+  test("s20 full outer stream join: all three emission paths fire — " +
+    "matches, watermark-evicted left nulls, watermark-evicted right nulls") {
+    // sf0.01: the smallest fixture where purchase-error windows overlap
+    val rows = SparkEntry.queries("s20_stream_full_outer_join")(spark, sf001).collect()
+    assert(rows.map(_.getLong(1)).sum > 0, "no matched pairs emitted")
+    assert(rows.map(_.getLong(2)).sum > 0, "no left-unmatched rows emitted")
+    assert(rows.map(_.getLong(3)).sum > 0, "no right-unmatched rows emitted")
+  }
+
+  test("x13 cms_sketch aggregate: partition-independent, merge is " +
+    "elementwise add, and estimates never undercount") {
+    graft.functions.CmsSketch.register(spark)
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("source"), graft.ops.Dedup.shingleHashPairs(split(col("text"), " ")).as("hv"))
+    def corpusSketch(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.agg(graft.functions.CmsSketch.cms_sketch(col("hv"), 4, 256).as("sk"))
+        .head().getSeq[Long](0)
+    val one = corpusSketch(docs.repartition(1))
+    val many = corpusSketch(docs.repartition(7))
+    assert(one == many, "sketch depends on partitioning")
+    // merge = elementwise add: per-source sketches sum to the corpus sketch
+    val perSource = docs.groupBy("source")
+      .agg(graft.functions.CmsSketch.cms_sketch(col("hv"), 4, 256).as("sk"))
+      .select(posexplode(col("sk")).as(Seq("pos", "c")))
+      .groupBy("pos").agg(sum(col("c")).as("c"))
+      .orderBy("pos").collect().map(_.getLong(1)).toSeq
+    assert(perSource == one, "per-source sketches do not add up to the corpus sketch")
+    // CMS point estimates are overcounts, never undercounts
+    val est = SparkEntry.queries("x13_cms_heavy_hitters")(spark, sf0001).collect()
+    assert(est.nonEmpty && est.forall(_.getLong(3) >= 0L),
+      s"CMS undercounted: ${est.mkString(", ")}")
+  }
+
+  test("m06 alignment: the caption projection happens map-side — no " +
+    "shuffle ever carries the document text, only ids and fixed-width " +
+    "vectors cross the join exchange") {
+    val df = SparkEntry.queries("m06_caption_alignment")(spark, sf0001)
+    val ex = shuffles(df)
+    assert(ex.forall(e => !e.child.schema.fieldNames.contains("text")),
+      "a shuffle carries the raw caption text")
+    // whatever arrays cross are the 64-wide projection/embedding, never
+    // the token stream: all array fields sit beside an id column
+    assert(ex.filter(_.child.schema.exists(_.dataType.isInstanceOf[ArrayType]))
+      .forall(e => e.child.schema.fieldNames.exists(n => n == "doc_id" || n == "vec_id")),
+      "an array-carrying exchange lost its id key")
+  }
+}
