@@ -1120,6 +1120,52 @@ object TextAnalysis {
       .orderBy("shard_id")
   }
 
+  /** Per-document n-gram novelty — the data-valuation diagnostic behind
+    * "does this doc add anything": the fraction of a doc's distinct
+    * 3-gram shingles whose FIRST corpus occurrence (min doc_id — ingest
+    * order in this fixture) is the doc itself. A near-zero score marks a
+    * doc whose content is entirely anticipated by earlier data (the
+    * incremental-ingest complement of d31's pairwise view); the corpus
+    * mean is the marginal-novelty curve data buyers read.
+    *
+    * Scale shape: the first-occurrence table is one hash agg over
+    * distinct (doc, gram-hash) pairs — only 8-byte hashes shuffle, and
+    * the attribution join keys on the same hash, so the whole op is two
+    * exchanges of longs regardless of corpus size. */
+  private val t23 = Q(
+    "t23_novelty",
+    """WITH docs AS (
+         SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       sh AS (
+         SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+         FROM (SELECT doc_id, ws,
+                      unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+               FROM docs)),
+       shd AS (
+         SELECT DISTINCT doc_id,
+                ('0x' || substring(md5(sh), 1, 15))::BIGINT AS h
+         FROM sh),
+       fo AS (SELECT h, min(doc_id) AS first_doc FROM shd GROUP BY h),
+       per AS (
+         SELECT s.doc_id, count(*) AS n_grams,
+                CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+         FROM shd s JOIN fo f ON s.h = f.h GROUP BY s.doc_id)
+       SELECT doc_id, n_grams, n_novel,
+              round(n_novel * 1.0 / n_grams, 4) AS novelty
+       FROM per ORDER BY doc_id""") { (s, d) =>
+    val shd = Dedup.reuse(
+      Dedup.wordShingleHashes(Tables.documents(s, d), "doc_id", "text", k = 3)
+        .distinct())
+    val fo = shd.groupBy("h").agg(min(col("id")).as("first_doc"))
+    shd.join(fo, "h")
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        round(col("n_novel") * lit(1.0) / col("n_grams"), 4).as("novelty"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
-    t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22)
+    t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23)
 }
