@@ -1741,6 +1741,116 @@ object Dedup {
       .orderBy("source_a", "source_b")
   }
 
+  /** Iterative graph propagation (PageRank form) over the verified
+    * duplicate graph — the importance signal a canonical-survivor policy
+    * (d28) can weight by: a doc duplicated by many well-connected docs
+    * outranks a leaf of the same cluster. Three synchronous iterations,
+    * damping 0.85, in FIXED-POINT micro-units: ranks are longs,
+    * neighbor contributions are integer floor-divides (rank div degree),
+    * and the damped update is one integer multiply-divide — so the
+    * result is exact integer math, reproducible across engines and
+    * accumulation orders (an fp PageRank would hash-diverge on summation
+    * order alone; the quantization error is ≤ degree micro-units per
+    * step, far below ranking resolution).
+    *
+    * Scale shape: each iteration is one join of the rank table against
+    * the edge list plus a hash agg on dst — ids and longs only; the
+    * iteration count is fixed (3), so the lineage stays bounded. At
+    * 100 TB edges this is the standard Pregel-as-joins loop with
+    * checkpointing every few rounds (the connectedComponents machinery
+    * above documents the same pattern). */
+  private val d34 = Q(
+    "d34_pagerank",
+    """WITH RECURSIVE docs AS (
+         SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       sh AS (
+         SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+         FROM (SELECT doc_id, ws,
+                      unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+               FROM docs)),
+       hs AS (
+         SELECT doc_id, ('0x' || substring(md5(sh), 1, 8))::BIGINT AS h1,
+                ('0x' || substring(md5(sh), 9, 8))::BIGINT AS h2
+         FROM sh),
+       sig AS (
+         SELECT doc_id, seed, min(h1 + seed * h2) AS mh
+         FROM hs, (SELECT unnest(generate_series(0, 7)) AS seed) seeds
+         GROUP BY doc_id, seed),
+       bands AS (
+         SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+                md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS band_key
+         FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)),
+       pairs AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       shd AS (SELECT DISTINCT doc_id, h1 * 134217728 + h2 % 134217728 AS h
+               FROM hs),
+       sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+       inter AS (
+         SELECT p.id_a, p.id_b, count(*) AS ni
+         FROM pairs p
+           JOIN shd a ON a.doc_id = p.id_a
+           JOIN shd b ON b.doc_id = p.id_b AND b.h = a.h
+         GROUP BY p.id_a, p.id_b),
+       vpairs AS (
+         SELECT i.id_a, i.id_b FROM inter i
+           JOIN sz sa ON sa.doc_id = i.id_a
+           JOIN sz sb ON sb.doc_id = i.id_b
+         WHERE i.ni * 1.0 / (sa.n + sb.n - i.ni) >= 0.5),
+       edges AS (
+         SELECT id_a AS src, id_b AS dst FROM vpairs
+         UNION ALL SELECT id_b AS src, id_a AS dst FROM vpairs),
+       deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
+       r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM deg),
+       r1 AS (
+         SELECT n.id, CAST(150000 + (CAST(coalesce(s.c, 0) AS BIGINT) * 850000) // 1000000 AS BIGINT) AS r
+         FROM deg n LEFT JOIN (
+           SELECT e.dst AS id, sum(r0.r // d.deg) AS c
+           FROM edges e JOIN r0 ON r0.id = e.src JOIN deg d ON d.id = e.src
+           GROUP BY e.dst) s ON s.id = n.id),
+       r2 AS (
+         SELECT n.id, CAST(150000 + (CAST(coalesce(s.c, 0) AS BIGINT) * 850000) // 1000000 AS BIGINT) AS r
+         FROM deg n LEFT JOIN (
+           SELECT e.dst AS id, sum(r1.r // d.deg) AS c
+           FROM edges e JOIN r1 ON r1.id = e.src JOIN deg d ON d.id = e.src
+           GROUP BY e.dst) s ON s.id = n.id),
+       r3 AS (
+         SELECT n.id, CAST(150000 + (CAST(coalesce(s.c, 0) AS BIGINT) * 850000) // 1000000 AS BIGINT) AS r
+         FROM deg n LEFT JOIN (
+           SELECT e.dst AS id, sum(r2.r // d.deg) AS c
+           FROM edges e JOIN r2 ON r2.id = e.src JOIN deg d ON d.id = e.src
+           GROUP BY e.dst) s ON s.id = n.id)
+       SELECT r3.id AS doc_id, deg.deg AS degree, r3.r AS rank_micro
+       FROM r3 JOIN deg ON deg.id = r3.id
+       ORDER BY doc_id""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val (buckets, shingles) = lshBucketsAndShingles(docs, "doc_id", "text",
+      shingleWords = 3, bands = 4, rowsPerBand = 2)
+    val vpairs = jaccardVerifiedPairs(
+      candidatePairs(buckets, materialize = false), shingles, tau = 0.5)
+      .select(col("id_a"), col("id_b"))
+    val edges = reuse(vpairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(vpairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    val deg = reuse(edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")))
+    var r = deg.select(col("id"), lit(1000000L).as("r"))
+    for (_ <- 1 to 3) {
+      val contribs = edges
+        .join(r.select(col("id").as("src"), col("r")), "src")
+        .join(deg.select(col("id").as("src"), col("deg")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(expr("r div deg")).as("c"))
+      r = deg.select(col("id"))
+        .join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(150000L) + expr("coalesce(c, 0L) * 850000 div 1000000")).as("r"))
+    }
+    r.join(deg, "id")
+      .select(col("id").as("doc_id"), col("deg").as("degree"),
+        col("r").as("rank_micro"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[Q] = Seq(d01, d02, d03, d04, d08, d09, d10, d11, d13, d15,
-    d17, d18, d20, d21, d22, d23, d27, d28, d31)
+    d17, d18, d20, d21, d22, d23, d27, d28, d31, d34)
 }
