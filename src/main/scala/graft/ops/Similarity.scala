@@ -1227,6 +1227,117 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** Multi-probe IVF operating curve — the nprobe tuning sweep (d27's
+    * threshold-curve pattern applied to the ANN surface): recall@10 vs
+    * the exact top-10 for nprobe ∈ {1, 2, 4} probed cells, per query,
+    * all hash-verified. nprobe=1 is d12's single-cell probe; the sweep
+    * measures what each extra cell buys — the number an index operator
+    * reads before picking the latency/recall point, instead of
+    * guessing.
+    *
+    * Scale shape: the cell ranking is query-side-only (queries ×
+    * centroids, broadcast); the candidate join fans each query to at
+    * most 4 cells' members (probe rows broadcast, corpus assignment
+    * scanned once); ranking rides the heap top-k operator per
+    * (nprobe, query) group. */
+  private val d35 = Q(
+    "d35_ivf_probe_sweep",
+    """WITH e AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+         FROM embeddings),
+       n AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2 FROM e),
+       cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+       scored AS (
+         SELECT n.vec_id, n.v, n.n2, c.cent_id,
+                row_number() OVER (PARTITION BY n.vec_id
+                  ORDER BY CAST(list_sum(list_transform(generate_series(1, 64), i -> n.v[i] * c.cv[i])) AS BIGINT) DESC,
+                           c.cent_id) AS rn
+         FROM n, cents c),
+       assign AS (SELECT vec_id, v, n2, cent_id AS cell FROM scored WHERE rn = 1),
+       cellrank AS (
+         SELECT vec_id AS qid, cent_id AS cell, rn AS cr
+         FROM scored WHERE vec_id >= 10 AND vec_id < 25 AND rn <= 4),
+       probes AS (SELECT * FROM (VALUES (1), (2), (4)) AS t(nprobe)),
+       cand AS (
+         SELECT p.nprobe, cr.qid, a.vec_id AS cid,
+                CAST(list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * a.v[i])) AS BIGINT)
+                  / (sqrt(q.n2) * sqrt(a.n2)) AS cos
+         FROM cellrank cr
+           JOIN probes p ON cr.cr <= p.nprobe
+           JOIN assign a ON a.cell = cr.cell AND a.vec_id <> cr.qid
+           JOIN n q ON q.vec_id = cr.qid),
+       ivf_top AS (
+         SELECT nprobe, qid, cid FROM (
+           SELECT nprobe, qid, cid,
+                  row_number() OVER (PARTITION BY nprobe, qid
+                    ORDER BY cos DESC, cid) AS rank
+           FROM cand) t WHERE rank <= 10),
+       exact_pairs AS (
+         SELECT q.vec_id AS qid, c.vec_id AS cid,
+                CAST(list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * c.v[i])) AS BIGINT)
+                  / (sqrt(q.n2) * sqrt(c.n2)) AS cos
+         FROM n q JOIN n c ON q.vec_id >= 10 AND q.vec_id < 25 AND c.vec_id <> q.vec_id),
+       exact_top AS (
+         SELECT qid, cid FROM (
+           SELECT qid, cid,
+                  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+           FROM exact_pairs) t WHERE rank <= 10),
+       overlap AS (
+         SELECT p.nprobe, e.qid, count(i.cid) AS n_overlap
+         FROM exact_top e CROSS JOIN probes p
+           LEFT JOIN ivf_top i
+             ON i.nprobe = p.nprobe AND i.qid = e.qid AND i.cid = e.cid
+         GROUP BY p.nprobe, e.qid)
+       SELECT nprobe, qid, n_overlap,
+              round(n_overlap / 10.0, 4) AS recall_at_10
+       FROM overlap ORDER BY nprobe, qid""") { (s, d) =>
+    graft.functions.LongDot.register(s)
+    graft.plans.TopKPerGroup.install(s)
+    val emb = Tables.embeddings(s, d)
+    val isQuery = col("vec_id") >= 10 && col("vec_id") < 25
+    val e = Dedup.reuse(emb
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("n2", norm2Q(col("v"))))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    // per-vector cell ranking: one pass serves both the corpus
+    // assignment (rank 1) and the query probe sets (ranks 1..4)
+    val wc = Window.partitionBy(col("vec_id")).orderBy(col("dot").desc, col("cent_id"))
+    val scored = Dedup.reuse(e.crossJoin(broadcast(cents))
+      .withColumn("dot", dotQ(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(wc)))
+    val assign = scored.filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("n2"), col("cent_id").as("cell"))
+    val probeSets = scored.filter(isQuery && col("rn") <= 4)
+      .select(col("vec_id").as("qid"), col("cent_id").as("qcell"), col("rn").as("cr"),
+        col("v").as("qv"), col("n2").as("qn2"))
+      .select(col("*"), explode(array(lit(1), lit(2), lit(4))).as("nprobe"))
+      .filter(col("cr") <= col("nprobe"))
+    val wr = Window.partitionBy(col("nprobe"), col("qid"))
+      .orderBy(col("cos").desc, col("cid"))
+    val ivfTop = assign
+      .select(col("vec_id").as("cid"), col("v").as("cv2"), col("n2").as("cn2"),
+        col("cell"))
+      .join(broadcast(probeSets), col("cell") === col("qcell") && col("cid") =!= col("qid"))
+      .withColumn("cos", dotQ(col("qv"), col("cv2")) / (sqrt(col("qn2")) * sqrt(col("cn2"))))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= 10)
+      .select(col("nprobe").as("inprobe"), col("qid").as("iqid"), col("cid").as("icid"))
+    val exactTop = bruteForceTopK(emb, emb.filter(isQuery), 10)
+      .select(col("qid"), col("cid"))
+    exactTop
+      .select(col("*"), explode(array(lit(1), lit(2), lit(4))).as("nprobe"))
+      .join(ivfTop,
+        col("inprobe") === col("nprobe") && col("iqid") === col("qid")
+          && col("icid") === col("cid"), "left")
+      .groupBy("nprobe", "qid")
+      .agg(count(col("icid")).as("n_overlap"))
+      .select(col("nprobe"), col("qid"), col("n_overlap"),
+        round(col("n_overlap") / 10.0, 4).as("recall_at_10"))
+      .orderBy("nprobe", "qid")
+  }
+
   val defs: Seq[Q] = Seq(d05, d06, d07, d12, d14, d16, d19, d24, d25, d26, d29,
-    d30, d32, d33)
+    d30, d32, d33, d35)
 }
