@@ -994,8 +994,51 @@ object StreamingQueries {
       .orderBy("window_start", "rank")
   }
 
+  /** Streaming Count-Min maintenance — the x13 frequency sketch run as
+    * streaming state (the s14 pattern, for counts instead of set
+    * signatures): per event type, a 2×64-counter CMS of the event
+    * content accumulates across micro-batches. Because CMS merge is
+    * elementwise ADD — a commutative, associative aggregate — the
+    * partial sketches combine across batches in arrival order without
+    * ever reprocessing history, and the finished state equals the batch
+    * sketch exactly (the oracle): how a 100 TB/day feed keeps live
+    * hot-key estimates with depth×width longs per key of state. */
+  private val s22 = Q(
+    "s22_stream_cms_maintenance",
+    """WITH c AS (
+         SELECT event_type,
+                ('0x' || substring(md5(CAST(user_id AS VARCHAR) || '|' || props), 1, 8))::BIGINT AS h1,
+                ('0x' || substring(md5(CAST(user_id AS VARCHAR) || '|' || props), 9, 8))::BIGINT AS h2
+         FROM events),
+       seeds AS (SELECT unnest(generate_series(0, 1)) AS i),
+       counts AS (
+         SELECT event_type, i, (h1 + i * h2) % 64 AS b, count(*) AS c
+         FROM c, seeds GROUP BY event_type, i, b),
+       grid AS (
+         SELECT DISTINCT event_type, s.i, g.b
+         FROM c, seeds s, (SELECT unnest(generate_series(0, 63)) AS b) g)
+       SELECT g.event_type AS event_type, CAST(g.i * 64 + g.b AS BIGINT) AS pos,
+              CAST(coalesce(c.c, 0) AS BIGINT) AS counter
+       FROM grid g LEFT JOIN counts c
+         ON c.event_type = g.event_type AND c.i = g.i AND c.b = g.b
+       ORDER BY 1, 2""") { (s, d) =>
+    graft.functions.CmsSketch.register(s)
+    val contentMd5 = md5(concat(col("user_id").cast("string"), lit("|"), col("props")))
+    val hv = array(struct(
+      conv(substring(contentMd5, 1, 8), 16, 10).cast(LongType).as("h1"),
+      conv(substring(contentMd5, 9, 8), 16, 10).cast(LongType).as("h2")))
+    val agg = eventsStream(s, d)
+      .select(col("event_type"), hv.as("hv"))
+      .groupBy(col("event_type"))
+      .agg(graft.functions.CmsSketch.cms_sketch(col("hv"), 2, 64).as("sk"))
+    runToMemory(agg, OutputMode.Complete())
+      .select(col("event_type"), posexplode(col("sk")).as(Seq("pos", "counter")))
+      .select(col("event_type"), col("pos").cast(LongType).as("pos"), col("counter"))
+      .orderBy("event_type", "pos")
+  }
+
   val defs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
-    s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21)
+    s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22)
 }
 
 /** s11's StatefulProcessor: cumulative (event count, value cents) per
