@@ -53,7 +53,8 @@ object SparkEntry {
       "d03_minhash_lsh", "d05_embed_cosine_topk", "d08_dedup_groups",
       "d10_decontaminate", "d11_simhash_dedup",
       "d13_ngram_decontaminate", "d14_semantic_dedup", "d15_verified_dedup_groups",
-      "d22_exact_substring", "d24_kmeans", "d26_pq_recall",
+      "d22_exact_substring", "d24_kmeans", "d26_pq_recall", "d32_knn_graph",
+      "t23_novelty",
       "t05_tfidf", "t06_salted_token_count", "t07_train_split",
       "t12_sequence_pack", "t13_unigram_surprisal", "t17_bm25",
       "a01_pipe_cranker", "s01_stream_tumbling", "s10_stream_stateful_sessions")

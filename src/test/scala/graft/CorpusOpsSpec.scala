@@ -149,6 +149,58 @@ class CorpusOpsSpec extends SparkTestBase {
       s"CMS undercounted: ${est.mkString(", ")}")
   }
 
+  test("d34 fixed-point pagerank: rank mass is conserved to quantization " +
+    "error and no node falls below the teleport floor") {
+    val rows = SparkEntry.queries("d34_pagerank")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val n = rows.length.toLong
+    val total = rows.map(_.getLong(2)).sum
+    // floor divisions lose < 1 micro-unit per edge per step; 3 steps over
+    // a graph with ≤ n·maxdeg edges stays well within 1% of n·10^6
+    assert(math.abs(total - n * 1000000L) < n * 10000L,
+      s"rank mass drifted: $total vs ${n * 1000000L}")
+    assert(rows.forall(_.getLong(2) >= 150000L), "a rank fell below the teleport floor")
+  }
+
+  test("d35 probe sweep: recall@10 is monotone non-decreasing in nprobe " +
+    "for every query, and the nprobe=1 column matches d12's single-cell probe") {
+    val sweep = SparkEntry.queries("d35_ivf_probe_sweep")(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val byQ = sweep.groupBy(_._2)
+    byQ.foreach { case (q, rs) =>
+      val m = rs.map(r => r._1 -> r._3).toMap
+      assert(m(1) <= m(2) && m(2) <= m(4),
+        s"recall not monotone for query $q: $m")
+    }
+    val d12 = SparkEntry.queries("d12_ann_recall")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sweep.filter(_._1 == 1).foreach { case (_, q, ov) =>
+      assert(d12(q) == ov, s"nprobe=1 overlap $ov != d12 overlap ${d12(q)} for query $q")
+    }
+  }
+
+  test("t23 novelty: the first document is fully novel and every score " +
+    "is a valid fraction") {
+    val rows = SparkEntry.queries("t23_novelty")(spark, sf0001).collect()
+    val first = rows.minBy(_.getLong(0))
+    assert(first.getLong(1) == first.getLong(2),
+      "the lowest doc_id must own all its grams' first occurrences")
+    assert(rows.forall(r => r.getLong(2) >= 0 && r.getLong(2) <= r.getLong(1)))
+  }
+
+  test("s22 streaming CMS: every sketch row of every event type sums to " +
+    "that type's event count — each event lands in exactly one bucket per row") {
+    val rows = SparkEntry.queries("s22_stream_cms_maintenance")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byTypeRow = rows.groupBy { case (t, pos, _) => (t, pos / 64) }
+      .view.mapValues(_.map(_._3).sum).toMap
+    val counts = Tables.events(spark, sf0001).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    byTypeRow.foreach { case ((t, row), s) =>
+      assert(s == counts(t), s"CMS row $row of '$t' sums to $s, expected ${counts(t)}")
+    }
+  }
+
   test("m06 alignment: the caption projection happens map-side — no " +
     "shuffle ever carries the document text, only ids and fixed-width " +
     "vectors cross the join exchange") {
