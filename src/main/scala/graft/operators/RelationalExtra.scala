@@ -405,5 +405,47 @@ object RelationalExtra {
       .orderBy("cohort_week", "week_offset")
   }
 
-  val defs: Seq[Q] = Seq(q33, q34, q35, q36, q37, q47, q66, q68, q69, q70, q71)
+  /** First-touch / last-touch attribution — the marketing-analytics
+    * sibling of q70's funnel: each purchase is attributed to the
+    * earliest AND latest view in its trailing 24-hour window, in one
+    * pass (min/max over the same user-keyed bounded range join; a
+    * per-purchase sort would compute the same thing at a sort's cost).
+    * Unattributed purchases stay visible via the left join. */
+  private val q73 = Q(
+    "q73_touch_attribution",
+    """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+       v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+       a AS (
+         SELECT p.event_id, p.user_id,
+                CAST(epoch_us(p.ts) AS BIGINT) AS purchase_us,
+                min(v.ts) AS first_touch, max(v.ts) AS last_touch
+         FROM p LEFT JOIN v
+           ON v.user_id = p.user_id
+          AND v.ts < p.ts AND v.ts >= p.ts - INTERVAL 24 HOUR
+         GROUP BY p.event_id, p.user_id, p.ts)
+       SELECT event_id, user_id, purchase_us,
+              CAST(epoch_us(first_touch) AS BIGINT) AS first_touch_us,
+              CAST(epoch_us(last_touch) AS BIGINT) AS last_touch_us,
+              (first_touch IS NOT NULL) AS attributed
+       FROM a ORDER BY user_id, purchase_us, event_id""") { (s, d) =>
+    val ev = Tables.events(s, d)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("vu"), col("ts").as("vts"))
+    p.join(v,
+        col("vu") === col("user_id") && col("vts") < col("ts")
+          && col("vts") >= col("ts") - expr("interval 24 hours"), "left")
+      .groupBy("event_id", "user_id", "ts")
+      .agg(min(col("vts")).as("first_touch"), max(col("vts")).as("last_touch"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("purchase_us"),
+        unix_micros(col("first_touch")).as("first_touch_us"),
+        unix_micros(col("last_touch")).as("last_touch_us"),
+        col("first_touch").isNotNull.as("attributed"))
+      .orderBy("user_id", "purchase_us", "event_id")
+  }
+
+  val defs: Seq[Q] = Seq(q33, q34, q35, q36, q37, q47, q66, q68, q69, q70, q71,
+    q73)
 }
