@@ -144,5 +144,33 @@ object SourceQueries {
       .orderBy("o_orderpriority")
   }
 
-  val defs: Seq[Q] = Seq(src01, src02, src03, src04, src05, src06)
+  /** Production shard-writer layout: the corpus written partitioned by
+    * `lang` (partition pruning for per-language jobs), sorted by doc_id
+    * within files (run-length-friendly pages, mergeable shards), and
+    * capped at 100 records per file (`maxRecordsPerFile` — the knob that
+    * bounds shard size when a training loader wants many small shards;
+    * t22 plans the balance, this executes the layout). Verified by
+    * reading the layout back: per-language counts and id ranges must
+    * round-trip exactly; the file-count-per-partition contract is
+    * spec-asserted (it is a layout property, invisible to SQL). */
+  private val src07 = Q(
+    "src07_sharded_write",
+    """SELECT lang, count(*) AS n_rows,
+              min(doc_id) AS min_id, max(doc_id) AS max_id
+       FROM documents GROUP BY lang ORDER BY lang""") { (s, d) =>
+    val dir = tmp("graft_sharded")
+    Tables.documents(s, d)
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", 100)
+      .partitionBy("lang")
+      .parquet(s"$dir/docs_sharded")
+    s.read.parquet(s"$dir/docs_sharded")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy("lang")
+  }
+
+  val defs: Seq[Q] = Seq(src01, src02, src03, src04, src05, src06, src07)
 }
