@@ -1851,6 +1851,135 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** LSH banding operating curve — the (bands × rows) tuning artifact
+    * that sits beside d27's τ curve: from ONE 8-hash signature pass, the
+    * three bandings 8×1 / 4×2 / 2×4 are evaluated together. Because a
+    * (b, r) collision requires r consecutive register agreements, the
+    * candidate sets NEST (2×4 ⊆ 4×2 ⊆ 8×1), so the loosest set is
+    * Jaccard-verified ONCE and every tighter config's precision/recall
+    * is a membership count over the same scored pairs — the full
+    * S-curve sweep for one banding's verification cost. Emits, per
+    * config, candidates, verified (J ≥ 0.5), precision, and recall
+    * relative to the loosest config.
+    *
+    * Scale shape: register agreements join on (seed, mh) — 8-byte keys;
+    * band membership is a per-pair count aggregate; the only per-pair
+    * text work is the single shared verification (d15's machinery,
+    * candidate-restricted). */
+  private val d36 = Q(
+    "d36_banding_curve",
+    """WITH docs AS (
+         SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       sh AS (
+         SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+         FROM (SELECT doc_id, ws,
+                      unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+               FROM docs)),
+       hs AS (
+         SELECT doc_id, ('0x' || substring(md5(sh), 1, 8))::BIGINT AS h1,
+                ('0x' || substring(md5(sh), 9, 8))::BIGINT AS h2
+         FROM sh),
+       sig AS (
+         SELECT doc_id, seed, min(h1 + seed * h2) AS mh
+         FROM hs, (SELECT unnest(generate_series(0, 7)) AS seed) seeds
+         GROUP BY doc_id, seed),
+       agr AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.seed AS seed
+         FROM sig a JOIN sig b
+           ON a.seed = b.seed AND a.mh = b.mh AND a.doc_id < b.doc_id),
+       pairs AS (SELECT DISTINCT id_a, id_b FROM agr),
+       m42 AS (
+         SELECT DISTINCT id_a, id_b FROM (
+           SELECT id_a, id_b, seed // 2 AS band, count(*) AS c
+           FROM agr GROUP BY id_a, id_b, seed // 2) t WHERE c = 2),
+       m24 AS (
+         SELECT DISTINCT id_a, id_b FROM (
+           SELECT id_a, id_b, seed // 4 AS band, count(*) AS c
+           FROM agr GROUP BY id_a, id_b, seed // 4) t WHERE c = 4),
+       shd AS (SELECT DISTINCT doc_id, h1 * 134217728 + h2 % 134217728 AS h
+               FROM hs),
+       sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+       inter AS (
+         SELECT p.id_a, p.id_b, count(*) AS ni
+         FROM pairs p
+           JOIN shd a ON a.doc_id = p.id_a
+           JOIN shd b ON b.doc_id = p.id_b AND b.h = a.h
+         GROUP BY p.id_a, p.id_b),
+       ver AS (
+         SELECT i.id_a, i.id_b FROM inter i
+           JOIN sz sa ON sa.doc_id = i.id_a
+           JOIN sz sb ON sb.doc_id = i.id_b
+         WHERE i.ni * 1.0 / (sa.n + sb.n - i.ni) >= 0.5),
+       members AS (
+         SELECT '8x1' AS config, id_a, id_b FROM pairs
+         UNION ALL SELECT '4x2', id_a, id_b FROM m42
+         UNION ALL SELECT '2x4', id_a, id_b FROM m24),
+       agg AS (
+         SELECT m.config, count(*) AS n_candidates,
+                CAST(sum(CASE WHEN v.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_verified
+         FROM members m LEFT JOIN ver v
+           ON v.id_a = m.id_a AND v.id_b = m.id_b
+         GROUP BY m.config),
+       loosest AS (SELECT n_verified AS v81 FROM agg WHERE config = '8x1')
+       SELECT c.config,
+              CAST(coalesce(a.n_candidates, 0) AS BIGINT) AS n_candidates,
+              CAST(coalesce(a.n_verified, 0) AS BIGINT) AS n_verified,
+              round(coalesce(a.n_verified * 1.0 / a.n_candidates, 0.0), 4) AS precision_at_05,
+              round(coalesce(a.n_verified * 1.0 / l.v81, 0.0), 4) AS recall_vs_loosest
+       FROM (SELECT * FROM (VALUES ('8x1'), ('4x2'), ('2x4')) AS t(config)) c
+         LEFT JOIN agg a ON a.config = c.config
+         CROSS JOIN loosest l
+       ORDER BY c.config""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val toks = spreadToCores(docs)
+      .select(col("doc_id").as("id"), split(col("text"), " ").as("ws"))
+    val sh = toks.select(col("id"),
+      expr("transform(sequence(1, greatest(size(ws) - 2, 1)), " +
+        "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))")
+        .as("sh"))
+    val hv = reuse(sh.select(col("id"), shingleHashPairs(col("sh")).as("hv")))
+    val sig = reuse(hv
+      .select(col("id"), posexplode(minhashSignature(col("hv"), 8)).as(Seq("seed", "mh"))))
+    val agr = reuse(sig.select(col("id").as("id_a"), col("seed"), col("mh"))
+      .join(sig.select(col("id").as("id_b"), col("seed"), col("mh")), Seq("seed", "mh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("seed")))
+    val pairs = agr.select(col("id_a"), col("id_b")).distinct()
+    def bandMembers(rowsPerBand: Int): DataFrame = agr
+      .groupBy(col("id_a"), col("id_b"), (col("seed") / rowsPerBand).cast("int").as("band"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") === rowsPerBand)
+      .select(col("id_a"), col("id_b")).distinct()
+    val shingles = hv.select(col("id"), explode(col("hv")).as("p"))
+      .select(col("id"),
+        (col("p.h1") * lit(134217728L) + col("p.h2") % lit(134217728L)).as("h"))
+    val ver = jaccardVerifiedPairs(pairs, shingles, tau = 0.5)
+      .select(col("id_a").as("va"), col("id_b").as("vb"))
+    val members = pairs.withColumn("config", lit("8x1"))
+      .unionByName(bandMembers(2).withColumn("config", lit("4x2")))
+      .unionByName(bandMembers(4).withColumn("config", lit("2x4")))
+    val agg = reuse(members
+      .join(ver, col("va") === col("id_a") && col("vb") === col("id_b"), "left")
+      .groupBy("config")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("va").isNotNull, 1L).otherwise(0L)).as("n_verified")))
+    val loosest = agg.filter(col("config") === "8x1")
+      .select(col("n_verified").as("v81"))
+    val configs = s.createDataFrame(Seq(Tuple1("8x1"), Tuple1("4x2"), Tuple1("2x4")))
+      .toDF("config")
+    configs
+      .join(agg, Seq("config"), "left")
+      .crossJoin(broadcast(loosest))
+      .select(col("config"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_verified"), lit(0L)).as("n_verified"),
+        round(coalesce(col("n_verified") * lit(1.0) / col("n_candidates"), lit(0.0)), 4)
+          .as("precision_at_05"),
+        round(coalesce(col("n_verified") * lit(1.0) / col("v81"), lit(0.0)), 4)
+          .as("recall_vs_loosest"))
+      .orderBy("config")
+  }
+
   val defs: Seq[Q] = Seq(d01, d02, d03, d04, d08, d09, d10, d11, d13, d15,
-    d17, d18, d20, d21, d22, d23, d27, d28, d31, d34)
+    d17, d18, d20, d21, d22, d23, d27, d28, d31, d34, d36)
 }
