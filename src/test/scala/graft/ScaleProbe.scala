@@ -61,7 +61,11 @@ object ScaleProbe {
       .repartition(8).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
 
     val names = Seq("d08_dedup_groups", "d11_simhash_dedup", "d15_verified_dedup_groups",
-      "m05_media_near_dup", "d24_kmeans", "d26_pq_recall")
+      "m05_media_near_dup", "d24_kmeans", "d26_pq_recall",
+      // session-3 additions: the kNN graph (cell-population hazard),
+      // novelty (gram-census join), and PageRank (iterative joins over
+      // the verified-pair graph)
+      "d32_knn_graph", "t23_novelty", "d34_pagerank")
     // JIT/codegen warm at the smallest SF (Bench methodology)
     names.foreach(nm =>
       SparkEntry.queries(nm)(spark, "/root/testdata/sf0.001").count())
