@@ -201,6 +201,53 @@ class CorpusOpsSpec extends SparkTestBase {
     }
   }
 
+  test("src07 shard writer: the layout honors the contract — a dir per " +
+    "language, no file over the 100-record cap, and a lossless round-trip") {
+    import org.apache.spark.sql.functions.input_file_name
+    val dir = java.nio.file.Files.createTempDirectory("graft-src07-spec").toString
+    Tables.documents(spark, sf001)
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", 100)
+      .partitionBy("lang")
+      .parquet(s"$dir/docs_sharded")
+    val back = spark.read.parquet(s"$dir/docs_sharded")
+    val perFile = back.groupBy(input_file_name().as("f")).count().collect()
+    assert(perFile.forall(_.getLong(1) <= 100),
+      s"a shard exceeds maxRecordsPerFile: ${perFile.map(_.getLong(1)).max}")
+    val langs = Tables.documents(spark, sf001).select("lang").distinct().count()
+    val dirs = new java.io.File(s"$dir/docs_sharded").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("lang="))
+    assert(dirs == langs, s"expected $langs lang= partition dirs, found $dirs")
+    assert(back.count() == Tables.documents(spark, sf001).count())
+    graft.Scratch.deleteRecursively(new java.io.File(dir))
+  }
+
+  test("d36 banding curve: candidate sets nest (tighter banding ⊆ looser) " +
+    "and recall is measured against the loosest config") {
+    val rows = SparkEntry.queries("d36_banding_curve")(spark, sf001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val (c24, c42, c81) = (rows("2x4"), rows("4x2"), rows("8x1"))
+    assert(c24.getLong(1) <= c42.getLong(1) && c42.getLong(1) <= c81.getLong(1),
+      "candidate counts must nest with banding tightness")
+    assert(c24.getLong(2) <= c42.getLong(2) && c42.getLong(2) <= c81.getLong(2),
+      "verified counts must nest too")
+    assert(c81.getDouble(4) == 1.0, "the loosest config defines recall = 1")
+    assert(rows.values.forall(_.getDouble(4) <= 1.0))
+  }
+
+  test("q73 attribution: first touch never follows last touch, and both " +
+    "fall strictly inside the purchase's trailing window") {
+    val rows = SparkEntry.queries("q73_touch_attribution")(spark, sf001).collect()
+    rows.filter(_.getBoolean(5)).foreach { r =>
+      val (p, ft, lt) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(ft <= lt, s"first touch after last touch: $r")
+      assert(lt < p && ft >= p - 24L * 3600 * 1000000, s"touch outside window: $r")
+    }
+    assert(rows.exists(_.getBoolean(5)) && rows.exists(!_.getBoolean(5)),
+      "fixture should exercise both attributed and unattributed purchases")
+  }
+
   test("m06 alignment: the caption projection happens map-side — no " +
     "shuffle ever carries the document text, only ids and fixed-width " +
     "vectors cross the join exchange") {
