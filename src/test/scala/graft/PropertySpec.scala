@@ -102,4 +102,55 @@ class PropertySpec extends SparkTestBase with Matchers {
       viaWindow shouldBe viaJoin
     }
   }
+
+  test("distributedPrefixSum equals the single-task window formulation " +
+    "on random groups, orders, and values") {
+    val rowGen = Gen.listOfN(60, for {
+      g <- Gen.oneOf("a", "b", "c")
+      o <- Gen.chooseNum(0L, 1000L)
+      v <- Gen.chooseNum(-50L, 50L)
+    } yield (g, o, v))
+    forSamples(rowGen, n = 3) { rows =>
+      // de-dup order keys within a group: ties make BOTH formulations
+      // order-dependent, which is a fixture property, not a contract
+      val distinctRows = rows.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+      val df = distinctRows.toDF("g", "o", "v").repartition(5)
+      val viaHelper = graft.ops.TextAnalysis
+        .distributedPrefixSum(df, "g", "o", "v", "cum")
+        .select("g", "o", "cum").as[(String, Long, Long)].collect().toSet
+      val w = Window.partitionBy(col("g")).orderBy(col("o"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val viaWindow = df.withColumn("cum", sum(col("v")).over(w))
+        .select("g", "o", "cum").as[(String, Long, Long)].collect().toSet
+      viaHelper shouldBe viaWindow
+    }
+  }
+
+  test("cms_sketch point estimates always dominate exact counts on " +
+    "random token multisets") {
+    graft.functions.CmsSketch.register(spark)
+    val tokGen = Gen.listOfN(200, Gen.oneOf(
+      (1 to 12).map(i => s"tok$i") ++ Seq("hot", "hot", "hot")))
+    forSamples(tokGen, n = 3) { toks =>
+      val df = toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("i", "term")
+      val withH = df.select(col("term"),
+        conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long").as("h1"),
+        conv(substring(md5(col("term")), 9, 8), 16, 10).cast("long").as("h2"))
+      val sk = withH
+        .select(array(struct(col("h1"), col("h2"))).as("hv"))
+        .agg(graft.functions.CmsSketch.cms_sketch(col("hv"), 4, 32).as("sk"))
+        .head().getSeq[Long](0)
+      val exact = withH.groupBy("term", "h1", "h2").count().collect()
+      exact.foreach { r =>
+        val (h1, h2, n) = (r.getLong(1), r.getLong(2), r.getLong(3))
+        val est = (0 until 4).map(i => sk(i * 32 + ((h1 + i * h2) % 32).toInt)).min
+        assert(est >= n, s"CMS undercounted '${r.getString(0)}': $est < $n")
+      }
+      // total mass per row equals the multiset size
+      (0 until 4).foreach { i =>
+        assert(sk.slice(i * 32, (i + 1) * 32).sum == toks.size.toLong)
+      }
+    }
+  }
 }
