@@ -1080,12 +1080,12 @@ object Similarity {
       .orderBy("qid")
   }
 
-  /** Dot-max IVF cell assignment against the fixed vec_id<8 seed
-    * centroids (the d07 convention): quantized corpus × broadcast
-    * centroids, argmax dot with cent_id tiebreak. Map-side but for the
-    * tiny centroid broadcast; returns (vec_id, v, n2, cell). */
-  private def ivfAssign(e: DataFrame): DataFrame = {
-    val cents = e.filter(col("vec_id") < 8)
+  /** Dot-max IVF cell assignment against the fixed vec_id<numCents seed
+    * centroids (the d07 convention at numCents=8): quantized corpus ×
+    * broadcast centroids, argmax dot with cent_id tiebreak. Map-side but
+    * for the tiny centroid broadcast; returns (vec_id, v, n2, cell). */
+  private def ivfAssign(e: DataFrame, numCents: Int = 8): DataFrame = {
+    val cents = e.filter(col("vec_id") < numCents)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
     val wc = Window.partitionBy(col("vec_id")).orderBy(col("dot").desc, col("cent_id"))
     e.crossJoin(broadcast(cents))
@@ -1093,6 +1093,29 @@ object Similarity {
       .withColumn("rn", row_number().over(wc))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("n2"), col("cent_id").as("cell"))
+  }
+
+  /** Cell-blocked kNN edge list (src, rank, nbr, cos): each vector's
+    * top-k cosine neighbors within its IVF cell. `numCents` is THE scale
+    * knob — in-cell pair work is Σn_c², so cells must grow with the
+    * corpus to keep cell population (and per-vector candidate cost)
+    * constant; ScaleProbe measures exactly that (8 cells at 10× corpus
+    * go quadratic, 10× cells restore the ratio). Parametric so probes
+    * can exercise the knob; d32 pins (8, 3) for its oracle. */
+  private[graft] def knnEdges(e0: DataFrame, numCents: Int, k: Int): DataFrame = {
+    graft.functions.LongDot.register(e0.sparkSession)
+    graft.plans.TopKPerGroup.install(e0.sparkSession)
+    val assign = Dedup.reuse(ivfAssign(e0, numCents))
+    val wr = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("nbr"))
+    assign.select(col("vec_id").as("src"), col("v").as("qv"),
+        col("n2").as("qn2"), col("cell"))
+      .join(assign.select(col("vec_id").as("nbr"), col("v").as("cv2"),
+        col("n2").as("cn2"), col("cell").as("ccell")),
+        col("ccell") === col("cell") && col("nbr") =!= col("src"))
+      .withColumn("cos", dotQ(col("qv"), col("cv2")) / (sqrt(col("qn2")) * sqrt(col("cn2"))))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("rank"), col("nbr"), col("cos"))
   }
 
   /** Mutual-kNN graph over the whole embedding corpus — the graph every
@@ -1142,17 +1165,7 @@ object Similarity {
     val e = Dedup.reuse(Tables.embeddings(s, d)
       .select(col("vec_id"), quantize(col("embedding")).as("v"))
       .withColumn("n2", norm2Q(col("v"))))
-    val assign = Dedup.reuse(ivfAssign(e))
-    val wr = Window.partitionBy(col("src")).orderBy(col("cos").desc, col("nbr"))
-    val top3 = Dedup.reuse(assign.select(col("vec_id").as("src"), col("v").as("qv"),
-        col("n2").as("qn2"), col("cell"))
-      .join(assign.select(col("vec_id").as("nbr"), col("v").as("cv2"),
-        col("n2").as("cn2"), col("cell").as("ccell")),
-        col("ccell") === col("cell") && col("nbr") =!= col("src"))
-      .withColumn("cos", dotQ(col("qv"), col("cv2")) / (sqrt(col("qn2")) * sqrt(col("cn2"))))
-      .withColumn("rank", row_number().over(wr))
-      .filter(col("rank") <= 3)
-      .select(col("src"), col("rank"), col("nbr"), col("cos")))
+    val top3 = Dedup.reuse(knnEdges(e, numCents = 8, k = 3))
     top3
       .join(top3.select(col("src").as("rsrc"), col("nbr").as("rnbr")),
         col("rsrc") === col("nbr") && col("rnbr") === col("src"), "left")

@@ -223,6 +223,32 @@ class CorpusOpsSpec extends SparkTestBase {
     graft.Scratch.deleteRecursively(new java.io.File(dir))
   }
 
+  test("src07 layout: a per-language read prunes to ONE partition dir at " +
+    "the scan — the layout pays off as partition pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-src07-prune").toString
+    Tables.documents(spark, sf0001)
+      .write.mode("overwrite").partitionBy("lang").parquet(s"$dir/docs")
+    val df = spark.read.parquet(s"$dir/docs").filter(col("lang") === "en")
+    df.collect()
+    val scan = allNodes(castToImpl(df).queryExecution.executedPlan).collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scan.isDefined)
+    assert(scan.get.metadata("PartitionFilters").contains("lang"),
+      s"lang filter did not reach the partition pruner: ${scan.get.metadata}")
+    assert(scan.get.selectedPartitions.partitionCount == 1,
+      s"expected 1 pruned partition, scanned ${scan.get.selectedPartitions.partitionCount}")
+    graft.Scratch.deleteRecursively(new java.io.File(dir))
+  }
+
+  test("d36 banding curve: the register-agreement join shuffles only ids " +
+    "and 8-byte keys — document text never crosses an exchange") {
+    val df = SparkEntry.queries("d36_banding_curve")(spark, sf0001)
+    assert(shuffles(df).forall(e => !e.child.schema.fieldNames.contains("text")
+      && !e.child.schema.fieldNames.contains("ws")),
+      "a d36 shuffle carries document text or token arrays")
+  }
+
   test("d36 banding curve: candidate sets nest (tighter banding ⊆ looser) " +
     "and recall is measured against the loosest config") {
     val rows = SparkEntry.queries("d36_banding_curve")(spark, sf001).collect()

@@ -86,8 +86,33 @@ object ScaleProbe {
       s""""$nm":{"sec_5k":${f"$t5k%.2f"},"sec_50k":${f"$t50k%.2f"},""" +
         s""""ratio":${f"$ratio%.2f"},"rows_5k":$r5k,"rows_50k":$r50k}"""
     }
+    // the kNN-graph cell knob, measured: at FIXED 8 cells a 10× corpus
+    // grows in-cell pair work 100× (quadratic); growing cells WITH the
+    // corpus (80) keeps cell population constant → pair work 10× (the
+    // linear scale path the d32 docstring names). Times via knnEdges
+    // directly — d32's oracle pins 8 cells, the knob is the helper's.
+    def knnTime(d: String, cells: Int): Double = {
+      val e = graft.ops.Dedup.reuse(Tables.embeddings(spark, d)
+        .select(col("vec_id"), graft.ops.Similarity.quantize(col("embedding")).as("v"))
+        .withColumn("n2", graft.ops.Similarity.norm2Q(col("v"))))
+      val ts = (1 to 2).map { _ =>
+        spark.catalog.clearCache(); System.gc()
+        val t0 = System.nanoTime()
+        graft.ops.Similarity.knnEdges(e, cells, 3).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      ts.min
+    }
+    val knn2k8 = knnTime(sf01, 8)
+    val knn20k8 = knnTime(dir, 8)
+    val knn20k80 = knnTime(dir, 80)
+    val knnEntry =
+      s""""knn_cells_knob":{"sec_2k_8c":${f"$knn2k8%.2f"},""" +
+        s""""sec_20k_8c":${f"$knn20k8%.2f"},"sec_20k_80c":${f"$knn20k80%.2f"},""" +
+        s""""ratio_fixed_cells":${f"${knn20k8 / knn2k8}%.2f"},""" +
+        s""""ratio_scaled_cells":${f"${knn20k80 / knn2k8}%.2f"}}"""
     println(s"""{"metric":"scale_10x","docs_small":5000,"docs_large":$n,""" +
-      entries.mkString("\"queries\":{", ",", "}}"))
+      entries.mkString("\"queries\":{", ",", "},") + knnEntry + "}")
     spark.stop()
   }
 }
