@@ -1938,8 +1938,15 @@ object Dedup {
         "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))")
         .as("sh"))
     val hv = reuse(sh.select(col("id"), shingleHashPairs(col("sh")).as("hv")))
-    val sig = reuse(hv
-      .select(col("id"), posexplode(minhashSignature(col("hv"), 8)).as(Seq("seed", "mh"))))
+    // the register self-join is a banded self-join in disguise: one
+    // degenerate (seed, mh) bucket would emit quadratic agreement rows,
+    // so the d03 cap guards it (fixture max bucket: 20 docs — the cap
+    // never fires on oracle data; at scale it trades recall on a
+    // non-discriminating register for bounded work)
+    val sig = dropOversizedBuckets(
+      reuse(hv.select(col("id"),
+        posexplode(minhashSignature(col("hv"), 8)).as(Seq("seed", "mh")))),
+      Seq("seed", "mh"), bucketCap(s))
     val agr = reuse(sig.select(col("id").as("id_a"), col("seed"), col("mh"))
       .join(sig.select(col("id").as("id_b"), col("seed"), col("mh")), Seq("seed", "mh"))
       .filter(col("id_a") < col("id_b"))
