@@ -1166,6 +1166,51 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Vocabulary coverage curve — the artifact a tokenizer build reads
+    * before fixing a vocab size: the top-20 terms by corpus frequency
+    * with each prefix's CUMULATIVE share of all tokens (how much of the
+    * corpus the first N vocab entries cover).
+    *
+    * Scale shape: the term census is one hash agg; the top-K cut runs
+    * FIRST (the heap top-k operator — never a global sort of the whole
+    * vocabulary, which at 100 TB has billions of tail entries), and only
+    * then does the cumulative window run — over K rows, driver-scale by
+    * construction. Shares are single divides of exact integer counts. */
+  private val t24 = Q(
+    "t24_vocab_coverage",
+    """WITH tok AS (
+         SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+       tf AS (SELECT term, count(*) AS n FROM tok GROUP BY term),
+       tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM tf),
+       top AS (
+         SELECT term, n, row_number() OVER (ORDER BY n DESC, term) AS rank
+         FROM tf ORDER BY n DESC, term LIMIT 20),
+       cum AS (
+         SELECT rank, term, n,
+                CAST(sum(n) OVER (ORDER BY rank
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+         FROM top)
+       SELECT rank, term, n, cum_n,
+              round(cum_n * 1.0 / total, 6) AS cum_share
+       FROM cum CROSS JOIN tot ORDER BY rank""") { (s, d) =>
+    graft.plans.TopKPerGroup.install(s)
+    val tf = Dedup.reuse(Tables.documents(s, d)
+      .select(explode(toks("text")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n")))
+    val tot = tf.agg(sum(col("n")).as("total"))
+    // top-K first (TakeOrdered — K rows survive), cumulate after
+    val top = tf.orderBy(col("n").desc, col("term")).limit(20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("term"))))
+    val wCum = Window.orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.withColumn("cum_n", sum(col("n")).over(wCum))
+      .crossJoin(broadcast(tot))
+      .select(col("rank").cast(LongType).as("rank"), col("term"), col("n"),
+        col("cum_n"), round(col("cum_n") * lit(1.0) / col("total"), 6).as("cum_share"))
+      .orderBy("rank")
+  }
+
   val defs: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
-    t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23)
+    t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24)
 }
