@@ -1987,6 +1987,113 @@ object Dedup {
       .orderBy("config")
   }
 
+  /** Duplicate-cluster size distribution — the log-bucketed histogram
+    * every dedup paper plots (and the number a data team quotes:
+    * "X% of the corpus sits in clusters of ≥N"): verified components
+    * (d15's clusters) bucketed by size into power-of-two bins, with
+    * singletons (docs in no verified pair) as the size-1 bin. Bucketing
+    * is an integer CASE ladder (never floor(log2(·)) — libm log2 of an
+    * exact power of two is not guaranteed exact, and one 2.9999… would
+    * flip a bin cross-engine); sizes above 64 lump into the top bin.
+    *
+    * Scale shape: everything after the d15 pipeline is component-keyed
+    * hash aggs over (id, component) longs; the histogram is ≤ 8 rows. */
+  private val d37 = Q(
+    "d37_cluster_histogram",
+    """WITH RECURSIVE docs AS (
+         SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       sh AS (
+         SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+         FROM (SELECT doc_id, ws,
+                      unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+               FROM docs)),
+       hs AS (
+         SELECT doc_id, ('0x' || substring(md5(sh), 1, 8))::BIGINT AS h1,
+                ('0x' || substring(md5(sh), 9, 8))::BIGINT AS h2
+         FROM sh),
+       sig AS (
+         SELECT doc_id, seed, min(h1 + seed * h2) AS mh
+         FROM hs, (SELECT unnest(generate_series(0, 7)) AS seed) seeds
+         GROUP BY doc_id, seed),
+       bands AS (
+         SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+                md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS band_key
+         FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)),
+       pairs AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       shd AS (SELECT DISTINCT doc_id, h1 * 134217728 + h2 % 134217728 AS h
+               FROM hs),
+       sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+       inter AS (
+         SELECT p.id_a, p.id_b, count(*) AS ni
+         FROM pairs p
+           JOIN shd a ON a.doc_id = p.id_a
+           JOIN shd b ON b.doc_id = p.id_b AND b.h = a.h
+         GROUP BY p.id_a, p.id_b),
+       vpairs AS (
+         SELECT i.id_a, i.id_b FROM inter i
+           JOIN sz sa ON sa.doc_id = i.id_a
+           JOIN sz sb ON sb.doc_id = i.id_b
+         WHERE i.ni * 1.0 / (sa.n + sb.n - i.ni) >= 0.5),
+       nodes AS (
+         SELECT DISTINCT id FROM (
+           SELECT id_a AS id FROM vpairs UNION ALL SELECT id_b AS id FROM vpairs)),
+       edges AS (
+         SELECT id_a AS src, id_b AS dst FROM vpairs
+         UNION ALL SELECT id_b AS src, id_a AS dst FROM vpairs),
+       reach(a, b) AS (
+         SELECT id, id FROM nodes
+         UNION
+         SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+       comp AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a),
+       csz AS (SELECT component, count(*) AS csize FROM comp GROUP BY component),
+       tot AS (SELECT count(*) AS n_total FROM documents),
+       nsing AS (
+         SELECT (SELECT count(*) FROM documents) - (SELECT count(*) FROM comp) AS n),
+       hist AS (
+         SELECT CASE WHEN csize < 4 THEN 2 WHEN csize < 8 THEN 4
+                     WHEN csize < 16 THEN 8 WHEN csize < 32 THEN 16
+                     WHEN csize < 64 THEN 32 ELSE 64 END AS bucket_min,
+                count(*) AS n_clusters, CAST(sum(csize) AS BIGINT) AS n_docs
+         FROM csz GROUP BY 1),
+       rows_all AS (
+         SELECT CAST(1 AS BIGINT) AS bucket_min, CAST(n AS BIGINT) AS n_clusters,
+                CAST(n AS BIGINT) AS n_docs
+         FROM nsing WHERE n > 0
+         UNION ALL
+         SELECT CAST(bucket_min AS BIGINT), CAST(n_clusters AS BIGINT), n_docs FROM hist)
+       SELECT bucket_min, n_clusters, n_docs,
+              round(n_docs * 1.0 / n_total, 6) AS docs_share
+       FROM rows_all CROSS JOIN tot ORDER BY bucket_min""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val (buckets, shingles) = lshBucketsAndShingles(docs, "doc_id", "text",
+      shingleWords = 3, bands = 4, rowsPerBand = 2)
+    val verified = jaccardVerifiedPairs(
+      candidatePairs(buckets, materialize = false), shingles, tau = 0.5)
+    val comp = reuse(connectedComponents(verified))
+    val csz = comp.groupBy("component").agg(count(lit(1)).as("csize"))
+    val nTotal = docs.count()
+    val nSingle = nTotal - comp.count()
+    val hist = csz
+      .withColumn("bucket_min",
+        when(col("csize") < 4, 2L).when(col("csize") < 8, 4L)
+          .when(col("csize") < 16, 8L).when(col("csize") < 32, 16L)
+          .when(col("csize") < 64, 32L).otherwise(64L))
+      .groupBy("bucket_min")
+      .agg(count(lit(1)).as("n_clusters"), sum(col("csize")).as("n_docs"))
+    val withSingles =
+      if (nSingle > 0)
+        hist.unionByName(s.range(1).select(lit(1L).as("bucket_min"),
+          lit(nSingle).as("n_clusters"), lit(nSingle).as("n_docs")))
+      else hist
+    withSingles
+      .select(col("bucket_min"), col("n_clusters"), col("n_docs"),
+        round(col("n_docs") * lit(1.0) / lit(nTotal), 6).as("docs_share"))
+      .orderBy("bucket_min")
+  }
+
   val defs: Seq[Q] = Seq(d01, d02, d03, d04, d08, d09, d10, d11, d13, d15,
-    d17, d18, d20, d21, d22, d23, d27, d28, d31, d34, d36)
+    d17, d18, d20, d21, d22, d23, d27, d28, d31, d34, d36, d37)
 }
