@@ -274,6 +274,27 @@ class CorpusOpsSpec extends SparkTestBase {
       "fixture should exercise both attributed and unattributed purchases")
   }
 
+  test("t24 vocab coverage: cumulative shares are strictly increasing and " +
+    "the curve is consistent with its own counts") {
+    val rows = SparkEntry.queries("t24_vocab_coverage")(spark, sf0001).collect()
+    val cums = rows.sortBy(_.getLong(0)).map(_.getLong(3))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a < b },
+      "cumulative counts must strictly increase")
+    val ns = rows.sortBy(_.getLong(0)).map(_.getLong(2))
+    assert(cums.last == ns.sum, "final cumulative != sum of counts")
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b },
+      "top-20 must be ordered by frequency")
+  }
+
+  test("d37 cluster histogram: bucket doc counts account for the whole " +
+    "corpus exactly once") {
+    val rows = SparkEntry.queries("d37_cluster_histogram")(spark, sf0001).collect()
+    val total = Tables.documents(spark, sf0001).count()
+    assert(rows.map(_.getLong(2)).sum == total,
+      s"histogram docs ${rows.map(_.getLong(2)).sum} != corpus $total")
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+  }
+
   test("m06 alignment: the caption projection happens map-side — no " +
     "shuffle ever carries the document text, only ids and fixed-width " +
     "vectors cross the join exchange") {
