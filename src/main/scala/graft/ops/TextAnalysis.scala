@@ -1172,10 +1172,12 @@ object TextAnalysis {
     * corpus the first N vocab entries cover).
     *
     * Scale shape: the term census is one hash agg; the top-K cut runs
-    * FIRST (the heap top-k operator — never a global sort of the whole
-    * vocabulary, which at 100 TB has billions of tail entries), and only
-    * then does the cumulative window run — over K rows, driver-scale by
-    * construction. Shares are single divides of exact integer counts. */
+    * FIRST and plans as `TakeOrderedAndProject` — a bounded per-partition
+    * heap, never a global sort of the whole vocabulary, which at 100 TB
+    * has billions of tail entries (plan-confirmed: the cumulative windows
+    * sit ABOVE the limit-20 node, so they run over K rows, driver-scale
+    * by construction). Shares are single divides of exact integer
+    * counts. */
   private val t24 = Q(
     "t24_vocab_coverage",
     """WITH tok AS (
@@ -1193,7 +1195,6 @@ object TextAnalysis {
        SELECT rank, term, n, cum_n,
               round(cum_n * 1.0 / total, 6) AS cum_share
        FROM cum CROSS JOIN tot ORDER BY rank""") { (s, d) =>
-    graft.plans.TopKPerGroup.install(s)
     val tf = Dedup.reuse(Tables.documents(s, d)
       .select(explode(toks("text")).as("term"))
       .groupBy("term").agg(count(lit(1)).as("n")))
