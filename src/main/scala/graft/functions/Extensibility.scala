@@ -466,6 +466,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => CmsSketchAgg(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue(),
         exprs(2).eval().asInstanceOf[Number].intValue()).toAggregateExpression()))
+    e.injectFunction(fn("minhash_sig", classOf[MinHashSig],
+      exprs => MinHashSig(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue())))
     e.injectFunction(fn("char_shingles", classOf[CharShinglesGen],
       exprs => CharShinglesGen(exprs.head, exprs(1))))
     e.injectOptimizerRule(_ => graft.plans.TopKRewrite)

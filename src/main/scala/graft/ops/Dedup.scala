@@ -70,11 +70,20 @@ object Dedup {
     * replaces numHashes of them — at 100 TB the signature pass is the
     * dominant corpus-wide CPU cost, so the family derivation is the
     * difference between 1× and numHashes× total hashing. Integer math
-    * stays exact cross-engine (h1 + 7·h2 < 2^35, no overflow). Pass the
-    * hash-pair array as a REAL column: expressions inside the per-seed
-    * lambda re-evaluate per element, so inlining the md5 here would undo
-    * the single-pass property. */
+    * stays exact cross-engine (h1 + 7·h2 < 2^35, no overflow). Runs as
+    * the fused [[graft.functions.MinHashSig]] codegen Expression: one
+    * walk over the pair array maintaining k primitive running minima —
+    * where the HOF formulation (kept below as the spec reference) walks
+    * the array k times, allocates k intermediate arrays per row, and is
+    * CodegenFallback throughout. */
   def minhashSignature(hashPairs: Column, numHashes: Int): Column =
+    graft.functions.MinHashSig.minhash_sig(hashPairs, numHashes)
+
+  /** The HOF formulation of [[minhashSignature]] — k array walks, k
+    * intermediate arrays, CodegenFallback. Kept as the independent
+    * reference implementation the fused Expression is spec-pinned
+    * against (PropertySpec/CorpusOpsSpec agreement tests). */
+  def minhashSignatureHof(hashPairs: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
       i => array_min(transform(hashPairs,
         p => p.getField("h1") + i * p.getField("h2"))))
@@ -90,6 +99,7 @@ object Dedup {
     * integer-derived — see [[minhashSignature]]). */
   def lshBuckets(df: DataFrame, idCol: String, textCol: String,
       shingleWords: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    graft.functions.MinHashSig.register(df.sparkSession)
     val numHashes = bands * rowsPerBand
     val k = shingleWords
     val toks = spreadToCores(df).select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
@@ -313,6 +323,7 @@ object Dedup {
     * corpus twice. */
   def lshBucketsAndShingles(df: DataFrame, idCol: String, textCol: String,
       shingleWords: Int, bands: Int, rowsPerBand: Int): (DataFrame, DataFrame) = {
+    graft.functions.MinHashSig.register(df.sparkSession)
     val numHashes = bands * rowsPerBand
     val k = shingleWords
     val toks = spreadToCores(df).select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
@@ -1938,6 +1949,7 @@ object Dedup {
         "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))")
         .as("sh"))
     val hv = reuse(sh.select(col("id"), shingleHashPairs(col("sh")).as("hv")))
+    graft.functions.MinHashSig.register(s)
     // the register self-join is a banded self-join in disguise: one
     // degenerate (seed, mh) bucket would emit quadratic agreement rows,
     // so the d03 cap guards it (fixture max bucket: 20 docs — the cap

@@ -274,6 +274,27 @@ class CorpusOpsSpec extends SparkTestBase {
       "fixture should exercise both attributed and unattributed purchases")
   }
 
+  test("fused minhash_sig Expression agrees with the HOF formulation " +
+    "element-for-element on real corpus digests, including k variation") {
+    graft.functions.MinHashSig.register(spark)
+    val docs = Tables.documents(spark, sf001)
+    val hv = docs.select(col("doc_id"),
+      graft.ops.Dedup.shingleHashPairs(split(col("text"), " ")).as("hv"))
+    Seq(3, 8).foreach { k =>
+      val both = hv.select(col("doc_id"),
+        graft.ops.Dedup.minhashSignature(col("hv"), k).as("fused"),
+        graft.ops.Dedup.minhashSignatureHof(col("hv"), k).as("hof"))
+      val diff = both.filter(not(col("fused") === col("hof"))).count()
+      assert(diff == 0L, s"fused != HOF on $diff docs at k=$k")
+    }
+    // empty input matches array_min(empty) = k nulls
+    graft.functions.MinHashSig.register(spark)
+    val empty = spark.sql(
+      "SELECT minhash_sig(filter(array(named_struct('h1', 1L, 'h2', 1L)), x -> false), 3) AS sg")
+      .head()
+    assert(!empty.isNullAt(0) && empty.getSeq[Any](0) == Seq(null, null, null))
+  }
+
   test("t24 vocab coverage: cumulative shares are strictly increasing and " +
     "the curve is consistent with its own counts") {
     val rows = SparkEntry.queries("t24_vocab_coverage")(spark, sf0001).collect()

@@ -35,6 +35,9 @@ object ExtensionsProbe {
     assert(spark.sql(
       "SELECT cms_sketch(array(named_struct('h1', 5L, 'h2', 3L)), 2, 4) AS sk")
       .head().getSeq[Long](0) == Seq(0L, 1L, 0L, 0L, 1L, 0L, 0L, 0L))
+    assert(spark.sql(
+      "SELECT minhash_sig(array(named_struct('h1', 5L, 'h2', 3L)), 4) AS sg")
+      .head().getSeq[Long](0) == Seq(5L, 8L, 11L, 14L))
 
     val topk = spark.sql(
       """SELECT * FROM (
