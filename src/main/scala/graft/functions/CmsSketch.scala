@@ -69,9 +69,12 @@ case class CmsSketchAgg(
         val h1 = row.getLong(0); val h2 = row.getLong(1)
         var i = 0
         while (i < depth) {
-          // h1, h2 are 32-bit-positive md5 halves, so h1 + i*h2 stays
-          // positive and % is a true modulus
-          buf(i * width + ((h1 + i * h2) % width).toInt) += 1L
+          // Math.floorMod, not %: the documented input convention is 32-bit
+          // md5 halves (h1 + i*h2 stays positive), but a caller feeding
+          // negative or full-64-bit longs would get a negative Java remainder
+          // and an out-of-bounds write; floorMod keeps the index in [0, width)
+          // for any long at identical cost.
+          buf(i * width + java.lang.Math.floorMod(h1 + i * h2, width.toLong).toInt) += 1L
           i += 1
         }
         e += 1

@@ -1219,18 +1219,22 @@ object Similarity {
       .select(col("vec_id"), quantize(col("embedding")).as("v"))
       .withColumn("n2", norm2Q(col("v")))
     val assign = Dedup.reuse(ivfAssign(e))
-    // index build: paid once per corpus, maintained at ingest
+    // index build: paid once per corpus, maintained at ingest. The catalog
+    // name is derived from the per-run Scratch dir so concurrent sessions
+    // sharing a metastore never collide and reruns never trip on a stale
+    // registration (the data itself lives in the self-cleaning dir).
     val dir = graft.Scratch.dir("graft_ivf_index")
+    val indexTable = "graft_ivf_index_" + dir.replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
     assign.select(col("cell"), col("vec_id").as("cid"), col("v").as("cv2"),
         col("n2").as("cn2"))
       .write.mode("overwrite").format("parquet")
       .bucketBy(8, "cell").sortBy("cell")
-      .option("path", s"$dir/ivf_index").saveAsTable("graft_ivf_index")
+      .option("path", s"$dir/ivf_index").saveAsTable(indexTable)
     val probes = assign.filter(col("vec_id") >= 10 && col("vec_id") < 15)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"),
         col("cell").as("qcell"))
     val wr = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
-    e.sparkSession.table("graft_ivf_index")
+    e.sparkSession.table(indexTable)
       .join(broadcast(probes), col("cell") === col("qcell") && col("cid") =!= col("qid"))
       .withColumn("cos", dotQ(col("qv"), col("cv2")) / (sqrt(col("qn2")) * sqrt(col("cn2"))))
       .withColumn("rank", row_number().over(wr))

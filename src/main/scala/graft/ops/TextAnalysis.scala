@@ -1053,7 +1053,7 @@ object TextAnalysis {
        SELECT source, n_docs, n_tokens,
               round(n_tokens * 1.0 / total_tokens, 6) AS raw_share,
               round(w_micro * 1.0 / total_w, 6) AS mix_weight,
-              round((100000.0 * w_micro) / (total_w * n_tokens), 4) AS epochs
+              round((100000.0 * w_micro / total_w) / n_tokens, 4) AS epochs
        FROM w CROSS JOIN tot ORDER BY source""") { (s, d) =>
     val perSrc = Tables.documents(s, d)
       .select(col("source"), size(toks("text")).cast(LongType).as("n_tok"))
@@ -1066,7 +1066,11 @@ object TextAnalysis {
       .select(col("source"), col("n_docs"), col("n_tokens"),
         round(col("n_tokens") * lit(1.0) / col("total_tokens"), 6).as("raw_share"),
         round(col("w_micro") * lit(1.0) / col("total_w"), 6).as("mix_weight"),
-        round((lit(100000.0) * col("w_micro")) / (col("total_w") * col("n_tokens")), 4)
+        // two fp divides of in-range operands, identical order both engines:
+        // total_w * n_tokens as a raw long multiply overflows at large
+        // corpora (DuckDB raises, non-ANSI Spark wraps silently — the
+        // engines would diverge instead of failing loudly)
+        round((lit(100000.0) * col("w_micro") / col("total_w")) / col("n_tokens"), 4)
           .as("epochs"))
       .orderBy("source")
   }
@@ -1084,7 +1088,14 @@ object TextAnalysis {
     * corpus); it reuses `distributedPrefixSum` over a constant group,
     * whose parallelism is the partition count. The rank order rides ONE
     * numeric key (doc_id - n_tok·10^9 — monotone in (n_tok desc,
-    * doc_id)), so range partitioning gives global order for free. */
+    * doc_id)), so range partitioning gives global order for free.
+    *
+    * PRECONDITION: the packed key is only monotone while doc_id < 10^9;
+    * a larger id would silently reorder ranks, so the key expression
+    * raises per-row when the bound is exceeded (guard lives inside the
+    * live expression, not a prunable side column). A corpus with wider
+    * ids needs a larger multiplier (> max(doc_id)) — derive it from an
+    * ingest-time stat, not a scan. */
   private val t22 = Q(
     "t22_shard_pack",
     """WITH t AS (
@@ -1106,7 +1117,11 @@ object TextAnalysis {
        FROM per_shard CROSS JOIN tot ORDER BY shard_id""") { (s, d) =>
     val t = Tables.documents(s, d)
       .select(col("doc_id"), size(toks("text")).cast(LongType).as("n_tok"))
-      .withColumn("ord", col("doc_id") - col("n_tok") * lit(1000000000L))
+      .withColumn("ord",
+        when(col("doc_id") < lit(1000000000L),
+          col("doc_id") - col("n_tok") * lit(1000000000L))
+          .otherwise(raise_error(concat(
+            lit("t22 shard key needs doc_id < 1e9, got "), col("doc_id")))))
       .withColumn("g", lit(0))
       .withColumn("one", lit(1L))
     val perShard = distributedPrefixSum(t, "g", "ord", "one", "rnk")

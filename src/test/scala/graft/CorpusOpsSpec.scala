@@ -280,7 +280,10 @@ class CorpusOpsSpec extends SparkTestBase {
     val docs = Tables.documents(spark, sf001)
     val hv = docs.select(col("doc_id"),
       graft.ops.Dedup.shingleHashPairs(split(col("text"), " ")).as("hv"))
-    Seq(3, 8).foreach { k =>
+    // k=64 exercises h1 + i*h2 well beyond the k<=8 production envelope:
+    // both formulations share the same long arithmetic, so agreement must
+    // hold wherever the sum lands, overflow included
+    Seq(3, 8, 64).foreach { k =>
       val both = hv.select(col("doc_id"),
         graft.ops.Dedup.minhashSignature(col("hv"), k).as("fused"),
         graft.ops.Dedup.minhashSignatureHof(col("hv"), k).as("hof"))
@@ -288,7 +291,6 @@ class CorpusOpsSpec extends SparkTestBase {
       assert(diff == 0L, s"fused != HOF on $diff docs at k=$k")
     }
     // empty input matches array_min(empty) = k nulls
-    graft.functions.MinHashSig.register(spark)
     val empty = spark.sql(
       "SELECT minhash_sig(filter(array(named_struct('h1', 1L, 'h2', 1L)), x -> false), 3) AS sg")
       .head()
