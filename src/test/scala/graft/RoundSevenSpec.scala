@@ -1,0 +1,141 @@
+package graft
+
+import java.io.File
+import java.util.concurrent.atomic.AtomicBoolean
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQueryException, Trigger}
+import org.apache.spark.sql.types.LongType
+
+/** Shared crash switch for the exactly-once spec. Lives in a companion-level
+  * object so executor threads (same JVM at local[*]) and the test share one
+  * flag; armed on the first run, disarmed before the restart — exactly the
+  * "process died, operator rerun from checkpoint" scenario.
+  */
+object ChaosSwitch {
+  val armed = new AtomicBoolean(false)
+}
+
+/** Round-7 evidence-depth specs: the claims that were previously asserted
+  * only under clean runs get their adversarial counterparts here.
+  */
+class RoundSevenSpec extends SparkTestBase {
+
+  /** Copy one coalesced parquet part-file out of a Spark-written directory
+    * into `dest`, stamping `mtime` so FileStreamSource's oldest-first
+    * ordering is deterministic.
+    */
+  private def writeSourceFile(df: org.apache.spark.sql.DataFrame, dest: File,
+      mtime: Long): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_srcfile").toFile
+    df.coalesce(1).write.mode("overwrite").parquet(new File(tmp, "d").toString)
+    val part = new File(tmp, "d").listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(fail("no part file written"))
+    java.nio.file.Files.copy(part.toPath, dest.toPath)
+    assert(dest.setLastModified(mtime))
+    Scratch.deleteRecursively(tmp)
+  }
+
+  test("s12 exactly-once survives a mid-batch crash + restart: the commit " +
+    "log prunes the failed attempt's orphan files and the recovered output " +
+    "equals the batch oracle with no duplicates") {
+    import spark.implicits._
+
+    // ---- arrange: 4 source files, oldest-first, marker event in file 2 ----
+    val events = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .cache()
+    val total = events.count()
+    assert(total > 100, "fixture sanity")
+    val markerId = events.filter(col("event_id") % 4 === 2)
+      .agg(min(col("event_id"))).as[Long].head()
+
+    val base = new File(Scratch.dir("graft_eos"))
+    val srcDir = new File(base, "src"); assert(srcDir.mkdirs())
+    val now = System.currentTimeMillis()
+    (0 until 4).foreach { i =>
+      writeSourceFile(events.filter(col("event_id") % 4 === i),
+        new File(srcDir, s"f$i.parquet"), now - (40L - 10L * i) * 1000)
+    }
+    val outDir = new File(base, "out").toString
+    val chkDir = new File(base, "chk").toString
+
+    // the s12 pipeline shape, plus a 4-way repartition so the failing batch
+    // has sibling write tasks that finish (and leave orphan files) before
+    // the marker task throws
+    val chaos = udf { (id: Long) =>
+      if (ChaosSwitch.armed.get() && id == markerId) {
+        Thread.sleep(2000) // let sibling tasks of this batch commit their files
+        throw new RuntimeException("injected mid-batch crash")
+      }
+      true
+    }.asNondeterministic() // pin the throw to this exact stage, no reorder
+    def startQuery() = spark.readStream
+      .schema(events.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.toString)
+      .repartition(4, col("event_id"))
+      .filter(chaos(col("event_id")))
+      .filter(col("user_id") < 75)
+      .select(col("event_type"), round(col("value") * 100).cast(LongType).as("cents"))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", chkDir)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+    // ---- act 1: run until the injected crash kills the query ----
+    ChaosSwitch.armed.set(true)
+    try {
+      val crash = intercept[StreamingQueryException] { startQuery().awaitTermination() }
+      assert(Option(crash.getMessage).exists(_.nonEmpty))
+    } finally ChaosSwitch.armed.set(false)
+
+    val committedBatches = Option(new File(chkDir, "commits").listFiles())
+      .map(_.count(_.getName.forall(_.isDigit))).getOrElse(0)
+    assert(committedBatches >= 1, "at least one batch must commit before the crash")
+    assert(committedBatches < 4, "the crash must land before the last batch")
+    val midRows = spark.read.parquet(outDir).count()
+    assert(midRows > 0 && midRows < total, "partial progress committed, not all")
+
+    // ---- act 2: restart from the same checkpoint, run to completion ----
+    startQuery().awaitTermination()
+
+    // ---- assert: metadata-log read == batch oracle, orphans pruned ----
+    val oracle = events.filter(col("user_id") < 75)
+      .select(col("event_type"), round(col("value") * 100).cast(LongType).as("cents"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .as[(String, Long, Long)].collect().map { case (k, n, c) => k -> ((n, c)) }.toMap
+    val got = spark.read.parquet(outDir) // root read honors _spark_metadata
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .as[(String, Long, Long)].collect().map { case (k, n, c) => k -> ((n, c)) }.toMap
+    assert(got == oracle, s"recovered sink diverged: $got vs $oracle")
+
+    // The soft crash above leaves no orphans — ManifestFileCommitProtocol's
+    // abortJob best-effort-deletes the failed attempt's files (observed:
+    // raw == committed after run 1). A HARD driver kill skips that cleanup,
+    // so simulate its residue: plant an uncommitted uuid-named part file and
+    // assert the read path trusts only the _spark_metadata manifest.
+    val partFiles = new File(outDir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(partFiles.nonEmpty)
+    val orphan = new File(outDir,
+      partFiles.head.getName.replaceFirst("part-\\d+", "part-99990"))
+    java.nio.file.Files.copy(partFiles.head.toPath, orphan.toPath)
+    val rawRows = spark.read.parquet(
+      new File(outDir).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .map(_.toString): _*).count()
+    val committedRows = spark.read.parquet(outDir).count()
+    assert(rawRows > committedRows,
+      s"planted orphan must be visible to a raw glob read (raw=$rawRows committed=$committedRows)")
+    assert(committedRows == got.values.map(_._1).sum,
+      "manifest-filtered read must ignore the uncommitted file")
+    events.unpersist()
+  }
+}
