@@ -1358,8 +1358,18 @@ object Dedup {
     *     2..10 distinct docs anchor candidates (the cap is the LSH
     *     maxBucketSize guard — boilerplate grams in >10 docs would
     *     explode the self-join; the oracle applies the same rule);
-    *  2. candidate pairs from anchor co-occurrence (only 8-byte hashes
-    *     + ids shuffle — plan-asserted in PlanSpec);
+    *  2. candidate pairs from anchor co-occurrence, STRIDE-SAMPLED on
+    *     the probe side (Lee et al. §4.1's sampling argument): a
+    *     ≥20-token verbatim run spans ≥ 20−k+1 = 13 consecutive gram
+    *     positions in EACH doc, and any 13 consecutive positions
+    *     contain exactly one pos ≡ 0 (mod 13) — so probing only the
+    *     stride-aligned grams of one join side still pigeonholes every
+    *     qualifying run while shrinking that side ~13×. Pairs are
+    *     normalized with least/greatest since either doc may be the
+    *     strided one. Only 8-byte hashes + ids shuffle (plan-asserted
+    *     in PlanSpec). The stride tightens the anchor requirement to
+    *     the aligned position's gram (nd ≤ 10 there specifically); the
+    *     oracle applies the identical rule;
     *  3. per-pair verification over the FULL gram sets of candidate
     *     docs only (the d15 semi-join discipline): matched positions
     *     (pa, pb) group by diagonal pa−pb, and a gaps-and-islands
@@ -1380,9 +1390,10 @@ object Dedup {
        anchors AS (SELECT h FROM (SELECT h, count(DISTINCT id) AS nd
                                   FROM g GROUP BY h)
                    WHERE nd BETWEEN 2 AND 10),
-       cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-                FROM g a JOIN g b ON a.h = b.h AND a.id < b.id
-                WHERE a.h IN (SELECT h FROM anchors)),
+       cand AS (SELECT DISTINCT least(a.id, b.id) AS id_a,
+                                greatest(a.id, b.id) AS id_b
+                FROM g a JOIN g b ON a.h = b.h AND a.id <> b.id
+                WHERE a.pos % 13 = 0 AND a.h IN (SELECT h FROM anchors)),
        cids AS (SELECT id_a AS id FROM cand UNION SELECT id_b FROM cand),
        gc AS (SELECT * FROM g WHERE id IN (SELECT id FROM cids)),
        m AS (SELECT c.id_a, c.id_b, a.pos AS pa, b.pos AS pb
@@ -1404,31 +1415,43 @@ object Dedup {
        WHERE x.max_run + 7 >= 20
        ORDER BY n.id_a, n.id_b""") { (s, d) =>
     val k = 8
-    val g = reuse(wordGramPositions(Tables.documents(s, d), "doc_id", "text", k))
+    val g = wordGramPositions(Tables.documents(s, d), "doc_id", "text", k)
     val anchors = g.groupBy("h").agg(countDistinct(col("id")).as("nd"))
       .filter(col("nd").between(2, 10)).select("h")
     val ag = g.join(anchors, Seq("h"), "left_semi")
-    val cand = reuse(ag.select(col("h"), col("id").as("id_a"))
-      .join(ag.select(col("h"), col("id").as("id_b")), "h")
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct())
+    val cand = ag.filter(col("pos") % 13 === 0)
+      .select(col("h"), col("id").as("id_s"))
+      .join(ag.select(col("h"), col("id").as("id_o")), "h")
+      .filter(col("id_s") =!= col("id_o"))
+      .select(least(col("id_s"), col("id_o")).as("id_a"),
+        greatest(col("id_s"), col("id_o")).as("id_b"))
+      .distinct()
     val cids = cand.select(col("id_a").as("id"))
       .unionAll(cand.select(col("id_b").as("id"))).distinct()
-    val gc = reuse(g.join(cids, Seq("id"), "left_semi"))
-    val m = reuse(cand
+    // Nothing in this pipeline is explicitly persisted: every repeated
+    // subtree (g's gram stream, cand's distinct) sits behind an exchange,
+    // and AQE's stage-level exchange reuse executes each once and re-reads
+    // the shuffle files (verified: ReusedExchange nodes in the executed
+    // plan). That is the 100 TB-appropriate materialization — disk-backed
+    // shuffle output, no executor cache pressure — and locally it collapses
+    // the former persist-count jobs into one job.
+    val gc = g.join(cids, Seq("id"), "left_semi")
+    val m = cand
       .join(gc.select(col("id").as("id_a"), col("pos").as("pa"), col("h")), "id_a")
       .join(gc.select(col("id").as("id_b"), col("pos").as("pb"), col("h")),
-        Seq("id_b", "h")))
+        Seq("id_b", "h"))
     val wRn = Window.partitionBy(col("id_a"), col("id_b"), col("diag"))
       .orderBy(col("pa"))
-    val mx = m.withColumn("diag", col("pa") - col("pb"))
+    // every m row lands in exactly one (diag, grp) island, so sum(run)
+    // IS the per-pair matched-gram count — max and sum ride one pass
+    // instead of the nm/mx double aggregation + join
+    m.withColumn("diag", col("pa") - col("pb"))
       .withColumn("rn", row_number().over(wRn))
       .groupBy(col("id_a"), col("id_b"), col("diag"),
         (col("pa") - col("rn")).as("grp"))
       .agg(count(lit(1)).as("run"))
-      .groupBy("id_a", "id_b").agg(max(col("run")).as("max_run"))
-    m.groupBy("id_a", "id_b").agg(count(lit(1)).as("n_matched_grams"))
-      .join(mx, Seq("id_a", "id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(col("run")).as("n_matched_grams"), max(col("run")).as("max_run"))
       .filter(col("max_run") + (k - 1) >= 20)
       .select(col("id_a"), col("id_b"), col("n_matched_grams"),
         (col("max_run") + lit(k - 1).cast(LongType)).as("longest_overlap_tokens"))

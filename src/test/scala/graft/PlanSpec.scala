@@ -210,9 +210,13 @@ class PlanSpec extends SparkTestBase {
     val anchors = g.groupBy("h").agg(countDistinct(col("id")).as("nd"))
       .filter(col("nd").between(2, 10)).select("h")
     val ag = g.join(anchors, Seq("h"), "left_semi")
-    val cand = ag.select(col("h"), col("id").as("id_a"))
-      .join(ag.select(col("h"), col("id").as("id_b")), "h")
-      .filter(col("id_a") < col("id_b")).select("id_a", "id_b").distinct()
+    val cand = ag.filter(col("pos") % 13 === 0)
+      .select(col("h"), col("id").as("id_s"))
+      .join(ag.select(col("h"), col("id").as("id_o")), "h")
+      .filter(col("id_s") =!= col("id_o"))
+      .select(least(col("id_s"), col("id_o")).as("id_a"),
+        greatest(col("id_s"), col("id_o")).as("id_b"))
+      .distinct()
     val m = cand
       .join(g.select(col("id").as("id_a"), col("pos").as("pa"), col("h")), "id_a")
       .join(g.select(col("id").as("id_b"), col("pos").as("pb"), col("h")),
