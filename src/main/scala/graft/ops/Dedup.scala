@@ -153,23 +153,17 @@ object Dedup {
     * expansion would dominate the whole job. The oversized key set is
     * tiny by construction (≤ rows/cap keys), so it broadcasts into a
     * left-anti join; the input is scanned, never shuffled, by the guard.
-    * Call this on a MATERIALIZED bucket table — the size census is then
-    * one cheap extra pass instead of a re-run of the hash pipeline. */
+    * The guard is fully LAZY — the census aggregation rides inside the
+    * consumer's job as the broadcast build side instead of an eager
+    * driver action, so composing it costs zero extra jobs (dropped-key
+    * diagnostics live in the Spark UI's broadcast row counts; a
+    * production deployment that wants a log line would hang a
+    * QueryExecutionListener on it, not an eager head()). */
   def dropOversizedBuckets(buckets: DataFrame, keyCols: Seq[String], cap: Long): DataFrame = {
     val keys = keyCols.map(col)
     val oversized = buckets.groupBy(keys: _*).agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > cap)
-    val census = oversized
-      .agg(count(lit(1)).as("n_buckets"), coalesce(sum(col("bucket_n")), lit(0L)).as("n_rows"))
-      .head()
-    if (census.getLong(0) == 0L) buckets
-    else {
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"dropOversizedBuckets: dropping ${census.getLong(0)} bucket(s) holding " +
-          s"${census.getLong(1)} rows (> $cap rows/bucket) before pairing — " +
-          s"degenerate band keys, candidates there would be quadratic")
-      buckets.join(broadcast(oversized.select(keys: _*)), keyCols, "left_anti")
-    }
+    buckets.join(broadcast(oversized.select(keys: _*)), keyCols, "left_anti")
   }
 
   /** Candidate near-dup pairs from LSH buckets (id_a < id_b, distinct).
@@ -238,22 +232,26 @@ object Dedup {
     * round; above `driverThreshold` it stays fully distributed. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
       driverThreshold: Long = 100000L): DataFrame = {
-    // persist the (expensive) candidate-pair pipeline ONCE — the count,
-    // the driver fast path, and contraction round 1 all read the cached
-    // blocks, never the upstream minhash stages. Lineage truncation is
-    // NOT needed here: it's the per-round materialize in the loop that
-    // cuts the growing iteration lineage (reliable checkpoint at scale).
-    val edges0 = reuse(
-      pairs.select(
+    // persist the (expensive) candidate-pair pipeline LAZILY — whichever
+    // path runs (driver fast path probe, or contraction round 1) fills
+    // the cache on its first scan, and later reads hit blocks, never the
+    // upstream minhash stages. Lineage truncation is NOT needed here:
+    // it's the per-round materialize in the loop that cuts the growing
+    // iteration lineage (reliable checkpoint at scale).
+    val edges0 = pairs.select(
         greatest(col("id_a"), col("id_b")).as("hi"),
         least(col("id_a"), col("id_b")).as("lo"))
-        .filter(col("hi") =!= col("lo"))
-        .distinct())
+      .filter(col("hi") =!= col("lo"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val edgeCount = edges0.count()
-    if (edgeCount <= driverThreshold) {
-      import edges0.sparkSession.implicits._
-      val es = edges0.as[(Long, Long)].collect()
+    // size probe and small-graph collect in ONE job: limit(T+1) either
+    // returns the COMPLETE edge set (≤ T ⇒ union-find it driver-side)
+    // or proves the graph is big and the distributed path takes over
+    import edges0.sparkSession.implicits._
+    val probe = edges0.limit(driverThreshold.toInt + 1).as[(Long, Long)].collect()
+    if (probe.length <= driverThreshold) {
+      val es = probe
       val parent = mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -286,7 +284,7 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents: star contraction did not converge in $maxIter rounds " +
-          s"($edgeCount input edges) — component labels would be unreliable")
+          s"(> $driverThreshold input edges) — component labels would be unreliable")
     // at the fixpoint every component is a star: each edge is (member, root)
     edges.select(col("hi").as("id"), col("lo").as("component"))
       .unionAll(edges.select(col("lo").as("id"), col("lo").as("component")))
@@ -360,13 +358,21 @@ object Dedup {
     * [[wordShingleHashes]]; returns (id_a, id_b, jaccard). */
   def jaccardVerifiedPairs(pairs: DataFrame, shingles: DataFrame,
       tau: Double): DataFrame = {
-    val p = reuse(pairs.select(col("id_a"), col("id_b")))
-    val candIds = p.select(col("id_a").as("id"))
-      .unionAll(p.select(col("id_b").as("id"))).distinct()
+    // p persists LAZILY: candIds scans it exactly once (explode, not a
+    // two-scan union), so the eager `sh` materialization below fills p's
+    // cache as a side effect — one job computes both, and the later
+    // intersection join reads blocks. An eager persist-count here would
+    // re-run the whole banding self-join as its own job for nothing.
+    val p = pairs.select(col("id_a"), col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candIds = p.select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
     // the candidate-restricted shingle SET feeds three consumers (the
     // size census and both sides of the intersection join) — persist it
     // once or the scan+explode+digest pipeline runs three times. Its size
-    // is bounded by the candidate docs, not the corpus.
+    // is bounded by the candidate docs, not the corpus. (Measured: the
+    // d22-style rely-on-exchange-reuse variant recomputed these subtrees
+    // — d15 went 6.4s → 15.7s at sf0.1 — so the persists stay.)
     val sh = reuse(shingles.join(candIds, Seq("id"), "left_semi").distinct())
     val sz = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = p

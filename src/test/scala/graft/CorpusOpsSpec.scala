@@ -90,12 +90,16 @@ class CorpusOpsSpec extends SparkTestBase {
     val saved = confs.map { case (k, _) => k -> spark.conf.get(k) }
     try {
       confs.foreach { case (k, v) => spark.conf.set(k, v) }
-      // build + register the stored index (the query writes it)
+      // build + register the stored index (the query writes it under a
+      // per-run name — discover it from the catalog)
       SparkEntry.queries("d33_stored_ivf_topk")(spark, sf0001).collect()
+      val indexTable = spark.catalog.listTables().collect()
+        .map(_.name).filter(_.startsWith("graft_ivf_index"))
+        .maxBy(identity)
       // probe WITHOUT the broadcast hint: the bucketed layout alone must
       // satisfy the join's distribution on the index side
-      val probe = spark.table("graft_ivf_index")
-        .join(spark.table("graft_ivf_index")
+      val probe = spark.table(indexTable)
+        .join(spark.table(indexTable)
           .select(col("cell").as("qcell"), col("cid").as("qid"))
           .filter(col("qid") >= 10 && col("qid") < 15),
           col("cell") === col("qcell"))
