@@ -291,6 +291,64 @@ object Dedup {
       .distinct()
   }
 
+  /** Fixed-point PageRank over an undirected pair graph: `iters`
+    * synchronous rounds at damping 0.85 in micro-units — ranks are
+    * longs, contributions are integer floor-divides (`r div deg`), the
+    * damped update one integer multiply-divide — so both execution
+    * paths below produce BIT-IDENTICAL ranks (an fp formulation would
+    * diverge on summation order alone). Returns (doc_id, degree,
+    * rank_micro).
+    *
+    * Same two-path shape as [[connectedComponents]]: the dup graph is
+    * LSH-pruned, so when the directed edge list fits under
+    * `driverThreshold` a driver loop over the collected edges replaces
+    * 3×2 Spark jobs of pure stage overhead (~1.8s/iteration at
+    * local[32] — measured in BENCH_SCALE_r06); above it, the standard
+    * Pregel-as-joins loop runs distributed (ids and longs only in the
+    * exchanges, fixed iteration count, bounded lineage). The ONE
+    * limit(T+1) probe either returns the complete edge set or proves
+    * the graph is big — no separate count job either way. */
+  def pageRank(vpairs: DataFrame, iters: Int = 3,
+      driverThreshold: Long = 100000L): DataFrame = {
+    val spark = vpairs.sparkSession
+    val edges0 = vpairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(vpairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    import spark.implicits._
+    val probe = edges0.limit(driverThreshold.toInt + 1).as[(Long, Long)].collect()
+    if (probe.length <= driverThreshold) {
+      val deg = mutable.HashMap.empty[Long, Long]
+      probe.foreach { case (s, _) => deg(s) = deg.getOrElse(s, 0L) + 1L }
+      var r = deg.map { case (id, _) => id -> 1000000L }.toMap
+      for (_ <- 1 to iters) {
+        val c = mutable.HashMap.empty[Long, Long]
+        probe.foreach { case (s, d) => c(d) = c.getOrElse(d, 0L) + r(s) / deg(s) }
+        r = deg.map { case (id, _) =>
+          id -> (150000L + c.getOrElse(id, 0L) * 850000L / 1000000L)
+        }.toMap
+      }
+      val rows = deg.keys.toSeq.sorted.map(id => (id, deg(id), r(id)))
+      return spark.createDataset(rows).toDF("doc_id", "degree", "rank_micro")
+    }
+    val deg = reuse(edges0.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")))
+    var r = deg.select(col("id"), lit(1000000L).as("r"))
+    for (_ <- 1 to iters) {
+      val contribs = edges0
+        .join(r.select(col("id").as("src"), col("r")), "src")
+        .join(deg.select(col("id").as("src"), col("deg")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(expr("r div deg")).as("c"))
+      r = deg.select(col("id"))
+        .join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(150000L) + expr("coalesce(c, 0L) * 850000 div 1000000")).as("r"))
+    }
+    r.join(deg, "id")
+      .select(col("id").as("doc_id"), col("deg").as("degree"),
+        col("r").as("rank_micro"))
+  }
+
   /** Per-OCCURRENCE word-k-shingle hashes: (id, h), duplicates included —
     * one row per shingle position. h is the first 15 hex digits of the
     * shingle's md5 as a 60-bit integer: an 8-byte join/shuffle key in
@@ -1793,12 +1851,13 @@ object Dedup {
     * order alone; the quantization error is ≤ degree micro-units per
     * step, far below ranking resolution).
     *
-    * Scale shape: each iteration is one join of the rank table against
-    * the edge list plus a hash agg on dst — ids and longs only; the
-    * iteration count is fixed (3), so the lineage stays bounded. At
-    * 100 TB edges this is the standard Pregel-as-joins loop with
-    * checkpointing every few rounds (the connectedComponents machinery
-    * above documents the same pattern). */
+    * Scale shape: delegated to [[pageRank]] — the LSH-pruned edge list
+    * takes the driver loop when it fits under the threshold (bit-
+    * identical integer math, no per-iteration Spark jobs); above it,
+    * each iteration is one join of the rank table against the edge list
+    * plus a hash agg on dst — ids and longs only, fixed iteration
+    * count, bounded lineage (the connectedComponents machinery above
+    * documents the same two-path pattern). */
   private val d34 = Q(
     "d34_pagerank",
     """WITH RECURSIVE docs AS (
@@ -1870,25 +1929,7 @@ object Dedup {
     val vpairs = jaccardVerifiedPairs(
       candidatePairs(buckets, materialize = false), shingles, tau = 0.5)
       .select(col("id_a"), col("id_b"))
-    val edges = reuse(vpairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(vpairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
-    val deg = reuse(edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")))
-    var r = deg.select(col("id"), lit(1000000L).as("r"))
-    for (_ <- 1 to 3) {
-      val contribs = edges
-        .join(r.select(col("id").as("src"), col("r")), "src")
-        .join(deg.select(col("id").as("src"), col("deg")), "src")
-        .groupBy(col("dst").as("id"))
-        .agg(sum(expr("r div deg")).as("c"))
-      r = deg.select(col("id"))
-        .join(contribs, Seq("id"), "left")
-        .select(col("id"),
-          (lit(150000L) + expr("coalesce(c, 0L) * 850000 div 1000000")).as("r"))
-    }
-    r.join(deg, "id")
-      .select(col("id").as("doc_id"), col("deg").as("degree"),
-        col("r").as("rank_micro"))
-      .orderBy("doc_id")
+    pageRank(vpairs, iters = 3).orderBy("doc_id")
   }
 
   /** LSH banding operating curve — the (bands × rows) tuning artifact

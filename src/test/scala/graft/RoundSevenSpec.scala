@@ -138,4 +138,28 @@ class RoundSevenSpec extends SparkTestBase {
       "manifest-filtered read must ignore the uncommitted file")
     events.unpersist()
   }
+
+  test("pageRank driver fast path and distributed loop are bit-identical " +
+      "on the same pair graph") {
+    import spark.implicits._
+    // a graph with structure the ranks actually distinguish: two chained
+    // triangles, a star, a pendant, and an isolated pair
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),      // triangle
+      (3L, 4L), (4L, 5L), (5L, 6L), (4L, 6L), // bridge + triangle
+      (7L, 1L), (8L, 1L), (9L, 1L),      // star on 1
+      (6L, 10L),                          // pendant
+      (11L, 12L))                         // isolated pair
+      .toDF("id_a", "id_b")
+    val fast = graft.ops.Dedup.pageRank(pairs, iters = 3)
+      .orderBy("doc_id").collect().toSeq
+    // driverThreshold=0 forces the Pregel-as-joins path on the same input
+    val dist = graft.ops.Dedup.pageRank(pairs, iters = 3, driverThreshold = 0L)
+      .orderBy("doc_id").collect().toSeq
+    assert(fast == dist,
+      s"integer fixed-point paths must agree exactly:\n fast=$fast\n dist=$dist")
+    // sanity on semantics, not just agreement: the star hub outranks its leaves
+    val rank = fast.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rank(1L) > rank(7L))
+  }
 }
