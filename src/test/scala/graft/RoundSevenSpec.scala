@@ -139,6 +139,110 @@ class RoundSevenSpec extends SparkTestBase {
     events.unpersist()
   }
 
+  test("s22-shape streaming sketch state is bounded by KEY CARDINALITY, " +
+      "not events processed: numRowsTotal == #keys and flat across batches") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import spark.implicits._
+    graft.functions.CmsSketch.register(spark)
+    val dir = Scratch.dir("graft_statebound")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sf001/events.parquet")
+      .select(col("event_type"), col("user_id"), col("props"))
+      .repartition(3).write.mode("overwrite").parquet(s"$dir/ev")
+    val nKeys = spark.read.parquet(s"$dir/ev")
+      .select(col("event_type")).distinct().count()
+    val nEvents = spark.read.parquet(s"$dir/ev").count()
+    assert(nEvents > 10 * nKeys, "fixture must have many events per key")
+    val contentMd5 = md5(concat(col("user_id").cast("string"), lit("|"), col("props")))
+    val hv = array(struct(
+      conv(substring(contentMd5, 1, 8), 16, 10).cast("long").as("h1"),
+      conv(substring(contentMd5, 9, 8), 16, 10).cast("long").as("h2")))
+    val src = spark.readStream
+      .schema(spark.read.parquet(s"$dir/ev").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/ev")
+    val q = src.select(col("event_type"), hv.as("hv"))
+      .groupBy(col("event_type"))
+      .agg(graft.functions.CmsSketch.cms_sketch(col("hv"), 2, 64).as("sk"))
+      .writeStream
+      .format("memory").queryName("statebound_cms")
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(dataBatches.length >= 3,
+      s"expected ≥3 data micro-batches, saw ${dataBatches.length}")
+    // the bound, as a fact per batch: state rows never exceed key
+    // cardinality even while input rows keep arriving, and land exactly
+    // on it — state is keys × (depth·width longs), NOT a function of
+    // stream length
+    dataBatches.foreach { p =>
+      val st = p.stateOperators
+      assert(st.nonEmpty, "aggregation must report a state operator")
+      assert(st.head.numRowsTotal <= nKeys,
+        s"state rows ${st.head.numRowsTotal} exceed key cardinality $nKeys " +
+          s"at batch ${p.batchId}")
+    }
+    assert(dataBatches.last.stateOperators.head.numRowsTotal == nKeys,
+      "final state rows must equal key cardinality exactly")
+    // flatness: once every key has been seen, later batches add input
+    // rows but ZERO state rows
+    val rowsSeq = dataBatches.map(_.stateOperators.head.numRowsTotal).toSeq
+    assert(rowsSeq.takeRight(2).distinct.size == 1,
+      s"state rows still growing in the final batches: $rowsSeq")
+    // and the per-key payload is the fixed sketch, no history: total
+    // state memory stays under keys × a generous per-key envelope
+    // (2×64 longs = 1 KiB payload; 64 KiB covers store overhead)
+    val mem = dataBatches.last.stateOperators.head.memoryUsedBytes
+    assert(mem < nKeys * 65536,
+      s"state memory $mem implausibly large for $nKeys fixed-size sketches")
+  }
+
+  test("s16-shape stored-index ingest carries ZERO streaming state: all " +
+      "dedup state lives in the constant-size band index table") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import graft.ops.Dedup
+    val docs = Tables.documents(spark, sf0001)
+    val corpus = docs.filter(col("doc_id") % 11 =!= 5)
+    val (corpusBuckets, _) = Dedup.lshBucketsAndShingles(
+      corpus, "doc_id", "text", shingleWords = 3, bands = 4, rowsPerBand = 2)
+    Dedup.writeBandIndex(spark, corpusBuckets, "graft_band_index_sb")
+    val indexRowsBefore = spark.table("graft_band_index_sb").count()
+    val dir = Scratch.dir("graft_statebound16")
+    docs.filter(col("doc_id") % 11 === 5)
+      .repartition(3).write.mode("overwrite").parquet(s"$dir/arrivals")
+    val src = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/arrivals")
+    var probed = 0L
+    val q = src.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val (bBuckets, _) = Dedup.lshBucketsAndShingles(
+          batch.toDF(), "doc_id", "text", shingleWords = 3, bands = 4, rowsPerBand = 2)
+        probed += Dedup.probeBandIndex(spark, "graft_band_index_sb", bBuckets).count()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(dataBatches.length >= 3,
+      s"expected ≥3 data micro-batches, saw ${dataBatches.length}")
+    // the production ingest loop's state story, as facts: the streaming
+    // query itself is STATELESS (nothing accumulates with stream length)…
+    dataBatches.foreach { p =>
+      assert(p.stateOperators.isEmpty ||
+        p.stateOperators.forall(_.numRowsTotal == 0),
+        s"ingest loop leaked streaming state at batch ${p.batchId}")
+    }
+    // …and the stored index the batches probe is read-only and constant
+    assert(spark.table("graft_band_index_sb").count() == indexRowsBefore,
+      "band index must not grow during ingest")
+    assert(probed >= 0L) // the probes ran (count forced each batch plan)
+  }
+
   test("pageRank driver fast path and distributed loop are bit-identical " +
       "on the same pair graph") {
     import spark.implicits._
