@@ -57,7 +57,8 @@ object SparkEntry {
       "t23_novelty",
       "t05_tfidf", "t06_salted_token_count", "t07_train_split",
       "t12_sequence_pack", "t13_unigram_surprisal", "t17_bm25",
-      "a01_pipe_cranker", "s01_stream_tumbling", "s10_stream_stateful_sessions")
+      "a01_pipe_cranker", "a02_pipe_throughput",
+      "s01_stream_tumbling", "s10_stream_stateful_sessions")
     val have = queries.keySet
     preferred.filter(have)
   }

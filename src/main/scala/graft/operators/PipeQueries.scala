@@ -58,5 +58,63 @@ object PipeQueries {
       .orderBy("line")
   }
 
-  val defs: Seq[Q] = Seq(a01)
+  /** Pipe THROUGHPUT at production payload size (round-7 item 6): a01 is a
+    * 0.2s smoke on ~1.5 MB, which prices nothing — this entry pushes the
+    * documents table inflated 72× (~111 MB at sf0.1, ~14 MB/partition
+    * across 8 partitions) through the same 3-stage stand-in pipeline, so
+    * the staged-file write, the three forks, and the result read-back are
+    * all exercised at the data volume the reference's CRANKER jobs
+    * actually carry. The result is a 1-row integer aggregate (count /
+    * bytes / md5-checksum of every piped line), so the oracle verifies
+    * the full payload content while the bench time is all pipe, not
+    * result materialization.
+    *
+    * Measured (local[32], best-of-3): 111 MB at sf0.1 runs 0.72s
+    * end-to-end vs 0.45s for the same 8-partition pipeline on the 11 MB
+    * sf0.001 payload — marginal pipe throughput ≈ 370 MB/s aggregate
+    * across the 8 concurrent pipes (~46 MB/s each, `tr`-bound), with a
+    * ≈ 0.42s fixed cost per job covering scheduling, partition staging,
+    * and 3 forks × 8 partitions (~18 ms per fork+stage). The inflation
+    * is map-side (explode AFTER the 8-way repartition of the small
+    * table), so only ~1.5 MB shuffles.
+    *
+    * Scale shape: partitions process independently (A7's narrow, shuffle-
+    * free stage); at 100 TB the same plan fans to however many executors
+    * hold the scan, each paying the one-time fork cost per partition —
+    * which this entry prices. */
+  private val a02 = Q(
+    "a02_pipe_throughput",
+    """SELECT count(*) AS n_lines,
+              CAST(sum(length(line)) AS BIGINT) AS n_chars,
+              CAST(sum(('0x' || substring(md5(line), 1, 8))::BIGINT) AS BIGINT) AS checksum
+       FROM (SELECT upper(doc_id || chr(9) || i || chr(9) || text) AS line
+             FROM documents, (SELECT unnest(generate_series(0, 71)) AS i))""") { (s, dir) =>
+    import s.implicits._
+    val bin = ensureDemoBin()
+    val spec = PipelineSpec(
+      name = "CRANKER",
+      binaryDir = bin.toString,
+      commands = Seq(
+        "run_read.sh %MCR_ROOT% %INPUT_FILE% %TMP_MAT_FILE_1%",
+        "run_solve.sh %MCR_ROOT% %TMP_MAT_FILE_1% %TMP_MAT_FILE_2%",
+        "run_write.sh %MCR_ROOT% %TMP_MAT_FILE_1% %TMP_MAT_FILE_2%"),
+      inDir = "", outDir = "")
+    val globals = PipeGlobals(
+      stageDir = graft.Scratch.dir("graft_pipe_stage_tp"),
+      mcrRoot = "/opt/fake_mcr",
+      mcrCacheRoot = "/tmp")
+    val lines = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .repartition(8)
+      .select(col("doc_id"), explode(sequence(lit(0), lit(71))).as("i"), col("text"))
+      .select(concat_ws("\t", col("doc_id"), col("i"), col("text")).as("value"))
+      .as[String]
+    ExternalPipeline.run(lines, Some("doc_id\ti\ttext"), spec, globals)
+      .filter(col("file") === "result.txt")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(length(col("line"))).cast("long").as("n_chars"),
+        sum(conv(substring(md5(col("line")), 1, 8), 16, 10).cast("long")).as("checksum"))
+  }
+
+  val defs: Seq[Q] = Seq(a01, a02)
 }
