@@ -139,12 +139,22 @@ object Dedup {
   }
 
   /** Bucket-cardinality cap for banded self-joins, from
-    * `graft.dedup.maxBucketSize` (default 100000). A bucket of size B
+    * `graft.dedup.maxBucketSize` (default 1000). A bucket of size B
     * emits B·(B−1)/2 candidate pairs, so one degenerate band key — a
     * near-constant shingle/bit distribution, common in templated web
-    * text — makes the join quadratic in that bucket. */
+    * text — makes the join quadratic in that bucket, and every pair it
+    * emits ALSO pays shingle-set verification downstream. Sizing: the
+    * cap should be a small multiple of the largest REAL duplicate
+    * cluster worth pairing exhaustively — at 1000 a single key still
+    * emits ≤ ~500k pairs (bounded, seconds of work), while the old
+    * 100000 default admitted 5×10⁹ pairs from one key, which no job
+    * survives (measured on the 100× flood probe: 500k docs over a
+    * saturated shingle universe produced ~950-doc buckets and 121.6M
+    * total candidates — the verification join then spilled past 80 GB;
+    * see BENCH_SCALE_r07.json's flood entry). Recall loss is bounded:
+    * a doc in a dropped bucket still pairs through its other bands. */
   def bucketCap(spark: org.apache.spark.sql.SparkSession): Long =
-    spark.conf.getOption("graft.dedup.maxBucketSize").map(_.toLong).getOrElse(100000L)
+    spark.conf.getOption("graft.dedup.maxBucketSize").map(_.toLong).getOrElse(1000L)
 
   /** Drop (and log) buckets whose cardinality exceeds `cap` before a
     * banded self-join. Recall on a dropped key is traded for bounded

@@ -16,22 +16,42 @@ import org.apache.spark.sql.functions._
   * BENCH_SCALE_r06.json and summarized in SURVEY §6.
   */
 object ScaleProbe {
-  def main(args: Array[String]): Unit = {
-    val spark = Engine.session(appName = "graft-scale-probe")
-    import spark.implicits._
 
-    val sf01 = "/root/testdata/sf0.1"
-    val vocab = Tables.documents(spark, sf01)
+  /** md5-derived positive long — the probe's deterministic "RNG". */
+  def h(seed: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(seed), 1, 7), 16, 10).cast("long")
+
+  /** Synthesize an n-doc corpus (+ nVecs embeddings) with the sf0.1
+    * fixture's measured statistics — same 31-word base vocabulary, 10-100
+    * token uniform lengths, 20 sources, 0.16% exact-duplicate rate,
+    * 64-dim ±0.575 uniform embeddings with 10 labels — deterministically
+    * from md5 (no RNG). Returns the directory, laid out like a testdata
+    * SF dir so every `queries()` entry runs against it unchanged.
+    *
+    * `vocabSize` (default: the fixture's 31) extends the vocabulary with
+    * deterministic synthetic tokens. This matters for scale probes: the
+    * fixture's 3-gram universe is vocab³ ≈ 30k, so holding vocab FIXED
+    * while scaling docs 100× saturates the universe — the probability a
+    * doc contains the globally-minimal-hash shingle (≈ positions/vocab³)
+    * grows 100×, minhash band buckets inflate to ~1000 docs, and
+    * candidate pairs go quadratic (measured: 121.6M pairs at 500k docs —
+    * a DUPLICATION-DENSITY regime change, not volume scaling). Scaling
+    * vocab ∝ nDocs^(1/3) holds docs-per-hot-shingle at the fixture's
+    * value, which is the "same statistics, more volume" question a scale
+    * probe is asking. The fixed-vocab regime is still valuable as a
+    * template-flood stress test — see the bucket-cap knob in
+    * [[ScaleProbe100]]. */
+  def synthCorpus(spark: org.apache.spark.sql.SparkSession, nDocs: Long,
+      nVecs: Long, dirName: String, parts: Int, vocabSize: Int = 31): String = {
+    import spark.implicits._
+    val base = Tables.documents(spark, "/root/testdata/sf0.1")
       .select(explode(split(col("text"), " ")).as("t"))
       .distinct().as[String].collect().sorted.toSeq
-    require(vocab.size == 31, s"vocab drifted: ${vocab.size}")
+    require(base.size == 31, s"vocab drifted: ${base.size}")
+    require(vocabSize >= base.size, s"vocabSize $vocabSize < fixture ${base.size}")
+    val vocab = base ++ (base.size until vocabSize).map(i => f"tok$i%04d")
     val vlit = typedLit(vocab)
-
-    def h(seed: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      conv(substring(md5(seed), 1, 7), 16, 10).cast("long")
-
-    val n = 50000L
-    val docs = spark.range(n)
+    val docs = spark.range(nDocs)
       .withColumn("eid",
         when(col("id") % 625 === 624, col("id") - 1).otherwise(col("id")))
       .withColumn("n_tok", (h(concat(col("eid"), lit("|n"))) % 91 + 10).cast("int"))
@@ -39,26 +59,31 @@ object ScaleProbe {
         col("id").as("doc_id"),
         concat_ws(" ", transform(sequence(lit(1), col("n_tok")),
           j => element_at(vlit,
-            (h(concat(col("eid"), lit("|"), j)) % 31 + 1).cast("int")))).as("text"),
+            (h(concat(col("eid"), lit("|"), j)) % vocabSize + 1).cast("int")))).as("text"),
         lit("en").as("lang"),
         concat(lit("src"), col("id") % 20).as("source"))
       .withColumn("n_chars", length(col("text")).cast("long"))
-    val dir = Scratch.dir("graft_sf1_docs")
-    docs.repartition(8).write.mode("overwrite").parquet(s"$dir/documents.parquet")
-
-    // 10× embeddings (20,000 vectors vs sf0.1's 2,000), matching the
-    // fixture's profile: 64 dims, components uniform in ±0.575, 10
-    // labels — deterministic from md5 like the docs. Covers the
-    // clustering/ANN family (d24 k-means, d26 PQ funnel) whose quadratic
-    // hazard is cell/candidate population, not LSH buckets.
-    val ne = 20000L
-    spark.range(ne)
+    val dir = Scratch.dir(dirName)
+    docs.repartition(parts).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    spark.range(nVecs)
       .select(col("id").as("vec_id"),
         transform(sequence(lit(1), lit(64)),
           j => ((h(concat(col("id"), lit("|e"), j)) % 1150001 - 575000) / 1e6)
             .cast("float")).as("embedding"),
         (col("id") % 10).cast("int").as("label"))
-      .repartition(8).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      .repartition(parts).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = Engine.session(appName = "graft-scale-probe")
+
+    val sf01 = "/root/testdata/sf0.1"
+    // 10× docs; 10× embeddings (20,000 vectors vs sf0.1's 2,000) cover
+    // the clustering/ANN family (d24 k-means, d26 PQ funnel) whose
+    // quadratic hazard is cell/candidate population, not LSH buckets.
+    val n = 50000L
+    val dir = synthCorpus(spark, n, 20000L, "graft_sf1_docs", parts = 8)
 
     val names = Seq("d08_dedup_groups", "d11_simhash_dedup", "d15_verified_dedup_groups",
       "m05_media_near_dup", "d24_kmeans", "d26_pq_recall",
