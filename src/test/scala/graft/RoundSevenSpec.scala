@@ -139,6 +139,104 @@ class RoundSevenSpec extends SparkTestBase {
     events.unpersist()
   }
 
+  test("stateful aggregation STATE survives a mid-stream crash + restart: " +
+    "events seen only before the crash are present in the recovered totals " +
+    "without source replay (state-store recovery, not reprocessing)") {
+    import spark.implicits._
+
+    // ---- arrange: 4 source files, marker event in file 2 ----
+    val events = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .cache()
+    val total = events.count()
+    val markerId = events.filter(col("event_id") % 4 === 2)
+      .agg(min(col("event_id"))).as[Long].head()
+    val base = new File(Scratch.dir("graft_staterec"))
+    val srcDir = new File(base, "src"); assert(srcDir.mkdirs())
+    val now = System.currentTimeMillis()
+    (0 until 4).foreach { i =>
+      writeSourceFile(events.filter(col("event_id") % 4 === i),
+        new File(srcDir, s"f$i.parquet"), now - (40L - 10L * i) * 1000)
+    }
+    val chkDir = new File(base, "chk").toString
+
+    val chaos = udf { (id: Long) =>
+      if (ChaosSwitch.armed.get() && id == markerId)
+        throw new RuntimeException("injected mid-stream crash")
+      true
+    }.asNondeterministic()
+    // Complete-mode keyed aggregation: each micro-batch's contribution
+    // lives ONLY in the state store once its batch commits — if recovery
+    // dropped state, post-restart totals would be missing the pre-crash
+    // files' events (FileStreamSource never re-reads committed files).
+    def startQuery(name: String) = spark.readStream
+      .schema(events.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.toString)
+      .filter(chaos(col("event_id")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast(LongType)).as("cents"))
+      .writeStream
+      .format("memory").queryName(name)
+      .option("checkpointLocation", chkDir)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+    // ---- act 1: crash mid-stream after ≥1 committed batch ----
+    ChaosSwitch.armed.set(true)
+    try intercept[StreamingQueryException] { startQuery("staterec1").awaitTermination() }
+    finally ChaosSwitch.armed.set(false)
+    val committedBatches = Option(new File(chkDir, "commits").listFiles())
+      .map(_.count(_.getName.forall(_.isDigit))).getOrElse(0)
+    assert(committedBatches >= 1, "at least one batch must commit before the crash")
+    assert(committedBatches < 4, "the crash must land before the last batch")
+
+    // ---- act 2: restart from the checkpoint, run the rest ----
+    val q2 = startQuery("staterec2")
+    q2.awaitTermination()
+
+    // ---- assert: the restart did NOT replay the committed files… ----
+    val replayed = q2.recentProgress.map(_.numInputRows).sum
+    assert(replayed < total,
+      s"restart re-read the whole source ($replayed of $total rows) — " +
+        "nothing would prove state recovery")
+    // …yet the final totals cover ALL events, so the pre-crash files'
+    // contribution came from the recovered state store
+    val oracle = events
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast(LongType)).as("cents"))
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    val got = spark.table("staterec2")
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == oracle, s"recovered state diverged:\n got=$got\n want=$oracle")
+    events.unpersist()
+  }
+
+  test("heavy dedup pipelines are partition-count invariant: the same " +
+    "corpus under a different cluster shape (shuffle partitions) yields " +
+    "byte-identical results — the determinism retry/speculation at fleet " +
+    "scale requires") {
+    // d08 (LSH + connected components), d15 (verified dedup), d22
+    // (exact-substring): the three pipelines whose shuffles, window
+    // ranks and star-contraction loops would surface any order- or
+    // placement-dependence. All outputs are integer/string columns with
+    // a total ORDER BY, so row-sequence equality is exact.
+    for (nm <- Seq("d08_dedup_groups", "d15_verified_dedup_groups",
+        "d22_exact_substring")) {
+      val runs = Seq("4", "7").map { parts =>
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        try SparkEntry.queries(nm)(spark, sf0001).collect().toSeq
+        finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+      }
+      assert(runs(0) == runs(1),
+        s"$nm output depends on the shuffle partition count")
+      assert(runs(0).nonEmpty, s"$nm trivially empty at sf0.001")
+    }
+  }
+
   test("s22-shape streaming sketch state is bounded by KEY CARDINALITY, " +
       "not events processed: numRowsTotal == #keys and flat across batches") {
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
