@@ -142,6 +142,26 @@ class RoundSevenSpec extends SparkTestBase {
   test("stateful aggregation STATE survives a mid-stream crash + restart: " +
     "events seen only before the crash are present in the recovered totals " +
     "without source replay (state-store recovery, not reprocessing)") {
+    stateRecoveryUnder(None, "hdfs")
+  }
+
+  test("the same state recovery holds under the RocksDB state store " +
+    "provider (the s11 transformWithState family's store)") {
+    stateRecoveryUnder(Some(
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"),
+      "rocksdb")
+  }
+
+  private def stateRecoveryUnder(provider: Option[String], tag: String): Unit = {
+    import spark.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val savedProvider = spark.conf.get(providerKey)
+    provider.foreach(spark.conf.set(providerKey, _))
+    try stateRecoveryBody(tag)
+    finally spark.conf.set(providerKey, savedProvider)
+  }
+
+  private def stateRecoveryBody(tag: String): Unit = {
     import spark.implicits._
 
     // ---- arrange: 4 source files, marker event in file 2 ----
@@ -151,7 +171,7 @@ class RoundSevenSpec extends SparkTestBase {
     val total = events.count()
     val markerId = events.filter(col("event_id") % 4 === 2)
       .agg(min(col("event_id"))).as[Long].head()
-    val base = new File(Scratch.dir("graft_staterec"))
+    val base = new File(Scratch.dir(s"graft_staterec_$tag"))
     val srcDir = new File(base, "src"); assert(srcDir.mkdirs())
     val now = System.currentTimeMillis()
     (0 until 4).foreach { i =>
@@ -186,7 +206,7 @@ class RoundSevenSpec extends SparkTestBase {
 
     // ---- act 1: crash mid-stream after ≥1 committed batch ----
     ChaosSwitch.armed.set(true)
-    try intercept[StreamingQueryException] { startQuery("staterec1").awaitTermination() }
+    try intercept[StreamingQueryException] { startQuery(s"staterec1_$tag").awaitTermination() }
     finally ChaosSwitch.armed.set(false)
     val committedBatches = Option(new File(chkDir, "commits").listFiles())
       .map(_.count(_.getName.forall(_.isDigit))).getOrElse(0)
@@ -194,7 +214,7 @@ class RoundSevenSpec extends SparkTestBase {
     assert(committedBatches < 4, "the crash must land before the last batch")
 
     // ---- act 2: restart from the checkpoint, run the rest ----
-    val q2 = startQuery("staterec2")
+    val q2 = startQuery(s"staterec2_$tag")
     q2.awaitTermination()
 
     // ---- assert: the restart did NOT replay the committed files… ----
@@ -209,7 +229,7 @@ class RoundSevenSpec extends SparkTestBase {
       .agg(count(lit(1)).as("n"),
         sum(round(col("value") * 100).cast(LongType)).as("cents"))
       .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
-    val got = spark.table("staterec2")
+    val got = spark.table(s"staterec2_$tag")
       .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
     assert(got == oracle, s"recovered state diverged:\n got=$got\n want=$oracle")
     events.unpersist()
