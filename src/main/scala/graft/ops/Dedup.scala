@@ -1376,8 +1376,12 @@ object Dedup {
     * id_b=old) pairs. */
   def storedIndexCandidates(s: org.apache.spark.sql.SparkSession,
       buckets: DataFrame, isNew: Column): DataFrame = {
-    writeBandIndex(s, buckets.filter(!isNew), "graft_band_index")
-    probeBandIndex(s, "graft_band_index", buckets.filter(isNew))
+    // per-run table name (the d33 rule): a fixed name collides across
+    // concurrent sessions sharing a metastore and outlives the query
+    val table = "graft_band_index_" +
+      graft.Scratch.dir("graft_band_index").replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
+    writeBandIndex(s, buckets.filter(!isNew), table)
+    probeBandIndex(s, table, buckets.filter(isNew))
   }
 
   /** The single probe key: band:band_key (fixed-width hex suffix — the

@@ -670,7 +670,11 @@ object StreamingQueries {
     val corpus = Tables.documents(s, d).filter(col("doc_id") % 11 =!= 5)
     val (corpusBuckets, corpusShingles) = Dedup.lshBucketsAndShingles(
       corpus, "doc_id", "text", shingleWords = 3, bands = 4, rowsPerBand = 2)
-    Dedup.writeBandIndex(s, corpusBuckets, "graft_band_index_s16")
+    // per-run table name (the d33 rule): fixed names collide across
+    // concurrent sessions sharing a metastore
+    val idxTable = "graft_band_index_s16_" +
+      graft.Scratch.dir("graft_bi_s16").replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
+    Dedup.writeBandIndex(s, corpusBuckets, idxTable)
     val outDir = graft.Scratch.dir("graft_s16_sink")
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
@@ -686,7 +690,7 @@ object StreamingQueries {
         val (bBuckets, bShingles) = Dedup.lshBucketsAndShingles(
           batch.toDF(), "doc_id", "text", shingleWords = 3, bands = 4, rowsPerBand = 2)
         val cand = Dedup.reuse(
-          Dedup.probeBandIndex(s, "graft_band_index_s16", bBuckets))
+          Dedup.probeBandIndex(s, idxTable, bBuckets))
         val verified = Dedup.jaccardVerifiedPairs(
           cand, bShingles.unionAll(corpusShingles), tau = 0.5)
         val candN = cand.groupBy(col("id_a").as("new_id"))
