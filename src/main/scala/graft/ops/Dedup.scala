@@ -792,7 +792,9 @@ object Dedup {
     val benchHashes = docs.filter(col("doc_id") % 7 === 0)
       .select(md5(col("text")).as("bh")).distinct()
     // one minhash pass over the whole corpus, materialized once (the
-    // benchmark- and training-side bucket scans below both read it)
+    // benchmark- and training-side bucket scans below both read it;
+    // measured: dropping this persist costs +0.4s — the digest is the
+    // expensive subtree here, unlike the shuffle-bounded t23/d26 cases)
     val buckets = reuse(
       lshBuckets(docs, "doc_id", "text", shingleWords = 3, bands = 4, rowsPerBand = 2))
     val benchBuckets = buckets.filter(col("id") % 7 === 0)

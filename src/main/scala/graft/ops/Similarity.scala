@@ -824,7 +824,11 @@ object Similarity {
           transform(cbV, cv => hofDist2(subCol(sub), cv))
         }: _*).as("lut"))
     val wr = Window.partitionBy(col("qid")).orderBy(col("ad").asc, col("cid"))
-    val adcRanked = Dedup.reuse(encoded.crossJoin(broadcast(qlut))
+    // not persisted: both consumers sit above the window's qid exchange
+    // in the final job, so AQE stage reuse executes the encode+ADC scan
+    // once (the d22 dataflow rule — an eager persist here is one extra
+    // job of pure overhead)
+    val adcRanked = encoded.crossJoin(broadcast(qlut))
       .filter(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"),
         (0 until 8).map(sub =>
@@ -833,18 +837,21 @@ object Similarity {
         ).reduce(_ + _).as("ad"))
       .withColumn("rk", row_number().over(wr))
       .filter(col("rk") <= 50)
-      .select(col("qid"), col("cid"), col("rk")))
+      .select(col("qid"), col("cid"), col("rk"))
     val adcTop = adcRanked.filter(col("rk") <= 10).select(col("qid"), col("cid"))
     val approx50 = adcRanked.select(col("qid"), col("cid"))
     val n = e.withColumn("n2", norm2Q(col("v")))
     val q = n.filter(col("vec_id") >= 10 && col("vec_id") < 25)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
-    val pairsD2 = Dedup.reuse(
+    // not persisted: the exact-distance fan-out is a map-side compute
+    // over the cached `e`; its two consumers re-run it (30k fused dot
+    // products — cheaper than the persist's extra job + cache round-trip)
+    val pairsD2 =
       n.select(col("vec_id").as("cid"), col("v").as("cv"), col("n2").as("cn2"))
         .crossJoin(broadcast(q))
         .filter(col("cid") =!= col("qid"))
         .select(col("qid"), col("cid"),
-          (col("qn2") + col("cn2") - lit(2L) * dotQ(col("qv"), col("cv"))).as("d2")))
+          (col("qn2") + col("cn2") - lit(2L) * dotQ(col("qv"), col("cv"))).as("d2"))
     val we = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("cid"))
     val exactTop = pairsD2
       .withColumn("rk", row_number().over(we))
