@@ -824,10 +824,11 @@ object Similarity {
           transform(cbV, cv => hofDist2(subCol(sub), cv))
         }: _*).as("lut"))
     val wr = Window.partitionBy(col("qid")).orderBy(col("ad").asc, col("cid"))
-    // not persisted: both consumers sit above the window's qid exchange
-    // in the final job, so AQE stage reuse executes the encode+ADC scan
-    // once (the d22 dataflow rule — an eager persist here is one extra
-    // job of pure overhead)
+    // not persisted (measured, with pairsD2 below: 2.70s → 1.06s at
+    // sf0.1): the encode+ADC scan is a map-side compute over the cached
+    // `e`, so each consumer re-runs it concurrently inside the final job
+    // — cheaper than an eager persist's extra serial job (plan pinned in
+    // PlanSpec: only the `e` cache remains)
     val adcRanked = encoded.crossJoin(broadcast(qlut))
       .filter(col("cid") =!= col("qid"))
       .select(col("qid"), col("cid"),

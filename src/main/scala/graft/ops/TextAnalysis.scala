@@ -1168,10 +1168,12 @@ object TextAnalysis {
        SELECT doc_id, n_grams, n_novel,
               round(n_novel * 1.0 / n_grams, 4) AS novelty
        FROM per ORDER BY doc_id""") { (s, d) =>
-    // no persist: shd ends in a distinct (an exchange), and both its
-    // consumers live in the final job, so AQE's ReusedExchange executes
-    // the scan+digest once and the second consumer re-reads shuffle
-    // files — the d22 dataflow rule (a reuse() here = one extra job)
+    // no persist (measured 2.25s → 1.58s at sf0.1): Catalyst rewrites
+    // the min()-side branch to skip the distinct entirely, so the two
+    // consumers become DIFFERENT narrow scan+digest subtrees that run
+    // concurrently inside the one final job — cheaper than an eager
+    // persist's extra serial job + cache round-trip (plan pinned in
+    // PlanSpec)
     val shd = Dedup.wordShingleHashes(Tables.documents(s, d), "doc_id", "text", k = 3)
       .distinct()
     val fo = shd.groupBy("h").agg(min(col("id")).as("first_doc"))

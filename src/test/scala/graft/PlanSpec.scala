@@ -35,6 +35,37 @@ class PlanSpec extends SparkTestBase {
       s"scan→filter→agg not inside a codegen span:\n$p")
   }
 
+  test("t23/d26 persist placement is pinned: t23 runs persist-free (its " +
+    "branch subtrees recompute in parallel inside ONE job — measured " +
+    "faster than an eager persist's extra serial job), while d26 keeps " +
+    "exactly its load-bearing quantized-embedding cache") {
+    val t23 = SparkEntry.queries("t23_novelty")(spark, sf0001)
+    t23.collect() // execute THIS plan so AQE finalizes it
+    val pT = castToImpl(t23).queryExecution.executedPlan.toString
+    assert(!pT.contains("InMemoryRelation"),
+      s"t23 regained a persist — the extra job is pure overhead " +
+        s"(2.25s vs 1.58s measured at sf0.1):\n$pT")
+    // Catalyst makes the persist unnecessary here by rewriting the
+    // min()-side branch to skip the distinct, so the two digest scans
+    // are DIFFERENT subtrees that run concurrently in the final job
+    assert(pT.contains("partial_min"), s"expected the rewritten min branch:\n$pT")
+
+    val d26 = SparkEntry.queries("d26_pq_recall")(spark, sf0001)
+    d26.collect()
+    val pD = castToImpl(d26).queryExecution.executedPlan.toString
+    assert(pD.contains("InMemoryTableScan"),
+      s"d26 lost its quantized-embedding cache — every consumer would " +
+        s"re-read and re-quantize the corpus:\n$pD")
+    // the ADC ranking and exact-distance fan-outs stay persist-free:
+    // they are map-side computes over that one cache (2.70s → 1.06s
+    // measured at sf0.1 dropping their former persists). All cache scans
+    // must come from that single quantized relation — a persist of the
+    // windowed/ranked intermediates would cache rk/ad/d2 columns
+    for (c <- Seq("rk#", "ad#", "d2#"))
+      assert(!pD.linesIterator.exists(l => l.contains("InMemoryRelation") && l.contains(c)),
+        s"d26 regained a persist of a ranked intermediate ($c):\n$pD")
+  }
+
   test("pipe operator plan is a single narrow stage (no shuffle)") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("plan-pipe-bin")
