@@ -2192,6 +2192,91 @@ object Dedup {
       .orderBy("bucket_min")
   }
 
+  /** Repeated-SEGMENT removal — the RefinedWeb/CCNet paragraph-dedup
+    * pass, which deduplicates WITHIN documents at sub-document
+    * granularity: a segment (stand-in for a paragraph — the fixtures
+    * carry no newlines, so segments are fixed 15-word windows) that
+    * recurs across ≥ 3 distinct documents is boilerplate
+    * (headers, navigation, license blocks) and is cut from every
+    * document, which is then reassembled from its surviving segments in
+    * order. Output is the rewrite RECEIPT per doc (segment counts and
+    * the md5 of the cleaned text), not the text itself.
+    *
+    * Scale shape: the dup census and the removal join move ONLY 8-byte
+    * segment hashes + (doc_id, seg_idx) — segment TEXT never crosses an
+    * exchange (plan-asserted). The hot set (distinct repeated segments)
+    * is small by construction — boilerplate is few distinct strings
+    * repeated often — and enters the removal join broadcast-side under
+    * AQE. Reconstruction co-locates the per-doc removed-index lists
+    * (small int arrays) with the ORIGINAL scan and re-derives the
+    * cleaned text map-side by re-slicing the token array: when the
+    * flagged-doc set is broadcastable (the typical case) the token
+    * arrays never move; in the worst case they cross exactly ONE
+    * exchange — the irreducible cost of a rewrite operator. The
+    * segment-hash stream is persisted: its two consumers (census,
+    * removal) sit on different keys, and re-deriving it would re-digest
+    * the corpus (the d15 single-digest discipline). */
+  private val d38 = Q(
+    "d38_segment_dedup",
+    """WITH w AS (
+         SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       seg AS (
+         SELECT doc_id, i AS seg_idx,
+                array_to_string(ws[(15*i + 1):(15*i + 15)], ' ') AS seg
+         FROM (SELECT doc_id, ws,
+                      unnest(generate_series(0, ((len(ws) + 14) // 15) - 1)) AS i
+               FROM w)),
+       sh AS (
+         SELECT doc_id, seg_idx,
+                ('0x' || substring(md5(seg), 1, 15))::BIGINT AS h
+         FROM seg),
+       hot AS (SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) >= 3),
+       agg AS (
+         SELECT doc_id, list_sort(list(seg_idx)) AS rm
+         FROM sh JOIN hot USING (h) GROUP BY doc_id),
+       out AS (
+         SELECT w.doc_id,
+                ((len(ws) + 14) // 15) AS n_seg,
+                coalesce(len(rm), 0) AS n_removed,
+                coalesce(array_to_string(list_transform(
+                  list_filter(generate_series(0, ((len(ws) + 14) // 15) - 1),
+                    i -> rm IS NULL OR NOT list_contains(rm, i)),
+                  i -> array_to_string(ws[(15*i + 1):(15*i + 15)], ' ')),
+                  ' '), '') AS clean
+         FROM w LEFT JOIN agg ON w.doc_id = agg.doc_id)
+       SELECT doc_id, CAST(n_seg AS BIGINT) AS n_seg,
+              CAST(n_removed AS BIGINT) AS n_removed,
+              CAST(len(clean) AS BIGINT) AS n_chars_clean,
+              md5(clean) AS clean_hash
+       FROM out ORDER BY doc_id""") { (s, d) =>
+    val w = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val seg = w.select(col("doc_id"), posexplode(expr(
+      "transform(sequence(0, (size(ws) + 14) div 15 - 1), " +
+        "i -> array_join(slice(ws, i * 15 + 1, 15), ' '))"))
+      .as(Seq("seg_idx", "seg")))
+    val sh = reuse(seg.select(col("doc_id"),
+      col("seg_idx").cast("long").as("seg_idx"),
+      conv(substring(md5(col("seg")), 1, 15), 16, 10).cast("long").as("h")))
+    val hot = sh.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 3).select("h")
+    val agg = sh.join(hot, "h")
+      .groupBy("doc_id").agg(sort_array(collect_list(col("seg_idx"))).as("rm"))
+    w.join(agg, Seq("doc_id"), "left")
+      .withColumn("clean", expr(
+        "array_join(transform(" +
+          "filter(sequence(0, (size(ws) + 14) div 15 - 1), " +
+          "i -> rm IS NULL OR NOT array_contains(rm, cast(i AS bigint))), " +
+          "i -> array_join(slice(ws, i * 15 + 1, 15), ' ')), ' ')"))
+      .select(col("doc_id"),
+        expr("bigint((size(ws) + 14) div 15)").as("n_seg"),
+        expr("bigint(coalesce(size(rm), 0))").as("n_removed"),
+        length(col("clean")).cast("long").as("n_chars_clean"),
+        md5(col("clean")).as("clean_hash"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[Q] = Seq(d01, d02, d03, d04, d08, d09, d10, d11, d13, d15,
-    d17, d18, d20, d21, d22, d23, d27, d28, d31, d34, d36, d37)
+    d17, d18, d20, d21, d22, d23, d27, d28, d31, d34, d36, d37, d38)
 }

@@ -558,22 +558,11 @@ object TextAnalysis {
     * persisted frequency table (sum of counts), so the hybrid costs the
     * same number of corpus passes as the naive form. Plan evidence in
     * RoundSixSpec: the hot term never crosses the tail exchange. */
-  private val t13 = Q(
-    "t13_unigram_surprisal",
-    """WITH tok AS (
-         SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-       freq AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
-       tot AS (SELECT count(*) AS n FROM tok),
-       scored AS (
-         SELECT t.doc_id,
-                CAST(round(ln(CAST(n AS DOUBLE) / c) * 1000000) AS BIGINT) AS q
-         FROM tok t JOIN freq f ON t.term = f.term CROSS JOIN tot),
-       agg AS (
-         SELECT doc_id, count(*) AS n_tokens, CAST(sum(q) AS BIGINT) AS sq
-         FROM scored GROUP BY doc_id)
-       SELECT doc_id, n_tokens,
-              round(sq / n_tokens / 1000000.0, 4) AS avg_surprisal
-       FROM agg ORDER BY doc_id""") { (s, d) =>
+  /** Per-doc `(doc_id, n_tokens, sq)` — integer micro-nat surprisal sums
+    * via the hybrid hot/tail join described on [[t13]]. Shared by t13 (the
+    * per-doc score) and t26 (the CCNet-style per-language bucketing). */
+  private def surprisalPerDoc(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), explode(toks("text")).as("term"))
     val freq = Dedup.reuse(tok.groupBy("term").agg(count(lit(1)).as("c")))
@@ -595,6 +584,25 @@ object TextAnalysis {
           .cast(LongType).as("q"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("q")).as("sq"))
+  }
+
+  private val t13 = Q(
+    "t13_unigram_surprisal",
+    """WITH tok AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       freq AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+       tot AS (SELECT count(*) AS n FROM tok),
+       scored AS (
+         SELECT t.doc_id,
+                CAST(round(ln(CAST(n AS DOUBLE) / c) * 1000000) AS BIGINT) AS q
+         FROM tok t JOIN freq f ON t.term = f.term CROSS JOIN tot),
+       agg AS (
+         SELECT doc_id, count(*) AS n_tokens, CAST(sum(q) AS BIGINT) AS sq
+         FROM scored GROUP BY doc_id)
+       SELECT doc_id, n_tokens,
+              round(sq / n_tokens / 1000000.0, 4) AS avg_surprisal
+       FROM agg ORDER BY doc_id""") { (s, d) =>
+    surprisalPerDoc(s, d)
       .select(col("doc_id"), col("n_tokens"),
         round(col("sq") / col("n_tokens") / 1000000.0, 4).as("avg_surprisal"))
       .orderBy("doc_id")
@@ -1232,6 +1240,190 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  /** DSIR-style importance scoring (Data Selection via Importance
+    * Resampling, Xie et al. 2023): score every raw document by how much
+    * its hashed-bigram profile looks like a TARGET slice versus the raw
+    * corpus, then keep the top-100 by importance weight. Features are
+    * word bigrams hashed into 1024 buckets; the target/raw bucket
+    * distributions get Laplace smoothing; a doc's log importance weight
+    * is Σ over its bigram occurrences of ln(p_target(b)/p_raw(b)).
+    *
+    * fp discipline: the per-bucket log-ratio is computed as
+    * ln((ct+1)·(Tr+B)) − ln((cr+1)·(Tt+B)) — both products are exact
+    * integers < 2^53, so both engines take ln of identical doubles —
+    * then quantized to integer micro-nats; the per-doc sum is pure
+    * integer math in any order. Only the 1024-row bucket table ever
+    * sees fp.
+    *
+    * Scale shape: the bigram stream is digested ONCE (persisted — two
+    * consumers, census and scoring, sit on different shuffle keys, so
+    * without the persist the corpus would be digested twice); the bucket
+    * census is a 1024-key hash agg (tiny shuffle); the log-ratio table
+    * is BROADCAST back, so scoring is map-side; the final top-100 plans
+    * as TakeOrdered — no global sort. At 100 TB the only corpus-size
+    * exchange is the per-doc partial-aggregated (doc_id, score) sum. */
+  private val t25 = Q(
+    "t25_dsir_importance",
+    """WITH ws AS (
+         SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+       bg AS (
+         SELECT doc_id, source,
+                ('0x' || substring(md5(w[i] || ' ' || w[i+1]), 1, 15))::BIGINT % 1024 AS b
+         FROM (SELECT doc_id, source, w,
+                      unnest(generate_series(1, greatest(len(w) - 1, 1))) AS i
+               FROM ws)),
+       cnt AS (
+         SELECT b, count(*) AS cr,
+                sum(CASE WHEN source IN ('src0','src1','src2','src3')
+                    THEN 1 ELSE 0 END) AS ct
+         FROM bg GROUP BY b),
+       tot AS (SELECT CAST(sum(cr) AS BIGINT) AS tr,
+                      CAST(sum(ct) AS BIGINT) AS tt FROM cnt),
+       lr AS (
+         SELECT b, CAST(round((ln(CAST((ct + 1) * (tr + 1024) AS DOUBLE))
+                             - ln(CAST((cr + 1) * (tt + 1024) AS DOUBLE)))
+                             * 1000000) AS BIGINT) AS lrm
+         FROM cnt CROSS JOIN tot),
+       sc AS (
+         SELECT doc_id, count(*) AS n_bigrams,
+                CAST(sum(lrm) AS BIGINT) AS score_micro
+         FROM bg JOIN lr USING (b) GROUP BY doc_id)
+       SELECT row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rank,
+              doc_id, n_bigrams, score_micro
+       FROM sc ORDER BY score_micro DESC, doc_id LIMIT 100""") { (s, d) =>
+    val ws = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+    val bg = Dedup.reuse(ws
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(1, greatest(size(w) - 1, 1)), " +
+          "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))")).as("sh"))
+      .select(col("doc_id"), col("source"),
+        (conv(substring(md5(col("sh")), 1, 15), 16, 10).cast(LongType)
+          % 1024).as("b")))
+    val cnt = bg.groupBy("b").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("source").isin("src0", "src1", "src2", "src3"), 1L)
+        .otherwise(0L)).as("ct"))
+    val tot = cnt.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+    val lr = cnt.crossJoin(broadcast(tot))
+      .select(col("b"),
+        round((log(((col("ct") + 1) * (col("tr") + 1024)).cast("double"))
+          - log(((col("cr") + 1) * (col("tt") + 1024)).cast("double")))
+          * 1000000).cast(LongType).as("lrm"))
+    val sc = bg.join(broadcast(lr), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lrm")).as("score_micro"))
+    sc.orderBy(col("score_micro").desc, col("doc_id")).limit(100)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_micro").desc, col("doc_id"))).cast(LongType))
+      .select(col("rank"), col("doc_id"), col("n_bigrams"), col("score_micro"))
+      .orderBy("rank")
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): rank every
+    * document within its LANGUAGE by LM score (the t13 unigram-surprisal
+    * stub stands in for the Kneser-Ney LM) and cut each language into
+    * head/middle/tail thirds — the standard crawl-curation knob ("keep
+    * head+middle"). Bucket = ((rank−1)·3) div n_lang + 1, an exact
+    * integer formula both engines compute from the same rank.
+    *
+    * Scale shape: the per-language ranking does NOT use a
+    * `Window.partitionBy(lang)` — that plans ONE task per language and
+    * a 100 TB corpus has ~30 languages (the t12 one-task trap). Ranks
+    * come from [[distributedPrefixSum]] over a range partitioning on
+    * (lang, (ppl, doc_id)): parallelism = partition count, exact ranks.
+    * The ordering key is the fp quotient sq/n_tokens — both engines
+    * divide the SAME two integers once, so the double (and the order)
+    * is engine-identical; doc_id breaks ties totally. */
+  private val t26 = Q(
+    "t26_perplexity_buckets",
+    """WITH tok AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       freq AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+       tot AS (SELECT count(*) AS n FROM tok),
+       scored AS (
+         SELECT t.doc_id,
+                CAST(round(ln(CAST(n AS DOUBLE) / c) * 1000000) AS BIGINT) AS q
+         FROM tok t JOIN freq f ON t.term = f.term CROSS JOIN tot),
+       agg AS (
+         SELECT doc_id, count(*) AS n_tokens, CAST(sum(q) AS BIGINT) AS sq
+         FROM scored GROUP BY doc_id),
+       dl AS (
+         SELECT a.doc_id, d.lang, a.n_tokens, a.sq
+         FROM agg a JOIN documents d ON a.doc_id = d.doc_id),
+       nl AS (SELECT lang, count(*) AS n_l FROM dl GROUP BY lang),
+       rk AS (
+         SELECT dl.*, row_number() OVER (
+           PARTITION BY lang
+           ORDER BY CAST(sq AS DOUBLE) / n_tokens, doc_id) AS rnk
+         FROM dl),
+       bk AS (
+         SELECT rk.lang, ((rnk - 1) * 3) // n_l + 1 AS bucket, n_tokens, sq
+         FROM rk JOIN nl ON rk.lang = nl.lang)
+       SELECT lang, bucket, count(*) AS n_docs,
+              CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+              round(CAST(sum(sq) AS BIGINT) * 1.0
+                    / CAST(sum(n_tokens) AS BIGINT) / 1000000.0, 4) AS bucket_ppl
+       FROM bk GROUP BY lang, bucket ORDER BY lang, bucket""") { (s, d) =>
+    val dl = surprisalPerDoc(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("_ok", struct(
+        (col("sq").cast("double") / col("n_tokens")).as("ppl"), col("doc_id")))
+      .withColumn("_one", lit(1L))
+    val rk = distributedPrefixSum(dl, "lang", "_ok", "_one", "rnk")
+    val nl = dl.groupBy("lang").agg(count(lit(1)).as("n_l"))
+    rk.join(broadcast(nl), "lang")
+      .withColumn("bucket", expr("((rnk - 1) * 3) div n_l + 1"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"), sum(col("sq")).as("ssq"))
+      .select(col("lang"), col("bucket"), col("n_docs"), col("total_tokens"),
+        round(col("ssq") * lit(1.0) / col("total_tokens") / lit(1000000.0), 4)
+          .as("bucket_ppl"))
+      .orderBy("lang", "bucket")
+  }
+
+  /** Exact stratified sampling: keep a deterministic 20% of every
+    * (source, lang) stratum — EXACTLY ceil(n_s/5) docs per stratum, the
+    * contract a train/eval mixture spec needs ("0.2 of src3-de" must
+    * mean the same rows on every run and any partitioning). Selection
+    * order inside a stratum is md5(doc_id) — a seedless, engine-portable
+    * permutation, so the sample is hash-random but reproducible.
+    *
+    * Scale shape: same discipline as t26 — per-stratum ranks come from
+    * [[distributedPrefixSum]] (strata are few and huge at corpus scale;
+    * a stratum-keyed window would plan one task per stratum). The
+    * stratum-size table is tiny (sources × languages) and BROADCAST;
+    * the rate-only approximate cousin (keep if hash < f·2^60, zero
+    * shuffle) is t16 — this operator is the exact-count variant. */
+  private val t27 = Q(
+    "t27_stratified_sample",
+    """WITH d AS (
+         SELECT source, lang, doc_id,
+                md5(CAST(doc_id AS VARCHAR)) AS hk FROM documents),
+       n AS (SELECT source, lang, count(*) AS n_s FROM d GROUP BY source, lang),
+       r AS (
+         SELECT source, lang, doc_id,
+                row_number() OVER (PARTITION BY source, lang ORDER BY hk) AS smp_rank
+         FROM d)
+       SELECT r.source, r.lang, r.doc_id, smp_rank
+       FROM r JOIN n ON r.source = n.source AND r.lang = n.lang
+       WHERE smp_rank <= (n_s + 4) // 5
+       ORDER BY r.source, r.lang, smp_rank""") { (s, d) =>
+    val base = Tables.documents(s, d)
+      .select(col("source"), col("lang"), col("doc_id"),
+        md5(col("doc_id").cast("string")).as("hk"))
+      .withColumn("_g", concat_ws("|", col("source"), col("lang")))
+      .withColumn("_one", lit(1L))
+    val rk = distributedPrefixSum(base, "_g", "hk", "_one", "smp_rank")
+    val n = base.groupBy("_g").agg(count(lit(1)).as("n_s"))
+    rk.join(broadcast(n), "_g")
+      .filter(expr("smp_rank <= (n_s + 4) div 5"))
+      .select(col("source"), col("lang"), col("doc_id"), col("smp_rank"))
+      .orderBy("source", "lang", "smp_rank")
+  }
+
   val defs: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
-    t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24)
+    t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
+    t25, t26, t27)
 }

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Contracts for the round-7 curation batch: d38 repeated-segment
+  * removal, t25 DSIR importance scoring, t26 perplexity bucketing, t27
+  * exact stratified sampling. Each test pins the semantic invariant the
+  * DuckDB hash-compare cannot express (planted-case recovery, ranking
+  * direction, bucket balance, partitioning invariance).
+  */
+class CurationBatchSpec extends SparkTestBase {
+
+  private def writeDocs(rows: Seq[(Long, String, String, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-curation").toString
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("d38: a segment planted in 3 docs is removed from each; unique docs pass through untouched") {
+    val boiler = (1 to 15).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$boiler alpha beta gamma delta eps", "en", "src0"),
+      (2L, s"$boiler zeta eta theta iota kappa", "en", "src0"),
+      (3L, s"$boiler lambda mu nu xi omicron", "en", "src0"),
+      (4L, "pi rho sigma tau upsilon phi chi psi omega one two three four five six", "en", "src0"))
+    val dir = writeDocs(docs)
+    val out = SparkEntry.queries("d38_segment_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // planted docs: 2 segments, the boilerplate one removed, the tail kept
+    for (id <- 1L to 3L) {
+      val r = out(id)
+      assert(r.getLong(1) == 2L, s"doc $id n_seg")
+      assert(r.getLong(2) == 1L, s"doc $id n_removed")
+    }
+    // doc 1's cleaned text is exactly its unique tail
+    val tail1 = "alpha beta gamma delta eps"
+    assert(out(1L).getLong(3) == tail1.length.toLong)
+    assert(out(1L).getString(4) ==
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(tail1.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    // doc 4 (unique, single 14-word segment < window width): nothing removed
+    assert(out(4L).getLong(2) == 0L)
+    assert(out(4L).getLong(3) == docs(3)._2.length.toLong)
+  }
+
+  test("d38: segment text never crosses a hash shuffle — census and removal ride 8-byte hashes") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = SparkEntry.queries("d38_segment_dedup")(spark, sf0001)
+        .queryExecution.executedPlan
+      val shuffled = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.outputPartitioning
+              .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] =>
+          e.output.map(_.name)
+      }
+      assert(shuffled.nonEmpty)
+      val leaked = shuffled.filter(_.exists(c => c == "seg" || c == "text"))
+      assert(leaked.isEmpty, s"segment/document text crosses a shuffle: $leaked")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("t25: docs sharing the target slice's vocabulary outrank out-of-vocab docs") {
+    // target sources speak vocab A; src9 speaks vocab B except two probe
+    // docs written in vocab A — DSIR must pull the probes to the top of
+    // the raw ranking even though their source is non-target.
+    val vocabA = (1 to 30).map(i => s"a$i").mkString(" ")
+    val vocabB = (1 to 30).map(i => s"z$i").mkString(" ")
+    val rows =
+      (1L to 20L).map(i => (i, vocabA, "en", s"src${i % 4}")) ++
+        (21L to 40L).map(i => (i, vocabB, "en", "src9")) ++
+        Seq((41L, vocabA, "en", "src9"), (42L, vocabA, "en", "src9"))
+    val dir = writeDocs(rows)
+    val ranked = SparkEntry.queries("t25_dsir_importance")(spark, dir)
+      .select("rank", "doc_id").collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    val probeWorst = Seq(41L, 42L).map(ranked).max
+    val vocabBBest = (21L to 40L).map(ranked).min
+    assert(probeWorst < vocabBBest,
+      s"vocab-A probes (worst rank $probeWorst) must outrank every vocab-B doc (best $vocabBBest)")
+  }
+
+  test("t26: every language splits into thirds — sizes differ by at most 1 and cover all docs") {
+    val out = SparkEntry.queries("t26_perplexity_buckets")(spark, sf0001)
+      .select("lang", "bucket", "n_docs").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(r => r.getLong(1) -> r.getLong(2)).toMap)
+    val perLang = Tables.documents(spark, sf0001).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((lang, buckets) <- out) {
+      assert(buckets.keySet.subsetOf(Set(1L, 2L, 3L)), s"$lang buckets: ${buckets.keySet}")
+      assert(buckets.values.sum == perLang(lang), s"$lang coverage")
+      assert(buckets.values.max - buckets.values.min <= 1L, s"$lang balance: $buckets")
+    }
+  }
+
+  test("t27: exactly ceil(n/5) docs per stratum, identical under any shuffle-partition count") {
+    val kept = SparkEntry.queries("t27_stratified_sample")(spark, sf0001)
+      .groupBy("source", "lang").agg(count(lit(1)).as("k"), max("smp_rank").as("mx"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val strata = Tables.documents(spark, sf0001).groupBy("source", "lang").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(kept.keySet == strata.keySet.filter { k => (strata(k) + 4) / 5 > 0 })
+    for ((k, n) <- strata) {
+      val want = (n + 4) / 5
+      assert(kept(k) == (want, want), s"stratum $k: got ${kept(k)}, want ceil($n/5)=$want")
+    }
+    // determinism: the sampled ids must not depend on the partition count
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    def ids(): Seq[Long] =
+      SparkEntry.queries("t27_stratified_sample")(spark, sf0001)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      val a = ids()
+      spark.conf.set("spark.sql.shuffle.partitions", "11")
+      val b = ids()
+      assert(a == b, "sample changed with shuffle partitioning")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+}
