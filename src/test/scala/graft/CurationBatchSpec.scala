@@ -83,6 +83,13 @@ class CurationBatchSpec extends SparkTestBase {
       s"vocab-A probes (worst rank $probeWorst) must outrank every vocab-B doc (best $vocabBBest)")
   }
 
+  test("t25: the log-ratio table enters the scoring join broadcast-side; top-100 rides TakeOrdered") {
+    val p = SparkEntry.queries("t25_dsir_importance")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"bucket scoring join not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-100 is not the bounded heap:\n$p")
+  }
+
   test("t26: every language splits into thirds — sizes differ by at most 1 and cover all docs") {
     val out = SparkEntry.queries("t26_perplexity_buckets")(spark, sf0001)
       .select("lang", "bucket", "n_docs").collect()

@@ -90,7 +90,11 @@ object ScaleProbe {
       // session-3 additions: the kNN graph (cell-population hazard),
       // novelty (gram-census join), and PageRank (iterative joins over
       // the verified-pair graph)
-      "d32_knn_graph", "t23_novelty", "d34_pagerank")
+      "d32_knn_graph", "t23_novelty", "d34_pagerank",
+      // round-7 curation batch: the two corpus-digest ops (segment
+      // census + bigram census/scoring) and the dPS-ranked bucketing,
+      // whose hazard is the single-language sort at fixed lang count
+      "d38_segment_dedup", "t25_dsir_importance", "t26_perplexity_buckets")
     // JIT/codegen warm at the smallest SF (Bench methodology)
     names.foreach(nm =>
       SparkEntry.queries(nm)(spark, "/root/testdata/sf0.001").count())
