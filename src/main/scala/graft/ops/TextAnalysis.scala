@@ -1423,7 +1423,112 @@ object TextAnalysis {
       .orderBy("source", "lang", "smp_rank")
   }
 
+  /** Leakage-free train/val/test split: assign every document to a
+    * split by its DUPLICATE-CLUSTER key, not its own id — the
+    * GroupShuffleSplit discipline. A doc-keyed split (t07) scatters the
+    * members of a near-dup cluster across train AND test, and the test
+    * metric silently measures memorization (the leakage the dedup
+    * literature measures on C4/Common Crawl); hashing the cluster's
+    * canonical id instead sends whole clusters to one split by
+    * construction. `n_moved` COUNTS the repair: docs whose cluster-keyed
+    * split differs from their doc-keyed one — the exact volume of
+    * would-be leakage, reported per split (non-zero at every fixture
+    * SF).
+    *
+    * Scale shape: everything heavy is inherited from d15 (single corpus
+    * digest, banded candidates, verified edges, star-contraction CC);
+    * the additional work is a left join of the corpus ids against the
+    * component table — components ≪ corpus (only docs with a verified
+    * duplicate) — and two map-side md5 bucketings. Only ids and the
+    * 8-byte cluster keys move. */
+  private val t28 = Q(
+    "t28_leakage_free_split",
+    """WITH RECURSIVE docs AS (
+         SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       sh AS (
+         SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+         FROM (SELECT doc_id, ws,
+                      unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+               FROM docs)),
+       hs AS (
+         SELECT doc_id, ('0x' || substring(md5(sh), 1, 8))::BIGINT AS h1,
+                ('0x' || substring(md5(sh), 9, 8))::BIGINT AS h2
+         FROM sh),
+       sig AS (
+         SELECT doc_id, seed, min(h1 + seed * h2) AS mh
+         FROM hs, (SELECT unnest(generate_series(0, 7)) AS seed) seeds
+         GROUP BY doc_id, seed),
+       bands AS (
+         SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+                md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS band_key
+         FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)),
+       pairs AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       shd AS (SELECT DISTINCT doc_id, h1 * 134217728 + h2 % 134217728 AS h
+               FROM hs),
+       sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+       inter AS (
+         SELECT p.id_a, p.id_b, count(*) AS ni
+         FROM pairs p
+           JOIN shd a ON a.doc_id = p.id_a
+           JOIN shd b ON b.doc_id = p.id_b AND b.h = a.h
+         GROUP BY p.id_a, p.id_b),
+       vpairs AS (
+         SELECT i.id_a, i.id_b FROM inter i
+           JOIN sz sa ON sa.doc_id = i.id_a
+           JOIN sz sb ON sb.doc_id = i.id_b
+         WHERE i.ni * 1.0 / (sa.n + sb.n - i.ni) >= 0.5),
+       nodes AS (
+         SELECT DISTINCT id FROM (
+           SELECT id_a AS id FROM vpairs UNION ALL SELECT id_b AS id FROM vpairs)),
+       edges AS (
+         SELECT id_a AS src, id_b AS dst FROM vpairs
+         UNION ALL SELECT id_b AS src, id_a AS dst FROM vpairs),
+       reach(a, b) AS (
+         SELECT id, id FROM nodes
+         UNION
+         SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+       comp AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a),
+       cl AS (
+         SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster
+         FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+       sp AS (
+         SELECT doc_id, cluster,
+                CASE WHEN ('0x' || substring(md5(CAST(cluster AS VARCHAR)), 1, 4))::BIGINT % 100 < 90 THEN 'train'
+                     WHEN ('0x' || substring(md5(CAST(cluster AS VARCHAR)), 1, 4))::BIGINT % 100 < 95 THEN 'val'
+                     ELSE 'test' END AS split,
+                CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 90 THEN 'train'
+                     WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < 95 THEN 'val'
+                     ELSE 'test' END AS doc_split
+         FROM cl)
+       SELECT split, count(*) AS n_docs, count(DISTINCT cluster) AS n_clusters,
+              CAST(sum(CASE WHEN split <> doc_split THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+       FROM sp GROUP BY split ORDER BY split""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val (buckets, shingles) = Dedup.lshBucketsAndShingles(docs, "doc_id", "text",
+      shingleWords = 3, bands = 4, rowsPerBand = 2)
+    val verified = Dedup.jaccardVerifiedPairs(
+      Dedup.candidatePairs(buckets, materialize = false), shingles, tau = 0.5)
+    val comp = Dedup.connectedComponents(verified)
+    def bucketOf(c: Column): Column =
+      conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast(LongType) % 100
+    def splitOf(b: Column): Column =
+      when(b < 90, "train").when(b < 95, "val").otherwise("test")
+    docs.select(col("doc_id"))
+      .join(comp.select(col("id").as("doc_id"), col("component")), Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+      .withColumn("split", splitOf(bucketOf(col("cluster"))))
+      .withColumn("doc_split", splitOf(bucketOf(col("doc_id"))))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster")).as("n_clusters"),
+        sum(when(col("split") =!= col("doc_split"), 1L).otherwise(0L)).as("n_moved"))
+      .orderBy("split")
+  }
+
   val defs: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
     t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
-    t25, t26, t27)
+    t25, t26, t27, t28)
 }

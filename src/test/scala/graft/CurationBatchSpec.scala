@@ -103,6 +103,36 @@ class CurationBatchSpec extends SparkTestBase {
     }
   }
 
+  test("t28: no duplicate cluster ever spans splits, and the repair is non-vacuous") {
+    import graft.ops.Dedup
+    val docs = Tables.documents(spark, sf0001)
+    val (buckets, shingles) = Dedup.lshBucketsAndShingles(docs, "doc_id", "text",
+      shingleWords = 3, bands = 4, rowsPerBand = 2)
+    val comp = Dedup.connectedComponents(Dedup.jaccardVerifiedPairs(
+      Dedup.candidatePairs(buckets, materialize = false), shingles, tau = 0.5))
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c.cast("string")), 1, 4), 16, 10).cast("long") % 100
+    def splitOf(b: org.apache.spark.sql.Column) =
+      when(b < 90, "train").when(b < 95, "val").otherwise("test")
+    val assigned = docs.select(col("doc_id"))
+      .join(comp.select(col("id").as("doc_id"), col("component")), Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+      .withColumn("split", splitOf(bucketOf(col("cluster"))))
+      .withColumn("doc_split", splitOf(bucketOf(col("doc_id"))))
+    // the contract: cluster → exactly one split
+    val spanning = assigned.groupBy("cluster")
+      .agg(countDistinct(col("split")).as("ns")).filter(col("ns") > 1).count()
+    assert(spanning == 0L, s"$spanning clusters span splits")
+    // the doc-keyed rule DOES leak on this fixture — the repair moved docs
+    val moved = assigned.filter(col("split") =!= col("doc_split")).count()
+    assert(moved > 0L, "expected the cluster-keyed split to move at least one doc")
+    // and the leaked clusters are real: some multi-doc cluster had members
+    // on both sides of the doc-keyed rule
+    val docLeaky = assigned.groupBy("cluster")
+      .agg(countDistinct(col("doc_split")).as("ns")).filter(col("ns") > 1).count()
+    assert(docLeaky > 0L, "fixture should contain doc-level split leakage")
+  }
+
   test("t27: exactly ceil(n/5) docs per stratum, identical under any shuffle-partition count") {
     val kept = SparkEntry.queries("t27_stratified_sample")(spark, sf0001)
       .groupBy("source", "lang").agg(count(lit(1)).as("k"), max("smp_rank").as("mx"))

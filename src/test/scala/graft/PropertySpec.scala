@@ -126,6 +126,32 @@ class PropertySpec extends SparkTestBase with Matchers {
     }
   }
 
+  test("distributedPrefixSum with a STRUCT order key (the t26/t27 rank shape) " +
+    "equals the window formulation on random fp-keyed rows") {
+    // t26 ranks on struct((sq/n_tokens)::double, doc_id): the range
+    // partitioning and both windows must order structs identically.
+    val rowGen = Gen.listOfN(60, for {
+      g <- Gen.oneOf("en", "de")
+      num <- Gen.chooseNum(1L, 40L)   // duplicated quotients exercise the
+      den <- Gen.chooseNum(1L, 8L)    // doc_id tiebreak inside the struct
+    } yield (g, num, den))
+    forSamples(rowGen, n = 3) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((g, num, den), i) => (g, i.toLong, num.toDouble / den) }
+        .toDF("g", "id", "ppl")
+        .withColumn("_ok", struct(col("ppl"), col("id")))
+        .withColumn("_one", lit(1L))
+        .repartition(5)
+      val viaHelper = graft.ops.TextAnalysis
+        .distributedPrefixSum(df, "g", "_ok", "_one", "rnk")
+        .select("g", "id", "rnk").as[(String, Long, Long)].collect().toSet
+      val w = Window.partitionBy(col("g")).orderBy(col("ppl"), col("id"))
+      val viaWindow = df.withColumn("rnk", row_number().over(w).cast("long"))
+        .select("g", "id", "rnk").as[(String, Long, Long)].collect().toSet
+      viaHelper shouldBe viaWindow
+    }
+  }
+
   test("cms_sketch point estimates always dominate exact counts on " +
     "random token multisets") {
     graft.functions.CmsSketch.register(spark)

@@ -45,7 +45,10 @@ object ScaleProbe100 {
       "graft_sp100_500k", parts = 32, vocabSize = 144)
 
     val names = Seq("d08_dedup_groups", "d15_verified_dedup_groups",
-      "d22_exact_substring")
+      "d22_exact_substring",
+      // round-7 curation batch: both are corpus-digest pipelines whose
+      // 100× behavior the 10× probe alone can't pin
+      "d38_segment_dedup", "t25_dsir_importance")
     // JIT/codegen warm at the smallest SF (Bench methodology)
     names.foreach(nm =>
       SparkEntry.queries(nm)(spark, "/root/testdata/sf0.001").count())
