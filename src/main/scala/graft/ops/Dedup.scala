@@ -430,18 +430,49 @@ object Dedup {
     // two-scan union), so the eager `sh` materialization below fills p's
     // cache as a side effect — one job computes both, and the later
     // intersection join reads blocks. An eager persist-count here would
-    // re-run the whole banding self-join as its own job for nothing.
+    // re-run the whole banding self-join as its own job for nothing
+    // (A/B-measured: an unconditional pair count regressed d15 1.40× at
+    // sf0.1 — the count job un-fuses the banding/semi-join/digest
+    // pipeline the round-7 lazy-persist cut created).
     val p = pairs.select(col("id_a"), col("id_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candIds = p.select(explode(array(col("id_a"), col("id_b"))).as("id"))
       .distinct()
+    // Restricting the shingle stream to candidate docs has two physical
+    // routes. The left-semi join is exact and costs ZERO extra jobs (the
+    // default here), but once the candidate-id set outgrows the
+    // broadcast threshold it plans as a SortMergeJoin that shuffles the
+    // ENTIRE per-occurrence shingle stream — the measured decade-2
+    // super-linearity of d15 at 500k docs (5.28× per 10×,
+    // BENCH_SCALE_r07.json) is exactly this exchange. A deployment that
+    // KNOWS its scale sets `graft.dedup.bloomCandidateThreshold`: the
+    // candidate pairs are then counted (the count fills p's cache; at
+    // the scales where the conf is set, one extra job is noise against
+    // the stream shuffle it saves) and above the threshold a
+    // driver-built bloom over candidate ids (~1.2 MB per 1M ids at 1%
+    // fpp) filters the stream MAP-SIDE instead. False positives only
+    // admit spectator docs into the size census — they never match the
+    // pair joins — so the output is bit-identical on either route
+    // (spec'd), and the oracle is unchanged. Measured at 500k docs:
+    // 43.5s exact → 26.9s bloom (BENCH_SCALE_r07.json d15_bloom_500k).
+    val restricted = shingles.sparkSession.conf
+      .getOption("graft.dedup.bloomCandidateThreshold").map(_.toLong) match {
+      case Some(threshold) if p.count() > threshold =>
+        val nPairs = p.count() // cached — free after the route decision
+        val bf = candIds.stat.bloomFilter("id", math.max(2L * nPairs, 1000L), 0.01)
+        val bc = shingles.sparkSession.sparkContext.broadcast(bf)
+        val mightContain = udf((id: java.lang.Long) =>
+          id != null && bc.value.mightContain(id))
+        shingles.filter(mightContain(col("id")))
+      case _ => shingles.join(candIds, Seq("id"), "left_semi")
+    }
     // the candidate-restricted shingle SET feeds three consumers (the
     // size census and both sides of the intersection join) — persist it
     // once or the scan+explode+digest pipeline runs three times. Its size
     // is bounded by the candidate docs, not the corpus. (Measured: the
     // d22-style rely-on-exchange-reuse variant recomputed these subtrees
     // — d15 went 6.4s → 15.7s at sf0.1 — so the persists stay.)
-    val sh = reuse(shingles.join(candIds, Seq("id"), "left_semi").distinct())
+    val sh = reuse(restricted.distinct())
     val sz = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = p
       .join(sh.select(col("id").as("id_a"), col("h")), "id_a")

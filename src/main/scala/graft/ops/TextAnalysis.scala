@@ -1293,10 +1293,13 @@ object TextAnalysis {
        FROM sc ORDER BY score_micro DESC, doc_id LIMIT 100""") { (s, d) =>
     val ws = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+    // concat, not concat_ws: the oracle's `||` is NULL-propagating, so a
+    // 1-word doc yields a NULL bucket on BOTH engines (dropped by the
+    // scoring join) instead of diverging on a half-bigram
     val bg = Dedup.reuse(ws
       .select(col("doc_id"), col("source"), explode(expr(
         "transform(sequence(1, greatest(size(w) - 1, 1)), " +
-          "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))")).as("sh"))
+          "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))")).as("sh"))
       .select(col("doc_id"), col("source"),
         (conv(substring(md5(col("sh")), 1, 15), 16, 10).cast(LongType)
           % 1024).as("b")))

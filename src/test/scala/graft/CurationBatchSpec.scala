@@ -133,6 +133,22 @@ class CurationBatchSpec extends SparkTestBase {
     assert(docLeaky > 0L, "fixture should contain doc-level split leakage")
   }
 
+  test("d15: the bloom candidate-restriction route is bit-identical to the exact semi-join") {
+    // graft.dedup.bloomCandidateThreshold=0 forces the map-side bloom
+    // route (the configured-scale path); unset conf is the default exact
+    // left-semi. False positives must never reach the output.
+    def run(): Seq[org.apache.spark.sql.Row] =
+      SparkEntry.queries("d15_verified_dedup_groups")(spark, sf001).collect().toSeq
+    try {
+      spark.conf.set("graft.dedup.bloomCandidateThreshold", "0")
+      val viaBloom = run()
+      spark.conf.unset("graft.dedup.bloomCandidateThreshold")
+      val viaSemi = run()
+      assert(viaBloom == viaSemi, "bloom route changed the verified components")
+      assert(viaBloom.nonEmpty)
+    } finally spark.conf.unset("graft.dedup.bloomCandidateThreshold")
+  }
+
   test("t27: exactly ceil(n/5) docs per stratum, identical under any shuffle-partition count") {
     val kept = SparkEntry.queries("t27_stratified_sample")(spark, sf0001)
       .groupBy("source", "lang").agg(count(lit(1)).as("k"), max("smp_rank").as("mx"))
