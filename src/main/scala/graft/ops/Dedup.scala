@@ -409,23 +409,21 @@ object Dedup {
     (buckets, shingles)
   }
 
-  /** Exact-Jaccard verification of LSH candidate pairs — the step a
-    * production MinHash pipeline runs between banding and clustering:
-    * band collisions are a RECALL device (any pair with high signature
-    * agreement shares a bucket w.h.p.) but carry false positives, so each
-    * candidate is scored against the true shingle sets and only pairs
-    * with Jaccard ≥ `tau` become dedup edges.
+  /** Exact overlap statistics for LSH candidate pairs — the shared
+    * verification engine behind every exact similarity gate: computes
+    * each candidate pair's true shingle-set intersection and sizes
+    * `(id_a, id_b, ni, na, nb)`, from which Jaccard
+    * ([[jaccardVerifiedPairs]]) and Broder containment (d39) are single
+    * map-side divides.
     *
     * Scale shape: `pairs` is already LSH-bounded (never O(N²)); the
-    * shingle stream is cut to candidate docs FIRST (a semi-join applied
-    * BEFORE the set-distinct, so non-candidate docs never shuffle a
-    * single shingle — at 100 TB the candidate subset is a sliver of the
-    * corpus), then deduped to sets. The per-pair expansion is |pairs| ×
-    * doc shingle count — the irreducible verification cost.
-    * `shingles` is per-occurrence (id, h) as produced by
-    * [[wordShingleHashes]]; returns (id_a, id_b, jaccard). */
-  def jaccardVerifiedPairs(pairs: DataFrame, shingles: DataFrame,
-      tau: Double): DataFrame = {
+    * shingle stream is cut to candidate docs FIRST (applied BEFORE the
+    * set-distinct, so non-candidate docs never shuffle a single shingle
+    * — at 100 TB the candidate subset is a sliver of the corpus), then
+    * deduped to sets. The per-pair expansion is |pairs| × doc shingle
+    * count — the irreducible verification cost. `shingles` is
+    * per-occurrence (id, h) as produced by [[wordShingleHashes]]. */
+  def pairOverlapStats(pairs: DataFrame, shingles: DataFrame): DataFrame = {
     // p persists LAZILY: candIds scans it exactly once (explode, not a
     // two-scan union), so the eager `sh` materialization below fills p's
     // cache as a side effect — one job computes both, and the later
@@ -481,10 +479,21 @@ object Dedup {
     inter
       .join(sz.select(col("id").as("id_a"), col("n").as("na")), "id_a")
       .join(sz.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+  }
+
+  /** Exact-Jaccard verification of LSH candidate pairs — the step a
+    * production MinHash pipeline runs between banding and clustering:
+    * band collisions are a RECALL device (any pair with high signature
+    * agreement shares a bucket w.h.p.) but carry false positives, so each
+    * candidate is scored against the true shingle sets and only pairs
+    * with Jaccard ≥ `tau` become dedup edges. Overlap statistics come
+    * from [[pairOverlapStats]]; returns (id_a, id_b, jaccard). */
+  def jaccardVerifiedPairs(pairs: DataFrame, shingles: DataFrame,
+      tau: Double): DataFrame =
+    pairOverlapStats(pairs, shingles)
       .withColumn("jaccard", col("ni") * lit(1.0) / (col("na") + col("nb") - col("ni")))
       .filter(col("jaccard") >= tau)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
 
   /** 32-bit SimHash as a '0'/'1' bitstring: bit i is the sign of the sum
     * over tokens of ±1 derived from hex digit i of md5(token). */
@@ -2308,6 +2317,83 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Broder CONTAINMENT scoring of LSH candidates: C = |A∩B| / min(|A|,
+    * |B|) — the asymmetric similarity a symmetric Jaccard gate is blind
+    * to. A short document quoted whole inside a long one has C ≈ 1 but
+    * Jaccard ≈ |A|/|B| (arbitrarily small), so a τ-Jaccard dedup keeps
+    * both copies; containment is the published gate for quote/repost/
+    * wrapper duplication (Broder 1997's resemblance-vs-containment
+    * pair). Emits both scores per candidate pair (containment ≥ 0.5) so
+    * a curation run reads the asymmetry directly; the planted-case spec
+    * pins the semantics (an embedded doc scores C = 1 while staying
+    * far below the d15 Jaccard gate).
+    *
+    * Scale + recall honesty: scoring reuses [[pairOverlapStats]] —
+    * exact sets, candidates only, one extra map-side divide, so the
+    * cost over d15 is zero. Candidate RECALL, however, is the banding's:
+    * an extreme-asymmetry pair has low Jaccard and therefore a low
+    * band-collision probability, so LSH-fed containment catches
+    * moderate asymmetry (the common case) — the guaranteed-recall path
+    * for strict substring containment is d22's positioned-anchor join,
+    * which pigeonholes every ≥20-token run regardless of the size
+    * ratio. */
+  private val d39 = Q(
+    "d39_containment_scores",
+    """WITH docs AS (
+         SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       sh AS (
+         SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+         FROM (SELECT doc_id, ws,
+                      unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+               FROM docs)),
+       hs AS (
+         SELECT doc_id, ('0x' || substring(md5(sh), 1, 8))::BIGINT AS h1,
+                ('0x' || substring(md5(sh), 9, 8))::BIGINT AS h2
+         FROM sh),
+       sig AS (
+         SELECT doc_id, seed, min(h1 + seed * h2) AS mh
+         FROM hs, (SELECT unnest(generate_series(0, 7)) AS seed) seeds
+         GROUP BY doc_id, seed),
+       bands AS (
+         SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+                md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS band_key
+         FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)),
+       pairs AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       shd AS (SELECT DISTINCT doc_id, h1 * 134217728 + h2 % 134217728 AS h
+               FROM hs),
+       sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+       inter AS (
+         SELECT p.id_a, p.id_b, count(*) AS ni
+         FROM pairs p
+           JOIN shd a ON a.doc_id = p.id_a
+           JOIN shd b ON b.doc_id = p.id_b AND b.h = a.h
+         GROUP BY p.id_a, p.id_b),
+       sc AS (
+         SELECT i.id_a, i.id_b, i.ni, least(sa.n, sb.n) AS n_min,
+                round(i.ni * 1.0 / least(sa.n, sb.n), 6) AS containment,
+                round(i.ni * 1.0 / (sa.n + sb.n - i.ni), 6) AS jaccard
+         FROM inter i
+           JOIN sz sa ON sa.doc_id = i.id_a
+           JOIN sz sb ON sb.doc_id = i.id_b)
+       SELECT id_a, id_b, ni, n_min, containment, jaccard
+       FROM sc WHERE containment >= 0.5
+       ORDER BY id_a, id_b""") { (s, d) =>
+    val (buckets, shingles) = lshBucketsAndShingles(Tables.documents(s, d),
+      "doc_id", "text", shingleWords = 3, bands = 4, rowsPerBand = 2)
+    pairOverlapStats(candidatePairs(buckets, materialize = false), shingles)
+      .withColumn("n_min", least(col("na"), col("nb")))
+      .withColumn("containment", round(col("ni") * lit(1.0) / col("n_min"), 6))
+      .withColumn("jaccard",
+        round(col("ni") * lit(1.0) / (col("na") + col("nb") - col("ni")), 6))
+      .filter(col("containment") >= 0.5)
+      .select(col("id_a"), col("id_b"), col("ni"), col("n_min"),
+        col("containment"), col("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
   val defs: Seq[Q] = Seq(d01, d02, d03, d04, d08, d09, d10, d11, d13, d15,
-    d17, d18, d20, d21, d22, d23, d27, d28, d31, d34, d36, d37, d38)
+    d17, d18, d20, d21, d22, d23, d27, d28, d31, d34, d36, d37, d38, d39)
 }

@@ -133,6 +133,26 @@ class CurationBatchSpec extends SparkTestBase {
     assert(docLeaky > 0L, "fixture should contain doc-level split leakage")
   }
 
+  test("d39: an embedded document scores containment 1.0 while staying under the Jaccard gate") {
+    import graft.ops.Dedup
+    val s = spark
+    import s.implicits._
+    val small = (1 to 30).map(i => s"w$i").mkString(" ")
+    val big = small + " " + (31 to 70).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, small), (2L, big)).toDF("doc_id", "text")
+    val shingles = Dedup.wordShingleHashes(docs, "doc_id", "text", k = 3)
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val r = Dedup.pairOverlapStats(pairs, shingles)
+      .select("ni", "na", "nb").as[(Long, Long, Long)].collect().head
+    val (ni, na, nb) = r
+    assert(ni == na, s"small doc's shingles must be fully contained: $r")
+    val jaccard = ni.toDouble / (na + nb - ni)
+    assert(jaccard < 0.5, s"planted pair must sit under the d15 gate: $jaccard")
+    // containment = ni / min(na, nb) = 1.0 — the asymmetric dup the
+    // symmetric gate misses
+    assert(ni.toDouble / math.min(na, nb) == 1.0)
+  }
+
   test("d15: the bloom candidate-restriction route is bit-identical to the exact semi-join") {
     // graft.dedup.bloomCandidateThreshold=0 forces the map-side bloom
     // route (the configured-scale path); unset conf is the default exact
