@@ -1363,6 +1363,70 @@ object Similarity {
       .orderBy("nprobe", "qid")
   }
 
+  /** Hard-negative mining — the contrastive-training selection rule:
+    * for each query vector, the top-5 MOST similar candidates that are
+    * NOT semantic duplicates (cos < 0.30, the aggressive-dedup operating
+    * point; fixture-calibrated so the gate provably excludes candidates
+    * at every SF — `n_excluded` reports how many near-dups each query's
+    * negative pool dropped). Similar-but-not-duplicate is exactly what
+    * a contrastive loss wants as negatives: excluding dups prevents
+    * false negatives (same content labeled "different"), and ranking by
+    * similarity keeps the negatives hard.
+    *
+    * Scale shape: d05's brute machinery — the query side broadcast,
+    * exact integer dot products via `long_dot`, the dup gate and the
+    * exclusion census map-side, top-5 via the heap top-k rewrite. The
+    * scale path swaps the scan for d07/d33's IVF candidates unchanged
+    * (the gate composes with any candidate generator). */
+  private val d40 = Q(
+    "d40_hard_negatives",
+    """WITH e AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+         FROM embeddings),
+       n AS (
+         SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2
+         FROM e),
+       pairs AS (
+         SELECT q.vec_id AS qid, c.vec_id AS cid,
+                CAST(list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * c.v[i])) AS BIGINT)
+                  / (sqrt(q.n2) * sqrt(c.n2)) AS cos
+         FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+       exc AS (
+         SELECT qid, count(*) FILTER (cos >= 0.30) AS n_excluded FROM pairs
+         GROUP BY qid),
+       ranked AS (
+         SELECT qid, cid, cos,
+                row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+         FROM pairs WHERE cos < 0.30)
+       SELECT r.qid, r.cid, r.rank, round(r.cos, 6) AS cosine, e.n_excluded
+       FROM ranked r JOIN exc e ON r.qid = e.qid
+       WHERE r.rank <= 5
+       ORDER BY r.qid, r.rank""") { (s, d) =>
+    graft.functions.LongDot.register(s)
+    graft.plans.TopKPerGroup.install(s)
+    val emb = Tables.embeddings(s, d)
+    val c = emb.select(col("vec_id").as("cid"), quantize(col("embedding")).as("cv"))
+      .withColumn("cn", norm2Q(col("cv")))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), quantize(col("embedding")).as("qv"))
+      .withColumn("qn", norm2Q(col("qv")))
+    val scored = graft.ops.Dedup.reuse(c.crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("cos", dotQ(col("qv"), col("cv")) / (sqrt(col("qn")) * sqrt(col("cn"))))
+      .select(col("qid"), col("cid"), col("cos")))
+    val exc = scored.groupBy("qid")
+      .agg(sum(when(col("cos") >= 0.30, 1L).otherwise(0L)).as("n_excluded"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.filter(col("cos") < 0.30)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .join(broadcast(exc), "qid")
+      .select(col("qid"), col("cid"), col("rank").cast("long").as("rank"),
+        round(col("cos"), 6).as("cosine"), col("n_excluded"))
+      .orderBy("qid", "rank")
+  }
+
   val defs: Seq[Q] = Seq(d05, d06, d07, d12, d14, d16, d19, d24, d25, d26, d29,
-    d30, d32, d33, d35)
+    d30, d32, d33, d35, d40)
 }

@@ -153,6 +153,14 @@ class CurationBatchSpec extends SparkTestBase {
     assert(ni.toDouble / math.min(na, nb) == 1.0)
   }
 
+  test("d40: every mined negative sits under the dup gate, and the gate provably bites") {
+    val rows = SparkEntry.queries("d40_hard_negatives")(spark, sf0001)
+      .select("qid", "cosine", "n_excluded").collect()
+    assert(rows.length == 50) // 10 queries × top-5
+    assert(rows.forall(_.getDouble(1) < 0.30), "a near-dup leaked into the negative pool")
+    assert(rows.exists(_.getLong(2) > 0L), "the dup gate excluded nothing — vacuous fixture")
+  }
+
   test("d15: the bloom candidate-restriction route is bit-identical to the exact semi-join") {
     // graft.dedup.bloomCandidateThreshold=0 forces the map-side bloom
     // route (the configured-scale path); unset conf is the default exact
