@@ -152,6 +152,42 @@ class PropertySpec extends SparkTestBase with Matchers {
     }
   }
 
+  test("pairOverlapStats: intersection bounded by both set sizes and exact on " +
+    "random word-multiset docs") {
+    val docGen = Gen.listOfN(6, Gen.listOfN(12,
+      Gen.oneOf((1 to 9).map(i => s"w$i"))).map(_.mkString(" ")))
+    forSamples(docGen, n = 3) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val shingles = graft.ops.Dedup.wordShingleHashes(docs, "doc_id", "text", k = 3)
+      val ids = texts.indices.map(_.toLong)
+      val pairs = (for (a <- ids; b <- ids if a < b) yield (a, b)).toDF("id_a", "id_b")
+      val stats = graft.ops.Dedup.pairOverlapStats(pairs, shingles)
+        .select("id_a", "id_b", "ni", "na", "nb")
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .map { case (a, b, ni, na, nb) => (a, b) -> (ni, na, nb) }.toMap
+      // oracle: exact shingle sets computed driver-side
+      def shingleSet(t: String): Set[String] = {
+        val ws = t.split(" ")
+        if (ws.length < 3) Set(ws.mkString(" "))
+        else ws.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val sets = texts.map(shingleSet)
+      for (a <- ids; b <- ids if a < b) {
+        val want = sets(a.toInt).intersect(sets(b.toInt)).size.toLong
+        stats.get((a, b)) match {
+          case Some((ni, na, nb)) =>
+            assert(ni <= math.min(na, nb))
+            assert(na == sets(a.toInt).size && nb == sets(b.toInt).size)
+            assert(ni == want, s"intersection mismatch for ($a,$b)")
+          case None =>
+            // disjoint pairs drop out of the inner intersection join
+            assert(want == 0L, s"pair ($a,$b) with overlap $want missing from stats")
+        }
+      }
+    }
+  }
+
   test("cms_sketch point estimates always dominate exact counts on " +
     "random token multisets") {
     graft.functions.CmsSketch.register(spark)
