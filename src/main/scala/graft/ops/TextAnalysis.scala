@@ -1249,11 +1249,15 @@ object TextAnalysis {
     * is Σ over its bigram occurrences of ln(p_target(b)/p_raw(b)).
     *
     * fp discipline: the per-bucket log-ratio is computed as
-    * ln((ct+1)·(Tr+B)) − ln((cr+1)·(Tt+B)) — both products are exact
-    * integers < 2^53, so both engines take ln of identical doubles —
-    * then quantized to integer micro-nats; the per-doc sum is pure
-    * integer math in any order. Only the 1024-row bucket table ever
-    * sees fp.
+    * ln(ct+1) + ln(Tr+B) − ln(cr+1) − ln(Tt+B) — four lns of exact
+    * in-range integers in IDENTICAL operand order on both engines, then
+    * quantized to integer micro-nats; the per-doc sum is pure integer
+    * math in any order. Four separate lns, NOT ln of the cross products:
+    * (ct+1)·(Tr+B) exceeds 2^63 near ~1e13 corpus bigrams (≈ a 100 TB
+    * corpus), where non-ANSI Spark would WRAP the long multiply
+    * silently while DuckDB promotes to HUGEINT — the engines would
+    * diverge instead of failing loudly (the t21 lesson). Only the
+    * 1024-row bucket table ever sees fp.
     *
     * Scale shape: the bigram stream is digested ONCE (persisted — two
     * consumers, census and scoring, sit on different shuffle keys, so
@@ -1280,8 +1284,8 @@ object TextAnalysis {
        tot AS (SELECT CAST(sum(cr) AS BIGINT) AS tr,
                       CAST(sum(ct) AS BIGINT) AS tt FROM cnt),
        lr AS (
-         SELECT b, CAST(round((ln(CAST((ct + 1) * (tr + 1024) AS DOUBLE))
-                             - ln(CAST((cr + 1) * (tt + 1024) AS DOUBLE)))
+         SELECT b, CAST(round((ln(CAST(ct + 1 AS DOUBLE)) + ln(CAST(tr + 1024 AS DOUBLE))
+                             - ln(CAST(cr + 1 AS DOUBLE)) - ln(CAST(tt + 1024 AS DOUBLE)))
                              * 1000000) AS BIGINT) AS lrm
          FROM cnt CROSS JOIN tot),
        sc AS (
@@ -1310,8 +1314,8 @@ object TextAnalysis {
     val tot = cnt.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
     val lr = cnt.crossJoin(broadcast(tot))
       .select(col("b"),
-        round((log(((col("ct") + 1) * (col("tr") + 1024)).cast("double"))
-          - log(((col("cr") + 1) * (col("tt") + 1024)).cast("double")))
+        round((log((col("ct") + 1).cast("double")) + log((col("tr") + 1024).cast("double"))
+          - log((col("cr") + 1).cast("double")) - log((col("tt") + 1024).cast("double")))
           * 1000000).cast(LongType).as("lrm"))
     val sc = bg.join(broadcast(lr), "b")
       .groupBy("doc_id")
@@ -1361,12 +1365,13 @@ object TextAnalysis {
            ORDER BY CAST(sq AS DOUBLE) / n_tokens, doc_id) AS rnk
          FROM dl),
        bk AS (
-         SELECT rk.lang, ((rnk - 1) * 3) // n_l + 1 AS bucket, n_tokens, sq
+         SELECT rk.lang, ((rnk - 1) * 3) // n_l + 1 AS bucket, n_tokens,
+                sq // 1000 AS sqm
          FROM rk JOIN nl ON rk.lang = nl.lang)
        SELECT lang, bucket, count(*) AS n_docs,
               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-              round(CAST(sum(sq) AS BIGINT) * 1.0
-                    / CAST(sum(n_tokens) AS BIGINT) / 1000000.0, 4) AS bucket_ppl
+              round(CAST(sum(sqm) AS BIGINT) * 1.0
+                    / CAST(sum(n_tokens) AS BIGINT) / 1000.0, 4) AS bucket_ppl
        FROM bk GROUP BY lang, bucket ORDER BY lang, bucket""") { (s, d) =>
     val dl = surprisalPerDoc(s, d)
       .join(Tables.documents(s, d).select(col("doc_id"), col("lang")), "doc_id")
@@ -1377,11 +1382,17 @@ object TextAnalysis {
     val nl = dl.groupBy("lang").agg(count(lit(1)).as("n_l"))
     rk.join(broadcast(nl), "lang")
       .withColumn("bucket", expr("((rnk - 1) * 3) div n_l + 1"))
+      // per-doc micro-nats floor to MILLI-nats before the bucket sum: a
+      // third of a 1e13-token language sums micro-nats past 2^63 (silent
+      // long wrap in non-ANSI Spark vs DuckDB HUGEINT — engine
+      // divergence); milli-nat sums carry 1000x headroom (~7e11 docs per
+      // language) at a <0.1% quantization cost both engines share
+      .withColumn("sqm", expr("sq div 1000"))
       .groupBy("lang", "bucket")
       .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("total_tokens"), sum(col("sq")).as("ssq"))
+        sum(col("n_tokens")).as("total_tokens"), sum(col("sqm")).as("ssqm"))
       .select(col("lang"), col("bucket"), col("n_docs"), col("total_tokens"),
-        round(col("ssq") * lit(1.0) / col("total_tokens") / lit(1000000.0), 4)
+        round(col("ssqm") * lit(1.0) / col("total_tokens") / lit(1000.0), 4)
           .as("bucket_ppl"))
       .orderBy("lang", "bucket")
   }
