@@ -389,15 +389,23 @@ object Dedup {
     * corpus twice. */
   def lshBucketsAndShingles(df: DataFrame, idCol: String, textCol: String,
       shingleWords: Int, bands: Int, rowsPerBand: Int): (DataFrame, DataFrame) = {
-    graft.functions.MinHashSig.register(df.sparkSession)
-    val numHashes = bands * rowsPerBand
     val k = shingleWords
     val toks = spreadToCores(df).select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
     val sh = toks.select(col("id"),
       expr(s"transform(sequence(1, greatest(size(ws) - ${k - 1}, 1)), " +
         s"i -> concat_ws(' ', ${(0 until k).map(j => s"element_at(ws, i + $j)").mkString(", ")}))")
         .as("sh"))
-    val hv = reuse(sh.select(col("id"), shingleHashPairs(col("sh")).as("hv")))
+    lshBucketsAndShinglesFromArray(sh, "id", "sh", bands, rowsPerBand)
+  }
+
+  /** [[lshBucketsAndShingles]] over a PRE-BUILT element array — the
+    * modality-generic core: word shingles, char shingles, or media frame
+    * fingerprints (m07) all band and verify through the same digest. */
+  def lshBucketsAndShinglesFromArray(df: DataFrame, idCol: String, arrCol: String,
+      bands: Int, rowsPerBand: Int): (DataFrame, DataFrame) = {
+    graft.functions.MinHashSig.register(df.sparkSession)
+    val numHashes = bands * rowsPerBand
+    val hv = reuse(df.select(col(idCol).as("id"), shingleHashPairs(col(arrCol)).as("hv")))
     val sig = hv.select(col("id"), minhashSignature(col("hv"), numHashes).as("mhs"))
     val bandKeys = transform(sequence(lit(0), lit(bands - 1)),
       b => md5(concat_ws("|", (0 until rowsPerBand).map(r =>

@@ -333,5 +333,86 @@ object Multimodal {
       .orderBy("media_id")
   }
 
-  val defs: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06)
+  /** Video/media near-dup via frame-fingerprint SET Jaccard — the
+    * production video-dedup design (per-frame fingerprints, set overlap
+    * between media): two media items are near-dups when ≥ half their
+    * frame fingerprints coincide, which catches re-uploads, trims and
+    * prefix-sharing edits that a whole-payload hash (m04) misses and a
+    * byte-simhash (m05) only scores pairwise. Frames are m02's 64-byte
+    * windows (hex-lifted; the decode stub stands in for a perceptual
+    * per-frame hash — swap the fingerprint expression, keep the plan).
+    *
+    * Architecture point: banding AND exact verification run through the
+    * SAME engine as text dedup — `lshBucketsAndShinglesFromArray` +
+    * `pairOverlapStats` over the frame array — so the dedup machinery
+    * is modality-generic by construction. Only 8-byte frame hashes and
+    * ids shuffle; payloads never cross an exchange (the m04 discipline).
+    * Banded candidates keep the pair space LSH-bounded at 100 TB; the
+    * oracle mirrors the banding, so candidate recall is engine-identical
+    * (the d03/d15 contract). */
+  private val m07 = Q(
+    "m07_media_frame_dedup",
+    """WITH hx AS (
+         SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+       fs AS (
+         SELECT doc_id, substring(hx, (i-1)*128 + 1, 128) AS sh
+         FROM (SELECT doc_id, hx,
+                      unnest(generate_series(1, (length(hx) + 127) // 128)) AS i
+               FROM hx)),
+       hs AS (
+         SELECT doc_id, ('0x' || substring(md5(sh), 1, 8))::BIGINT AS h1,
+                ('0x' || substring(md5(sh), 9, 8))::BIGINT AS h2
+         FROM fs),
+       sig AS (
+         SELECT doc_id, seed, min(h1 + seed * h2) AS mh
+         FROM hs, (SELECT unnest(generate_series(0, 7)) AS seed) seeds
+         GROUP BY doc_id, seed),
+       bands AS (
+         SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+                md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS band_key
+         FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)),
+       pairs AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       shd AS (SELECT DISTINCT doc_id, h1 * 134217728 + h2 % 134217728 AS h
+               FROM hs),
+       sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+       inter AS (
+         SELECT p.id_a, p.id_b, count(*) AS ni
+         FROM pairs p
+           JOIN shd a ON a.doc_id = p.id_a
+           JOIN shd b ON b.doc_id = p.id_b AND b.h = a.h
+         GROUP BY p.id_a, p.id_b),
+       sc AS (
+         SELECT i.id_a, i.id_b, i.ni, sa.n AS na, sb.n AS nb,
+                i.ni * 1.0 / (sa.n + sb.n - i.ni) AS j
+         FROM inter i
+           JOIN sz sa ON sa.doc_id = i.id_a
+           JOIN sz sb ON sb.doc_id = i.id_b)
+       SELECT id_a AS media_a, id_b AS media_b, ni AS shared_frames,
+              na, nb, round(j, 6) AS jaccard
+       FROM sc WHERE j >= 0.5
+       ORDER BY media_a, media_b""") { (s, d) =>
+    // both engines' hex(binary) is UPPERCASE (verified: DuckDB
+    // hex(encode('z')) = '7A') — md5 of the frame window sees identical
+    // bytes with no case normalization
+    val hx = Tables.documents(s, d)
+      .select(col("doc_id").as("id"),
+        hex(encode(col("text"), "UTF-8")).as("hx"))
+    val fr = hx.select(col("id"), expr(
+      "transform(sequence(1, (length(hx) + 127) div 128), " +
+        "i -> substring(hx, (i-1)*128 + 1, 128))").as("fs"))
+    val (buckets, frames) = Dedup.lshBucketsAndShinglesFromArray(
+      fr, "id", "fs", bands = 4, rowsPerBand = 2)
+    Dedup.pairOverlapStats(Dedup.candidatePairs(buckets, materialize = false), frames)
+      .withColumn("j", col("ni") * lit(1.0) / (col("na") + col("nb") - col("ni")))
+      .filter(col("j") >= 0.5)
+      .select(col("id_a").as("media_a"), col("id_b").as("media_b"),
+        col("ni").as("shared_frames"), col("na"), col("nb"),
+        round(col("j"), 6).as("jaccard"))
+      .orderBy("media_a", "media_b")
+  }
+
+  val defs: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07)
 }

@@ -77,4 +77,25 @@ class MultimodalSpec extends SparkTestBase {
       .as[String].head()
     assert(viaSql == expected)
   }
+
+  test("m07: neither hex payloads nor frame strings cross a hash shuffle — " +
+    "the frame-set dedup rides 8-byte hashes like the text pipeline") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = SparkEntry.queries("m07_media_frame_dedup")(spark, sf0001)
+        .queryExecution.executedPlan
+      // the digest subtrees are eagerly persisted, so at this SF the
+      // final plan's verification joins broadcast and may carry ZERO
+      // hash shuffles — the contract is that whatever DOES shuffle
+      // (here or in any exchange of the plan) is never payload text
+      val shuffled = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.output.map(_.name)
+      }
+      val leaked = shuffled.filter(_.exists(c =>
+        c == "hx" || c == "fs" || c == "text" || c.contains("payload")))
+      assert(leaked.isEmpty, s"payload-derived text crosses a shuffle: $leaked")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }
