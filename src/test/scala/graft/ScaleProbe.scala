@@ -94,7 +94,10 @@ object ScaleProbe {
       // round-7 curation batch: the two corpus-digest ops (segment
       // census + bigram census/scoring) and the dPS-ranked bucketing,
       // whose hazard is the single-language sort at fixed lang count
-      "d38_segment_dedup", "t25_dsir_importance", "t26_perplexity_buckets")
+      "d38_segment_dedup", "t25_dsir_importance", "t26_perplexity_buckets",
+      // round-7 session-2: frame-set dedup (payload-derived digest) and
+      // the cluster-keyed split (d15's full pipeline + the split join)
+      "m07_media_frame_dedup", "t28_leakage_free_split")
     // JIT/codegen warm at the smallest SF (Bench methodology)
     names.foreach(nm =>
       SparkEntry.queries(nm)(spark, "/root/testdata/sf0.001").count())
