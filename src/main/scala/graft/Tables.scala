@@ -20,16 +20,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read it as a long (nanos since epoch) and
-    * convert back to a micros timestamp with exact integer arithmetic —
-    * the fixture values are integral micros, so `div 1000` is lossless.
+  /** events.parquet has shipped `ts` in two physical forms across fixture
+    * generations: parquet TIMESTAMP(NANOS) — which Spark's vectorized
+    * reader rejects, so it is read as a nanos-long under the legacy conf —
+    * and parquet TIMESTAMP(MICROS) without timezone, which Spark reads as
+    * TIMESTAMP_NTZ. Normalize both to a session-zone TimestampType column
+    * with exact integer arithmetic (the session runs in UTC, so the NTZ
+    * cast is value-preserving; the nanos values are integral micros, so
+    * `div 1000` is lossless).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeEventTs(table(s, d, "events"))
+  }
+
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

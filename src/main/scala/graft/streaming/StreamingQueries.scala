@@ -26,19 +26,24 @@ object StreamingQueries {
 
   private val sinkCounter = new AtomicInteger(0)
 
-  /** events.parquet replayed as a file stream (ts arrives as nanos-long,
-    * converted exactly to a micros timestamp — see Tables.events). */
+  /** events.parquet replayed as a file stream. A file stream needs a
+    * user-declared schema, and the fixture's physical `ts` type has varied
+    * across generations (TIMESTAMP(NANOS) → nanos-long under the legacy
+    * conf; TIMESTAMP(MICROS) → TIMESTAMP_NTZ), so probe the footer with a
+    * one-off batch read and declare whatever is actually on disk, then
+    * normalize exactly like the batch loader (Tables.normalizeEventTs). */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = s.read.parquet(s"$dir/events.parquet").schema("ts").dataType
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    s.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    Tables.normalizeEventTs(
+      s.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   /** Run a streaming DataFrame to completion into a memory sink and hand

@@ -318,17 +318,13 @@ class PlanSpec extends SparkTestBase {
       col("user_id").cast("string"), col("event_type"), col("props")))
     val bench = Tables.events(spark, sf0001)
       .filter(col("event_id") % 7 === 0).select(contentHash.as("bh")).distinct()
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sf0001)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // declare whatever ts type is physically on disk (nanos-long vs NTZ —
+    // see Tables.normalizeEventTs), then normalize like the batch loader
+    val rawSchema = spark.read.parquet(s"$sf0001/events.parquet").schema
+    val stream = Tables.normalizeEventTs(
+        spark.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(sf0001))
       .filter(col("event_id") % 7 =!= 0)
       .withColumn("h", contentHash)
       .join(broadcast(bench), col("h") === col("bh"), "left_anti")
