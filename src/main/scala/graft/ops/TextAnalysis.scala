@@ -1542,7 +1542,124 @@ object TextAnalysis {
       .orderBy("split")
   }
 
+  /** Interpolated bigram language model, trained on the corpus and applied
+    * as a per-document quality score — the real KenLM/CCNet shape (Wenzek
+    * et al. 2020 score with an LM; t13/t26 stand it in with a unigram).
+    * P(v|u) = 0.8·c(u,v)/c(u) + 0.2·c(v)/N (Jelinek-Mercer interpolation);
+    * the per-bigram surprisal −ln P is quantized to integer micro-nats
+    * BEFORE any sum, so aggregation is exact integer math in any order and
+    * the engines agree bit-for-bit (the t13 discipline).
+    *
+    * Scale shape — the part that matters at 100 TB:
+    *  - All per-distinct-bigram math (the two unigram attaches, the log)
+    *    runs on the bigram CENSUS table (vocab²-bounded, orders of
+    *    magnitude smaller than the token stream), never on occurrences.
+    *  - The token stream is aggregated once into a per-(doc, bigram)
+    *    census; scoring is ONE join of that census against the scored
+    *    bigram table — sq = Σ c_doc·q gives the same integers as summing
+    *    per occurrence.
+    *  - Stopword skew is removed structurally on every shuffled join, the
+    *    t13 hybrid: the top-32 hottest unigrams (resp. bigrams) — global
+    *    TakeOrdered, tiny by construction — are BROADCAST and served
+    *    map-side; only tail keys (uniform by construction) reach an
+    *    exchange. The full unigram/bigram tables are never broadcast
+    *    (≈10⁸ types at corpus scale).
+    *  - Overflow envelope: q ≤ ln(5N)·10⁶ ≈ 3.4e7 micro-nats at N = 10¹⁴
+    *    tokens; a 10⁵-token doc sums to ≤ 3.4e12 — 6 decades inside i64.
+    */
+  private val t29 = Q(
+    "t29_bigram_lm",
+    """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       big AS (
+         SELECT doc_id, w[i] AS u, w[i+1] AS v
+         FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+               FROM ws WHERE len(w) >= 2)),
+       census AS (
+         SELECT doc_id, u, v, count(*) AS cdoc FROM big GROUP BY doc_id, u, v),
+       bc AS (SELECT u, v, CAST(sum(cdoc) AS BIGINT) AS cuv
+              FROM census GROUP BY u, v),
+       tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+               FROM documents),
+       uc AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+       tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uc),
+       qt AS (
+         SELECT bc.u, bc.v,
+                CAST(round(-ln(0.8 * cuv / cu.c + 0.2 * cv.c / n) * 1000000)
+                     AS BIGINT) AS q
+         FROM bc JOIN uc cu ON bc.u = cu.term
+                 JOIN uc cv ON bc.v = cv.term
+                 CROSS JOIN tot),
+       agg AS (
+         SELECT c.doc_id, CAST(sum(c.cdoc) AS BIGINT) AS n_bigrams,
+                CAST(sum(c.cdoc * qt.q) AS BIGINT) AS sq
+         FROM census c JOIN qt ON c.u = qt.u AND c.v = qt.v
+         GROUP BY c.doc_id)
+       SELECT doc_id, n_bigrams,
+              round(sq / n_bigrams / 1000000.0, 4) AS avg_bigram_surprisal
+       FROM agg ORDER BY doc_id""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    // per-(doc, bigram) census: consecutive pairs built map-side from the
+    // token array (no shuffle until the census aggregation itself)
+    val census = Dedup.reuse(docs
+      .select(col("doc_id"), toks("text").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS u, w[i] AS v))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.u").as("u"), col("b.v").as("v"))
+      .groupBy("doc_id", "u", "v").agg(count(lit(1)).as("cdoc")))
+    val bc = Dedup.reuse(
+      census.groupBy("u", "v").agg(sum(col("cdoc")).as("cuv")))
+    val uc = Dedup.reuse(docs
+      .select(col("doc_id"), explode(toks("text")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c")))
+    val tot = uc.agg(sum(col("c")).cast("double").as("n"))
+    val hotTerms = uc.orderBy(col("c").desc, col("term")).limit(32)
+    // attach c(side) to the bigram table: hot terms map-side via broadcast,
+    // tail terms (uniform keys) through the shuffled join
+    def attachCount(df: DataFrame, side: String, out: String): DataFrame = {
+      val tagged = df.join(
+        broadcast(hotTerms.select(col("term").as(side), col("c").as("hot_c"))),
+        Seq(side), "left")
+      val hotPart = tagged.filter(col("hot_c").isNotNull)
+        .withColumn(out, col("hot_c")).drop("hot_c")
+      val tailPart = tagged.filter(col("hot_c").isNull).drop("hot_c")
+        .join(uc.select(col("term").as(side), col("c").as(out)), Seq(side))
+      hotPart.unionByName(tailPart.select(hotPart.columns.map(col).toSeq: _*))
+    }
+    val qt = Dedup.reuse(
+      attachCount(attachCount(bc, "u", "cu"), "v", "cv")
+        .crossJoin(broadcast(tot))
+        .select(col("u"), col("v"),
+          round(-log(lit(0.8) * col("cuv") / col("cu")
+            + lit(0.2) * col("cv") / col("n")) * 1000000)
+            .cast(LongType).as("q")))
+    // score: ONE census↔scored-bigram join, hot bigrams again map-side
+    val hotQ = attachCount(attachCount(
+        bc.orderBy(col("cuv").desc, col("u"), col("v")).limit(32),
+        "u", "cu"), "v", "cv")
+      .crossJoin(broadcast(tot))
+      .select(col("u"), col("v"),
+        round(-log(lit(0.8) * col("cuv") / col("cu")
+          + lit(0.2) * col("cv") / col("n")) * 1000000)
+          .cast(LongType).as("hot_q"))
+    val taggedCensus = census.join(broadcast(hotQ), Seq("u", "v"), "left")
+    val scored = taggedCensus.filter(col("hot_q").isNotNull)
+      .select(col("doc_id"), col("cdoc"), col("hot_q").as("q"))
+      .unionByName(taggedCensus.filter(col("hot_q").isNull)
+        .select(col("doc_id"), col("u"), col("v"), col("cdoc"))
+        .join(qt, Seq("u", "v"))
+        .select(col("doc_id"), col("cdoc"), col("q")))
+    scored.groupBy("doc_id")
+      .agg(sum(col("cdoc")).as("n_bigrams"),
+        sum(col("cdoc") * col("q")).as("sq"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("sq") / col("n_bigrams") / 1000000.0, 4)
+          .as("avg_bigram_surprisal"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
     t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
-    t25, t26, t27, t28)
+    t25, t26, t27, t28, t29)
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.classic.ClassicConversions.castToImpl
 import org.apache.spark.sql.functions._
 
 /** Contracts for the round-7 curation batch: d38 repeated-segment
@@ -200,5 +201,69 @@ class CurationBatchSpec extends SparkTestBase {
       val b = ids()
       assert(a == b, "sample changed with shuffle partitioning")
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("t29: census-formulated bigram-LM score equals the naive " +
+    "per-occurrence formulation, and the count tables reach the plan " +
+    "only via the explicit hot/tot broadcasts") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat", "en", "src0"),
+      (2L, "the cat sat on the mat", "en", "src0"), // exact dup of doc 1
+      (3L, "the dog sat on the log the dog", "en", "src0"),
+      (4L, "one", "en", "src0"), // <2 tokens: no bigrams, no output row
+      (5L, "the the the the the the", "en", "src0")) // hot-stopword run
+    val dir = writeDocs(docs)
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // kill auto-broadcast: any BroadcastHashJoin left is an explicit hint
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = SparkEntry.queries("t29_bigram_lm")(spark, dir)
+      val out = df.collect()
+      assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 5L))
+      val got = out.map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(got(1L) == got(2L), "identical docs scored differently")
+      // naive reference: score every bigram OCCURRENCE through the same
+      // interpolated model, no census, no hot/tail split
+      val dd = spark.read.parquet(s"$dir/documents.parquet")
+      val big = dd.select($"doc_id", split($"text", " ").as("w"))
+        .filter(size($"w") >= 2)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(1, size(w)-1), i -> struct(w[i-1] AS u, w[i] AS v))")).as("b"))
+        .select($"doc_id", $"b.u".as("u"), $"b.v".as("v"))
+      val tok = dd.select(explode(split($"text", " ")).as("term"))
+      val uc = tok.groupBy("term").agg(count(lit(1)).as("c"))
+      val n = tok.count().toDouble
+      val q = big.groupBy("u", "v").agg(count(lit(1)).as("cuv"))
+        .join(uc.select($"term".as("u"), $"c".as("cu")), "u")
+        .join(uc.select($"term".as("v"), $"c".as("cv")), "v")
+        .select($"u", $"v",
+          round(-log(lit(0.8) * $"cuv" / $"cu" + lit(0.2) * $"cv" / n) * 1000000)
+            .cast("long").as("q"))
+      val naive = big.join(q, Seq("u", "v"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("nb"), sum($"q").as("sq"))
+        .select($"doc_id", $"nb",
+          round($"sq" / $"nb" / 1000000.0, 4).as("avg"))
+        .as[(Long, Long, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(got == naive, s"census/hybrid diverged from naive: $got vs $naive")
+      // plan evidence: the explicit broadcasts (hot sets, corpus total) are
+      // the ONLY broadcast joins, and they exist
+      def allNodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+        p +: (p.children ++ (p match {
+          case ad: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            Seq(ad.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+          case _ => Nil
+        })).flatMap(allNodes)
+      val nodes = allNodes(castToImpl(df).queryExecution.executedPlan).collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      }
+      assert(nodes.nonEmpty,
+        "no broadcast join found — hot/tot hints missing from the plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 }
