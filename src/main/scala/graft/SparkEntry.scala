@@ -23,6 +23,7 @@ object SparkEntry {
       ops.Dedup.defs ++
       ops.Similarity.defs ++
       ops.TextAnalysis.defs ++
+      ops.BpeTokenizer.defs ++
       ops.Multimodal.defs ++
       streaming.StreamingQueries.defs ++
       operators.AdvancedJoins.defs ++
