@@ -417,6 +417,31 @@ object Dedup {
     (buckets, shingles)
   }
 
+  /** Best-effort row count of the parquet files backing a frame, read
+    * from the file FOOTERS on the driver — pure metadata, zero Spark
+    * jobs (`inputFiles` resolves from the already-listed file index).
+    * None when the frame isn't parquet-backed or any footer fails to
+    * read; callers treat None as "unknown, stay conservative". */
+  private[graft] def footerRowCount(df: DataFrame): Option[Long] =
+    try {
+      import scala.jdk.CollectionConverters._
+      val files = df.inputFiles.filter(_.endsWith(".parquet"))
+      if (files.isEmpty) None
+      else {
+        val hconf = org.apache.spark.sql.classic.ClassicConversions
+          .castToImpl(df).sparkSession.sessionState.newHadoopConf()
+        var total = 0L
+        files.foreach { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(f), hconf)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try total += reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+          finally reader.close()
+        }
+        Some(total)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Exact overlap statistics for LSH candidate pairs — the shared
     * verification engine behind every exact similarity gate: computes
     * each candidate pair's true shingle-set intersection and sizes
@@ -461,8 +486,26 @@ object Dedup {
     // pair joins — so the output is bit-identical on either route
     // (spec'd), and the oracle is unchanged. Measured at 500k docs:
     // 43.5s exact → 26.9s bloom (BENCH_SCALE_r07.json d15_bloom_500k).
-    val restricted = shingles.sparkSession.conf
-      .getOption("graft.dedup.bloomCandidateThreshold").map(_.toLong) match {
+    //
+    // When the conf is NOT set, the route self-selects at zero cost:
+    // the corpus row count is read off the parquet FOOTERS (driver-side
+    // metadata through df.inputFiles — no Spark job, microseconds) and
+    // only a corpus above `graft.dedup.autoBloomDocs` (default 200k,
+    // under the measured 500k crossover) enables the pair-count probe —
+    // small corpora keep the fused count-free pipeline that the A/B
+    // showed regressing 1.40× under an unconditional count, while a
+    // fleet-scale run gets the bloom cut without knowing the conf.
+    val conf = shingles.sparkSession.conf
+    val effectiveThreshold: Option[Long] =
+      conf.getOption("graft.dedup.bloomCandidateThreshold").map(_.toLong)
+        .orElse {
+          val autoDocs = conf.getOption("graft.dedup.autoBloomDocs")
+            .map(_.toLong).getOrElse(200000L)
+          val autoPairs = conf.getOption("graft.dedup.autoBloomPairs")
+            .map(_.toLong).getOrElse(500000L)
+          footerRowCount(shingles).filter(_ > autoDocs).map(_ => autoPairs)
+        }
+    val restricted = effectiveThreshold match {
       case Some(threshold) if p.count() > threshold =>
         val nPairs = p.count() // cached — free after the route decision
         val bf = candIds.stat.bloomFilter("id", math.max(2L * nPairs, 1000L), 0.01)

@@ -178,6 +178,30 @@ class CurationBatchSpec extends SparkTestBase {
     } finally spark.conf.unset("graft.dedup.bloomCandidateThreshold")
   }
 
+  test("d15 auto route: the parquet-footer gate reads the exact corpus " +
+    "count without a job, and an auto-engaged bloom cut is bit-identical " +
+    "to the default semi-join route") {
+    // footer metadata == the true row count (this is the zero-job signal
+    // the auto gate routes on)
+    val docs = Tables.documents(spark, sf0001)
+    assert(graft.ops.Dedup.footerRowCount(docs).contains(docs.count()))
+    val base = SparkEntry.queries("d15_verified_dedup_groups")(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    try {
+      // force the auto gate open (fixtures sit far below the real 200k
+      // default): no bloomCandidateThreshold conf is set, yet the bloom
+      // route must engage and change nothing
+      spark.conf.set("graft.dedup.autoBloomDocs", "0")
+      spark.conf.set("graft.dedup.autoBloomPairs", "0")
+      val auto = SparkEntry.queries("d15_verified_dedup_groups")(spark, sf0001)
+        .collect().map(_.toSeq).toSeq
+      assert(auto == base, "auto-engaged bloom route changed the output")
+    } finally {
+      spark.conf.unset("graft.dedup.autoBloomDocs")
+      spark.conf.unset("graft.dedup.autoBloomPairs")
+    }
+  }
+
   test("t27: exactly ceil(n/5) docs per stratum, identical under any shuffle-partition count") {
     val kept = SparkEntry.queries("t27_stratified_sample")(spark, sf0001)
       .groupBy("source", "lang").agg(count(lit(1)).as("k"), max("smp_rank").as("mx"))
