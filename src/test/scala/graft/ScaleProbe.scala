@@ -97,7 +97,11 @@ object ScaleProbe {
       "d38_segment_dedup", "t25_dsir_importance", "t26_perplexity_buckets",
       // round-7 session-2: frame-set dedup (payload-derived digest) and
       // the cluster-keyed split (d15's full pipeline + the split join)
-      "m07_media_frame_dedup", "t28_leakage_free_split")
+      "m07_media_frame_dedup", "t28_leakage_free_split",
+      // round-7 session-3: the bigram-LM trainer/scorer (census-table
+      // math + one stream join) and BPE segmentation (word-type loop;
+      // its cost should be ~flat in corpus size once the census exists)
+      "t29_bigram_lm", "t31_bpe_segment")
     // JIT/codegen warm at the smallest SF (Bench methodology)
     names.foreach(nm =>
       SparkEntry.queries(nm)(spark, "/root/testdata/sf0.001").count())
