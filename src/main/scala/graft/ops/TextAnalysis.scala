@@ -1659,7 +1659,205 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-source Zipf-law fit — the corpus-health diagnostic a curation
+    * report carries next to the vocab-coverage curve (t24): natural text
+    * follows freq ∝ rank^(-s) with s ≈ 1; a source whose fitted exponent
+    * drifts far from 1 (or whose fit is poor) is template spam, tables,
+    * or machine output, not prose. Fits OLS on (ln rank, ln freq) over
+    * each source's top-200 terms and reports slope + r².
+    *
+    * fp discipline (the t13 contract): ln values are quantized to
+    * integer micro-nats BEFORE any cross-row sum, so Σx, Σy, Σxy, Σx²,
+    * Σy² are exact integers (bounded: |xq|,|yq| ≤ ~2·10⁷, products
+    * ≤ ~5·10¹⁴, 200-row sums ≤ 10¹⁷ — in-range for BIGINT); slope and
+    * r² are then single fp expressions of identical integers evaluated
+    * in identical operand order on both engines. The micro factors
+    * cancel in the slope ratio (10¹² up and down).
+    *
+    * Scale shape: per-(source, term) counts are one hash agg (term
+    * cardinality shuffles, not the corpus); the top-200-per-source rank
+    * rides the [[graft.plans.TopKPerGroup]] heap operator, so only
+    * k·|sources| rows survive to the (tiny) fit aggregation — the
+    * full vocabulary never sorts. */
+  private val t32 = Q(
+    "t32_zipf_fit",
+    """WITH tf AS (
+         SELECT source, t AS term, count(*) AS freq
+         FROM (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents)
+         GROUP BY source, t),
+       ranked AS (
+         SELECT source, term, freq,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY freq DESC, term) AS rk
+         FROM tf),
+       pts AS (
+         SELECT source,
+                CAST(round(ln(rk) * 1000000) AS BIGINT) AS xq,
+                CAST(round(ln(freq) * 1000000) AS BIGINT) AS yq
+         FROM ranked WHERE rk <= 200),
+       sums AS (
+         SELECT source, count(*) AS n,
+                CAST(sum(xq) AS BIGINT) AS sx, CAST(sum(yq) AS BIGINT) AS sy,
+                CAST(sum(xq * yq) AS BIGINT) AS sxy,
+                CAST(sum(xq * xq) AS BIGINT) AS sxx,
+                CAST(sum(yq * yq) AS BIGINT) AS syy
+         FROM pts GROUP BY source)
+       SELECT source, n AS n_terms,
+              round(CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+              round(CAST(n * sxy - sx * sy AS DOUBLE)
+                    * CAST(n * sxy - sx * sy AS DOUBLE)
+                    / (CAST(n * sxx - sx * sx AS DOUBLE)
+                       * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+       FROM sums ORDER BY source""") { (s, d) =>
+    graft.plans.TopKPerGroup.install(s)
+    val tf = Tables.documents(s, d)
+      .select(col("source"), explode(toks("text")).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("freq").desc, col("term"))
+    val pts = tf.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 200)
+      .select(col("source"),
+        round(log(col("rk")) * 1e6).cast(LongType).as("xq"),
+        round(log(col("freq")) * 1e6).cast(LongType).as("yq"))
+    pts.groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(col("xq")).as("sx"), sum(col("yq")).as("sy"),
+        sum(col("xq") * col("yq")).as("sxy"),
+        sum(col("xq") * col("xq")).as("sxx"),
+        sum(col("yq") * col("yq")).as("syy"))
+      .select(col("source"), col("n").as("n_terms"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+          .as("zipf_slope"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          * (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+             * (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+          .as("r2"))
+      .orderBy("source")
+  }
+
+  /** Per-document character-level Shannon entropy — the gibberish /
+    * binary-contamination filter (low entropy = repeated-char padding or
+    * template flood; the signal CCNet-family pipelines check before any
+    * LM scoring, because a perplexity model mis-prices non-text). H is
+    * computed in nats from per-(doc, char) counts: each distinct char's
+    * ln(c/n) is quantized to integer micro-nats, the per-doc sum
+    * Σ c·q is exact integer math, and the final divide happens once —
+    * cross-engine exact (the t13 contract).
+    *
+    * Scale shape: explode to chars → (doc, char) hash agg (map-side
+    * partial combine collapses each partition's chars first, so the
+    * exchange carries ≤ |alphabet| rows per doc, not per char) → per-doc
+    * agg. No window, no join; two exchanges keyed on doc_id. */
+  private val t33 = Q(
+    "t33_char_entropy",
+    """WITH ch AS (
+         SELECT doc_id, c, count(*) AS cnt
+         FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+         GROUP BY doc_id, c),
+       per AS (
+         SELECT doc_id,
+                CAST(sum(cnt) AS BIGINT) AS n,
+                count(*) AS n_distinct_chars,
+                CAST(sum(cnt * CAST(round(ln(cnt) * 1000000) AS BIGINT)) AS BIGINT) AS sq
+         FROM ch GROUP BY doc_id)
+       SELECT doc_id, n AS n_chars_counted, n_distinct_chars,
+              round((CAST(round(ln(n) * 1000000) AS BIGINT) - sq * 1.0 / n)
+                    / 1000000.0, 4) AS entropy_nats,
+              ((CAST(round(ln(n) * 1000000) AS BIGINT) - sq * 1.0 / n)
+               / 1000000.0) < 2.0 AS low_entropy
+       FROM per ORDER BY doc_id""") { (s, d) =>
+    val ch = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("c"))
+      .groupBy("doc_id", "c").agg(count(lit(1)).as("cnt"))
+    // H = -Σ (c/n)·ln(c/n) = ln(n) - (Σ c·ln c)/n — the ln(n) split keeps
+    // every quantized ln argument an INTEGER (counts), so both engines
+    // round the same libm values the t13/t29 precedent already relies on.
+    ch.groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n"),
+        count(lit(1)).as("n_distinct_chars"),
+        sum(col("cnt") * round(log(col("cnt")) * 1e6).cast(LongType)).as("sq"))
+      .select(col("doc_id"), col("n").as("n_chars_counted"), col("n_distinct_chars"),
+        round((round(log(col("n")) * 1e6).cast(LongType) - col("sq") * lit(1.0) / col("n"))
+          / lit(1000000.0), 4).as("entropy_nats"),
+        ((round(log(col("n")) * 1e6).cast(LongType) - col("sq") * lit(1.0) / col("n"))
+          / lit(1000000.0) < 2.0).as("low_entropy"))
+      .orderBy("doc_id")
+  }
+
+  /** Positional inverted index + exact phrase search — the IR primitive
+    * behind corpus inspection tools ("show me every document containing
+    * this exact phrase"): build (term, doc, pos) postings, pick the
+    * corpus's top bigram as the probe phrase (deterministic: max count,
+    * then lexicographic), and find all occurrences via the positional
+    * ADJACENCY join postings(u) ⋈ postings(v) ON same doc AND pos+1 —
+    * the classic two-term phrase-query plan, no re-scan of the text.
+    *
+    * Scale shape: phrase selection is the t29 bigram-census shape (one
+    * vocab²-bounded hash agg + TakeOrdered(1)); the 1-row phrase is
+    * BROADCAST so the postings stream is filtered MAP-SIDE to the two
+    * phrase terms before anything shuffles — the adjacency join then
+    * exchanges only those two postings lists, not the index. At 100 TB
+    * the stored form of this is the src06 bucketed layout keyed on term;
+    * the probe plan is unchanged. */
+  private val t34 = Q(
+    "t34_phrase_search",
+    """WITH ws AS (
+         SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       post AS (
+         SELECT doc_id, i AS pos, w[i] AS term
+         FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM ws)),
+       bg AS (
+         SELECT a.term AS u, b.term AS v, count(*) AS c
+         FROM post a JOIN post b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         GROUP BY a.term, b.term),
+       phrase AS (
+         SELECT u, v FROM bg ORDER BY c DESC, u, v LIMIT 1),
+       hits AS (
+         SELECT a.doc_id, a.pos
+         FROM post a JOIN post b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         JOIN phrase p ON a.term = p.u AND b.term = p.v)
+       SELECT h.doc_id, p.u AS term1, p.v AS term2,
+              count(*) AS n_matches, min(h.pos) AS first_pos
+       FROM hits h CROSS JOIN phrase p
+       GROUP BY h.doc_id, p.u, p.v
+       ORDER BY h.doc_id""") { (s, d) =>
+    val post = Dedup.reuse(Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(toks("text")).as(Seq("pos0", "term")))
+      .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("pos"), col("term")))
+    // bigram census from the SAME postings via the zip formulation (no
+    // second self-join for counting — adjacency only pays once, below)
+    val bg = Tables.documents(s, d)
+      .select(split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> struct(element_at(w, i) AS u, element_at(w, i + 1) AS v))"))
+        .as("p"))
+      .select(col("p.u"), col("p.v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("c"))
+    val phrase = bg.orderBy(col("c").desc, col("u"), col("v")).limit(1)
+      .select(col("u"), col("v"))
+    // BOTH postings streams are cut to their phrase term by a broadcast
+    // join BEFORE the adjacency join — the doc_id exchange carries two
+    // postings lists, never the index
+    val pu = post.join(broadcast(phrase), post("term") === phrase("u"))
+      .select(col("doc_id"), col("pos"), col("u"), col("v"))
+    val pv = post.join(broadcast(phrase.select(col("v").as("v2"))),
+        post("term") === col("v2"))
+      .select(col("doc_id").as("doc_id2"), col("pos").as("pos2"))
+    pu.join(pv, col("doc_id") === col("doc_id2")
+        && col("pos2") === col("pos") + 1)
+      .groupBy(col("doc_id"), col("u"), col("v"))
+      .agg(count(lit(1)).as("n_matches"), min(col("pos")).as("first_pos"))
+      .select(col("doc_id"), col("u").as("term1"), col("v").as("term2"),
+        col("n_matches"), col("first_pos"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
     t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
-    t25, t26, t27, t28, t29)
+    t25, t26, t27, t28, t29, t32, t33, t34)
 }

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+import org.apache.spark.sql.functions._
+
+/** Round-7 corpus-statistics batch: Zipf fit (t32), char entropy (t33),
+  * positional phrase search (t34). Each test is an independent oracle —
+  * driver-side recounts or analytic bounds, not a rerun of the query.
+  */
+class CorpusStatsSpec extends SparkTestBase {
+
+  test("t32 zipf fit: every source shows a negative slope with a sane " +
+    "fit, and the heap top-k operator (not a full window sort) feeds it") {
+    val df = SparkEntry.queries("t32_zipf_fit")(spark, sf001)
+    val rows = df.collect()
+    assert(rows.length >= 2, "expected one row per source")
+    rows.foreach { r =>
+      val (slope, r2) = (r.getDouble(2), r.getDouble(3))
+      assert(slope < 0, s"Zipf slope must be negative: $r")
+      assert(r2 > 0.0 && r2 <= 1.0 + 1e-9, s"r2 out of range: $r")
+      assert(r.getLong(1) >= 2L && r.getLong(1) <= 200L,
+        s"rank cut must cap at 200: $r")
+    }
+    // the fixture's sources are template-generated — exactly the flat,
+    // poorly-Zipfian regime the diagnostic exists to flag; natural prose
+    // sits near slope -1, r2 > 0.9. Pin that the diagnostic actually
+    // discriminates: every synthetic source fits WORSE than the Zipf
+    // ideal would
+    assert(rows.forall(_.getDouble(2) > -1.0),
+      "template text should be flatter than Zipf slope -1")
+    // the rank idiom must have been rewritten into the bounded-heap
+    // operator: a full per-source vocabulary sort is the plan this
+    // operator exists to avoid
+    val plan = castToImpl(df).queryExecution.executedPlan.toString
+    assert(plan.contains("TopK") || plan.contains("LocalTopK"),
+      s"expected the TopKPerGroup rewrite in the plan:\n$plan")
+  }
+
+  test("t32 slope recomputed driver-side from raw term counts matches") {
+    val docs = Tables.documents(spark, sf0001)
+    val counts = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("source", "t").count()
+      .collect()
+      .groupBy(_.getString(0))
+    val got = SparkEntry.queries("t32_zipf_fit")(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    counts.foreach { case (src, rs) =>
+      val top = rs.map(r => (r.getString(1), r.getLong(2)))
+        .sortBy { case (t, c) => (-c, t) }.take(200)
+      val pts = top.zipWithIndex.map { case ((_, c), i) =>
+        (math.round(math.log(i + 1.0) * 1e6), math.round(math.log(c.toDouble) * 1e6))
+      }
+      val n = pts.length.toDouble
+      val sx = pts.map(_._1).sum.toDouble; val sy = pts.map(_._2).sum.toDouble
+      val sxy = pts.map(p => p._1 * p._2).sum.toDouble
+      val sxx = pts.map(p => p._1 * p._1).sum.toDouble
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      assert(math.abs(slope - got(src)) < 1e-4,
+        s"driver OLS $slope != engine ${got(src)} for $src")
+    }
+  }
+
+  test("t33 char entropy: H is bounded by ln(alphabet size), zero only " +
+    "for single-char docs, and matches a driver recount exactly") {
+    val rows = SparkEntry.queries("t33_char_entropy")(spark, sf0001).collect()
+    val texts = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == texts.size, "one row per document")
+    rows.foreach { r =>
+      val (id, n, k, h) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(h >= -1e-9, s"entropy must be non-negative: $r")
+      assert(h <= math.log(k.toDouble) + 1e-4,
+        s"entropy cannot exceed ln(distinct chars): $r")
+      // exact recount under the same micro-nat quantization
+      val cnts = texts(id).groupBy(identity).map(_._2.length.toLong)
+      assert(cnts.sum == n, s"char count mismatch for doc $id")
+      val sq = cnts.map(c => c * math.round(math.log(c.toDouble) * 1e6)).sum
+      val expected = math.rint(
+        (math.round(math.log(n.toDouble) * 1e6) - sq * 1.0 / n) / 1e6 * 1e4) / 1e4
+      assert(math.abs(expected - h) < 1e-9,
+        s"doc $id: driver entropy $expected != engine $h")
+    }
+  }
+
+  test("t34 phrase search: hits equal a literal driver-side substring " +
+    "scan for the same phrase, and the postings are phrase-filtered " +
+    "through broadcasts before the adjacency join") {
+    val df = SparkEntry.queries("t34_phrase_search")(spark, sf0001)
+    val rows = df.collect()
+    assert(rows.nonEmpty, "top bigram must occur somewhere")
+    val (u, v) = (rows.head.getString(1), rows.head.getString(2))
+    // independent recount: sliding-window scan over every document
+    val expected = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .flatMap { r =>
+        val ws = r.getString(1).split(" ")
+        val hits = ws.indices.dropRight(1)
+          .filter(i => ws(i) == u && ws(i + 1) == v)
+        if (hits.isEmpty) None
+        else Some(r.getLong(0) -> (hits.length.toLong, hits.head.toLong + 1))
+      }.toMap
+    assert(rows.length == expected.size,
+      s"doc coverage: engine ${rows.length} vs scan ${expected.size}")
+    rows.foreach { r =>
+      val (cnt, first) = expected(r.getLong(0))
+      assert(r.getLong(3) == cnt && r.getLong(4) == first,
+        s"mismatch vs driver scan: $r expected ($cnt, $first)")
+    }
+    // scale contract: both adjacency inputs are cut map-side by a
+    // broadcast of the 1-row phrase — at least two broadcast joins in
+    // the executed plan
+    val plan = castToImpl(df).queryExecution.executedPlan.toString
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).length +
+      "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(nBroadcast >= 2, s"expected broadcast-filtered postings:\n$plan")
+  }
+}
