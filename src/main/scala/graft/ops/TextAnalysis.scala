@@ -1857,7 +1857,99 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** The Gopher repetition battery (Rae et al. 2021, Table A1 — the
+    * filter set Dolma/RefinedWeb reuse): per document, the fraction of
+    * characters covered by the MOST COMMON n-gram for n = 2..4 and by
+    * DUPLICATED n-grams (count ≥ 2, occurrences summed with overlap, the
+    * published approximation) for n = 5..6, plus the keep flag under the
+    * paper's thresholds (0.20/0.18/0.16/0.15/0.14). t09's top-bigram
+    * COUNT share is the quick screen; this is the full char-mass battery
+    * a production curation pass applies.
+    *
+    * Determinism: "most common n-gram" ties are broken (count desc, gram
+    * chars desc, gram asc) — a total order, identical in both engines.
+    * All masses are integer char counts; fractions are one clamped fp
+    * divide at the end.
+    *
+    * Scale shape: ONE pass explodes all five n-gram families tagged by n
+    * (empty-safe position filter, no descending-sequence trap), then a
+    * (doc, n, gram)-keyed count and a (doc, n)-keyed window + agg. The
+    * window partitions by (doc_id, n) — millions of TINY groups, the
+    * opposite of the t12 one-task trap — and the final pivot is a
+    * conditional agg on doc_id. Nothing wider than the doc's own grams
+    * ever groups together. */
+  private val t35 = Q(
+    "t35_gopher_repetition",
+    """WITH d AS (
+         SELECT doc_id, len(text) AS nch, string_split(text, ' ') AS w
+         FROM documents),
+       grams AS (
+         SELECT doc_id, nch, n,
+                array_to_string(w[i:i+n-1], ' ') AS g
+         FROM (SELECT doc_id, nch, n, w,
+                      unnest(generate_series(1, len(w) - n + 1)) AS i
+               FROM d CROSS JOIN (VALUES (2),(3),(4),(5),(6)) ns(n))),
+       cnt AS (
+         SELECT doc_id, nch, n, g, length(g) AS gl, count(*) AS c
+         FROM grams GROUP BY doc_id, nch, n, g),
+       rn AS (
+         SELECT *, row_number() OVER (PARTITION BY doc_id, n
+                     ORDER BY c DESC, gl DESC, g) AS rn
+         FROM cnt),
+       per AS (
+         SELECT doc_id, nch, n,
+                CAST(coalesce(sum(CASE WHEN c >= 2 THEN c * gl END), 0) AS BIGINT) AS dup_mass,
+                CAST(coalesce(max(CASE WHEN rn = 1 THEN c * gl END), 0) AS BIGINT) AS top_mass
+         FROM rn GROUP BY doc_id, nch, n),
+       piv AS (
+         SELECT doc_id,
+                round(least(coalesce(max(CASE WHEN n = 2 THEN top_mass END), 0) * 1.0 / max(nch), 1.0), 4) AS top2_frac,
+                round(least(coalesce(max(CASE WHEN n = 3 THEN top_mass END), 0) * 1.0 / max(nch), 1.0), 4) AS top3_frac,
+                round(least(coalesce(max(CASE WHEN n = 4 THEN top_mass END), 0) * 1.0 / max(nch), 1.0), 4) AS top4_frac,
+                round(least(coalesce(max(CASE WHEN n = 5 THEN dup_mass END), 0) * 1.0 / max(nch), 1.0), 4) AS dup5_frac,
+                round(least(coalesce(max(CASE WHEN n = 6 THEN dup_mass END), 0) * 1.0 / max(nch), 1.0), 4) AS dup6_frac
+         FROM per GROUP BY doc_id)
+       SELECT doc_id, top2_frac, top3_frac, top4_frac, dup5_frac, dup6_frac,
+              (top2_frac <= 0.20 AND top3_frac <= 0.18 AND top4_frac <= 0.16
+               AND dup5_frac <= 0.15 AND dup6_frac <= 0.14) AS keep
+       FROM piv ORDER BY doc_id""") { (s, d) =>
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), length(col("text")).cast(LongType).as("nch"),
+        split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("nch"), explode(expr(
+        // position filter (i + n - 1 <= size) instead of sequence(1, size-n+1):
+        // sequence with start > stop DESCENDS in Spark, so short docs would
+        // silently emit phantom grams
+        """flatten(transform(array(2, 3, 4, 5, 6), n ->
+             transform(filter(sequence(1, size(w)), i -> i + n - 1 <= size(w)),
+                       i -> struct(n AS n, array_join(slice(w, i, n), ' ') AS g))))"""))
+        .as("p"))
+      .select(col("doc_id"), col("nch"), col("p.n").as("n"), col("p.g").as("g"))
+    val cnt = grams.groupBy("doc_id", "nch", "n", "g")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("gl", length(col("g")).cast(LongType))
+    val w = Window.partitionBy(col("doc_id"), col("n"))
+      .orderBy(col("c").desc, col("gl").desc, col("g"))
+    val per = cnt.withColumn("rn", row_number().over(w))
+      .groupBy("doc_id", "nch", "n")
+      .agg(coalesce(sum(when(col("c") >= 2, col("c") * col("gl"))), lit(0L)).as("dup_mass"),
+        coalesce(max(when(col("rn") === 1, col("c") * col("gl"))), lit(0L)).as("top_mass"))
+    def frac(n: Int, massCol: String, name: String): Column =
+      round(least(coalesce(max(when(col("n") === n, col(massCol))), lit(0L))
+        * lit(1.0) / max(col("nch")), lit(1.0)), 4).as(name)
+    val piv = per.groupBy("doc_id")
+      .agg(frac(2, "top_mass", "top2_frac"), frac(3, "top_mass", "top3_frac"),
+        frac(4, "top_mass", "top4_frac"), frac(5, "dup_mass", "dup5_frac"),
+        frac(6, "dup_mass", "dup6_frac"))
+    piv.select(col("doc_id"), col("top2_frac"), col("top3_frac"),
+        col("top4_frac"), col("dup5_frac"), col("dup6_frac"),
+        (col("top2_frac") <= 0.20 && col("top3_frac") <= 0.18
+          && col("top4_frac") <= 0.16 && col("dup5_frac") <= 0.15
+          && col("dup6_frac") <= 0.14).as("keep"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
     t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
-    t25, t26, t27, t28, t29, t32, t33, t34)
+    t25, t26, t27, t28, t29, t32, t33, t34, t35)
 }

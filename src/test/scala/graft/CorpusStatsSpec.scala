@@ -84,6 +84,43 @@ class CorpusStatsSpec extends SparkTestBase {
     }
   }
 
+  test("t35 gopher repetition: planted spam/clean/short docs get the " +
+    "hand-computed fractions and keep flags") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("t35fix").toString
+    val spam = Seq.fill(20)("spam").mkString(" ")    // 20 tokens, 99 chars
+    val clean = (1 to 30).map(i => s"w$i").mkString(" ") // all tokens distinct
+    val short = "a b c"                               // no 5/6-grams at all
+    Seq((1L, spam, "en", "s", spam.length.toLong),
+        (2L, clean, "en", "s", clean.length.toLong),
+        (3L, short, "en", "s", short.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("t35_gopher_repetition")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // spam: every n-gram is duplicated; top-2-gram mass = 19 occurrences
+    // x 9 chars = 171 > 99 chars -> clamped to 1.0; fails every gate
+    val s1 = rows(1L)
+    assert(s1.getDouble(1) == 1.0 && s1.getDouble(4) == 1.0 && !s1.getBoolean(6),
+      s"spam doc must saturate and be dropped: $s1")
+    // clean: zero duplicated grams anywhere; top-2-gram occurs once ->
+    // mass = its char length
+    val s2 = rows(2L)
+    assert(s2.getDouble(4) == 0.0 && s2.getDouble(5) == 0.0,
+      s"distinct-token doc has no duplicate grams: $s2")
+    val topBigramLen = (1 to 30).map(i => s"w$i").sliding(2)
+      .map(_.mkString(" ").length).max
+    assert(s2.getDouble(1) == math.rint(topBigramLen * 1.0 / clean.length * 1e4) / 1e4
+      && s2.getBoolean(6), s"clean doc top2 mass must be one gram's chars: $s2")
+    // short: zero masses for n > token count, but the whole text IS its
+    // own top 3-gram (the reason Gopher applies a min-length gate before
+    // this battery) — saturated top3, dropped
+    val s3 = rows(3L)
+    assert(s3.getDouble(4) == 0.0 && s3.getDouble(5) == 0.0
+      && s3.getDouble(2) == 1.0 && !s3.getBoolean(6),
+      s"3-token doc: no 5/6-grams, top3 saturated, dropped: $s3")
+  }
+
   test("t34 phrase search: hits equal a literal driver-side substring " +
     "scan for the same phrase, and the postings are phrase-filtered " +
     "through broadcasts before the adjacency join") {
