@@ -24,6 +24,7 @@ object SparkEntry {
       ops.Similarity.defs ++
       ops.TextAnalysis.defs ++
       ops.BpeTokenizer.defs ++
+      ops.UnigramTokenizer.defs ++
       ops.Multimodal.defs ++
       streaming.StreamingQueries.defs ++
       operators.AdvancedJoins.defs ++

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Oracle weight for the unigram-LM tokenizer (t36/t37) — the EM loop is
+  * not portable SQL, so these tests carry what the DuckDB hash check
+  * carries elsewhere: route equality, from-scratch recounts, and the
+  * structural invariants of a correct tokenizer.
+  */
+class UnigramSpec extends SparkTestBase {
+
+  private def withConf[A](kv: (String, String)*)(body: => A): A = {
+    val olds = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("viterbi: pieces concatenate back to the word, ties pick the " +
+    "longest last piece, and a cheap whole-word piece wins") {
+    val cost = Map("a" -> 100L, "b" -> 100L, "ab" -> 150L, "abab" -> 10L)
+    assert(ops.UnigramTokenizer.viterbi("abab", cost) == Seq("abab"))
+    // equal-cost split ("ab"+"ab"=300 vs "ab","a","b"=350 ...): check
+    // concatenation invariant on a word with no whole-word entry
+    val segs = ops.UnigramTokenizer.viterbi("ababa", cost)
+    assert(segs.mkString == "ababa", s"must reconstruct: $segs")
+    // tie between ("a")("b") chains and "ab": 150 < 200 so "ab" wins
+    assert(ops.UnigramTokenizer.viterbi("ab", cost) == Seq("ab"))
+    // unknown chars must throw, not silently drop
+    intercept[IllegalArgumentException](ops.UnigramTokenizer.viterbi("xyz", cost))
+  }
+
+  test("driver and distributed routes are bit-identical on the real " +
+    "corpus: same piece table, same per-type segmentation") {
+    val driver = SparkEntry.queries("t36_unigram_pieces")(spark, sf0001).collect()
+    val dist = withConf("graft.unigram.driverThreshold" -> "0") {
+      SparkEntry.queries("t36_unigram_pieces")(spark, sf0001).collect()
+    }
+    assert(driver.length == dist.length,
+      s"vocab sizes differ: ${driver.length} vs ${dist.length}")
+    driver.zip(dist).foreach { case (a, b) =>
+      assert(a == b, s"piece-table row diverged: $a vs $b")
+    }
+    val segD = SparkEntry.queries("t37_unigram_segment")(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val segX = withConf("graft.unigram.driverThreshold" -> "0") {
+      SparkEntry.queries("t37_unigram_segment")(spark, sf0001)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    }
+    assert(segD == segX, "per-doc segmentation counts diverged between routes")
+  }
+
+  test("E-step counts recounted from scratch: Viterbi under the final " +
+    "cost table, applied per word type weighted by frequency, " +
+    "reproduces n_uses for every non-char piece") {
+    val table = SparkEntry.queries("t36_unigram_pieces")(spark, sf0001).collect()
+    val cost = table.map(r => r.getString(1) -> r.getLong(3)).toMap
+    val census = Tables.documents(spark, sf0001)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val recount = scala.collection.mutable.HashMap.empty[String, Long]
+    census.foreach { case (w, f) =>
+      ops.UnigramTokenizer.viterbi(w, cost)
+        .foreach(p => recount(p) = recount.getOrElse(p, 0L) + f)
+    }
+    table.foreach { r =>
+      val (p, c) = (r.getString(1), r.getLong(2))
+      // chars may legitimately have zero uses (closure-only survivors);
+      // every reported count must equal the recount
+      assert(recount.getOrElse(p, 0L) == c,
+        s"piece '$p': reported $c != recount ${recount.getOrElse(p, 0L)}")
+    }
+  }
+
+  test("t37 envelope on the real corpus: n_words <= n_tokens <= n_chars, " +
+    "and the whole corpus is covered") {
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = SparkEntry.queries("t37_unigram_segment")(spark, sf0001).collect()
+    assert(rows.length == docs.size, "every doc must be segmented")
+    rows.foreach { r =>
+      val (id, nw, nt) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val nonSpace = docs(id).count(_ != ' ').toLong
+      assert(nw <= nt, s"fewer tokens than words for doc $id: $r")
+      assert(nt <= nonSpace, s"more tokens than chars for doc $id: $r")
+    }
+  }
+
+  test("EM actually compresses: after training, the corpus costs no more " +
+    "tokens than a chars-only segmentation, and strictly fewer when any " +
+    "multi-char piece survives") {
+    val table = SparkEntry.queries("t36_unigram_pieces")(spark, sf0001).collect()
+    val hasMulti = table.exists(_.getString(1).length > 1)
+    val rows = SparkEntry.queries("t37_unigram_segment")(spark, sf0001).collect()
+    val totTok = rows.map(_.getLong(2)).sum
+    val totChars = Tables.documents(spark, sf0001)
+      .select(sum(length(regexp_replace(col("text"), " ", ""))))
+      .head().getLong(0)
+    assert(totTok <= totChars, "unigram tokens exceed char segmentation")
+    if (hasMulti) assert(totTok < totChars,
+      "multi-char pieces survived but bought no compression")
+  }
+}
