@@ -1046,8 +1046,61 @@ object StreamingQueries {
       .orderBy("event_type", "pos")
   }
 
+  /** Streaming per-key deterministic sampler — the t11/t16 sampling
+    * contract kept ALIVE under continuous ingest: per event type, the
+    * bottom-5 events by (md5(event_id), event_id) priority. Bottom-k of
+    * a set is commutative/associative/idempotent in arrivals, so the
+    * final state equals the batch rank query EXACTLY regardless of
+    * micro-batch boundaries or arrival order — a seedless reservoir
+    * whose membership is reproducible across runs and replays (what a
+    * training-data sampler needs; a classic randomized reservoir is
+    * none of those). State per key is k priorities + a counter — fixed
+    * bytes, unbounded input (the bound is spec-asserted batch-by-batch).
+    * The priority hash is computed MAP-SIDE by the codegen md5
+    * expression before rows reach the stateful operator. */
+  private val s23 = Q(
+    "s23_stream_reservoir",
+    """WITH r AS (
+         SELECT event_type, event_id,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS smp_rank,
+                count(*) OVER (PARTITION BY event_type) AS n_seen
+         FROM events)
+       SELECT event_type, smp_rank, event_id, n_seen
+       FROM r WHERE smp_rank <= 5 ORDER BY event_type, smp_rank""") { (s, d) =>
+    import s.implicits._
+    val st = eventsStream(s, d)
+      .select(col("event_type"), md5(col("event_id").cast("string")).as("hk"),
+        col("event_id"))
+      .as[(String, String, Long)]
+    val updated = st.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Seq[(String, Long)]), (String, Long, Seq[(String, Long)])](
+        GroupStateTimeout.NoTimeout) {
+        case (etype, rows, state: GroupState[(Long, Seq[(String, Long)])]) =>
+          val (n0, keep0) = state.getOption.getOrElse((0L, Seq.empty[(String, Long)]))
+          var n = n0
+          val merged = scala.collection.mutable.ArrayBuffer(keep0: _*)
+          rows.foreach { case (_, hk, id) => n += 1; merged += ((hk, id)) }
+          val keep = merged.distinct.sorted.take(5).toSeq
+          state.update((n, keep))
+          (etype, n, keep)
+      }
+      .toDF("event_type", "n_seen", "sample")
+    // update-mode sink appends one row per key per micro-batch; n_seen is
+    // monotone, so max_by picks the final state
+    runToMemory(updated, OutputMode.Update())
+      .groupBy("event_type")
+      .agg(max(col("n_seen")).as("n_seen"),
+        expr("max_by(sample, n_seen)").as("sample"))
+      .select(col("event_type"), col("n_seen"),
+        posexplode(col("sample")).as(Seq("p", "s")))
+      .select(col("event_type"), (col("p") + 1).cast(LongType).as("smp_rank"),
+        col("s._2").as("event_id"), col("n_seen"))
+      .orderBy("event_type", "smp_rank")
+  }
+
   val defs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
-    s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22)
+    s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23)
 }
 
 /** s11's StatefulProcessor: cumulative (event count, value cents) per
