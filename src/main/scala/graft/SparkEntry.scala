@@ -59,7 +59,8 @@ object SparkEntry {
       "t23_novelty", "d38_segment_dedup", "t25_dsir_importance",
       "t05_tfidf", "t06_salted_token_count", "t07_train_split",
       "t12_sequence_pack", "t13_unigram_surprisal", "t17_bm25",
-      "t29_bigram_lm", "t31_bpe_segment",
+      "t29_bigram_lm", "t31_bpe_segment", "t35_gopher_repetition",
+      "t37_unigram_segment",
       "a01_pipe_cranker", "a02_pipe_throughput",
       "s01_stream_tumbling", "s10_stream_stateful_sessions")
     val have = queries.keySet

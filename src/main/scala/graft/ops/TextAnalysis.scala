@@ -1949,7 +1949,98 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Pairwise source KL-divergence matrix — the distributional
+    * complement of d31's cross-source DEDUP matrix: how far each
+    * source's unigram distribution sits from every other's, the number
+    * a data-mixing plan reads before weighting sources (t21) or choosing
+    * DSIR targets (t25). KL(a‖b) over the TOP-2000 global-term vocab
+    * (the published fasttext/DSIR practice — a fixed feature vocabulary
+    * caps cost and kills the long-tail smoothing noise), Laplace +1 over
+    * that vocab so absent terms are defined.
+    *
+    * fp discipline: with p = (c+1)/(N+V), each term's contribution is
+    * (c_a+1)·[r(c_a+1) − r(N_a+V) − r(c_b+1) + r(N_b+V)] with
+    * r(x) = round(ln x · 10⁶) and EVERY ln argument an integer — sums
+    * are exact integers (≤ ~10¹⁷ at sf-scale counts), one fp divide per
+    * pair at the end.
+    *
+    * Scale shape: the corpus collapses to per-(source, term) counts
+    * once; everything after is vocab-bounded — the 2000-term vocab and
+    * the per-source totals BROADCAST, the (source × vocab) grid is
+    * S·V rows and the term-keyed pair join emits S²·V — independent of
+    * corpus size, quadratic only in #sources (dozens, not millions). */
+  private val t38 = Q(
+    "t38_source_divergence",
+    """WITH tf AS (
+         SELECT source, t AS term, count(*) AS c
+         FROM (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents)
+         GROUP BY source, t),
+       vocab AS (
+         SELECT term FROM (
+           SELECT term, sum(c) AS g FROM tf GROUP BY term
+           ORDER BY g DESC, term LIMIT 2000)),
+       cs AS (
+         SELECT tf.source, tf.term, tf.c
+         FROM tf JOIN vocab USING (term)),
+       srcs AS (SELECT DISTINCT source FROM tf),
+       totals AS (
+         SELECT source, CAST(coalesce(sum(c), 0) AS BIGINT) AS n
+         FROM srcs LEFT JOIN cs USING (source) GROUP BY source),
+       nv AS (SELECT count(*) AS v FROM vocab),
+       grid AS (
+         SELECT s.source, vb.term, CAST(coalesce(cs.c, 0) AS BIGINT) AS c
+         FROM srcs s CROSS JOIN vocab vb
+         LEFT JOIN cs ON cs.source = s.source AND cs.term = vb.term),
+       pairs AS (
+         SELECT a.source AS src_a, b.source AS src_b, a.term,
+                a.c AS ca, b.c AS cb
+         FROM grid a JOIN grid b ON a.term = b.term
+         WHERE a.source <> b.source),
+       q AS (
+         SELECT src_a, src_b,
+                CAST(sum((ca + 1) *
+                  (CAST(round(ln(ca + 1) * 1000000) AS BIGINT)
+                   - CAST(round(ln(ta.n + nv.v) * 1000000) AS BIGINT)
+                   - CAST(round(ln(cb + 1) * 1000000) AS BIGINT)
+                   + CAST(round(ln(tb.n + nv.v) * 1000000) AS BIGINT))) AS BIGINT) AS sq,
+                max(ta.n + nv.v) AS da
+         FROM pairs
+         JOIN totals ta ON ta.source = pairs.src_a
+         JOIN totals tb ON tb.source = pairs.src_b
+         CROSS JOIN nv
+         GROUP BY src_a, src_b)
+       SELECT src_a, src_b, round(sq * 1.0 / da / 1000000.0, 4) AS kl_nats
+       FROM q ORDER BY src_a, src_b""") { (s, d) =>
+    val tf = Dedup.reuse(Tables.documents(s, d)
+      .select(col("source"), explode(toks("text")).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("c")))
+    val vocab = tf.groupBy("term").agg(sum(col("c")).as("g"))
+      .orderBy(col("g").desc, col("term")).limit(2000).select("term")
+    val cs = tf.join(broadcast(vocab), "term")
+    val srcs = tf.select("source").distinct()
+    val totals = srcs.join(cs.groupBy("source").agg(sum(col("c")).as("n")),
+      Seq("source"), "left")
+      .select(col("source"), coalesce(col("n"), lit(0L)).as("n"))
+    val v = vocab.count()
+    def r(x: Column): Column = round(log(x) * 1e6).cast(LongType)
+    val grid = srcs.crossJoin(broadcast(vocab))
+      .join(cs, Seq("source", "term"), "left")
+      .select(col("source"), col("term"), coalesce(col("c"), lit(0L)).as("c"))
+    val a = grid.select(col("source").as("src_a"), col("term"), col("c").as("ca"))
+    val b = grid.select(col("source").as("src_b"), col("term"), col("c").as("cb"))
+    a.join(b, Seq("term")).filter(col("src_a") =!= col("src_b"))
+      .join(broadcast(totals.select(col("source").as("src_a"), (col("n") + v).as("da"))), Seq("src_a"))
+      .join(broadcast(totals.select(col("source").as("src_b"), (col("n") + v).as("db"))), Seq("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(sum((col("ca") + 1) * (r(col("ca") + 1) - r(col("da"))
+          - r(col("cb") + 1) + r(col("db")))).as("sq"),
+        max(col("da")).as("da"))
+      .select(col("src_a"), col("src_b"),
+        round(col("sq") * lit(1.0) / col("da") / lit(1000000.0), 4).as("kl_nats"))
+      .orderBy("src_a", "src_b")
+  }
+
   val defs: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
     t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
-    t25, t26, t27, t28, t29, t32, t33, t34, t35)
+    t25, t26, t27, t28, t29, t32, t33, t34, t35, t38)
 }

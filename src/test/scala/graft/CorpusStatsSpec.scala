@@ -121,6 +121,32 @@ class CorpusStatsSpec extends SparkTestBase {
       s"3-token doc: no 5/6-grams, top3 saturated, dropped: $s3")
   }
 
+  test("t38 source divergence: KL is non-negative (Gibbs), zero for an " +
+    "identical-distribution pair, and large for disjoint vocabularies") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("t38fix").toString
+    val docsA = (1 to 10).map(i => (i.toLong, "alpha beta gamma", "en", "same1", 16L))
+    val docsB = (11 to 20).map(i => (i.toLong, "alpha beta gamma", "en", "same2", 16L))
+    val docsC = (21 to 30).map(i => (i.toLong, "delta epsilon zeta", "en", "other", 18L))
+    (docsA ++ docsB ++ docsC)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("t38_source_divergence")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(rows.size == 6, "3 sources -> 6 ordered pairs, no self-pairs")
+    rows.values.foreach(kl => assert(kl >= -1e-3, s"negative KL: $rows"))
+    assert(rows(("same1", "same2")) == 0.0,
+      s"identical distributions must diverge by 0: $rows")
+    assert(rows(("same1", "other")) > 10 * math.max(rows(("same1", "same2")), 1e-4),
+      s"disjoint vocab must dominate identical pair: $rows")
+    // and on the real corpus every pair is finite and the matrix is
+    // NOT symmetric in general (KL is directed)
+    val real = SparkEntry.queries("t38_source_divergence")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(real.exists { case ((a, b), v) => math.abs(v - real((b, a))) > 1e-4 },
+      "expected at least one asymmetric pair on the real corpus")
+  }
+
   test("t34 phrase search: hits equal a literal driver-side substring " +
     "scan for the same phrase, and the postings are phrase-filtered " +
     "through broadcasts before the adjacency join") {
