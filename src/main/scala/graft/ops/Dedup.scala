@@ -2445,6 +2445,136 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Triangle census + local clustering coefficients on the verified
+    * dup graph — the graph-shape diagnostic next to d34's PageRank and
+    * the d08/d15 component census: a near-dup graph whose components are
+    * triangle-dense cliques is template flooding; chains with zero
+    * triangles are drift (quote-of-quote). Counts each triangle ONCE
+    * via the degree-ordered orientation (Schank–Wagner): orient every
+    * edge from the lower (degree, id) endpoint to the higher, build
+    * wedges per source, close with an oriented-edge join.
+    *
+    * Scale shape: orientation bounds every vertex's OUT-degree by
+    * O(√m) — the star node that makes naive wedge counting quadratic
+    * has all edges pointing IN, so its wedge count is 0, and the wedge
+    * join's fan-out is Σ outdeg² ≤ m·√m worst-case (the classic bound).
+    * All joins carry only ids + degrees; the corpus never re-enters
+    * after the verified pairs exist. */
+  private val d41 = Q(
+    "d41_dup_graph_triangles",
+    """WITH docs AS (
+         SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       sh AS (
+         SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+         FROM (SELECT doc_id, ws,
+                      unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+               FROM docs)),
+       hs AS (
+         SELECT doc_id, ('0x' || substring(md5(sh), 1, 8))::BIGINT AS h1,
+                ('0x' || substring(md5(sh), 9, 8))::BIGINT AS h2
+         FROM sh),
+       sig AS (
+         SELECT doc_id, seed, min(h1 + seed * h2) AS mh
+         FROM hs, (SELECT unnest(generate_series(0, 7)) AS seed) seeds
+         GROUP BY doc_id, seed),
+       bands AS (
+         SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+                md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS band_key
+         FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)),
+       pairs AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       shd AS (SELECT DISTINCT doc_id, h1 * 134217728 + h2 % 134217728 AS h
+               FROM hs),
+       sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+       inter AS (
+         SELECT p.id_a, p.id_b, count(*) AS ni
+         FROM pairs p
+           JOIN shd a ON a.doc_id = p.id_a
+           JOIN shd b ON b.doc_id = p.id_b AND b.h = a.h
+         GROUP BY p.id_a, p.id_b),
+       vpairs AS (
+         SELECT i.id_a, i.id_b FROM inter i
+           JOIN sz sa ON sa.doc_id = i.id_a
+           JOIN sz sb ON sb.doc_id = i.id_b
+         WHERE i.ni * 1.0 / (sa.n + sb.n - i.ni) >= 0.5),
+       und AS (
+         SELECT id_a AS u, id_b AS v FROM vpairs
+         UNION ALL SELECT id_b AS u, id_a AS v FROM vpairs),
+       deg AS (SELECT u AS id, count(*) AS deg FROM und GROUP BY u),
+       o AS (
+         SELECT CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND e.id_a < e.id_b)
+                     THEN e.id_a ELSE e.id_b END AS src,
+                CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND e.id_a < e.id_b)
+                     THEN e.id_b ELSE e.id_a END AS dst
+         FROM vpairs e
+           JOIN deg da ON da.id = e.id_a
+           JOIN deg db ON db.id = e.id_b),
+       od AS (SELECT o.src, o.dst, dd.deg AS ddeg
+              FROM o JOIN deg dd ON dd.id = o.dst),
+       wed AS (
+         SELECT a.src AS u, a.dst AS v, b.dst AS w
+         FROM od a JOIN od b ON a.src = b.src
+         WHERE (a.ddeg < b.ddeg) OR (a.ddeg = b.ddeg AND a.dst < b.dst)),
+       tri AS (
+         SELECT wed.u, wed.v, wed.w
+         FROM wed JOIN o ON o.src = wed.v AND o.dst = wed.w),
+       tv AS (
+         SELECT id, count(*) AS n_tri FROM (
+           SELECT u AS id FROM tri
+           UNION ALL SELECT v AS id FROM tri
+           UNION ALL SELECT w AS id FROM tri)
+         GROUP BY id)
+       SELECT deg.id AS doc_id, deg.deg AS degree,
+              CAST(coalesce(tv.n_tri, 0) AS BIGINT) AS n_triangles,
+              CAST(CASE WHEN deg.deg >= 2
+                   THEN round(2.0 * coalesce(tv.n_tri, 0) * 1000000
+                              / (deg.deg * (deg.deg - 1)))
+                   ELSE 0 END AS BIGINT) AS coef_micro
+       FROM deg LEFT JOIN tv ON tv.id = deg.id
+       ORDER BY doc_id""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val (buckets, shingles) = lshBucketsAndShingles(docs, "doc_id", "text",
+      shingleWords = 3, bands = 4, rowsPerBand = 2)
+    val vpairs = reuse(jaccardVerifiedPairs(
+      candidatePairs(buckets, materialize = false), shingles, tau = 0.5)
+      .select(col("id_a"), col("id_b")))
+    val und = vpairs.select(col("id_a").as("u"))
+      .unionByName(vpairs.select(col("id_b").as("u")))
+    val deg = reuse(und.groupBy("u").agg(count(lit(1)).as("deg"))
+      .select(col("u").as("id"), col("deg")))
+    val lowFirst = vpairs
+      .join(deg.select(col("id").as("id_a"), col("deg").as("dega")), "id_a")
+      .join(deg.select(col("id").as("id_b"), col("deg").as("degb")), "id_b")
+      .select(
+        when(col("dega") < col("degb")
+          || (col("dega") === col("degb") && col("id_a") < col("id_b")),
+          struct(col("id_a").as("src"), col("id_b").as("dst")))
+          .otherwise(struct(col("id_b").as("src"), col("id_a").as("dst")))
+          .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val o = reuse(lowFirst)
+    val od = o.join(deg.select(col("id").as("dst"), col("deg").as("ddeg")), "dst")
+    val a = od.select(col("src"), col("dst").as("v"), col("ddeg").as("dv"))
+    val b = od.select(col("src"), col("dst").as("w"), col("ddeg").as("dw"))
+    val wed = a.join(b, Seq("src"))
+      .filter(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
+      .select(col("src").as("u"), col("v"), col("w"))
+    val tri = wed.join(o.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+    val tv = tri.select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+    deg.join(tv, Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("deg").as("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_triangles"),
+        when(col("deg") >= 2,
+          round(lit(2.0) * coalesce(col("n_tri"), lit(0L)) * lit(1000000)
+            / (col("deg") * (col("deg") - 1))).cast(LongType))
+          .otherwise(lit(0L)).as("coef_micro"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[Q] = Seq(d01, d02, d03, d04, d08, d09, d10, d11, d13, d15,
-    d17, d18, d20, d21, d22, d23, d27, d28, d31, d34, d36, d37, d38, d39)
+    d17, d18, d20, d21, d22, d23, d27, d28, d31, d34, d36, d37, d38, d39,
+    d41)
 }

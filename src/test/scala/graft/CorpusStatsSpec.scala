@@ -147,6 +147,56 @@ class CorpusStatsSpec extends SparkTestBase {
       "expected at least one asymmetric pair on the real corpus")
   }
 
+  test("d41 triangles: a planted 4-clique of identical docs yields " +
+    "exactly C(3,2)=3 triangles per member at coefficient 1.0") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("d41fix").toString
+    val cliqueText = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val clique = (1 to 4).map(i => (i.toLong, cliqueText, "en", "s", cliqueText.length.toLong))
+    val lone = (5 to 12).map(i =>
+      (i.toLong, (1 to 30).map(j => s"w${i}_$j").mkString(" "), "en", "s", 100L))
+    (clique ++ lone).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("d41_dup_graph_triangles")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L),
+      s"only the clique is in the dup graph: ${rows.keySet}")
+    rows.values.foreach { r =>
+      assert(r.getLong(1) == 3L && r.getLong(2) == 3L && r.getLong(3) == 1000000L,
+        s"K4 member must have degree 3, 3 triangles, coefficient 1.0: $r")
+    }
+  }
+
+  test("d41 triangle counts equal a driver-side brute-force recount " +
+    "over the same verified edge set") {
+    import graft.ops.Dedup
+    val docs = Tables.documents(spark, sf001)
+    val (buckets, shingles) = Dedup.lshBucketsAndShingles(
+      docs, "doc_id", "text", shingleWords = 3, bands = 4, rowsPerBand = 2)
+    val edges = Dedup.jaccardVerifiedPairs(
+        Dedup.candidatePairs(buckets, materialize = false), shingles, tau = 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.HashMap
+      .empty[Long, scala.collection.mutable.HashSet[Long]]
+    edges.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.HashSet.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.HashSet.empty) += a
+    }
+    val expected = adj.map { case (v, ns) =>
+      val nsArr = ns.toArray
+      var t = 0L
+      for (i <- nsArr.indices; j <- (i + 1) until nsArr.length)
+        if (adj(nsArr(i)).contains(nsArr(j))) t += 1
+      v -> (ns.size.toLong, t)
+    }
+    val got = SparkEntry.queries("d41_dup_graph_triangles")(spark, sf001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected.toMap,
+      s"triangle census diverged from brute force (got ${got.size} vs ${expected.size} nodes)")
+    assert(expected.values.map(_._2).sum > 0, "fixture graph has no triangles — vacuous")
+  }
+
   test("t34 phrase search: hits equal a literal driver-side substring " +
     "scan for the same phrase, and the postings are phrase-filtered " +
     "through broadcasts before the adjacency join") {

@@ -101,7 +101,15 @@ object ScaleProbe {
       // round-7 session-3: the bigram-LM trainer/scorer (census-table
       // math + one stream join) and BPE segmentation (word-type loop;
       // its cost should be ~flat in corpus size once the census exists)
-      "t29_bigram_lm", "t31_bpe_segment")
+      "t29_bigram_lm", "t31_bpe_segment",
+      // round-7 session-4: the Gopher battery (5 tagged gram families in
+      // one explode — the heaviest new census), char entropy (alphabet-
+      // bounded agg), the unigram-LM EM (type-table loop, ~flat once the
+      // census exists), source KL (vocab-bounded after the census), and
+      // the triangle census (wedge fan-out is the quadratic hazard the
+      // degree orientation bounds)
+      "t35_gopher_repetition", "t33_char_entropy", "t37_unigram_segment",
+      "t38_source_divergence", "d41_dup_graph_triangles")
     // JIT/codegen warm at the smallest SF (Bench methodology)
     names.foreach(nm =>
       SparkEntry.queries(nm)(spark, "/root/testdata/sf0.001").count())
