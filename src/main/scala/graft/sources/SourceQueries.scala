@@ -172,5 +172,49 @@ object SourceQueries {
       .orderBy("lang")
   }
 
-  val defs: Seq[Q] = Seq(src01, src02, src03, src04, src05, src06, src07)
+  /** Schema evolution across parquet generations — the data-lake fact
+    * of life a long-lived corpus store hits first: old shards were
+    * written before a column existed, new shards carry it. Two
+    * generations of the orders table are written under one root (gen1
+    * WITHOUT o_year, gen2 WITH it) and read back through ONE scan with
+    * `mergeSchema` — Spark unions the footers' schemas and fills the
+    * missing column with NULL for old files. The aggregate groups by
+    * the evolved column, so the NULL bucket IS gen1, pinned exactly by
+    * the oracle's recomputation from the base table.
+    *
+    * Scale note: mergeSchema reads every footer at planning time — on a
+    * million-file lake that is the expensive step, which is why the
+    * layout (src07) keeps shards coarse and why a production deployment
+    * pins the merged schema in a metastore after one inference pass.
+    * The per-file NULL fill itself is free (no rewrite of old data). */
+  private val src08 = Q(
+    "src08_schema_evolution",
+    """WITH gens AS (
+         SELECT o_orderkey, o_totalprice,
+                CASE WHEN o_orderkey % 2 = 0
+                     THEN CAST(NULL AS BIGINT)
+                     ELSE CAST(year(o_orderdate) AS BIGINT) END AS o_year
+         FROM orders)
+       SELECT coalesce(o_year, -1) AS o_year, count(*) AS n_orders,
+              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+       FROM gens GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val dir = tmp("graft_evolved")
+    val orders = Tables.orders(s, d)
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$dir/lake/gen1")
+    orders.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        year(col("o_orderdate")).cast(LongType).as("o_year"))
+      .write.mode("overwrite").parquet(s"$dir/lake/gen2")
+    s.read.option("mergeSchema", "true")
+      .parquet(s"$dir/lake/gen1", s"$dir/lake/gen2")
+      .groupBy(coalesce(col("o_year"), lit(-1L)).as("o_year"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast(LongType)).as("total_cents"))
+      .orderBy("o_year")
+  }
+
+  val defs: Seq[Q] = Seq(src01, src02, src03, src04, src05, src06, src07,
+    src08)
 }

@@ -1099,8 +1099,32 @@ object StreamingQueries {
       .orderBy("event_type", "smp_rank")
   }
 
+  /** Watermark-evicting streaming dedup — `dropDuplicatesWithinWatermark`
+    * (the API s03's plain dropDuplicates is missing at scale): the
+    * dedup key state is DROPPED once the watermark passes it, so state
+    * is bounded by keys-per-watermark-window, not keys-ever-seen — the
+    * difference between a dedup that survives a month of 100 TB/day
+    * ingest and one that OOMs. With a watermark wider than the
+    * fixture's whole time span the semantics coincide with global
+    * first-occurrence dedup, which is exactly what makes the batch
+    * DISTINCT oracle exact here; the eviction behavior itself is the
+    * API's documented contract (deduplication guaranteed only within
+    * the watermark — the production trade this operator names). */
+  private val s24 = Q(
+    "s24_stream_dedup_watermark",
+    """SELECT event_type, count(DISTINCT user_id) AS n_users
+       FROM events GROUP BY event_type ORDER BY event_type""") { (s, d) =>
+    val deduped = eventsStream(s, d)
+      .withWatermark("ts", "30 days")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"))
+    runToMemory(deduped, OutputMode.Complete())
+      .orderBy("event_type")
+  }
+
   val defs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
-    s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23)
+    s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24)
 }
 
 /** s11's StatefulProcessor: cumulative (event count, value cents) per
