@@ -2574,7 +2574,60 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Per-document contamination overlap FRACTION — the number the GPT-3
+    * appendix actually reports (Brown et al. 2020, App. C): not just
+    * "does this doc share a 13-gram with the benchmark" (d13's flag) but
+    * WHAT SHARE of the doc's distinct 13-grams are benchmark grams —
+    * the dirtiness measure a removal threshold is set against. Same
+    * machinery as d13 (benchmark gram set broadcast, corpus grams never
+    * shuffle; only matched grams — tiny by construction — reach an
+    * exchange), plus one distinct-gram census per doc. Dirty at > 5%
+    * overlap (the order of magnitude the published thresholds use). */
+  private val d42 = Q(
+    "d42_contamination_fraction",
+    """WITH docs AS (
+         SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       g AS (
+         SELECT DISTINCT doc_id, md5(array_to_string(ws[i:i+12], ' ')) AS gh
+         FROM (SELECT doc_id, ws,
+                      unnest(generate_series(1, greatest(len(ws) - 12, 1))) AS i
+               FROM docs)),
+       bench AS (SELECT DISTINCT gh FROM g WHERE doc_id % 7 = 0),
+       corpus AS (SELECT doc_id, gh FROM g WHERE doc_id % 7 != 0),
+       census AS (SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY doc_id),
+       hits AS (
+         SELECT c.doc_id, count(*) AS n_hits
+         FROM corpus c JOIN bench b ON c.gh = b.gh
+         GROUP BY c.doc_id)
+       SELECT census.doc_id, census.n_grams,
+              CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+              round(coalesce(h.n_hits, 0) * 1.0 / census.n_grams, 4) AS overlap,
+              (coalesce(h.n_hits, 0) * 1.0 / census.n_grams) > 0.05 AS dirty
+       FROM census LEFT JOIN hits h ON h.doc_id = census.doc_id
+       ORDER BY census.doc_id""") { (s, d) =>
+    val grams = reuse(Tables.documents(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, greatest(size(ws) - 12, 1), 1), i -> array_join(slice(ws, i, 13), ' '))"))
+        .as("g"))
+      .select(col("doc_id"), md5(col("g")).as("gh"))
+      .distinct())
+    val bench = grams.filter(col("doc_id") % 7 === 0).select("gh").distinct()
+    val corpus = grams.filter(col("doc_id") % 7 =!= 0)
+    val census = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val hits = corpus.join(broadcast(bench), "gh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    census.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)) * lit(1.0) / col("n_grams"), 4)
+          .as("overlap"),
+        (coalesce(col("n_hits"), lit(0L)) * lit(1.0) / col("n_grams") > 0.05)
+          .as("dirty"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[Q] = Seq(d01, d02, d03, d04, d08, d09, d10, d11, d13, d15,
     d17, d18, d20, d21, d22, d23, d27, d28, d31, d34, d36, d37, d38, d39,
-    d41)
+    d41, d42)
 }

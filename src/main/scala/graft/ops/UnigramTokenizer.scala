@@ -247,5 +247,40 @@ object UnigramTokenizer {
       .orderBy("doc_id")
   }
 
-  val defs: Seq[Q] = Seq(t36, t37)
+  /** t39: tokenizer fertility comparison — the report a tokenizer bake-off
+    * produces: per source, words vs BPE tokens (t30's merges) vs
+    * unigram-LM tokens (t36's pieces), and the two fertility ratios
+    * (tokens per word — the number that prices a tokenizer against a
+    * training budget). Both tokenizers train on the SAME word census
+    * (one corpus pass); their type-level segmentations merge into ONE
+    * table, so the doc stream pays a single join for both columns —
+    * composition the separate t31/t37 queries can't show. Rows-only
+    * oracle (composes two noOracle trainers); the spec pins the totals
+    * to the sums of t31/t37's own outputs. */
+  private val t39 = Q.noOracle("t39_tokenizer_fertility") { (s, d) =>
+    val mergesK = confInt(s, "graft.bpe.merges", 40)
+    val m = confInt(s, "graft.unigram.pieces", 200)
+    val iters = confInt(s, "graft.unigram.iters", 2)
+    val census = Dedup.reuse(wordCensus(s, d))
+    val (_, segB) = BpeTokenizer.learn(s, census, mergesK)
+    val (_, segU) = learn(s, census, m, iters)
+    val seg = Dedup.reuse(segB.select(col("word"), col("n_tok").as("bpe_n"))
+      .join(segU.select(col("word"), col("n_tok").as("uni_n")), "word"))
+    val docWords = Tables.documents(s, d)
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"), "whitespace")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("source", "word").agg(count(lit(1)).as("cnt"))
+    docWords.join(seg, "word")
+      .groupBy("source")
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("bpe_n")).as("n_bpe_tokens"),
+        sum(col("cnt") * col("uni_n")).as("n_unigram_tokens"))
+      .select(col("source"), col("n_words"), col("n_bpe_tokens"),
+        col("n_unigram_tokens"),
+        round(col("n_bpe_tokens") * lit(1.0) / col("n_words"), 4).as("fert_bpe"),
+        round(col("n_unigram_tokens") * lit(1.0) / col("n_words"), 4).as("fert_uni"))
+      .orderBy("source")
+  }
+
+  val defs: Seq[Q] = Seq(t36, t37, t39)
 }

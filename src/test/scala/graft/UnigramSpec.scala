@@ -91,6 +91,43 @@ class UnigramSpec extends SparkTestBase {
     }
   }
 
+  test("t39 fertility report totals equal the sums of t31 and t37's " +
+    "own per-doc outputs, and every fertility ratio is >= 1") {
+    val rep = SparkEntry.queries("t39_tokenizer_fertility")(spark, sf0001).collect()
+    val bpe = SparkEntry.queries("t31_bpe_segment")(spark, sf0001).collect()
+    val uni = SparkEntry.queries("t37_unigram_segment")(spark, sf0001).collect()
+    assert(rep.map(_.getLong(1)).sum == bpe.map(_.getLong(1)).sum,
+      "word totals diverge from t31")
+    assert(rep.map(_.getLong(2)).sum == bpe.map(_.getLong(2)).sum,
+      "BPE token totals diverge from t31")
+    assert(rep.map(_.getLong(3)).sum == uni.map(_.getLong(2)).sum,
+      "unigram token totals diverge from t37")
+    rep.foreach { r =>
+      assert(r.getDouble(4) >= 1.0 && r.getDouble(5) >= 1.0,
+        s"a word can never cost less than one token: $r")
+    }
+  }
+
+  test("d42 overlap fractions are consistent with d13's contamination " +
+    "flag: dirty > 0 iff n_hits > 0, fractions in [0, 1]") {
+    val rows = SparkEntry.queries("d42_contamination_fraction")(spark, sf001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ng, nh, ov) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nh <= ng, s"hits exceed grams: $r")
+      assert(ov >= 0.0 && ov <= 1.0, s"fraction out of range: $r")
+      assert((nh > 0) == (ov > 0.0), s"fraction/hits disagree: $r")
+    }
+    assert(rows.exists(_.getLong(2) > 0),
+      "fixture must contain contaminated docs or the test is vacuous")
+    // cross-check the flag aggregate against d13's contaminated bucket
+    val d13 = SparkEntry.queries("d13_ngram_decontaminate")(spark, sf001)
+      .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(rows.count(_.getLong(2) > 0).toLong == d13.getOrElse(true, 0L),
+      "docs-with-hits must equal d13's contaminated count")
+  }
+
   test("EM actually compresses: after training, the corpus costs no more " +
     "tokens than a chars-only segmentation, and strictly fewer when any " +
     "multi-char piece survives") {
