@@ -2040,7 +2040,52 @@ object TextAnalysis {
       .orderBy("src_a", "src_b")
   }
 
+  /** k-anonymity risk census — the governance gate beside t08's PII
+    * scrub: after direct identifiers are dropped, QUASI-identifier
+    * combinations (here event_type × hour-of-day × value decade) can
+    * still single people out; a release is k-anonymous when every
+    * combination covers ≥ k rows. Reports the group-size histogram in
+    * the buckets an auditor reads (unique / 2..4 / ≥5 = the k=5 gate)
+    * with the row mass at risk in each.
+    *
+    * Scale shape: one hash agg over the quasi-identifier key (the
+    * combination count is bounded by the attribute domain product, not
+    * the row count), then a 3-row conditional rollup — the full-corpus
+    * second pass a naive "join rows back to group sizes" would do never
+    * happens, because the histogram only needs the GROUP table. */
+  private val t41 = Q(
+    "t41_k_anonymity",
+    """WITH qi AS (
+         SELECT event_type,
+                CAST(floor(epoch(ts) / 3600) % 24 AS BIGINT) AS hour_of_day,
+                CAST(floor(value / 10) AS BIGINT) AS value_decade,
+                count(*) AS grp
+         FROM events GROUP BY 1, 2, 3)
+       SELECT CASE WHEN grp = 1 THEN 'unique'
+                   WHEN grp < 5 THEN 'small(2-4)'
+                   ELSE 'anonymous(>=5)' END AS risk,
+              count(*) AS n_groups,
+              CAST(sum(grp) AS BIGINT) AS n_rows,
+              min(grp) AS min_size, max(grp) AS max_size
+       FROM qi GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val qi = Tables.events(s, d)
+      .select(col("event_type"),
+        (floor(unix_timestamp(col("ts")) / 3600) % 24).cast(LongType).as("hour_of_day"),
+        floor(col("value") / 10).cast(LongType).as("value_decade"))
+      .groupBy("event_type", "hour_of_day", "value_decade")
+      .agg(count(lit(1)).as("grp"))
+    qi.select(
+        when(col("grp") === 1, "unique")
+          .when(col("grp") < 5, "small(2-4)")
+          .otherwise("anonymous(>=5)").as("risk"),
+        col("grp"))
+      .groupBy("risk")
+      .agg(count(lit(1)).as("n_groups"), sum(col("grp")).as("n_rows"),
+        min(col("grp")).as("min_size"), max(col("grp")).as("max_size"))
+      .orderBy("risk")
+  }
+
   val defs: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
     t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
-    t25, t26, t27, t28, t29, t32, t33, t34, t35, t38)
+    t25, t26, t27, t28, t29, t32, t33, t34, t35, t38, t41)
 }

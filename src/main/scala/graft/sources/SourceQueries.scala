@@ -215,6 +215,47 @@ object SourceQueries {
       .orderBy("o_year")
   }
 
+  /** Malformed-record quarantine on JSONL ingest — what a 100 TB crawl
+    * feed actually looks like: some share of lines are truncated or
+    * broken JSON, and the pipeline must COUNT and SET ASIDE those rows,
+    * not die (FAILFAST) and not silently drop them (DROPMALFORMED).
+    * PERMISSIVE mode + `columnNameOfCorruptRecord` routes every
+    * unparseable line into a quarantine column with the raw text
+    * preserved for replay — per-file error isolation, no coordination.
+    * Corruption is planted deterministically (every doc_id ≡ 0 mod 13
+    * gets its line truncated mid-token), so the oracle recomputes both
+    * buckets exactly from the base table. */
+  private val src09 = Q(
+    "src09_jsonl_quarantine",
+    """SELECT CASE WHEN doc_id % 13 = 0 THEN '(quarantined)' ELSE lang END AS bucket,
+              count(*) AS n_rows,
+              CAST(sum(CASE WHEN doc_id % 13 = 0 THEN 0 ELSE n_chars END) AS BIGINT) AS good_chars
+       FROM documents GROUP BY 1 ORDER BY 1""") { (s, d) =>
+    val dir = tmp("graft_quarantine")
+    val line = to_json(struct(col("doc_id"), col("lang"), col("n_chars")))
+    Tables.documents(s, d)
+      .select(when(col("doc_id") % 13 === 0,
+          // truncated mid-record: the classic half-flushed crawl shard
+          concat(lit("{\"doc_id\": "), col("doc_id").cast("string"), lit(", \"lan")))
+        .otherwise(line).as("value"))
+      .write.mode("overwrite").text(s"$dir/feed")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("n_chars", LongType),
+      StructField("_corrupt_record", StringType)))
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(s"$dir/feed")
+      .select(when(col("_corrupt_record").isNotNull, lit("(quarantined)"))
+          .otherwise(col("lang")).as("bucket"),
+        when(col("_corrupt_record").isNotNull, lit(0L))
+          .otherwise(col("n_chars")).as("nc"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), sum(col("nc")).as("good_chars"))
+      .orderBy("bucket")
+  }
+
   val defs: Seq[Q] = Seq(src01, src02, src03, src04, src05, src06, src07,
-    src08)
+    src08, src09)
 }

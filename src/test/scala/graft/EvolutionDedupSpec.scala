@@ -33,6 +33,58 @@ class EvolutionDedupSpec extends SparkTestBase {
       "exactly the old generation's rows must carry NULL in the evolved column")
   }
 
+  test("src09: quarantined rows keep the RAW line for replay, and the " +
+    "quarantine count equals the planted corruption exactly") {
+    val dir = Scratch.dir("graft_q_spec")
+    val docs = Tables.documents(spark, sf0001)
+    val planted = docs.filter(col("doc_id") % 13 === 0).count()
+    docs.select(when(col("doc_id") % 13 === 0,
+        concat(lit("{\"doc_id\": "), col("doc_id").cast("string"), lit(", \"lan")))
+      .otherwise(to_json(struct(col("doc_id"), col("lang"), col("n_chars"))))
+      .as("value"))
+      .write.mode("overwrite").text(s"$dir/feed")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_corrupt_record",
+        org.apache.spark.sql.types.StringType)))
+    val read = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(s"$dir/feed")
+    // PERMISSIVE corrupt-record access requires a materialized step in
+    // Spark (raw-row caching rule); a cache() makes the column queryable
+    val bad = read.cache().filter(col("_corrupt_record").isNotNull)
+      .select("_corrupt_record").collect().map(_.getString(0))
+    assert(bad.length.toLong == planted,
+      s"quarantine ${bad.length} != planted $planted")
+    assert(bad.forall(l => l.startsWith("{\"doc_id\": ") && l.endsWith(", \"lan")),
+      "raw lines must survive verbatim for replay")
+    assert(read.filter(col("_corrupt_record").isNull).count() ==
+      docs.count() - planted, "good rows must all parse")
+  }
+
+  test("t41: risk buckets partition the whole event table and respect " +
+    "their size boundaries") {
+    val rows = SparkEntry.queries("t41_k_anonymity")(spark, sf001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val total = Tables.events(spark, sf001).count()
+    assert(rows.values.map(_.getLong(2)).sum == total,
+      "risk buckets must cover every event exactly once")
+    rows.get("unique").foreach { r =>
+      assert(r.getLong(3) == 1 && r.getLong(4) == 1, s"unique bucket: $r") }
+    rows.get("small(2-4)").foreach { r =>
+      assert(r.getLong(3) >= 2 && r.getLong(4) <= 4, s"small bucket: $r") }
+    rows.get("anonymous(>=5)").foreach { r =>
+      assert(r.getLong(3) >= 5, s"anonymous bucket: $r") }
+    assert(rows.contains("unique") && rows.contains("anonymous(>=5)"),
+      "fixture should exercise both ends of the risk spectrum")
+  }
+
   test("s24-shape dedup state is EVICTED by the watermark: final state " +
     "rows are a fraction of total distinct keys, unlike plain " +
     "dropDuplicates whose state is keys-ever-seen") {
