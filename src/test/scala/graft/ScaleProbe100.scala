@@ -48,7 +48,11 @@ object ScaleProbe100 {
       "d22_exact_substring",
       // round-7 curation batch: both are corpus-digest pipelines whose
       // 100× behavior the 10× probe alone can't pin
-      "d38_segment_dedup", "t25_dsir_importance")
+      "d38_segment_dedup", "t25_dsir_importance",
+      // session-4: the Gopher battery (5 gram families — the heaviest
+      // new census) and the contamination fraction (distinct-13-gram
+      // census + broadcast probe)
+      "t35_gopher_repetition", "d42_contamination_fraction")
     // JIT/codegen warm at the smallest SF (Bench methodology)
     names.foreach(nm =>
       SparkEntry.queries(nm)(spark, "/root/testdata/sf0.001").count())
