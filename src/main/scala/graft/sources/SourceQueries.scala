@@ -256,6 +256,46 @@ object SourceQueries {
       .orderBy("bucket")
   }
 
+  /** Small-file compaction — the maintenance job every streaming/
+    * incremental sink eventually owes the lake: a shard layout written
+    * at many-records-per-file granularity (here src07's knob turned
+    * down to force ~20× too many files) is rewritten partition-by-
+    * partition into files sized for scan efficiency, preserving the
+    * partitioning column and every row. The oracle pins content
+    * identity against the base table; the FILE-COUNT contract (the
+    * entire point of compaction — a 100 TB lake of 1 MB files spends
+    * its scan time opening footers) is a layout property invisible to
+    * SQL, so the spec asserts before/after counts directly.
+    *
+    * Scale shape: compaction is per-partition-subtree parallel (each
+    * lang rewrites independently), reads once, writes once, and never
+    * shuffles — `coalesce` only narrows the plan. */
+  private val src10 = Q(
+    "src10_compaction",
+    """SELECT lang, count(*) AS n_rows,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars,
+              min(doc_id) AS min_id, max(doc_id) AS max_id
+       FROM documents GROUP BY lang ORDER BY lang""") { (s, d) =>
+    val dir = tmp("graft_compaction")
+    // fragmented layout: the "month of micro-batches" starting point
+    Tables.documents(s, d)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", 25)
+      .partitionBy("lang")
+      .parquet(s"$dir/fragmented")
+    // compact: one output file per partition subtree at this scale
+    s.read.parquet(s"$dir/fragmented")
+      .coalesce(1)
+      .write.mode("overwrite")
+      .partitionBy("lang")
+      .parquet(s"$dir/compacted")
+    s.read.parquet(s"$dir/compacted")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy("lang")
+  }
+
   val defs: Seq[Q] = Seq(src01, src02, src03, src04, src05, src06, src07,
-    src08, src09)
+    src08, src09, src10)
 }

@@ -85,6 +85,35 @@ class EvolutionDedupSpec extends SparkTestBase {
       "fixture should exercise both ends of the risk spectrum")
   }
 
+  test("src10: compaction collapses the file count by an order of " +
+    "magnitude while content round-trips exactly") {
+    def parquetFiles(root: String): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(root))
+    }
+    val dir = Scratch.dir("graft_compact_spec")
+    val docs = Tables.documents(spark, sf001)
+    docs.write.mode("overwrite").option("maxRecordsPerFile", 10)
+      .partitionBy("lang").parquet(s"$dir/fragmented")
+    val before = parquetFiles(s"$dir/fragmented").length
+    spark.read.parquet(s"$dir/fragmented").coalesce(1)
+      .write.mode("overwrite").partitionBy("lang").parquet(s"$dir/compacted")
+    val after = parquetFiles(s"$dir/compacted").length
+    val nLangs = docs.select("lang").distinct().count().toInt
+    assert(before >= 5 * nLangs,
+      s"fragmented layout not fragmented enough: $before files, $nLangs langs")
+    assert(after == nLangs,
+      s"compaction should leave one file per partition: $after vs $nLangs")
+    val a = docs.select("doc_id", "text", "lang", "source", "n_chars")
+      .collect().map(_.toString).sorted
+    val b = spark.read.parquet(s"$dir/compacted")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b), "compaction must preserve every row exactly")
+  }
+
   test("s24-shape dedup state is EVICTED by the watermark: final state " +
     "rows are a fraction of total distinct keys, unlike plain " +
     "dropDuplicates whose state is keys-ever-seen") {
