@@ -296,6 +296,53 @@ object SourceQueries {
       .orderBy("lang")
   }
 
+  /** Morton (z-order) bit-interleave of two 16-bit-masked dimensions —
+    * the multi-dimensional clustering key data lakes sort by so that a
+    * 2-D selective predicate touches few files (Delta/Iceberg's OPTIMIZE
+    * ZORDER, re-expressed as a plain codegen'd column expression: a fold
+    * over bit positions, no UDF). */
+  def zorder(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val xe = x.cast(LongType).bitwiseAND(lit(65535L))
+    val ye = y.cast(LongType).bitwiseAND(lit(65535L))
+    // unrolled over the 16 bit positions: a flat codegen'd arithmetic
+    // expression (shift amounts must be Scala ints for the builtin)
+    (0 until 16).map { i =>
+      shiftleft(shiftright(xe, i).bitwiseAND(lit(1L)), 2 * i)
+        .plus(shiftleft(shiftright(ye, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ + _)
+  }
+
+  /** Z-order clustered layout — the scan-locality feature that makes a
+    * 2-D selective query cheap on a 100 TB lake: orders are range-
+    * partitioned and sorted by the Morton interleave of (custkey,
+    * order-date), so rows close in BOTH dimensions land in the same
+    * files and a (customer-range × date-range) predicate touches a
+    * handful of file bounding boxes instead of all of them (parquet
+    * readers skip row groups by footer min/max — the file-level
+    * bounding-box count the spec measures IS that skipping, made
+    * visible). A 1-D sort gives the same locality in one dimension and
+    * none in the other; the spec measures z-order strictly beating it
+    * on box queries. The oracle pins content identity through the
+    * rewrite (layout is invisible to SQL). */
+  private val src11 = Q(
+    "src11_zorder_layout",
+    """SELECT o_orderpriority, count(*) AS n_orders,
+              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, d) =>
+    val dir = tmp("graft_zorder")
+    Tables.orders(s, d)
+      .withColumn("zkey", zorder(col("o_custkey"), datediff(col("o_orderdate"),
+        lit("1992-01-01").cast("date"))))
+      .repartitionByRange(8, col("zkey"))
+      .sortWithinPartitions("zkey")
+      .write.mode("overwrite").parquet(s"$dir/orders_z")
+    s.read.parquet(s"$dir/orders_z")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast(LongType)).as("total_cents"))
+      .orderBy("o_orderpriority")
+  }
+
   val defs: Seq[Q] = Seq(src01, src02, src03, src04, src05, src06, src07,
-    src08, src09, src10)
+    src08, src09, src10, src11)
 }

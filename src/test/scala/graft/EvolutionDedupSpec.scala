@@ -114,6 +114,69 @@ class EvolutionDedupSpec extends SparkTestBase {
     assert(a.sameElements(b), "compaction must preserve every row exactly")
   }
 
+  test("src11: z-order layout beats a 1-D sort on 2-D box queries — " +
+    "fewer file bounding boxes intersect the box, and the z-value " +
+    "round-trips through de-interleave") {
+    val dir = Scratch.dir("graft_zspec")
+    val orders = Tables.orders(spark, sf001)
+      .withColumn("days", datediff(col("o_orderdate"),
+        lit("1992-01-01").cast("date")).cast("long"))
+    // z-value bijectivity: de-interleave recovers both masked dims
+    val z = orders.select(col("o_custkey"), col("days"),
+      sources.SourceQueries.zorder(col("o_custkey"), col("days")).as("zkey"))
+    val bad = z.filter({
+      val xBack = (0 until 16).map(i =>
+        shiftleft(shiftright(col("zkey"), 2 * i).bitwiseAND(lit(1L)), i))
+        .reduce((a, b) => a.plus(b))
+      val yBack = (0 until 16).map(i =>
+        shiftleft(shiftright(col("zkey"), 2 * i + 1).bitwiseAND(lit(1L)), i))
+        .reduce((a, b) => a.plus(b))
+      xBack =!= col("o_custkey").bitwiseAND(lit(65535L)) ||
+        yBack =!= col("days").bitwiseAND(lit(65535L))
+    }).count()
+    assert(bad == 0, "Morton interleave must be bijective on masked dims")
+    // layouts at 64-file granularity: z-order vs 1-D custkey sort. The
+    // z claim is BALANCE: a 1-D sort resolves its own dimension
+    // perfectly and the other not at all (every file spans all days);
+    // z-order resolves both to ~sqrt(files). Measured as file bounding
+    // boxes intersecting single-dimension range predicates.
+    orders.repartitionByRange(64,
+        sources.SourceQueries.zorder(col("o_custkey"), col("days")))
+      .write.mode("overwrite").parquet(s"$dir/z")
+    orders.repartitionByRange(64, col("o_custkey"))
+      .write.mode("overwrite").parquet(s"$dir/lin")
+    def bounds(path: String) = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("o_custkey").as("cmin"), max("o_custkey").as("cmax"),
+        min("days").as("dmin"), max("days").as("dmax"))
+      .collect()
+    val (zB, linB) = (bounds(s"$dir/z"), bounds(s"$dir/lin"))
+    val (cMax, dMax) = {
+      val r = orders.agg(max("o_custkey"), max("days")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    def touched(bs: Array[org.apache.spark.sql.Row],
+        lo: Long, hi: Long, minIdx: Int, maxIdx: Int): Long =
+      bs.count(r => r.getLong(maxIdx) >= lo && r.getLong(minIdx) <= hi).toLong
+    // 1/16-wide ranges on each dimension, spread over the domain
+    val cuts = Seq(1, 2, 3)
+    val custZ = cuts.map(i => touched(zB, cMax * i / 4, cMax * i / 4 + cMax / 16, 1, 2)).sum
+    val custL = cuts.map(i => touched(linB, cMax * i / 4, cMax * i / 4 + cMax / 16, 1, 2)).sum
+    val dayZ = cuts.map(i => touched(zB, dMax * i / 4, dMax * i / 4 + dMax / 16, 3, 4)).sum
+    val dayL = cuts.map(i => touched(linB, dMax * i / 4, dMax * i / 4 + dMax / 16, 3, 4)).sum
+    // the 1-D layout is near-blind in its second dimension (files span
+    // most of the day domain; small files can miss a narrow window by
+    // chance, so "most", not "all")
+    assert(dayL > 3L * linB.length / 2,
+      s"custkey sort should be near-useless for day predicates: $dayL")
+    // z-order serves the day dimension with a fraction of the files
+    assert(dayZ < dayL / 2,
+      s"z-order must prune day ranges: z=$dayZ lin(all)=$dayL")
+    // and across BOTH workloads combined, z touches fewer boxes
+    assert(custZ + dayZ < custL + dayL,
+      s"z-order must win the combined workload: z=${custZ + dayZ} lin=${custL + dayL}")
+  }
+
   test("s24-shape dedup state is EVICTED by the watermark: final state " +
     "rows are a fraction of total distinct keys, unlike plain " +
     "dropDuplicates whose state is keys-ever-seen") {

@@ -91,6 +91,44 @@ class UnigramSpec extends SparkTestBase {
     }
   }
 
+  test("viterbi is OPTIMAL: for every word up to length 6 over a random " +
+    "cost table, the DP cost equals exhaustive enumeration over all " +
+    "2^(n-1) segmentations") {
+    val rng = new scala.util.Random(42)
+    val alphabet = "ab"
+    val pieces = (for {
+      len <- 1 to 4
+      s <- Seq.fill(40)((0 until len).map(_ => alphabet(rng.nextInt(2))).mkString)
+    } yield s).distinct
+    val cost: Map[String, Long] =
+      pieces.map(p => p -> (100L + rng.nextInt(1000)).toLong).toMap
+    def bruteBest(w: String): Option[Long] = {
+      def go(i: Int): Option[Long] =
+        if (i == w.length) Some(0L)
+        else (1 to math.min(4, w.length - i)).flatMap { l =>
+          cost.get(w.substring(i, i + l))
+            .flatMap(c => go(i + l).map(_ + c))
+        }.reduceOption(_ min _)
+      go(0)
+    }
+    val words = for {
+      n <- 1 to 6
+      _ <- 1 to 30
+    } yield (0 until n).map(_ => alphabet(rng.nextInt(2))).mkString
+    words.distinct.foreach { w =>
+      val expected = bruteBest(w)
+      expected match {
+        case Some(c) =>
+          val segs = ops.UnigramTokenizer.viterbi(w, cost)
+          assert(segs.mkString == w, s"'$w': segments must concatenate back")
+          val got = segs.map(cost).sum
+          assert(got == c, s"'$w': viterbi $got != brute-force optimum $c")
+        case None =>
+          intercept[IllegalArgumentException](ops.UnigramTokenizer.viterbi(w, cost))
+      }
+    }
+  }
+
   test("t39 fertility report totals equal the sums of t31 and t37's " +
     "own per-doc outputs, and every fertility ratio is >= 1") {
     val rep = SparkEntry.queries("t39_tokenizer_fertility")(spark, sf0001).collect()
