@@ -2627,7 +2627,144 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** SimHash hamming-threshold operating curve — the tuning artifact
+    * that completes the curve family (d27 = MinHash τ curve, d36 = LSH
+    * banding curve): for every hamming cutoff h ∈ {0..4, 6, 8}, the
+    * precision and recall of "hamming ≤ h" as a near-dup gate, judged
+    * against EXACT 3-gram Jaccard ≥ 0.5 (the d15 truth standard). The
+    * candidate pool is the 4×16 band-collision set scored ONCE for both
+    * hamming and Jaccard; thresholds then fan over the scored table
+    * (score-once-fan-thresholds — the d27 discipline), so the curve
+    * costs one verification pass regardless of how many operating
+    * points it reports. Recall is RELATIVE to the colliding pool (the
+    * banding pigeonhole only guarantees hamming ≤ 3 collides — the same
+    * honesty note as d11); precision is absolute.
+    *
+    * Scale shape: d11's banding + packed-XOR hamming (4 bit_count ops
+    * per pair), d15's candidate-restricted overlap engine — nothing new
+    * shuffles; the curve aggregation runs on |thresholds| × |candidate
+    * pairs| rows of ids and small ints. */
+  private val d43 = Q(
+    "d43_simhash_curve",
+    """WITH hashed AS (
+         SELECT doc_id, list_transform(string_split(text, ' '), t -> md5(t)) AS md5s
+         FROM documents),
+       s AS (
+         SELECT doc_id,
+                array_to_string(list_transform(generate_series(1, 64), i ->
+                  CASE WHEN list_sum(list_transform(md5s, h ->
+                    CASE WHEN i <= 32
+                         THEN CASE WHEN substring(h, i, 1) IN ('8','9','a','b','c','d','e','f')
+                              THEN 1 ELSE -1 END
+                         ELSE CASE WHEN substring(h, i - 32, 1) IN ('1','3','5','7','9','b','d','f')
+                              THEN 1 ELSE -1 END
+                    END)) > 0 THEN '1' ELSE '0' END), '') AS sig
+         FROM hashed),
+       bands AS (
+         SELECT doc_id, b, substring(sig, b*16 + 1, 16) AS bits
+         FROM s, (SELECT unnest(generate_series(0, 3)) AS b) bs),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.b = b.b AND a.bits = b.bits AND a.doc_id < b.doc_id),
+       hp AS (
+         SELECT id_a, id_b,
+                CAST(list_sum(list_transform(generate_series(1, 64), i ->
+                  CASE WHEN substring(sa.sig, i, 1) = substring(sb.sig, i, 1)
+                       THEN 0 ELSE 1 END)) AS BIGINT) AS hamming
+         FROM cand JOIN s sa ON sa.doc_id = id_a JOIN s sb ON sb.doc_id = id_b
+         WHERE CAST(list_sum(list_transform(generate_series(1, 64), i ->
+                  CASE WHEN substring(sa.sig, i, 1) = substring(sb.sig, i, 1)
+                       THEN 0 ELSE 1 END)) AS BIGINT) <= 8),
+       docs2 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       sh3 AS (
+         SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+         FROM (SELECT doc_id, ws,
+                      unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+               FROM docs2)),
+       shd AS (
+         SELECT DISTINCT doc_id,
+                ('0x' || substring(md5(sh), 1, 8))::BIGINT * 134217728
+                + ('0x' || substring(md5(sh), 9, 8))::BIGINT % 134217728 AS h
+         FROM sh3),
+       sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+       inter AS (
+         SELECT p.id_a, p.id_b, count(*) AS ni
+         FROM hp p
+           JOIN shd a ON a.doc_id = p.id_a
+           JOIN shd b ON b.doc_id = p.id_b AND b.h = a.h
+         GROUP BY p.id_a, p.id_b),
+       scored AS (
+         SELECT hp.id_a, hp.id_b, hp.hamming,
+                coalesce(i.ni, 0) * 1.0
+                  / (sa.n + sb.n - coalesce(i.ni, 0)) AS jacc
+         FROM hp
+           LEFT JOIN inter i ON i.id_a = hp.id_a AND i.id_b = hp.id_b
+           JOIN sz sa ON sa.doc_id = hp.id_a
+           JOIN sz sb ON sb.doc_id = hp.id_b),
+       ts AS (SELECT unnest([0, 1, 2, 3, 4, 6, 8]) AS threshold),
+       tot AS (SELECT count(*) AS all_true FROM scored WHERE jacc >= 0.5),
+       curve AS (
+         SELECT ts.threshold,
+                count(scored.id_a) AS n_pairs,
+                CAST(coalesce(sum(CASE WHEN jacc >= 0.5 THEN 1 END), 0) AS BIGINT) AS n_true
+         FROM ts LEFT JOIN scored ON scored.hamming <= ts.threshold
+         GROUP BY ts.threshold)
+       SELECT CAST(threshold AS BIGINT) AS threshold,
+              CAST(n_pairs AS BIGINT) AS n_pairs, n_true,
+              round(CASE WHEN n_pairs = 0 THEN 0
+                    ELSE n_true * 1.0 / n_pairs END, 4) AS precision_,
+              round(CASE WHEN tot.all_true = 0 THEN 0
+                    ELSE n_true * 1.0 / tot.all_true END, 4) AS recall_
+       FROM curve CROSS JOIN tot ORDER BY threshold""") { (s, d) =>
+    graft.functions.SimHash64.register(s)
+    val docs = spreadToCores(Tables.documents(s, d))
+    val sigs = reuse(
+      docs.withColumn("md5s", expr("transform(split(text, ' '), t -> md5(t))"))
+        .select(col("doc_id"), graft.functions.SimHash64.simhash64(col("md5s")).as("sig"))
+        .withColumn("si", expr(
+          "transform(sequence(0, 3), b -> cast(conv(substring(sig, b*16 + 1, 16), 2, 10) as bigint))")))
+    val bands0 = sigs.select(col("doc_id"), col("si"),
+      posexplode(array((0 until 4).map(b => substring(col("sig"), b * 16 + 1, 16)): _*))
+        .as(Seq("b", "bits")))
+    val bands = dropOversizedBuckets(bands0, Seq("b", "bits"), bucketCap(s))
+    val hp = reuse(bands.as("a")
+      .join(bands.as("b"),
+        col("a.b") === col("b.b") && col("a.bits") === col("b.bits")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        expr("aggregate(zip_with(a.si, b.si, (x, y) -> bit_count(x ^ y)), 0, (acc, c) -> acc + c)")
+          .cast(LongType).as("hamming"))
+      .filter(col("hamming") <= 8)
+      .distinct())
+    val (_, shingles) = lshBucketsAndShingles(docs, "doc_id", "text",
+      shingleWords = 3, bands = 4, rowsPerBand = 2)
+    // pairOverlapStats only emits pairs with ni >= 1; a band-colliding
+    // pair sharing NO shingle scores Jaccard 0, not null
+    val scored = reuse(pairOverlapStats(hp.select("id_a", "id_b"), shingles)
+      .join(hp, Seq("id_a", "id_b"), "right")
+      .select(col("id_a"), col("id_b"), col("hamming"),
+        when(col("na").isNull, lit(0.0))
+          .otherwise(col("ni") * lit(1.0) / (col("na") + col("nb") - col("ni")))
+          .as("jacc")))
+    val allTrue = scored.filter(col("jacc") >= 0.5).count()
+    val ts = s.createDataFrame(Seq(0, 1, 2, 3, 4, 6, 8).map(Tuple1(_)))
+      .toDF("threshold")
+    broadcast(ts).join(scored, col("hamming") <= col("threshold"), "left")
+      .groupBy("threshold")
+      .agg(count(col("hamming")).as("n_pairs_raw"),
+        coalesce(sum(when(col("jacc") >= 0.5, 1L)), lit(0L)).as("n_true"))
+      .select(col("threshold").cast(LongType).as("threshold"),
+        col("n_pairs_raw").cast(LongType).as("n_pairs"),
+        col("n_true"),
+        round(when(col("n_pairs_raw") === 0, 0.0)
+          .otherwise(col("n_true") * lit(1.0) / col("n_pairs_raw")), 4).as("precision_"),
+        round(if (allTrue == 0) lit(0.0)
+          else col("n_true") * lit(1.0) / lit(allTrue.toDouble), 4).as("recall_"))
+      .orderBy("threshold")
+  }
+
   val defs: Seq[Q] = Seq(d01, d02, d03, d04, d08, d09, d10, d11, d13, d15,
     d17, d18, d20, d21, d22, d23, d27, d28, d31, d34, d36, d37, d38, d39,
-    d41, d42)
+    d41, d42, d43)
 }

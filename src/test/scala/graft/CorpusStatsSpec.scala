@@ -197,6 +197,34 @@ class CorpusStatsSpec extends SparkTestBase {
     assert(expected.values.map(_._2).sum > 0, "fixture graph has no triangles — vacuous")
   }
 
+  test("d43 simhash curve: cumulative monotone, endpoints sane, and the " +
+    "h<=3 point equals d11's own pair census") {
+    val rows = SparkEntry.queries("d43_simhash_curve")(spark, sf001)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L, 4L, 6L, 8L))
+    val pairs = rows.map(_.getLong(1)); val trues = rows.map(_.getLong(2))
+    assert(pairs.zip(pairs.tail).forall { case (a, b) => a <= b },
+      "admitted pairs must be cumulative in the threshold")
+    assert(trues.zip(trues.tail).forall { case (a, b) => a <= b },
+      "true pairs must be cumulative in the threshold")
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1.0, s"precision: $r")
+      assert(r.getDouble(4) >= 0 && r.getDouble(4) <= 1.0, s"recall: $r")
+    }
+    assert(rows.last.getDouble(4) == 1.0,
+      "recall against the colliding pool must reach 1 at the loosest cut")
+    // cross-operator consistency: d11 reports the SAME banding's pairs
+    // at hamming <= 3, grouped by hamming
+    val d11Total = SparkEntry.queries("d11_simhash_dedup")(spark, sf001)
+      .collect().map(_.getLong(1)).sum
+    val at3 = rows.find(_.getLong(0) == 3L).get.getLong(1)
+    assert(at3 == d11Total,
+      s"curve@3 ($at3) must equal d11's own census ($d11Total)")
+    // the curve must actually discriminate on this corpus
+    assert(rows.head.getDouble(3) > rows.last.getDouble(3),
+      "tight cut should be more precise than the loosest")
+  }
+
   test("t34 phrase search: hits equal a literal driver-side substring " +
     "scan for the same phrase, and the postings are phrase-filtered " +
     "through broadcasts before the adjacency join") {
