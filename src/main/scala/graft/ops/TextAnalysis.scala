@@ -2085,7 +2085,86 @@ object TextAnalysis {
       .orderBy("risk")
   }
 
+  /** Code-switching / mixed-language detection — the per-SEGMENT
+    * refinement of t01's whole-doc language-ID: a crawled page that
+    * starts in one language and switches mid-document poisons both a
+    * monolingual corpus and a per-language perplexity model (t26), and
+    * whole-doc argmax hides it (the majority language wins). Each doc's
+    * token stream is split into two halves, each half language-ID'd
+    * with t01's exact stopword-argmax rule, and docs whose halves
+    * disagree (both non-unknown) are flagged. Two halves is the
+    * minimal segmentation that exposes a switch; the window generalizes
+    * by re-slicing the SAME token array map-side (the d38 discipline —
+    * no re-tokenization, no extra scan).
+    *
+    * Scale shape: pure map-side column math (slice + filtered count)
+    * over one corpus scan, then one 2-row summary agg; nothing but the
+    * per-doc verdicts ever shuffles. */
+  private val t42 = Q(
+    "t42_code_switching",
+    s"""WITH halves AS (
+         SELECT doc_id, lang,
+                list_slice(string_split(text, ' '), 1,
+                           len(string_split(text, ' ')) // 2) AS h1,
+                list_slice(string_split(text, ' '),
+                           len(string_split(text, ' ')) // 2 + 1,
+                           len(string_split(text, ' '))) AS h2
+         FROM documents),
+       sc AS (
+         SELECT doc_id, lang,
+                len(list_filter(h1, t -> t IN ('the','a','of'))) AS e1,
+                len(list_filter(h1, t -> t IN ('el','la','de'))) AS s1,
+                len(list_filter(h1, t -> t IN ('der','und','das'))) AS d1,
+                len(list_filter(h1, t -> t IN ('le','et','les'))) AS f1,
+                len(list_filter(h2, t -> t IN ('the','a','of'))) AS e2,
+                len(list_filter(h2, t -> t IN ('el','la','de'))) AS s2,
+                len(list_filter(h2, t -> t IN ('der','und','das'))) AS d2,
+                len(list_filter(h2, t -> t IN ('le','et','les'))) AS f2
+         FROM halves),
+       verdicts AS (
+         SELECT doc_id, lang,
+                CASE WHEN e1 >= greatest(s1, d1, f1) AND e1 > 0 THEN 'en'
+                     WHEN s1 >= greatest(d1, f1) AND s1 > 0 THEN 'es'
+                     WHEN d1 >= f1 AND d1 > 0 THEN 'de'
+                     WHEN f1 > 0 THEN 'fr' ELSE 'unknown' END AS lang_h1,
+                CASE WHEN e2 >= greatest(s2, d2, f2) AND e2 > 0 THEN 'en'
+                     WHEN s2 >= greatest(d2, f2) AND s2 > 0 THEN 'es'
+                     WHEN d2 >= f2 AND d2 > 0 THEN 'de'
+                     WHEN f2 > 0 THEN 'fr' ELSE 'unknown' END AS lang_h2
+         FROM sc)
+       SELECT doc_id, lang AS declared, lang_h1, lang_h2,
+              (lang_h1 <> lang_h2 AND lang_h1 <> 'unknown'
+               AND lang_h2 <> 'unknown') AS mixed
+       FROM verdicts ORDER BY doc_id""") { (s, d) =>
+    def setCount(arr: Column, words: Seq[String]): Column =
+      size(filter(arr, t => t.isin(words.map(lit(_)): _*))).cast(LongType)
+    def argmax(e: Column, sp: Column, de: Column, fr: Column): Column =
+      when(e >= greatest(sp, de, fr) && e > 0, "en")
+        .when(sp >= greatest(de, fr) && sp > 0, "es")
+        .when(de >= fr && de > 0, "de")
+        .when(fr > 0, "fr")
+        .otherwise("unknown")
+    val halves = Tables.documents(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("h1", slice(col("ws"), lit(1), (size(col("ws")) / 2).cast("int")))
+      .withColumn("h2", slice(col("ws"), (size(col("ws")) / 2 + 1).cast("int"),
+        size(col("ws"))))
+    val verdicts = halves.select(col("doc_id"), col("lang").as("declared"),
+      argmax(setCount(col("h1"), langStopwords("en")),
+        setCount(col("h1"), langStopwords("es")),
+        setCount(col("h1"), langStopwords("de")),
+        setCount(col("h1"), langStopwords("fr"))).as("lang_h1"),
+      argmax(setCount(col("h2"), langStopwords("en")),
+        setCount(col("h2"), langStopwords("es")),
+        setCount(col("h2"), langStopwords("de")),
+        setCount(col("h2"), langStopwords("fr"))).as("lang_h2"))
+    verdicts.select(col("doc_id"), col("declared"), col("lang_h1"), col("lang_h2"),
+        (col("lang_h1") =!= col("lang_h2") && col("lang_h1") =!= "unknown"
+          && col("lang_h2") =!= "unknown").as("mixed"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
     t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
-    t25, t26, t27, t28, t29, t32, t33, t34, t35, t38, t41)
+    t25, t26, t27, t28, t29, t32, t33, t34, t35, t38, t41, t42)
 }

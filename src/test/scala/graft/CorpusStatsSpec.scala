@@ -225,6 +225,54 @@ class CorpusStatsSpec extends SparkTestBase {
       "tight cut should be more precise than the loosest")
   }
 
+  test("session-4 census ops are partition-count invariant: identical " +
+    "output rows under different shuffle-partition counts") {
+    // t35 (gram windows), t38 (vocab grid joins), d41 (degree
+    // orientation), d43 (curve aggregation): the shapes where a hidden
+    // order-dependence would corrupt results only at fleet partitioning
+    for (nm <- Seq("t35_gopher_repetition", "t38_source_divergence",
+        "d41_dup_graph_triangles", "d43_simhash_curve")) {
+      val runs = Seq("4", "7").map { parts =>
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        try SparkEntry.queries(nm)(spark, sf0001).collect().toSeq
+        finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+      }
+      assert(runs(0) == runs(1), s"$nm depends on the partition count")
+      assert(runs(0).nonEmpty, s"$nm trivially empty at sf0.001")
+    }
+  }
+
+  test("t42 code-switching: a planted en->es doc is flagged, homogeneous " +
+    "and half-empty docs are not, and the halves rule matches t01 on " +
+    "whole docs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("t42fix").toString
+    val switched = "the cat a dog of mice " + "el gato la casa de perros"
+    val english = "the a of the a of the a of"
+    val oneWord = "hola"
+    Seq((1L, switched, "en", "s", switched.length.toLong),
+        (2L, english, "en", "s", english.length.toLong),
+        (3L, oneWord, "es", "s", oneWord.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("t42_code_switching")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = rows(1L)
+    assert(r1.getString(2) == "en" && r1.getString(3) == "es" && r1.getBoolean(4),
+      s"planted switch must be flagged: $r1")
+    val r2 = rows(2L)
+    assert(r2.getString(2) == "en" && r2.getString(3) == "en" && !r2.getBoolean(4),
+      s"homogeneous doc must not be flagged: $r2")
+    val r3 = rows(3L)
+    assert(!r3.getBoolean(4) && r3.getString(2) == "unknown",
+      s"a one-word doc has an empty first half -> unknown, never mixed: $r3")
+    // the fixture corpus is language-homogeneous by construction: the
+    // detector must stay silent on it (false-positive honesty)
+    val real = SparkEntry.queries("t42_code_switching")(spark, sf0001).collect()
+    assert(!real.exists(_.getBoolean(4)),
+      "no fixture doc should read as code-switched")
+  }
+
   test("t34 phrase search: hits equal a literal driver-side substring " +
     "scan for the same phrase, and the postings are phrase-filtered " +
     "through broadcasts before the adjacency join") {
