@@ -2764,7 +2764,106 @@ object Dedup {
       .orderBy("threshold")
   }
 
+  /** Effective dataset size — THE headline number of every dataset
+    * paper ("X raw → Y after dedup"): raw vs dedup-weighted doc AND
+    * token counts, where each verified near-dup cluster (d15's
+    * components) keeps only its canonical member (min doc_id — the d28
+    * rule's deterministic base case) and every singleton survives.
+    * d09/d28/d37 census the CLUSTERS; this reports what dedup buys in
+    * the unit a training budget is priced in — tokens. Token reduction
+    * exceeding doc reduction here means the fixture's duplicates skew
+    * long (itself a curation fact).
+    *
+    * Scale shape: d15's pipeline (the expensive part, already priced)
+    * + one map-side token count + a components LEFT JOIN keyed on
+    * doc_id + a single-row rollup. Nothing new shuffles wider than
+    * (id, component). */
+  private val d44 = Q(
+    "d44_effective_size",
+    """WITH RECURSIVE docs AS (
+         SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       sh AS (
+         SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+         FROM (SELECT doc_id, ws,
+                      unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+               FROM docs)),
+       hs AS (
+         SELECT doc_id, ('0x' || substring(md5(sh), 1, 8))::BIGINT AS h1,
+                ('0x' || substring(md5(sh), 9, 8))::BIGINT AS h2
+         FROM sh),
+       sig AS (
+         SELECT doc_id, seed, min(h1 + seed * h2) AS mh
+         FROM hs, (SELECT unnest(generate_series(0, 7)) AS seed) seeds
+         GROUP BY doc_id, seed),
+       bands AS (
+         SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+                md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS band_key
+         FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)),
+       pairs AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       shd AS (SELECT DISTINCT doc_id, h1 * 134217728 + h2 % 134217728 AS h
+               FROM hs),
+       sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+       inter AS (
+         SELECT p.id_a, p.id_b, count(*) AS ni
+         FROM pairs p
+           JOIN shd a ON a.doc_id = p.id_a
+           JOIN shd b ON b.doc_id = p.id_b AND b.h = a.h
+         GROUP BY p.id_a, p.id_b),
+       vpairs AS (
+         SELECT i.id_a, i.id_b FROM inter i
+           JOIN sz sa ON sa.doc_id = i.id_a
+           JOIN sz sb ON sb.doc_id = i.id_b
+         WHERE i.ni * 1.0 / (sa.n + sb.n - i.ni) >= 0.5),
+       nodes AS (
+         SELECT DISTINCT id FROM (
+           SELECT id_a AS id FROM vpairs UNION ALL SELECT id_b AS id FROM vpairs)),
+       edges AS (
+         SELECT id_a AS src, id_b AS dst FROM vpairs
+         UNION ALL SELECT id_b AS src, id_a AS dst FROM vpairs),
+       reach(a, b) AS (
+         SELECT id, id FROM nodes
+         UNION
+         SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+       , comp AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a),
+       census AS (
+         SELECT d.doc_id, len(d.ws) AS n_tok,
+                (c.doc_id IS NULL OR c.component = d.doc_id) AS kept
+         FROM docs d LEFT JOIN comp c ON c.doc_id = d.doc_id)
+       SELECT count(*) AS n_docs,
+              CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+              CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+              CAST(sum(CASE WHEN kept THEN n_tok ELSE 0 END) AS BIGINT) AS n_tokens_kept,
+              round(1.0 - sum(CASE WHEN kept THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+                AS doc_reduction,
+              round(1.0 - sum(CASE WHEN kept THEN n_tok ELSE 0 END) * 1.0 / sum(n_tok), 4)
+                AS token_reduction
+       FROM census""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val (buckets, shingles) = lshBucketsAndShingles(docs, "doc_id", "text",
+      shingleWords = 3, bands = 4, rowsPerBand = 2)
+    val verified = jaccardVerifiedPairs(
+      candidatePairs(buckets, materialize = false), shingles, tau = 0.5)
+    val comp = connectedComponents(verified)
+      .select(col("id").as("doc_id"), col("component"))
+    docs.select(col("doc_id"), size(split(col("text"), " ")).cast(LongType).as("n_tok"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("n_tok"),
+        (col("component").isNull || col("component") === col("doc_id")).as("kept"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_docs_kept"),
+        sum(when(col("kept"), col("n_tok")).otherwise(0L)).as("n_tokens_kept"))
+      .select(col("n_docs"), col("n_tokens"), col("n_docs_kept"), col("n_tokens_kept"),
+        round(lit(1.0) - col("n_docs_kept") * lit(1.0) / col("n_docs"), 4)
+          .as("doc_reduction"),
+        round(lit(1.0) - col("n_tokens_kept") * lit(1.0) / col("n_tokens"), 4)
+          .as("token_reduction"))
+  }
+
   val defs: Seq[Q] = Seq(d01, d02, d03, d04, d08, d09, d10, d11, d13, d15,
     d17, d18, d20, d21, d22, d23, d27, d28, d31, d34, d36, d37, d38, d39,
-    d41, d42, d43)
+    d41, d42, d43, d44)
 }

@@ -273,6 +273,26 @@ class CorpusStatsSpec extends SparkTestBase {
       "no fixture doc should read as code-switched")
   }
 
+  test("d44 effective size is consistent with d15's own components and " +
+    "a driver token recount") {
+    val r = SparkEntry.queries("d44_effective_size")(spark, sf001).head()
+    val comp = SparkEntry.queries("d15_verified_dedup_groups")(spark, sf001)
+      .collect().map(x => x.getLong(0) -> x.getLong(1))
+    val removed = comp.length - comp.map(_._2).distinct.length
+    val docs = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r.getLong(0) == docs.size.toLong, "raw doc count")
+    assert(r.getLong(2) == docs.size - removed,
+      s"kept docs must equal corpus minus (nodes - clusters): $r, removed=$removed")
+    val dropped = comp.filter { case (id, c) => c != id }.map(_._1).toSet
+    val keptTok = docs.collect {
+      case (id, text) if !dropped.contains(id) => text.split(" ").length.toLong
+    }.sum
+    assert(r.getLong(3) == keptTok, s"kept tokens diverge from recount: $r vs $keptTok")
+    assert(r.getDouble(5) > 0, "fixture has duplicates; reduction must be positive")
+  }
+
   test("t34 phrase search: hits equal a literal driver-side substring " +
     "scan for the same phrase, and the postings are phrase-filtered " +
     "through broadcasts before the adjacency join") {
