@@ -1,5 +1,9 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
+// Sources carry UTF-8 literals (mojibake markers in t40); pin the
+// encoding so compilation is locale-independent.
+ThisBuild / scalacOptions += "-encoding"
+ThisBuild / scalacOptions += "UTF-8"
 name := "apachehadoopframeworkforpeptideidentificationspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")

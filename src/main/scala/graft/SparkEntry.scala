@@ -22,6 +22,7 @@ object SparkEntry {
       functions.GeneratorsDates.defs ++
       ops.Dedup.defs ++
       ops.Similarity.defs ++
+      ops.CurationExtra.defs ++
       ops.TextAnalysis.defs ++
       ops.BpeTokenizer.defs ++
       ops.UnigramTokenizer.defs ++

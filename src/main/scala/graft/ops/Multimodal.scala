@@ -414,5 +414,65 @@ object Multimodal {
       .orderBy("media_a", "media_b")
   }
 
-  val defs: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07)
+  /** Metadata-gated media quality census (the DataComp-style pre-decode
+    * filter): width/height/duration live in the media TABLE's metadata —
+    * no payload is ever touched, which is the entire point at 100 TB
+    * (the reject decision must not cost a decode). The fixture carries
+    * no real media, so the metadata is synthesized DETERMINISTICALLY
+    * from doc_id hashes (oracle replays it); the gates are the usual
+    * ones — min short-side 240 px, aspect ≤ 3:1, duration ≤ 600 s —
+    * applied in a fixed priority so each record gets ONE verdict. Pure
+    * map-side column math + one hash agg over (source, verdict): the
+    * only shuffle carries 4-field census rows. */
+  private val m08 = Q(
+    "m08_media_quality_census",
+    """WITH nib AS (
+         SELECT doc_id, source,
+                md5(CAST(doc_id AS VARCHAR) || ':w') AS hw,
+                md5(CAST(doc_id AS VARCHAR) || ':h') AS hh,
+                md5(CAST(doc_id AS VARCHAR) || ':d') AS hd
+         FROM documents),
+       v AS (
+         SELECT doc_id, source,
+                120 + (((strpos('0123456789abcdef', substring(hw, 1, 1)) - 1) * 4096 +
+                        (strpos('0123456789abcdef', substring(hw, 2, 1)) - 1) * 256 +
+                        (strpos('0123456789abcdef', substring(hw, 3, 1)) - 1) * 16 +
+                        (strpos('0123456789abcdef', substring(hw, 4, 1)) - 1)) % 32) * 60 AS w,
+                120 + (((strpos('0123456789abcdef', substring(hh, 1, 1)) - 1) * 4096 +
+                        (strpos('0123456789abcdef', substring(hh, 2, 1)) - 1) * 256 +
+                        (strpos('0123456789abcdef', substring(hh, 3, 1)) - 1) * 16 +
+                        (strpos('0123456789abcdef', substring(hh, 4, 1)) - 1)) % 32) * 60 AS h,
+                1 + ((strpos('0123456789abcdef', substring(hd, 1, 1)) - 1) * 4096 +
+                     (strpos('0123456789abcdef', substring(hd, 2, 1)) - 1) * 256 +
+                     (strpos('0123456789abcdef', substring(hd, 3, 1)) - 1) * 16 +
+                     (strpos('0123456789abcdef', substring(hd, 4, 1)) - 1)) % 900 AS dur
+         FROM nib),
+       cl AS (
+         SELECT source,
+                CASE WHEN least(w, h) < 240 THEN 'too_small'
+                     WHEN greatest(w, h) > 3 * least(w, h) THEN 'bad_aspect'
+                     WHEN dur > 600 THEN 'too_long' ELSE 'kept' END AS verdict,
+                dur
+         FROM v)
+       SELECT source, verdict, CAST(count(*) AS BIGINT) AS n_media,
+              CAST(sum(dur) AS BIGINT) AS total_seconds
+       FROM cl GROUP BY source, verdict ORDER BY source, verdict""") { (s, d) =>
+    def nib(salt: String): org.apache.spark.sql.Column =
+      conv(substring(md5(concat(col("doc_id").cast("string"), lit(salt))), 1, 4), 16, 10)
+        .cast(LongType)
+    val v = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      (lit(120L) + (nib(":w") % 32) * 60).as("w"),
+      (lit(120L) + (nib(":h") % 32) * 60).as("h"),
+      (lit(1L) + nib(":d") % 900).as("dur"))
+    v.withColumn("verdict",
+        when(least(col("w"), col("h")) < 240, "too_small")
+          .when(greatest(col("w"), col("h")) > least(col("w"), col("h")) * 3, "bad_aspect")
+          .when(col("dur") > 600, "too_long")
+          .otherwise("kept"))
+      .groupBy("source", "verdict")
+      .agg(count(lit(1)).as("n_media"), sum(col("dur")).as("total_seconds"))
+      .orderBy("source", "verdict")
+  }
+
+  val defs: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08)
 }

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Invariant specs for the round-7 session-5 curation batch:
+  * d45 semantic decontamination, d46 URL dedup, t40 mojibake repair,
+  * t43 deterministic train order, m08 media metadata census. The oracle
+  * compare (tools/check.py / the driver) pins exact values; these specs
+  * pin the claims the oracle can't see — plan shape, determinism,
+  * construction-level invariants. */
+class CurationExtraSpec extends SparkTestBase {
+
+  private def collectShuffles(plan: SparkPlan): Seq[ShuffleExchangeExec] =
+    plan.collect {
+      case s: ShuffleExchangeExec => Seq(s)
+      case a: AdaptiveSparkPlanExec => collectShuffles(a.executedPlan)
+    }.flatten
+
+  test("d45: every benchmark member is flagged as its own leak (cos ~ 1, " +
+    "bench_id = itself) and clean corpus vectors stay below tau with a " +
+    "genuinely different nearest benchmark") {
+    val rows = SparkEntry.queries("d45_semantic_decontaminate")(spark, sf0001).collect()
+    val (bench, rest) = rows.partition(r => r.getLong(0) % 37 == 0)
+    assert(bench.nonEmpty && rest.nonEmpty)
+    bench.foreach { r =>
+      assert(r.getBoolean(3), s"benchmark member ${r.getLong(0)} not flagged")
+      assert(r.getLong(1) == r.getLong(0), "self must be the argmax benchmark")
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-6)
+    }
+    rest.foreach { r =>
+      assert(!r.getBoolean(3), s"clean vector ${r.getLong(0)} falsely flagged")
+      assert(r.getLong(1) != r.getLong(0))
+      assert(r.getDouble(2) < 0.95)
+    }
+  }
+
+  test("d45: the corpus-side plan never shuffles the 64-wide vectors — the " +
+    "benchmark side broadcasts and only id/cos rows reach an exchange") {
+    val df = SparkEntry.queries("d45_semantic_decontaminate")(spark, sf0001)
+    df.collect() // materialize so AQE finalizes the executed plan
+    val ex = collectShuffles(df.queryExecution.executedPlan)
+    ex.foreach { e =>
+      val fields = e.child.schema.fieldNames.toSet
+      assert(!fields.contains("v") && !fields.contains("bv"),
+        s"vector column crossed a shuffle: ${fields.mkString(",")}")
+    }
+  }
+
+  test("d46: canonicalization collapses all four planted variant kinds — " +
+    "each dup group's members differ only in case/slash/tracking/fragment, " +
+    "and the keeper is the minimum doc_id of its group") {
+    val groups = SparkEntry.queries("d46_url_dedup")(spark, sf0001).collect()
+    assert(groups.exists(_.getLong(2) > 1), "fixture must produce dup groups")
+    // groups partition the corpus exactly once
+    val total = Tables.documents(spark, sf0001).count()
+    assert(groups.map(_.getLong(2)).sum == total)
+    // canonical urls carry none of the stripped artifacts
+    groups.foreach { g =>
+      val cu = g.getString(0)
+      assert(!cu.contains("#") && !cu.contains("utm_") && !cu.endsWith("/"),
+        s"uncanonical survivor: $cu")
+      assert(cu == cu.toLowerCase)
+    }
+    // meaningful query strings survive as their own canonicals
+    assert(groups.exists(_.getString(0).contains("?ref=home")),
+      "non-tracking params must NOT be stripped")
+  }
+
+  test("t40: planted corruption classes are detected, clean docs are not, " +
+    "and repair removes every marker") {
+    val rows = SparkEntry.queries("t40_mojibake_repair")(spark, sf0001).collect()
+    rows.foreach { r =>
+      val id = r.getLong(0); val marks = r.getLong(1)
+      val flagged = r.getBoolean(2); val gone = r.getBoolean(4)
+      assert(gone, s"doc $id still carries mojibake after repair")
+      if (id % 5 >= 2) assert(!flagged && marks == 0, s"clean doc $id flagged")
+      if (id % 5 == 1) assert(flagged && marks == 1, s"suffix class doc $id: $marks marks")
+    }
+    // class A (every 'a' double-encoded) should usually dominate class B
+    val aMarks = rows.filter(_.getLong(0) % 5 == 0).map(_.getLong(1))
+    assert(aMarks.exists(_ > 1), "class-A corruption should plant many markers")
+  }
+
+  test("t43: the order is a permutation per epoch, reproducible across " +
+    "runs, different across epochs, and positions are dense per shard") {
+    val a = SparkEntry.queries("t43_train_order")(spark, sf0001).collect()
+    val b = SparkEntry.queries("t43_train_order")(spark, sf0001).collect()
+    assert(a.toSeq == b.toSeq, "train order must be bit-reproducible")
+    val total = Tables.documents(spark, sf0001).count()
+    val byEpoch = a.groupBy(_.getLong(0))
+    assert(byEpoch.keySet == Set(0L, 1L))
+    byEpoch.values.foreach { rows =>
+      assert(rows.map(_.getLong(3)).distinct.length == total.toInt,
+        "each epoch must emit every doc exactly once")
+      rows.groupBy(_.getLong(1)).values.foreach { shardRows =>
+        val pos = shardRows.map(_.getLong(2)).sorted
+        assert(pos.head == 1L && pos.last == pos.length.toLong,
+          "positions must be dense 1..n within a shard")
+      }
+    }
+    val order0 = byEpoch(0L).sortBy(r => (r.getLong(1), r.getLong(2))).map(_.getLong(3)).toSeq
+    val order1 = byEpoch(1L).sortBy(r => (r.getLong(1), r.getLong(2))).map(_.getLong(3)).toSeq
+    assert(order0 != order1, "epochs must reshuffle")
+  }
+
+  test("m08: verdicts partition the corpus, every verdict kind occurs, and " +
+    "each census row's verdict is consistent with its own reconstruction") {
+    val rows = SparkEntry.queries("m08_media_quality_census")(spark, sf0001).collect()
+    val total = Tables.documents(spark, sf0001).count()
+    assert(rows.map(_.getLong(2)).sum == total)
+    val kinds = rows.map(_.getString(1)).toSet
+    assert(kinds == Set("kept", "too_small", "bad_aspect", "too_long"),
+      s"fixture must exercise all gates, got $kinds")
+    // the decision must be payload-free: census cost is independent of text
+    // size, so the plan reads only (doc_id, source) from the scan
+    val df = SparkEntry.queries("m08_media_quality_census")(spark, sf0001)
+    df.collect()
+    def allNodes(p: SparkPlan): Seq[SparkPlan] =
+      p +: (p.children ++ (p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case _ => Nil
+      })).flatMap(allNodes)
+    val scans = allNodes(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty && scans.forall(!_.schema.fieldNames.contains("text")),
+      "m08 must never read the payload/text column")
+  }
+}
