@@ -221,5 +221,110 @@ object CurationExtra {
       .orderBy("epoch", "shard", "pos")
   }
 
-  val defs: Seq[Q] = Seq(d45, d46, t40, t43)
+  // ------------------------------------------------------------ t44
+
+  /** Token-weighted priority sample (Duffield, Lund & Thorup 2007,
+    * "Priority sampling"): each doc gets priority w/u with u a
+    * deterministic uniform from its id hash; the global top-k is a
+    * weight-biased sample supporting UNBIASED subset-sum estimation via
+    * the (k+1)-th priority τ: est_weight = max(w, τ) for sampled items,
+    * Σ est ≈ Σ w. This is how a mixture/QA job reads a representative
+    * token-weighted slice of a 100 TB corpus without a full pass of
+    * anything but the (id, weight) projection.
+    *
+    * Numeric determinism: u = (h+1)/2^48 where h is a 48-bit md5 prefix
+    * — the divisor is a power of two, so u is EXACT; priority is then
+    * one correctly-rounded IEEE divide of identical operands on both
+    * engines. Global top-(k+1) is TakeOrdered (limit-after-sort — no
+    * single-task window); the rank/τ attach runs on k+1 rows. */
+  private val t44 = Q(
+    "t44_priority_sample",
+    """WITH w AS (
+         SELECT doc_id, n_chars AS wgt,
+                ('0x' || substring(md5('ps:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS h
+         FROM documents),
+       p AS (
+         SELECT doc_id, wgt,
+                CAST(wgt AS DOUBLE) / (CAST(h + 1 AS DOUBLE) / 281474976710656) AS prio
+         FROM w),
+       top AS (
+         SELECT doc_id, wgt, prio, row_number() OVER (ORDER BY prio DESC, doc_id) AS rk
+         FROM p ORDER BY prio DESC, doc_id LIMIT 51),
+       tau AS (SELECT prio AS t FROM top WHERE rk = 51)
+       SELECT CAST(rk AS BIGINT) AS rank, doc_id, wgt AS weight,
+              round(prio, 4) AS priority,
+              round(greatest(CAST(wgt AS DOUBLE), (SELECT t FROM tau)), 4) AS est_weight
+       FROM top WHERE rk <= 50 ORDER BY rank""") { (s, d) =>
+    val k = 50
+    val prio = Tables.documents(s, d).select(
+      col("doc_id"), col("n_chars").as("wgt"),
+      conv(substring(md5(concat(lit("ps:"), col("doc_id").cast("string"))), 1, 12), 16, 10)
+        .cast(LongType).as("h"))
+      .withColumn("prio",
+        col("wgt").cast("double") / ((col("h") + 1).cast("double") / 281474976710656.0))
+    // TakeOrdered keeps k+1 rows total; the window below ranks only those
+    val top = prio.orderBy(col("prio").desc, col("doc_id")).limit(k + 1)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("prio").desc, col("doc_id"))).cast(LongType))
+    val tau = top.filter(col("rk") === k + 1).select(col("prio").as("t"))
+    top.filter(col("rk") <= k)
+      .crossJoin(broadcast(tau))
+      .select(col("rk").as("rank"), col("doc_id"), col("wgt").as("weight"),
+        round(col("prio"), 4).as("priority"),
+        round(greatest(col("wgt").cast("double"), col("t")), 4).as("est_weight"))
+      .orderBy("rank")
+  }
+
+  // ------------------------------------------------------------ t45
+
+  /** Domain-level quality gate (the RefinedWeb/C4 "drop bad sources
+    * wholesale" decision): per source, the keep-rate of t02's doc-level
+    * quality rule plus its Wilson 95% LOWER confidence bound — the gate
+    * keys on the bound, not the point estimate, so a source is dropped
+    * only when the evidence supports it (a 3-doc source with one bad doc
+    * survives; a 10k-doc source at the same rate doesn't). One hash agg
+    * to (source, n, kept) — sources number thousands at 100 TB, the
+    * census is map-side-combined and tiny; the Wilson algebra runs on
+    * the census rows. z = 1.96 constants are pre-squared (1.9208 =
+    * z²/2, 0.9604 = z²/4, 3.8416 = z²) so both engines evaluate the
+    * IDENTICAL expression tree of exact integer-derived doubles. */
+  private val t45 = Q(
+    "t45_source_quality_gate",
+    """WITH k AS (
+         SELECT source,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(CASE WHEN len(string_split(text, ' ')) >= 20
+                               AND len(list_distinct(string_split(text, ' '))) >= 10
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         FROM documents GROUP BY source),
+       wl AS (
+         SELECT source, n_docs, n_kept,
+                CAST(n_kept AS DOUBLE) / n_docs AS p,
+                CAST(n_docs AS DOUBLE) AS n
+         FROM k)
+       SELECT source, n_docs, n_kept, round(p, 4) AS keep_rate,
+              round((p + 1.9208 / n - 1.96 * sqrt((p * (1 - p) + 0.9604 / n) / n))
+                    / (1 + 3.8416 / n), 4) AS wilson_lower,
+              ((p + 1.9208 / n - 1.96 * sqrt((p * (1 - p) + 0.9604 / n) / n))
+               / (1 + 3.8416 / n)) >= 0.72 AS keep_source
+       FROM wl ORDER BY source""") { (s, d) =>
+    val ts = split(col("text"), " ")
+    val ok = (size(ts) >= 20) && (size(array_distinct(ts)) >= 10)
+    val census = Tables.documents(s, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(ok, 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("p", col("n_kept").cast("double") / col("n_docs"))
+      .withColumn("n", col("n_docs").cast("double"))
+    val wilson = (col("p") + lit(1.9208) / col("n") -
+      lit(1.96) * sqrt((col("p") * (lit(1) - col("p")) + lit(0.9604) / col("n")) / col("n"))) /
+      (lit(1) + lit(3.8416) / col("n"))
+    census.select(col("source"), col("n_docs"), col("n_kept"),
+      round(col("p"), 4).as("keep_rate"),
+      round(wilson, 4).as("wilson_lower"),
+      (wilson >= 0.72).as("keep_source"))
+      .orderBy("source")
+  }
+
+  val defs: Seq[Q] = Seq(d45, d46, t40, t43, t44, t45)
 }

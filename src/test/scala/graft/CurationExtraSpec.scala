@@ -105,6 +105,41 @@ class CurationExtraSpec extends SparkTestBase {
     assert(order0 != order1, "epochs must reshuffle")
   }
 
+  test("t44: the priority sample is weight-biased, reproducible, and its " +
+    "tau-estimator reconstructs the corpus total weight to within 2x") {
+    val a = SparkEntry.queries("t44_priority_sample")(spark, sf0001).collect()
+    val b = SparkEntry.queries("t44_priority_sample")(spark, sf0001).collect()
+    assert(a.toSeq == b.toSeq, "sample must be deterministic")
+    assert(a.length == 50)
+    a.foreach { r =>
+      assert(r.getDouble(4) >= r.getLong(2).toDouble - 1e-9,
+        "est_weight = max(w, tau) can never fall below the raw weight")
+    }
+    val docs = Tables.documents(spark, sf0001)
+    val totalW = docs.agg(org.apache.spark.sql.functions.sum("n_chars")).head().getLong(0)
+    val est = a.map(_.getDouble(4)).sum
+    assert(est > totalW * 0.5 && est < totalW * 2.0,
+      s"priority-sampling estimator off: est $est vs true $totalW")
+    // weight bias: sampled docs should be longer than average on this fixture
+    val meanAll = totalW.toDouble / docs.count()
+    val meanSample = a.map(_.getLong(2)).sum.toDouble / a.length
+    assert(meanSample > meanAll, s"sample mean $meanSample <= corpus mean $meanAll")
+  }
+
+  test("t45: the census partitions the corpus, the Wilson bound never " +
+    "exceeds the point estimate, and the gate exercises both verdicts") {
+    val rows = SparkEntry.queries("t45_source_quality_gate")(spark, sf0001).collect()
+    val total = Tables.documents(spark, sf0001).count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    rows.foreach { r =>
+      assert(r.getDouble(4) <= r.getDouble(3) + 1e-9, s"wilson above p: $r")
+      assert(r.getDouble(4) >= 0.0)
+      assert(r.getLong(2) <= r.getLong(1))
+    }
+    assert(rows.exists(_.getBoolean(5)) && rows.exists(!_.getBoolean(5)),
+      "fixture must exercise both keep and drop verdicts")
+  }
+
   test("m08: verdicts partition the corpus, every verdict kind occurs, and " +
     "each census row's verdict is consistent with its own reconstruction") {
     val rows = SparkEntry.queries("m08_media_quality_census")(spark, sf0001).collect()
