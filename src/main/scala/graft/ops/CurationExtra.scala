@@ -326,5 +326,88 @@ object CurationExtra {
       .orderBy("source")
   }
 
-  val defs: Seq[Q] = Seq(d45, d46, t40, t43, t44, t45)
+  // ------------------------------------------------------------ d47
+
+  /** Sample-based dedup-rate estimator — the pre-flight a 100 TB dedup
+    * run starts with: estimate the duplicate fraction from a 1/s slice
+    * BEFORE paying for the full corpus-wide distinct. The sample is
+    * keyed by CONTENT hash (md5(text) mod s), not doc id — identical
+    * texts share the hash, so every exact-dup cluster enters the sample
+    * atomically or not at all, which is what makes the in-sample dup
+    * fraction an estimator of the corpus one (id-keyed sampling would
+    * shatter clusters and bias the estimate toward zero). The corpus
+    * ships no exact dups, so a template flood is PLANTED
+    * deterministically (doc_id ≡ 3 mod 7 → block-keyed template text;
+    * oracle replays it) and the query reports exact vs estimated rate
+    * side by side with the realized error — the estimator's quality is
+    * a hash-verified OUTPUT, not a hope. */
+  private val d47 = Q(
+    "d47_dedup_rate_estimate",
+    """WITH c AS (
+         SELECT doc_id,
+                CASE WHEN doc_id % 7 = 3 THEN 'TPL-' || CAST(doc_id // 70 AS VARCHAR)
+                     ELSE text END AS t
+         FROM documents),
+       h AS (SELECT doc_id, md5(t) AS hx FROM c),
+       ex AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(DISTINCT hx) AS BIGINT) AS d FROM h),
+       sm AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(DISTINCT hx) AS BIGINT) AS d
+              FROM h WHERE ('0x' || substring(hx, 1, 6))::BIGINT % 4 = 0)
+       SELECT ex.n AS n_docs, sm.n AS n_sample,
+              round(1 - CAST(ex.d AS DOUBLE) / ex.n, 4) AS exact_dup_rate,
+              round(1 - CAST(sm.d AS DOUBLE) / sm.n, 4) AS est_dup_rate,
+              round(abs((1 - CAST(ex.d AS DOUBLE) / ex.n) - (1 - CAST(sm.d AS DOUBLE) / sm.n)), 4) AS abs_err
+       FROM ex, sm""") { (s, d) =>
+    val h = Tables.documents(s, d).select(
+      md5(when(col("doc_id") % 7 === 3,
+          concat(lit("TPL-"), expr("doc_id div 70").cast("string")))
+        .otherwise(col("text"))).as("hx"))
+    val ex = h.agg(count(lit(1)).as("n"), countDistinct(col("hx")).as("d"))
+    val sm = h.filter(conv(substring(col("hx"), 1, 6), 16, 10).cast(LongType) % 4 === 0)
+      .agg(count(lit(1)).as("n"), countDistinct(col("hx")).as("d"))
+      .select(col("n").as("sn"), col("d").as("sd"))
+    ex.crossJoin(sm).select(
+      col("n").as("n_docs"), col("sn").as("n_sample"),
+      round(lit(1) - col("d").cast("double") / col("n"), 4).as("exact_dup_rate"),
+      round(lit(1) - col("sd").cast("double") / col("sn"), 4).as("est_dup_rate"),
+      round(abs((lit(1) - col("d").cast("double") / col("n")) -
+        (lit(1) - col("sd").cast("double") / col("sn"))), 4).as("abs_err"))
+  }
+
+  // ------------------------------------------------------------ t46
+
+  /** Host blocklist gate (the UT1/denylist stage CCNet-style pipelines
+    * run right after URL canonicalization): a curated list of bad hosts
+    * removes whole domains before any content is processed. The
+    * blocklist is driver-known and TINY next to the corpus, so both
+    * verdict paths are broadcast joins against the per-host census —
+    * LEFT SEMI for the blocked partition, LEFT ANTI for the kept one;
+    * the corpus itself collapses to (host, n) in one map-side-combined
+    * hash agg first, so the joins touch #hosts rows, never #docs.
+    * Hosts derive from the d46 canonical form (lower(source) domain). */
+  private val t46 = Q(
+    "t46_host_blocklist",
+    """WITH census AS (
+         SELECT lower(source) || '.example.com' AS host,
+                CAST(count(*) AS BIGINT) AS n_urls
+         FROM documents GROUP BY 1),
+       bl AS (SELECT unnest(['src3.example.com', 'src7.example.com', 'src13.example.com']) AS bhost)
+       SELECT c.host, c.n_urls, (b.bhost IS NOT NULL) AS blocked
+       FROM census c LEFT JOIN bl b ON c.host = b.bhost
+       ORDER BY c.host""") { (s, d) =>
+    import s.implicits._
+    val census = Tables.documents(s, d)
+      .groupBy(concat(lower(col("source")), lit(".example.com")).as("host"))
+      .agg(count(lit(1)).as("n_urls"))
+    val bl = Seq("src3.example.com", "src7.example.com", "src13.example.com")
+      .toDF("bhost")
+    val blocked = census.join(broadcast(bl), col("host") === col("bhost"), "left_semi")
+      .withColumn("blocked", lit(true))
+    val kept = census.join(broadcast(bl), col("host") === col("bhost"), "left_anti")
+      .withColumn("blocked", lit(false))
+    blocked.unionByName(kept)
+      .select(col("host"), col("n_urls"), col("blocked"))
+      .orderBy("host")
+  }
+
+  val defs: Seq[Q] = Seq(d45, d46, t40, t43, t44, t45, d47, t46)
 }

@@ -140,6 +140,45 @@ class CurationExtraSpec extends SparkTestBase {
       "fixture must exercise both keep and drop verdicts")
   }
 
+  test("d47: content-keyed sampling keeps dup clusters atomic — the " +
+    "estimate lands near the exact rate, while an id-keyed control sample " +
+    "of the same corpus would understate it") {
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("d47_dedup_rate_estimate")(spark, sf0001).head()
+    val (exact, est, err) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(exact > 0.05, "planted template flood must create real dups")
+    assert(math.abs(math.abs(exact - est) - err) < 1e-9)
+    assert(err < 0.15, s"estimator err $err too large for a 1/4 sample")
+    // control: the same estimator with an ID-keyed sample shatters
+    // clusters and biases low — demonstrating why content keying matters
+    val h = Tables.documents(spark, sf0001).select(col("doc_id"),
+      md5(when(col("doc_id") % 7 === 3,
+          concat(lit("TPL-"), expr("doc_id div 70").cast("string")))
+        .otherwise(col("text"))).as("hx"))
+    val idSample = h.filter(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long") % 4 === 0)
+    val n = idSample.count().toDouble
+    val dct = idSample.select(countDistinct(col("hx"))).head().getLong(0).toDouble
+    val idEst = 1.0 - dct / n
+    assert(idEst < exact, s"id-keyed sample should understate: $idEst vs $exact")
+  }
+
+  test("t46: semi/anti routes partition the host census without overlap, " +
+    "the denylist hits exactly its three hosts, and both verdict joins " +
+    "broadcast the blocklist side") {
+    val df = SparkEntry.queries("t46_host_blocklist")(spark, sf0001)
+    val rows = df.collect()
+    assert(rows.length == rows.map(_.getString(0)).distinct.length, "host overlap")
+    assert(rows.count(_.getBoolean(2)) == 3)
+    assert(rows.map(_.getString(0)).toSet.contains("src3.example.com"))
+    val total = Tables.documents(spark, sf0001).count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      "blocklist joins must broadcast")
+  }
+
   test("m08: verdicts partition the corpus, every verdict kind occurs, and " +
     "each census row's verdict is consistent with its own reconstruction") {
     val rows = SparkEntry.queries("m08_media_quality_census")(spark, sf0001).collect()
