@@ -109,9 +109,24 @@ object ScaleProbe {
       // the triangle census (wedge fan-out is the quadratic hazard the
       // degree orientation bounds)
       "t35_gopher_repetition", "t33_char_entropy", "t37_unigram_segment",
-      "t38_source_divergence", "d41_dup_graph_triangles")
+      "t38_source_divergence", "d41_dup_graph_triangles",
+      // round-7 session-5: URL dedup (string-normalize + hash agg),
+      // mojibake repair (regex-scan cost), train order (shard-bounded
+      // windows over 2× corpus rows), priority sample (TakeOrdered),
+      // and the dedup-rate estimator (two distinct-aggs) — all designed
+      // linear; the probe checks none hides a super-linear stage.
+      // (d45 is EXCLUDED deliberately: its %37 benchmark rule scales the
+      // benchmark with the synthetic corpus, so a probe ratio would
+      // measure the parameterization, not the fixed-benchmark design.)
+      "d46_url_dedup", "t40_mojibake_repair", "t43_train_order",
+      "t44_priority_sample", "d47_dedup_rate_estimate")
+    // optional arg: comma-separated subset — incremental probe runs
+    // (new-session ops only) merge into the recorded JSON without
+    // re-timing the whole battery; the kNN knob section is skipped too.
+    val onlyFilter = args.headOption.map(_.split(',').toSet)
+    val selected = onlyFilter.fold(names)(f => names.filter(f))
     // JIT/codegen warm at the smallest SF (Bench methodology)
-    names.foreach(nm =>
+    selected.foreach(nm =>
       SparkEntry.queries(nm)(spark, "/root/testdata/sf0.001").count())
 
     def time(nm: String, d: String): (Double, Long) = {
@@ -123,7 +138,7 @@ object ScaleProbe {
       }
       (ts.map(_._1).min, ts.head._2)
     }
-    val entries = names.map { nm =>
+    val entries = selected.map { nm =>
       val (t5k, r5k) = time(nm, sf01)
       val (t50k, r50k) = time(nm, dir)
       val ratio = t50k / t5k
@@ -147,16 +162,18 @@ object ScaleProbe {
       }
       ts.min
     }
-    val knn2k8 = knnTime(sf01, 8)
-    val knn20k8 = knnTime(dir, 8)
-    val knn20k80 = knnTime(dir, 80)
-    val knnEntry =
-      s""""knn_cells_knob":{"sec_2k_8c":${f"$knn2k8%.2f"},""" +
+    val knnEntry = if (onlyFilter.isDefined) "" else {
+      val knn2k8 = knnTime(sf01, 8)
+      val knn20k8 = knnTime(dir, 8)
+      val knn20k80 = knnTime(dir, 80)
+      "," +
+        s""""knn_cells_knob":{"sec_2k_8c":${f"$knn2k8%.2f"},""" +
         s""""sec_20k_8c":${f"$knn20k8%.2f"},"sec_20k_80c":${f"$knn20k80%.2f"},""" +
         s""""ratio_fixed_cells":${f"${knn20k8 / knn2k8}%.2f"},""" +
         s""""ratio_scaled_cells":${f"${knn20k80 / knn2k8}%.2f"}}"""
+    }
     println(s"""{"metric":"scale_10x","docs_small":5000,"docs_large":$n,""" +
-      entries.mkString("\"queries\":{", ",", "},") + knnEntry + "}")
+      entries.mkString("\"queries\":{", ",", "}") + knnEntry + "}")
     spark.stop()
   }
 }
