@@ -179,6 +179,24 @@ class CurationExtraSpec extends SparkTestBase {
       "blocklist joins must broadcast")
   }
 
+  test("session-5 ops are partition-count invariant: identical rows under " +
+    "different shuffle partition counts (fleet retry/speculation contract)") {
+    // t43/t44 rank through windows and a global TakeOrdered — exactly
+    // where placement-dependence would bite; d45–d47/t45/t46 cover the
+    // argmax, hash-agg, and semi/anti join shapes.
+    for (nm <- Seq("d45_semantic_decontaminate", "d46_url_dedup",
+        "t43_train_order", "t44_priority_sample", "t45_source_quality_gate",
+        "d47_dedup_rate_estimate", "t46_host_blocklist")) {
+      val runs = Seq("4", "7").map { parts =>
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        try SparkEntry.queries(nm)(spark, sf0001).collect().toSeq
+        finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+      }
+      assert(runs(0) == runs(1), s"$nm output depends on the partition count")
+      assert(runs(0).nonEmpty, s"$nm trivially empty at sf0.001")
+    }
+  }
+
   test("m08: verdicts partition the corpus, every verdict kind occurs, and " +
     "each census row's verdict is consistent with its own reconstruction") {
     val rows = SparkEntry.queries("m08_media_quality_census")(spark, sf0001).collect()
