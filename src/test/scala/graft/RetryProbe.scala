@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Task-retry determinism probe — the fleet-reality check the in-suite
+  * specs can't run: ScalaTest suites share one `local[4]` context, where
+  * `spark.task.maxFailures` is 1 and any task failure aborts the job.
+  * This main builds its own `local[4,2]` context (task retries ENABLED,
+  * the cluster default shape) and injects a ONE-SHOT task failure into
+  * the first stage of the d08 dedup composition via a chaos filter: the
+  * first task to evaluate it throws, Spark reschedules the task, the
+  * retry passes (the one-shot flag lives in the same JVM in local mode).
+  *
+  * Claim proved: a first-attempt task failure anywhere in the scan stage
+  * leaves the dedup output BYTE-IDENTICAL to the clean run — the
+  * speculative-execution / retry contract a 1000-executor run leans on,
+  * complementing the partition-count invariance specs (placement) and
+  * the streaming crash-restart specs (query-level recovery).
+  *
+  * Run: sbt 'Test/runMain graft.RetryProbe'; prints one JSON line,
+  * recorded in SURVEY §8.
+  */
+object RetryProbe {
+
+  object Chaos {
+    val armed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4,2]") // 4 threads, maxFailures = 2 → one retry
+      .appName("graft-retry-probe")
+      .config("spark.sql.shuffle.partitions", "7")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.001"
+
+    def pipeline(docs: org.apache.spark.sql.DataFrame): Seq[org.apache.spark.sql.Row] = {
+      val buckets = ops.Dedup.lshBuckets(docs, "doc_id", "text",
+        shingleWords = 3, bands = 4, rowsPerBand = 2)
+      ops.Dedup.connectedComponents(ops.Dedup.candidatePairs(buckets))
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+        .collect().toSeq
+    }
+
+    val clean = pipeline(Tables.documents(spark, dir))
+
+    val boom = udf { (_: Long) =>
+      if (Chaos.armed.compareAndSet(true, false)) {
+        Chaos.fired.incrementAndGet()
+        throw new RuntimeException("chaos: injected first-attempt task failure")
+      }
+      true
+    }
+    Chaos.armed.set(true)
+    val chaotic = pipeline(
+      Tables.documents(spark, dir).filter(boom(col("doc_id"))))
+
+    val identical = clean == chaotic
+    require(Chaos.fired.get() == 1, s"chaos did not fire exactly once: ${Chaos.fired.get()}")
+    require(clean.nonEmpty, "pipeline trivially empty")
+    require(identical, "task retry changed the dedup output")
+    println(s"""{"metric":"retry_probe","task_failures_injected":${Chaos.fired.get()},""" +
+      s""""rows":${clean.size},"identical_after_retry":$identical}""")
+    spark.stop()
+  }
+}
