@@ -65,8 +65,29 @@ object RetryProbe {
     require(Chaos.fired.get() == 1, s"chaos did not fire exactly once: ${Chaos.fired.get()}")
     require(clean.nonEmpty, "pipeline trivially empty")
     require(identical, "task retry changed the dedup output")
+
+    // scenario 2: the failure lands in a REDUCE-side task — after the
+    // candidate-pair self-join shuffle — so the retry must re-fetch
+    // shuffle blocks and recompute a reducer partition, not just re-scan
+    // an input split. Same one-shot chaos, applied to the pairs stream
+    // feeding connected components.
+    val scan = Chaos.fired.get()
+    Chaos.armed.set(true)
+    val buckets2 = ops.Dedup.lshBuckets(Tables.documents(spark, dir), "doc_id", "text",
+      shingleWords = 3, bands = 4, rowsPerBand = 2)
+    val pairs2 = ops.Dedup.candidatePairs(buckets2)
+      .filter(boom(col("id_a"))) // post-shuffle: the joined pair ids
+    val chaotic2 = ops.Dedup.connectedComponents(pairs2)
+      .select(col("id").as("doc_id"), col("component"))
+      .orderBy("doc_id").collect().toSeq
+    val identical2 = clean == chaotic2
+    require(Chaos.fired.get() == scan + 1,
+      s"reduce-side chaos did not fire exactly once: ${Chaos.fired.get()}")
+    require(identical2, "reduce-side task retry changed the dedup output")
+
     println(s"""{"metric":"retry_probe","task_failures_injected":${Chaos.fired.get()},""" +
-      s""""rows":${clean.size},"identical_after_retry":$identical}""")
+      s""""rows":${clean.size},"identical_after_scan_retry":$identical,""" +
+      s""""identical_after_reduce_retry":$identical2}""")
     spark.stop()
   }
 }
