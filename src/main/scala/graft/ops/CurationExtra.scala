@@ -90,6 +90,28 @@ object CurationExtra {
     * canonicalizer lowercases only scheme+host.) Dedup = ONE hash agg on
     * the canonical string, keeper = min doc_id — at 100 TB this is a
     * single shuffle of (canonical_url, doc_id) pairs, nothing else. */
+  /** The deterministic URL synthesized from (doc_id, source) — shared by
+    * d46 (batch dedup) and s25 (streaming frontier dedup); the oracle SQL
+    * replays the identical construction. */
+  def synthUrl: Column =
+    concat(
+      lit("https://"),
+      when(col("doc_id") % 3 === 0, upper(col("source"))).otherwise(col("source")),
+      // `div`, not fp `/`+cast: exact integer division at any id magnitude
+      lit(".example.com/article/"), expr("doc_id div 140").cast("string"),
+      when(col("doc_id") % 8 === 0, "/").otherwise(""),
+      when(col("doc_id") % 4 === 0,
+        concat(lit("?utm_source=rss&utm_id="), (col("doc_id") % 9).cast("string")))
+        .when(col("doc_id") % 4 === 1, "?ref=home").otherwise(""),
+      when(col("doc_id") % 6 === 0,
+        concat(lit("#sec-"), (col("doc_id") % 5).cast("string"))).otherwise(""))
+
+  /** Canonicalization: strip fragment → strip pure-tracking query →
+    * normalize slash-before-query and trailing slash → lowercase. */
+  def canonicalUrl(url: Column): Column =
+    lower(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      url, "#.*$", ""), "\\?utm_[^#]*$", ""), "/\\?", "?"), "/$", ""))
+
   private val d46 = Q(
     "d46_url_dedup",
     """WITH raw AS (
@@ -110,21 +132,8 @@ object CurationExtra {
               CAST(count(*) AS BIGINT) AS n_urls,
               CAST(sum(CASE WHEN url LIKE '%utm_%' THEN 1 ELSE 0 END) AS BIGINT) AS n_tracking
        FROM canon GROUP BY canonical_url ORDER BY canonical_url""") { (s, d) =>
-    val raw = Tables.documents(s, d).select(col("doc_id"),
-      concat(
-        lit("https://"),
-        when(col("doc_id") % 3 === 0, upper(col("source"))).otherwise(col("source")),
-        // `div`, not fp `/`+cast: exact integer division at any id magnitude
-        lit(".example.com/article/"), expr("doc_id div 140").cast("string"),
-        when(col("doc_id") % 8 === 0, "/").otherwise(""),
-        when(col("doc_id") % 4 === 0,
-          concat(lit("?utm_source=rss&utm_id="), (col("doc_id") % 9).cast("string")))
-          .when(col("doc_id") % 4 === 1, "?ref=home").otherwise(""),
-        when(col("doc_id") % 6 === 0,
-          concat(lit("#sec-"), (col("doc_id") % 5).cast("string"))).otherwise("")).as("url"))
-    raw.withColumn("canonical_url",
-        lower(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-          col("url"), "#.*$", ""), "\\?utm_[^#]*$", ""), "/\\?", "?"), "/$", "")))
+    val raw = Tables.documents(s, d).select(col("doc_id"), synthUrl.as("url"))
+    raw.withColumn("canonical_url", canonicalUrl(col("url")))
       .groupBy("canonical_url")
       .agg(min(col("doc_id")).as("keeper_id"),
         count(lit(1)).as("n_urls"),

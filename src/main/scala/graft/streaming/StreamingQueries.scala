@@ -1123,8 +1123,57 @@ object StreamingQueries {
       .orderBy("event_type")
   }
 
+  /** Streaming crawl-frontier URL dedup (d46 × s03): discovered links
+    * arrive continuously — here the documents replay, each link arriving
+    * TWICE via two stream arms (the re-discovery a frontier absorbs) —
+    * and every URL must be fetched exactly once. Canonicalization
+    * (graft.ops.CurationExtra: strip fragment/tracking, normalize
+    * slash/case) runs MAP-SIDE on the stream before the stateful
+    * dropDuplicates, so the dedup state keys on the canonical form and
+    * variant re-discoveries cost no state growth. The bounded
+    * AvailableNow replay makes plain dropDuplicates the exact
+    * first-occurrence semantics of the batch DISTINCT oracle; a
+    * continuous deployment would swap in dropDuplicatesWithinWatermark
+    * keyed the same way (s24's machinery) to bound state by the
+    * re-discovery horizon instead of frontier-ever-seen. */
+  private val s25 = Q(
+    "s25_stream_url_frontier",
+    """WITH raw AS (
+         SELECT doc_id,
+                'https://' || (CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END)
+                  || '.example.com/article/' || CAST(doc_id // 140 AS VARCHAR)
+                  || (CASE WHEN doc_id % 8 = 0 THEN '/' ELSE '' END)
+                  || (CASE doc_id % 4 WHEN 0 THEN '?utm_source=rss&utm_id=' || CAST(doc_id % 9 AS VARCHAR)
+                                      WHEN 1 THEN '?ref=home' ELSE '' END)
+                  || (CASE WHEN doc_id % 6 = 0 THEN '#sec-' || CAST(doc_id % 5 AS VARCHAR) ELSE '' END) AS url
+         FROM documents),
+       canon AS (
+         SELECT lower(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                  url, '#.*$', ''), '\?utm_[^#]*$', ''), '/\?', '?'), '/$', '')) AS cu
+         FROM raw)
+       SELECT regexp_extract(cu, 'https://([^/]+)', 1) AS host,
+              CAST(count(DISTINCT cu) AS BIGINT) AS n_frontier
+       FROM canon GROUP BY 1 ORDER BY host""") { (s, d) =>
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    def arm: DataFrame = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(d)
+      .select(col("doc_id"), graft.ops.CurationExtra.synthUrl.as("url"))
+    val dedup = arm.unionAll(arm)
+      .withColumn("cu", graft.ops.CurationExtra.canonicalUrl(col("url")))
+      .dropDuplicates("cu")
+    val agg = dedup
+      .groupBy(regexp_extract(col("cu"), "https://([^/]+)", 1).as("host"))
+      .agg(count(lit(1)).as("n_frontier"))
+    runToMemory(agg, OutputMode.Complete())
+      .orderBy("host")
+  }
+
   val defs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
-    s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24)
+    s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25)
 }
 
 /** s11's StatefulProcessor: cumulative (event count, value cents) per

@@ -179,6 +179,15 @@ class CurationExtraSpec extends SparkTestBase {
       "blocklist joins must broadcast")
   }
 
+  test("s25: the streaming frontier absorbs double discovery — every URL " +
+    "arrives twice yet the frontier size equals d46's batch canonical count") {
+    val frontier = SparkEntry.queries("s25_stream_url_frontier")(spark, sf0001).collect()
+    val batchGroups = SparkEntry.queries("d46_url_dedup")(spark, sf0001).count()
+    assert(frontier.map(_.getLong(1)).sum == batchGroups,
+      "stream frontier diverged from the batch canonical-URL universe")
+    assert(frontier.length == 20, "one row per host expected on the fixture")
+  }
+
   test("session-5 ops are partition-count invariant: identical rows under " +
     "different shuffle partition counts (fleet retry/speculation contract)") {
     // t43/t44 rank through windows and a global TakeOrdered — exactly
