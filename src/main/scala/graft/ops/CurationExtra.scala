@@ -418,5 +418,66 @@ object CurationExtra {
       .orderBy("host")
   }
 
-  val defs: Seq[Q] = Seq(d45, d46, t40, t43, t44, t45, d47, t46)
+  // ------------------------------------------------------------ d48
+
+  /** Benchmark-exposure report — d13's join read from the OTHER side:
+    * decontamination flags corpus docs, but the evals team consumes the
+    * per-BENCHMARK-item view (GPT-3 App. C reports exactly this): for
+    * each benchmark item, how many corpus docs share a 13-gram with it,
+    * how many of ITS grams are hit, and the exposure fraction — the
+    * number that decides whether an eval score is still meaningful.
+    * Same scale discipline as d13: the benchmark gram set (now carrying
+    * its bench_id) BROADCASTS; corpus grams never shuffle — only the
+    * matched (tiny) set reaches the distinct + per-item aggregation. */
+  private val d48 = Q(
+    "d48_benchmark_exposure",
+    """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       g AS (
+         SELECT doc_id, md5(array_to_string(ws[i:i+12], ' ')) AS gh
+         FROM (SELECT doc_id, ws,
+                      unnest(generate_series(1, greatest(len(ws) - 12, 1))) AS i
+               FROM docs)),
+       bench AS (SELECT DISTINCT doc_id AS bench_id, gh FROM g WHERE doc_id % 7 = 0),
+       bsize AS (SELECT bench_id, CAST(count(DISTINCT gh) AS BIGINT) AS n_grams
+                 FROM bench GROUP BY bench_id),
+       m AS (
+         SELECT DISTINCT b.bench_id, t.doc_id, t.gh
+         FROM g t JOIN bench b ON t.gh = b.gh WHERE t.doc_id % 7 != 0),
+       expo AS (
+         SELECT bench_id, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_corpus_docs,
+                CAST(count(DISTINCT gh) AS BIGINT) AS n_grams_hit
+         FROM m GROUP BY bench_id)
+       SELECT s.bench_id, s.n_grams,
+              coalesce(e.n_corpus_docs, 0) AS n_corpus_docs,
+              coalesce(e.n_grams_hit, 0) AS n_grams_hit,
+              round(CAST(coalesce(e.n_grams_hit, 0) AS DOUBLE) / s.n_grams, 4) AS exposure,
+              coalesce(e.n_grams_hit, 0) > 0 AS exposed
+       FROM bsize s LEFT JOIN expo e ON s.bench_id = e.bench_id
+       ORDER BY s.bench_id""") { (s, d) =>
+    val grams = Tables.documents(s, d)
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, greatest(size(ws) - 12, 1)), i -> array_join(slice(ws, i, 13), ' '))"))
+        .as("g"))
+      .select(col("doc_id"), md5(col("g")).as("gh"))
+    val bench = grams.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id").as("bench_id"), col("gh")).distinct()
+    val bsize = bench.groupBy("bench_id").agg(count(lit(1)).as("n_grams"))
+    val matches = grams.filter(col("doc_id") % 7 =!= 0)
+      .join(broadcast(bench), "gh") // corpus grams never shuffle
+      .select("bench_id", "doc_id", "gh").distinct()
+    val expo = matches.groupBy("bench_id")
+      .agg(countDistinct(col("doc_id")).as("n_corpus_docs"),
+        countDistinct(col("gh")).as("n_grams_hit"))
+    bsize.join(expo, Seq("bench_id"), "left")
+      .select(col("bench_id"), col("n_grams"),
+        coalesce(col("n_corpus_docs"), lit(0L)).as("n_corpus_docs"),
+        coalesce(col("n_grams_hit"), lit(0L)).as("n_grams_hit"),
+        round(coalesce(col("n_grams_hit"), lit(0L)).cast("double") / col("n_grams"), 4)
+          .as("exposure"),
+        (coalesce(col("n_grams_hit"), lit(0L)) > 0).as("exposed"))
+      .orderBy("bench_id")
+  }
+
+  val defs: Seq[Q] = Seq(d45, d46, t40, t43, t44, t45, d47, t46, d48)
 }

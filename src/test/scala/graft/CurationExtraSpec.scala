@@ -12,11 +12,19 @@ import org.apache.spark.sql.execution.SparkPlan
   * construction-level invariants. */
 class CurationExtraSpec extends SparkTestBase {
 
-  private def collectShuffles(plan: SparkPlan): Seq[ShuffleExchangeExec] =
-    plan.collect {
-      case s: ShuffleExchangeExec => Seq(s)
-      case a: AdaptiveSparkPlanExec => collectShuffles(a.executedPlan)
-    }.flatten
+  private def collectShuffles(plan: SparkPlan): Seq[ShuffleExchangeExec] = {
+    // traverse INTO AQE query stages and reused exchanges — a plain
+    // .collect stops at QueryStageExec leaves and would make the
+    // no-column-crosses-a-shuffle assertions vacuous
+    def nodes(p: SparkPlan): Seq[SparkPlan] =
+      p +: (p.children ++ (p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+        case _ => Nil
+      })).flatMap(nodes)
+    nodes(plan).collect { case s: ShuffleExchangeExec => s }
+  }
 
   test("d45: every benchmark member is flagged as its own leak (cos ~ 1, " +
     "bench_id = itself) and clean corpus vectors stay below tau with a " +
@@ -41,6 +49,7 @@ class CurationExtraSpec extends SparkTestBase {
     val df = SparkEntry.queries("d45_semantic_decontaminate")(spark, sf0001)
     df.collect() // materialize so AQE finalizes the executed plan
     val ex = collectShuffles(df.queryExecution.executedPlan)
+    assert(ex.nonEmpty, "expected at least the argmax exchange — probe is vacuous")
     ex.foreach { e =>
       val fields = e.child.schema.fieldNames.toSet
       assert(!fields.contains("v") && !fields.contains("bv"),
@@ -186,6 +195,35 @@ class CurationExtraSpec extends SparkTestBase {
     assert(frontier.map(_.getLong(1)).sum == batchGroups,
       "stream frontier diverged from the batch canonical-URL universe")
     assert(frontier.length == 20, "one row per host expected on the fixture")
+  }
+
+  test("d48: exposure report is internally coherent, agrees with d13's " +
+    "verdict direction, and no raw gram text ever crosses a shuffle") {
+    val rows = SparkEntry.queries("d48_benchmark_exposure")(spark, sf0001).collect()
+    val benchCount = Tables.documents(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 7 === 0).count()
+    assert(rows.length == benchCount.toInt, "one row per benchmark item")
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1), s"grams hit > grams: $r")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+      assert(r.getBoolean(5) == (r.getLong(3) > 0), s"flag incoherent: $r")
+    }
+    assert(rows.exists(_.getBoolean(5)) && rows.exists(!_.getBoolean(5)),
+      "fixture must exercise both exposed and clean benchmark items")
+    // direction-consistency with d13: corpus-side contamination exists
+    // iff some benchmark item is exposed (same join, two readings)
+    val d13 = SparkEntry.queries("d13_ngram_decontaminate")(spark, sf0001).collect()
+    val corpusContaminated = d13.filter(_.getBoolean(0)).map(_.getLong(1)).sum
+    assert((corpusContaminated > 0) == rows.exists(_.getBoolean(5)))
+    val df = SparkEntry.queries("d48_benchmark_exposure")(spark, sf0001)
+    df.collect()
+    val ex = collectShuffles(df.queryExecution.executedPlan)
+    assert(ex.nonEmpty, "expected distinct/agg exchanges — probe is vacuous")
+    ex.foreach { e =>
+      val fields = e.child.schema.fieldNames.toSet
+      assert(!fields.contains("g") && !fields.contains("text") && !fields.contains("ws"),
+        s"raw gram/text crossed a shuffle: ${fields.mkString(",")}")
+    }
   }
 
   test("session-5 ops are partition-count invariant: identical rows under " +
