@@ -2863,7 +2863,95 @@ object Dedup {
           .as("token_reduction"))
   }
 
+  /** Soft dedup weights — the alternative to removal when hard dedup is
+    * too blunt (d44 prices removal; this prices DOWNWEIGHTING): every
+    * member of a verified near-dup cluster trains with weight
+    * 1/cluster_size, so each piece of content contributes one unit of
+    * gradient mass regardless of how many copies the crawl caught, and
+    * nothing is thrown away. Exactly d44's pipeline (banded candidates →
+    * Jaccard-verified edges → connected components) plus one component
+    * census and a left join back to the corpus — per-doc weights instead
+    * of a keep flag; Σ weights ≈ #content-units (spec-pinned). */
+  private val d49 = Q(
+    "d49_soft_dedup_weights",
+    """WITH RECURSIVE docs AS (
+         SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       sh AS (
+         SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+         FROM (SELECT doc_id, ws,
+                      unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+               FROM docs)),
+       hs AS (
+         SELECT doc_id, ('0x' || substring(md5(sh), 1, 8))::BIGINT AS h1,
+                ('0x' || substring(md5(sh), 9, 8))::BIGINT AS h2
+         FROM sh),
+       sig AS (
+         SELECT doc_id, seed, min(h1 + seed * h2) AS mh
+         FROM hs, (SELECT unnest(generate_series(0, 7)) AS seed) seeds
+         GROUP BY doc_id, seed),
+       bands AS (
+         SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+                md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS band_key
+         FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)),
+       pairs AS (
+         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       shd AS (SELECT DISTINCT doc_id, h1 * 134217728 + h2 % 134217728 AS h
+               FROM hs),
+       sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+       inter AS (
+         SELECT p.id_a, p.id_b, count(*) AS ni
+         FROM pairs p
+           JOIN shd a ON a.doc_id = p.id_a
+           JOIN shd b ON b.doc_id = p.id_b AND b.h = a.h
+         GROUP BY p.id_a, p.id_b),
+       vpairs AS (
+         SELECT i.id_a, i.id_b FROM inter i
+           JOIN sz sa ON sa.doc_id = i.id_a
+           JOIN sz sb ON sb.doc_id = i.id_b
+         WHERE i.ni * 1.0 / (sa.n + sb.n - i.ni) >= 0.5),
+       nodes AS (
+         SELECT DISTINCT id FROM (
+           SELECT id_a AS id FROM vpairs UNION ALL SELECT id_b AS id FROM vpairs)),
+       edges AS (
+         SELECT id_a AS src, id_b AS dst FROM vpairs
+         UNION ALL SELECT id_b AS src, id_a AS dst FROM vpairs),
+       reach(a, b) AS (
+         SELECT id, id FROM nodes
+         UNION
+         SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+       , comp AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a),
+       cl AS (SELECT component, count(*) AS sz FROM comp GROUP BY component),
+       wt AS (
+         SELECT d.doc_id,
+                coalesce(c.component, d.doc_id) AS cluster_id,
+                coalesce(cl.sz, 1) AS cluster_size
+         FROM docs d
+         LEFT JOIN comp c ON c.doc_id = d.doc_id
+         LEFT JOIN cl ON cl.component = c.component)
+       SELECT doc_id, cluster_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+              round(1.0 / cluster_size, 6) AS weight
+       FROM wt ORDER BY doc_id""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val (buckets, shingles) = lshBucketsAndShingles(docs, "doc_id", "text",
+      shingleWords = 3, bands = 4, rowsPerBand = 2)
+    val verified = jaccardVerifiedPairs(
+      candidatePairs(buckets, materialize = false), shingles, tau = 0.5)
+    val comp = connectedComponents(verified)
+      .select(col("id").as("doc_id"), col("component"))
+    val cl = comp.groupBy("component").agg(count(lit(1)).as("sz"))
+    docs.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .join(cl, Seq("component"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"),
+        coalesce(col("sz"), lit(1L)).as("cluster_size"))
+      .withColumn("weight", round(lit(1.0) / col("cluster_size"), 6))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[Q] = Seq(d01, d02, d03, d04, d08, d09, d10, d11, d13, d15,
     d17, d18, d20, d21, d22, d23, d27, d28, d31, d34, d36, d37, d38, d39,
-    d41, d42, d43, d44)
+    d41, d42, d43, d44, d49)
 }

@@ -226,6 +226,26 @@ class CurationExtraSpec extends SparkTestBase {
     }
   }
 
+  test("d49: soft weights conserve gradient mass — every doc weighted, " +
+    "each cluster sums to one unit, and the total equals d44's kept count") {
+    val rows = SparkEntry.queries("d49_soft_dedup_weights")(spark, sf0001).collect()
+    val total = Tables.documents(spark, sf0001).count()
+    assert(rows.length == total.toInt, "every doc must get a weight")
+    rows.groupBy(_.getLong(1)).foreach { case (cid, members) =>
+      assert(members.forall(_.getLong(2) == members.length.toLong),
+        s"cluster $cid size field inconsistent with membership")
+      assert(math.abs(members.map(_.getDouble(3)).sum - 1.0) < 1e-3,
+        s"cluster $cid weights do not sum to one unit")
+    }
+    // Σ weights == #content-units == d44's kept-doc count (one canonical
+    // survivor per cluster) — the two policies price the same structure
+    val d44 = SparkEntry.queries("d44_effective_size")(spark, sf0001).head()
+    val kept = d44.getLong(2)
+    assert(math.abs(rows.map(_.getDouble(3)).sum - kept.toDouble) < 0.01,
+      s"gradient mass ${rows.map(_.getDouble(3)).sum} != content units $kept")
+    assert(rows.exists(_.getLong(2) > 1), "fixture must contain real clusters")
+  }
+
   test("session-5 ops are partition-count invariant: identical rows under " +
     "different shuffle partition counts (fleet retry/speculation contract)") {
     // t43/t44 rank through windows and a global TakeOrdered — exactly
