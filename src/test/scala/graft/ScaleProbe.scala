@@ -119,7 +119,12 @@ object ScaleProbe {
       // benchmark with the synthetic corpus, so a probe ratio would
       // measure the parameterization, not the fixed-benchmark design.)
       "d46_url_dedup", "t40_mojibake_repair", "t43_train_order",
-      "t44_priority_sample", "d47_dedup_rate_estimate")
+      "t44_priority_sample", "d47_dedup_rate_estimate",
+      // d49 soft weights = the full d44/d15 pipeline + a component
+      // census; d48 is excluded for d45's reason — its %7 benchmark
+      // grows with the synthetic corpus, so a ratio would measure the
+      // parameterization, not the fixed-benchmark design.
+      "d49_soft_dedup_weights")
     // optional arg: comma-separated subset — incremental probe runs
     // (new-session ops only) merge into the recorded JSON without
     // re-timing the whole battery; the kNN knob section is skipped too.
