@@ -474,5 +474,59 @@ object Multimodal {
       .orderBy("source", "verdict")
   }
 
-  val defs: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08)
+  /** Interleaved image-text sequence packing (the multimodal t12): a
+    * vision-language training sequence budgets image patches alongside
+    * text — each image placeholder costs a FIXED patch-token budget (576
+    * = a 24×24 ViT grid), so the packing unit is effective tokens =
+    * n_text_tokens + 576·n_images (image count synthesized
+    * deterministically as doc_id mod 4; the fixture ships no real
+    * interleaving). Packing reuses t12's `distributedPrefixSum` — range
+    * partition, local sums, broadcast offsets; parallelism = partition
+    * count, never a one-task global window — with sequence id =
+    * cumulative-effective div 8192; the census reports per-source
+    * sequence counts, image totals, and fill factor. */
+  private val m09 = Q(
+    "m09_interleaved_packing",
+    """WITH t AS (
+         SELECT doc_id, source,
+                len(string_split(text, ' ')) + (doc_id % 4) * 576 AS eff,
+                doc_id % 4 AS n_images
+         FROM documents),
+       c AS (
+         SELECT source, doc_id, eff, n_images,
+                sum(eff) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         FROM t),
+       b AS (SELECT source, doc_id, eff, n_images,
+                    CAST((cum - eff) // 8192 AS BIGINT) AS seq FROM c),
+       per_seq AS (
+         SELECT source, seq, count(*) AS n_docs,
+                CAST(sum(eff) AS BIGINT) AS seq_tokens,
+                CAST(sum(n_images) AS BIGINT) AS seq_images
+         FROM b GROUP BY source, seq)
+       SELECT source, count(*) AS n_seqs,
+              CAST(sum(seq_tokens) AS BIGINT) AS total_eff_tokens,
+              CAST(sum(seq_images) AS BIGINT) AS total_images,
+              max(seq_tokens) AS max_seq_tokens,
+              round(CAST(sum(seq_tokens) AS DOUBLE) / (count(*) * 8192), 4) AS fill
+       FROM per_seq GROUP BY source ORDER BY source""") { (s, d) =>
+    val e = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      (size(split(col("text"), " ")).cast(LongType) + (col("doc_id") % 4) * 576).as("eff"),
+      (col("doc_id") % 4).as("n_images"))
+    val b = TextAnalysis.distributedPrefixSum(e, "source", "doc_id", "eff", "cum")
+      .withColumn("seq", expr("(cum - eff) div 8192"))
+    b.groupBy("source", "seq")
+      .agg(count(lit(1)).as("n_docs"), sum(col("eff")).as("seq_tokens"),
+        sum(col("n_images")).as("seq_images"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_seqs"),
+        sum(col("seq_tokens")).as("total_eff_tokens"),
+        sum(col("seq_images")).as("total_images"),
+        max(col("seq_tokens")).as("max_seq_tokens"),
+        round(sum(col("seq_tokens")).cast("double") / (count(lit(1)) * 8192), 4)
+          .as("fill"))
+      .orderBy("source")
+  }
+
+  val defs: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09)
 }

@@ -246,6 +246,26 @@ class CurationExtraSpec extends SparkTestBase {
     assert(rows.exists(_.getLong(2) > 1), "fixture must contain real clusters")
   }
 
+  test("m09: packing conserves tokens and images, sequences respect the " +
+    "budget envelope, and the fill factor is coherent with its own counts") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("m09_interleaved_packing")(spark, sf0001).collect()
+    val docs = Tables.documents(spark, sf0001)
+    val expect = docs.select(
+        (size(split(col("text"), " ")).cast("long") + (col("doc_id") % 4) * 576).as("eff"),
+        (col("doc_id") % 4).as("img"))
+      .agg(sum("eff"), sum("img")).head()
+    assert(rows.map(_.getLong(2)).sum == expect.getLong(0), "effective tokens not conserved")
+    assert(rows.map(_.getLong(3)).sum == expect.getLong(1), "images not conserved")
+    rows.foreach { r =>
+      // a sequence can exceed the budget only by the straddling doc — at
+      // most one doc's effective size (≤ max tokens + 3*576) past 8192
+      assert(r.getLong(4) < 8192 + 2000, s"runaway sequence: $r")
+      val fill = r.getLong(2).toDouble / (r.getLong(1) * 8192)
+      assert(math.abs(fill - r.getDouble(5)) < 1e-3, s"fill incoherent: $r")
+    }
+  }
+
   test("session-5 ops are partition-count invariant: identical rows under " +
     "different shuffle partition counts (fleet retry/speculation contract)") {
     // t43/t44 rank through windows and a global TakeOrdered — exactly
