@@ -2951,7 +2951,152 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Duplicate-span REMOVAL — the transform half of d22's ExactSubstr
+    * story (Lee et al. 2022 delete the repeated substring from all but
+    * one occurrence; d22 only reports it): every ≥20-token island found
+    * by the stride-anchored gram match is cut from the HIGHER doc_id of
+    * its pair (the lower id keeps the canonical copy), overlapping spans
+    * are interval-merged per doc so no token is double-counted, and the
+    * cleaned text is reconstructed by position filter — never by string
+    * surgery. Output: per AFFECTED doc, before/removed/after token
+    * counts and the md5 of the cleaned token stream (empty docs hash
+    * md5('') — full removals are a real outcome and the fixture
+    * exercises them).
+    *
+    * Scale: d22's candidate discipline bounds everything upstream; the
+    * removal tail touches only affected docs (left-semi first), the
+    * interval set per doc is tiny post-merge (disjoint ⇒ the
+    * position-range left join cannot fan out), and reconstruction is a
+    * per-doc collect_list of (pos, tok) structs — bounded by doc length,
+    * the d38 no-re-tokenization discipline. */
+  private val d50 = Q(
+    "d50_span_removal",
+    """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       g AS (
+         SELECT doc_id AS id, i AS pos,
+                ('0x' || substring(md5(concat_ws(' ', ws[i], ws[i+1], ws[i+2],
+                   ws[i+3], ws[i+4], ws[i+5], ws[i+6], ws[i+7])), 1, 15))::BIGINT AS h
+         FROM (SELECT doc_id, ws,
+                      unnest(generate_series(1, greatest(len(ws) - 7, 1))) AS i
+               FROM docs)),
+       anchors AS (SELECT h FROM (SELECT h, count(DISTINCT id) AS nd
+                                  FROM g GROUP BY h)
+                   WHERE nd BETWEEN 2 AND 10),
+       cand AS (SELECT DISTINCT least(a.id, b.id) AS id_a,
+                                greatest(a.id, b.id) AS id_b
+                FROM g a JOIN g b ON a.h = b.h AND a.id <> b.id
+                WHERE a.pos % 13 = 0 AND a.h IN (SELECT h FROM anchors)),
+       cids AS (SELECT id_a AS id FROM cand UNION SELECT id_b FROM cand),
+       gc AS (SELECT * FROM g WHERE id IN (SELECT id FROM cids)),
+       m AS (SELECT c.id_a, c.id_b, a.pos AS pa, b.pos AS pb
+             FROM cand c
+               JOIN gc a ON a.id = c.id_a
+               JOIN gc b ON b.id = c.id_b AND b.h = a.h),
+       runs AS (SELECT id_a, id_b, pa - pb AS diag, pa, pb,
+                       row_number() OVER (PARTITION BY id_a, id_b, pa - pb
+                                          ORDER BY pa) AS rn
+                FROM m),
+       isl AS (SELECT id_a, id_b, count(*) AS run, min(pb) AS pb0
+               FROM runs GROUP BY id_a, id_b, diag, pa - rn),
+       spans AS (SELECT DISTINCT id_b AS id, pb0 AS s, pb0 + run + 6 AS e
+                 FROM isl WHERE run + 7 >= 20),
+       mrg AS (
+         SELECT id, s, e,
+                max(e) OVER (PARTITION BY id ORDER BY s, e
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+         FROM spans),
+       grpd AS (
+         SELECT id, s, e,
+                sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+         FROM mrg),
+       iv AS (SELECT id, min(s) AS s, max(e) AS e FROM grpd GROUP BY id, gid),
+       toks AS (
+         SELECT doc_id AS id, i AS pos, ws[i] AS tok, len(ws) AS n_before
+         FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM docs)
+         WHERE doc_id IN (SELECT DISTINCT id FROM iv)),
+       marked AS (
+         SELECT t.id, t.pos, t.tok, t.n_before,
+                EXISTS (SELECT 1 FROM iv
+                        WHERE iv.id = t.id AND t.pos BETWEEN iv.s AND iv.e) AS rm
+         FROM toks t)
+       SELECT id AS doc_id,
+              CAST(max(n_before) AS BIGINT) AS n_tok_before,
+              CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_tok_removed,
+              CAST(max(n_before) - sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_tok_after,
+              md5(coalesce(string_agg(CASE WHEN NOT rm THEN tok END, ' ' ORDER BY pos), ''))
+                AS clean_hash
+       FROM marked GROUP BY id ORDER BY doc_id""") { (s, d) =>
+    val k = 8
+    val docs = Tables.documents(s, d)
+    val g = wordGramPositions(docs, "doc_id", "text", k)
+    val anchors = g.groupBy("h").agg(countDistinct(col("id")).as("nd"))
+      .filter(col("nd").between(2, 10)).select("h")
+    val ag = g.join(anchors, Seq("h"), "left_semi")
+    val cand = ag.filter(col("pos") % 13 === 0)
+      .select(col("h"), col("id").as("id_s"))
+      .join(ag.select(col("h"), col("id").as("id_o")), "h")
+      .filter(col("id_s") =!= col("id_o"))
+      .select(least(col("id_s"), col("id_o")).as("id_a"),
+        greatest(col("id_s"), col("id_o")).as("id_b"))
+      .distinct()
+    val cids = cand.select(col("id_a").as("id"))
+      .unionAll(cand.select(col("id_b").as("id"))).distinct()
+    val gc = g.join(cids, Seq("id"), "left_semi")
+    val m = cand
+      .join(gc.select(col("id").as("id_a"), col("pos").as("pa"), col("h")), "id_a")
+      .join(gc.select(col("id").as("id_b"), col("pos").as("pb"), col("h")),
+        Seq("id_b", "h"))
+    val wRn = Window.partitionBy(col("id_a"), col("id_b"), col("diag"))
+      .orderBy(col("pa"))
+    val spans = m.withColumn("diag", col("pa") - col("pb"))
+      .withColumn("rn", row_number().over(wRn))
+      .groupBy(col("id_a"), col("id_b"), col("diag"),
+        (col("pa") - col("rn")).as("grp"))
+      .agg(count(lit(1)).as("run"), min(col("pb")).as("pb0"))
+      .filter(col("run") + (k - 1) >= 20)
+      .select(col("id_b").as("id"), col("pb0").as("s"),
+        (col("pb0") + col("run") + (k - 2)).as("e"))
+      .distinct()
+    val wPrev = Window.partitionBy(col("id")).orderBy(col("s"), col("e"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy(col("id")).orderBy(col("s"), col("e"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val iv = spans.withColumn("pmax", max(col("e")).over(wPrev))
+      .withColumn("gid",
+        sum(when(col("pmax").isNull || col("s") > col("pmax"), 1).otherwise(0)).over(wCum))
+      .groupBy(col("id"), col("gid"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+      .select("id", "s", "e")
+    val affected = iv.select("id").distinct()
+    val toks = docs.join(affected, docs("doc_id") === affected("id"), "left_semi")
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id").as("id"), size(col("ws")).cast(LongType).as("n_before"),
+        posexplode(col("ws")).as(Seq("pos0", "tok")))
+      .withColumn("pos", col("pos0") + 1)
+    // merged intervals are DISJOINT per doc ⇒ this left join matches at
+    // most one interval per position: no row fan-out possible
+    val marked = toks.as("tk").join(iv.as("iv"),
+        col("tk.id") === col("iv.id") &&
+          col("tk.pos").between(col("iv.s"), col("iv.e")), "left")
+      .select(col("tk.id").as("id"), col("tk.pos").as("pos"),
+        col("tk.tok").as("tok"), col("tk.n_before").as("n_before"),
+        col("iv.s").isNotNull.as("rm"))
+    marked.groupBy(col("id").as("doc_id"))
+      .agg(max(col("n_before")).as("n_tok_before"),
+        sum(when(col("rm"), 1L).otherwise(0L)).as("n_tok_removed"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(!col("rm"), struct(col("pos"), col("tok"))))),
+          x => x.getField("tok")), " ")).as("clean_hash"))
+      .select(col("doc_id"), col("n_tok_before"), col("n_tok_removed"),
+        (col("n_tok_before") - col("n_tok_removed")).as("n_tok_after"), col("clean_hash"))
+      .select(col("doc_id"), col("n_tok_before"), col("n_tok_removed"),
+        col("n_tok_after"), col("clean_hash"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[Q] = Seq(d01, d02, d03, d04, d08, d09, d10, d11, d13, d15,
     d17, d18, d20, d21, d22, d23, d27, d28, d31, d34, d36, d37, d38, d39,
-    d41, d42, d43, d44, d49)
+    d41, d42, d43, d44, d49, d50)
 }

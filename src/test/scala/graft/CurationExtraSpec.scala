@@ -77,6 +77,18 @@ class CurationExtraSpec extends SparkTestBase {
       "non-tracking params must NOT be stripped")
   }
 
+  test("d46: canonicalization is idempotent — canonical(canonical(u)) == " +
+    "canonical(u) over every fixture URL (a frontier requeueing an " +
+    "already-canonical URL must not mutate it again)") {
+    import org.apache.spark.sql.functions.col
+    val urls = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), graft.ops.CurationExtra.synthUrl.as("url"))
+      .withColumn("c1", graft.ops.CurationExtra.canonicalUrl(col("url")))
+      .withColumn("c2", graft.ops.CurationExtra.canonicalUrl(col("c1")))
+    assert(urls.filter(col("c1") =!= col("c2")).count() == 0,
+      "canonicalization not idempotent")
+  }
+
   test("t40: planted corruption classes are detected, clean docs are not, " +
     "and repair removes every marker") {
     val rows = SparkEntry.queries("t40_mojibake_repair")(spark, sf0001).collect()
@@ -264,6 +276,26 @@ class CurationExtraSpec extends SparkTestBase {
       val fill = r.getLong(2).toDouble / (r.getLong(1) * 8192)
       assert(math.abs(fill - r.getDouble(5)) < 1e-3, s"fill incoherent: $r")
     }
+  }
+
+  test("d50: span removal agrees with d22's detection — the affected set " +
+    "is exactly the higher-id side of d22's pairs, every removal is at " +
+    "least the 20-token threshold, and full removals hash to md5('')") {
+    val removed = SparkEntry.queries("d50_span_removal")(spark, sf0001).collect()
+    val d22 = SparkEntry.queries("d22_exact_substring")(spark, sf0001).collect()
+    val expectedAffected = d22.map(_.getLong(1)).toSet // id_b of each pair
+    assert(removed.map(_.getLong(0)).toSet == expectedAffected,
+      "affected docs != d22's higher-id pair members")
+    removed.foreach { r =>
+      val (before, rm, after) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(rm >= 20, s"removal below the island threshold: $r")
+      assert(after == before - rm && after >= 0, s"count arithmetic broken: $r")
+      if (after == 0)
+        assert(r.getString(4) == "d41d8cd98f00b204e9800998ecf8427e",
+          s"empty doc must hash md5(''): $r")
+    }
+    assert(removed.exists(_.getLong(3) == 0) && removed.exists(_.getLong(3) > 0),
+      "fixture should exercise both partial and full removals")
   }
 
   test("session-5 ops are partition-count invariant: identical rows under " +
