@@ -124,7 +124,10 @@ object ScaleProbe {
       // census; d48 is excluded for d45's reason — its %7 benchmark
       // grows with the synthetic corpus, so a ratio would measure the
       // parameterization, not the fixed-benchmark design.
-      "d49_soft_dedup_weights")
+      "d49_soft_dedup_weights",
+      // d50 span removal = d22's detection + the interval-merge/rebuild
+      // tail (touches only affected docs)
+      "d50_span_removal")
     // optional arg: comma-separated subset — incremental probe runs
     // (new-session ops only) merge into the recorded JSON without
     // re-timing the whole battery; the kNN knob section is skipped too.
