@@ -479,5 +479,74 @@ object CurationExtra {
       .orderBy("bench_id")
   }
 
-  val defs: Seq[Q] = Seq(d45, d46, t40, t43, t44, t45, d47, t46, d48)
+  // ------------------------------------------------------------ t47
+
+  /** Quality-threshold operating curve — the tuning curve for the model
+    * quality gate, completing the family (d27 sweeps Jaccard τ, d36
+    * banding, d43 hamming): how much corpus survives at each score
+    * cutoff, in docs AND tokens — the two axes a data-budget decision
+    * trades. The d27 discipline applies verbatim: t19's logistic score
+    * is computed ONCE per doc in the same single pass, thresholds fan
+    * over the scored stream via a broadcast τ table, and the per-τ
+    * census is one conditional hash agg — sweeping 6 cutoffs costs one
+    * corpus scan, not six. */
+  private val t47 = Q(
+    "t47_quality_tau_sweep",
+    """WITH f AS (
+         SELECT doc_id,
+                len(string_split(text, ' ')) AS n_tok,
+                len(list_distinct(string_split(text, ' '))) AS n_uniq,
+                length(text) AS n_chars,
+                len(list_filter(string_split(text, ' '),
+                  t -> t IN ('the', 'a', 'of', 'el', 'la', 'de'))) AS n_stop
+         FROM documents),
+       s AS (
+         SELECT doc_id, n_tok,
+                1.0 / (1.0 + exp(-(
+                  -2.0
+                  + 0.02 * n_tok
+                  + 3.0 * (n_uniq * 1.0 / n_tok)
+                  + 8.0 * (n_stop * 1.0 / n_tok)
+                  - 0.5 * (n_chars * 1.0 / n_tok / 10.0)))) AS score
+         FROM f),
+       tau AS (SELECT CAST(unnest([0.3, 0.5, 0.7, 0.8, 0.9, 0.95]) AS DOUBLE) AS tau)
+       SELECT tau,
+              CAST(coalesce(sum(CASE WHEN score >= tau THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_kept,
+              CAST(coalesce(sum(CASE WHEN score >= tau THEN n_tok ELSE 0 END), 0) AS BIGINT) AS tokens_kept,
+              round(sum(CASE WHEN score >= tau THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS doc_share,
+              round(sum(CASE WHEN score >= tau THEN n_tok ELSE 0 END) * 1.0 / sum(n_tok), 4) AS token_share
+       FROM s, tau GROUP BY tau ORDER BY tau""") { (s, d) =>
+    val ws = split(col("text"), " ")
+    val stops = Seq("the", "a", "of", "el", "la", "de")
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(ws).as("n_tok"),
+        size(array_distinct(ws)).as("n_uniq"),
+        length(col("text")).as("n_chars"),
+        size(filter(ws, t => t.isin(stops.map(x => x: Any): _*))).as("n_stop"))
+      .select(col("doc_id"), col("n_tok").cast(LongType).as("n_tok"),
+        (lit(1.0) / (lit(1.0) + exp(-(
+          lit(-2.0)
+            + lit(0.02) * col("n_tok")
+            + lit(3.0) * (col("n_uniq") * lit(1.0) / col("n_tok"))
+            + lit(8.0) * (col("n_stop") * lit(1.0) / col("n_tok"))
+            - lit(0.5) * (col("n_chars") * lit(1.0) / col("n_tok") / lit(10.0))))))
+          .as("score"))
+    val taus = s.createDataFrame(
+      Seq(0.3, 0.5, 0.7, 0.8, 0.9, 0.95).map(Tuple1.apply))
+      .toDF("tau")
+    scored.crossJoin(broadcast(taus))
+      .groupBy("tau")
+      .agg(
+        coalesce(sum(when(col("score") >= col("tau"), 1L).otherwise(0L)), lit(0L)).as("n_kept"),
+        coalesce(sum(when(col("score") >= col("tau"), col("n_tok")).otherwise(0L)), lit(0L))
+          .as("tokens_kept"),
+        round(sum(when(col("score") >= col("tau"), 1L).otherwise(0L)) * lit(1.0) / count(lit(1)), 4)
+          .as("doc_share"),
+        round(sum(when(col("score") >= col("tau"), col("n_tok")).otherwise(0L)) * lit(1.0) /
+          sum(col("n_tok")), 4).as("token_share"))
+      .orderBy("tau")
+  }
+
+  val defs: Seq[Q] = Seq(d45, d46, t40, t43, t44, t45, d47, t46, d48, t47)
 }

@@ -298,6 +298,25 @@ class CurationExtraSpec extends SparkTestBase {
       "fixture should exercise both partial and full removals")
   }
 
+  test("t47: the quality operating curve is monotone non-increasing in " +
+    "tau on both axes, agrees with t19's own gate at 0.5, and discriminates") {
+    val rows = SparkEntry.queries("t47_quality_tau_sweep")(spark, sf0001).collect()
+      .sortBy(_.getDouble(0))
+    assert(rows.length == 6)
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getLong(1) >= hi.getLong(1), "doc curve must be non-increasing")
+      assert(lo.getLong(2) >= hi.getLong(2), "token curve must be non-increasing")
+    }
+    // the tau = 0.5 point IS t19's kept count — the sweep and the gate
+    // must read the same score
+    val t19kept = SparkEntry.queries("t19_model_quality")(spark, sf0001)
+      .collect().count(_.getBoolean(3)).toLong
+    assert(rows.find(_.getDouble(0) == 0.5).get.getLong(1) == t19kept,
+      "sweep@0.5 diverged from t19's own gate")
+    assert(rows.head.getLong(1) > rows.last.getLong(1),
+      "curve must discriminate across the tau range")
+  }
+
   test("session-5 ops are partition-count invariant: identical rows under " +
     "different shuffle partition counts (fleet retry/speculation contract)") {
     // t43/t44 rank through windows and a global TakeOrdered — exactly
