@@ -52,9 +52,16 @@ object ScaleProbe100 {
       // session-4: the Gopher battery (5 gram families — the heaviest
       // new census) and the contamination fraction (distinct-13-gram
       // census + broadcast probe)
-      "t35_gopher_repetition", "d42_contamination_fraction")
+      "t35_gopher_repetition", "d42_contamination_fraction",
+      // session-5: soft weights (the d44/d15 pipeline + census) and span
+      // removal (d22's detection + the interval-merge/rebuild tail)
+      "d49_soft_dedup_weights", "d50_span_removal")
+    // optional arg: comma-separated subset — incremental decade runs for
+    // new ops; the flood/knn sections are skipped in subset mode.
+    val onlyFilter = args.headOption.map(_.split(',').toSet)
+    val selected = onlyFilter.fold(names)(f => names.filter(f))
     // JIT/codegen warm at the smallest SF (Bench methodology)
-    names.foreach(nm =>
+    selected.foreach(nm =>
       SparkEntry.queries(nm)(spark, "/root/testdata/sf0.001").count())
 
     def time(nm: String, d: String): (Double, Long) = {
@@ -66,7 +73,7 @@ object ScaleProbe100 {
       }
       (ts.map(_._1).min, ts.head._2)
     }
-    val entries = names.map { nm =>
+    val entries = selected.map { nm =>
       val (t5k, r5k) = time(nm, sf01)
       val (t50k, r50k) = time(nm, dir50k)
       val (t500k, r500k) = time(nm, dir500k)
@@ -78,65 +85,67 @@ object ScaleProbe100 {
         s""""rows_5k":$r5k,"rows_50k":$r50k,"rows_500k":$r500k}"""
     }
 
-    // template-flood knob on the FIXED-vocab 500k corpus (saturated
-    // 30k-shingle universe). Candidate GENERATION only at the default
-    // cap — the verification join on its 121M pairs is the measured
-    // 80 GB DNF, deliberately not re-run — then the full d15 under the
-    // flood guard.
-    val dirFlood = ScaleProbe.synthCorpus(spark, 500000L, 1000L,
-      "graft_sp100_flood", parts = 32)
-    import graft.ops.Dedup
-    def floodCands(cap: Int): (Double, Long) = {
-      spark.conf.set("graft.dedup.maxBucketSize", cap.toString)
-      try {
-        spark.catalog.clearCache(); System.gc()
-        val docs = Tables.documents(spark, dirFlood)
-        val (buckets, _) = Dedup.lshBucketsAndShingles(
-          docs, "doc_id", "text", shingleWords = 3, bands = 4, rowsPerBand = 2)
-        val t0 = System.nanoTime()
-        val n = Dedup.candidatePairs(buckets, materialize = false).count()
-        ((System.nanoTime() - t0) / 1e9, n)
-      } finally spark.conf.unset("graft.dedup.maxBucketSize")
-    }
-    val (tCapDef, nCapDef) = floodCands(1000)
-    val (tCap200, nCap200) = floodCands(200)
-    spark.conf.set("graft.dedup.maxBucketSize", "200")
-    val (tFloodD15, rFloodD15) =
-      try time("d15_verified_dedup_groups", dirFlood)
-      finally spark.conf.unset("graft.dedup.maxBucketSize")
-    println(s"== flood done: cands $nCapDef@1000 / $nCap200@200, d15 $tFloodD15 s")
-    val floodEntry =
-      s""""flood_bucket_cap_knob":{"docs":500000,"vocab":31,""" +
-        s""""cands_cap1000":$nCapDef,"sec_cands_cap1000":${f"$tCapDef%.2f"},""" +
-        s""""cands_cap200":$nCap200,"sec_cands_cap200":${f"$tCap200%.2f"},""" +
-        s""""d15_sec_cap200":${f"$tFloodD15%.2f"},"d15_rows_cap200":$rFloodD15,""" +
-        s""""verification_at_cap1000":"DNF >80GB spill (measured round 7)"}"""
-
-    // kNN at 25× vectors under the scaled-cell rule (constant ~250
-    // vectors/cell): linear scale path = time ratio ≈ corpus ratio
-    def knnTime(d: String, cells: Int): Double = {
-      val e = Dedup.reuse(Tables.embeddings(spark, d)
-        .select(col("vec_id"), graft.ops.Similarity.quantize(col("embedding")).as("v"))
-        .withColumn("n2", graft.ops.Similarity.norm2Q(col("v"))))
-      val ts = (1 to 2).map { _ =>
-        spark.catalog.clearCache(); System.gc()
-        val t0 = System.nanoTime()
-        graft.ops.Similarity.knnEdges(e, cells, 3).count()
-        (System.nanoTime() - t0) / 1e9
+    val tail = if (onlyFilter.isDefined) "" else {
+      // template-flood knob on the FIXED-vocab 500k corpus (saturated
+      // 30k-shingle universe). Candidate GENERATION only at the default
+      // cap — the verification join on its 121M pairs is the measured
+      // 80 GB DNF, deliberately not re-run — then the full d15 under the
+      // flood guard.
+      val dirFlood = ScaleProbe.synthCorpus(spark, 500000L, 1000L,
+        "graft_sp100_flood", parts = 32)
+      import graft.ops.Dedup
+      def floodCands(cap: Int): (Double, Long) = {
+        spark.conf.set("graft.dedup.maxBucketSize", cap.toString)
+        try {
+          spark.catalog.clearCache(); System.gc()
+          val docs = Tables.documents(spark, dirFlood)
+          val (buckets, _) = Dedup.lshBucketsAndShingles(
+            docs, "doc_id", "text", shingleWords = 3, bands = 4, rowsPerBand = 2)
+          val t0 = System.nanoTime()
+          val n = Dedup.candidatePairs(buckets, materialize = false).count()
+          ((System.nanoTime() - t0) / 1e9, n)
+        } finally spark.conf.unset("graft.dedup.maxBucketSize")
       }
-      ts.min
+      val (tCapDef, nCapDef) = floodCands(1000)
+      val (tCap200, nCap200) = floodCands(200)
+      spark.conf.set("graft.dedup.maxBucketSize", "200")
+      val (tFloodD15, rFloodD15) =
+        try time("d15_verified_dedup_groups", dirFlood)
+        finally spark.conf.unset("graft.dedup.maxBucketSize")
+      println(s"== flood done: cands $nCapDef@1000 / $nCap200@200, d15 $tFloodD15 s")
+      val floodEntry =
+        s""""flood_bucket_cap_knob":{"docs":500000,"vocab":31,""" +
+          s""""cands_cap1000":$nCapDef,"sec_cands_cap1000":${f"$tCapDef%.2f"},""" +
+          s""""cands_cap200":$nCap200,"sec_cands_cap200":${f"$tCap200%.2f"},""" +
+          s""""d15_sec_cap200":${f"$tFloodD15%.2f"},"d15_rows_cap200":$rFloodD15,""" +
+          s""""verification_at_cap1000":"DNF >80GB spill (measured round 7)"}"""
+
+      // kNN at 25× vectors under the scaled-cell rule (constant ~250
+      // vectors/cell): linear scale path = time ratio ≈ corpus ratio
+      def knnTime(d: String, cells: Int): Double = {
+        val e = Dedup.reuse(Tables.embeddings(spark, d)
+          .select(col("vec_id"), graft.ops.Similarity.quantize(col("embedding")).as("v"))
+          .withColumn("n2", graft.ops.Similarity.norm2Q(col("v"))))
+        val ts = (1 to 2).map { _ =>
+          spark.catalog.clearCache(); System.gc()
+          val t0 = System.nanoTime()
+          graft.ops.Similarity.knnEdges(e, cells, 3).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        ts.min
+      }
+      val knn2k = knnTime(sf01, 8)
+      val knn50k = knnTime(dir500k, 200)
+      val knnEntry =
+        s""""knn_scaled_cells_25x":{"sec_2k_8c":${f"$knn2k%.2f"},""" +
+          s""""sec_50k_200c":${f"$knn50k%.2f"},""" +
+          s""""ratio":${f"${knn50k / knn2k}%.2f"},"linear_would_be":25.00}"""
+      "," + floodEntry + "," + knnEntry
     }
-    val knn2k = knnTime(sf01, 8)
-    val knn50k = knnTime(dir500k, 200)
-    val knnEntry =
-      s""""knn_scaled_cells_25x":{"sec_2k_8c":${f"$knn2k%.2f"},""" +
-        s""""sec_50k_200c":${f"$knn50k%.2f"},""" +
-        s""""ratio":${f"${knn50k / knn2k}%.2f"},"linear_would_be":25.00}"""
 
     println(s"""{"metric":"scale_100x","docs":[5000,50000,500000],""" +
       """"vocab":[31,67,144],""" +
-      entries.mkString("\"queries\":{", ",", "},") +
-      floodEntry + "," + knnEntry + "}")
+      entries.mkString("\"queries\":{", ",", "}") + tail + "}")
     spark.stop()
   }
 }
