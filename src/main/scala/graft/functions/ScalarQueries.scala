@@ -180,6 +180,33 @@ object ScalarQueries {
       .orderBy("event_id")
   }
 
+  /** XML scalar family: to_xml / from_xml / xpath extraction (Spark 4
+    * built-ins — the per-row siblings of the src12 file source). The
+    * oracle is round-trip identity: struct → XML string → parsed struct
+    * (+ one XPath pull) must reproduce the original parquet columns, so
+    * any escaping/coercion drift in either direction fails the hash.
+    * DuckDB has no XML extension here, which is exactly why identity is
+    * the right oracle — the reference answer is the input itself.
+    *
+    * Scale shape: pure map-side column math, one narrow pass. */
+  private val q74 = Q(
+    "q74_xml_funcs",
+    """SELECT n_nationkey, n_name, n_regionkey, n_name AS xpath_name
+       FROM nation ORDER BY n_nationkey""") { (s, d) =>
+    val sch = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    Tables.nation(s, d)
+      .select(to_xml(struct(col("n_nationkey"), col("n_name"), col("n_regionkey"))).as("x"))
+      .select(from_xml(col("x"), sch).as("r"),
+        // to_xml's default row frame is <ROW>…</ROW>
+        xpath_string(col("x"), lit("/ROW/n_name")).as("xpath_name"))
+      .select(col("r.n_nationkey").as("n_nationkey"), col("r.n_name").as("n_name"),
+        col("r.n_regionkey").as("n_regionkey"), col("xpath_name"))
+      .orderBy("n_nationkey")
+  }
+
   /** Conditionals/misc: greatest, least, nullif+coalesce, CASE chains,
     * bool aggregation of conditions. */
   private val q26 = Q(
@@ -351,5 +378,5 @@ object ScalarQueries {
       .orderBy("l_returnflag")
   }
 
-  val defs: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q40, q62, q65, q67)
+  val defs: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q40, q62, q65, q67, q74)
 }

@@ -136,5 +136,56 @@ object AdvancedJoins {
          GROUP BY c_mktsegment ORDER BY c_mktsegment""")
   }
 
-  val defs: Seq[Q] = Seq(q29, q30, q38, q59, q63)
+  /** Interval-overlap join via grid bucketing — the scalable plan for
+    * `A.start <= B.end AND B.start <= A.end`, which as written is a
+    * theta join Spark can only execute as a nested-loop/cartesian (O(n·m)
+    * and a single-task disaster at scale). The standard fix: quantize
+    * time into day cells, explode each interval into the cells it covers
+    * (bounded fan-out — sessions are intra-day, campaigns span ≤ 3
+    * cells), EQUI-join on the cell, then verify the exact overlap
+    * predicate on the survivors. The plan becomes a plain hash/SMJ join
+    * keyed on the cell — shuffled, partitionable, AQE-skew-splittable —
+    * and a pair can only meet in one cell here (sessions occupy exactly
+    * one), so no dedup pass is needed.
+    *
+    * Day cells are pure integer math on epoch micros (`us div 86.4e9`) —
+    * timezone-free and identical in both engines. Spec asserts the plan
+    * contains no cartesian/nested-loop node.
+    *
+    * Shape: A = per-(user, day) activity windows [min ts, max ts]; B =
+    * campaign windows [anchor, anchor + 36 h] from every 199th event. */
+  private val q76 = Q(
+    "q76_interval_join",
+    """WITH a AS (
+         SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+                min(epoch_us(ts)) AS s_us, max(epoch_us(ts)) AS e_us
+         FROM events GROUP BY 1, 2),
+       b AS (
+         SELECT event_id AS cid, epoch_us(ts) AS b_s,
+                epoch_us(ts) + 129600000000 AS b_e
+         FROM events WHERE event_id % 199 = 0),
+       j AS (
+         SELECT b.cid, a.user_id, a.d
+         FROM a JOIN b ON a.s_us <= b.b_e AND b.b_s <= a.e_us)
+       SELECT cid, count(*) AS n_sessions,
+              count(DISTINCT user_id) AS n_users, min(d) AS first_day
+       FROM j GROUP BY cid ORDER BY cid""") { (s, d) =>
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+    val a = ev.groupBy(col("user_id"), expr("us div 86400000000").as("d"))
+      .agg(min("us").as("s_us"), max("us").as("e_us"))
+    val b = ev.filter(col("event_id") % 199 === 0)
+      .select(col("event_id").as("cid"), col("us").as("b_s"),
+        (col("us") + 129600000000L).as("b_e"))
+      .withColumn("d", explode(expr(
+        "sequence(b_s div 86400000000, b_e div 86400000000)")))
+    a.join(b, Seq("d"))
+      .filter(col("s_us") <= col("b_e") && col("b_s") <= col("e_us"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"), min(col("d")).as("first_day"))
+      .orderBy("cid")
+  }
+
+  val defs: Seq[Q] = Seq(q29, q30, q38, q59, q63, q76)
 }

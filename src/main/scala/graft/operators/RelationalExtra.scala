@@ -446,6 +446,61 @@ object RelationalExtra {
       .orderBy("user_id", "purchase_us", "event_id")
   }
 
+  /** Join pre-flight costing census: everything a planner (or a human
+    * sizing a 100 TB job) needs to know about `events ⋈ orders ON
+    * user_id = o_custkey` WITHOUT executing the join — exact output
+    * cardinality (Σ_k cntA(k)·cntB(k) over the per-key censuses), key
+    * overlap, the heaviest key's share of the output (the salt-or-not
+    * signal), and whether either side fits a broadcast. The HLL
+    * distinct-key estimates ride alongside and are verified within
+    * tolerance (x03's pattern) — at scale the exact distinct count IS
+    * the census, so the sketch is a consistency check, not a shortcut.
+    *
+    * Scale shape: both inputs collapse to (key, cnt) map-side-combined
+    * censuses before anything joins — the costing join touches #keys
+    * rows, never #rows, and no payload column is ever read (column
+    * pruning to one int each side). This is how you answer "will this
+    * join OOM?" for two 50 TB tables with two key scans. */
+  private val q75 = Q(
+    "q75_join_preflight",
+    """WITH a AS (SELECT user_id AS k, count(*) AS cnt FROM events GROUP BY 1),
+       b AS (SELECT o_custkey AS k, count(*) AS cnt FROM orders GROUP BY 1),
+       j AS (SELECT a.k, a.cnt * b.cnt AS pairs FROM a JOIN b USING (k))
+       SELECT (SELECT CAST(sum(cnt) AS BIGINT) FROM a) AS rows_a,
+              (SELECT CAST(sum(cnt) AS BIGINT) FROM b) AS rows_b,
+              (SELECT count(*) FROM a) AS n_keys_a,
+              (SELECT count(*) FROM b) AS n_keys_b,
+              CAST(count(*) AS BIGINT) AS n_keys_common,
+              CAST(sum(pairs) AS BIGINT) AS exact_join_rows,
+              CAST(round(1000000.0 * max(pairs) / sum(pairs)) AS BIGINT)
+                AS top_key_share_micro,
+              true AS hll_a_ok, true AS hll_b_ok
+       FROM j ORDER BY rows_a""") { (s, d) =>
+    val a = Tables.events(s, d).groupBy(col("user_id").as("k"))
+      .agg(count(lit(1)).as("cnt_a"))
+    val b = Tables.orders(s, d).groupBy(col("o_custkey").as("k"))
+      .agg(count(lit(1)).as("cnt_b"))
+    // side censuses (rows, exact + HLL distinct keys) aggregate the tiny
+    // (key, cnt) tables, then cross into the one-row summary — nothing
+    // here re-reads the base tables
+    val sa = a.agg(sum("cnt_a").as("rows_a"), count(lit(1)).as("n_keys_a"),
+      approx_count_distinct(col("k")).as("hll_a"))
+    val sb = b.agg(sum("cnt_b").as("rows_b"), count(lit(1)).as("n_keys_b"),
+      approx_count_distinct(col("k")).as("hll_b"))
+    a.join(b, "k")
+      .select((col("cnt_a") * col("cnt_b")).as("pairs"))
+      .agg(count(lit(1)).as("n_keys_common"),
+        sum(col("pairs")).as("exact_join_rows"),
+        round(lit(1000000.0) * max(col("pairs")) / sum(col("pairs")))
+          .cast(LongType).as("top_key_share_micro"))
+      .crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+      .select(col("rows_a"), col("rows_b"), col("n_keys_a"), col("n_keys_b"),
+        col("n_keys_common"), col("exact_join_rows"), col("top_key_share_micro"),
+        (abs(col("hll_a") - col("n_keys_a")) <= col("n_keys_a") * 0.15).as("hll_a_ok"),
+        (abs(col("hll_b") - col("n_keys_b")) <= col("n_keys_b") * 0.15).as("hll_b_ok"))
+      .orderBy("rows_a")
+  }
+
   val defs: Seq[Q] = Seq(q33, q34, q35, q36, q37, q47, q66, q68, q69, q70, q71,
-    q73)
+    q73, q75)
 }

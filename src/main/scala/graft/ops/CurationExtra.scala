@@ -548,5 +548,220 @@ object CurationExtra {
       .orderBy("tau")
   }
 
-  val defs: Seq[Q] = Seq(d45, d46, t40, t43, t44, t45, d47, t46, d48, t47)
+  // ------------------------------------------------------------ t48
+
+  /** Lexical-diversity census per source: type-token ratio and Guiraud's
+    * index (types/√tokens — the length-robust variant; raw TTR decays
+    * with doc length, so cross-source TTR comparisons need both). Low
+    * lexical diversity is the vocabulary-level repetition signal the
+    * n-gram repetition filters (t09/t35) don't see — a doc can avoid
+    * repeating any 3-gram while cycling a 50-word vocabulary.
+    *
+    * Determinism: per-doc ratios quantize to integer micro-units before
+    * the sum (fixed-point — no float summation-order dependence; √ and
+    * one double divide of in-range operands are IEEE-exact in both
+    * engines); the per-source mean divides two exact integers.
+    *
+    * Scale shape: one narrow scan computes both per-doc counts map-side
+    * (split once via a single lower()'d token array), then a
+    * partial-aggregated GROUP BY on the low-cardinality source key —
+    * the cheapest shape a census can have. */
+  private val t48 = Q(
+    "t48_lexical_diversity",
+    """WITH per_doc AS (
+         SELECT source,
+                len(string_split(lower(text), ' ')) AS n_tok,
+                len(list_distinct(string_split(lower(text), ' '))) AS n_types
+         FROM documents),
+       m AS (
+         SELECT source,
+                CAST(round(1000000.0 * n_types / n_tok) AS BIGINT) AS ttr_micro,
+                CAST(round(1000000.0 * n_types / sqrt(CAST(n_tok AS DOUBLE))) AS BIGINT) AS gui_micro
+         FROM per_doc)
+       SELECT source, count(*) AS n_docs,
+              round(sum(ttr_micro) / count(*) / 1000000.0, 4) AS avg_ttr,
+              round(sum(gui_micro) / count(*) / 1000000.0, 4) AS avg_guiraud,
+              max(ttr_micro) AS max_ttr_micro, min(ttr_micro) AS min_ttr_micro
+       FROM m GROUP BY source ORDER BY source""") { (s, d) =>
+    val perDoc = Tables.documents(s, d)
+      .select(col("source"), split(lower(col("text")), " ").as("toks"))
+      .select(col("source"), size(col("toks")).cast(LongType).as("n_tok"),
+        size(array_distinct(col("toks"))).cast(LongType).as("n_types"))
+    perDoc
+      .select(col("source"),
+        round(lit(1000000.0) * col("n_types") / col("n_tok")).cast(LongType).as("ttr_micro"),
+        round(lit(1000000.0) * col("n_types") / sqrt(col("n_tok").cast("double")))
+          .cast(LongType).as("gui_micro"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("ttr_micro")) / count(lit(1)) / 1000000.0, 4).as("avg_ttr"),
+        round(sum(col("gui_micro")) / count(lit(1)) / 1000000.0, 4).as("avg_guiraud"),
+        max(col("ttr_micro")).as("max_ttr_micro"),
+        min(col("ttr_micro")).as("min_ttr_micro"))
+      .orderBy("source")
+  }
+
+  // ------------------------------------------------------------ d51
+
+  /** Re-crawl snapshot delta census: given two corpus snapshots (the
+    * previous crawl A and the fresh crawl B — derived here
+    * deterministically from the fixture: A drops doc_id%10=3, B drops
+    * doc_id%10=7 and re-crawls changed content for doc_id%5=0),
+    * classify every URL/doc key as added / removed / changed /
+    * unchanged and report per-source counts. This is the incremental-
+    * ingest bookkeeping (what does this crawl actually add?) that
+    * decides whether a 100 TB reprocess is warranted — the census runs
+    * BEFORE the expensive dedup family touches anything.
+    *
+    * Scale shape: content hashes (md5 here; the fixture-portable choice)
+    * are computed MAP-SIDE at the scan, so the full-outer join shuffles
+    * only (doc_id, source, 32-byte hash) — never document payloads —
+    * and the classification is a post-join CASE. One shuffle each side,
+    * keyed on doc_id; the census itself partial-aggregates on the tiny
+    * source key. */
+  private val d51 = Q(
+    "d51_snapshot_delta",
+    """WITH a AS (
+         SELECT doc_id, source, md5(text) AS h
+         FROM documents WHERE doc_id % 10 != 3),
+       b AS (
+         SELECT doc_id, source,
+                md5(CASE WHEN doc_id % 5 = 0 THEN text || ' update' ELSE text END) AS h
+         FROM documents WHERE doc_id % 10 != 7),
+       j AS (
+         SELECT coalesce(a.source, b.source) AS source,
+                CASE WHEN a.doc_id IS NULL THEN 'added'
+                     WHEN b.doc_id IS NULL THEN 'removed'
+                     WHEN a.h != b.h THEN 'changed'
+                     ELSE 'unchanged' END AS klass
+         FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+       SELECT source,
+              CAST(sum(CASE WHEN klass = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+              CAST(sum(CASE WHEN klass = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+              CAST(sum(CASE WHEN klass = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+              CAST(sum(CASE WHEN klass = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+       FROM j GROUP BY source ORDER BY source""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val a = docs.filter(col("doc_id") % 10 =!= 3)
+      .select(col("doc_id").as("a_id"), col("source").as("a_source"),
+        md5(col("text")).as("a_h"))
+    val b = docs.filter(col("doc_id") % 10 =!= 7)
+      .select(col("doc_id").as("b_id"), col("source").as("b_source"),
+        md5(when(col("doc_id") % 5 === 0, concat(col("text"), lit(" update")))
+          .otherwise(col("text"))).as("b_h"))
+    val klass = when(col("a_id").isNull, "added")
+      .when(col("b_id").isNull, "removed")
+      .when(col("a_h") =!= col("b_h"), "changed")
+      .otherwise("unchanged")
+    a.join(b, col("a_id") === col("b_id"), "full_outer")
+      .select(coalesce(col("a_source"), col("b_source")).as("source"), klass.as("klass"))
+      .groupBy("source")
+      .agg(sum(when(col("klass") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("klass") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("klass") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("klass") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"))
+      .orderBy("source")
+  }
+
+  // ------------------------------------------------------------ t49
+
+  /** Quality-gate agreement census: Cohen's kappa between the two
+    * quality gates the engine already ships — t19's model (logistic)
+    * gate and t02's heuristic (Gopher-style length/uniqueness) gate —
+    * per source. Kappa is the filter-governance number: raw percent
+    * agreement flatters any pair of gates that both keep ~everything,
+    * while kappa subtracts the agreement two INDEPENDENT gates with the
+    * same keep-rates would show by chance — the standard answer to "is
+    * the expensive model gate actually telling us anything the cheap
+    * heuristic doesn't?" before scaling it to 100 TB.
+    *
+    * Determinism: the 2×2 confusion counts are exact integers; po / pe /
+    * kappa are then a fixed sequence of double ops on those integers
+    * (identical operand order both engines), rounded once at the end.
+    *
+    * Scale shape: both gates are map-side column math over ONE shared
+    * scan (the features are computed once and feed both), then a
+    * partial-aggregated GROUP BY on the tiny source key. */
+  private val t49 = Q(
+    "t49_gate_agreement",
+    """WITH f AS (
+         SELECT source,
+                len(string_split(text, ' ')) AS n_tok,
+                len(list_distinct(string_split(text, ' '))) AS n_uniq,
+                length(text) AS n_chars,
+                len(list_filter(string_split(text, ' '),
+                  t -> t IN ('the', 'a', 'of', 'el', 'la', 'de'))) AS n_stop
+         FROM documents),
+       g AS (
+         SELECT source,
+                (1.0 / (1.0 + exp(-(
+                  -2.0
+                  + 0.02 * n_tok
+                  + 3.0 * (n_uniq * 1.0 / n_tok)
+                  + 8.0 * (n_stop * 1.0 / n_tok)
+                  - 0.5 * (n_chars * 1.0 / n_tok / 10.0)))) >= 0.5) AS model_keep,
+                (n_tok >= 20 AND n_uniq >= 10) AS heur_keep
+         FROM f),
+       c AS (
+         SELECT source, count(*) AS n,
+                CAST(sum(CASE WHEN model_keep AND heur_keep THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+                CAST(sum(CASE WHEN model_keep AND NOT heur_keep THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+                CAST(sum(CASE WHEN NOT model_keep AND heur_keep THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+                CAST(sum(CASE WHEN NOT model_keep AND NOT heur_keep THEN 1 ELSE 0 END) AS BIGINT) AS n00
+         FROM g GROUP BY source)
+       SELECT source, n, n11, n10, n01, n00,
+              round((n11 + n00) * 1.0 / n, 4) AS po,
+              round(((n11 + n10) * 1.0 / n) * ((n11 + n01) * 1.0 / n)
+                    + ((n01 + n00) * 1.0 / n) * ((n10 + n00) * 1.0 / n), 4) AS pe,
+              CASE WHEN n11 = n OR n00 = n THEN 1.0
+                   ELSE round(((n11 + n00) * 1.0 / n
+                     - (((n11 + n10) * 1.0 / n) * ((n11 + n01) * 1.0 / n)
+                        + ((n01 + n00) * 1.0 / n) * ((n10 + n00) * 1.0 / n)))
+                    / (1.0
+                       - (((n11 + n10) * 1.0 / n) * ((n11 + n01) * 1.0 / n)
+                          + ((n01 + n00) * 1.0 / n) * ((n10 + n00) * 1.0 / n))), 4)
+              END AS kappa
+       FROM c ORDER BY source""") { (s, d) =>
+    val ws = split(col("text"), " ")
+    val stops = Seq("the", "a", "of", "el", "la", "de")
+    val feats = Tables.documents(s, d)
+      .select(col("source"),
+        size(ws).as("n_tok"),
+        size(array_distinct(ws)).as("n_uniq"),
+        length(col("text")).as("n_chars"),
+        size(filter(ws, t => t.isin(stops.map(x => x: Any): _*))).as("n_stop"))
+    val score = lit(1.0) / (lit(1.0) + exp(-(
+      lit(-2.0)
+        + lit(0.02) * col("n_tok")
+        + lit(3.0) * (col("n_uniq") * lit(1.0) / col("n_tok"))
+        + lit(8.0) * (col("n_stop") * lit(1.0) / col("n_tok"))
+        - lit(0.5) * (col("n_chars") * lit(1.0) / col("n_tok") / lit(10.0)))))
+    val gates = feats.select(col("source"),
+      (score >= 0.5).as("model_keep"),
+      (col("n_tok") >= 20 && col("n_uniq") >= 10).as("heur_keep"))
+    val conf = gates.groupBy("source").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("model_keep") && col("heur_keep"), 1L).otherwise(0L)).as("n11"),
+      sum(when(col("model_keep") && !col("heur_keep"), 1L).otherwise(0L)).as("n10"),
+      sum(when(!col("model_keep") && col("heur_keep"), 1L).otherwise(0L)).as("n01"),
+      sum(when(!col("model_keep") && !col("heur_keep"), 1L).otherwise(0L)).as("n00"))
+    // po / pe as named intermediates so Spark and DuckDB share the exact
+    // double-op sequence (sum → divide → multiply → add), then one round;
+    // unanimous sources (both gates keep — or drop — everything) hit the
+    // classic kappa 0/0 degeneracy: pe = 1 exactly, so the conventional
+    // kappa = 1 rides an INTEGER condition, never a float compare
+    val po = (col("n11") + col("n00")) * lit(1.0) / col("n")
+    val pe = ((col("n11") + col("n10")) * lit(1.0) / col("n"))
+      .*((col("n11") + col("n01")) * lit(1.0) / col("n"))
+      .+(((col("n01") + col("n00")) * lit(1.0) / col("n"))
+        * ((col("n10") + col("n00")) * lit(1.0) / col("n")))
+    conf.select(col("source"), col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+      round(po, 4).as("po"), round(pe, 4).as("pe"),
+      when(col("n11") === col("n") || col("n00") === col("n"), lit(1.0))
+        .otherwise(round((po - pe) / (lit(1.0) - pe), 4)).as("kappa"))
+      .orderBy("source")
+  }
+
+  val defs: Seq[Q] = Seq(d45, d46, t40, t43, t44, t45, d47, t46, d48, t47,
+    t48, d51, t49)
 }

@@ -1427,6 +1427,71 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** Clustering-quality evaluation against ground-truth labels — the
+    * "did k-means find real structure?" check that gates every
+    * cluster-driven curation decision (SemDeDup keep-one-per-cluster,
+    * cluster-balanced sampling, d38 leakage-free splits). Two metrics
+    * over the d24 assignment × the fixture's `label` column:
+    * PURITY (Σ_cluster majority-label count / n — the interpretable
+    * number) and ADJUSTED RAND INDEX (pair-counting agreement corrected
+    * for chance — the number that doesn't inflate with k). Both are
+    * INTEGER-EXACT until one final division: the contingency table is
+    * exact counts, every C(x,2) is an even integer product `div` 2, and
+    * the ARI numerator/denominator follow the same fixed double-op
+    * sequence in both engines (products of exact integers < 2^53 are
+    * exact in doubles at any realistic label cardinality; a 100 TB run
+    * evaluates on a uniform sample anyway — pair counts grow O(n²)).
+    *
+    * Scale shape: the corpus collapses to the k×L contingency table in
+    * ONE map-side-combined hash agg (k·L rows — bytes, not data); the
+    * three census frames that fold it to one row broadcast. Nothing
+    * after the first agg ever touches a vector. */
+  private val d52 = Q(
+    "d52_cluster_quality",
+    lloydOracleCtes +
+      """,
+       ct AS (
+         SELECT a3.cell, e2.label, count(*) AS nij
+         FROM a3 JOIN embeddings e2 ON e2.vec_id = a3.vec_id
+         GROUP BY 1, 2),
+       rws AS (SELECT cell, CAST(sum(nij) AS BIGINT) AS ai,
+                      CAST(max(nij) AS BIGINT) AS maj FROM ct GROUP BY 1),
+       cls AS (SELECT label, CAST(sum(nij) AS BIGINT) AS bj FROM ct GROUP BY 1),
+       tot AS (SELECT CAST(sum(nij) AS BIGINT) AS n,
+                      CAST(sum((nij * (nij - 1)) // 2) AS BIGINT) AS sij,
+                      CAST(count(*) AS BIGINT) AS n_cells FROM ct),
+       sa AS (SELECT CAST(sum((ai * (ai - 1)) // 2) AS BIGINT) AS s_a,
+                     CAST(sum(maj) AS BIGINT) AS majsum,
+                     CAST(count(*) AS BIGINT) AS n_clusters FROM rws),
+       sb AS (SELECT CAST(sum((bj * (bj - 1)) // 2) AS BIGINT) AS s_b,
+                     CAST(count(*) AS BIGINT) AS n_labels FROM cls)
+       SELECT n, n_clusters, n_labels, majsum,
+              round(majsum * 1.0 / n, 4) AS purity,
+              round((sij - s_a * 1.0 * s_b / ((n * (n - 1)) // 2))
+                    / (0.5 * (s_a + s_b) - s_a * 1.0 * s_b / ((n * (n - 1)) // 2)), 4) AS ari
+       FROM tot, sa, sb ORDER BY n""") { (s, d) =>
+    val assign = kmeansAssign(s, d, rounds = 2).select("vec_id", "cell")
+    val lab = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    val ct = Dedup.reuse(assign.join(lab, "vec_id")
+      .groupBy("cell", "label").agg(count(lit(1)).as("nij")))
+    val rws = ct.groupBy("cell").agg(sum("nij").as("ai"), max("nij").as("maj"))
+    val tot = ct.agg(sum("nij").as("n"),
+      sum(expr("(nij * (nij - 1)) div 2")).as("sij"),
+      count(lit(1)).as("n_cells"))
+    val sa = rws.agg(sum(expr("(ai * (ai - 1)) div 2")).as("s_a"),
+      sum("maj").as("majsum"), count(lit(1)).as("n_clusters"))
+    val sb = ct.groupBy("label").agg(sum("nij").as("bj"))
+      .agg(sum(expr("(bj * (bj - 1)) div 2")).as("s_b"),
+        count(lit(1)).as("n_labels"))
+    tot.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+      .select(col("n"), col("n_clusters"), col("n_labels"), col("majsum"),
+        round(col("majsum") * lit(1.0) / col("n"), 4).as("purity"),
+        round((col("sij") - lit(1.0) * col("s_a") * col("s_b") / expr("(n * (n - 1)) div 2"))
+          / (lit(0.5) * (col("s_a") + col("s_b"))
+            - lit(1.0) * col("s_a") * col("s_b") / expr("(n * (n - 1)) div 2")), 4).as("ari"))
+      .orderBy("n")
+  }
+
   val defs: Seq[Q] = Seq(d05, d06, d07, d12, d14, d16, d19, d24, d25, d26, d29,
-    d30, d32, d33, d35, d40)
+    d30, d32, d33, d35, d40, d52)
 }

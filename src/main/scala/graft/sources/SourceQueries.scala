@@ -343,6 +343,44 @@ object SourceQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** XML round-trip (Spark 4's built-in XML source, `rowTag`-framed) —
+    * the feed-shaped interchange format crawl pipelines still ingest
+    * (sitemaps, RSS/Atom, wiki dumps). Write an orders subset out as
+    * XML, read it back with an EXPLICIT schema (XML schema inference is
+    * a full extra pass over the data — never pay it at 100 TB), and
+    * aggregate; the oracle computes the same aggregate straight from
+    * parquet, so tag framing, escaping, or type-coercion drift fails
+    * the hash. Money rides as integer cents: XML is a text format, so
+    * floats would round-trip through decimal strings.
+    *
+    * Scale shape: the XML reader splits files by newline-delimited row
+    * tags exactly like the JSON-lines reader — per-file parallel scan,
+    * no global parse. */
+  private val src12 = Q(
+    "src12_xml_roundtrip",
+    """SELECT o_orderpriority, count(*) AS n,
+              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+       FROM orders WHERE o_orderkey < 5000
+       GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, d) =>
+    val dir = tmp("graft_xml")
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") < 5000)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast(LongType).as("cents"))
+      .write.mode("overwrite")
+      .option("rowTag", "order")
+      .format("xml").save(s"$dir/orders_xml")
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderpriority", StringType),
+      StructField("cents", LongType)))
+    s.read.schema(schema).option("rowTag", "order").format("xml")
+      .load(s"$dir/orders_xml")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+      .orderBy("o_orderpriority")
+  }
+
   val defs: Seq[Q] = Seq(src01, src02, src03, src04, src05, src06, src07,
-    src08, src09, src10, src11)
+    src08, src09, src10, src11, src12)
 }

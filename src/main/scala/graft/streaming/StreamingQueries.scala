@@ -1172,8 +1172,57 @@ object StreamingQueries {
       .orderBy("host")
   }
 
+  /** State-store introspection: batch-read a finished streaming
+    * aggregation's CHECKPOINT STATE with Spark 4's `statestore` data
+    * source (the ops/debugging surface every production streaming
+    * deployment eventually needs — "what does the state actually hold
+    * right now?" answered without touching the running query). A keyed
+    * count/sum aggregation runs to completion against a checkpoint;
+    * the state files are then read back as a plain DataFrame (key
+    * struct, aggregation-buffer value struct, partition_id) and must
+    * equal the batch aggregate — which is precisely what a completed
+    * streaming agg's state IS, so the DuckDB oracle is the batch
+    * GROUP BY itself.
+    *
+    * Scale shape: the state source reads one store per shuffle
+    * partition in parallel (no driver materialization) — state
+    * snapshots of a 1000-partition deployment scan like any other
+    * partitioned source. The partition_id column is also asserted in
+    * RoundSevenSpec: keys spread across stores, i.e. state is
+    * hash-distributed, not driver-held. */
+  private val s26 = Q(
+    "s26_state_store_read",
+    """SELECT event_type, count(*) AS n,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+       FROM events GROUP BY event_type ORDER BY event_type""") { (s, d) =>
+    val ckpt = graft.Scratch.dir("graft_statestore_ckpt")
+    val agg = eventsStream(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast(LongType)).as("value_cents"))
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", math.min(8, saved.toInt).toString)
+    try {
+      val q = agg.writeStream
+        .format("memory")
+        .queryName(s"graft_ss_${sinkCounter.incrementAndGet()}_${System.nanoTime()}")
+        .outputMode(OutputMode.Complete())
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    // the value struct carries the agg buffer under its internal field
+    // names (count, sum) — alias back to the declared output contract
+    s.read.format("statestore").option("path", ckpt).load()
+      .select(col("key.event_type").as("event_type"),
+        col("value.count").as("n"), col("value.sum").as("value_cents"))
+      .orderBy("event_type")
+  }
+
   val defs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
-    s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25)
+    s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25,
+    s26)
 }
 
 /** s11's StatefulProcessor: cumulative (event count, value cents) per

@@ -384,4 +384,211 @@ class RoundSevenSpec extends SparkTestBase {
     val rank = fast.map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(rank(1L) > rank(7L))
   }
+
+  test("session-6 ops are partition-count invariant (t48 lexical diversity, " +
+      "d51 snapshot delta, src12 XML round-trip, q74 XML scalars)") {
+    for (nm <- Seq("t48_lexical_diversity", "d51_snapshot_delta",
+        "src12_xml_roundtrip", "q74_xml_funcs")) {
+      val runs = Seq("4", "7").map { parts =>
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        try SparkEntry.queries(nm)(spark, sf0001).collect().toSeq
+        finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+      }
+      assert(runs(0) == runs(1),
+        s"$nm output depends on the shuffle partition count")
+      assert(runs(0).nonEmpty, s"$nm trivially empty at sf0.001")
+    }
+  }
+
+  test("XML round-trip is lossless under markup-hostile content: <, >, &, " +
+      "quotes and newlines survive to_xml → from_xml and the file sink → scan") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val hostile = Seq(
+      (1L, """a < b && c > "d" 'quote'"""),
+      (2L, "line1\nline2\tend"),
+      (3L, "]]> <tag attr=\"x\"/> &amp; already-escaped"),
+      (4L, "plain")).toDF("id", "payload")
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("payload", StringType)))
+    // scalar round-trip
+    val back1 = hostile
+      .select(to_xml(struct(col("id"), col("payload"))).as("x"))
+      .select(from_xml(col("x"), sch).as("r")).select("r.*")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(back1 == hostile.as[(Long, String)].collect().sortBy(_._1).toSeq,
+      "to_xml → from_xml mangled hostile content")
+    // file round-trip
+    val dir = Scratch.dir("graft_xml_hostile")
+    hostile.write.mode("overwrite").option("rowTag", "r").format("xml")
+      .save(s"$dir/h")
+    val back2 = spark.read.schema(sch).option("rowTag", "r").format("xml")
+      .load(s"$dir/h")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(back2 == hostile.as[(Long, String)].collect().sortBy(_._1).toSeq,
+      "XML sink → scan mangled hostile content")
+  }
+
+  test("s26's claim holds: streaming aggregation state is HASH-DISTRIBUTED " +
+      "across state stores (multiple partition_ids, one store row per key)") {
+    import spark.implicits._
+    val dir = Scratch.dir("graft_ss_spec")
+    // 26 keys through a 4-partition stateful agg — keys must spread
+    spark.range(0, 2600)
+      .select((col("id") % 26).cast("long").as("k"), col("id").as("v"))
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val ckpt = s"$dir/ckpt"
+    val st = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", LongType),
+        org.apache.spark.sql.types.StructField("v", LongType))))
+      .parquet(s"$dir/in")
+      .groupBy("k").agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    val q = st.writeStream.format("memory").queryName("ss_spec_mem")
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val state = spark.read.format("statestore").option("path", ckpt).load()
+      .select(col("key.k").as("k"), col("value.count").as("n"),
+        col("partition_id"))
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(state.map(_._1).distinct.size == 26, "one state row per key")
+    assert(state.size == 26, "no duplicate state rows")
+    assert(state.map(_._3).distinct.size > 1,
+      "state concentrated in one store — not hash-distributed")
+    assert(state.forall(_._2 == 100L), "state buffer count drifted")
+  }
+
+  test("session-6 batch-2 ops are partition-count invariant (q75 join " +
+      "pre-flight, t49 gate agreement, m10 perceptual-hash dedup, q76 " +
+      "interval join, d52 cluster quality)") {
+    for (nm <- Seq("q75_join_preflight", "t49_gate_agreement",
+        "m10_perceptual_hash_dedup", "q76_interval_join", "d52_cluster_quality")) {
+      val runs = Seq("4", "7").map { parts =>
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        try SparkEntry.queries(nm)(spark, sf0001).collect().toSeq
+        finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+      }
+      assert(runs(0) == runs(1),
+        s"$nm output depends on the shuffle partition count")
+      assert(runs(0).nonEmpty, s"$nm trivially empty at sf0.001")
+    }
+  }
+
+  test("q75's pre-flight prediction is EXACT: the costed join, when " +
+      "actually executed, produces precisely exact_join_rows rows") {
+    val row = SparkEntry.queries("q75_join_preflight")(spark, sf0001).head()
+    val predicted = row.getAs[Long]("exact_join_rows")
+    val actual = Tables.events(spark, sf0001)
+      .join(Tables.orders(spark, sf0001),
+        col("user_id") === col("o_custkey")).count()
+    assert(predicted == actual, s"pre-flight said $predicted, join made $actual")
+    assert(row.getAs[Boolean]("hll_a_ok") && row.getAs[Boolean]("hll_b_ok"))
+    // the skew signal is a valid share: heaviest key ≤ total
+    assert(row.getAs[Long]("top_key_share_micro") <= 1000000L)
+  }
+
+  test("t49 kappa is well-formed: confusion cells partition each source, " +
+      "kappa ∈ [-1, 1], and it is BELOW raw agreement wherever chance " +
+      "agreement is nonzero (the whole point of the correction)") {
+    val rows = SparkEntry.queries("t49_gate_agreement")(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (n, n11, n10, n01, n00) = (r.getAs[Long]("n"), r.getAs[Long]("n11"),
+        r.getAs[Long]("n10"), r.getAs[Long]("n01"), r.getAs[Long]("n00"))
+      assert(n11 + n10 + n01 + n00 == n, s"confusion cells don't sum: $r")
+      val kappa = r.getAs[Double]("kappa")
+      assert(kappa >= -1.0 && kappa <= 1.0, s"kappa out of range: $r")
+      if (n11 != n && n00 != n)
+        assert(kappa <= r.getAs[Double]("po") + 1e-9,
+          s"kappa must not exceed raw agreement: $r")
+    }
+  }
+
+  test("m10 detects re-uploads and trims at low hamming, rejects content " +
+      "scrambles, and never shuffles a payload byte") {
+    val df = SparkEntry.queries("m10_perceptual_hash_dedup")(spark, sf0001)
+    val rows = df.collect()
+    val byVariant = rows.groupBy(_.getString(0))
+    assert(byVariant.contains("reup"), "appended-metadata re-uploads missed")
+    assert(byVariant.contains("trim"), "tail trims missed")
+    val scramblePairs = byVariant.get("scramble").map(_.map(_.getAs[Long]("n_pairs")).sum).getOrElse(0L)
+    val nearPairs = rows.map(_.getAs[Long]("n_pairs")).sum
+    assert(scramblePairs * 10 <= nearPairs,
+      s"scrambles ($scramblePairs of $nearPairs pairs) flooding the τ gate")
+    // recall floor: 1 in 5 docs has a planted re-upload; at least 80% of
+    // those self-pairs must surface through banding + the τ gate
+    val nDocs = Tables.documents(spark, sf0001).count()
+    val reupPairs = byVariant("reup").map(_.getAs[Long]("n_pairs")).sum
+    assert(reupPairs * 5 >= nDocs * 8 / 10,
+      s"re-upload recall too low: $reupPairs pairs for $nDocs docs")
+    // plan hygiene: payload/text never crosses an exchange — only ids,
+    // band keys, and the packed signature ints
+    import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p +: (p.children ++ (p match {
+        case ad: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => Seq(ad.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case _ => Nil
+      })).flatMap(nodes)
+    val ex = nodes(castToImpl(df).queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(ex.nonEmpty)
+    assert(ex.forall(e => !e.child.schema.fieldNames.exists(n =>
+      n == "payload" || n == "text" || n == "hx")),
+      "a shuffle carries media payload bytes")
+  }
+
+  test("q76 grid-bucketized interval join equals the naive theta join " +
+      "exactly and plans as an EQUI join — no cartesian/nested-loop node") {
+    val df = SparkEntry.queries("q76_interval_join")(spark, sf001)
+    val fast = df.collect().toSeq
+    // naive formulation: the O(n·m) theta join Spark would have to
+    // nested-loop — same answer, catastrophically different plan
+    val ev = Tables.events(spark, sf001)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+    val a = ev.groupBy(col("user_id"), expr("us div 86400000000").as("d"))
+      .agg(min("us").as("s_us"), max("us").as("e_us"))
+    val b = ev.filter(col("event_id") % 199 === 0)
+      .select(col("event_id").as("cid"), col("us").as("b_s"),
+        (col("us") + 129600000000L).as("b_e"))
+    val naive = a.join(b, col("s_us") <= col("b_e") && col("b_s") <= col("e_us"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"), min(col("d")).as("first_day"))
+      .orderBy("cid").collect().toSeq
+    assert(fast == naive, "bucketized interval join diverges from the theta join")
+    import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p +: (p.children ++ (p match {
+        case ad: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => Seq(ad.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case _ => Nil
+      })).flatMap(nodes)
+    val all = nodes(castToImpl(df).queryExecution.executedPlan)
+    assert(!all.exists(p =>
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "interval join fell back to a cartesian/nested-loop plan")
+  }
+
+  test("d52 cluster quality is coherent: contingency covers the corpus, " +
+      "purity and ARI in range, and clustering beats the chance floor") {
+    val r = SparkEntry.queries("d52_cluster_quality")(spark, sf001).head()
+    val n = Tables.embeddings(spark, sf001).count()
+    assert(r.getAs[Long]("n") == n, "contingency lost vectors")
+    val purity = r.getAs[Double]("purity")
+    val ari = r.getAs[Double]("ari")
+    assert(r.getAs[Long]("majsum") <= n)
+    assert(purity > 0.0 && purity <= 1.0)
+    assert(ari <= 1.0 && ari >= -0.5, s"ARI out of range: $ari")
+    // purity can never be below the largest label's share (the
+    // one-cluster degenerate floor)
+    val maxLabelShare = Tables.embeddings(spark, sf001)
+      .groupBy("label").count().agg(max("count")).head().getLong(0).toDouble / n
+    assert(purity >= maxLabelShare - 1e-9,
+      s"purity $purity below the degenerate floor $maxLabelShare")
+  }
 }
