@@ -427,8 +427,72 @@ object Extensibility {
       .orderBy(col("exact_n").desc, col("term"))
   }
 
+  /** Custom DataSourceV2 connector end-to-end (see
+    * [[graft.sources.RangeDocsSource]]): scan via the `graft-range-docs`
+    * short name, a pushable `doc_id` range (evaluated inside the source
+    * before partition planning), a NON-pushable `quality` predicate
+    * (stays a Spark post-scan filter — the split is what the spec
+    * asserts), and an aggregate over the surviving rows. The oracle
+    * regenerates the identical table from the connector's published
+    * integer formulas with `generate_series` — the whole connector
+    * stack (planning, pushdown, pruning, row materialization) is
+    * hash-checked, not just smoke-tested. */
+  private val x14 = Q(
+    "x14_dsv2_source",
+    """WITH g AS (SELECT unnest(generate_series(0, 99999)) AS doc_id),
+       t AS (SELECT doc_id, 'src' || (doc_id % 5) AS source,
+                    48 + (doc_id * 7919) % 500 AS n_chars,
+                    (doc_id * 104729) % 1000 AS quality
+             FROM g)
+       SELECT source, count(*) AS n,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars,
+              CAST(max(quality) AS BIGINT) AS max_q
+       FROM t WHERE doc_id >= 2000 AND doc_id < 52000 AND quality >= 250
+       GROUP BY source ORDER BY source""") { (s, _) =>
+    s.read.format("graft-range-docs")
+      .option("rows", 100000).option("partitions", 16).load()
+      .filter(col("doc_id") >= 2000L && col("doc_id") < 52000L
+        && col("quality") >= 250L)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"),
+        max(col("quality")).as("max_q"))
+      .orderBy("source")
+  }
+
+  /** Custom DataSourceV2 SINK end-to-end (see
+    * [[graft.sources.ManifestSink]]): write a deterministic orders slice
+    * through the two-phase-commit connector (task-attempt staging files
+    * → job-commit manifest), then read back ONLY what the manifest
+    * publishes and aggregate it. The oracle computes the same aggregate
+    * straight from parquet, so a lost row, a double-published attempt,
+    * or a serialization drift all fail the hash. The retry-safety claim
+    * (a failed task attempt's file never becomes visible) is exercised
+    * separately in RoundSevenSpec with an injected task failure. */
+  private val x15 = Q(
+    "x15_dsv2_sink",
+    """SELECT o_orderpriority, count(*) AS n,
+              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+       FROM orders WHERE o_orderkey < 8000
+       GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, d) =>
+    import org.apache.spark.sql.types.{LongType => LT, StringType => ST, StructField, StructType}
+    val dir = graft.Scratch.dir("graft_manifest_sink")
+    Tables.orders(s, d).filter(col("o_orderkey") < 8000)
+      .select(col("o_orderkey"),
+        col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .write.format("graft-manifest-sink").option("path", dir)
+      .mode("overwrite").save()
+    val files = graft.sources.ManifestSink.committedFiles(dir)
+    val schema = StructType(Seq(StructField("o_orderkey", LT),
+      StructField("o_orderpriority", ST), StructField("cents", LT)))
+    s.read.schema(schema).option("sep", "\t").csv(files: _*)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+      .orderBy("o_orderpriority")
+  }
+
   val defs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11,
-    x12, x13)
+    x12, x13, x14, x15)
 }
 
 /** Session-extension injector (`spark.sql.extensions=graft.functions.

@@ -85,9 +85,43 @@ object RetryProbe {
       s"reduce-side chaos did not fire exactly once: ${Chaos.fired.get()}")
     require(identical2, "reduce-side task retry changed the dedup output")
 
+    // scenario 3: the failure lands in a WRITE TASK of the DSv2 manifest
+    // sink (x15's connector) — the attempt has already streamed rows into
+    // its staging file when it dies mid-partition. DataWriter.abort()
+    // deletes the orphan, the retried attempt stages a fresh file, and
+    // the job-level commit publishes exactly one file per partition; the
+    // reader (manifest-only) must see the clean dataset with no
+    // duplicate and no missing rows.
+    val sinkDir = Scratch.dir("graft_retry_sink")
+    val sinkIn = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .repartition(3, col("doc_id")) // several parallel writers; one dies
+    Chaos.armed.set(true)
+    sinkIn.filter(boom(col("doc_id")))
+      .write.format("graft-manifest-sink").option("path", sinkDir)
+      .mode("overwrite").save()
+    require(Chaos.fired.get() == scan + 2,
+      s"write-side chaos did not fire exactly once: ${Chaos.fired.get()}")
+    val expected = sinkIn.orderBy("doc_id").collect().toSeq
+    val committed = graft.sources.ManifestSink.committedFiles(sinkDir)
+    val gotBack = spark.read
+      .schema("doc_id LONG, source STRING, n_chars LONG")
+      .option("sep", "\t").csv(committed: _*)
+      .orderBy("doc_id").collect().toSeq
+    val sinkExact = gotBack == expected
+    require(sinkExact, s"sink retry corrupted output: ${gotBack.size} vs ${expected.size} rows")
+    // the failed attempt's staging file must be GONE — disk holds exactly
+    // the manifest's files plus the manifest itself
+    val onDisk = new java.io.File(sinkDir).listFiles().map(_.getName).toSet
+    val published = committed.map(f => new java.io.File(f).getName).toSet
+    require(onDisk == published + "_graft_manifest",
+      s"orphan staging files survived: ${onDisk -- published}")
+
     println(s"""{"metric":"retry_probe","task_failures_injected":${Chaos.fired.get()},""" +
       s""""rows":${clean.size},"identical_after_scan_retry":$identical,""" +
-      s""""identical_after_reduce_retry":$identical2}""")
+      s""""identical_after_reduce_retry":$identical2,""" +
+      s""""sink_exact_after_write_retry":$sinkExact,""" +
+      s""""sink_files_published":${published.size}}""")
     spark.stop()
   }
 }

@@ -464,7 +464,8 @@ class RoundSevenSpec extends SparkTestBase {
       "pre-flight, t49 gate agreement, m10 perceptual-hash dedup, q76 " +
       "interval join, d52 cluster quality)") {
     for (nm <- Seq("q75_join_preflight", "t49_gate_agreement",
-        "m10_perceptual_hash_dedup", "q76_interval_join", "d52_cluster_quality")) {
+        "m10_perceptual_hash_dedup", "q76_interval_join", "d52_cluster_quality",
+        "x14_dsv2_source", "x15_dsv2_sink")) {
       val runs = Seq("4", "7").map { parts =>
         spark.conf.set("spark.sql.shuffle.partitions", parts)
         try SparkEntry.queries(nm)(spark, sf0001).collect().toSeq
@@ -572,6 +573,87 @@ class RoundSevenSpec extends SparkTestBase {
       p.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec] ||
       p.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
       "interval join fell back to a cartesian/nested-loop plan")
+  }
+
+  test("x14 DSv2 connector: pushed doc_id filters narrow PARTITION " +
+      "PLANNING, column pruning reaches the reader's schema, and the " +
+      "non-pushable predicate stays a Spark-side filter") {
+    import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p +: (p.children ++ (p match {
+        case ad: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => Seq(ad.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case _ => Nil
+      })).flatMap(nodes)
+    def scansOf(df: org.apache.spark.sql.DataFrame) = {
+      df.collect()
+      nodes(castToImpl(df).queryExecution.executedPlan).collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }
+    }
+    val base = spark.read.format("graft-range-docs")
+      .option("rows", "100000").option("partitions", "16").load()
+    // point lookup: EqualTo pushes down, the planner sees range [42, 43)
+    // and plans exactly ONE partition of the 16
+    val point = base.filter(col("doc_id") === 42L)
+    assert(point.rdd.getNumPartitions == 1,
+      "pushed point lookup must plan a single partition")
+    assert(point.collect().map(_.getLong(0)).toSeq == Seq(42L))
+    // narrowed range: 8 rows left → min(16, 8) partitions
+    val narrow = base.filter(col("doc_id") < 8L)
+    assert(narrow.rdd.getNumPartitions == 8)
+    assert(narrow.count() == 8)
+    // column pruning reaches the reader factory via readSchema
+    val sel = base.select("n_chars")
+    val selScans = scansOf(sel)
+    assert(selScans.nonEmpty)
+    assert(selScans.head.scan.readSchema().fieldNames.toSeq == Seq("n_chars"),
+      s"reader materializes ${selScans.head.scan.readSchema().fieldNames.toSeq}")
+    // split enforcement: doc_id >= 10 is evaluated INSIDE the source
+    // (visible in the scan's planned range), quality stays outside
+    val mixed = base.filter(col("doc_id") >= 10L && col("quality") === 7L)
+    val mixedScans = scansOf(mixed)
+    assert(mixedScans.head.scan.description().contains("[10, 100000)"),
+      s"scan did not narrow: ${mixedScans.head.scan.description()}")
+    val post = nodes(castToImpl(mixed).queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f.condition.toString
+    }
+    assert(post.exists(_.contains("quality")),
+      "non-pushable quality predicate must remain a Spark-side FilterExec")
+    assert(!post.exists(_.contains("doc_id")),
+      "pushed doc_id range must NOT be re-evaluated post-scan")
+  }
+
+  test("x15 manifest sink publishes ONLY committed attempts: a planted " +
+      "hard-crash staging file is invisible to readers, and overwrite " +
+      "swaps the manifest atomically and collects stale staging files") {
+    val dir = Scratch.dir("graft_sink_spec")
+    spark.range(0, 100)
+      .select(col("id").as("k"), concat(lit("v"), col("id")).as("v"))
+      .write.format("graft-manifest-sink").option("path", dir)
+      .mode("overwrite").save()
+    val files1 = graft.sources.ManifestSink.committedFiles(dir)
+    assert(files1.nonEmpty)
+    // hard-crash residue: a staging file whose attempt never committed
+    // (abort() couldn't run — the JVM died); readers trust the manifest
+    val orphan = new java.io.File(dir, "stage-9-999-deadbeef.tsv")
+    java.nio.file.Files.writeString(orphan.toPath, "424242\tghost\n")
+    def readBack() = spark.read.schema("k LONG, v STRING").option("sep", "\t")
+      .csv(graft.sources.ManifestSink.committedFiles(dir): _*)
+    assert(readBack().count() == 100)
+    assert(readBack().filter(col("k") === 424242L).count() == 0,
+      "uncommitted staging file leaked into the read path")
+    // overwrite: truncate + rewrite; the commit garbage-collects every
+    // staging file the new manifest doesn't publish (incl. the orphan)
+    spark.range(0, 7).select(col("id").as("k"), lit("w").as("v"))
+      .write.format("graft-manifest-sink").option("path", dir)
+      .mode("overwrite").save()
+    assert(readBack().count() == 7)
+    val onDisk = new java.io.File(dir).listFiles().map(_.getName).toSet
+    val published = graft.sources.ManifestSink.committedFiles(dir)
+      .map(f => new java.io.File(f).getName).toSet
+    assert(onDisk == published + graft.sources.ManifestSink.ManifestName,
+      s"stale files survived the overwrite: ${onDisk -- published}")
   }
 
   test("d52 cluster quality is coherent: contingency covers the corpus, " +
