@@ -127,7 +127,19 @@ object ScaleProbe {
       "d49_soft_dedup_weights",
       // d50 span removal = d22's detection + the interval-merge/rebuild
       // tail (touches only affected docs)
-      "d50_span_removal")
+      "d50_span_removal",
+      // round-7 session-6: the dHash banded pair join (m10 — band-bucket
+      // population is the quadratic hazard, capped like d03/d11), the
+      // lexical/kappa censuses (t48/t49 — designed-linear one-scan aggs),
+      // the snapshot delta (d51 — id/hash-only full-outer join), and the
+      // cluster-quality contingency (d52 — d24's assignment + a k×L agg).
+      // q76 is EXCLUDED (needs the events fixture the synth corpus lacks;
+      // its day-cell population is bounded by construction), x14/x15
+      // (connector scale is an option knob / a write of the input, not a
+      // corpus-driven cost), src12/q74 (orders/nation fixtures), s26
+      // (streaming — covered by the state-bound specs).
+      "m10_perceptual_hash_dedup", "t48_lexical_diversity",
+      "t49_gate_agreement", "d51_snapshot_delta", "d52_cluster_quality")
     // optional arg: comma-separated subset — incremental probe runs
     // (new-session ops only) merge into the recorded JSON without
     // re-timing the whole battery; the kNN knob section is skipped too.

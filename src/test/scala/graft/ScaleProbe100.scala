@@ -55,7 +55,11 @@ object ScaleProbe100 {
       "t35_gopher_repetition", "d42_contamination_fraction",
       // session-5: soft weights (the d44/d15 pipeline + census) and span
       // removal (d22's detection + the interval-merge/rebuild tail)
-      "d49_soft_dedup_weights", "d50_span_removal")
+      "d49_soft_dedup_weights", "d50_span_removal",
+      // session-6: the dHash banded pair join — band-bucket population
+      // is its quadratic hazard, and only a second decade shows whether
+      // the 8-bit-per-band pixel statistics hold it flat
+      "m10_perceptual_hash_dedup")
     // optional arg: comma-separated subset — incremental decade runs for
     // new ops; the flood/knn sections are skipped in subset mode.
     val onlyFilter = args.headOption.map(_.split(',').toSet)
