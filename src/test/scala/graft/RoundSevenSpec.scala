@@ -465,7 +465,7 @@ class RoundSevenSpec extends SparkTestBase {
       "interval join, d52 cluster quality)") {
     for (nm <- Seq("q75_join_preflight", "t49_gate_agreement",
         "m10_perceptual_hash_dedup", "q76_interval_join", "d52_cluster_quality",
-        "x14_dsv2_source", "x15_dsv2_sink")) {
+        "x14_dsv2_source", "x15_dsv2_sink", "d53_index_update")) {
       val runs = Seq("4", "7").map { parts =>
         spark.conf.set("spark.sql.shuffle.partitions", parts)
         try SparkEntry.queries(nm)(spark, sf0001).collect().toSeq
@@ -654,6 +654,57 @@ class RoundSevenSpec extends SparkTestBase {
       .map(f => new java.io.File(f).getName).toSet
     assert(onDisk == published + graft.sources.ManifestSink.ManifestName,
       s"stale files survived the overwrite: ${onDisk -- published}")
+  }
+
+  test("d53 index maintenance: probing the APPENDED index is byte-identical " +
+      "to probing a full rebuild, and the appended layout still reads " +
+      "exchange-free under a forced shuffled join") {
+    import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+    val docs = Tables.documents(spark, sf0001)
+    val (buckets, _) = ops.Dedup.lshBucketsAndShingles(
+      docs, "doc_id", "text", shingleWords = 3, bands = 4, rowsPerBand = 2)
+    val isW1 = col("id") % 7 === 3
+    val isW2 = col("id") % 7 === 5
+    ops.Dedup.writeBandIndex(spark, buckets.filter(!isW1 && !isW2), "graft_idx_upd_spec")
+    ops.Dedup.appendBandIndex(spark, buckets.filter(isW1), "graft_idx_upd_spec")
+    ops.Dedup.writeBandIndex(spark, buckets.filter(!isW2), "graft_idx_rebuild_spec")
+    val probeIn = buckets.filter(isW2)
+    val viaUpdate = ops.Dedup.probeBandIndex(spark, "graft_idx_upd_spec", probeIn)
+      .orderBy("id_a", "id_b").collect().toSeq
+    val viaRebuild = ops.Dedup.probeBandIndex(spark, "graft_idx_rebuild_spec", probeIn)
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(viaUpdate.nonEmpty, "probe found no candidates — vacuous")
+    assert(viaUpdate == viaRebuild, "append-maintained index diverged from rebuild")
+    // wave-1 entries must be live in the updated index (the append is
+    // not a no-op): some candidate pairs point INTO the appended batch
+    assert(viaUpdate.exists(r => r.getLong(1) % 7 == 3),
+      "no candidate hits the appended wave — append ineffective")
+    // plan: with broadcast disabled, the updated table's bucketed layout
+    // still satisfies the join distribution — index side exchange-free
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val cand = ops.Dedup.probeBandIndex(spark, "graft_idx_upd_spec", probeIn)
+      cand.collect()
+      def nodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+        p +: (p.children ++ (p match {
+          case ad: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => Seq(ad.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+          case _ => Nil
+        })).flatMap(nodes)
+      val plan = castToImpl(cand).queryExecution.executedPlan
+      val join = nodes(plan).collectFirst {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }
+      assert(join.isDefined, s"expected a shuffled join against the index:\n$plan")
+      val indexSide = join.get.children.filter(c =>
+        nodes(c).exists(_.toString.contains("graft_idx_upd_spec")))
+      assert(indexSide.size == 1, s"index scan not under the probe join:\n$plan")
+      assert(nodes(indexSide.head).collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.isEmpty, "the appended index side got re-shuffled")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
   test("d52 cluster quality is coherent: contingency covers the corpus, " +
