@@ -1220,9 +1220,66 @@ object StreamingQueries {
       .orderBy("event_type")
   }
 
+  /** Idempotent keyed-store upsert through `foreachBatch` — the
+    * exactly-once-to-an-external-store pattern production streaming jobs
+    * actually deploy (s12's file sink covers Spark-owned storage; real
+    * pipelines also land aggregates in a store Spark does NOT own). The
+    * protocol: update-mode aggregation emits each key's new value per
+    * micro-batch; `foreachBatch` writes the changed rows to a
+    * DETERMINISTICALLY-NAMED location keyed by `batchId`
+    * (`store/batch=<id>`, mode=overwrite). Because Spark replays an
+    * uncommitted batch with the SAME batchId after a crash, the re-run
+    * OVERWRITES the same location instead of appending a duplicate —
+    * idempotence by addressing, the same trick as MERGE ON (key,
+    * batch_id). Store reconstruction takes each key's row from its
+    * highest batch, which is the key's final aggregate, so the DuckDB
+    * batch GROUP BY is an exact oracle. Crash-restart exercised in
+    * RoundSevenSpec.
+    *
+    * Scale shape: each batch writes only CHANGED keys (update mode);
+    * reconstruction is one window over key-partitioned store rows —
+    * at store scale that read is the consumer's problem precisely
+    * because the write path stays append-shaped and tiny. */
+  private val s27 = Q(
+    "s27_stream_idempotent_upsert",
+    """SELECT event_type, count(*) AS n,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+       FROM events GROUP BY event_type ORDER BY event_type""") { (s, d) =>
+    val store = graft.Scratch.dir("graft_upsert_store")
+    val ckpt = graft.Scratch.dir("graft_upsert_ckpt")
+    val agg = eventsStream(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast(LongType)).as("value_cents"))
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", math.min(8, saved.toInt).toString)
+    try {
+      val q = agg.writeStream
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          // deterministic per-batch address + overwrite = a replayed
+          // batch lands on the same files, never beside them
+          batch.write.mode("overwrite").parquet(s"$store/batch=$batchId")
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", saved)
+    // store reconstruction: each key's latest-batch row IS its final value
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("batch").desc)
+    s.read.parquet(store) // partition discovery yields the batch column
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("n"), col("value_cents"))
+      .orderBy("event_type")
+  }
+
   val defs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
     s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25,
-    s26)
+    s26, s27)
 }
 
 /** s11's StatefulProcessor: cumulative (event count, value cents) per

@@ -235,6 +235,70 @@ class RoundSevenSpec extends SparkTestBase {
     events.unpersist()
   }
 
+  test("s27 idempotent upsert survives a crash BETWEEN the store write and " +
+      "the batch commit: the replay overwrites its own address, the store " +
+      "holds one row set per (key, batch), reconstruction equals the oracle") {
+    import spark.implicits._
+    val events = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("event_type"), col("value")).cache()
+    val base = new File(Scratch.dir("graft_upsert_spec"))
+    val srcDir = new File(base, "src"); assert(srcDir.mkdirs())
+    val now = System.currentTimeMillis()
+    (0 until 4).foreach { i =>
+      writeSourceFile(events.filter(col("event_id") % 4 === i),
+        new File(srcDir, s"f$i.parquet"), now - (40L - 10L * i) * 1000)
+    }
+    val store = new File(base, "store").toString
+    val ckpt = new File(base, "chk").toString
+    // the WORST-CASE crash point: the external store write landed, the
+    // checkpoint commit did not — exactly the window where a
+    // non-idempotent sink double-counts on restart
+    val crashAfterWrite = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def startQuery() = spark.readStream
+      .schema(events.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.toString)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast(LongType)).as("cents"))
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        b.write.mode("overwrite").parquet(s"$store/batch=$id")
+        if (id == 2 && crashAfterWrite.compareAndSet(true, false))
+          throw new RuntimeException("injected crash after store write, before commit")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    crashAfterWrite.set(true)
+    intercept[StreamingQueryException] { startQuery().awaitTermination() }
+    assert(new File(store, "batch=2").exists,
+      "the crash must land AFTER the store write — else the test is vacuous")
+    val committed = Option(new File(ckpt, "commits").listFiles())
+      .map(_.count(_.getName.forall(_.isDigit))).getOrElse(0)
+    assert(committed <= 2, s"batch 2 must be uncommitted, saw $committed commits")
+    startQuery().awaitTermination()
+    // reconstruction == oracle: the replayed batch OVERWROTE batch=2
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("batch").desc)
+    val got = spark.read.parquet(store)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("event_type"), col("n"), col("cents"))
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    val oracle = events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast(LongType)).as("cents"))
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == oracle, s"upsert store diverged after replay:\n got=$got\n want=$oracle")
+    // addressing idempotence: no (key, batch) row exists twice
+    val dup = spark.read.parquet(store).groupBy("event_type", "batch")
+      .count().filter(col("count") > 1).count()
+    assert(dup == 0, "a replayed batch appended beside itself instead of overwriting")
+    events.unpersist()
+  }
+
   test("heavy dedup pipelines are partition-count invariant: the same " +
     "corpus under a different cluster shape (shuffle partitions) yields " +
     "byte-identical results — the determinism retry/speculation at fleet " +
