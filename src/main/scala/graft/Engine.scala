@@ -34,6 +34,8 @@ object Engine {
     functions.HllSketch.register(spark)
     functions.MinHashSketch.register(spark)
     functions.CharShinglesGen.register(spark)
+    functions.NfcNormalize.register(spark)
+    functions.StripAccents.register(spark)
     plans.TopKPerGroup.install(spark)
     spark
   }

@@ -535,6 +535,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs(1).eval().asInstanceOf[Number].intValue())))
     e.injectFunction(fn("char_shingles", classOf[CharShinglesGen],
       exprs => CharShinglesGen(exprs.head, exprs(1))))
+    e.injectFunction(fn("nfc_normalize", classOf[NfcNormalize],
+      exprs => NfcNormalize(exprs.head)))
+    e.injectFunction(fn("strip_accents", classOf[StripAccents],
+      exprs => StripAccents(exprs.head)))
     e.injectOptimizerRule(_ => graft.plans.TopKRewrite)
     e.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }

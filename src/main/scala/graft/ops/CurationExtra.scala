@@ -762,6 +762,68 @@ object CurationExtra {
       .orderBy("source")
   }
 
+  // ------------------------------------------------------------ t50
+
+  /** Unicode normalization census — the step that must run BEFORE any
+    * exact/MinHash/fingerprint dedup on a real crawl: precomposed
+    * ("café", U+00E9) and decomposed ("café", e + U+0301) encodings of
+    * the SAME text hash differently, so unnormalized corpora silently
+    * under-deduplicate. The engine's primitives are the x16 native
+    * expressions ([[graft.functions.NfcNormalize]] /
+    * [[graft.functions.StripAccents]] — Spark has no built-in; both
+    * implement the same Unicode standards DuckDB's `nfc_normalize` /
+    * `strip_accents` do, which is what makes this oracle exact).
+    *
+    * The fixture corpus is pure ASCII, so the encodings are PLANTED
+    * deterministically (the d51/m10 pattern): ⅓ of docs get combining
+    * acutes (decomposed — NFC composes them), ⅓ precomposed é (already
+    * NFC), ⅓ combining diaereses. `n_restored` is a verified identity:
+    * strip_accents ∘ nfc must recover the original ASCII text for every
+    * planted doc — a composition-correctness proof as an output column.
+    *
+    * Scale shape: pure map-side column math over one scan (the x16
+    * expressions are codegen'd single calls, not Scala UDFs), then the
+    * usual partial-agg census on the tiny source key. */
+  private val t50 = Q(
+    "t50_unicode_normalize",
+    """WITH v AS (
+         SELECT doc_id, source, text,
+                CASE WHEN doc_id % 4 = 0 THEN replace(text, 'a', 'a' || chr(769))
+                     WHEN doc_id % 4 = 1 THEN replace(text, 'e', chr(233))
+                     WHEN doc_id % 4 = 2 THEN replace(text, 'o', 'o' || chr(776))
+                     ELSE text END AS raw
+         FROM documents)
+       SELECT source, count(*) AS n_docs,
+              CAST(sum(CASE WHEN raw != nfc_normalize(raw) THEN 1 ELSE 0 END) AS BIGINT) AS n_non_nfc,
+              CAST(sum(length(raw)) AS BIGINT) AS chars_raw,
+              CAST(sum(length(nfc_normalize(raw))) AS BIGINT) AS chars_nfc,
+              CAST(sum(CASE WHEN strip_accents(nfc_normalize(raw)) = text THEN 1 ELSE 0 END) AS BIGINT) AS n_restored
+       FROM v GROUP BY source ORDER BY source""") { (s, d) =>
+    graft.functions.NfcNormalize.register(s)
+    graft.functions.StripAccents.register(s)
+    import graft.functions.NfcNormalize.nfc_normalize
+    import graft.functions.StripAccents.strip_accents
+    // escape-explicit variants: %4=0 and %4=2 are DECOMPOSED two-codepoint
+    // sequences (base + combining mark), %4=1 the precomposed e-acute
+    val raw = when(col("doc_id") % 4 === 0,
+        regexp_replace(col("text"), "a", "a\u0301"))
+      .when(col("doc_id") % 4 === 1, regexp_replace(col("text"), "e", "\u00e9"))
+      .when(col("doc_id") % 4 === 2, regexp_replace(col("text"), "o", "o\u0308"))
+      .otherwise(col("text"))
+    Tables.documents(s, d)
+      .select(col("source"), col("text"), raw.as("raw"))
+      .select(col("source"), col("text"), col("raw"),
+        nfc_normalize(col("raw")).as("nfc"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("raw") =!= col("nfc"), 1L).otherwise(0L)).as("n_non_nfc"),
+        sum(length(col("raw"))).cast(LongType).as("chars_raw"),
+        sum(length(col("nfc"))).cast(LongType).as("chars_nfc"),
+        sum(when(strip_accents(col("nfc")) === col("text"), 1L).otherwise(0L))
+          .as("n_restored"))
+      .orderBy("source")
+  }
+
   val defs: Seq[Q] = Seq(d45, d46, t40, t43, t44, t45, d47, t46, d48, t47,
-    t48, d51, t49)
+    t48, d51, t49, t50)
 }

@@ -529,7 +529,8 @@ class RoundSevenSpec extends SparkTestBase {
       "interval join, d52 cluster quality)") {
     for (nm <- Seq("q75_join_preflight", "t49_gate_agreement",
         "m10_perceptual_hash_dedup", "q76_interval_join", "d52_cluster_quality",
-        "x14_dsv2_source", "x15_dsv2_sink", "d53_index_update")) {
+        "x14_dsv2_source", "x15_dsv2_sink", "d53_index_update",
+        "t50_unicode_normalize", "s27_stream_idempotent_upsert")) {
       val runs = Seq("4", "7").map { parts =>
         spark.conf.set("spark.sql.shuffle.partitions", parts)
         try SparkEntry.queries(nm)(spark, sf0001).collect().toSeq
@@ -769,6 +770,41 @@ class RoundSevenSpec extends SparkTestBase {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
       }.isEmpty, "the appended index side got re-shuffled")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("x16 unicode expressions: composition facts hold, NFC is idempotent, " +
+      "strip_accents is encoding-invariant, nulls propagate, and the SQL " +
+      "registry path evaluates inside a plan") {
+    import spark.implicits._
+    graft.functions.NfcNormalize.register(spark)
+    graft.functions.StripAccents.register(spark)
+    val decomposed = "cafe\u0301"   // e + combining acute (5 cps)
+    val precomposed = "caf\u00e9"   // precomposed e-acute (4 cps)
+    val rows = Seq(decomposed, precomposed, "plain", "ligature ﬁ stays", "")
+      .toDF("s")
+      .select(col("s"), expr("nfc_normalize(s)").as("n"),
+        expr("strip_accents(s)").as("st"),
+        expr("nfc_normalize(nfc_normalize(s))").as("nn"))
+      .collect()
+    val byIn = rows.map(r => r.getString(0) -> r).toMap
+    assert(byIn(decomposed).getString(1) == precomposed,
+      "NFC must compose e + U+0301 into U+00E9")
+    assert(byIn(precomposed).getString(1) == precomposed, "NFC must fix precomposed input")
+    assert(rows.forall(r => r.getString(1) == r.getString(3)), "NFC must be idempotent")
+    assert(byIn(decomposed).getString(2) == "cafe" && byIn(precomposed).getString(2) == "cafe",
+      "strip_accents must be invariant to the input's encoding")
+    // NFC is CANONICAL composition: the U+FB01 ligature is a
+    // COMPATIBILITY equivalence and must survive untouched
+    assert(byIn("ligature ﬁ stays").getString(1) == "ligature ﬁ stays")
+    assert(byIn("").getString(1) == "" && byIn("").getString(2) == "")
+    val nulls = Seq[Option[String]](None).toDF("s")
+      .select(expr("nfc_normalize(s)"), expr("strip_accents(s)")).head()
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1), "null must propagate")
+    // pure-SQL path (FunctionRegistry): count the planted non-NFC docs
+    val viaSql = spark.sql(
+      "SELECT count(*) FROM (SELECT 'cafe\u0301' AS s) WHERE s <> nfc_normalize(s)")
+      .head().getLong(0)
+    assert(viaSql == 1L)
   }
 
   test("d52 cluster quality is coherent: contingency covers the corpus, " +
