@@ -58,6 +58,7 @@ object SparkEntry {
       "d13_ngram_decontaminate", "d14_semantic_dedup", "d15_verified_dedup_groups",
       "d22_exact_substring", "d24_kmeans", "d26_pq_recall", "d32_knn_graph",
       "d49_soft_dedup_weights", "d50_span_removal",
+      "d53_index_update", "m10_perceptual_hash_dedup",
       "t23_novelty", "d38_segment_dedup", "t25_dsir_importance",
       "t05_tfidf", "t06_salted_token_count", "t07_train_split",
       "t12_sequence_pack", "t13_unigram_surprisal", "t17_bm25",

@@ -139,7 +139,11 @@ object ScaleProbe {
       // corpus-driven cost), src12/q74 (orders/nation fixtures), s26
       // (streaming — covered by the state-bound specs).
       "m10_perceptual_hash_dedup", "t48_lexical_diversity",
-      "t49_gate_agreement", "d51_snapshot_delta", "d52_cluster_quality")
+      "t49_gate_agreement", "d51_snapshot_delta", "d52_cluster_quality",
+      // session-6 batch 2: index maintenance (the append write is the
+      // cost under test — it must scale with the batch, not the corpus)
+      // and the normalization census (map-side regex + NFC per doc)
+      "d53_index_update", "t50_unicode_normalize")
     // optional arg: comma-separated subset — incremental probe runs
     // (new-session ops only) merge into the recorded JSON without
     // re-timing the whole battery; the kNN knob section is skipped too.
