@@ -3207,7 +3207,88 @@ object Dedup {
       .orderBy("new_doc_id")
   }
 
+  /** Prefix-filtering set-similarity join (the PPJoin/AllPairs family —
+    * Xiao et al., WWW'08) — the EXACT, 100%-recall alternative to
+    * MinHash banding for Jaccard ≥ τ. Where LSH (d03/d15) trades recall
+    * for speed probabilistically, prefix filtering is a THEOREM: order
+    * every doc's shingle set by global rarity (frequency asc, hash asc —
+    * one canonical total order), keep only each set's first
+    * n − ⌈τ·n⌉ + 1 elements as join keys, and any pair with true
+    * Jaccard ≥ τ MUST collide on at least one prefix element (if two
+    * sets share nothing in their prefixes, their overlap is too small
+    * for τ by pigeonhole). Candidates then go through the same exact
+    * verification as d15. The DuckDB oracle computes ALL qualifying
+    * pairs by brute force, so the hash check IS the completeness proof —
+    * a recall miss would drop a row and fail the gate.
+    *
+    * Scale shape: the rarity census is a (shingle, cnt) table bounded by
+    * the shingle universe; ordering is a per-doc window over its own
+    * ~100 shingles; the candidate join keys on single shingle hashes but
+    * only over the PREFIX stream (≈ half the set at τ = 0.5, and the
+    * RAREST half — exactly the keys with the smallest buckets; the
+    * frequency ordering is what makes the join sparse). Verification is
+    * candidate-restricted, ids/8-byte hashes only. */
+  private val d54 = Q(
+    "d54_prefix_filter_join",
+    """WITH docs AS (
+         SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       sh AS (
+         SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+         FROM (SELECT doc_id, ws,
+                      unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+               FROM docs)),
+       hs AS (
+         SELECT DISTINCT doc_id,
+                ('0x' || substring(md5(g), 1, 8))::BIGINT * 134217728
+                  + ('0x' || substring(md5(g), 9, 8))::BIGINT % 134217728 AS h
+         FROM sh),
+       sz AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id),
+       inter AS (
+         SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS ni
+         FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       j AS (
+         SELECT ia AS id_a, ib AS id_b,
+                ni * 1.0 / (sa.n + sb.n - ni) AS jac
+         FROM inter
+           JOIN sz sa ON sa.doc_id = ia
+           JOIN sz sb ON sb.doc_id = ib)
+       SELECT id_a, id_b, CAST(round(jac * 1000000) AS BIGINT) AS jac_micro
+       FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b""") { (s, d) =>
+    val tau = 0.5
+    val docs = Tables.documents(s, d)
+    val grams = spreadToCores(docs)
+      .select(col("doc_id").as("id"), split(col("text"), " ").as("ws"))
+      .select(col("id"), expr(
+        "transform(sequence(1, greatest(size(ws) - 2, 1)), " +
+          "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))")
+        .as("sh"))
+      .select(col("id"), shingleHashPairs(col("sh")).as("hv"))
+    val sh = reuse(grams.select(col("id"), explode(col("hv")).as("p"))
+      .select(col("id"),
+        (col("p.h1") * lit(134217728L) + col("p.h2") % lit(134217728L)).as("h"))
+      .distinct())
+    // global rarity census → the canonical element order every doc uses
+    val freq = sh.groupBy("h").agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("cnt").asc, col("h").asc)
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy("id")
+    val prefix = sh.join(freq, "h")
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .filter(col("rk") <= col("n") - ceil(lit(tau) * col("n")) + 1)
+      .select(col("id"), col("h"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    jaccardVerifiedPairs(cand, sh, tau)
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard") * 1000000).cast(LongType).as("jac_micro"))
+      .orderBy("id_a", "id_b")
+  }
+
   val defs: Seq[Q] = Seq(d01, d02, d03, d04, d08, d09, d10, d11, d13, d15,
     d17, d18, d20, d21, d22, d23, d27, d28, d31, d34, d36, d37, d38, d39,
-    d41, d42, d43, d44, d49, d50, d53)
+    d41, d42, d43, d44, d49, d50, d53, d54)
 }

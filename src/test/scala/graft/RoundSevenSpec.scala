@@ -530,7 +530,8 @@ class RoundSevenSpec extends SparkTestBase {
     for (nm <- Seq("q75_join_preflight", "t49_gate_agreement",
         "m10_perceptual_hash_dedup", "q76_interval_join", "d52_cluster_quality",
         "x14_dsv2_source", "x15_dsv2_sink", "d53_index_update",
-        "t50_unicode_normalize", "s27_stream_idempotent_upsert")) {
+        "t50_unicode_normalize", "s27_stream_idempotent_upsert",
+        "d54_prefix_filter_join")) {
       val runs = Seq("4", "7").map { parts =>
         spark.conf.set("spark.sql.shuffle.partitions", parts)
         try SparkEntry.queries(nm)(spark, sf0001).collect().toSeq
@@ -805,6 +806,54 @@ class RoundSevenSpec extends SparkTestBase {
       "SELECT count(*) FROM (SELECT 'cafe\u0301' AS s) WHERE s <> nfc_normalize(s)")
       .head().getLong(0)
     assert(viaSql == 1L)
+  }
+
+  test("d54 prefix filtering is COMPLETE and actually prunes: the " +
+      "prefix-join result equals the brute-force all-pairs result, and " +
+      "the prefix stream is a strict subset of the full shingle stream") {
+    val out = SparkEntry.queries("d54_prefix_filter_join")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out.nonEmpty, "no qualifying pairs at sf0.001 — vacuous")
+    // brute force in-engine: every intersecting pair, exact Jaccard
+    val docs = Tables.documents(spark, sf0001)
+    val sh = docs
+      .select(col("doc_id").as("id"), split(col("text"), " ").as("ws"))
+      .select(col("id"), explode(expr(
+        "transform(sequence(1, greatest(size(ws) - 2, 1)), " +
+          "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))"))
+        .as("g"))
+      .select(col("id"),
+        (expr("cast(conv(substring(md5(g), 1, 8), 16, 10) as long)") * 134217728L
+          + expr("cast(conv(substring(md5(g), 9, 8), 16, 10) as long)") % 134217728L).as("h"))
+      .distinct()
+    val sz = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val brute = sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("ni"))
+      .join(sz.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sz.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+      .withColumn("jac", col("ni") * lit(1.0) / (col("na") + col("nb") - col("ni")))
+      .filter(col("jac") >= 0.5)
+      .select(col("id_a"), col("id_b"),
+        round(col("jac") * 1000000).cast(LongType).as("jac_micro"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out.sorted == brute.sorted,
+      s"prefix filter missed pairs: got ${out.size}, brute ${brute.size}")
+    // the filter must be doing work: at τ=0.5 the prefix keeps ~half of
+    // each set — if it kept everything, this would be the brute join
+    val full = sh.count()
+    val kept = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy(col("cnt").asc, col("h").asc)
+      val wn = org.apache.spark.sql.expressions.Window.partitionBy("id")
+      sh.join(sh.groupBy("h").agg(count(lit(1)).as("cnt")), "h")
+        .withColumn("rk", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+        .filter(col("rk") <= col("n") - ceil(lit(0.5) * col("n")) + 1)
+        .count()
+    }
+    assert(kept * 3 < full * 2, s"prefix kept $kept of $full shingle rows — not pruning")
   }
 
   test("d52 cluster quality is coherent: contingency covers the corpus, " +
