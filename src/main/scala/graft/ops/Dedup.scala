@@ -3226,8 +3226,20 @@ object Dedup {
     * ~100 shingles; the candidate join keys on single shingle hashes but
     * only over the PREFIX stream (≈ half the set at τ = 0.5, and the
     * RAREST half — exactly the keys with the smallest buckets; the
-    * frequency ordering is what makes the join sparse). Verification is
-    * candidate-restricted, ids/8-byte hashes only. */
+    * frequency ordering is what makes the join sparse). An exact LENGTH
+    * filter (τ·|A| ≤ |B| ≤ |A|/τ, implied by J ≥ τ) prunes cross-length
+    * candidates inside the join condition. Verification is
+    * candidate-restricted, ids/8-byte hashes only.
+    *
+    * PRECONDITION (measured on the synthetic probe corpus): prefix
+    * filtering's sparsity comes from Zipfian token skew — rare tokens
+    * must exist. On a corpus with ~uniform shingle frequencies every
+    * prefix bucket is corpus_size/universe docs and the candidate stage
+    * goes quadratic even when the true result is tiny (the ScaleProbe
+    * generator is exactly that degenerate case — see its exclusion
+    * note). Real text is Zipfian (t32 fits the fixture's curve); for
+    * non-text or adversarial inputs, use the capped LSH family
+    * (d03/d15), which bounds work by trading recall. */
   private val d54 = Q(
     "d54_prefix_filter_join",
     """WITH docs AS (
@@ -3278,8 +3290,17 @@ object Dedup {
       .withColumn("n", count(lit(1)).over(wn))
       .filter(col("rk") <= col("n") - ceil(lit(tau) * col("n")) + 1)
       .select(col("id"), col("h"))
-    val cand = prefix.as("a")
-      .join(prefix.as("b"), col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+    // LENGTH FILTER (exact, from the same theorem family): J ≥ τ forces
+    // τ·|A| ≤ |B| ≤ |A|/τ, so cross-length pairs are pruned inside the
+    // join condition — pure candidate reduction, the result set (and the
+    // oracle) are unchanged
+    val prefixN = prefix.join(
+      sh.groupBy("id").agg(count(lit(1)).as("setn")), "id")
+    val cand = prefixN.as("a")
+      .join(prefixN.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id")
+          && col("b.setn") >= ceil(lit(tau) * col("a.setn"))
+          && col("b.setn") * lit(tau) <= col("a.setn"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     jaccardVerifiedPairs(cand, sh, tau)

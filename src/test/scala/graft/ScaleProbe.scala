@@ -144,6 +144,15 @@ object ScaleProbe {
       // cost under test — it must scale with the batch, not the corpus)
       // and the normalization census (map-side regex + NFC per doc)
       "d53_index_update", "t50_unicode_normalize")
+      // d54 prefix filter is EXCLUDED (measured, not guessed): this
+      // generator draws shingles ~uniformly, so at 50k docs every
+      // 3-gram type sits in ~163 docs and NO shingle is rare — the
+      // rarity skew prefix filtering exploits (real text is Zipfian;
+      // t32 measures the fixture's fit) is absent by construction, the
+      // candidate stage goes quadratic (OOM at 50k) while the TRUE
+      // J≥0.5 result stays tiny. The probe would measure the synthetic
+      // corpus's uniformity, not the operator; d54's scale story is the
+      // docstring's precondition plus the sf0.1 fixture timing.
     // optional arg: comma-separated subset — incremental probe runs
     // (new-session ops only) merge into the recorded JSON without
     // re-timing the whole battery; the kNN knob section is skipped too.
