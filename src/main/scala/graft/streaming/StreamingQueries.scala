@@ -1277,9 +1277,62 @@ object StreamingQueries {
       .orderBy("event_type")
   }
 
+  /** CHAINED stateful aggregations — two windowed aggregations in ONE
+    * streaming query (append mode), the multi-stateful-operator support
+    * Spark gained in 3.4: a 5-minute pre-aggregation rolls up into
+    * 1-hour windows via `window_time()` (the event-time column a
+    * finished window exposes so a DOWNSTREAM stateful operator can
+    * window it again). This is the production two-tier rollup shape —
+    * fine-grained state stays small and short-lived, the coarse tier
+    * aggregates already-reduced rows — without a foreachBatch hop or an
+    * intermediate sink.
+    *
+    * Watermark propagates through both operators, so the emission rule
+    * compounds: an hour window emits once the global watermark
+    * (max event time − 1 h) passes its end, and every 5-minute window
+    * inside it has necessarily emitted by then — the oracle's HAVING is
+    * exactly s07's, at the hour granularity.
+    *
+    * Scale shape: tier-1 state is (5-min window × type) counters,
+    * evicted after one hour; tier-2 receives ≤ 12 rows per (hour, type)
+    * instead of raw events. The shuffle between tiers carries window
+    * structs + longs only. */
+  private val s28 = Q(
+    "s28_chained_stateful_aggs",
+    """WITH m AS (SELECT max(ts) AS max_ts FROM events),
+       sub AS (
+         SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS sub_start,
+                CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS hour_start,
+                event_type, count(*) AS n,
+                sum(CAST(round(value * 100) AS BIGINT)) AS cents
+         FROM events GROUP BY 1, 2, 3),
+       agg AS (
+         SELECT hour_start, event_type, count(*) AS n_sub,
+                CAST(sum(n) AS BIGINT) AS n_events,
+                CAST(sum(cents) AS BIGINT) AS cents
+         FROM sub GROUP BY 1, 2)
+       SELECT a.hour_start, a.event_type, a.n_sub, a.n_events, a.cents
+       FROM agg a, m
+       WHERE a.hour_start + 3600 <= epoch(m.max_ts) - 3600
+       ORDER BY hour_start, event_type""") { (s, d) =>
+    val lvl1 = eventsStream(s, d)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast(LongType)).as("cents"))
+    val lvl2 = lvl1
+      .groupBy(window(window_time(col("window")), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_sub"), sum(col("n")).as("n_events"),
+        sum(col("cents")).as("cents"))
+    runToMemory(lvl2, OutputMode.Append())
+      .select(unix_timestamp(col("window.start")).as("hour_start"),
+        col("event_type"), col("n_sub"), col("n_events"), col("cents"))
+      .orderBy("hour_start", "event_type")
+  }
+
   val defs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
     s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25,
-    s26, s27)
+    s26, s27, s28)
 }
 
 /** s11's StatefulProcessor: cumulative (event count, value cents) per

@@ -299,6 +299,83 @@ class RoundSevenSpec extends SparkTestBase {
     events.unpersist()
   }
 
+  test("s28 really chains TWO stateful operators in one streaming query: " +
+      "progress reports two state operators, both hold state, and tier 2 " +
+      "consumes the reduced tier-1 output, not raw events") {
+    val dir = Scratch.dir("graft_chain_spec")
+    val evAll = Tables.events(spark, sf001)
+      .select(col("ts"), col("event_type"), col("value"))
+    // files must arrive in TIME order (the crawl/ingest reality event-time
+    // watermarks assume): a hash split would put most of each later file
+    // behind the watermark and tier-1 would drop it as late — measured:
+    // 382 scattered (hour, type) combos vanish under a random 3-way split
+    val (tsLo, tsHi) = {
+      val r = evAll.agg(min(unix_timestamp(col("ts"))),
+        max(unix_timestamp(col("ts")))).head()
+      (r.getLong(0), r.getLong(1) + 1)
+    }
+    val srcDir = new File(dir, "ev"); assert(srcDir.mkdirs())
+    val now = System.currentTimeMillis()
+    (0 until 3).foreach { i =>
+      val lo = tsLo + (tsHi - tsLo) * i / 3
+      val hi = tsLo + (tsHi - tsLo) * (i + 1) / 3
+      writeSourceFile(evAll.filter(unix_timestamp(col("ts")) >= lo
+        && unix_timestamp(col("ts")) < hi),
+        new File(srcDir, s"f$i.parquet"), now - (40L - 10L * i) * 1000)
+    }
+    val src = spark.readStream
+      .schema(evAll.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.toString)
+    val lvl1 = src.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val lvl2 = lvl1
+      .groupBy(window(window_time(col("window")), "1 hour"), col("event_type"))
+      .agg(sum(col("n")).as("n_events"))
+    // chained stateful operators evict on the PREVIOUS batch's
+    // watermark (the multi-stateful-operator correctness rule), so the
+    // final increment stays in state until the watermark ADVANCES —
+    // i.e., until later data arrives, exactly like production. Run 1
+    // processes the corpus; then a single far-future "drain" row pushes
+    // the watermark past every original hour and run 2 must flush ALL
+    // of them (the drain row's own windows stay unreleased).
+    def run() = {
+      val q = lvl2
+        .select(unix_timestamp(col("window.start")).as("h"),
+          col("event_type"), col("n_events"))
+        .writeStream.format("parquet").option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(); q
+    }
+    val q = run()
+    val maxTs0 = evAll.agg(max(col("ts"))).head().getTimestamp(0)
+    writeSourceFile(spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(
+          new java.sql.Timestamp(maxTs0.getTime + 4L * 3600 * 1000), "drain", 0.0)),
+        evAll.schema),
+      new File(srcDir, "f3_drain.parquet"), now)
+    run()
+    val withState = q.recentProgress.filter(_.stateOperators.nonEmpty)
+    assert(withState.nonEmpty, "no progress carried state operators")
+    val ops = withState.last.stateOperators
+    assert(ops.length == 2,
+      s"expected 2 chained state operators, saw ${ops.length}: " +
+        ops.map(_.operatorName).mkString(", "))
+    assert(ops.forall(_.numRowsTotal > 0), "both tiers must hold state")
+    // after the drain, EVERY original (hour, type) combo has flushed —
+    // the drain row's own windows are still ahead of the watermark
+    val emitted = spark.read.parquet(s"$dir/out").count()
+    assert(emitted > 0, "watermark never released an hour window — vacuous")
+    val expected = evAll
+      .select((floor(unix_timestamp(col("ts")) / 3600) * 3600).as("h"), col("event_type"))
+      .distinct().count()
+    assert(emitted == expected,
+      s"tier-2 emitted $emitted rows, batch expects $expected (hour, type) combos")
+  }
+
   test("heavy dedup pipelines are partition-count invariant: the same " +
     "corpus under a different cluster shape (shuffle partitions) yields " +
     "byte-identical results — the determinism retry/speculation at fleet " +
