@@ -3267,7 +3267,17 @@ object Dedup {
            JOIN sz sb ON sb.doc_id = ib)
        SELECT id_a, id_b, CAST(round(jac * 1000000) AS BIGINT) AS jac_micro
        FROM j WHERE jac >= 0.5 ORDER BY id_a, id_b""") { (s, d) =>
-    val tau = 0.5
+    prefixFilterPairs(s, d, tau = 0.5)
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard") * 1000000).cast(LongType).as("jac_micro"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** The d54 prefix-filtering pipeline as a reusable building block:
+    * returns EVERY pair with exact shingle-set Jaccard ≥ τ as
+    * (id_a, id_b, jaccard) — ground truth for recall evaluation (d55). */
+  def prefixFilterPairs(s: org.apache.spark.sql.SparkSession, d: String,
+      tau: Double): DataFrame = {
     val docs = Tables.documents(s, d)
     val grams = spreadToCores(docs)
       .select(col("doc_id").as("id"), split(col("text"), " ").as("ws"))
@@ -3304,12 +3314,91 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     jaccardVerifiedPairs(cand, sh, tau)
-      .select(col("id_a"), col("id_b"),
-        round(col("jaccard") * 1000000).cast(LongType).as("jac_micro"))
-      .orderBy("id_a", "id_b")
+  }
+
+  /** MEASURED recall of the banded MinHash pipeline against exact ground
+    * truth — the closure of the dedup family: d15's production path
+    * (4×2 banding → candidate pairs → exact-Jaccard verification) is
+    * recall-lossy BY DESIGN (a pair colliding in no band is never
+    * scored), and until d54 existed the loss could only be estimated
+    * from the S-curve. Now it is a measured, hash-verified quantity:
+    * ground truth = the prefix-filter join (exact, 100% recall), approx
+    * = the banded pipeline, both verifying with the SAME τ on the SAME
+    * shingle sets — so approx ⊆ exact holds by construction and the
+    * output pins it (`n_hit = n_approx` is hash-checked, not assumed).
+    * recall = |approx| / |exact| in micro-units.
+    *
+    * This is d12/d16's "measure the ANN's recall" discipline applied to
+    * the dedup side — the number a 100 TB deployment quotes when it
+    * chooses banding parameters (d36's curve gives the knob, d55 gives
+    * the achieved operating point).
+    *
+    * Scale shape: two candidate generators over one shared shingle
+    * digest; the comparison joins are pair-id sets (16 bytes/row). */
+  private val d55 = Q(
+    "d55_lsh_recall",
+    """WITH docs AS (
+         SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       sh AS (
+         SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+         FROM (SELECT doc_id, ws,
+                      unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+               FROM docs)),
+       hs AS (
+         SELECT doc_id, ('0x' || substring(md5(g), 1, 8))::BIGINT AS h1,
+                ('0x' || substring(md5(g), 9, 8))::BIGINT AS h2
+         FROM sh),
+       hsd AS (SELECT DISTINCT doc_id, h1 * 134217728 + h2 % 134217728 AS h
+               FROM hs),
+       sz AS (SELECT doc_id, count(*) AS n FROM hsd GROUP BY doc_id),
+       inter AS (
+         SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS ni
+         FROM hsd a JOIN hsd b ON a.h = b.h AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       scored AS (
+         SELECT ia, ib, ni * 1.0 / (sa.n + sb.n - ni) AS jac
+         FROM inter JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib),
+       exact AS (SELECT ia, ib FROM scored WHERE jac >= 0.5),
+       sig AS (
+         SELECT doc_id, seed, min(h1 + seed * h2) AS mh
+         FROM hs, (SELECT unnest(generate_series(0, 7)) AS seed) seeds
+         GROUP BY doc_id, seed),
+       bands AS (
+         SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+                md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS band_key
+         FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       approx AS (
+         SELECT s.ia, s.ib FROM scored s JOIN cand c ON c.ia = s.ia AND c.ib = s.ib
+         WHERE s.jac >= 0.5),
+       hit AS (SELECT a.ia, a.ib FROM approx a JOIN exact e ON e.ia = a.ia AND e.ib = a.ib)
+       SELECT (SELECT count(*) FROM exact) AS n_exact,
+              (SELECT count(*) FROM approx) AS n_approx,
+              (SELECT count(*) FROM hit) AS n_hit,
+              CAST(round(1000000.0 * (SELECT count(*) FROM hit)
+                         / (SELECT count(*) FROM exact)) AS BIGINT) AS recall_micro
+       ORDER BY n_exact""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val (buckets, shingles) = lshBucketsAndShingles(docs, "doc_id", "text",
+      shingleWords = 3, bands = 4, rowsPerBand = 2)
+    val approx = jaccardVerifiedPairs(
+      candidatePairs(buckets, materialize = false), shingles, tau = 0.5)
+      .select(col("id_a"), col("id_b"))
+    val exact = prefixFilterPairs(s, d, tau = 0.5).select(col("id_a"), col("id_b"))
+    val hit = approx.join(exact, Seq("id_a", "id_b"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(approx.agg(count(lit(1)).as("n_approx"))))
+      .crossJoin(broadcast(hit.agg(count(lit(1)).as("n_hit"))))
+      .select(col("n_exact"), col("n_approx"), col("n_hit"),
+        round(lit(1000000.0) * col("n_hit") / col("n_exact"))
+          .cast(LongType).as("recall_micro"))
+      .orderBy("n_exact")
   }
 
   val defs: Seq[Q] = Seq(d01, d02, d03, d04, d08, d09, d10, d11, d13, d15,
     d17, d18, d20, d21, d22, d23, d27, d28, d31, d34, d36, d37, d38, d39,
-    d41, d42, d43, d44, d49, d50, d53, d54)
+    d41, d42, d43, d44, d49, d50, d53, d54, d55)
 }

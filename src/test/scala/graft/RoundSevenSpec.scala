@@ -933,6 +933,38 @@ class RoundSevenSpec extends SparkTestBase {
     assert(kept * 3 < full * 2, s"prefix kept $kept of $full shingle rows — not pruning")
   }
 
+  test("d55 recall accounting is airtight: approx ⊆ exact, and every " +
+      "missed pair genuinely collides in NO band — the loss is the " +
+      "banding's, not a verification bug") {
+    val row = SparkEntry.queries("d55_lsh_recall")(spark, sf001).head()
+    val (nE, nA, nH) = (row.getAs[Long]("n_exact"), row.getAs[Long]("n_approx"),
+      row.getAs[Long]("n_hit"))
+    assert(nE > 0, "no ground-truth pairs — vacuous")
+    assert(nH == nA, "approx must be a subset of exact (same τ, same sets)")
+    assert(nA <= nE && row.getAs[Long]("recall_micro") <= 1000000L)
+    // root-cause every miss: recompute both sides, diff, and check the
+    // missed pairs' band keys are disjoint (pure recall loss)
+    val docs = Tables.documents(spark, sf001)
+    val (buckets, shingles) = ops.Dedup.lshBucketsAndShingles(
+      docs, "doc_id", "text", shingleWords = 3, bands = 4, rowsPerBand = 2)
+    val approx = ops.Dedup.jaccardVerifiedPairs(
+      ops.Dedup.candidatePairs(buckets, materialize = false), shingles, tau = 0.5)
+      .select(col("id_a"), col("id_b"))
+    val exact = ops.Dedup.prefixFilterPairs(spark, sf001, tau = 0.5)
+      .select(col("id_a"), col("id_b"))
+    val missed = exact.join(approx, Seq("id_a", "id_b"), "left_anti").collect()
+    assert(missed.length == (nE - nA), "diff disagrees with the census")
+    val bk = buckets.collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => (r.getAs[Int]("band"), r.getAs[String]("band_key"))).toSet)
+      .toMap
+    missed.foreach { m =>
+      val (a, b) = (m.getLong(0), m.getLong(1))
+      assert(bk(a).intersect(bk(b)).isEmpty,
+        s"pair ($a,$b) shares a band bucket yet was not scored — a candidate bug, not recall")
+    }
+  }
+
   test("d52 cluster quality is coherent: contingency covers the corpus, " +
       "purity and ARI in range, and clustering beats the chance floor") {
     val r = SparkEntry.queries("d52_cluster_quality")(spark, sf001).head()
