@@ -2164,7 +2164,82 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Language-ID evaluation against ground truth — d55's
+    * measure-the-heuristic discipline applied to the text side: t01's
+    * stopword classifier scored against the fixture's `lang` labels as
+    * per-language precision / recall / F1. The verdict it returns on
+    * THIS fixture is itself the point: the synthetic vocabulary carries
+    * only the English stopwords, so the classifier collapses to
+    * en/unknown (measured: en recall 90.8% at 43.7% precision, every
+    * other language 0) — precisely the "your classifier does not work
+    * on your corpus" finding a production lang-ID audit exists to
+    * surface mechanically, before anyone trusts per-language routing.
+    *
+    * Integer-exact: n_true/n_pred/n_hit are counts; micro-F1 uses the
+    * identity F1 = 2·TP/(n_true + n_pred) — one division of exact
+    * integers per row, no P·R chain.
+    *
+    * Scale shape: one scan scores all four stopword families map-side
+    * (shared with t01's expressions), then two tiny censuses (by
+    * declared, by predicted) join on the ≤ 6-row language key. */
+  private val t51 = Q(
+    "t51_langid_eval",
+    s"""WITH scored AS (
+         SELECT doc_id, lang AS declared,
+                CASE WHEN sc_en >= greatest(sc_es, sc_de, sc_fr) AND sc_en > 0 THEN 'en'
+                     WHEN sc_es >= greatest(sc_de, sc_fr) AND sc_es > 0 THEN 'es'
+                     WHEN sc_de >= sc_fr AND sc_de > 0 THEN 'de'
+                     WHEN sc_fr > 0 THEN 'fr'
+                     ELSE 'unknown' END AS predicted
+         FROM (SELECT doc_id, lang,
+                      ${duckTokCount(Seq("the", "a", "of"))} AS sc_en,
+                      ${duckTokCount(Seq("el", "la", "de"))} AS sc_es,
+                      ${duckTokCount(Seq("der", "und", "das"))} AS sc_de,
+                      ${duckTokCount(Seq("le", "et", "les"))} AS sc_fr
+               FROM documents) t),
+       byTrue AS (
+         SELECT declared, count(*) AS n_true,
+                CAST(sum(CASE WHEN predicted = declared THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+         FROM scored GROUP BY declared),
+       byPred AS (SELECT predicted, count(*) AS n_pred FROM scored GROUP BY predicted)
+       SELECT t.declared AS lang, t.n_true, coalesce(p.n_pred, 0) AS n_pred, t.n_hit,
+              CAST(round(1000000.0 * t.n_hit / t.n_true) AS BIGINT) AS recall_micro,
+              CAST(CASE WHEN coalesce(p.n_pred, 0) = 0 THEN 0
+                   ELSE round(1000000.0 * t.n_hit / p.n_pred) END AS BIGINT) AS precision_micro,
+              CAST(round(2000000.0 * t.n_hit / (t.n_true + coalesce(p.n_pred, 0))) AS BIGINT) AS f1_micro
+       FROM byTrue t LEFT JOIN byPred p ON p.predicted = t.declared
+       ORDER BY lang""") { (s, d) =>
+    val scored = Tables.documents(s, d).select(
+      col("doc_id"), col("lang").as("declared"),
+      tokenSetCount("text", langStopwords("en")).as("sc_en"),
+      tokenSetCount("text", langStopwords("es")).as("sc_es"),
+      tokenSetCount("text", langStopwords("de")).as("sc_de"),
+      tokenSetCount("text", langStopwords("fr")).as("sc_fr"))
+      .select(col("doc_id"), col("declared"),
+        when(col("sc_en") >= greatest(col("sc_es"), col("sc_de"), col("sc_fr"))
+          && col("sc_en") > 0, "en")
+          .when(col("sc_es") >= greatest(col("sc_de"), col("sc_fr")) && col("sc_es") > 0, "es")
+          .when(col("sc_de") >= col("sc_fr") && col("sc_de") > 0, "de")
+          .when(col("sc_fr") > 0, "fr")
+          .otherwise("unknown").as("predicted"))
+    val byTrue = scored.groupBy(col("declared"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(col("predicted") === col("declared"), 1L).otherwise(0L)).as("n_hit"))
+    val byPred = scored.groupBy(col("predicted")).agg(count(lit(1)).as("n_pred"))
+    byTrue.join(broadcast(byPred), col("predicted") === col("declared"), "left")
+      .select(col("declared").as("lang"), col("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"), col("n_hit"),
+        round(lit(1000000.0) * col("n_hit") / col("n_true"))
+          .cast(LongType).as("recall_micro"),
+        when(coalesce(col("n_pred"), lit(0L)) === 0L, 0L)
+          .otherwise(round(lit(1000000.0) * col("n_hit") / col("n_pred"))
+            .cast(LongType)).as("precision_micro"),
+        round(lit(2000000.0) * col("n_hit") / (col("n_true") + coalesce(col("n_pred"), lit(0L))))
+          .cast(LongType).as("f1_micro"))
+      .orderBy("lang")
+  }
+
   val defs: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
     t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
-    t25, t26, t27, t28, t29, t32, t33, t34, t35, t38, t41, t42)
+    t25, t26, t27, t28, t29, t32, t33, t34, t35, t38, t41, t42, t51)
 }

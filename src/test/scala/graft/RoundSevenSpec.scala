@@ -608,7 +608,7 @@ class RoundSevenSpec extends SparkTestBase {
         "m10_perceptual_hash_dedup", "q76_interval_join", "d52_cluster_quality",
         "x14_dsv2_source", "x15_dsv2_sink", "d53_index_update",
         "t50_unicode_normalize", "s27_stream_idempotent_upsert",
-        "d54_prefix_filter_join")) {
+        "d54_prefix_filter_join", "d55_lsh_recall", "t51_langid_eval")) {
       val runs = Seq("4", "7").map { parts =>
         spark.conf.set("spark.sql.shuffle.partitions", parts)
         try SparkEntry.queries(nm)(spark, sf0001).collect().toSeq
@@ -963,6 +963,25 @@ class RoundSevenSpec extends SparkTestBase {
       assert(bk(a).intersect(bk(b)).isEmpty,
         s"pair ($a,$b) shares a band bucket yet was not scored — a candidate bug, not recall")
     }
+  }
+
+  test("t51 lang-id eval identities hold: hits bounded by both censuses, " +
+      "micro-F1 equals its closed form, and the corpus is fully accounted") {
+    val rows = SparkEntry.queries("t51_langid_eval")(spark, sf001).collect()
+    val n = Tables.documents(spark, sf001).count()
+    assert(rows.map(_.getAs[Long]("n_true")).sum == n, "declared census lost docs")
+    for (r <- rows) {
+      val (nt, np, nh) = (r.getAs[Long]("n_true"), r.getAs[Long]("n_pred"),
+        r.getAs[Long]("n_hit"))
+      assert(nh <= math.min(nt, np max nh), s"hits exceed a census: $r")
+      assert(nh <= nt && (np == 0 || nh <= np))
+      val f1 = r.getAs[Long]("f1_micro")
+      assert(f1 == math.round(2000000.0 * nh / (nt + np)), s"F1 identity broken: $r")
+    }
+    // the audit's finding on this fixture (vocabulary carries only the
+    // English stopwords): exactly one language is ever predicted
+    assert(rows.count(_.getAs[Long]("n_pred") > 0) == 1,
+      "fixture verdict drifted — re-derive the docstring's numbers")
   }
 
   test("d52 cluster quality is coherent: contingency covers the corpus, " +
