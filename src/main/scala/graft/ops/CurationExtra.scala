@@ -824,6 +824,128 @@ object CurationExtra {
       .orderBy("source")
   }
 
+  // ------------------------------------------------------------ t52
+
+  /** Mutation-sensitivity curve of the Jaccard dedup criterion — the
+    * "how much paraphrase survives my dedup?" question asked directly:
+    * every doc gets a deterministically mutated twin at four corruption
+    * rates (every 25th/10th/5th/2nd token replaced with a novel token =
+    * 4%/10%/20%/50% mutation), and each (doc, twin) pair is scored with
+    * the SAME 3-gram-shingle Jaccard the d15 pipeline verifies with.
+    * The census per rate — detection share at τ = 0.5 plus the jaccard
+    * distribution — is the operating curve: ~4% mutation keeps pairs
+    * well above τ, ~10% is the borderline (3-gram survival (1−p)³ puts
+    * true Jaccard near 0.5), 20%+ falls through. Complements d27 (which
+    * sweeps τ at fixed corpora) by sweeping the CORPUS at fixed τ, and
+    * d55 (search recall) by measuring the criterion itself — no banding
+    * in the loop, so a drop here is semantics, not search loss.
+    *
+    * Determinism: mutations are positional (token index modulo step,
+    * replacement text derived from step and index), so both engines
+    * build byte-identical twins; jaccard micro-units, integer census.
+    *
+    * Scale shape: twins are map-side column math; each pair is scored
+    * by one groupBy over its own shingles keyed (doc, step) — ids and
+    * 8-byte hashes only, no pair search. */
+  private val t52 = Q(
+    "t52_mutation_sensitivity",
+    """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       steps AS (SELECT unnest([2, 5, 10, 25]) AS step),
+       toks AS (
+         SELECT doc_id, i, ws[i] AS tok, len(ws) AS n
+         FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i FROM docs)),
+       mut AS (
+         SELECT t.doc_id, s.step, t.i, t.n,
+                CASE WHEN t.i % s.step = 0
+                     THEN 'zz' || CAST(s.step AS VARCHAR) || 'x' || CAST(t.i AS VARCHAR)
+                     ELSE t.tok END AS m
+         FROM toks t CROSS JOIN steps s),
+       mg AS (
+         SELECT a.doc_id, a.step,
+                a.m || ' ' || b.m || ' ' || c.m AS g
+         FROM mut a
+           JOIN mut b ON b.doc_id = a.doc_id AND b.step = a.step AND b.i = a.i + 1
+           JOIN mut c ON c.doc_id = a.doc_id AND c.step = a.step AND c.i = a.i + 2),
+       mh AS (
+         SELECT DISTINCT doc_id, step,
+                ('0x' || substring(md5(g), 1, 8))::BIGINT * 134217728
+                  + ('0x' || substring(md5(g), 9, 8))::BIGINT % 134217728 AS h
+         FROM mg),
+       bg AS (
+         SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+         FROM (SELECT doc_id, ws, unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+               FROM docs)),
+       bh AS (
+         SELECT DISTINCT doc_id,
+                ('0x' || substring(md5(g), 1, 8))::BIGINT * 134217728
+                  + ('0x' || substring(md5(g), 9, 8))::BIGINT % 134217728 AS h
+         FROM bg),
+       bsz AS (SELECT doc_id, count(*) AS nb FROM bh GROUP BY doc_id),
+       msz AS (SELECT doc_id, step, count(*) AS nm FROM mh GROUP BY doc_id, step),
+       inter AS (
+         SELECT m.doc_id, m.step, count(*) AS ni
+         FROM mh m JOIN bh b ON b.doc_id = m.doc_id AND b.h = m.h
+         GROUP BY m.doc_id, m.step),
+       j AS (
+         SELECT ms.doc_id, ms.step,
+                CAST(round(1000000.0 * coalesce(i.ni, 0)
+                           / (bs.nb + ms.nm - coalesce(i.ni, 0))) AS BIGINT) AS jac_micro
+         FROM msz ms
+           JOIN bsz bs ON bs.doc_id = ms.doc_id
+           LEFT JOIN inter i ON i.doc_id = ms.doc_id AND i.step = ms.step)
+       SELECT CAST(step AS BIGINT) AS step, count(*) AS n_docs,
+              CAST(sum(CASE WHEN jac_micro >= 500000 THEN 1 ELSE 0 END) AS BIGINT) AS n_detected,
+              CAST(sum(jac_micro) AS BIGINT) AS sum_jac_micro,
+              min(jac_micro) AS min_jac_micro, max(jac_micro) AS max_jac_micro
+       FROM j GROUP BY step ORDER BY step""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val steps = Seq(2, 5, 10, 25)
+    // mutated twin per step: positional replacement inside ONE transform
+    // (Spark lambda index is 0-based; rule i%step with 1-based i)
+    val mutated = docs.select(col("doc_id"),
+      explode(array(steps.map(st =>
+        struct(lit(st).as("step"), expr(
+          s"transform(ws, (t, i) -> IF((i + 1) % $st = 0, " +
+            s"concat('zz', '$st', 'x', cast(i + 1 as string)), t))").as("mw"))): _*))
+        .as("v"))
+      .select(col("doc_id"), col("v.step").as("step"), col("v.mw").as("mw"))
+    def gramHashes(arr: Column): Column =
+      Dedup.shingleHashPairs(expr(
+        "transform(sequence(1, greatest(size(" + arr.toString + ") - 2, 1)), " +
+          s"i -> concat_ws(' ', element_at(${arr.toString}, i), " +
+          s"element_at(${arr.toString}, i + 1), element_at(${arr.toString}, i + 2)))"))
+    val mh = mutated
+      .select(col("doc_id"), col("step"), explode(gramHashes(col("mw"))).as("p"))
+      .select(col("doc_id"), col("step"),
+        (col("p.h1") * lit(134217728L) + col("p.h2") % lit(134217728L)).as("h"))
+      .distinct()
+    val bh = Dedup.reuse(docs
+      .select(col("doc_id"), explode(gramHashes(col("ws"))).as("p"))
+      .select(col("doc_id"),
+        (col("p.h1") * lit(134217728L) + col("p.h2") % lit(134217728L)).as("h"))
+      .distinct())
+    val bsz = bh.groupBy("doc_id").agg(count(lit(1)).as("nb"))
+    val msz = Dedup.reuse(mh).groupBy("doc_id", "step").agg(count(lit(1)).as("nm"))
+    val inter = mh.join(bh.select(col("doc_id"), col("h")), Seq("doc_id", "h"))
+      .groupBy("doc_id", "step").agg(count(lit(1)).as("ni"))
+    msz.join(bsz, "doc_id")
+      .join(inter, Seq("doc_id", "step"), "left")
+      .select(col("step"),
+        round(lit(1000000.0) * coalesce(col("ni"), lit(0L))
+          / (col("nb") + col("nm") - coalesce(col("ni"), lit(0L))))
+          .cast(LongType).as("jac_micro"))
+      .groupBy("step")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("jac_micro") >= 500000L, 1L).otherwise(0L)).as("n_detected"),
+        sum(col("jac_micro")).as("sum_jac_micro"),
+        min(col("jac_micro")).as("min_jac_micro"),
+        max(col("jac_micro")).as("max_jac_micro"))
+      .select(col("step").cast(LongType).as("step"), col("n_docs"), col("n_detected"),
+        col("sum_jac_micro"), col("min_jac_micro"), col("max_jac_micro"))
+      .orderBy("step")
+  }
+
   val defs: Seq[Q] = Seq(d45, d46, t40, t43, t44, t45, d47, t46, d48, t47,
-    t48, d51, t49, t50)
+    t48, d51, t49, t50, t52)
 }

@@ -608,7 +608,8 @@ class RoundSevenSpec extends SparkTestBase {
         "m10_perceptual_hash_dedup", "q76_interval_join", "d52_cluster_quality",
         "x14_dsv2_source", "x15_dsv2_sink", "d53_index_update",
         "t50_unicode_normalize", "s27_stream_idempotent_upsert",
-        "d54_prefix_filter_join", "d55_lsh_recall", "t51_langid_eval")) {
+        "d54_prefix_filter_join", "d55_lsh_recall", "t51_langid_eval",
+        "t52_mutation_sensitivity")) {
       val runs = Seq("4", "7").map { parts =>
         spark.conf.set("spark.sql.shuffle.partitions", parts)
         try SparkEntry.queries(nm)(spark, sf0001).collect().toSeq
@@ -982,6 +983,31 @@ class RoundSevenSpec extends SparkTestBase {
     // English stopwords): exactly one language is ever predicted
     assert(rows.count(_.getAs[Long]("n_pred") > 0) == 1,
       "fixture verdict drifted — re-derive the docstring's numbers")
+  }
+
+  test("t52 mutation curve matches first-principles theory: periodic " +
+      "replacement every s-th token leaves (s-3)/s of 3-gram windows " +
+      "intact, so jaccard ≈ surv/(2-surv) — measured within 0.08 at " +
+      "every mutation rate, and the τ gate flips between 20% and 10%") {
+    val rows = SparkEntry.queries("t52_mutation_sensitivity")(spark, sf001)
+      .collect().map(r => r.getAs[Long]("step") ->
+        ((r.getAs[Long]("sum_jac_micro").toDouble / r.getAs[Long]("n_docs") / 1e6),
+          r.getAs[Long]("n_detected"), r.getAs[Long]("n_docs"))).toMap
+    assert(rows.keySet == Set(2L, 5L, 10L, 25L))
+    for ((step, (avgJac, _, _)) <- rows) {
+      val surv = math.max(0.0, (step - 3.0) / step)
+      val theory = surv / (2.0 - surv)
+      assert(math.abs(avgJac - theory) < 0.08,
+        s"step $step: measured $avgJac vs theory $theory")
+    }
+    // the operating boundary: 10% mutation stays above τ=0.5, 20% falls
+    assert(rows(10L)._2 == rows(10L)._3, "10% mutation must all detect")
+    assert(rows(25L)._2 == rows(25L)._3, "4% mutation must all detect")
+    assert(rows(5L)._2 == 0L, "20% mutation must all fall below τ")
+    assert(rows(2L)._2 == 0L, "50% mutation must all fall below τ")
+    // monotone in step (milder mutation → higher similarity)
+    val byStep = rows.toSeq.sortBy(_._1).map(_._2._1)
+    assert(byStep.zip(byStep.tail).forall { case (a, b) => a < b })
   }
 
   test("d52 cluster quality is coherent: contingency covers the corpus, " +
