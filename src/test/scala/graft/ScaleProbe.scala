@@ -143,7 +143,10 @@ object ScaleProbe {
       // session-6 batch 2: index maintenance (the append write is the
       // cost under test — it must scale with the batch, not the corpus)
       // and the normalization census (map-side regex + NFC per doc)
-      "d53_index_update", "t50_unicode_normalize")
+      "d53_index_update", "t50_unicode_normalize",
+      // session-6 closing evals: the lang-id audit (two tiny censuses)
+      // and the mutation curve (5x the corpus shingle digest, linear)
+      "t51_langid_eval", "t52_mutation_sensitivity")
       // d54 prefix filter is EXCLUDED (measured, not guessed): this
       // generator draws shingles ~uniformly, so at 50k docs every
       // 3-gram type sits in ~163 docs and NO shingle is rare — the
