@@ -381,6 +381,49 @@ object SourceQueries {
       .orderBy("o_orderpriority")
   }
 
+  /** File-provenance metadata columns (`_metadata.file_path` /
+    * `row_index`) — the hidden struct every file-based scan exposes, and
+    * the lineage/debugging surface a curation pipeline leans on ("which
+    * physical file did this bad row come from?"). The oracle cannot see
+    * file paths, so the layout makes provenance DERIVABLE: the dataset
+    * is written `repartition(col) + partitionBy(col)` — exactly ONE file
+    * per partition value — so per-FILE facts equal per-VALUE facts: the
+    * partition value regexp-extracted from `file_path` must round-trip,
+    * and `max(row_index)` per file must equal that value's row count − 1
+    * (row_index is file-local and 0-based). Any provenance-plumbing
+    * drift — wrong file attribution, row_index not file-local — breaks
+    * the hash.
+    *
+    * Scale shape: `_metadata` is populated by the scan itself (no join,
+    * no extra I/O); the census is one partial-aggregated GROUP BY on the
+    * 5-value key. */
+  private val src13 = Q(
+    "src13_file_metadata",
+    """SELECT o_orderpriority AS prio_from_path, count(*) AS n,
+              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+              CAST(count(*) - 1 AS BIGINT) AS max_row_index
+       FROM orders WHERE o_orderkey < 6000
+       GROUP BY o_orderpriority ORDER BY prio_from_path""") { (s, d) =>
+    val dir = tmp("graft_meta")
+    Tables.orders(s, d).filter(col("o_orderkey") < 6000)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast(LongType).as("cents"))
+      .repartition(col("o_orderpriority"))
+      .write.mode("overwrite").partitionBy("o_orderpriority")
+      .parquet(s"$dir/orders_meta")
+    s.read.parquet(s"$dir/orders_meta")
+      .select(
+        // partition dirs URL-encode the value ('NOT%20SPECIFIED') — decode
+        // to round-trip the original
+        url_decode(regexp_extract(col("_metadata.file_path"),
+          "o_orderpriority=([^/]+)", 1)).as("prio_from_path"),
+        col("cents"), col("_metadata.row_index").as("ri"))
+      .groupBy("prio_from_path")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"),
+        max(col("ri")).as("max_row_index"))
+      .orderBy("prio_from_path")
+  }
+
   val defs: Seq[Q] = Seq(src01, src02, src03, src04, src05, src06, src07,
-    src08, src09, src10, src11, src12)
+    src08, src09, src10, src11, src12, src13)
 }

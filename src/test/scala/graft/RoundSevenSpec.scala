@@ -609,7 +609,7 @@ class RoundSevenSpec extends SparkTestBase {
         "x14_dsv2_source", "x15_dsv2_sink", "d53_index_update",
         "t50_unicode_normalize", "s27_stream_idempotent_upsert",
         "d54_prefix_filter_join", "d55_lsh_recall", "t51_langid_eval",
-        "t52_mutation_sensitivity")) {
+        "t52_mutation_sensitivity", "src13_file_metadata")) {
       val runs = Seq("4", "7").map { parts =>
         spark.conf.set("spark.sql.shuffle.partitions", parts)
         try SparkEntry.queries(nm)(spark, sf0001).collect().toSeq
@@ -1008,6 +1008,30 @@ class RoundSevenSpec extends SparkTestBase {
     // monotone in step (milder mutation → higher similarity)
     val byStep = rows.toSeq.sortBy(_._1).map(_._2._1)
     assert(byStep.zip(byStep.tail).forall { case (a, b) => a < b })
+  }
+
+  test("src13's layout invariant holds: repartition+partitionBy yields " +
+      "exactly one physical file per partition value, and row_index is " +
+      "file-local and dense") {
+    val dir = Scratch.dir("graft_meta_spec")
+    Tables.orders(spark, sf0001).select(col("o_orderkey"), col("o_orderpriority"))
+      .repartition(col("o_orderpriority"))
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(s"$dir/o")
+    val m = spark.read.parquet(s"$dir/o")
+      .select(col("o_orderpriority").as("prio"),
+        col("_metadata.file_path").as("fp"), col("_metadata.row_index").as("ri"))
+    val perPrio = m.groupBy("prio")
+      .agg(countDistinct(col("fp")).as("n_files"), count(lit(1)).as("n"),
+        max(col("ri")).as("max_ri"), min(col("ri")).as("min_ri"),
+        countDistinct(col("ri")).as("n_ri"))
+      .collect()
+    assert(perPrio.nonEmpty)
+    for (r <- perPrio) {
+      assert(r.getAs[Long]("n_files") == 1L, s"multiple files for ${r.getString(0)}")
+      assert(r.getAs[Long]("min_ri") == 0L && r.getAs[Long]("max_ri") == r.getAs[Long]("n") - 1
+        && r.getAs[Long]("n_ri") == r.getAs[Long]("n"),
+        s"row_index not dense/file-local for ${r.getString(0)}: $r")
+    }
   }
 
   test("d52 cluster quality is coherent: contingency covers the corpus, " +
