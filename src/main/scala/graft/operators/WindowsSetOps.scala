@@ -320,5 +320,65 @@ object WindowsSetOps {
       .orderBy("user_id", "ts_us", "event_id")
   }
 
-  val defs: Seq[Q] = Seq(q13, q14, q15, q16, q17, q18, q19, q39, q52, q60, q72)
+  /** DYNAMIC-gap sessionization — `session_window` with a PER-EVENT gap
+    * expression (purchases hold a session open 2 h, everything else
+    * 30 min), the Spark feature q60's fixed gap can't express: "a
+    * purchase buys you a longer attention window". The oracle derives
+    * the exact merge semantics by hand — an event starts a new session
+    * iff its time exceeds the RUNNING MAX of (prior event + its own
+    * gap) (not just the previous event's reach: an early long-gap event
+    * can bridge over several short-gap ones), i.e. interval merging via
+    * `max(us + gap) OVER (... ROWS UNBOUNDED PRECEDING AND 1
+    * PRECEDING)` + a break-flag cumsum. The census aggregates session
+    * MEMBERS (first/last member timestamps), so the engine/oracle
+    * comparison is independent of how the built-in extends window ends.
+    *
+    * Scale shape: one shuffle on user_id (both the built-in session
+    * window and the oracle's windows sort within user); census rows are
+    * sessions, then users. */
+  private val q77 = Q(
+    "q77_dynamic_gap_sessions",
+    """WITH e AS (
+         SELECT user_id, epoch_us(ts) AS us, event_id,
+                CASE WHEN event_type = 'purchase' THEN 7200000000 ELSE 1800000000 END AS gap_us
+         FROM events),
+       r AS (
+         SELECT user_id, us, gap_us,
+                max(us + gap_us) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS reach
+         FROM e),
+       flg AS (
+         SELECT user_id, us,
+                CASE WHEN reach IS NULL OR us > reach THEN 1 ELSE 0 END AS new_s
+         FROM r),
+       sess AS (
+         SELECT user_id, us,
+                sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+         FROM flg),
+       g AS (
+         SELECT user_id, sid, count(*) AS n_events,
+                min(us) AS s_us, max(us) AS e_us
+         FROM sess GROUP BY user_id, sid)
+       SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+              CAST(sum(n_events) AS BIGINT) AS n_events,
+              CAST(max(e_us - s_us) AS BIGINT) AS max_span_us,
+              CAST(max(n_events) AS BIGINT) AS max_len
+       FROM g GROUP BY user_id ORDER BY user_id""") { (s, d) =>
+    val gap = when(col("event_type") === "purchase", "2 hours")
+      .otherwise("30 minutes")
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("s_us"),
+        max(unix_micros(col("ts"))).as("e_us"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"),
+        max(col("e_us") - col("s_us")).as("max_span_us"),
+        max(col("n_events")).as("max_len"))
+      .orderBy("user_id")
+  }
+
+  val defs: Seq[Q] = Seq(q13, q14, q15, q16, q17, q18, q19, q39, q52, q60, q72,
+    q77)
 }

@@ -1330,9 +1330,54 @@ object StreamingQueries {
       .orderBy("hour_start", "event_type")
   }
 
+  /** Streaming DYNAMIC-gap sessions — q77's per-event gap expression
+    * (purchases hold sessions open 2 h, the rest 30 min) running as
+    * stateful session state: the state store must MERGE sessions across
+    * micro-batches when a later event's reach bridges earlier ones, and
+    * with a variable gap the reach depends on each member's type, not a
+    * constant. Complete mode (s04's pattern), so the finished result is
+    * exactly the batch semantics and q77's hand-derived running-max
+    * oracle applies verbatim. */
+  private val s29 = Q(
+    "s29_stream_dynamic_sessions",
+    """WITH e AS (
+         SELECT user_id, epoch_us(ts) AS us, event_id,
+                CASE WHEN event_type = 'purchase' THEN 7200000000 ELSE 1800000000 END AS gap_us
+         FROM events),
+       r AS (
+         SELECT user_id, us, gap_us,
+                max(us + gap_us) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS reach
+         FROM e),
+       flg AS (
+         SELECT user_id, us,
+                CASE WHEN reach IS NULL OR us > reach THEN 1 ELSE 0 END AS new_s
+         FROM r),
+       sess AS (
+         SELECT user_id, us,
+                sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+         FROM flg),
+       g AS (SELECT user_id, sid, count(*) AS n_events FROM sess GROUP BY user_id, sid)
+       SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+              CAST(sum(n_events) AS BIGINT) AS n_events,
+              CAST(max(n_events) AS BIGINT) AS max_len
+       FROM g GROUP BY user_id ORDER BY user_id""") { (s, d) =>
+    val gap = when(col("event_type") === "purchase", "2 hours")
+      .otherwise("30 minutes")
+    val agg = eventsStream(s, d)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    runToMemory(agg, OutputMode.Complete())
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"),
+        max(col("n_events")).as("max_len"))
+      .orderBy("user_id")
+  }
+
   val defs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
     s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25,
-    s26, s27, s28)
+    s26, s27, s28, s29)
 }
 
 /** s11's StatefulProcessor: cumulative (event count, value cents) per

@@ -609,7 +609,8 @@ class RoundSevenSpec extends SparkTestBase {
         "x14_dsv2_source", "x15_dsv2_sink", "d53_index_update",
         "t50_unicode_normalize", "s27_stream_idempotent_upsert",
         "d54_prefix_filter_join", "d55_lsh_recall", "t51_langid_eval",
-        "t52_mutation_sensitivity", "src13_file_metadata")) {
+        "t52_mutation_sensitivity", "src13_file_metadata",
+        "q77_dynamic_gap_sessions")) {
       val runs = Seq("4", "7").map { parts =>
         spark.conf.set("spark.sql.shuffle.partitions", parts)
         try SparkEntry.queries(nm)(spark, sf0001).collect().toSeq
@@ -1032,6 +1033,70 @@ class RoundSevenSpec extends SparkTestBase {
         && r.getAs[Long]("n_ri") == r.getAs[Long]("n"),
         s"row_index not dense/file-local for ${r.getString(0)}: $r")
     }
+  }
+
+  test("s29 dynamic-gap session state MERGES across micro-batches: a " +
+      "time-split multi-batch run equals the batch census, and sessions " +
+      "genuinely span the batch boundaries") {
+    import spark.implicits._
+    val evAll = Tables.events(spark, sf0001)
+      .select(col("ts"), col("user_id"), col("event_type"))
+    val (tsLo, tsHi) = {
+      val r = evAll.agg(min(unix_timestamp(col("ts"))),
+        max(unix_timestamp(col("ts")))).head()
+      (r.getLong(0), r.getLong(1) + 1)
+    }
+    val dir = new File(Scratch.dir("graft_dynsess"))
+    val srcDir = new File(dir, "ev"); assert(srcDir.mkdirs())
+    val now = System.currentTimeMillis()
+    val gap = when(col("event_type") === "purchase", "2 hours")
+      .otherwise("30 minutes")
+    // cut the file boundary THROUGH the longest multi-event session, so
+    // its members land in different micro-batches by construction and
+    // the state store must merge them
+    val target = evAll.groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        min(unix_timestamp(col("ts"))).as("s"), max(unix_timestamp(col("ts"))).as("e"))
+      .filter(col("n") >= 2 && col("e") > col("s"))
+      .orderBy((col("e") - col("s")).desc).head()
+    val mid = (target.getAs[Long]("s") + target.getAs[Long]("e")) / 2 + 1
+    val cuts = Seq(tsLo, mid, (target.getAs[Long]("e") + tsHi) / 2, tsHi)
+    (0 until 3).foreach { i =>
+      writeSourceFile(evAll.filter(unix_timestamp(col("ts")) >= cuts(i)
+        && unix_timestamp(col("ts")) < cuts(i + 1)),
+        new File(srcDir, s"f$i.parquet"), now - (40L - 10L * i) * 1000)
+    }
+    val q = spark.readStream.schema(evAll.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .writeStream.format("memory").queryName("dynsess_mem")
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3, "need ≥3 data batches")
+    val streamed = spark.table("dynsess_mem")
+      .select(col("user_id"), col("n_events"),
+        unix_timestamp(col("session_window.start")).as("s"),
+        unix_timestamp(col("session_window.end")).as("e"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._3)).toSeq
+    val batch = evAll
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"),
+        unix_timestamp(col("session_window.start")).as("s"),
+        unix_timestamp(col("session_window.end")).as("e"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._3)).toSeq
+    assert(streamed == batch,
+      s"multi-batch session state diverged from batch semantics " +
+        s"(${streamed.size} vs ${batch.size} sessions)")
+    // non-vacuity: some session must STRADDLE a batch-boundary cut —
+    // its merge could only have happened in the state store
+    val straddlers = streamed.count(x => cuts.tail.init.exists(c => x._3 < c && c < x._4))
+    assert(straddlers > 0,
+      s"no session spans a batch boundary (cut through $target) — merge untested")
   }
 
   test("d52 cluster quality is coherent: contingency covers the corpus, " +
