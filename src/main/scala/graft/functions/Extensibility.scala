@@ -491,8 +491,28 @@ object Extensibility {
       .orderBy("o_orderpriority")
   }
 
+  /** DSv2 AGGREGATE pushdown (see [[graft.sources.RangeDocsScanBuilder
+    * .pushAggregation]]): count/min/max over a BILLION-row virtual range
+    * — the aggregation never materializes a row, because the connector
+    * answers from the (filter-narrowed) range arithmetic, emitting one
+    * partial per partition for Spark's final merge. The closed-form
+    * oracle needs no table at all; the query completing at this scale
+    * IS the pushdown proof (materializing 10⁹ rows would take minutes,
+    * the spec additionally pins the AGG-PUSHED scan in the plan). */
+  private val x17 = Q(
+    "x17_dsv2_agg_pushdown",
+    """SELECT CAST(987654321 - 12345 AS BIGINT) AS n,
+              CAST(12345 AS BIGINT) AS mn,
+              CAST(987654320 AS BIGINT) AS mx""") { (s, _) =>
+    s.read.format("graft-range-docs")
+      .option("rows", "1000000000").option("partitions", "16").load()
+      .filter(col("doc_id") >= 12345L && col("doc_id") < 987654321L)
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("mn"),
+        max(col("doc_id")).as("mx"))
+  }
+
   val defs: Seq[Q] = Seq(x01, x02, x03, x04, x05, x06, x07, x08, x09, x10, x11,
-    x12, x13, x14, x15)
+    x12, x13, x14, x15, x17)
 }
 
 /** Session-extension injector (`spark.sql.extensions=graft.functions.

@@ -7,6 +7,8 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.NamedReference
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -82,12 +84,38 @@ class RangeDocsTable(rows: Long, partitions: Int) extends Table with SupportsRea
 }
 
 class RangeDocsScanBuilder(rows: Long, partitions: Int)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var lo = 0L
   private var hi = rows
   private var accepted: Array[Filter] = Array.empty
   private var prunedSchema: StructType = RangeDocsSource.schema
+  private var pushedAggs: Option[Seq[AggregateFunc]] = None
+
+  /** AGGREGATE pushdown: COUNT(*) / MIN(doc_id) / MAX(doc_id) over the
+    * (already filter-narrowed) range have CLOSED FORMS — count is
+    * end − start, min is start, max is end − 1 — so an accepted
+    * aggregation materializes ZERO rows: each partition emits one
+    * partial row computed arithmetically and Spark merges the partials
+    * (partial pushdown; `supportCompletePushDown` stays false so the
+    * final merge is Spark's). A `count(*)` over a trillion-row range
+    * costs the same as over ten rows — the connector analog of parquet
+    * footer statistics. */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    def isDocId(e: org.apache.spark.sql.connector.expressions.Expression) = e match {
+      case nr: NamedReference => nr.fieldNames.toSeq == Seq("doc_id")
+      case _ => false
+    }
+    val ok = agg.groupByExpressions().isEmpty && agg.aggregateExpressions().forall {
+      case _: CountStar => true
+      case m: Min => isDocId(m.column())
+      case m: Max => isDocId(m.column())
+      case _ => false
+    }
+    if (ok) pushedAggs = Some(agg.aggregateExpressions().toSeq)
+    ok
+  }
 
   /** Accept doc_id range comparisons by narrowing [lo, hi); everything
     * else is rejected back to Spark. An accepted filter is FULLY
@@ -117,8 +145,61 @@ class RangeDocsScanBuilder(rows: Long, partitions: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     prunedSchema = requiredSchema
 
-  override def build(): Scan =
-    new RangeDocsScan(math.max(lo, 0L), math.max(hi, lo), partitions, prunedSchema)
+  override def build(): Scan = pushedAggs match {
+    case Some(aggs) =>
+      new RangeDocsAggScan(math.max(lo, 0L), math.max(hi, lo), partitions, aggs)
+    case None =>
+      new RangeDocsScan(math.max(lo, 0L), math.max(hi, lo), partitions, prunedSchema)
+  }
+}
+
+/** Pushed-aggregate scan: one arithmetic partial row per partition. */
+class RangeDocsAggScan(lo: Long, hi: Long, partitions: Int, aggs: Seq[AggregateFunc])
+    extends Scan with Batch {
+  override def readSchema(): StructType = StructType(aggs.zipWithIndex.map {
+    case (_: CountStar, i) => StructField(s"agg_$i", LongType, nullable = false)
+    case (_, i) => StructField(s"agg_$i", LongType, nullable = true)
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-range-docs AGG-PUSHED [$lo, $hi) ${aggs.mkString(",")}"
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = hi - lo
+    if (n <= 0) Array(RangeDocsPartition(0, 0))
+    else {
+      val parts = math.min(partitions.toLong, n).toInt
+      (0 until parts).map { i =>
+        RangeDocsPartition(lo + i * n / parts, lo + (i + 1) * n / parts)
+      }.toArray
+    }
+  }
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val kinds: Array[Int] = aggs.map {
+      case _: CountStar => 0
+      case _: Min => 1
+      case _ => 2
+    }.toArray
+    new RangeDocsAggReaderFactory(kinds)
+  }
+}
+
+class RangeDocsAggReaderFactory(kinds: Array[Int]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[RangeDocsPartition]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = {
+        val empty = p.end <= p.start
+        InternalRow.fromSeq(kinds.toSeq.map {
+          case 0 => p.end - p.start            // COUNT(*): closed form
+          case 1 => if (empty) null else p.start       // MIN(doc_id)
+          case _ => if (empty) null else p.end - 1     // MAX(doc_id)
+        })
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 case class RangeDocsPartition(start: Long, end: Long) extends InputPartition

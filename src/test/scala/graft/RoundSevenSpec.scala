@@ -610,7 +610,7 @@ class RoundSevenSpec extends SparkTestBase {
         "t50_unicode_normalize", "s27_stream_idempotent_upsert",
         "d54_prefix_filter_join", "d55_lsh_recall", "t51_langid_eval",
         "t52_mutation_sensitivity", "src13_file_metadata",
-        "q77_dynamic_gap_sessions")) {
+        "q77_dynamic_gap_sessions", "x17_dsv2_agg_pushdown")) {
       val runs = Seq("4", "7").map { parts =>
         spark.conf.set("spark.sql.shuffle.partitions", parts)
         try SparkEntry.queries(nm)(spark, sf0001).collect().toSeq
@@ -1097,6 +1097,31 @@ class RoundSevenSpec extends SparkTestBase {
     val straddlers = streamed.count(x => cuts.tail.init.exists(c => x._3 < c && c < x._4))
     assert(straddlers > 0,
       s"no session spans a batch boundary (cut through $target) — merge untested")
+  }
+
+  test("x17 aggregate pushdown reaches the connector: the plan carries the " +
+      "AGG-PUSHED scan over the filter-narrowed range and a GROUPED " +
+      "aggregate correctly REFUSES the pushdown") {
+    import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+    def planOf(df: org.apache.spark.sql.DataFrame) = {
+      df.collect(); castToImpl(df).queryExecution.executedPlan.toString
+    }
+    val base = spark.read.format("graft-range-docs")
+      .option("rows", "1000000000").option("partitions", "16").load()
+    val pushed = base.filter(col("doc_id") >= 5L)
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("mn"))
+    val p1 = planOf(pushed)
+    assert(p1.contains("AGG-PUSHED"), s"aggregate not pushed: $p1")
+    assert(p1.contains("[5, 1000000000)"), "filter must narrow the pushed range")
+    // grouped aggregation is NOT supported by the connector — it must
+    // decline and Spark must fall back to scanning (use a tiny range so
+    // the fallback actually materializes quickly)
+    val grouped = spark.read.format("graft-range-docs")
+      .option("rows", "1000").load()
+      .groupBy("source").agg(count(lit(1)).as("n"))
+    val p2 = planOf(grouped)
+    assert(!p2.contains("AGG-PUSHED"), "grouped agg must not be pushed")
+    assert(grouped.collect().map(_.getLong(1)).sum == 1000L)
   }
 
   test("d52 cluster quality is coherent: contingency covers the corpus, " +
