@@ -343,17 +343,17 @@ object WindowsSetOps {
                 CASE WHEN event_type = 'purchase' THEN 7200000000 ELSE 1800000000 END AS gap_us
          FROM events),
        r AS (
-         SELECT user_id, us, gap_us,
+         SELECT user_id, us, event_id, gap_us,
                 max(us + gap_us) OVER (PARTITION BY user_id ORDER BY us, event_id
                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS reach
          FROM e),
        flg AS (
-         SELECT user_id, us,
+         SELECT user_id, us, event_id,
                 CASE WHEN reach IS NULL OR us > reach THEN 1 ELSE 0 END AS new_s
          FROM r),
        sess AS (
          SELECT user_id, us,
-                sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
                                  ROWS UNBOUNDED PRECEDING) AS sid
          FROM flg),
        g AS (

@@ -849,7 +849,8 @@ object CurationExtra {
     * 8-byte hashes only, no pair search. */
   private val t52 = Q(
     "t52_mutation_sensitivity",
-    """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+                     WHERE len(string_split(text, ' ')) >= 3),
        steps AS (SELECT unnest([2, 5, 10, 25]) AS step),
        toks AS (
          SELECT doc_id, i, ws[i] AS tok, len(ws) AS n
@@ -898,8 +899,12 @@ object CurationExtra {
               CAST(sum(jac_micro) AS BIGINT) AS sum_jac_micro,
               min(jac_micro) AS min_jac_micro, max(jac_micro) AS max_jac_micro
        FROM j GROUP BY step ORDER BY step""") { (s, d) =>
+    // docs under 3 tokens produce zero 3-grams in the positional-join
+    // oracle but one concat_ws gram in the sequence formulation — exclude
+    // them on BOTH sides so the curve is over gram-bearing docs only.
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
     val steps = Seq(2, 5, 10, 25)
     // mutated twin per step: positional replacement inside ONE transform
     // (Spark lambda index is 0-based; rule i%step with 1-based i)

@@ -553,7 +553,10 @@ object Multimodal {
     * + 4 packed longs cross the exchange); the all-zero band (the
     * "empty region" every short payload shares) is ineligible as a join
     * key, and the d03/d11 oversized-bucket guard caps template-prefix
-    * pileups before the pair join. */
+    * pileups before the pair join. The oracle mirrors the cap (QUALIFY
+    * count OVER (band) <= 1000 per side, the `graft.dedup.maxBucketSize`
+    * default) so an over-cap fixture bucket degrades both engines
+    * identically instead of silently desynchronizing recall. */
   private val m10 = Q(
     "m10_perceptual_hash_dedup",
     """WITH pa AS (
@@ -592,11 +595,13 @@ object Multimodal {
        ba AS (
          SELECT id, b, substring(sig, b*16 + 1, 16) AS bits
          FROM sa, (SELECT unnest(generate_series(0, 3)) AS b) bs
-         WHERE substring(sig, b*16 + 1, 16) <> '0000000000000000'),
+         WHERE substring(sig, b*16 + 1, 16) <> '0000000000000000'
+         QUALIFY count(*) OVER (PARTITION BY b, substring(sig, b*16 + 1, 16)) <= 1000),
        bb AS (
          SELECT id, b, substring(sig, b*16 + 1, 16) AS bits
          FROM sb, (SELECT unnest(generate_series(0, 3)) AS b) bs
-         WHERE substring(sig, b*16 + 1, 16) <> '0000000000000000'),
+         WHERE substring(sig, b*16 + 1, 16) <> '0000000000000000'
+         QUALIFY count(*) OVER (PARTITION BY b, substring(sig, b*16 + 1, 16)) <= 1000),
        h AS (
          SELECT DISTINCT a.id AS id_a, b.id AS id_b,
                 CAST(list_sum(list_transform(generate_series(1, 64), i ->

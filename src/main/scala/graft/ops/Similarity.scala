@@ -1467,8 +1467,11 @@ object Similarity {
                      CAST(count(*) AS BIGINT) AS n_labels FROM cls)
        SELECT n, n_clusters, n_labels, majsum,
               round(majsum * 1.0 / n, 4) AS purity,
-              round((sij - s_a * 1.0 * s_b / ((n * (n - 1)) // 2))
-                    / (0.5 * (s_a + s_b) - s_a * 1.0 * s_b / ((n * (n - 1)) // 2)), 4) AS ari
+              CASE WHEN (s_a + s_b) * ((n * (n - 1)) // 2) = 2 * s_a * s_b
+                   THEN 1.0
+                   ELSE round((sij - s_a * 1.0 * s_b / ((n * (n - 1)) // 2))
+                        / (0.5 * (s_a + s_b) - s_a * 1.0 * s_b / ((n * (n - 1)) // 2)), 4)
+              END AS ari
        FROM tot, sa, sb ORDER BY n""") { (s, d) =>
     val assign = kmeansAssign(s, d, rounds = 2).select("vec_id", "cell")
     val lab = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
@@ -1483,12 +1486,20 @@ object Similarity {
     val sb = ct.groupBy("label").agg(sum("nij").as("bj"))
       .agg(sum(expr("(bj * (bj - 1)) div 2")).as("s_b"),
         count(lit(1)).as("n_labels"))
+    // ARI's chance-corrected denominator is exactly 0 in the degenerate
+    // expected==max case (e.g. one cluster and one label); resolve to the
+    // conventional 1.0 on an INTEGER condition (t49's kappa discipline),
+    // never a float compare.
     tot.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
       .select(col("n"), col("n_clusters"), col("n_labels"), col("majsum"),
         round(col("majsum") * lit(1.0) / col("n"), 4).as("purity"),
-        round((col("sij") - lit(1.0) * col("s_a") * col("s_b") / expr("(n * (n - 1)) div 2"))
-          / (lit(0.5) * (col("s_a") + col("s_b"))
-            - lit(1.0) * col("s_a") * col("s_b") / expr("(n * (n - 1)) div 2")), 4).as("ari"))
+        when((col("s_a") + col("s_b")) * expr("(n * (n - 1)) div 2")
+            === lit(2L) * col("s_a") * col("s_b"), lit(1.0))
+          .otherwise(
+            round((col("sij") - lit(1.0) * col("s_a") * col("s_b") / expr("(n * (n - 1)) div 2"))
+              / (lit(0.5) * (col("s_a") + col("s_b"))
+                - lit(1.0) * col("s_a") * col("s_b") / expr("(n * (n - 1)) div 2")), 4))
+          .as("ari"))
       .orderBy("n")
   }
 

@@ -83,22 +83,40 @@ class ManifestTable(path: String, schema: StructType) extends Table with Support
 }
 
 class ManifestBatchWrite(path: String, schema: StructType) extends BatchWrite {
+  // Staging files are scoped to THIS job: a concurrent writer to the same
+  // path must not have its in-flight stage files garbage-collected by our
+  // commit (which would fail its commit, or worse let it publish a
+  // manifest naming deleted files). The job id is minted once, driver
+  // side, and rides into every task's staging filename.
+  private val jobId = UUID.randomUUID().toString.substring(0, 8)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    ManifestWriterFactory(path, schema.fields.map(_.dataType == LongType))
+    ManifestWriterFactory(path, jobId, schema.fields.map(_.dataType == LongType))
 
   /** DRIVER-side publish: the only step that makes data visible. Runs
     * once, after every task committed; atomic via temp-file + move. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = messages.collect { case StagedFile(name) => name }.sorted
+    // the manifest being replaced: its files become invisible the moment
+    // the new manifest lands, so they are safe to collect too
+    val prev = Option(Paths.get(path, ManifestSink.ManifestName))
+      .filter(Files.exists(_))
+      .map(Files.readAllLines(_, StandardCharsets.UTF_8).asScala.toSet)
+      .getOrElse(Set.empty[String])
     val tmp = Paths.get(path, s".${ManifestSink.ManifestName}.tmp")
     Files.write(tmp, files.mkString("\n").getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     Files.move(tmp, Paths.get(path, ManifestSink.ManifestName),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    // collect staging garbage from aborted attempts / pre-truncate runs
+    // collect only OUR aborted-attempt files plus the replaced manifest's
+    // now-invisible files — another job's in-flight staging is untouched
     Option(new File(path).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith("stage-") && !files.contains(f.getName))
+      .filter { f =>
+        val n = f.getName
+        !files.contains(n) &&
+          (n.startsWith(s"stage-$jobId-") || (prev.contains(n) && n.startsWith("stage-")))
+      }
       .foreach(_.delete())
   }
 
@@ -109,11 +127,11 @@ class ManifestBatchWrite(path: String, schema: StructType) extends BatchWrite {
 
 case class StagedFile(name: String) extends WriterCommitMessage
 
-case class ManifestWriterFactory(path: String, isLong: Array[Boolean])
+case class ManifestWriterFactory(path: String, jobId: String, isLong: Array[Boolean])
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     new File(path).mkdirs()
-    val name = s"stage-$partitionId-$taskId-${UUID.randomUUID()}.tsv"
+    val name = s"stage-$jobId-$partitionId-$taskId-${UUID.randomUUID()}.tsv"
     new DataWriter[InternalRow] {
       private val out = Files.newBufferedWriter(Paths.get(path, name),
         StandardCharsets.UTF_8)

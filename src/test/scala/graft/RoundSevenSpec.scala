@@ -788,8 +788,12 @@ class RoundSevenSpec extends SparkTestBase {
     assert(readBack().count() == 100)
     assert(readBack().filter(col("k") === 424242L).count() == 0,
       "uncommitted staging file leaked into the read path")
-    // overwrite: truncate + rewrite; the commit garbage-collects every
-    // staging file the new manifest doesn't publish (incl. the orphan)
+    // overwrite: truncate + rewrite. GC is JOB-SCOPED: the commit
+    // collects the replaced manifest's now-invisible files and its own
+    // uncommitted attempts, but must NOT delete a foreign job's staging
+    // file (the orphan's prefix belongs to no manifest and not to this
+    // job — under concurrency it could be another writer's in-flight
+    // data; deleting it would fail that writer's commit).
     spark.range(0, 7).select(col("id").as("k"), lit("w").as("v"))
       .write.format("graft-manifest-sink").option("path", dir)
       .mode("overwrite").save()
@@ -797,8 +801,15 @@ class RoundSevenSpec extends SparkTestBase {
     val onDisk = new java.io.File(dir).listFiles().map(_.getName).toSet
     val published = graft.sources.ManifestSink.committedFiles(dir)
       .map(f => new java.io.File(f).getName).toSet
-    assert(onDisk == published + graft.sources.ManifestSink.ManifestName,
-      s"stale files survived the overwrite: ${onDisk -- published}")
+    val gen1Names = files1.map(f => new java.io.File(f).getName).toSet
+    assert(gen1Names.intersect(onDisk).isEmpty,
+      s"replaced manifest's files survived the overwrite: ${gen1Names.intersect(onDisk)}")
+    assert(onDisk.contains(orphan.getName),
+      "foreign-job staging file was clobbered by another job's commit")
+    assert(onDisk == published + graft.sources.ManifestSink.ManifestName + orphan.getName,
+      s"unexpected residue: ${onDisk -- published - orphan.getName}")
+    // the surviving foreign file is still invisible to readers
+    assert(readBack().filter(col("k") === 424242L).count() == 0)
   }
 
   test("d53 index maintenance: probing the APPENDED index is byte-identical " +
