@@ -21,6 +21,7 @@ object SparkEntry {
       functions.ScalarQueries.defs ++
       functions.GeneratorsDates.defs ++
       ops.Dedup.defs ++
+      ops.Pipeline.defs ++
       ops.Similarity.defs ++
       ops.CurationExtra.defs ++
       ops.TextAnalysis.defs ++
