@@ -14,11 +14,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class Q(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    dynOracle: Option[(SparkSession, String) => String] = None)
 
 object Q {
   def apply(name: String, sql: String)(fn: (SparkSession, String) => DataFrame): Q =
     Q(name, fn, Some(sql))
   def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): Q =
     Q(name, fn, None)
+
+  /** A query whose oracle SQL must be RENDERED against the run's data dir
+    * (e.g. tokenizer application: the learned merge/piece table is
+    * interpolated as a VALUES list, and DuckDB re-applies it to the corpus
+    * independently). The generator runs at Verify time, so the training
+    * half stays spec-verified while the application half gets a true
+    * cross-engine hash check. */
+  def dynamic(name: String)(fn: (SparkSession, String) => DataFrame)(
+      gen: (SparkSession, String) => String): Q =
+    Q(name, fn, None, Some(gen))
 }

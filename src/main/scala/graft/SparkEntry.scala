@@ -47,6 +47,15 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     allDefs.flatMap(q => q.oracle.map(sql => q.name -> sql)).toMap
 
+  /** Oracles whose SQL embeds a table the engine LEARNS from the data
+    * (tokenizer merges/pieces), rendered against the run's sfDir at
+    * Verify time — DuckDB then re-applies the rendered table to the
+    * corpus independently, hash-checking the application half of the
+    * tokenizer queries. Training itself remains spec-verified
+    * (BpeSpec/UnigramSpec route-equality). */
+  def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] =
+    allDefs.flatMap(q => q.dynOracle.map(gen => q.name -> gen(spark, sfDir))).toMap
+
   /** Headline subset benchmarked by `Bench` (heavier, scan/join/agg bound). */
   def benchNames: Seq[String] = {
     val preferred = Seq(
@@ -65,6 +74,7 @@ object SparkEntry {
       "t12_sequence_pack", "t13_unigram_surprisal", "t17_bm25",
       "t29_bigram_lm", "t31_bpe_segment", "t35_gopher_repetition",
       "t37_unigram_segment",
+      "p01_full_curation",
       "a01_pipe_cranker", "a02_pipe_throughput",
       "s01_stream_tumbling", "s10_stream_stateful_sessions")
     val have = queries.keySet

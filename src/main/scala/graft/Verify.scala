@@ -35,7 +35,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // static oracles + the data-dependent ones (tokenizer application:
+    // learned tables rendered into the SQL for THIS sfDir)
+    val dyn = SparkEntry.dynamicOracleSql(spark, sfDir)
+    spark.catalog.clearCache()
+    val json = (SparkEntry.oracleSql ++ dyn)
       .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

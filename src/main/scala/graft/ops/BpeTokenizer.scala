@@ -39,12 +39,13 @@ import org.apache.spark.sql.functions._
   * asc, right asc) — a total order, so the learned merges are a pure
   * function of the corpus, independent of partitioning; the greedy
   * left-to-right application is the standard BPE re-segmentation. The
-  * merge loop is not expressible in portable SQL, so both queries are
-  * declared `noOracle` (rows-only driver check); the adversarial
-  * evidence lives in BpeSpec: distributed == driver route, first merge
-  * == the independently-counted hottest pair, segmentation == a plain
-  * Scala reference, and the token-count envelope n_words ≤ n_bpe_tokens
-  * ≤ n_chars.
+  * merge LOOP is not expressible in portable SQL, so training (t30)
+  * stays `noOracle` with BpeSpec carrying the evidence (distributed ==
+  * driver route, first merge == the independently-counted hottest pair,
+  * segmentation == a plain Scala reference, the token-count envelope);
+  * the APPLICATION (t31) has a dynamic oracle — the learned merges
+  * render into DuckDB SQL ([[TokenizerOracles]]) and DuckDB re-segments
+  * the corpus independently, hash-checked by the driver.
   */
 object BpeTokenizer {
 
@@ -183,8 +184,11 @@ object BpeTokenizer {
   /** t31: the corpus segmented with the learned merges — per-doc BPE
     * token count next to the word count, the compression a tokenizer
     * report needs. The stream is never re-tokenized: the per-doc word
-    * census joins the type-level segmentation, hot words broadcast. */
-  private val t31 = Q.noOracle("t31_bpe_segment") { (s, d) =>
+    * census joins the type-level segmentation, hot words broadcast.
+    * Oracle: DYNAMIC — the learned merge table renders into DuckDB SQL
+    * ([[TokenizerOracles.t31Sql]]) and DuckDB re-segments the corpus
+    * independently, hash-checking the whole application path. */
+  private val t31 = Q.dynamic("t31_bpe_segment") { (s, d) =>
     val k = confInt(s, "graft.bpe.merges", 40)
     val census = Dedup.reuse(wordCensus(s, d))
     val (_, seg) = learn(s, census, k)
@@ -207,6 +211,10 @@ object BpeTokenizer {
       .agg(sum(col("cnt")).as("n_words"),
         sum(col("cnt") * col("n_tok")).as("n_bpe_tokens"))
       .orderBy("doc_id")
+  } { (s, d) =>
+    val k = confInt(s, "graft.bpe.merges", 40)
+    val (merges, _) = learn(s, wordCensus(s, d), k)
+    TokenizerOracles.t31Sql(merges)
   }
 
   val defs: Seq[Q] = Seq(t30, t31)

@@ -154,7 +154,15 @@ object Dedup {
     * see BENCH_SCALE_r07.json's flood entry). Recall loss is bounded:
     * a doc in a dropped bucket still pairs through its other bands. */
   def bucketCap(spark: org.apache.spark.sql.SparkSession): Long =
-    spark.conf.getOption("graft.dedup.maxBucketSize").map(_.toLong).getOrElse(1000L)
+    spark.conf.getOption("graft.dedup.maxBucketSize").map(_.toLong)
+      .getOrElse(DefaultBucketCap)
+
+  /** The pinned default for `graft.dedup.maxBucketSize`. Oracle-paired
+    * queries whose DuckDB SQL hardcodes the cap (m10's QUALIFY mirror,
+    * p01's bandc CTE) must pass THIS constant to [[dropOversizedBuckets]]
+    * instead of the session-conf [[bucketCap]], so a conf override can
+    * never desynchronize engine and oracle. */
+  val DefaultBucketCap = 1000L
 
   /** Drop (and log) buckets whose cardinality exceeds `cap` before a
     * banded self-join. Recall on a dropped key is traded for bounded

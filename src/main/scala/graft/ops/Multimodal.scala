@@ -642,7 +642,10 @@ object Multimodal {
         posexplode(array((0 until 4).map(k => substring(col("sig"), k * 16 + 1, 16)): _*))
           .as(Seq("b", "bits")))
         .filter(col("bits") =!= "0" * 16)
-      Dedup.dropOversizedBuckets(exploded, Seq("b", "bits"), Dedup.bucketCap(s))
+      // pinned to DefaultBucketCap (not the session conf): the oracle's
+      // QUALIFY mirror above hardcodes the same 1000, so a conf override
+      // must not desync engine and oracle
+      Dedup.dropOversizedBuckets(exploded, Seq("b", "bits"), Dedup.DefaultBucketCap)
     }
     bands(sigs(a)).as("a")
       .join(bands(sigs(b)).as("b"),

@@ -11,17 +11,41 @@ import graft.{Q, Tables}
   * verified stages (each cites its solo-verified operator):
   *
   *   1. URL dedup            (d46  — canonicalize, keep min-id per URL)
-  *   2. Mojibake repair      (t40  — detect + invert double-encoding;
-  *                                   the REPAIRED text flows downstream)
+  *   2. Corruption plant + mojibake repair (t40 — the harness plants
+  *                                   deterministic crawler artifacts on
+  *                                   BOTH engines: mojibake arms
+  *                                   (doc_id%5) and near-dup mirror
+  *                                   pairs (doc_id%25<2 — ids 25g and
+  *                                   25g+1 share a 30-token body plus 3
+  *                                   doc-unique tokens, Jaccard≈0.82),
+  *                                   then repairs; the REPAIRED text
+  *                                   flows downstream. Without the
+  *                                   mirror plant the fixture has ZERO
+  *                                   verified near-dup pairs at sf0.01,
+  *                                   leaving stages 6 and 8 untestable)
   *   3. Language routing     (t01  — stopword-argmax lang-ID, keep 'en')
   *   4. Quality gate         (t02  — token/uniq floors)
   *   5. Exact dedup          (d01  — md5 grouping, keep min id)
   *   6. Verified near-dedup  (d15/d44 — LSH band → exact-Jaccard≥0.5
-  *                                   edges → CC, keep cluster-min id)
+  *                                   edges → CC, keep the min-id
+  *                                   representative per (cluster,
+  *                                   SOURCE): within-source near-dups
+  *                                   collapse, cross-source siblings
+  *                                   survive — the production choice
+  *                                   that keeps the best copy per
+  *                                   provenance and exactly the case a
+  *                                   cluster-keyed split exists for)
   *   7. Decontamination      (d13/d42 — 13-gram overlap vs benchmark;
   *                                   drop benchmark members + docs with
   *                                   >5% contaminated grams)
-  *   8. Leakage-free split   (t28  — split by CLUSTER key, not doc key)
+  *   8. Leakage-free split   (t28  — split by CLUSTER key, not doc key:
+  *                                   cross-source siblings from stage 6
+  *                                   land in the SAME split; a doc-keyed
+  *                                   split would leak them across
+  *                                   train/val/test. `detail` counts the
+  *                                   docs whose cluster split differs
+  *                                   from their doc-keyed split — the
+  *                                   rows the property actually moves)
   *   9. Sequence packing     (t12  — 512-token bins per split via the
   *                                   distributed prefix sum)
   *
@@ -33,9 +57,10 @@ import graft.{Q, Tables}
   * can see.
   *
   * Digest-reuse discipline (the d15 single-digest rule, cross-stage):
-  *   - `base` (post-quality survivors + repaired text + token counts) is
-  *     persisted ONCE; stages 5-9 read its blocks — the corpus is never
-  *     re-repaired or re-tokenized.
+  *   - the annotated corpus snapshot (`ann`: repaired text + language
+  *     scores + token counts, stages 2-4 fused into one projection) is
+  *     persisted ONCE; the stage-2-4 census rows and stages 5-9 all read
+  *     its blocks — the corpus is never re-repaired or re-tokenized.
   *   - the shingle digest behind near-dedup is computed ONCE by
   *     [[Dedup.lshBucketsAndShingles]] (banding and verification sets
   *     from the same md5 pass — `Dedup.scala`'s hv cache).
@@ -58,17 +83,24 @@ import graft.{Q, Tables}
   */
 object Pipeline {
 
-  // Mojibake constants (t40's plant/repair pairs), as unicode escapes so
-  // the source bytes are editor-proof; the oracle SQL interpolates the
-  // SAME constants, so both engines transform identical strings.
-  private val MA = "Ã¡"       // mojibake a-acute (UTF-8 read as Latin-1)
-  private val RA = "á"             // repaired a-acute
-  private val MD = "â€”" // mojibake em-dash
-  private val RD = "—"             // repaired em-dash
+  // Mojibake constants (t40's plant/repair pairs), written as \uXXXX
+  // escapes so the source bytes really are editor-proof (an
+  // encoding-mangling editor cannot corrupt pure-ASCII escapes); the
+  // oracle SQL interpolates the SAME constants, so both engines
+  // transform identical strings either way.
+  private val MA = "\u00C3\u00A1" // mojibake a-acute (UTF-8 read as Latin-1)
+  private val RA = "\u00E1"       // repaired a-acute
+  private val MD = "\u00E2\u20AC\u201D" // mojibake em-dash
+  private val RD = "\u2014"       // repaired em-dash
 
   /** Pipeline internals exposed for the digest-reuse spec: the persisted
-    * corpus base, the persisted component table, and the census. */
-  final case class Stages(base: DataFrame, comp: DataFrame, census: DataFrame)
+    * annotated corpus snapshot (`base` — the ONE repair/score/tokenize
+    * pass, stages 2-4 fused; everything downstream is a filter of it),
+    * the verified near-dup pairs (the plan that consumes the shingle
+    * digest — banding AND verification read the one `hv` cache), the
+    * persisted component table, and the census. */
+  final case class Stages(base: DataFrame, verified: DataFrame,
+      comp: DataFrame, census: DataFrame)
 
   def fullCuration(s: SparkSession, d: String): Stages = {
     val docs = Tables.documents(s, d)
@@ -86,18 +118,39 @@ object Pipeline {
     val rep = (c: Column, from: String, to: String) =>
       call_function("replace", c, lit(from), lit(to))
     val marksRe = s"$MA|$MD"
-    val f2 = f1
+    // near-dup mirror plant: members 25g and 25g+1 share 3 stopwords
+    // (so language routing keeps them) + 27 group-keyed hex tokens, and
+    // differ only in 3 doc-keyed tokens — 28 of each member's 31 word
+    // 3-shingles are shared, Jaccard = 28/34 ≈ 0.82 ≥ tau. Pure md5
+    // integer/hex derivation, so the oracle replays it exactly.
+    val mirrorPlant = expr(
+      """concat_ws(' ', 'the', 'of', 'a',
+           concat_ws(' ', transform(sequence(1, 27),
+             i -> substr(md5(concat(cast(doc_id div 25 as string), '|', cast(i as string))), 1, 6))),
+           concat_ws(' ', transform(sequence(1, 3),
+             i -> substr(md5(concat(cast(doc_id as string), '~', cast(i as string))), 1, 6))))""")
+    // ---------------- stages 2-4 fused: ONE corpus pass (t40+t01+t02)
+    // `ann` is THE persisted per-doc snapshot: repair, language scores and
+    // token counts are all narrow per-row work, so computing them in one
+    // projection costs one scan instead of one per census row. Every
+    // stage-2-4 census aggregate and every downstream stage (5-9) reads
+    // this cache — the raw corpus is repaired/scored/tokenized exactly
+    // once in the executed plan (RoundEightSpec asserts the repair
+    // signature, regexp_extract_all, appears in no other plan fragment).
+    // One cache, not two: `base` below is a filter-projection OF this
+    // cache rather than a second persisted copy of the text — at 100 TB
+    // the ~1.4x wider columnar scans per consumer are cheaper than
+    // doubling the cache/spill footprint of the corpus text.
+    val ts = split(col("rt"), " ")
+    val ann = Dedup.reuse(f1
       .withColumn("dtxt",
-        when(col("doc_id") % 5 === 0, rep(col("text"), "a", MA))
+        when(col("doc_id") % 25 < 2, mirrorPlant)
+          .when(col("doc_id") % 5 === 0, rep(col("text"), "a", MA))
           .when(col("doc_id") % 5 === 1, concat(col("text"), lit(s" $MD fin")))
           .otherwise(col("text")))
       .withColumn("n_marks",
         size(regexp_extract_all(col("dtxt"), lit(marksRe), lit(0))).cast(LongType))
       .withColumn("rt", rep(rep(col("dtxt"), MA, RA), MD, RD))
-      .select(col("doc_id"), col("source"), col("lang"), col("n_marks"), col("rt"))
-
-    // ---------------- stage 3: language routing (t01 on repaired text)
-    val sc = f2
       .withColumn("sc_en", TextAnalysis.tokenSetCount("rt", TextAnalysis.langStopwords("en")))
       .withColumn("sc_es", TextAnalysis.tokenSetCount("rt", TextAnalysis.langStopwords("es")))
       .withColumn("sc_de", TextAnalysis.tokenSetCount("rt", TextAnalysis.langStopwords("de")))
@@ -109,15 +162,15 @@ object Pipeline {
           .when(col("sc_de") >= col("sc_fr") && col("sc_de") > 0, "de")
           .when(col("sc_fr") > 0, "fr")
           .otherwise("unknown"))
-    val f3 = sc.filter(col("predicted") === "en")
-
-    // ---------------- stage 4: quality gate (t02) → THE persisted base
-    val ts = split(col("rt"), " ")
-    val base = Dedup.reuse(f3
       .withColumn("n_tok", size(ts).cast(LongType))
       .withColumn("n_uniq", size(array_distinct(ts)).cast(LongType))
-      .filter(col("n_tok") >= 20 && col("n_uniq") >= 10)
-      .select(col("doc_id"), col("rt"), col("n_tok")))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_marks"),
+        col("rt"), col("predicted"), col("n_tok"), col("n_uniq")))
+
+    // stage views over the one cache (filters/projections, no recompute)
+    val f3 = ann.filter(col("predicted") === "en")
+    val base = f3.filter(col("n_tok") >= 20 && col("n_uniq") >= 10)
+      .select(col("doc_id"), col("source"), col("rt"), col("n_tok"))
 
     // ---------------- stage 5: exact dedup (d01) on repaired text
     val ex = Dedup.reuse(base.groupBy(md5(col("rt")).as("h"))
@@ -129,13 +182,24 @@ object Pipeline {
     // the same md5 job (lshBucketsAndShingles' persisted hv table)
     val (buckets, shingles) = Dedup.lshBucketsAndShingles(
       f5, "doc_id", "rt", shingleWords = 3, bands = 4, rowsPerBand = 2)
+    // cap pinned to DefaultBucketCap (not the session conf) because the
+    // oracle's QUALIFY mirror below interpolates the same constant — a
+    // session override of graft.dedup.maxBucketSize must not desync
+    // engine and oracle
     val verified = Dedup.jaccardVerifiedPairs(
-      Dedup.candidatePairs(buckets, materialize = false), shingles, tau = 0.5)
+      Dedup.candidatePairs(buckets, cap = Dedup.DefaultBucketCap, materialize = false),
+      shingles, tau = 0.5)
     val comp = Dedup.reuse(Dedup.connectedComponents(verified))
     val compAsDoc = comp.select(col("id").as("doc_id"), col("component"))
-    val f6 = f5.join(compAsDoc, Seq("doc_id"), "left")
-      .filter(coalesce(col("component"), col("doc_id")) === col("doc_id"))
-      .drop("component")
+    // keep ONE representative per (cluster, SOURCE): within-source
+    // near-dups collapse to the min id; cross-source siblings survive.
+    // The group-by moves only (cluster, source, id) triples — keys, not
+    // text — and the keeper set joins back by id, so the corpus blocks
+    // never shuffle.
+    val keep6 = f5.join(compAsDoc, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("component"), col("doc_id")))
+      .groupBy("cluster", "source").agg(min(col("doc_id")).as("doc_id"))
+    val f6 = f5.join(keep6.select("doc_id"), "doc_id")
 
     // ---------------- stage 7: decontamination (d13/d42)
     def grams13(df: DataFrame, textC: String): DataFrame = df
@@ -193,11 +257,11 @@ object Pipeline {
       row(1, "url_dedup", cnt(docs), stats(keep1),
         urls.agg(coalesce(sum(when(col("url").contains("utm_"), 1L).otherwise(0L)),
           lit(0L)).as("detail"))),
-      row(2, "mojibake_repair", cnt(f1), stats(f2),
-        f2.agg(coalesce(sum(when(col("n_marks") > 0, 1L).otherwise(0L)),
+      row(2, "mojibake_repair", cnt(f1), stats(ann),
+        ann.agg(coalesce(sum(when(col("n_marks") > 0, 1L).otherwise(0L)),
           lit(0L)).as("detail"))),
-      row(3, "lang_route", cnt(f2), stats(f3),
-        sc.agg(coalesce(sum(when(col("predicted") =!= col("lang"), 1L).otherwise(0L)),
+      row(3, "lang_route", cnt(ann), stats(f3),
+        ann.agg(coalesce(sum(when(col("predicted") =!= col("lang"), 1L).otherwise(0L)),
           lit(0L)).as("detail"))),
       row(4, "quality_gate", cnt(f3), stats(base),
         base.agg(coalesce(sum(col("n_tok")), lit(0L)).as("detail"))),
@@ -217,7 +281,7 @@ object Pipeline {
       .reduce(_ unionByName _)
       .orderBy("stage")
 
-    Stages(base, comp, census)
+    Stages(ann, verified, comp, census)
   }
 
   private def oracle: String =
@@ -243,32 +307,39 @@ object Pipeline {
                 CAST(len(regexp_extract_all(dtxt, '$MA|$MD')) AS BIGINT) AS n_marks,
                 replace(replace(dtxt, '$MA', '$RA'), '$MD', '$RD') AS rt
          FROM (SELECT doc_id, source, lang,
-                      CASE WHEN doc_id % 5 = 0 THEN replace(text, 'a', '$MA')
+                      CASE WHEN doc_id % 25 < 2 THEN
+                             'the of a '
+                             || array_to_string(list_transform(generate_series(1, 27),
+                                  i -> substring(md5(CAST(doc_id // 25 AS VARCHAR) || '|' || CAST(i AS VARCHAR)), 1, 6)), ' ')
+                             || ' '
+                             || array_to_string(list_transform(generate_series(1, 3),
+                                  i -> substring(md5(CAST(doc_id AS VARCHAR) || '~' || CAST(i AS VARCHAR)), 1, 6)), ' ')
+                           WHEN doc_id % 5 = 0 THEN replace(text, 'a', '$MA')
                            WHEN doc_id % 5 = 1 THEN text || ' $MD fin'
                            ELSE text END AS dtxt
                FROM f1)),
        sc AS (
-         SELECT doc_id, lang, n_marks, rt,
+         SELECT doc_id, source, lang, n_marks, rt,
                 CASE WHEN sc_en >= greatest(sc_es, sc_de, sc_fr) AND sc_en > 0 THEN 'en'
                      WHEN sc_es >= greatest(sc_de, sc_fr) AND sc_es > 0 THEN 'es'
                      WHEN sc_de >= sc_fr AND sc_de > 0 THEN 'de'
                      WHEN sc_fr > 0 THEN 'fr'
                      ELSE 'unknown' END AS predicted
-         FROM (SELECT doc_id, lang, n_marks, rt,
+         FROM (SELECT doc_id, source, lang, n_marks, rt,
                       len(list_filter(string_split(rt, ' '), t -> t IN ('the','a','of'))) AS sc_en,
                       len(list_filter(string_split(rt, ' '), t -> t IN ('el','la','de'))) AS sc_es,
                       len(list_filter(string_split(rt, ' '), t -> t IN ('der','und','das'))) AS sc_de,
                       len(list_filter(string_split(rt, ' '), t -> t IN ('le','et','les'))) AS sc_fr
                FROM f2)),
-       f3 AS (SELECT doc_id, rt FROM sc WHERE predicted = 'en'),
+       f3 AS (SELECT doc_id, source, rt FROM sc WHERE predicted = 'en'),
        f4 AS (
-         SELECT doc_id, rt, CAST(len(string_split(rt, ' ')) AS BIGINT) AS n_tok
+         SELECT doc_id, source, rt, CAST(len(string_split(rt, ' ')) AS BIGINT) AS n_tok
          FROM f3
          WHERE len(string_split(rt, ' ')) >= 20
            AND len(list_distinct(string_split(rt, ' '))) >= 10),
        ex AS (SELECT md5(rt) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
               FROM f4 GROUP BY md5(rt)),
-       f5 AS (SELECT f4.doc_id, f4.rt, f4.n_tok
+       f5 AS (SELECT f4.doc_id, f4.source, f4.rt, f4.n_tok
               FROM f4 JOIN ex ON ex.keep_id = f4.doc_id),
        shw AS (SELECT doc_id, string_split(rt, ' ') AS ws FROM f5),
        sh AS (
@@ -288,9 +359,15 @@ object Pipeline {
          SELECT doc_id, CAST(seed // 2 AS INT) AS band,
                 md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS band_key
          FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)),
+       bandc AS (
+         -- mirrors Dedup.dropOversizedBuckets' cap (pinned to the shared
+         -- DefaultBucketCap constant on the Spark side): a band bucket
+         -- above the cap emits no pairs
+         SELECT doc_id, band, band_key FROM bands
+         QUALIFY count(*) OVER (PARTITION BY band, band_key) <= ${Dedup.DefaultBucketCap}),
        prs AS (
          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         FROM bands a JOIN bands b
+         FROM bandc a JOIN bandc b
            ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
        shd AS (SELECT DISTINCT doc_id, h1 * 134217728 + h2 % 134217728 AS h
                FROM hs),
@@ -318,9 +395,11 @@ object Pipeline {
          SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
        comp AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a),
        f6 AS (
-         SELECT f5.doc_id, f5.rt, f5.n_tok
-         FROM f5 LEFT JOIN comp c ON c.doc_id = f5.doc_id
-         WHERE coalesce(c.component, f5.doc_id) = f5.doc_id),
+         SELECT doc_id, source, rt, n_tok FROM (
+           SELECT f5.doc_id, f5.source, f5.rt, f5.n_tok,
+                  coalesce(c.component, f5.doc_id) AS cluster
+           FROM f5 LEFT JOIN comp c ON c.doc_id = f5.doc_id)
+         QUALIFY doc_id = min(doc_id) OVER (PARTITION BY cluster, source)),
        bench AS (
          SELECT DISTINCT md5(array_to_string(ws[i:i+12], ' ')) AS gh
          FROM (SELECT string_split(text, ' ') AS ws FROM documents WHERE doc_id % 7 = 0) t,

@@ -1,0 +1,152 @@
+package graft.ops
+
+/** Shared DuckDB SQL for the tokenizer-APPLICATION oracles (t31/t37/t39).
+  *
+  * The training loops (t30 BPE merges, t36 unigram EM) are not portable
+  * SQL, but the application half is: the learned merge/piece table is
+  * rendered into the oracle as a VALUES list (via [[graft.Q.dynamic]],
+  * evaluated at Verify time against the run's data dir), and DuckDB then
+  * re-segments the corpus INDEPENDENTLY — a true cross-engine hash check
+  * of everything downstream of training (the per-doc word census, the
+  * hot/tail segmentation join, the fertility arithmetic).
+  *
+  * BPE application is a recursive CTE over merge RANKS. The symbol
+  * sequence of a word rides as a space-delimited string — each symbol
+  * wrapped as ' sym ' (one leading/trailing space, two between symbols) —
+  * so one leftmost-nonoverlapping `replace` of ' l  r ' → ' lr ' per rank
+  * is EXACTLY the greedy merge pass: a fresh 'lr' lands in the output and
+  * is never rescanned (applyMergeSeq's i += 2), boundaries can't false-
+  * match because every symbol carries its own delimiters, and each merge
+  * removes exactly two spaces, keeping spaces = 2·n_symbols invariant —
+  * so n_tok = spaces / 2 with no final re-split.
+  *
+  * Unigram application is Viterbi as a recursive CTE over character
+  * positions: each row carries the best (cost, n_tok) of the last
+  * MaxPieceLen (=4) positions as scalar columns, the ≤4 candidate pieces
+  * ending at the next position are LEFT JOINs against the piece table,
+  * and the winner is the list_sort-minimum by (cost asc, piece length
+  * desc) — precisely the Scala tie-break (first strict improvement
+  * scanning the split point ascending keeps the longest last piece).
+  * NULL is the unreachable sentinel; candidate costs NULL-propagate and
+  * are filtered before the sort.
+  *
+  * Both formulations were verified exact against reference
+  * implementations on adversarial word sets (quotes, repeated chars,
+  * overlapping merges, chained same-symbol merges) — see
+  * tools/proto_tok.py, which replays that equivalence check — and are
+  * hash-verified end-to-end by the driver's DuckDB compare every run.
+  */
+private[graft] object TokenizerOracles {
+
+  def esc(s: String): String = s.replace("'", "''")
+
+  def mergeValues(merges: Seq[(Int, String, String, Long)]): String =
+    if (merges.isEmpty) "(0, '', '')" // rank 0 joins nothing; max(rank)=0 keeps chars
+    else merges.map { case (rank, l, r, _) =>
+      s"($rank, '${esc(l)}', '${esc(r)}')"
+    }.mkString(", ")
+
+  def pieceValues(table: Seq[(String, Long, Long)]): String =
+    table.map { case (p, _, cost) => s"('${esc(p)}', $cost)" }.mkString(", ")
+
+  /** Per-(key, word) census of the whitespace-split corpus + the distinct
+    * word-type table — the SQL mirror of wordCensus/docWords. */
+  private def dwCtes(key: String): String =
+    s"""dw AS (
+         SELECT $key, word, count(*) AS cnt
+         FROM (SELECT $key, unnest(string_split(text, ' ')) AS word FROM documents) u
+         WHERE len(word) > 0
+         GROUP BY $key, word),
+       types AS (SELECT DISTINCT word FROM dw)"""
+
+  /** BPE segmentation of every word type → bseg(word, n_tok). */
+  private def bpeCtes(mergeVals: String): String =
+    s"""merges(rank, l, r) AS (VALUES $mergeVals),
+       seg AS (
+         SELECT word, 0 AS rank,
+                ' ' || array_to_string(list_transform(generate_series(1, len(word)),
+                    i -> substring(word, i, 1)), '  ') || ' ' AS ws
+         FROM types
+         UNION ALL
+         SELECT s.word, m.rank,
+                replace(s.ws, ' ' || m.l || '  ' || m.r || ' ', ' ' || m.l || m.r || ' ')
+         FROM seg s JOIN merges m ON m.rank = s.rank + 1),
+       bseg AS (
+         SELECT word, (len(ws) - len(replace(ws, ' ', ''))) // 2 AS n_tok
+         FROM seg WHERE rank = (SELECT coalesce(max(rank), 0) FROM merges))"""
+
+  /** Unigram Viterbi segmentation of every word type → useg(word, n_tok). */
+  private def vitCtes(pieceVals: String): String =
+    s"""pieces(piece, cost) AS (VALUES $pieceVals),
+       wt AS (SELECT word, len(word) AS wlen FROM types),
+       vit AS (
+         SELECT word, wlen, 0 AS i,
+                CAST(NULL AS BIGINT) AS c0, CAST(NULL AS BIGINT) AS n0,
+                CAST(NULL AS BIGINT) AS c1, CAST(NULL AS BIGINT) AS n1,
+                CAST(NULL AS BIGINT) AS c2, CAST(NULL AS BIGINT) AS n2,
+                CAST(0 AS BIGINT) AS c3, CAST(0 AS BIGINT) AS n3
+         FROM wt
+         UNION ALL
+         SELECT word, wlen, i, c0, n0, c1, n1, c2, n2,
+                cands[1].c AS c3, cands[1].n AS n3
+         FROM (
+           SELECT s.word, s.wlen, s.i + 1 AS i,
+                  s.c1 AS c0, s.n1 AS n0, s.c2 AS c1, s.n2 AS n1,
+                  s.c3 AS c2, s.n3 AS n2,
+                  list_sort(list_filter([
+                    struct_pack(c := s.c3 + p1.cost, negl := -1, n := s.n3 + 1),
+                    struct_pack(c := s.c2 + p2.cost, negl := -2, n := s.n2 + 1),
+                    struct_pack(c := s.c1 + p3.cost, negl := -3, n := s.n1 + 1),
+                    struct_pack(c := s.c0 + p4.cost, negl := -4, n := s.n0 + 1)
+                  ], x -> x.c IS NOT NULL)) AS cands
+           FROM vit s
+           LEFT JOIN pieces p1 ON p1.piece = substring(s.word, s.i + 1, 1)
+           LEFT JOIN pieces p2 ON s.i >= 1 AND p2.piece = substring(s.word, s.i, 2)
+           LEFT JOIN pieces p3 ON s.i >= 2 AND p3.piece = substring(s.word, s.i - 1, 3)
+           LEFT JOIN pieces p4 ON s.i >= 3 AND p4.piece = substring(s.word, s.i - 2, 4)
+           WHERE s.i < s.wlen
+         ) t),
+       useg AS (SELECT word, n3 AS n_tok FROM vit WHERE i = wlen)"""
+
+  /** t31: per-doc word + BPE token counts under the rendered merges. */
+  def t31Sql(merges: Seq[(Int, String, String, Long)]): String =
+    s"""WITH RECURSIVE ${dwCtes("doc_id")},
+       ${bpeCtes(mergeValues(merges))}
+       SELECT dw.doc_id,
+              CAST(sum(dw.cnt) AS BIGINT) AS n_words,
+              CAST(sum(dw.cnt * b.n_tok) AS BIGINT) AS n_bpe_tokens
+       FROM dw JOIN bseg b ON b.word = dw.word
+       GROUP BY dw.doc_id
+       ORDER BY dw.doc_id"""
+
+  /** t37: per-doc word + unigram token counts under the rendered pieces. */
+  def t37Sql(pieces: Seq[(String, Long, Long)]): String =
+    s"""WITH RECURSIVE ${dwCtes("doc_id")},
+       ${vitCtes(pieceValues(pieces))}
+       SELECT dw.doc_id,
+              CAST(sum(dw.cnt) AS BIGINT) AS n_words,
+              CAST(sum(dw.cnt * u.n_tok) AS BIGINT) AS n_unigram_tokens
+       FROM dw JOIN useg u ON u.word = dw.word
+       GROUP BY dw.doc_id
+       ORDER BY dw.doc_id"""
+
+  /** t39: the per-source fertility bake-off under BOTH rendered tables. */
+  def t39Sql(merges: Seq[(Int, String, String, Long)],
+      pieces: Seq[(String, Long, Long)]): String =
+    s"""WITH RECURSIVE ${dwCtes("source")},
+       ${bpeCtes(mergeValues(merges))},
+       ${vitCtes(pieceValues(pieces))}
+       SELECT dw.source,
+              CAST(sum(dw.cnt) AS BIGINT) AS n_words,
+              CAST(sum(dw.cnt * b.n_tok) AS BIGINT) AS n_bpe_tokens,
+              CAST(sum(dw.cnt * u.n_tok) AS BIGINT) AS n_unigram_tokens,
+              round(CAST(sum(dw.cnt * b.n_tok) AS DOUBLE)
+                / CAST(sum(dw.cnt) AS DOUBLE), 4) AS fert_bpe,
+              round(CAST(sum(dw.cnt * u.n_tok) AS DOUBLE)
+                / CAST(sum(dw.cnt) AS DOUBLE), 4) AS fert_uni
+       FROM dw
+         JOIN bseg b ON b.word = dw.word
+         JOIN useg u ON u.word = dw.word
+       GROUP BY dw.source
+       ORDER BY dw.source"""
+}

@@ -33,11 +33,14 @@ import org.apache.spark.sql.functions._
   * counts, so DP sums are exact; Viterbi ties break toward the LONGEST
   * last piece (smallest split point), a total rule; seed ranking is
   * (score desc, piece asc). The result is a pure function of the corpus,
-  * independent of partitioning. The EM loop is not portable SQL → both
-  * queries are `noOracle` (rows-only driver check) and UnigramSpec
-  * carries the oracle weight: route equality, a from-scratch driver
-  * recount of the E-step counts, the pieces-concatenate-to-word
-  * invariant, and the n_words ≤ n_tokens ≤ n_chars envelope.
+  * independent of partitioning. The EM LOOP is not portable SQL →
+  * training (t36) stays `noOracle` with UnigramSpec carrying the weight
+  * (route equality, a from-scratch driver recount of the E-step counts,
+  * the pieces-concatenate-to-word invariant, the n_words ≤ n_tokens ≤
+  * n_chars envelope); APPLICATION (t37/t39) has a dynamic oracle — the
+  * learned piece table renders into DuckDB SQL whose recursive-CTE
+  * Viterbi ([[TokenizerOracles]]) re-segments the corpus independently,
+  * hash-checked by the driver.
   */
 object UnigramTokenizer {
 
@@ -221,8 +224,10 @@ object UnigramTokenizer {
   /** t37: the corpus segmented under the learned pieces — per-doc word
     * and unigram-token counts (t31's join shape: the stream is never
     * re-tokenized; the per-doc word census joins the type-level
-    * segmentation, hot words broadcast). */
-  private val t37 = Q.noOracle("t37_unigram_segment") { (s, d) =>
+    * segmentation, hot words broadcast). Oracle: DYNAMIC — the learned
+    * piece table renders into DuckDB SQL ([[TokenizerOracles.t37Sql]])
+    * whose recursive-CTE Viterbi re-segments the corpus independently. */
+  private val t37 = Q.dynamic("t37_unigram_segment") { (s, d) =>
     val m = confInt(s, "graft.unigram.pieces", 200)
     val iters = confInt(s, "graft.unigram.iters", 2)
     val census = Dedup.reuse(wordCensus(s, d))
@@ -245,6 +250,11 @@ object UnigramTokenizer {
       .agg(sum(col("cnt")).as("n_words"),
         sum(col("cnt") * col("n_tok")).as("n_unigram_tokens"))
       .orderBy("doc_id")
+  } { (s, d) =>
+    val m = confInt(s, "graft.unigram.pieces", 200)
+    val iters = confInt(s, "graft.unigram.iters", 2)
+    val (table, _) = learn(s, wordCensus(s, d), m, iters)
+    TokenizerOracles.t37Sql(table)
   }
 
   /** t39: tokenizer fertility comparison — the report a tokenizer bake-off
@@ -254,10 +264,11 @@ object UnigramTokenizer {
     * training budget). Both tokenizers train on the SAME word census
     * (one corpus pass); their type-level segmentations merge into ONE
     * table, so the doc stream pays a single join for both columns —
-    * composition the separate t31/t37 queries can't show. Rows-only
-    * oracle (composes two noOracle trainers); the spec pins the totals
-    * to the sums of t31/t37's own outputs. */
-  private val t39 = Q.noOracle("t39_tokenizer_fertility") { (s, d) =>
+    * composition the separate t31/t37 queries can't show. Oracle:
+    * DYNAMIC — BOTH learned tables render into one DuckDB SQL
+    * ([[TokenizerOracles.t39Sql]]); the spec additionally pins the
+    * totals to the sums of t31/t37's own outputs. */
+  private val t39 = Q.dynamic("t39_tokenizer_fertility") { (s, d) =>
     val mergesK = confInt(s, "graft.bpe.merges", 40)
     val m = confInt(s, "graft.unigram.pieces", 200)
     val iters = confInt(s, "graft.unigram.iters", 2)
@@ -280,6 +291,14 @@ object UnigramTokenizer {
         round(col("n_bpe_tokens") * lit(1.0) / col("n_words"), 4).as("fert_bpe"),
         round(col("n_unigram_tokens") * lit(1.0) / col("n_words"), 4).as("fert_uni"))
       .orderBy("source")
+  } { (s, d) =>
+    val mergesK = confInt(s, "graft.bpe.merges", 40)
+    val m = confInt(s, "graft.unigram.pieces", 200)
+    val iters = confInt(s, "graft.unigram.iters", 2)
+    val census = Dedup.reuse(wordCensus(s, d))
+    val (merges, _) = BpeTokenizer.learn(s, census, mergesK)
+    val (table, _) = learn(s, census, m, iters)
+    TokenizerOracles.t39Sql(merges, table)
   }
 
   val defs: Seq[Q] = Seq(t36, t37, t39)

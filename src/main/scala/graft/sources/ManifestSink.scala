@@ -44,11 +44,23 @@ class ManifestSink extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = true
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new ManifestTable(properties.get("path"), schema)
+    new ManifestTable(properties.get("path"), schema,
+      new CaseInsensitiveStringMap(properties)
+        .getLong("residueTtlMs", ManifestSink.DefaultResidueTtlMs))
 }
 
 object ManifestSink {
   val ManifestName = "_graft_manifest"
+
+  /** Age after which an orphaned `stage-*` file is treated as CRASH
+    * residue and swept by the next successful commit. Job-scoped GC alone
+    * cannot reclaim files from a hard-crashed job (abort never ran, the
+    * files are in no manifest, and the jobId prefix is foreign), so
+    * residue would otherwise accumulate in the sink directory forever.
+    * The TTL must exceed the longest expected concurrent write to the
+    * same path — a LIVE writer's in-flight staging files must never be
+    * swept; override per-write with the `residueTtlMs` option. */
+  val DefaultResidueTtlMs: Long = 24L * 60 * 60 * 1000
 
   /** Read back ONLY committed content: the manifest is the source of
     * truth; stray staging files (crashed attempts) are invisible. */
@@ -60,7 +72,9 @@ object ManifestSink {
   }
 }
 
-class ManifestTable(path: String, schema: StructType) extends Table with SupportsWrite {
+class ManifestTable(path: String, schema: StructType,
+    residueTtlMs: Long = ManifestSink.DefaultResidueTtlMs)
+  extends Table with SupportsWrite {
   require(path != null && path.nonEmpty, "graft-manifest-sink requires a path option")
   override def name(): String = s"graft_manifest_sink($path)"
   override def schema(): StructType = schema
@@ -76,13 +90,14 @@ class ManifestTable(path: String, schema: StructType) extends Table with Support
       // staging files become invisible garbage, collected by commit()
       override def truncate(): WriteBuilder = this
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new ManifestBatchWrite(path, s)
+        override def toBatch: BatchWrite = new ManifestBatchWrite(path, s, residueTtlMs)
       }
     }
   }
 }
 
-class ManifestBatchWrite(path: String, schema: StructType) extends BatchWrite {
+class ManifestBatchWrite(path: String, schema: StructType,
+    residueTtlMs: Long = ManifestSink.DefaultResidueTtlMs) extends BatchWrite {
   // Staging files are scoped to THIS job: a concurrent writer to the same
   // path must not have its in-flight stage files garbage-collected by our
   // commit (which would fail its commit, or worse let it publish a
@@ -110,12 +125,18 @@ class ManifestBatchWrite(path: String, schema: StructType) extends BatchWrite {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     // collect only OUR aborted-attempt files plus the replaced manifest's
-    // now-invisible files — another job's in-flight staging is untouched
+    // now-invisible files — another job's in-flight staging is untouched —
+    // plus CRASH residue: foreign stage-* files older than the TTL belong
+    // to a job whose abort() never ran (they are in no manifest and no
+    // live writer holds them, provided the TTL exceeds the longest
+    // concurrent write — see DefaultResidueTtlMs)
+    val cutoff = System.currentTimeMillis() - residueTtlMs
     Option(new File(path).listFiles()).getOrElse(Array.empty)
       .filter { f =>
         val n = f.getName
-        !files.contains(n) &&
-          (n.startsWith(s"stage-$jobId-") || (prev.contains(n) && n.startsWith("stage-")))
+        !files.contains(n) && n.startsWith("stage-") &&
+          (n.startsWith(s"stage-$jobId-") || prev.contains(n) ||
+            f.lastModified() < cutoff)
       }
       .foreach(_.delete())
   }

@@ -47,8 +47,34 @@ class RoundEightSpec extends SparkTestBase {
 
     // 1. the hv digest (id, hv): banding signatures AND the exact-Jaccard
     //    verification sets must read the SAME cached digest — two builders
-    //    would mean the corpus was md5-shingled twice
-    val hv = family("hv")
+    //    would mean the corpus was md5-shingled twice. The census itself
+    //    only reads the already-materialized `comp` cache, and the
+    //    verified-pairs frame's own leaves are pairOverlapStats' caches
+    //    (pairs + restricted shingle set) — the digest cache lives INSIDE
+    //    those caches' plans, so descend recursively through each
+    //    InMemoryRelation's cachedPlan (into AQE stages and reused
+    //    exchanges — a plain .collect stops at the stage boundary).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def physNodes(p: SparkPlan): Seq[SparkPlan] =
+      p +: (p.children ++ (p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case _ => Nil
+      })).flatMap(physNodes)
+    def deepCaches(rs: Seq[InMemoryRelation]): Seq[InMemoryRelation] =
+      if (rs.isEmpty) Nil
+      else rs ++ deepCaches(rs.flatMap(r =>
+        physNodes(r.cacheBuilder.cachedPlan).collect {
+          case s: InMemoryTableScanExec => s.relation
+        }))
+    val topVerified = castToImpl(st.verified).queryExecution.optimizedPlan.collect {
+      case i: InMemoryRelation => i
+    }
+    val hv = deepCaches(topVerified).filter(_.schema.fieldNames.contains("hv"))
     assert(hv.size >= 2, s"digest cache referenced ${hv.size} time(s); " +
       "banding and verification should both read it")
     assert(builders(hv).size == 1,
@@ -70,15 +96,53 @@ class RoundEightSpec extends SparkTestBase {
     assert(builders(base).size == 1,
       "more than one distinct corpus-base cache: a stage re-derived the corpus")
 
-    // 4. and the digest pipeline exists ONLY inside that cache: no plan node
-    //    OUTSIDE the cached relations rebuilds shingle hash pairs (the
-    //    double-transform md5 signature of Dedup.shingleHashPairs)
+    // 4. and the digest pipeline exists ONLY inside the hv cache: no plan
+    //    node outside it — neither in the census's outer plan nor inside
+    //    ANY other cache's plan (the pairs cache, the restricted shingle
+    //    set, comp's CC rounds) — rebuilds shingle hash pairs (the
+    //    double-transform md5 signature of Dedup.shingleHashPairs).
+    //    Reference-counting hv alone can't catch a re-shingled
+    //    verification side: the pairs cache nests inside the shingle-set
+    //    cache via the candidate-id semi-join, so hv stays multiply
+    //    referenced even when verification recomputes. This check is the
+    //    mutation-killer (verified: re-deriving `shingles` from f5 turns
+    //    it red).
     val outer = castToImpl(st.census).queryExecution.optimizedPlan.collect {
       case p if !p.isInstanceOf[InMemoryRelation] =>
         p.expressions.map(_.toString).mkString("; ")
     }.mkString("\n")
     assert(!outer.contains("transform(transform("),
       "a stage recomputes shingle hash pairs outside the digest cache")
+    def exprStr(sp: SparkPlan): String =
+      physNodes(sp).map(_.expressions.map(_.toString).mkString("; ")).mkString("\n")
+    val everyCache = deepCaches(topVerified ++ caches)
+      .groupBy(r => System.identityHashCode(r.cacheBuilder)).map(_._2.head)
+    everyCache.filterNot(_.schema.fieldNames.contains("hv")).foreach { c =>
+      assert(!exprStr(c.cacheBuilder.cachedPlan).contains("transform(transform("),
+        s"cache [${c.schema.fieldNames.mkString(",")}] recomputes shingle " +
+          "hash pairs outside the hv digest cache")
+    }
+
+    // 5. ONE corpus-repair pass in the executed plan: the mojibake
+    //    repair/score/tokenize projection (signature: the n_marks
+    //    regexp_extract_all) lives ONLY inside the `ann` snapshot cache —
+    //    neither the census's outer plan nor any other cache's plan
+    //    re-repairs the corpus. This is the r8-verdict fix for the
+    //    seven-scan census: every stage-2-4 census aggregate must read
+    //    the one cached pass (mutation-verified: census rows aggregating
+    //    over the un-persisted f1-derived frame turn this red).
+    assert(!outer.contains("regexp_extract_all("),
+      "a census row repairs the corpus outside the ann snapshot cache")
+    everyCache.filterNot(_.schema.fieldNames.contains("n_marks")).foreach { c =>
+      assert(!exprStr(c.cacheBuilder.cachedPlan).contains("regexp_extract_all("),
+        s"cache [${c.schema.fieldNames.mkString(",")}] re-repairs the corpus " +
+          "outside the ann snapshot cache")
+    }
+    val ann = family("n_marks")
+    assert(ann.size >= 2, s"ann snapshot referenced ${ann.size} time(s); " +
+      "stage-2-4 census rows and stages 5-9 should all read it")
+    assert(builders(ann).size == 1,
+      "more than one distinct ann snapshot cache: the corpus was repaired twice")
     st.base.unpersist(); st.comp.unpersist()
   }
 }

@@ -1,0 +1,77 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Round-9 specs: the ManifestSink crash-residue TTL sweep (the r8
+  * advisor's reclamation gap) and the rendered tokenizer-application
+  * oracles' structural invariants. */
+class RoundNineSpec extends SparkTestBase {
+
+  private def writeOnce(dir: String, n: Long, ttl: Option[Long] = None): Unit = {
+    val w = spark.range(0, n)
+      .select(col("id").as("k"), concat(lit("v"), col("id")).as("v"))
+      .write.format("graft-manifest-sink").option("path", dir)
+    ttl.fold(w)(t => w.option("residueTtlMs", t.toString))
+      .mode("overwrite").save()
+  }
+
+  test("manifest sink sweeps hard-crash residue by age: an orphaned " +
+    "stage file older than the TTL is reclaimed by the next commit, a " +
+    "fresh foreign in-flight file is NOT, and committed data is intact") {
+    val dir = Scratch.dir("graft_sink_ttl_spec")
+    writeOnce(dir, 10)
+    // two foreign-job orphans (abort() never ran — JVM died): one ancient,
+    // one fresh enough to be a live concurrent writer's in-flight file
+    val ancient = new File(dir, "stage-dead0000-0-1-aaaa.tsv")
+    Files.writeString(ancient.toPath, "1\tghost\n")
+    assert(ancient.setLastModified(
+      System.currentTimeMillis() - 25L * 60 * 60 * 1000))
+    val fresh = new File(dir, "stage-live0000-0-2-bbbb.tsv")
+    Files.writeString(fresh.toPath, "2\tinflight\n")
+
+    writeOnce(dir, 7)
+    val onDisk = new File(dir).listFiles().map(_.getName).toSet
+    assert(!onDisk.contains(ancient.getName),
+      "25h-old crash residue survived the default-TTL sweep")
+    assert(onDisk.contains(fresh.getName),
+      "a fresh foreign staging file was swept — a live concurrent " +
+        "writer's in-flight data would be clobbered")
+    val read = spark.read.schema("k LONG, v STRING").option("sep", "\t")
+      .csv(sources.ManifestSink.committedFiles(dir): _*)
+    assert(read.count() == 7)
+
+    // per-write TTL override: the fresh orphan ages past a 1ms TTL
+    writeOnce(dir, 3, ttl = Some(1L))
+    val onDisk2 = new File(dir).listFiles().map(_.getName).toSet
+    assert(!onDisk2.contains(fresh.getName),
+      "residueTtlMs option was not honored")
+    assert(spark.read.schema("k LONG, v STRING").option("sep", "\t")
+      .csv(sources.ManifestSink.committedFiles(dir): _*).count() == 3)
+  }
+
+  test("rendered tokenizer oracles: merge/piece tables are interpolated " +
+    "as escaped VALUES and the generated SQL is corpus-dependent") {
+    val t31 = SparkEntry.dynamicOracleSql(spark, sf0001)
+    assert(Set("t31_bpe_segment", "t37_unigram_segment",
+      "t39_tokenizer_fertility").subsetOf(t31.keySet))
+    val bpe = t31("t31_bpe_segment")
+    val uni = t31("t37_unigram_segment")
+    val both = t31("t39_tokenizer_fertility")
+    // the learned tables actually landed in the SQL (not empty sentinels)
+    assert(bpe.contains("merges(rank, l, r) AS (VALUES (1, "),
+      "t31 oracle does not start its VALUES at rank 1 — training output missing")
+    assert(uni.contains("pieces(piece, cost) AS (VALUES ("),
+      "t37 oracle has no rendered piece table")
+    assert(both.contains("merges(rank, l, r)") && both.contains("pieces(piece, cost)"),
+      "t39 oracle must embed BOTH learned tables")
+    // single quotes in corpus-derived symbols must be doubled, never raw:
+    // an odd count of consecutive quotes would break the SQL string
+    assert(!bpe.matches("(?s).*[^']'''[^'].*"), "unbalanced quoting in t31 VALUES")
+    // Viterbi tie-break encoding: longest piece must sort first on cost
+    // ties (negl ascending = length descending)
+    assert(uni.contains("negl := -4"), "t37 Viterbi lost the 4-char candidate")
+  }
+}
