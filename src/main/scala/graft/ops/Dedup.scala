@@ -329,13 +329,22 @@ object Dedup {
   def pageRank(vpairs: DataFrame, iters: Int = 3,
       driverThreshold: Long = 100000L): DataFrame = {
     val spark = vpairs.sparkSession
-    val edges0 = vpairs
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(vpairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the VERIFIED PAIR LIST once — it is the tiny end of
+    // the dedup pipeline (|pairs| ≪ corpus). The former shape persisted
+    // the doubled edge union instead: its two union branches each
+    // carried the full verification plan (only partially collapsed by
+    // exchange reuse), and the threshold probe's limit().collect() left
+    // that cache PARTIALLY built, so a later cache-miss partition
+    // re-verified pairs from lineage. One reuse() here and everything
+    // downstream — probe, degree table, every iteration — reads memory.
+    val vp = reuse(vpairs.select(col("id_a"), col("id_b")))
     import spark.implicits._
-    val probe = edges0.limit(driverThreshold.toInt + 1).as[(Long, Long)].collect()
-    if (probe.length <= driverThreshold) {
+    // each pair contributes two directed edges; bound the pair collect
+    // so the edge count comparison matches the old contract exactly
+    val pairLimit = (driverThreshold / 2).toInt
+    val probePairs = vp.limit(pairLimit + 1).as[(Long, Long)].collect()
+    if (probePairs.length <= pairLimit) {
+      val probe = probePairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
       val deg = mutable.HashMap.empty[Long, Long]
       probe.foreach { case (s, _) => deg(s) = deg.getOrElse(s, 0L) + 1L }
       var r = deg.map { case (id, _) => id -> 1000000L }.toMap
@@ -349,6 +358,11 @@ object Dedup {
       val rows = deg.keys.toSeq.sorted.map(id => (id, deg(id), r(id)))
       return spark.createDataset(rows).toDF("doc_id", "degree", "rank_micro")
     }
+    // distributed route: the edge union reads the vp CACHE twice — no
+    // re-verification, no second persist of doubled rows
+    val edges0 = vp
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(vp.select(col("id_b").as("src"), col("id_a").as("dst")))
     val deg = reuse(edges0.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")))
     var r = deg.select(col("id"), lit(1000000L).as("r"))
     for (_ <- 1 to iters) {

@@ -1873,11 +1873,11 @@ object TextAnalysis {
     *
     * Scale shape: ONE pass explodes all five n-gram families tagged by n
     * (empty-safe position filter, no descending-sequence trap), then a
-    * (doc, n, gram)-keyed count and a (doc, n)-keyed window + agg. The
-    * window partitions by (doc_id, n) — millions of TINY groups, the
-    * opposite of the t12 one-task trap — and the final pivot is a
-    * conditional agg on doc_id. Nothing wider than the doc's own grams
-    * ever groups together. */
+    * (doc, n, gram)-keyed count and a (doc, n)-keyed HASH AGG whose
+    * max(struct(c, gl)) is the argmax the ranking window used to
+    * compute — fully partial-aggregable, no sort anywhere — and the
+    * final pivot is a conditional agg on doc_id. Nothing wider than the
+    * doc's own grams ever groups together. */
   private val t35 = Q(
     "t35_gopher_repetition",
     """WITH d AS (
@@ -1928,12 +1928,20 @@ object TextAnalysis {
     val cnt = grams.groupBy("doc_id", "nch", "n", "g")
       .agg(count(lit(1)).as("c"))
       .withColumn("gl", length(col("g")).cast(LongType))
-    val w = Window.partitionBy(col("doc_id"), col("n"))
-      .orderBy(col("c").desc, col("gl").desc, col("g"))
-    val per = cnt.withColumn("rn", row_number().over(w))
+    // hash-agg argmax instead of a row_number window: sorting every gram
+    // row within (doc_id, n) was t35's 500k-doc bottleneck (decade ratio
+    // 7.4x, BENCH_SCALE_r07). The top gram's MASS doesn't depend on the
+    // final g tie-break — grams tied on (c, gl) have identical c*gl — so
+    // the lexicographic max of struct(c, gl) yields exactly the ranking's
+    // top_mass, in one partial-aggregable (map-side-combining) pass with
+    // no sort. The oracle keeps the explicit row_number formulation,
+    // pinning the equivalence cross-engine.
+    val per = cnt
       .groupBy("doc_id", "nch", "n")
       .agg(coalesce(sum(when(col("c") >= 2, col("c") * col("gl"))), lit(0L)).as("dup_mass"),
-        coalesce(max(when(col("rn") === 1, col("c") * col("gl"))), lit(0L)).as("top_mass"))
+        max(struct(col("c"), col("gl"))).as("top"))
+      .select(col("doc_id"), col("nch"), col("n"), col("dup_mass"),
+        (col("top.c") * col("top.gl")).as("top_mass"))
     def frac(n: Int, massCol: String, name: String): Column =
       round(least(coalesce(max(when(col("n") === n, col(massCol))), lit(0L))
         * lit(1.0) / max(col("nch")), lit(1.0)), 4).as(name)

@@ -1375,9 +1375,273 @@ object StreamingQueries {
       .orderBy("user_id")
   }
 
+  /** Plan evidence recorded by s30's foreachBatch (the s19 pattern):
+    * output columns of every broadcast exchange per batch. */
+  @volatile var s30ProbeBroadcasts: Seq[Seq[String]] = Nil
+
+  /** t15-style 32-token/24-stride chunk hashes of a (doc_id, text) frame
+    * — shared by s19 and the composed s30 pipeline. */
+  private[graft] def chunkHashes(df: DataFrame): DataFrame = df
+    .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    .withColumn("n_tok", size(col("ws")))
+    .select(col("doc_id"), col("ws"), col("n_tok"),
+      explode(sequence(lit(0), col("n_tok") - 1, lit(24))).as("start"))
+    .select(col("doc_id"),
+      md5(array_join(
+        slice(col("ws"), col("start") + 1,
+          least(lit(32), col("n_tok") - col("start"))), " ")).as("chunk_hash"))
+
+  /** ONE micro-batch of the composed streaming curation pipeline — the
+    * body s30 runs per batch, factored out so RoundNineSpec can run the
+    * IDENTICAL program as a plain batch job and assert stream ≡ batch.
+    * Stages (each citing its solo-verified streaming operator):
+    *   1. crawl-frontier URL dedup (s25/d46): canonicalize map-side,
+    *      anti-join the persistent SEEN-URL STORE (state externalized to
+    *      a parquet store the pipeline maintains — the d53 discipline —
+    *      so frontier state survives restarts and never lives in
+    *      executor memory), keep the min-id representative per canonical
+    *      URL within the batch, then append the accepted keys back to
+    *      the store: re-discoveries in LATER batches anti-join away.
+    *   2. chunk decontamination (s19/t15): the static benchmark chunk
+    *      set broadcasts into the per-batch join; only whole-doc
+    *      verdicts survive.
+    *   3. stored-index near-dedup (s16/d21): clean docs' band keys probe
+    *      the corpus band index (index side reads its bucketed layout
+    *      exchange-free), candidates Jaccard-verify against batch ∪
+    *      corpus shingle sets.
+    * Per-batch work ∝ batch size; the corpus is never re-signed, the
+    * benchmark never recomputed, and frontier state grows by accepted
+    * keys only. */
+  private[graft] def curationBatch(s: SparkSession, batch: DataFrame,
+      idxTable: String, benchSet: DataFrame, corpusShingles: DataFrame,
+      seenDir: String): DataFrame = {
+    import graft.ops.{CurationExtra, Dedup}
+    // ---- stage 1: frontier dedup against the external seen store
+    val withCu = batch
+      .withColumn("cu", CurationExtra.canonicalUrl(CurationExtra.synthUrl))
+    // explicit schema: an empty store dir reads as an empty frame
+    val seen = s.read.schema("cu STRING").parquet(seenDir)
+    // plain (non-broadcast) anti-join: the seen store is frontier-scale
+    // — at 100 TB it is the big side, the arriving batch the small one
+    val fresh = withCu.join(seen, Seq("cu"), "left_anti")
+    // EAGER localCheckpoint, not persist: appending to the seen store
+    // below invalidates every cached plan that references the store path
+    // (Spark refreshes path-dependent caches on insert), so a persisted
+    // `keep` would silently recompute against the just-appended store and
+    // anti-join ITSELF away. Checkpointing truncates the lineage — the
+    // accepted batch no longer references the store at all.
+    val keep = fresh
+      .groupBy("cu").agg(min(col("doc_id")).as("doc_id"))
+      .join(fresh, Seq("cu", "doc_id"))
+      .select(col("doc_id"), col("cu"), col("text"))
+      .localCheckpoint(true)
+    keep.select("cu").write.mode("append").parquet(seenDir)
+    // ---- stage 2: chunk decontamination (broadcast benchmark)
+    val census = Dedup.reuse(chunkHashes(keep)
+      .join(broadcast(benchSet), col("chunk_hash") === col("bh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("bh").isNotNull, 1L).otherwise(0L)).as("n_contaminated")))
+    val clean = keep
+      .join(census.filter(col("n_contaminated") === 0L).select("doc_id"), "doc_id")
+    // ---- stage 3: stored-index near-dedup on the clean survivors
+    val (bBuckets, bShingles) = Dedup.lshBucketsAndShingles(
+      clean, "doc_id", "text", shingleWords = 3, bands = 4, rowsPerBand = 2)
+    val cand = Dedup.reuse(Dedup.probeBandIndex(s, idxTable, bBuckets))
+    val verified = Dedup.jaccardVerifiedPairs(
+      cand, bShingles.unionAll(corpusShingles), tau = 0.5)
+    val candN = cand.groupBy(col("id_a").as("doc_id"))
+      .agg(count(lit(1)).as("n_cand"))
+    val verN = verified.groupBy(col("id_a").as("doc_id"))
+      .agg(count(lit(1)).as("n_ver"), min(col("id_b")).as("best_match"))
+    census
+      .join(candN, Seq("doc_id"), "left")
+      .join(verN, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"), col("n_contaminated"),
+        coalesce(col("n_cand"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_ver"), lit(0L)).as("n_verified"),
+        when(col("n_contaminated") > 0, "contaminated")
+          .when(col("n_ver").isNotNull, "duplicate")
+          .otherwise("kept").as("verdict"),
+        col("best_match"))
+  }
+
+  /** The COMPOSED streaming curation pipeline — p01's streaming twin
+    * (round-8 verdict item: s25 → s19 → s16 as ONE foreachBatch
+    * program). Documents arrive on the stream (the % 11 = 5 ingest split,
+    * s16's contract); each micro-batch runs [[curationBatch]]'s three
+    * chained stages: frontier URL dedup against an EXTERNAL seen-key
+    * store, chunk decontamination under a broadcast benchmark, and
+    * stored-index near-dedup against the pre-built corpus band index.
+    * The output census (one row per frontier-surviving doc: chunk
+    * counts, candidate/verified counts, staged verdict) is the composed
+    * funnel an ingest pipeline actually applies before admitting a crawl
+    * into a 100 TB corpus.
+    *
+    * Oracle: the same three stages in DuckDB over the batch split —
+    * exact because every arriving doc verdicts in exactly one batch and
+    * the AvailableNow single-file replay makes the batch-local min-id
+    * frontier rule global (multi-batch re-discovery behavior — later
+    * arrivals of a seen key drop — is RoundNineSpec's restart test).
+    * Stream ≡ batch is asserted structurally by the spec running
+    * [[curationBatch]] once over the full split and comparing row sets. */
+  private val s30 = Q(
+    "s30_stream_curation_pipeline",
+    """WITH arr AS (
+         SELECT doc_id, text, source FROM documents WHERE doc_id % 11 = 5),
+       raw AS (
+         SELECT doc_id, text,
+                'https://' || (CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END)
+                  || '.example.com/article/' || CAST(doc_id // 140 AS VARCHAR)
+                  || (CASE WHEN doc_id % 8 = 0 THEN '/' ELSE '' END)
+                  || (CASE doc_id % 4 WHEN 0 THEN '?utm_source=rss&utm_id=' || CAST(doc_id % 9 AS VARCHAR)
+                                      WHEN 1 THEN '?ref=home' ELSE '' END)
+                  || (CASE WHEN doc_id % 6 = 0 THEN '#sec-' || CAST(doc_id % 5 AS VARCHAR) ELSE '' END) AS url
+         FROM arr),
+       canon AS (
+         SELECT doc_id, text,
+                lower(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                  url, '#.*$', ''), '\?utm_[^#]*$', ''), '/\?', '?'), '/$', '')) AS cu
+         FROM raw),
+       k1 AS (SELECT cu, min(doc_id) AS doc_id FROM canon GROUP BY cu),
+       keep AS (SELECT c.doc_id, c.text FROM canon c JOIN k1 ON k1.doc_id = c.doc_id),
+       kt AS (SELECT doc_id, string_split(text, ' ') AS ws,
+                     len(string_split(text, ' ')) AS n_tok FROM keep),
+       kc AS (
+         SELECT doc_id,
+                md5(array_to_string(
+                  list_slice(ws, start + 1, start + least(32, n_tok - start)),
+                  ' ')) AS chunk_hash
+         FROM (SELECT doc_id, ws, n_tok,
+                      unnest(generate_series(0, n_tok - 1, 24)) AS start
+               FROM kt)),
+       bt AS (SELECT doc_id, string_split(text, ' ') AS ws,
+                     len(string_split(text, ' ')) AS n_tok
+              FROM documents WHERE doc_id % 13 = 7),
+       bench AS (
+         SELECT DISTINCT md5(array_to_string(
+                  list_slice(ws, start + 1, start + least(32, n_tok - start)),
+                  ' ')) AS chunk_hash
+         FROM (SELECT ws, n_tok,
+                      unnest(generate_series(0, n_tok - 1, 24)) AS start
+               FROM bt)),
+       census AS (
+         SELECT k.doc_id, count(*) AS n_chunks,
+                CAST(sum(CASE WHEN b.chunk_hash IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_contaminated
+         FROM kc k LEFT JOIN bench b ON k.chunk_hash = b.chunk_hash
+         GROUP BY k.doc_id),
+       sdocs AS (
+         SELECT doc_id, string_split(text, ' ') AS ws
+         FROM documents WHERE doc_id % 11 != 5
+         UNION ALL
+         SELECT k.doc_id, string_split(k.text, ' ')
+         FROM keep k JOIN census c ON c.doc_id = k.doc_id
+         WHERE c.n_contaminated = 0),
+       sh AS (
+         SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+         FROM (SELECT doc_id, ws,
+                      unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+               FROM sdocs)),
+       hs AS (
+         SELECT doc_id, ('0x' || substring(md5(sh), 1, 8))::BIGINT AS h1,
+                ('0x' || substring(md5(sh), 9, 8))::BIGINT AS h2
+         FROM sh),
+       sig AS (
+         SELECT doc_id, seed, min(h1 + seed * h2) AS mh
+         FROM hs, (SELECT unnest(generate_series(0, 7)) AS seed) seeds
+         GROUP BY doc_id, seed),
+       bands AS (
+         SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+                md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS band_key
+         FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)),
+       cand AS (
+         SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+         FROM (SELECT * FROM bands WHERE doc_id % 11 = 5) n
+         JOIN (SELECT * FROM bands WHERE doc_id % 11 != 5) o
+           ON n.band = o.band AND n.band_key = o.band_key),
+       shd AS (SELECT DISTINCT doc_id, h1 * 134217728 + h2 % 134217728 AS h
+               FROM hs),
+       sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+       inter AS (
+         SELECT c.new_id, c.old_id, count(*) AS ni
+         FROM cand c
+           JOIN shd a ON a.doc_id = c.new_id
+           JOIN shd b ON b.doc_id = c.old_id AND b.h = a.h
+         GROUP BY c.new_id, c.old_id),
+       ver AS (
+         SELECT i.new_id, i.old_id FROM inter i
+           JOIN sz sa ON sa.doc_id = i.new_id
+           JOIN sz sb ON sb.doc_id = i.old_id
+         WHERE i.ni * 1.0 / (sa.n + sb.n - i.ni) >= 0.5),
+       cand_n AS (SELECT new_id, count(*) AS n_cand FROM cand GROUP BY new_id),
+       ver_n AS (SELECT new_id, count(*) AS n_ver, min(old_id) AS best_match
+                 FROM ver GROUP BY new_id)
+       SELECT cs.doc_id, cs.n_chunks, cs.n_contaminated,
+              CAST(coalesce(c.n_cand, 0) AS BIGINT) AS n_candidates,
+              CAST(coalesce(v.n_ver, 0) AS BIGINT) AS n_verified,
+              CASE WHEN cs.n_contaminated > 0 THEN 'contaminated'
+                   WHEN v.new_id IS NOT NULL THEN 'duplicate'
+                   ELSE 'kept' END AS verdict,
+              v.best_match
+       FROM census cs
+         LEFT JOIN cand_n c ON c.new_id = cs.doc_id
+         LEFT JOIN ver_n v ON v.new_id = cs.doc_id
+       ORDER BY cs.doc_id""") { (s, d) =>
+    import graft.ops.Dedup
+    val docsStatic = Tables.documents(s, d)
+    val corpus = docsStatic.filter(col("doc_id") % 11 =!= 5)
+    val (corpusBuckets, corpusShingles) = Dedup.lshBucketsAndShingles(
+      corpus, "doc_id", "text", shingleWords = 3, bands = 4, rowsPerBand = 2)
+    val idxTable = "graft_band_index_s30_" +
+      graft.Scratch.dir("graft_bi_s30").replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
+    Dedup.writeBandIndex(s, corpusBuckets, idxTable)
+    val benchSet = chunkHashes(docsStatic.filter(col("doc_id") % 13 === 7))
+      .select(col("chunk_hash").as("bh")).distinct()
+    val seenDir = graft.Scratch.dir("graft_s30_seen")
+    val outDir = graft.Scratch.dir("graft_s30_sink")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val q = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(d)
+      .filter(col("doc_id") % 11 === 5)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val out = curationBatch(s, batch.toDF(), idxTable, benchSet,
+          corpusShingles, seenDir)
+        // descend AQE nodes AND cached relations: the benchmark join
+        // executes inside the census cache's build, so its broadcast
+        // lives in the InMemoryRelation's cachedPlan, not out's own tree
+        def collectB(p: org.apache.spark.sql.execution.SparkPlan): Seq[Seq[String]] =
+          p match {
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              collectB(a.executedPlan)
+            case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+              collectB(qs.plan)
+            case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+              collectB(c.relation.cacheBuilder.cachedPlan)
+            case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+              b.output.map(_.name) +: b.children.flatMap(collectB)
+            case other => other.children.flatMap(collectB)
+          }
+        s30ProbeBroadcasts = s30ProbeBroadcasts ++ collectB(
+          org.apache.spark.sql.classic.ClassicConversions.castToImpl(out)
+            .queryExecution.executedPlan)
+        out.write.mode("append").parquet(outDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(outDir).orderBy("doc_id")
+  }
+
   val defs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
     s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25,
-    s26, s27, s28, s29)
+    s26, s27, s28, s29, s30)
 }
 
 /** s11's StatefulProcessor: cumulative (event count, value cents) per

@@ -52,6 +52,94 @@ class RoundNineSpec extends SparkTestBase {
       .csv(sources.ManifestSink.committedFiles(dir): _*).count() == 3)
   }
 
+  test("s30 composed streaming curation: stream result equals the same " +
+    "three-stage program run as one batch, and the benchmark chunk set " +
+    "broadcast into every micro-batch join") {
+    streaming.StreamingQueries.s30ProbeBroadcasts = Nil
+    val streamed = SparkEntry.queries("s30_stream_curation_pipeline")(spark, sf0001)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.nonEmpty)
+    // stream ≡ batch: the identical curationBatch program over the whole
+    // ingest split in ONE batch job, fresh external state
+    import org.apache.spark.sql.functions._
+    import graft.ops.Dedup
+    val docsStatic = Tables.documents(spark, sf0001)
+    val corpus = docsStatic.filter(col("doc_id") % 11 =!= 5)
+    val (corpusBuckets, corpusShingles) = Dedup.lshBucketsAndShingles(
+      corpus, "doc_id", "text", shingleWords = 3, bands = 4, rowsPerBand = 2)
+    Dedup.writeBandIndex(spark, corpusBuckets, "graft_band_index_r9eq")
+    val benchSet = streaming.StreamingQueries.chunkHashes(
+      docsStatic.filter(col("doc_id") % 13 === 7))
+      .select(col("chunk_hash").as("bh")).distinct()
+    val batched = streaming.StreamingQueries.curationBatch(spark,
+      docsStatic.filter(col("doc_id") % 11 === 5),
+      "graft_band_index_r9eq", benchSet, corpusShingles,
+      Scratch.dir("graft_r9eq_seen"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batched,
+      s"stream/batch divergence: ${streamed.diff(batched).take(3)} vs " +
+        s"${batched.diff(streamed).take(3)}")
+    // per-batch broadcast evidence (the s19 pattern): the benchmark chunk
+    // set went over a BroadcastExchange, the corpus never did
+    assert(streaming.StreamingQueries.s30ProbeBroadcasts.exists(_.contains("bh")),
+      "benchmark chunk set was not broadcast into the micro-batch join")
+  }
+
+  test("s30 frontier state is external and exactly-once: replaying the " +
+    "same documents as newly-arriving files yields ZERO new frontier " +
+    "rows and the seen store does not grow") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import graft.ops.Dedup
+    val docsStatic = Tables.documents(spark, sf0001)
+    val corpus = docsStatic.filter(col("doc_id") % 11 =!= 5)
+    val (corpusBuckets, corpusShingles) = Dedup.lshBucketsAndShingles(
+      corpus, "doc_id", "text", shingleWords = 3, bands = 4, rowsPerBand = 2)
+    Dedup.writeBandIndex(spark, corpusBuckets, "graft_band_index_r9replay")
+    val benchSet = streaming.StreamingQueries.chunkHashes(
+      docsStatic.filter(col("doc_id") % 13 === 7))
+      .select(col("chunk_hash").as("bh")).distinct()
+    val watched = Scratch.dir("graft_r9_watched")
+    val seenDir = Scratch.dir("graft_r9_seen")
+    val outDir = Scratch.dir("graft_r9_out")
+    val ckpt = Scratch.dir("graft_r9_ckpt")
+    val src = new java.io.File(sf0001, "documents.parquet").toPath
+    def runOnce(): Unit = {
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val q = spark.readStream.schema(schema).parquet(watched)
+        .filter(col("doc_id") % 11 === 5)
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          streaming.StreamingQueries.curationBatch(spark, b.toDF(),
+            "graft_band_index_r9replay", benchSet, corpusShingles, seenDir)
+            .write.mode("append").parquet(outDir)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    java.nio.file.Files.copy(src,
+      new java.io.File(watched, "arrival1.parquet").toPath)
+    runOnce()
+    val rows1 = spark.read.parquet(outDir).count()
+    val seen1 = spark.read.schema("cu STRING").parquet(seenDir).count()
+    assert(rows1 > 0 && seen1 > 0)
+    // re-discovery: the SAME docs arrive again as a new file; every cu is
+    // already in the external store, so the frontier admits nothing
+    java.nio.file.Files.copy(src,
+      new java.io.File(watched, "arrival2.parquet").toPath)
+    runOnce()
+    assert(spark.read.parquet(outDir).count() == rows1,
+      "replayed documents re-entered the pipeline past the frontier")
+    assert(spark.read.schema("cu STRING").parquet(seenDir).count() == seen1,
+      "seen store grew on a pure re-discovery batch")
+  }
+
   test("rendered tokenizer oracles: merge/piece tables are interpolated " +
     "as escaped VALUES and the generated SQL is corpus-dependent") {
     val t31 = SparkEntry.dynamicOracleSql(spark, sf0001)
