@@ -1924,10 +1924,17 @@ object TextAnalysis {
              transform(filter(sequence(1, size(w)), i -> i + n - 1 <= size(w)),
                        i -> struct(n AS n, array_join(slice(w, i, n), ' ') AS g))))"""))
         .as("p"))
-      .select(col("doc_id"), col("nch"), col("p.n").as("n"), col("p.g").as("g"))
-    val cnt = grams.groupBy("doc_id", "nch", "n", "g")
+      // the gram TEXT never shuffles (the d38 digest discipline): the
+      // census only needs each gram's count and char length, so the
+      // per-doc count keys on xxhash64(g) — 8 bytes instead of the gram
+      // string on the exchange. A same-doc 64-bit collision (~L²/2⁶⁴,
+      // L = grams per doc) would merge two counts and fail the oracle
+      // hash gate loudly; it is deterministic, not silent.
+      .select(col("doc_id"), col("nch"), col("p.n").as("n"),
+        xxhash64(col("p.g")).as("gh"),
+        length(col("p.g")).cast(LongType).as("gl"))
+    val cnt = grams.groupBy("doc_id", "nch", "n", "gh", "gl")
       .agg(count(lit(1)).as("c"))
-      .withColumn("gl", length(col("g")).cast(LongType))
     // hash-agg argmax instead of a row_number window: sorting every gram
     // row within (doc_id, n) was t35's 500k-doc bottleneck (decade ratio
     // 7.4x, BENCH_SCALE_r07). The top gram's MASS doesn't depend on the
