@@ -199,7 +199,13 @@ object Pipeline {
     val keep6 = f5.join(compAsDoc, Seq("doc_id"), "left")
       .withColumn("cluster", coalesce(col("component"), col("doc_id")))
       .groupBy("cluster", "source").agg(min(col("doc_id")).as("doc_id"))
-    val f6 = f5.join(keep6.select("doc_id"), "doc_id")
+    // f6 is the POST-DEDUP survivor corpus — the pipeline's natural
+    // output artifact — and fans out to decontamination's gram explode,
+    // the split chain, and three census rows; persisting it stops each
+    // consumer from re-running the base⋈ex⋈keep6 join stack against the
+    // ann cache. Its build READS the ann cache (no re-repair — the
+    // RoundEightSpec sweep pins the repair signature to ann alone).
+    val f6 = Dedup.reuse(f5.join(keep6.select("doc_id"), "doc_id"))
 
     // ---------------- stage 7: decontamination (d13/d42)
     def grams13(df: DataFrame, textC: String): DataFrame = df

@@ -27,7 +27,7 @@ class RoundEightSpec extends SparkTestBase {
     for (k <- 0 until 8)
       assert(nOut(k) <= nIn(k), s"stage ${k + 1} grew: ${nIn(k)} -> ${nOut(k)}")
     assert(nOut(7) > 0, "pipeline should keep survivors on the fixture")
-    st.base.unpersist(); st.comp.unpersist()
+    spark.catalog.clearCache() // fullCuration persists more than Stages exposes (keep1/ex/f6/dec/f8)
   }
 
   test("p01 digest-reuse discipline: ONE shingle-digest cache feeds both " +
@@ -80,21 +80,28 @@ class RoundEightSpec extends SparkTestBase {
     assert(builders(hv).size == 1,
       "more than one distinct shingle-digest cache: a stage re-shingled")
 
-    // 2. the component table (id, component): near-dedup survivors (stage 6)
-    //    and the leakage-free split keys (stage 8) plus the cluster census
-    //    all consume one cached CC result — the dedup graph never re-runs
-    val comp = family("component")
+    // 2. the component table (id, component): near-dedup survivors (stage 6
+    //    — now nested inside the persisted f6 survivor corpus's build plan)
+    //    and the leakage-free split keys (stage 8, inside the f8 cache)
+    //    plus the cluster census all consume one cached CC result — the
+    //    dedup graph never re-runs. Counted through the cache nesting
+    //    (deepCaches), same as the hv digest below.
+    val comp = deepCaches(caches).filter(_.schema.fieldNames.contains("component"))
     assert(comp.size >= 3, s"component cache referenced ${comp.size} time(s); " +
-      "expected stage-6 join + stage-8 join + cluster census")
+      "expected stage-6 join (inside f6) + stage-8 join (inside f8) + cluster census")
     assert(builders(comp).size == 1,
       "more than one distinct component cache: the dedup graph re-ran")
 
-    // 3. the corpus base (doc_id, rt, n_tok): every post-quality stage reads
-    //    the one repaired+tokenized snapshot — nothing re-repairs the text
-    val base = family("rt").filter(_.schema.fieldNames.contains("n_tok"))
-    assert(base.size >= 2, s"base cache referenced ${base.size} time(s)")
+    // 3. the corpus snapshot (rt + n_marks + n_tok): every post-quality
+    //    stage reads the one repaired+tokenized snapshot — nothing
+    //    re-repairs the text. Derived corpus caches (rt WITHOUT n_marks,
+    //    e.g. the persisted post-dedup survivor corpus f6) are allowed,
+    //    but each must BUILD from the snapshot cache (checked below in
+    //    step 5's repair-signature sweep plus the read-from-ann check).
+    val base = family("rt").filter(_.schema.fieldNames.contains("n_marks"))
+    assert(base.size >= 2, s"ann snapshot cache referenced ${base.size} time(s)")
     assert(builders(base).size == 1,
-      "more than one distinct corpus-base cache: a stage re-derived the corpus")
+      "more than one distinct corpus-snapshot cache: a stage re-derived the corpus")
 
     // 4. and the digest pipeline exists ONLY inside the hv cache: no plan
     //    node outside it — neither in the census's outer plan nor inside
@@ -143,6 +150,18 @@ class RoundEightSpec extends SparkTestBase {
       "stage-2-4 census rows and stages 5-9 should all read it")
     assert(builders(ann).size == 1,
       "more than one distinct ann snapshot cache: the corpus was repaired twice")
-    st.base.unpersist(); st.comp.unpersist()
+    // every DERIVED corpus cache (rt without n_marks) must build FROM the
+    // ann snapshot cache, not from the raw documents
+    everyCache.filter(c => c.schema.fieldNames.contains("rt")
+        && !c.schema.fieldNames.contains("n_marks")).foreach { c =>
+      val readsAnn = physNodes(c.cacheBuilder.cachedPlan).exists {
+        case s: InMemoryTableScanExec =>
+          s.relation.schema.fieldNames.contains("n_marks")
+        case _ => false
+      }
+      assert(readsAnn, s"derived corpus cache [${c.schema.fieldNames.mkString(",")}] " +
+        "does not read the ann snapshot cache")
+    }
+    spark.catalog.clearCache() // fullCuration persists more than Stages exposes (keep1/ex/f6/dec/f8)
   }
 }
