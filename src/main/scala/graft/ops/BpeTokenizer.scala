@@ -38,14 +38,17 @@ import org.apache.spark.sql.functions._
   * Determinism contract: the merge ranking is (pair count desc, left
   * asc, right asc) — a total order, so the learned merges are a pure
   * function of the corpus, independent of partitioning; the greedy
-  * left-to-right application is the standard BPE re-segmentation. The
-  * merge LOOP is not expressible in portable SQL, so training (t30)
-  * stays `noOracle` with BpeSpec carrying the evidence (distributed ==
-  * driver route, first merge == the independently-counted hottest pair,
-  * segmentation == a plain Scala reference, the token-count envelope);
-  * the APPLICATION (t31) has a dynamic oracle — the learned merges
-  * render into DuckDB SQL ([[TokenizerOracles]]) and DuckDB re-segments
-  * the corpus independently, hash-checked by the driver.
+  * left-to-right application is the standard BPE re-segmentation.
+  * BOTH halves are cross-engine hash-checked: the APPLICATION (t31)
+  * renders the learned merges into DuckDB SQL and DuckDB re-segments
+  * the corpus independently, and the TRAINING (t30) — whose
+  * data-dependent per-iteration argmax no recursive CTE can express —
+  * unrolls into k chained census→argmax→replace CTE steps
+  * ([[TokenizerOracles.t30Sql]]), so DuckDB re-LEARNS the merge table
+  * from scratch and the driver hash-compares it. BpeSpec still carries
+  * the route-equality evidence (distributed == driver, first merge ==
+  * the independently-counted hottest pair, segmentation == a plain
+  * Scala reference, the token-count envelope).
   */
 object BpeTokenizer {
 
@@ -170,8 +173,13 @@ object BpeTokenizer {
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
   /** t30: the learned merge table — rank, the merged pair, the merged
-    * symbol, and the weighted pair count that won the rank. */
-  private val t30 = Q.noOracle("t30_bpe_merges") { (s, d) =>
+    * symbol, and the weighted pair count that won the rank. Oracle:
+    * DYNAMIC-rendered but corpus-independent — DuckDB RE-LEARNS the
+    * merge table from scratch via [[TokenizerOracles.t30Sql]]'s unrolled
+    * k-step train loop (pair census → tie-broken argmax → greedy
+    * replace per rank), so the training itself is cross-engine
+    * hash-checked, not just the application. */
+  private val t30 = Q.dynamic("t30_bpe_merges") { (s, d) =>
     import s.implicits._
     val k = confInt(s, "graft.bpe.merges", 40)
     val (merges, _) = learn(s, wordCensus(s, d), k)
@@ -179,7 +187,7 @@ object BpeTokenizer {
       .select(col("rank"), col("left"), col("right"),
         concat(col("left"), col("right")).as("merged"), col("n_pairs"))
       .orderBy("rank")
-  }
+  } { (s, _) => TokenizerOracles.t30Sql(confInt(s, "graft.bpe.merges", 40)) }
 
   /** t31: the corpus segmented with the learned merges — per-doc BPE
     * token count next to the word count, the compression a tokenizer

@@ -108,6 +108,58 @@ private[graft] object TokenizerOracles {
          ) t),
        useg AS (SELECT word, n3 AS n_tok FROM vit WHERE i = wlen)"""
 
+  /** t30: the TRAINING oracle — DuckDB learns the merge table from
+    * scratch. The merge loop has a data-dependent argmax per iteration,
+    * which a recursive CTE cannot express (no aggregation over the
+    * recursive relation), but the iteration COUNT is the fixed conf k —
+    * so the loop UNROLLS into k chained ordinary CTE steps, each one
+    * (pair census over the current segmentation → tie-broken argmax →
+    * leftmost-nonoverlapping replace), on the same ' sym ' string
+    * encoding as the application oracle. Early exhaustion is handled
+    * structurally: when no pair reaches count 2 the step's argmax CTE is
+    * empty, the LEFT JOIN passes segmentations through unchanged, and
+    * every later step stays empty — exactly learnDriver's stop rule.
+    * Overlapping pairs count per occurrence (aaa → (a,a) twice), and the
+    * ranking is (count desc, left asc, right asc), both mirroring the
+    * Scala trainer; prototype-verified exact on adversarial corpora
+    * (tools/proto_tok.py's sibling check). Note this SQL is corpus-
+    * independent text — only k is interpolated — so the oracle re-learns
+    * from whatever data dir the driver points DuckDB at. */
+  def t30Sql(k: Int): String = {
+    val steps = (1 to k).map { i =>
+      val prev = s"seg${i - 1}"
+      s"""pc$i AS (
+           SELECT s[j] AS l, s[j+1] AS r, CAST(sum(freq) AS BIGINT) AS n
+           FROM (SELECT freq, string_split(trim(ws), '  ') AS s FROM $prev) t,
+                unnest(generate_series(1, len(t.s) - 1)) AS u(j)
+           GROUP BY s[j], s[j+1]),
+         m$i AS (SELECT l, r, n FROM pc$i WHERE n >= 2
+                 ORDER BY n DESC, l, r LIMIT 1),
+         seg$i AS MATERIALIZED (
+           SELECT s.word, s.freq,
+                  CASE WHEN m.l IS NULL THEN s.ws
+                       ELSE replace(s.ws, ' ' || m.l || '  ' || m.r || ' ',
+                                    ' ' || m.l || m.r || ' ') END AS ws
+           FROM $prev s LEFT JOIN m$i m ON true)"""
+    }
+    val unions = (1 to k).map(i => s"SELECT $i AS rank, l, r, n FROM m$i")
+    s"""WITH dw AS MATERIALIZED (
+         SELECT word, count(*) AS freq
+         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) u
+         WHERE len(word) > 0
+         GROUP BY word),
+       seg0 AS MATERIALIZED (
+         SELECT word, freq,
+                ' ' || array_to_string(list_transform(generate_series(1, len(word)),
+                    i -> substring(word, i, 1)), '  ') || ' ' AS ws
+         FROM dw),
+       ${steps.mkString(",\n")}
+       SELECT CAST(rank AS INTEGER) AS rank, l AS "left", r AS "right",
+              l || r AS merged, n AS n_pairs
+       FROM (${unions.mkString(" UNION ALL ")})
+       ORDER BY rank"""
+  }
+
   /** t31: per-doc word + BPE token counts under the rendered merges. */
   def t31Sql(merges: Seq[(Int, String, String, Long)]): String =
     s"""WITH RECURSIVE ${dwCtes("doc_id")},

@@ -122,3 +122,69 @@ gotv = dict(con.sql(sql_vit).fetchall())
 badv = [(w, viterbi_ntok(w, cost), gotv.get(w)) for w in words
         if gotv.get(w) != viterbi_ntok(w, cost)]
 print("VIT mismatches:", badv[:10], "total", len(badv), "/", len(words))
+
+# ---------- t30 TRAINING oracle equivalence: the unrolled k-step DuckDB
+# train loop (TokenizerOracles.t30Sql) vs a reference trainer mirroring
+# BpeTokenizer.learnDriver — pair census with overlapping occurrences,
+# (count desc, l, r) tie-break, early stop below count 2.
+def learn_ref(word_freqs, k):
+    tab = [(list(w), f) for w, f in sorted(word_freqs.items())]
+    out = []
+    for rank in range(1, k + 1):
+        counts = {}
+        for sym, f in tab:
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i+1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        (l, r), n = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[0]
+        if n < 2:
+            break
+        out.append((rank, l, r, n))
+        def app(sym):
+            o = []; i = 0
+            while i < len(sym):
+                if i+1 < len(sym) and sym[i] == l and sym[i+1] == r:
+                    o.append(l+r); i += 2
+                else:
+                    o.append(sym[i]); i += 1
+            return o
+        tab = [(app(sym), f) for sym, f in tab]
+    return out
+
+wf = {}
+for w in words * 2 + ["the", "the", "the", "of", "of"]:
+    wf[w] = wf.get(w, 0) + 1
+K = 12
+con.sql("CREATE TABLE dwt AS SELECT * FROM (VALUES " +
+        ", ".join(f"('{esc(w)}', {f})" for w, f in sorted(wf.items())) + ") t(word, freq)")
+steps, unions, prev = [], [], "seg0"
+for k in range(1, K+1):
+    steps.append(f"""
+ pc{k} AS (
+   SELECT s[j] AS l, s[j+1] AS r, CAST(sum(freq) AS BIGINT) AS n
+   FROM (SELECT freq, string_split(trim(ws), '  ') AS s FROM {prev}) t,
+        unnest(generate_series(1, len(t.s) - 1)) AS u(j)
+   GROUP BY s[j], s[j+1]),
+ m{k} AS (SELECT l, r, n FROM pc{k} WHERE n >= 2 ORDER BY n DESC, l, r LIMIT 1),
+ seg{k} AS MATERIALIZED (
+   SELECT s.word, s.freq,
+          CASE WHEN m.l IS NULL THEN s.ws
+               ELSE replace(s.ws, ' ' || m.l || '  ' || m.r || ' ',
+                            ' ' || m.l || m.r || ' ') END AS ws
+   FROM {prev} s LEFT JOIN m{k} m ON true)""")
+    unions.append(f"SELECT {k} AS rank, l, r, n FROM m{k}")
+    prev = f"seg{k}"
+sql_train = """WITH seg0 AS MATERIALIZED (
+   SELECT word, freq,
+          ' ' || array_to_string(list_transform(generate_series(1, len(word)),
+              i -> substring(word, i, 1)), '  ') || ' ' AS ws
+   FROM dwt),""" + ",".join(steps) + """
+ SELECT rank, l, r, n FROM (""" + " UNION ALL ".join(unions) + ") ORDER BY rank"
+got_train = [tuple(r) for r in con.sql(sql_train).fetchall()]
+exp_train = learn_ref(wf, K)
+print("TRAIN mismatches:", [] if got_train == exp_train else
+      [x for x in zip(exp_train, got_train) if x[0] != x[1]][:3],
+      "total", 0 if got_train == exp_train else "NONZERO",
+      "/", len(exp_train))
