@@ -79,6 +79,25 @@ class RoundEightSpec extends SparkTestBase {
       "banding and verification should both read it")
     assert(builders(hv).size == 1,
       "more than one distinct shingle-digest cache: a stage re-shingled")
+    // reference-counting hv is not enough: the banded SELF-join alone
+    // reads the hv cache twice, so a verification side quietly fed by a
+    // foreign digest (mutation: wordShingleHashes over f5 — a second md5
+    // pass over the corpus) still shows hv.size == 2. Pin the
+    // verification sets DIRECTLY: every candidate-restricted shingle-set
+    // cache (schema exactly (id, h)) must derive from the hv cache.
+    val verSets = deepCaches(topVerified).filter(
+      _.schema.fieldNames.toSet == Set("id", "h"))
+    assert(verSets.nonEmpty, "no candidate-restricted shingle-set cache found")
+    verSets.foreach { c =>
+      val readsHv = physNodes(c.cacheBuilder.cachedPlan).exists {
+        case s: InMemoryTableScanExec =>
+          s.relation.schema.fieldNames.contains("hv")
+        case _ => false
+      }
+      assert(readsHv, "verification shingle sets do not derive from the hv " +
+        "digest cache — the corpus was shingled twice (mutation-verified: " +
+        "a wordShingleHashes verification side turns this red)")
+    }
 
     // 2. the component table (id, component): near-dedup survivors (stage 6
     //    — now nested inside the persisted f6 survivor corpus's build plan)
