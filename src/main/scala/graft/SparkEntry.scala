@@ -76,7 +76,8 @@ object SparkEntry {
       "t37_unigram_segment",
       "p01_full_curation",
       "a01_pipe_cranker", "a02_pipe_throughput",
-      "s01_stream_tumbling", "s10_stream_stateful_sessions")
+      "s01_stream_tumbling", "s10_stream_stateful_sessions",
+      "s30_stream_curation_pipeline")
     val have = queries.keySet
     preferred.filter(have)
   }
