@@ -220,7 +220,20 @@ object Pipeline {
       .select("gh").distinct()
     val corpusG = grams13(f6.filter(col("doc_id") % 7 =!= 0), "rt").distinct()
     val gsz = corpusG.groupBy("doc_id").agg(count(lit(1)).as("n_g"))
-    val hits = corpusG.join(broadcast(bench), "gh")
+    // BROADCAST-BY-PREMISE (d10/d13's documented contract): a real
+    // benchmark suite is tiny relative to the corpus, so its gram set
+    // rides a broadcast and the corpus grams never shuffle. The FIXTURE
+    // synthesizes the benchmark FROM the corpus (1/7 of it), so the
+    // broadcast grows with the input here — fine at test SFs, wrong for
+    // a deployment whose "benchmark" is actually corpus-scale. Such a
+    // deployment sets graft.pipeline.broadcastBench=false to take the
+    // shuffled hash join (both sides exchange on the 16-byte gram hash;
+    // identical rows, AQE picks the build side).
+    val benchSide =
+      if (s.conf.getOption("graft.pipeline.broadcastBench").forall(_.toBoolean))
+        broadcast(bench)
+      else bench
+    val hits = corpusG.join(benchSide, "gh")
       .groupBy("doc_id").agg(count(lit(1)).as("n_h"))
     val dec = Dedup.reuse(gsz.join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
