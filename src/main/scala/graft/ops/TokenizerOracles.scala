@@ -160,6 +160,108 @@ private[graft] object TokenizerOracles {
        ORDER BY rank"""
   }
 
+  /** One unrolled hard-EM step for the t36 training oracle: Viterbi-
+    * segment every word type under `cost${k-1}` (the same recursive-CTE
+    * DP as [[vitCtes]], here also CARRYING the chosen piece list so the
+    * E-step can re-count piece usage), then prune-and-renormalize into
+    * `counts$k` / `cost$k` — exactly UnigramTokenizer.learn's loop body.
+    * `seg$k` is materialized so the twice-referenced recursive relation
+    * never re-inlines (the t30 lesson). */
+  private def emStep(k: Int): String = {
+    val p = s"cost${k - 1}"
+    s"""vit$k AS (
+         SELECT word, wlen, 0 AS i,
+                CAST(NULL AS BIGINT) AS c0, CAST(NULL AS BIGINT) AS c1,
+                CAST(NULL AS BIGINT) AS c2, CAST(0 AS BIGINT) AS c3,
+                CAST(NULL AS VARCHAR[]) AS l0, CAST(NULL AS VARCHAR[]) AS l1,
+                CAST(NULL AS VARCHAR[]) AS l2, CAST([] AS VARCHAR[]) AS l3
+         FROM wt
+         UNION ALL
+         SELECT word, wlen, i, c0, c1, c2, cands[1].c AS c3,
+                l0, l1, l2, cands[1].lst AS l3
+         FROM (
+           SELECT s.word, s.wlen, s.i + 1 AS i,
+                  s.c1 AS c0, s.c2 AS c1, s.c3 AS c2,
+                  s.l1 AS l0, s.l2 AS l1, s.l3 AS l2,
+                  list_sort(list_filter([
+                    struct_pack(c := s.c3 + p1.cost, negl := -1,
+                                lst := list_append(s.l3, p1.piece)),
+                    struct_pack(c := s.c2 + p2.cost, negl := -2,
+                                lst := list_append(s.l2, p2.piece)),
+                    struct_pack(c := s.c1 + p3.cost, negl := -3,
+                                lst := list_append(s.l1, p3.piece)),
+                    struct_pack(c := s.c0 + p4.cost, negl := -4,
+                                lst := list_append(s.l0, p4.piece))
+                  ], x -> x.c IS NOT NULL)) AS cands
+           FROM vit$k s
+           LEFT JOIN $p p1 ON p1.piece = substring(s.word, s.i + 1, 1)
+           LEFT JOIN $p p2 ON s.i >= 1 AND p2.piece = substring(s.word, s.i, 2)
+           LEFT JOIN $p p3 ON s.i >= 2 AND p3.piece = substring(s.word, s.i - 1, 3)
+           LEFT JOIN $p p4 ON s.i >= 3 AND p4.piece = substring(s.word, s.i - 2, 4)
+           WHERE s.i < s.wlen
+         ) t),
+       seg$k AS MATERIALIZED (SELECT word, l3 AS lst FROM vit$k WHERE i = wlen),
+       used$k AS (
+         SELECT piece, CAST(sum(freq) AS BIGINT) AS c
+         FROM (SELECT w.freq, unnest(s.lst) AS piece
+               FROM seg$k s JOIN wt w USING (word)) u
+         GROUP BY piece),
+       counts$k AS MATERIALIZED (
+         SELECT p.piece, CAST(coalesce(u.c, 0) AS BIGINT) AS c
+         FROM counts${k - 1} p LEFT JOIN used$k u USING (piece)
+         WHERE len(p.piece) = 1 OR coalesce(u.c, 0) > 0),
+       ${costCte(k)}"""
+  }
+
+  /** Laplace-smoothed integer micro-nat costs of `counts$k` — the SQL
+    * mirror of costsFromCounts: total = sum + |vocab| as exact doubles,
+    * IEEE division, one `ln` (the only non-exact op; a 1-ulp divergence
+    * moves the scaled value ~1e-9, far from any rounding boundary). */
+  private def costCte(k: Int): String =
+    s"""cost$k AS MATERIALIZED (
+         SELECT piece,
+                CAST(round(-ln(CAST(c + 1 AS DOUBLE) / t.total) * 1000000)
+                     AS BIGINT) AS cost
+         FROM counts$k,
+              (SELECT CAST(sum(c) AS DOUBLE) + count(*) AS total FROM counts$k) t)"""
+
+  /** t36: the unigram TRAINING oracle — DuckDB re-learns the piece table
+    * from scratch. Like t30, the loop's iteration count is the fixed conf
+    * `iters`, so hard-EM UNROLLS into chained CTE steps: substring-census
+    * seed (all chars + top-m multi by (count desc, piece asc)) → cost₀ →
+    * [Viterbi E-step carrying piece lists → prune/renormalize M-step]×
+    * iters → the final (rank, piece, n_uses, cost_micro) table. Corpus-
+    * independent SQL — only m and iters are interpolated — so the oracle
+    * re-learns from whatever data dir the driver points DuckDB at. */
+  def t36Sql(m: Int, iters: Int): String = {
+    val steps = (1 to iters).map(emStep).mkString(",\n")
+    s"""WITH RECURSIVE dw AS MATERIALIZED (
+         SELECT word, count(*) AS freq
+         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) u
+         WHERE len(word) > 0
+         GROUP BY word),
+       wt AS MATERIALIZED (SELECT word, freq, len(word) AS wlen FROM dw),
+       sub AS MATERIALIZED (
+         SELECT substring(word, i, l) AS piece, CAST(sum(freq) AS BIGINT) AS c
+         FROM wt,
+              unnest(generate_series(1, wlen)) AS u(i),
+              unnest(generate_series(1, 4)) AS v(l)
+         WHERE i + l - 1 <= wlen
+         GROUP BY 1),
+       counts0 AS MATERIALIZED (
+         SELECT piece, c FROM sub WHERE len(piece) = 1
+         UNION ALL
+         SELECT piece, c FROM (
+           SELECT piece, c FROM sub WHERE len(piece) > 1
+           ORDER BY c DESC, piece LIMIT $m) q),
+       ${costCte(0)},
+       $steps
+       SELECT CAST(row_number() OVER (ORDER BY f.c DESC, f.piece) AS BIGINT) AS rank,
+              f.piece, f.c AS n_uses, k.cost AS cost_micro
+       FROM counts$iters f JOIN cost$iters k USING (piece)
+       ORDER BY rank"""
+  }
+
   /** t31: per-doc word + BPE token counts under the rendered merges. */
   def t31Sql(merges: Seq[(Int, String, String, Long)]): String =
     s"""WITH RECURSIVE ${dwCtes("doc_id")},

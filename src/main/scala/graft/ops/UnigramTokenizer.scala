@@ -33,11 +33,13 @@ import org.apache.spark.sql.functions._
   * counts, so DP sums are exact; Viterbi ties break toward the LONGEST
   * last piece (smallest split point), a total rule; seed ranking is
   * (score desc, piece asc). The result is a pure function of the corpus,
-  * independent of partitioning. The EM LOOP is not portable SQL →
-  * training (t36) stays `noOracle` with UnigramSpec carrying the weight
-  * (route equality, a from-scratch driver recount of the E-step counts,
-  * the pieces-concatenate-to-word invariant, the n_words ≤ n_tokens ≤
-  * n_chars envelope); APPLICATION (t37/t39) has a dynamic oracle — the
+  * independent of partitioning. The EM LOOP unrolls into the t36 dynamic
+  * oracle ([[TokenizerOracles.t36Sql]]: DuckDB re-learns the piece table
+  * via chained seed→cost→Viterbi→renormalize CTEs, t30's discipline),
+  * with UnigramSpec still carrying route equality, a from-scratch driver
+  * recount of the E-step counts, the pieces-concatenate-to-word
+  * invariant, and the n_words ≤ n_tokens ≤ n_chars envelope;
+  * APPLICATION (t37/t39) has a dynamic oracle — the
   * learned piece table renders into DuckDB SQL whose recursive-CTE
   * Viterbi ([[TokenizerOracles]]) re-segments the corpus independently,
   * hash-checked by the driver.
@@ -209,8 +211,12 @@ object UnigramTokenizer {
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
   /** t36: the learned piece table — rank by final count, the piece, its
-    * Viterbi-EM count, and its integer micro-nat cost. */
-  private val t36 = Q.noOracle("t36_unigram_pieces") { (s, d) =>
+    * Viterbi-EM count, and its integer micro-nat cost. Oracle: DYNAMIC —
+    * like t30, DuckDB RE-LEARNS the table from scratch
+    * ([[TokenizerOracles.t36Sql]] unrolls the fixed-`iters` hard-EM loop
+    * into chained seed→cost→Viterbi→renormalize CTEs), so training is now
+    * hash-checked cross-engine end-to-end, not just spec-verified. */
+  private val t36 = Q.dynamic("t36_unigram_pieces") { (s, d) =>
     import s.implicits._
     val m = confInt(s, "graft.unigram.pieces", 200)
     val iters = confInt(s, "graft.unigram.iters", 2)
@@ -219,6 +225,10 @@ object UnigramTokenizer {
       .map { case ((p, c, q), i) => (i + 1L, p, c, q) }
       .toDF("rank", "piece", "n_uses", "cost_micro")
       .orderBy("rank")
+  } { (s, _) =>
+    val m = confInt(s, "graft.unigram.pieces", 200)
+    val iters = confInt(s, "graft.unigram.iters", 2)
+    TokenizerOracles.t36Sql(m, iters)
   }
 
   /** t37: the corpus segmented under the learned pieces — per-doc word

@@ -2,10 +2,11 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Oracle weight for the unigram-LM tokenizer (t36/t37) — the EM loop is
-  * not portable SQL, so these tests carry what the DuckDB hash check
-  * carries elsewhere: route equality, from-scratch recounts, and the
-  * structural invariants of a correct tokenizer.
+/** Spec weight for the unigram-LM tokenizer (t36/t37). Training now ALSO
+  * has a dynamic DuckDB oracle (TokenizerOracles.t36Sql unrolls the
+  * fixed-iters hard-EM loop into chained CTEs), so these tests carry the
+  * complementary evidence: route equality, from-scratch recounts, and
+  * the structural invariants of a correct tokenizer.
   */
 class UnigramSpec extends SparkTestBase {
 
