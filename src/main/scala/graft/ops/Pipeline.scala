@@ -217,9 +217,8 @@ object Pipeline {
     // the benchmark is EXTERNAL: built from the original corpus's %7
     // members (raw text), regardless of what earlier stages dropped
     val bench = grams13(docs.filter(col("doc_id") % 7 === 0), "text")
-      .select("gh").distinct()
+      .select("gh").distinct().withColumn("hit", lit(1L))
     val corpusG = grams13(f6.filter(col("doc_id") % 7 =!= 0), "rt").distinct()
-    val gsz = corpusG.groupBy("doc_id").agg(count(lit(1)).as("n_g"))
     // BROADCAST-BY-PREMISE (d10/d13's documented contract): a real
     // benchmark suite is tiny relative to the corpus, so its gram set
     // rides a broadcast and the corpus grams never shuffle. The FIXTURE
@@ -233,11 +232,18 @@ object Pipeline {
       if (s.conf.getOption("graft.pipeline.broadcastBench").forall(_.toBoolean))
         broadcast(bench)
       else bench
-    val hits = corpusG.join(benchSide, "gh")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_h"))
-    val dec = Dedup.reuse(gsz.join(hits, Seq("doc_id"), "left")
+    // ONE gram pass: a left join against the (at-most-one-match) distinct
+    // benchmark set tags each corpus gram in place, so n_g and n_h come
+    // from the SAME doc-keyed aggregation — the explode+distinct over the
+    // survivor corpus (the stage's expensive narrow work) runs once in
+    // the executed plan, not once per census leg (gsz + hits previously
+    // re-evaluated corpusG, which is deliberately NOT persisted: at
+    // 100 TB the (doc_id, gh) stream is bigger than the corpus text).
+    val dec = Dedup.reuse(corpusG.join(benchSide, Seq("gh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_g"), count(col("hit")).as("n_h"))
       .select(col("doc_id"),
-        (coalesce(col("n_h"), lit(0L)) * lit(1.0) / col("n_g") > 0.05).as("dirty")))
+        (col("n_h") * lit(1.0) / col("n_g") > 0.05).as("dirty")))
     val f7 = f6.join(dec.filter(!col("dirty")).select("doc_id"), "doc_id")
 
     // ---------------- stage 8: leakage-free split (t28) — REUSES comp

@@ -181,6 +181,28 @@ class RoundEightSpec extends SparkTestBase {
       assert(readsAnn, s"derived corpus cache [${c.schema.fieldNames.mkString(",")}] " +
         "does not read the ann snapshot cache")
     }
+    // 6. ONE 13-gram pass in stage 7: the gram explode (signature:
+    //    array_join(slice(ws, i, 13))) appears exactly TWICE inside the
+    //    dec cache's build plan — once for the corpus leg, once for the
+    //    benchmark leg — and NOWHERE else. The pre-fusion shape (separate
+    //    gsz and hits legs, each re-evaluating the un-persisted corpusG)
+    //    planted a THIRD occurrence; this pins the fused
+    //    join-then-aggregate-once dataflow (mutation-verified: restoring
+    //    the gsz⋈hits shape turns this red with count 3).
+    def gramPasses(s: String): Int = "array_join\\(slice\\(".r.findAllIn(s).length
+    val dec = everyCache.find(_.schema.fieldNames.toSet == Set("doc_id", "dirty"))
+      .getOrElse(fail("dec cache (doc_id, dirty) not found"))
+    val inDec = gramPasses(exprStr(dec.cacheBuilder.cachedPlan))
+    assert(inDec == 2,
+      s"stage 7 runs $inDec gram explodes inside the dec cache; expected 2 " +
+        "(one corpus pass + one benchmark pass)")
+    assert(gramPasses(outer) == 0,
+      "a census row re-explodes 13-grams outside the dec cache")
+    everyCache.filterNot(_.schema.fieldNames.contains("dirty")).foreach { c =>
+      assert(gramPasses(exprStr(c.cacheBuilder.cachedPlan)) == 0,
+        s"cache [${c.schema.fieldNames.mkString(",")}] re-explodes 13-grams " +
+          "outside the dec cache")
+    }
     spark.catalog.clearCache() // fullCuration persists more than Stages exposes (keep1/ex/f6/dec/f8)
   }
 }
