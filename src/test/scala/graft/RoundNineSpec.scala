@@ -162,4 +162,28 @@ class RoundNineSpec extends SparkTestBase {
     // ties (negl ascending = length descending)
     assert(uni.contains("negl := -4"), "t37 Viterbi lost the 4-char candidate")
   }
+
+  test("p01 composed pipeline is partition-count invariant: the census is " +
+    "byte-identical under a different cluster shape — the property a fleet's " +
+    "task retries and speculation silently assume of the FLAGSHIP artifact") {
+    // same contract RoundSevenSpec proves for the solo heavy pipelines
+    // (d08/d15/d22), here for their nine-stage composition: the census's
+    // sum_ids checksums pin every stage's exact survivor SET, so any
+    // placement- or order-dependence in the composed dataflow (banding,
+    // CC iteration order, the prefix-sum packing) surfaces as a diff.
+    val runs = Seq("4", "7").map { parts =>
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try {
+        // drop the previous shape's caches: fullCuration persists its
+        // stage snapshots, and a cache hit would make the second run a
+        // read of the FIRST run's results — vacuously equal
+        spark.catalog.clearCache()
+        SparkEntry.queries("p01_full_curation")(spark, sf0001).collect().toSeq
+      } finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+    }
+    assert(runs(0) == runs(1),
+      "p01 census depends on the shuffle partition count")
+    assert(runs(0).size == 9, "census must have 9 stages")
+    spark.catalog.clearCache()
+  }
 }
