@@ -1421,9 +1421,20 @@ object StreamingQueries {
       .withColumn("cu", CurationExtra.canonicalUrl(CurationExtra.synthUrl))
     // explicit schema: an empty store dir reads as an empty frame
     val seen = s.read.schema("cu STRING").parquet(seenDir)
-    // plain (non-broadcast) anti-join: the seen store is frontier-scale
-    // — at 100 TB it is the big side, the arriving batch the small one
-    val fresh = withCu.join(seen, Seq("cu"), "left_anti")
+    // the store is frontier-scale (at 100 TB it dwarfs every batch), so
+    // it must never SHUFFLE: broadcast the batch's tiny key set into the
+    // store scan (one narrow pass, matches only survive), then anti-join
+    // the batch against the broadcast INTERSECTION — semantically
+    // identical to anti-joining the whole store, restricted to batch
+    // rows, but the exchange carries ≤|batch| keys instead of the store
+    // (the d15 probe discipline applied to frontier state; at
+    // ScaleProbeS30's 455k-key store the wall delta is inside the drift
+    // band — the candidate-restricted digest semi-join dominates there —
+    // but the store-SHUFFLE term this removes is the one that grows
+    // with frontier state, and both routes still pay the narrow scan)
+    val batchKeys = withCu.select("cu").distinct()
+    val seenHits = seen.join(broadcast(batchKeys), Seq("cu"))
+    val fresh = withCu.join(broadcast(seenHits), Seq("cu"), "left_anti")
     // EAGER localCheckpoint, not persist: appending to the seen store
     // below invalidates every cached plan that references the store path
     // (Spark refreshes path-dependent caches on insert), so a persisted
