@@ -12,7 +12,10 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = Engine.session(parallelism = cpus, appName = "graft-bench")
 
-    val names = SparkEntry.benchNames
+    // optional first arg: comma-separated name prefixes — dev-loop subset
+    // runs ("graft.Bench p01,p02"); the driver passes no args
+    val only = args.lift(0).map(_.split(',').toSeq)
+    val names = SparkEntry.benchNames.filter(n => only.forall(_.exists(n.startsWith)))
     // warm every query's code path once at the smallest SF so the timed
     // runs measure the operators, not JIT/codegen/classloading (same plan
     // shapes → whole-stage-codegen cache hits at the target SF)

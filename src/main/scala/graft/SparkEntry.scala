@@ -22,6 +22,7 @@ object SparkEntry {
       functions.GeneratorsDates.defs ++
       ops.Dedup.defs ++
       ops.Pipeline.defs ++
+      ops.Incremental.defs ++
       ops.Similarity.defs ++
       ops.CurationExtra.defs ++
       ops.TextAnalysis.defs ++
@@ -74,7 +75,7 @@ object SparkEntry {
       "t12_sequence_pack", "t13_unigram_surprisal", "t17_bm25",
       "t29_bigram_lm", "t31_bpe_segment", "t35_gopher_repetition",
       "t37_unigram_segment",
-      "p01_full_curation",
+      "p01_full_curation", "p02_incremental_curation",
       "a01_pipe_cranker", "a02_pipe_throughput",
       "s01_stream_tumbling", "s10_stream_stateful_sessions",
       "s30_stream_curation_pipeline")
