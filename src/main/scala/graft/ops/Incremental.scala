@@ -174,7 +174,14 @@ object Incremental {
     val (dB, dS) = Dedup.lshBucketsAndShingles(
       e1, "doc_id", "t", shingleWords = 3, bands = 4, rowsPerBand = 2)
     val storeSh = s.read.schema("id LONG, h LONG").parquet(shDir)
+    // the self-pair guard is a no-op in a clean run (delta ids are
+    // disjoint from everything indexed) but load-bearing on a RETRY: a
+    // delta re-run after a crash that landed the band/shingle appends
+    // finds its own admitted docs in the index, and an unfiltered
+    // self-pair verifies at Jaccard 1.0 — every previously-admitted doc
+    // would drop as "its own duplicate"
     val cand = Dedup.probeBandIndex(s, idxTable, dB)
+      .filter(col("id_a") =!= col("id_b"))
     // dupStore needs no checkpoint of its own: e2's checkpoint below is
     // the pre-append materialization boundary for the whole store read
     val dupStore = Dedup.jaccardVerifiedPairs(cand, dS.unionAll(storeSh), tau = 0.5)
@@ -197,11 +204,22 @@ object Incremental {
       .localCheckpoint(true)
 
     // ---- stage 4: maintain the stores (all reads above are eager) ----
-    e3.select(col("h")).distinct().write.mode("append").parquet(exDir)
+    // Append ORDER is the crash-recovery contract: the three appends are
+    // not one transaction, so a job can die between them. Bands and
+    // shingles land FIRST; the exact-hash append is LAST because it is
+    // the admission marker — a retry of a partially-appended delta sees
+    // unmarked hashes, recomputes the identical admission (its own band
+    // residue yields only self-pairs, filtered above, and dup rows in
+    // the band/shingle stores are absorbed by the probes' distincts),
+    // and re-appends the same rows. IncrementalSpec proves the retry
+    // admits the identical set and the stores converge. Marker-first
+    // would instead drop the whole delta as "already seen" while its
+    // bands/shingles never land — silent index corruption.
     Dedup.appendBandIndex(s, dB.join(e3.select(col("doc_id").as("id")), Seq("id")),
       idxTable)
     dS.join(e3.select(col("doc_id").as("id")), Seq("id")).distinct()
       .write.mode("append").parquet(shDir)
+    e3.select(col("h")).distinct().write.mode("append").parquet(exDir)
 
     // census row: every input is a checkpointed mini-frame, so the lazy
     // crossJoin tree stays valid after the appends above

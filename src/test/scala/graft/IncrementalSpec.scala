@@ -64,4 +64,66 @@ class IncrementalSpec extends SparkTestBase {
     assert(selfPairs.isEmpty, "two admitted docs are near-duplicates")
     spark.catalog.clearCache()
   }
+
+  test("p02 delta retry after a crash between store appends is idempotent: " +
+    "re-running the delta against the partial state (bands + shingles " +
+    "landed, exact-hash marker did not) admits the identical set and the " +
+    "stores converge to the clean run's contents") {
+    import ops.{Dedup, Incremental}
+    // small synthetic universe (~150 docs) with the p02 plant applied —
+    // the crash drill needs two full store universes, so keep each cheap
+    val docs = spark.range(150)
+      .select(col("id").as("doc_id"),
+        expr("concat_ws(' ', transform(sequence(1, 25), " +
+          "i -> substr(md5(concat(cast(doc_id as string), ':', cast(i as string))), 1, 5)))")
+          .as("text"))
+      .select(col("doc_id"), expr(Incremental.plantSqlForProbe).as("t"))
+      .localCheckpoint(true)
+    val corpus = docs.filter(col("doc_id") % 11 =!= 5)
+
+    def init(tag: String): (String, String, String) = {
+      val idx = s"graft_band_index_p02retry_$tag"
+      val ex = Scratch.dir(s"graft_p02retry_ex_$tag")
+      val sh = Scratch.dir(s"graft_p02retry_sh_$tag")
+      val (cb, cs) = Dedup.lshBucketsAndShingles(corpus, "doc_id", "t", 3, 4, 2)
+      Dedup.writeBandIndex(spark, cb, idx)
+      cs.distinct().write.mode("overwrite").parquet(sh)
+      corpus.select(md5(col("t")).as("h")).distinct()
+        .write.mode("overwrite").parquet(ex)
+      (idx, ex, sh)
+    }
+
+    // control universe: delta 0 then delta 1, clean
+    val (iB, eB, sB) = init("ctl")
+    Incremental.deltaStep(spark, docs, 0, iB, eB, sB)
+    val (rowB, adm1B) = Incremental.deltaStep(spark, docs, 1, iB, eB, sB)
+    val nAdmB = rowB.collect()(0).getAs[Long]("n_admitted")
+    assert(nAdmB > 0, "control delta 1 admitted nothing — drill is vacuous")
+
+    // crashed universe: identical init + delta 0, then the PARTIAL state a
+    // crash between appends leaves (admitted docs' bands and shingles in
+    // the stores, exact-hash marker absent), then the delta-1 RETRY
+    val (iA, eA, sA) = init("crash")
+    Incremental.deltaStep(spark, docs, 0, iA, eA, sA)
+    val admDocs = adm1B.select(col("doc_id"), col("t"))
+    val (pB, pS) = Dedup.lshBucketsAndShingles(admDocs, "doc_id", "t", 3, 4, 2)
+    Dedup.appendBandIndex(spark, pB, iA)
+    pS.distinct().write.mode("append").parquet(sA)
+    val (rowA, adm1A) = Incremental.deltaStep(spark, docs, 1, iA, eA, sA)
+
+    assert(rows(adm1A.select("doc_id")) == rows(adm1B.select("doc_id")),
+      "retry admitted a different set than the clean run")
+    assert(rowA.collect()(0).getAs[Long]("n_admitted") == nAdmB)
+    // stores converge as SETS (the retry re-appends rows the crash already
+    // landed — duplicates, absorbed by the probes' distincts)
+    assert(rows(spark.table(iA)) == rows(spark.table(iB)),
+      "band index diverged after retry")
+    assert(rows(spark.read.schema("id LONG, h LONG").parquet(sA)) ==
+      rows(spark.read.schema("id LONG, h LONG").parquet(sB)),
+      "shingle store diverged after retry")
+    assert(rows(spark.read.schema("h STRING").parquet(eA)) ==
+      rows(spark.read.schema("h STRING").parquet(eB)),
+      "exact-hash store diverged after retry")
+    spark.catalog.clearCache()
+  }
 }
