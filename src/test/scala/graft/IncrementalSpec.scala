@@ -14,6 +14,29 @@ class IncrementalSpec extends SparkTestBase {
   private def rows(df: DataFrame): Set[String] =
     df.collect().map(_.toString).toSet
 
+  /** Small synthetic planted universe (~150 docs) for the store drills —
+    * cheap enough to build several store universes per test. */
+  private def smallUniverse(): DataFrame = spark.range(150)
+    .select(col("id").as("doc_id"),
+      expr("concat_ws(' ', transform(sequence(1, 25), " +
+        "i -> substr(md5(concat(cast(doc_id as string), ':', cast(i as string))), 1, 5)))")
+        .as("text"))
+    .select(col("doc_id"), expr(ops.Incremental.plantSqlForProbe).as("t"))
+    .localCheckpoint(true)
+
+  /** Init the three p02 stores over `corpus`, returning their handles. */
+  private def initStores(tag: String, corpus: DataFrame): (String, String, String) = {
+    val idx = s"graft_band_index_p02spec_$tag"
+    val ex = Scratch.dir(s"graft_p02spec_ex_$tag")
+    val sh = Scratch.dir(s"graft_p02spec_sh_$tag")
+    val (cb, cs) = ops.Dedup.lshBucketsAndShingles(corpus, "doc_id", "t", 3, 4, 2)
+    ops.Dedup.writeBandIndex(spark, cb, idx)
+    cs.distinct().write.mode("overwrite").parquet(sh)
+    corpus.select(md5(col("t")).as("h")).distinct()
+      .write.mode("overwrite").parquet(ex)
+    (idx, ex, sh)
+  }
+
   test("p02: maintained exact/band/shingle stores equal a from-scratch " +
     "rebuild on corpus + admitted, and all four drop paths fire") {
     val p02 = ops.Incremental.incrementalCuration(spark, sf001)
@@ -70,31 +93,12 @@ class IncrementalSpec extends SparkTestBase {
     "landed, exact-hash marker did not) admits the identical set and the " +
     "stores converge to the clean run's contents") {
     import ops.{Dedup, Incremental}
-    // small synthetic universe (~150 docs) with the p02 plant applied —
     // the crash drill needs two full store universes, so keep each cheap
-    val docs = spark.range(150)
-      .select(col("id").as("doc_id"),
-        expr("concat_ws(' ', transform(sequence(1, 25), " +
-          "i -> substr(md5(concat(cast(doc_id as string), ':', cast(i as string))), 1, 5)))")
-          .as("text"))
-      .select(col("doc_id"), expr(Incremental.plantSqlForProbe).as("t"))
-      .localCheckpoint(true)
+    val docs = smallUniverse()
     val corpus = docs.filter(col("doc_id") % 11 =!= 5)
 
-    def init(tag: String): (String, String, String) = {
-      val idx = s"graft_band_index_p02retry_$tag"
-      val ex = Scratch.dir(s"graft_p02retry_ex_$tag")
-      val sh = Scratch.dir(s"graft_p02retry_sh_$tag")
-      val (cb, cs) = Dedup.lshBucketsAndShingles(corpus, "doc_id", "t", 3, 4, 2)
-      Dedup.writeBandIndex(spark, cb, idx)
-      cs.distinct().write.mode("overwrite").parquet(sh)
-      corpus.select(md5(col("t")).as("h")).distinct()
-        .write.mode("overwrite").parquet(ex)
-      (idx, ex, sh)
-    }
-
     // control universe: delta 0 then delta 1, clean
-    val (iB, eB, sB) = init("ctl")
+    val (iB, eB, sB) = initStores("ctl", corpus)
     Incremental.deltaStep(spark, docs, 0, iB, eB, sB)
     val (rowB, adm1B) = Incremental.deltaStep(spark, docs, 1, iB, eB, sB)
     val nAdmB = rowB.collect()(0).getAs[Long]("n_admitted")
@@ -103,7 +107,7 @@ class IncrementalSpec extends SparkTestBase {
     // crashed universe: identical init + delta 0, then the PARTIAL state a
     // crash between appends leaves (admitted docs' bands and shingles in
     // the stores, exact-hash marker absent), then the delta-1 RETRY
-    val (iA, eA, sA) = init("crash")
+    val (iA, eA, sA) = initStores("crash", corpus)
     Incremental.deltaStep(spark, docs, 0, iA, eA, sA)
     val admDocs = adm1B.select(col("doc_id"), col("t"))
     val (pB, pS) = Dedup.lshBucketsAndShingles(admDocs, "doc_id", "t", 3, 4, 2)
@@ -124,6 +128,29 @@ class IncrementalSpec extends SparkTestBase {
     assert(rows(spark.read.schema("h STRING").parquet(eA)) ==
       rows(spark.read.schema("h STRING").parquet(eB)),
       "exact-hash store diverged after retry")
+    spark.catalog.clearCache()
+  }
+
+  test("p02 composed sequence is partition-count invariant: all three " +
+    "delta censuses are byte-identical under a different cluster shape — " +
+    "the same contract p01 and the solo heavy pipelines carry") {
+    import ops.Incremental
+    val docs = smallUniverse()
+    val corpus = docs.filter(col("doc_id") % 11 =!= 5)
+    val runs = Seq("4", "7").map { parts =>
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      try {
+        spark.catalog.clearCache()
+        val (idx, ex, sh) = initStores(s"pinv$parts", corpus)
+        (0 to 2).flatMap { k =>
+          val (row, _) = Incremental.deltaStep(spark, docs, k, idx, ex, sh)
+          row.collect().map(_.toString)
+        }
+      } finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+    }
+    assert(runs(0) == runs(1),
+      "p02 delta censuses depend on the shuffle partition count")
+    assert(runs(0).size == 3, "three delta census rows expected")
     spark.catalog.clearCache()
   }
 }
