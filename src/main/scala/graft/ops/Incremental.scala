@@ -108,6 +108,7 @@ object Incremental {
     s"""CASE
       WHEN doc_id % 11 = 5 AND $r IN (0, 3) THEN ${body(s"concat('exw|', $g)")}
       WHEN doc_id % 11 = 5 AND $r IN (1, 4) THEN ${mirror(s"concat('mirw|', $g)")}
+      WHEN doc_id % 11 = 5 AND $r IN (2, 8) THEN ${body(s"concat('exy|', $g)")}
       WHEN doc_id % 11 = 5 AND $r IN (5, 6) THEN ${body(s"concat('exx|', $g)")}
       WHEN doc_id % 11 = 5 AND $r IN (7, 9) THEN ${mirror(s"concat('mirx|', $g)")}
       WHEN doc_id % 11 IN (4, 5) AND $r = 10 THEN ${body(s"concat('exc|', $jl)")}
@@ -118,23 +119,31 @@ object Incremental {
   /** The plant expression, exposed for the profile/scale probes. */
   private[graft] def plantSqlForProbe: String = plantSql
 
-  def incrementalCuration(s: SparkSession, d: String): P02 = {
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), expr(plantSql).as("t"))
-    val corpus = docs.filter(col("doc_id") % 11 =!= 5)
+  /** The planted corpus view both p02 and its streaming twin s31 run on. */
+  private[graft] def plantedDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), expr(plantSql).as("t"))
 
-    // ---- store init: the once-per-corpus build ----
-    val idxTable = "graft_band_index_p02_" +
-      graft.Scratch.dir("graft_bi_p02").replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
-    val exDir = graft.Scratch.dir("graft_p02_exact")
-    val shDir = graft.Scratch.dir("graft_p02_shingles")
+  /** Store init — the once-per-corpus build (the rebuild-equivalent
+    * cost): band index, shingle digest, exact-hash store. */
+  private[graft] def initStores(s: SparkSession, corpus: DataFrame,
+      prefix: String): (String, String, String) = {
+    val idxTable = s"graft_band_index_${prefix}_" +
+      graft.Scratch.dir(s"graft_bi_$prefix").replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
+    val exDir = graft.Scratch.dir(s"graft_${prefix}_exact")
+    val shDir = graft.Scratch.dir(s"graft_${prefix}_shingles")
     val (cb, cs) = Dedup.lshBucketsAndShingles(
       corpus, "doc_id", "t", shingleWords = 3, bands = 4, rowsPerBand = 2)
     Dedup.writeBandIndex(s, cb, idxTable)
     cs.distinct().write.mode("overwrite").parquet(shDir)
     corpus.select(md5(col("t")).as("h")).distinct()
       .write.mode("overwrite").parquet(exDir)
+    (idxTable, exDir, shDir)
+  }
 
+  def incrementalCuration(s: SparkSession, d: String): P02 = {
+    val docs = plantedDocs(s, d)
+    val corpus = docs.filter(col("doc_id") % 11 =!= 5)
+    val (idxTable, exDir, shDir) = initStores(s, corpus, "p02")
     val steps = (0 to 2).map { k =>
       deltaStep(s, docs, k, idxTable, exDir, shDir)
     }
@@ -143,14 +152,24 @@ object Incremental {
     P02(census, idxTable, exDir, shDir, admitted, docs)
   }
 
-  /** One delta: admit, then maintain the stores. Returns (census row,
-    * admitted docs). Exposed private[graft] for the scale probe, which
-    * times store init and each delta separately. */
+  /** One delta of the batch pipeline: select the arrival split and admit
+    * it. Exposed private[graft] for the scale probe, which times store
+    * init and each delta separately. */
   private[graft] def deltaStep(s: SparkSession, docs: DataFrame, k: Int,
+      idxTable: String, exDir: String, shDir: String): (DataFrame, DataFrame) =
+    admitBatch(s,
+      docs.filter(col("doc_id") % 11 === 5 && col("doc_id") % 3 === lit(k.toLong)),
+      "delta", k.toLong, idxTable, exDir, shDir)
+
+  /** Admit ONE arriving batch (doc_id, t) against the maintained stores
+    * and append its admissions — the shared body of p02's deltas and
+    * s31's micro-batches. Returns (census row keyed `keyCol` = `key`,
+    * admitted docs). */
+  private[graft] def admitBatch(s: SparkSession, batch: DataFrame,
+      keyCol: String, key: Long,
       idxTable: String, exDir: String, shDir: String): (DataFrame, DataFrame) = {
     // the arriving batch (tiny vs the corpus) — eager: reused many times
-    val delta = docs
-      .filter(col("doc_id") % 11 === 5 && col("doc_id") % 3 === lit(k.toLong))
+    val delta = batch
       .select(col("doc_id"), col("t"), md5(col("t")).as("h"))
       .localCheckpoint(true)
 
@@ -230,7 +249,7 @@ object Incremental {
       .crossJoin(broadcast(kp.agg(count(lit(1)).as("n_kp"))))
       .crossJoin(broadcast(e1.agg(count(lit(1)).as("n_e1"))))
       .crossJoin(broadcast(e2.agg(count(lit(1)).as("n_e2"))))
-      .select(lit(k.toLong).as("delta"),
+      .select(lit(key).as(keyCol),
         col("n_arrived"),
         (col("n_arrived") - col("n_kp")).as("n_exact_within"),
         (col("n_kp") - col("n_e1")).as("n_exact_store"),
@@ -254,10 +273,10 @@ object Incremental {
       || ' ' || array_to_string(list_transform(generate_series(1, 3),
         i -> substring(md5(CAST(doc_id AS VARCHAR) || '~' || CAST(i AS VARCHAR)), 1, 6)), ' ')"""
 
-  private def deltaCtes(k: Int): String = {
+  private def deltaCtes(k: Int, where: String): String = {
     val prevH = (0 until k).map(i => s" UNION SELECT h FROM admh$i").mkString
     val prevIds = (0 until k).map(i => s" UNION ALL SELECT doc_id FROM adm$i").mkString
-    s"""dl$k AS MATERIALIZED (SELECT doc_id, md5(t) AS h FROM arr WHERE delta = $k),
+    s"""dl$k AS MATERIALIZED (SELECT doc_id, md5(t) AS h FROM arr WHERE $where),
        kp$k AS MATERIALIZED (SELECT h, min(doc_id) AS doc_id FROM dl$k GROUP BY h),
        e1_$k AS MATERIALIZED (SELECT doc_id, h FROM kp$k
                  WHERE h NOT IN (SELECT h FROM ch$prevH)),
@@ -314,8 +333,8 @@ object Incremental {
                   JOIN adm$k a ON a.doc_id = e.doc_id)"""
   }
 
-  private def censusSelect(k: Int): String =
-    s"""SELECT CAST($k AS BIGINT) AS delta,
+  private def censusSelect(k: Int, keyCol: String): String =
+    s"""SELECT CAST($k AS BIGINT) AS $keyCol,
         (SELECT count(*) FROM dl$k) AS n_arrived,
         (SELECT count(*) FROM dl$k) - (SELECT count(*) FROM kp$k) AS n_exact_within,
         (SELECT count(*) FROM kp$k) - (SELECT count(*) FROM e1_$k) AS n_exact_store,
@@ -324,7 +343,11 @@ object Incremental {
         (SELECT count(*) FROM adm$k) AS n_admitted,
         (SELECT CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM adm$k) AS sum_admitted_ids"""
 
-  private def oracle: String = {
+  /** The full replay oracle, parameterized over the batch partitioning:
+    * p02 chains three deltas on `doc_id % 3`; s31 chains two stream
+    * micro-batches on `doc_id % 2`. */
+  private[graft] def replayOracle(keyCol: String, n: Int,
+      where: Int => String): String = {
     val j = "(doc_id // 11)"
     val r = s"($j % 20)"
     val g = s"CAST(($j // 20) AS VARCHAR)"
@@ -334,6 +357,7 @@ object Incremental {
            CASE
              WHEN doc_id % 11 = 5 AND $r IN (0, 3) THEN ${oracleBody(s"'exw|' || $g")}
              WHEN doc_id % 11 = 5 AND $r IN (1, 4) THEN ${oracleMirror(s"'mirw|' || $g")}
+             WHEN doc_id % 11 = 5 AND $r IN (2, 8) THEN ${oracleBody(s"'exy|' || $g")}
              WHEN doc_id % 11 = 5 AND $r IN (5, 6) THEN ${oracleBody(s"'exx|' || $g")}
              WHEN doc_id % 11 = 5 AND $r IN (7, 9) THEN ${oracleMirror(s"'mirx|' || $g")}
              WHEN doc_id % 11 IN (4, 5) AND $r = 10 THEN ${oracleBody(s"'exc|' || $jl")}
@@ -341,7 +365,7 @@ object Incremental {
              ELSE text END AS t
          FROM documents),
        corp AS MATERIALIZED (SELECT doc_id, t FROM d0 WHERE doc_id % 11 != 5),
-       arr AS MATERIALIZED (SELECT doc_id, t, doc_id % 3 AS delta FROM d0 WHERE doc_id % 11 = 5),
+       arr AS MATERIALIZED (SELECT doc_id, t FROM d0 WHERE doc_id % 11 = 5),
        ws0 AS MATERIALIZED (SELECT doc_id, string_split(t, ' ') AS ws FROM d0),
        sh AS MATERIALIZED (
          SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
@@ -364,16 +388,15 @@ object Incremental {
                FROM hs),
        sz AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
        ch AS MATERIALIZED (SELECT DISTINCT md5(t) AS h FROM corp),
-       ${deltaCtes(0)},
-       ${deltaCtes(1)},
-       ${deltaCtes(2)}
-       SELECT delta, n_arrived, n_exact_within, n_exact_store,
+       ${(0 until n).map(k => deltaCtes(k, where(k))).mkString(",\n       ")}
+       SELECT $keyCol, n_arrived, n_exact_within, n_exact_store,
               n_near_store, n_near_within, n_admitted, sum_admitted_ids
-       FROM (${censusSelect(0)} UNION ALL ${censusSelect(1)} UNION ALL ${censusSelect(2)})
-       ORDER BY delta"""
+       FROM (${(0 until n).map(k => censusSelect(k, keyCol)).mkString(" UNION ALL ")})
+       ORDER BY $keyCol"""
   }
 
-  private val p02 = Q("p02_incremental_curation", oracle) { (s, d) =>
+  private val p02 = Q("p02_incremental_curation",
+    replayOracle("delta", 3, k => s"doc_id % 3 = $k")) { (s, d) =>
     incrementalCuration(s, d).census
   }
 

@@ -1650,9 +1650,71 @@ object StreamingQueries {
     s.read.parquet(outDir).orderBy("doc_id")
   }
 
+  /** The streaming form of p02 — the stores are MAINTAINED by the
+    * stream. s30 admits arrivals against a STATIC corpus index (two
+    * micro-batches of near-identical new docs both pass, because neither
+    * is indexed); s31 runs [[graft.ops.Incremental.admitBatch]] as the
+    * foreachBatch body, so every admitted doc's hash, band keys, and
+    * shingle set land in the external stores before the next micro-batch
+    * probes them — new-vs-new duplicates across batches are caught, and
+    * after the stream drains the stores are set-equal to a from-scratch
+    * rebuild on (corpus ∪ admitted), the same invariant IncrementalSpec
+    * proves for the batch pipeline (the spec re-proves it on THIS
+    * query's run).
+    *
+    * Arrivals reach the stream as two waves (doc_id % 2) of one file
+    * each, each drained by its own AvailableNow run over a shared
+    * checkpoint — deterministic micro-batch boundaries, so the DuckDB
+    * oracle replays the exact two-batch sequence with the shared
+    * chained-CTE generator ([[graft.ops.Incremental.replayOracle]]). */
+  private val s31 = Q("s31_stream_incremental_curation",
+    graft.ops.Incremental.replayOracle("batch", 2, k => s"doc_id % 2 = $k")) { (s, d) =>
+    import graft.ops.Incremental
+    val docs = Incremental.plantedDocs(s, d)
+    val corpus = docs.filter(col("doc_id") % 11 =!= 5)
+    val (idxTable, exDir, shDir) = Incremental.initStores(s, corpus, "s31")
+    val arrivals = docs.filter(col("doc_id") % 11 === 5)
+    val watched = graft.Scratch.dir("graft_s31_watched")
+    val outDir = graft.Scratch.dir("graft_s31_out")
+    val ckpt = graft.Scratch.dir("graft_s31_ckpt")
+    s31LastStores = (idxTable, exDir, shDir)
+    (0 to 1).foreach { b =>
+      // wave b arrives as ONE new file; the shared checkpoint makes the
+      // second run process only it — deterministic batch membership
+      val tmp = graft.Scratch.dir(s"graft_s31_wave$b")
+      arrivals.filter(col("doc_id") % 2 === lit(b.toLong))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(watched, s"arrival$b.parquet").toPath)
+      val q = s.readStream
+        .schema(StructType(Seq(StructField("doc_id", LongType),
+          StructField("t", StringType))))
+        .parquet(watched)
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val (row, _) = Incremental.admitBatch(s, batch.toDF(),
+            "batch", b.toLong, idxTable, exDir, shDir)
+          row.write.mode("append").parquet(outDir)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(outDir).orderBy("batch")
+  }
+
+  /** Store handles of the most recent s31 run, for the maintained ≡
+    * rebuilt spec (test-only introspection, same pattern as
+    * [[s30ProbeBroadcasts]]). */
+  @volatile private[graft] var s31LastStores: (String, String, String) = _
+
   val defs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
     s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25,
-    s26, s27, s28, s29, s30)
+    s26, s27, s28, s29, s30, s31)
 }
 
 /** s11's StatefulProcessor: cumulative (event count, value cents) per

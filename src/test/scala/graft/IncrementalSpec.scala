@@ -131,6 +131,46 @@ class IncrementalSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("s31 streaming-maintained stores equal a from-scratch rebuild on " +
+    "corpus + admitted, and the stream catches a new-vs-new duplicate " +
+    "across micro-batches (the case s30's static index cannot see)") {
+    import ops.{Dedup, Incremental}
+    val census = SparkEntry.queries("s31_stream_incremental_curation")(spark, sf0001)
+      .collect()
+    assert(census.length == 2, "one census row per micro-batch")
+    val (idxTable, exDir, shDir) = streaming.StreamingQueries.s31LastStores
+
+    // admitted ids are exactly the band-index ids beyond the corpus —
+    // bands are appended only for admitted docs
+    val docs = Incremental.plantedDocs(spark, sf0001)
+    val corpus = docs.filter(col("doc_id") % 11 =!= 5)
+    val admittedIds = spark.table(idxTable).select(col("id").as("doc_id")).distinct()
+      .join(corpus.select("doc_id"), Seq("doc_id"), "left_anti")
+    val surviving = corpus.unionByName(docs.join(admittedIds, Seq("doc_id")))
+
+    // maintenance-specific evidence: the planted exact twins at
+    // j % 20 in (0,3) share a body that exists NOWHERE in the corpus
+    // (the 'exw' namespace is arrival-only), and their id parities put
+    // them in OPPOSITE waves — doc 38 (j=3, even id) arrives in batch 0,
+    // doc 5 (j=0, odd id) in batch 1. Doc 5 can only drop against state
+    // batch 0 appended; a static index (s30's contract) admits both.
+    val admitted = rows(admittedIds)
+    assert(admitted.contains("[38]") && !admitted.contains("[5]"),
+      s"cross-batch exact twin not resolved by maintained state: $admitted")
+
+    val (rb, rs) = Dedup.lshBucketsAndShingles(
+      surviving, "doc_id", "t", shingleWords = 3, bands = 4, rowsPerBand = 2)
+    assert(rows(spark.table(idxTable)) == rows(rb.select(
+      concat_ws(":", col("band"), col("band_key")).as("bk"), col("id"))),
+      "streaming band index diverged from rebuild")
+    assert(rows(spark.read.schema("id LONG, h LONG").parquet(shDir)) ==
+      rows(rs.distinct()), "streaming shingle store diverged from rebuild")
+    assert(rows(spark.read.schema("h STRING").parquet(exDir)) ==
+      rows(surviving.select(md5(col("t")).as("h")).distinct()),
+      "streaming exact-hash store diverged from rebuild")
+    spark.catalog.clearCache()
+  }
+
   test("p02 composed sequence is partition-count invariant: all three " +
     "delta censuses are byte-identical under a different cluster shape — " +
     "the same contract p01 and the solo heavy pipelines carry") {
