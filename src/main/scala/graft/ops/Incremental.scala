@@ -51,9 +51,11 @@ import graft.{Q, Tables}
   * shuffled). A rebuild-based pipeline pays the corpus every run;
   * this one pays it once, which at 100 TB is the difference between a
   * nightly job and an impossible one. IncrementalSpec proves the
-  * maintained stores stay byte-equal to a from-scratch rebuild on
+  * maintained stores stay SET-equal to a from-scratch rebuild on
   * (corpus ∪ admitted) after all deltas — the invariant that makes
-  * "never rebuild" safe to claim.
+  * "never rebuild" safe to claim (set, not byte: a crash-retry may
+  * append duplicate band/shingle rows, absorbed by the probes'
+  * distincts — see the append-order comment in [[admitBatch]]).
   *
   * Output: one census row per delta — arrivals, drops by path (exact
   * within / exact vs store / near vs store / near within), admissions,
@@ -70,6 +72,14 @@ import graft.{Q, Tables}
   * near-dups (27 shared + 3 unique tokens, Jaccard ≈ 0.82), cross-delta
   * exact twins, cross-delta mirrors, and exact/mirror partners planted
   * in the CORPUS.
+  *
+  * Contract: deltas are ORDERED and admitted one at a time — the
+  * stores carry no lock, so two concurrent admissions could each miss
+  * the other's in-flight near-dups. A deployment shards ingest into a
+  * serial delta queue (the s31 streaming form gets this for free:
+  * micro-batches are serialized by the engine). Crash recovery within
+  * one delta is handled (append order + retry idempotence, below);
+  * concurrency across deltas is deliberately out of contract.
   *
   * Reference scope: the reference engine (Driver.java:1-172,
   * ExecutorMapper.java:1-273) is a stateless one-shot mapper; delta
