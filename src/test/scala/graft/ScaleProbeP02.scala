@@ -106,8 +106,8 @@ object ScaleProbeP02 {
       (nCorpus, tInit, tD0, tD1, adm0 + adm1)
     }
 
-    // JIT/codegen warm (50-doc corpus has no 50-99 id range for plant1:
-    // the dup-coverage requires only apply to the measured points)
+    // JIT/codegen warm — exists only to heat the code paths, so the
+    // dup-coverage requires apply to the measured points alone
     scalePoint("warm", "/root/testdata/sf0.001", strict = false)
     val (c5, i5, d5a, d5b, _) = scalePoint("5k", sf01)
     val (c50, i50, d50a, d50b, _) = scalePoint("50k", dir50k)
