@@ -357,7 +357,20 @@ object Incremental {
     * p02 chains three deltas on `doc_id % 3`; s31 chains two stream
     * micro-batches on `doc_id % 2`. */
   private[graft] def replayOracle(keyCol: String, n: Int,
-      where: Int => String): String = {
+      where: Int => String): String =
+    s"""$oraclePrelude,
+       ch AS MATERIALIZED (SELECT DISTINCT md5(t) AS h FROM corp),
+       ${(0 until n).map(k => deltaCtes(k, where(k))).mkString(",\n       ")}
+       SELECT $keyCol, n_arrived, n_exact_within, n_exact_store,
+              n_near_store, n_near_within, n_admitted, sum_admitted_ids
+       FROM (${(0 until n).map(k => censusSelect(k, keyCol)).mkString(" UNION ALL ")})
+       ORDER BY $keyCol"""
+
+  /** The shared oracle prelude: planted corpus + the full minhash/band/
+    * shingle machinery over ALL docs, as chained MATERIALIZED CTEs
+    * (DuckDB inlines every CTE per reference; without MATERIALIZED the
+    * chained replays re-scan the fixture exponentially). */
+  private def oraclePrelude: String = {
     val j = "(doc_id // 11)"
     val r = s"($j % 20)"
     val g = s"CAST(($j // 20) AS VARCHAR)"
@@ -396,13 +409,7 @@ object Incremental {
          FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)),
        shd AS MATERIALIZED (SELECT DISTINCT doc_id, h1 * 134217728 + h2 % 134217728 AS h
                FROM hs),
-       sz AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
-       ch AS MATERIALIZED (SELECT DISTINCT md5(t) AS h FROM corp),
-       ${(0 until n).map(k => deltaCtes(k, where(k))).mkString(",\n       ")}
-       SELECT $keyCol, n_arrived, n_exact_within, n_exact_store,
-              n_near_store, n_near_within, n_admitted, sum_admitted_ids
-       FROM (${(0 until n).map(k => censusSelect(k, keyCol)).mkString(" UNION ALL ")})
-       ORDER BY $keyCol"""
+       sz AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id)"""
   }
 
   private val p02 = Q("p02_incremental_curation",
@@ -410,5 +417,173 @@ object Incremental {
     incrementalCuration(s, d).census
   }
 
-  val defs: Seq[Q] = Seq(p02)
+  // ======================= d56: takedown =======================
+
+  /** Spec handles for the takedown run: census plus the store/tombstone
+    * locations and the post-takedown admitted set. */
+  final case class TakedownRun(census: DataFrame, idxTable: String,
+      exDir: String, shDir: String, removed: DataFrame,
+      admittedPre: DataFrame, admittedPost: DataFrame, planted: DataFrame)
+
+  /** Takedown list: a compliance sweep (%17 = 3) plus the planted corpus
+    * partners with even pair-group (j % 40 ∈ {10, 11}) — so SOME of the
+    * plant's exact/near corpus partners are removed (their arrival twins
+    * must be RE-admitted) and the odd-group partners stay (their twins
+    * must stay dropped): both takedown regimes are exercised by
+    * construction. Mirrored verbatim in the oracle. */
+  private def removedPred =
+    col("doc_id") % 17 === 3 ||
+      (col("doc_id") % 11 === 4 && expr("(doc_id div 11) % 40 in (10, 11)"))
+
+  /** d56 — takedown (right-to-be-forgotten / copyright removal) that
+    * preserves dedup-index correctness WITHOUT rebuilding the stores.
+    *
+    * Removing a doc from a 100 TB corpus cannot mean re-signing the
+    * corpus: the band index is bucketed files, the shingle store is
+    * append-only — neither supports in-place delete. The production
+    * answer is a TOMBSTONE set (removed ids — tiny, it broadcasts):
+    * probes filter tombstoned ids out of their results BEFORE the
+    * expensive verification stage, so a removed doc can no longer
+    * claim an arrival as its duplicate, while its dead rows in the
+    * stores are never touched (reclaimed by compaction, not by the
+    * query path). IncrementalSpec proves the tombstone-filtered probe
+    * admits EXACTLY what a from-scratch rebuild on the live corpus
+    * admits — the invariant that makes tombstones a correct takedown.
+    *
+    * The visible compliance effect is RE-ADMISSION: an arrival that was
+    * dropped as a duplicate of a now-removed doc is admissible again
+    * (the corpus lost that content — the fresh copy is wanted). The
+    * census runs the same arrival batch pre- and post-takedown and
+    * reports drops by path plus `n_readmitted` (admitted post ∖ pre).
+    * Store semantics: the exact store carries (doc_id, h) — each
+    * corpus doc owns its hash claim, so removing the owner removes the
+    * claim. A doc dropped in an EARLIER run as the removed doc's twin
+    * is not resurrected by the takedown (it was never stored);
+    * re-admission applies to arrivals probed after the takedown.
+    *
+    * Scale shape: the takedown list broadcasts (removals are rare
+    * relative to the corpus); the two probes share one arrival digest
+    * and the index/shingle stores are read exactly as d21/p02 read
+    * them — no rebuild, no extra corpus scan. */
+  private[graft] def takedownRun(s: SparkSession, d: String): TakedownRun = {
+    val docs = plantedDocs(s, d)
+    val corpus = docs.filter(col("doc_id") % 11 =!= 5)
+
+    // stores on the FULL corpus; the exact store carries (doc_id, h) so
+    // a hash claim is attributable to its owner
+    val idxTable = "graft_band_index_d56_" +
+      graft.Scratch.dir("graft_bi_d56").replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
+    val exDir = graft.Scratch.dir("graft_d56_exact")
+    val shDir = graft.Scratch.dir("graft_d56_shingles")
+    val (cb, cs) = Dedup.lshBucketsAndShingles(
+      corpus, "doc_id", "t", shingleWords = 3, bands = 4, rowsPerBand = 2)
+    Dedup.writeBandIndex(s, cb, idxTable)
+    cs.distinct().write.mode("overwrite").parquet(shDir)
+    corpus.select(col("doc_id"), md5(col("t")).as("h"))
+      .write.mode("overwrite").parquet(exDir)
+
+    val removed = corpus.filter(removedPred).select("doc_id")
+
+    // ONE arrival digest serves both phases
+    val arr = docs.filter(col("doc_id") % 11 === 5)
+      .select(col("doc_id"), col("t"), md5(col("t")).as("h"))
+    val arrC = Dedup.reuse(arr)
+    val (aB, aS) = Dedup.lshBucketsAndShingles(
+      arrC, "doc_id", "t", shingleWords = 3, bands = 4, rowsPerBand = 2)
+    val storeSh = s.read.schema("id LONG, h LONG").parquet(shDir)
+    val exStore = s.read.schema("doc_id LONG, h STRING").parquet(exDir)
+    val cand0 = Dedup.probeBandIndex(s, idxTable, aB)
+
+    def admit(tomb: Option[DataFrame]): DataFrame = {
+      // exact: live hash claims only — the store scans narrowly, the
+      // tombstone set and the arrival hash set both broadcast
+      val liveEx = tomb.fold(exStore)(t =>
+        exStore.join(broadcast(t), Seq("doc_id"), "left_anti"))
+      val hitH = liveEx.join(broadcast(arrC.select("h").distinct()), Seq("h"))
+        .select("h").distinct()
+      val de = arrC.join(broadcast(hitH), Seq("h")).select("doc_id")
+      // near: tombstoned ids leave the candidate list BEFORE verification
+      val candLive = tomb.fold(cand0)(t =>
+        cand0.join(broadcast(t.select(col("doc_id").as("id_b"))),
+          Seq("id_b"), "left_anti"))
+      val dn = Dedup.jaccardVerifiedPairs(candLive, aS.unionAll(storeSh), tau = 0.5)
+        .select(col("id_a").as("doc_id")).distinct()
+      Dedup.reuse(arrC
+        .join(de, Seq("doc_id"), "left_anti")
+        .join(dn, Seq("doc_id"), "left_anti")
+        .select("doc_id"))
+    }
+
+    val admPre = admit(None)
+    val admPost = admit(Some(removed))
+    def row(phase: String, adm: DataFrame, readmit: DataFrame): DataFrame =
+      adm.agg(count(lit(1)).as("n_admitted"),
+        coalesce(sum(col("doc_id")), lit(0L)).as("sum_admitted_ids"))
+        .crossJoin(broadcast(arrC.agg(count(lit(1)).as("n_arrived"))))
+        .crossJoin(broadcast(readmit.agg(count(lit(1)).as("n_readmitted"))))
+        .select(lit(phase).as("phase"), col("n_arrived"),
+          (col("n_arrived") - col("n_admitted")).as("n_dropped"),
+          col("n_admitted"), col("n_readmitted"), col("sum_admitted_ids"))
+    val census = row("pre", admPre, admPre.limit(0))
+      .unionByName(row("post", admPost, admPost.join(admPre, Seq("doc_id"), "left_anti")))
+      .orderBy("phase")
+    TakedownRun(census, idxTable, exDir, shDir, removed, admPre, admPost, docs)
+  }
+
+  private def takedownOracle: String = {
+    def phase(p: Int): String = {
+      val liveWhere = if (p == 1)
+        " WHERE doc_id NOT IN (SELECT doc_id FROM tomb)" else ""
+      s"""live$p AS MATERIALIZED (SELECT doc_id FROM corp$liveWhere),
+         de$p AS MATERIALIZED (
+           SELECT DISTINCT a.doc_id FROM arr a JOIN exall e ON md5(a.t) = e.h
+           WHERE e.doc_id IN (SELECT doc_id FROM live$p)),
+         cand$p AS MATERIALIZED (
+           SELECT DISTINCT n.doc_id AS id_a, o.doc_id AS id_b
+           FROM bands n JOIN bands o
+             ON n.band = o.band AND n.band_key = o.band_key
+           WHERE n.doc_id IN (SELECT doc_id FROM arr)
+             AND o.doc_id IN (SELECT doc_id FROM live$p)),
+         dn$p AS MATERIALIZED (
+           SELECT DISTINCT i.id_a AS doc_id FROM (
+             SELECT c.id_a, c.id_b, count(*) AS ni FROM cand$p c
+               JOIN shd a ON a.doc_id = c.id_a
+               JOIN shd b ON b.doc_id = c.id_b AND b.h = a.h
+             GROUP BY c.id_a, c.id_b) i
+             JOIN sz sa ON sa.doc_id = i.id_a
+             JOIN sz sb ON sb.doc_id = i.id_b
+           WHERE i.ni * 1.0 / (sa.n + sb.n - i.ni) >= 0.5),
+         adm$p AS MATERIALIZED (
+           SELECT doc_id FROM arr
+           WHERE doc_id NOT IN (SELECT doc_id FROM de$p)
+             AND doc_id NOT IN (SELECT doc_id FROM dn$p))"""
+    }
+    def row(p: Int, name: String, readmit: String): String =
+      s"""SELECT '$name' AS phase,
+          (SELECT count(*) FROM arr) AS n_arrived,
+          (SELECT count(*) FROM arr) - (SELECT count(*) FROM adm$p) AS n_dropped,
+          (SELECT count(*) FROM adm$p) AS n_admitted,
+          $readmit AS n_readmitted,
+          (SELECT CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM adm$p) AS sum_admitted_ids"""
+    s"""$oraclePrelude,
+       exall AS MATERIALIZED (SELECT doc_id, md5(t) AS h FROM corp),
+       tomb AS MATERIALIZED (
+         SELECT doc_id FROM corp
+         WHERE doc_id % 17 = 3
+            OR (doc_id % 11 = 4 AND (doc_id // 11) % 40 IN (10, 11))),
+       ${phase(0)},
+       ${phase(1)}
+       SELECT phase, n_arrived, n_dropped, n_admitted, n_readmitted, sum_admitted_ids
+       FROM (${row(0, "pre", "CAST(0 AS BIGINT)")}
+             UNION ALL
+             ${row(1, "post",
+      "(SELECT count(*) FROM adm1 WHERE doc_id NOT IN (SELECT doc_id FROM adm0))")})
+       ORDER BY phase"""
+  }
+
+  private val d56 = Q("d56_takedown_readmission", takedownOracle) { (s, d) =>
+    takedownRun(s, d).census
+  }
+
+  val defs: Seq[Q] = Seq(p02, d56)
 }

@@ -171,6 +171,55 @@ class IncrementalSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("d56 tombstone takedown equals a from-scratch rebuild on the live " +
+    "corpus: the filtered probe admits exactly what stores built without " +
+    "the removed docs admit, and the planted twins flip as designed") {
+    import ops.{Dedup, Incremental}
+    val run = Incremental.takedownRun(spark, sf001)
+    val census = run.census.collect().map(r =>
+      r.getAs[String]("phase") -> r).toMap
+    assert(census("post").getAs[Long]("n_readmitted") >= 2,
+      "takedown re-admitted nothing — the compliance effect is vacuous")
+
+    // planted flips: partners of j%40 in (10,11) are removed → arrivals
+    // 115 (exact twin of corpus 114) and 126 (near twin of 125) re-admit;
+    // partners of j%40 in (30,31) stay live → 335 and 346 stay dropped
+    val pre = rows(run.admittedPre)
+    val post = rows(run.admittedPost)
+    assert(!pre.contains("[115]") && post.contains("[115]"),
+      "removed exact partner did not free its arrival twin")
+    assert(!pre.contains("[126]") && post.contains("[126]"),
+      "removed near partner did not free its arrival twin")
+    assert(!post.contains("[335]") && !post.contains("[346]"),
+      "a twin of a still-live partner was wrongly re-admitted")
+
+    // rebuild equivalence: stores built on the live corpus only, probed
+    // WITHOUT tombstones, must admit the identical set
+    val docs = run.planted
+    val live = docs.filter(col("doc_id") % 11 =!= 5)
+      .join(run.removed, Seq("doc_id"), "left_anti")
+    val idx2 = "graft_band_index_d56_rebuild"
+    val ex2 = Scratch.dir("graft_d56rb_ex")
+    val sh2 = Scratch.dir("graft_d56rb_sh")
+    val (lb, ls) = Dedup.lshBucketsAndShingles(live, "doc_id", "t", 3, 4, 2)
+    Dedup.writeBandIndex(spark, lb, idx2)
+    ls.distinct().write.mode("overwrite").parquet(sh2)
+    val arr = docs.filter(col("doc_id") % 11 === 5)
+      .select(col("doc_id"), col("t"), md5(col("t")).as("h"))
+    val liveH = live.select(md5(col("t")).as("h")).distinct()
+    val de = arr.join(liveH, Seq("h")).select("doc_id")
+    val (aB, aS) = Dedup.lshBucketsAndShingles(arr, "doc_id", "t", 3, 4, 2)
+    val dn = Dedup.jaccardVerifiedPairs(
+      Dedup.probeBandIndex(spark, idx2, aB),
+      aS.unionAll(spark.read.schema("id LONG, h LONG").parquet(sh2)), tau = 0.5)
+      .select(col("id_a").as("doc_id")).distinct()
+    val rebuiltAdmitted = arr.join(de, Seq("doc_id"), "left_anti")
+      .join(dn, Seq("doc_id"), "left_anti").select("doc_id")
+    assert(post == rows(rebuiltAdmitted),
+      "tombstone-filtered probe diverged from the live-corpus rebuild")
+    spark.catalog.clearCache()
+  }
+
   test("p02 composed sequence is partition-count invariant: all three " +
     "delta censuses are byte-identical under a different cluster shape — " +
     "the same contract p01 and the solo heavy pipelines carry") {
