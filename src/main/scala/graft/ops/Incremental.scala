@@ -203,14 +203,21 @@ object Incremental {
     val (dB, dS) = Dedup.lshBucketsAndShingles(
       e1, "doc_id", "t", shingleWords = 3, bands = 4, rowsPerBand = 2)
     val storeSh = s.read.schema("id LONG, h LONG").parquet(shDir)
-    // the self-pair guard is a no-op in a clean run (delta ids are
+    // the residue guard is a no-op in a clean run (delta ids are
     // disjoint from everything indexed) but load-bearing on a RETRY: a
     // delta re-run after a crash that landed the band/shingle appends
-    // finds its own admitted docs in the index, and an unfiltered
-    // self-pair verifies at Jaccard 1.0 — every previously-admitted doc
-    // would drop as "its own duplicate"
+    // finds its own admitted docs in the index. Filtering only exact
+    // self-pairs is NOT enough — in a 3-doc chain A~B~C with A≏C, B
+    // would drop at THIS stage against its own delta's residue copy of
+    // A, B's within-delta edges would then vanish from stage 3, and C
+    // would be wrongly admitted. Any id of the ARRIVING batch can
+    // appear on the index side only as retry residue, so anti-joining
+    // the batch's full id set restores the clean run's stage-2 input
+    // exactly and stage 3 recomputes identically (IncrementalSpec's
+    // chain-retry drill proves it)
     val cand = Dedup.probeBandIndex(s, idxTable, dB)
-      .filter(col("id_a") =!= col("id_b"))
+      .join(broadcast(delta.select(col("doc_id").as("id_b"))),
+        Seq("id_b"), "left_anti")
     // dupStore needs no checkpoint of its own: e2's checkpoint below is
     // the pre-append materialization boundary for the whole store read
     val dupStore = Dedup.jaccardVerifiedPairs(cand, dS.unionAll(storeSh), tau = 0.5)
@@ -238,7 +245,7 @@ object Incremental {
     // shingles land FIRST; the exact-hash append is LAST because it is
     // the admission marker — a retry of a partially-appended delta sees
     // unmarked hashes, recomputes the identical admission (its own band
-    // residue yields only self-pairs, filtered above, and dup rows in
+    // residue is anti-joined out of the probe above, and dup rows in
     // the band/shingle stores are absorbed by the probes' distincts),
     // and re-appends the same rows. IncrementalSpec proves the retry
     // admits the identical set and the stores converge. Marker-first

@@ -1695,10 +1695,20 @@ object StreamingQueries {
         .writeStream
         .outputMode(OutputMode.Append())
         .option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          val (row, _) = Incremental.admitBatch(s, batch.toDF(),
-            "batch", b.toLong, idxTable, exDir, shDir)
-          row.write.mode("append").parquet(outDir)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          // contract: one new file → ONE non-empty micro-batch per wave.
+          // Empty batches (a no-data trigger) are skipped; a non-empty
+          // batch whose id disagrees with the wave counter means the
+          // one-file-one-batch assumption broke (e.g. a session
+          // maxFilesPerTrigger conf) — fail loudly instead of writing
+          // two census rows under one key
+          if (!batch.isEmpty) {
+            require(batchId == b.toLong,
+              s"s31 wave $b saw micro-batch $batchId: one-file-one-batch broken")
+            val (row, _) = Incremental.admitBatch(s, batch.toDF(),
+              "batch", b.toLong, idxTable, exDir, shDir)
+            row.write.mode("append").parquet(outDir)
+          }
         }
         .trigger(Trigger.AvailableNow())
         .start()

@@ -131,6 +131,75 @@ class IncrementalSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("p02 retry idempotence holds for TRANSITIVE near-dup chains: with " +
+    "A~B, B~C, A≁C in one batch, a retry against partial store state " +
+    "(bands + shingles landed, marker absent) must not drop B against its " +
+    "own residue copy of A — stage 3 must recompute the full chain and " +
+    "admit exactly the clean run's set") {
+    import ops.{Dedup, Incremental}
+    import spark.implicits._
+    // chain construction: 30-token docs over a private vocab. Shingle
+    // (3-gram) Jaccards by token-run arithmetic: J(X,Y) = J(Y,Z) =
+    // 23/33 ≈ 0.70 ≥ τ=0.5; J(X,Z) = 18/38 ≈ 0.47 < τ. The 'cae'
+    // vocab prefix is chosen (offline md5 replay of the banding
+    // scheme) so BOTH chain edges deterministically band-collide at
+    // 4×2 banding while X–Z does not even share a band
+    val t = (1 to 30).map(i => f"cae$i%02d")
+    val docsB = Seq(
+      1001L -> (t.take(25) ++ (1 to 5).map(i => s"xaa$i")),   // X
+      1002L -> t,                                             // Y
+      1003L -> (t.drop(5) ++ (1 to 5).map(i => s"zqq$i")),    // Z
+      1004L -> (1 to 30).map(i => s"fil4t$i"),
+      1005L -> (1 to 30).map(i => s"fil5t$i"))
+    val batch = docsB.map { case (id, ts) => (id, ts.mkString(" ")) }
+      .toDF("doc_id", "t").localCheckpoint(true)
+    val corpus = spark.range(1, 41).select(col("id").as("doc_id"),
+      expr("concat_ws(' ', transform(sequence(1, 30), " +
+        "i -> concat('cor', cast(id as string), '_', cast(i as string))))").as("t"))
+      .localCheckpoint(true)
+
+    // non-vacuity: the banded + verified within-batch graph is EXACTLY
+    // the open chain X—Y—Z (banding caught both edges; X–Z verified out)
+    val (bB, bS) = Dedup.lshBucketsAndShingles(batch, "doc_id", "t", 3, 4, 2)
+    val edges = Dedup.jaccardVerifiedPairs(
+      Dedup.candidatePairs(bB, cap = Dedup.DefaultBucketCap, materialize = false),
+      bS, tau = 0.5)
+      .select(least(col("id_a"), col("id_b")), greatest(col("id_a"), col("id_b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges == Set((1001L, 1002L), (1002L, 1003L)),
+      s"chain plant is not the open 3-chain: $edges")
+
+    // control: one clean admission — cluster {X,Y,Z} keeps min-id X
+    val (iB2, eB2, sB2) = initStores("chainctl", corpus)
+    val (rowB, admB) = Incremental.admitBatch(spark, batch, "delta", 0L, iB2, eB2, sB2)
+    assert(rows(admB.select("doc_id")) == Set("[1001]", "[1004]", "[1005]"),
+      "clean run did not collapse the chain to its min-id rep")
+    assert(rowB.collect()(0).getAs[Long]("n_near_within") == 2L)
+
+    // crash universe: bands + shingles of the clean run's admitted docs
+    // landed, exact-hash marker did not; then the batch RETRIES
+    val (iA2, eA2, sA2) = initStores("chaincrash", corpus)
+    val admDocs = batch.join(admB.select("doc_id"), Seq("doc_id"))
+      .select(col("doc_id"), col("t"))
+    val (pB, pS) = Dedup.lshBucketsAndShingles(admDocs, "doc_id", "t", 3, 4, 2)
+    Dedup.appendBandIndex(spark, pB, iA2)
+    pS.distinct().write.mode("append").parquet(sA2)
+    val (_, admA) = Incremental.admitBatch(spark, batch, "delta", 0L, iA2, eA2, sA2)
+
+    assert(rows(admA.select("doc_id")) == rows(admB.select("doc_id")),
+      "chain retry admitted a different set: B dropped against its own " +
+        "residue and C leaked through")
+    assert(rows(spark.table(iA2)) == rows(spark.table(iB2)),
+      "band index diverged after chain retry")
+    assert(rows(spark.read.schema("id LONG, h LONG").parquet(sA2)) ==
+      rows(spark.read.schema("id LONG, h LONG").parquet(sB2)),
+      "shingle store diverged after chain retry")
+    assert(rows(spark.read.schema("h STRING").parquet(eA2)) ==
+      rows(spark.read.schema("h STRING").parquet(eB2)),
+      "exact-hash store diverged after chain retry")
+    spark.catalog.clearCache()
+  }
+
   test("s31 streaming-maintained stores equal a from-scratch rebuild on " +
     "corpus + admitted, and the stream catches a new-vs-new duplicate " +
     "across micro-batches (the case s30's static index cannot see)") {

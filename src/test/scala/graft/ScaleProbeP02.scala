@@ -58,11 +58,17 @@ object ScaleProbeP02 {
       // each delta carries DISTINCT fresh content (delta 1 re-sending
       // delta 0's texts would be — correctly — dropped wholesale as
       // exact-store dups) plus 50 docs copied from the current corpus
-      // under fresh ids: the guaranteed store-dup work at every scale
-      val plant0 = rekey(corpus0.orderBy("doc_id").limit(50)
+      // under fresh ids: the guaranteed store-dup work at every scale.
+      // Ranked by row_number so plant1 is exactly the NEXT 50 corpus
+      // docs, disjoint from plant0 (ids are not dense, so a doc_id
+      // threshold would overlap)
+      val ranked = corpus0.orderBy("doc_id").limit(100)
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("doc_id")))
+      val plant0 = rekey(ranked.filter(col("rn") <= 50)
         .select(col("doc_id"), col("text")), 27L, 40000000L)
-      val plant1 = rekey(corpus0.orderBy("doc_id").limit(100)
-        .filter(col("doc_id") >= 50).select(col("doc_id"), col("text")), 16L, 50000000L)
+      val plant1 = rekey(ranked.filter(col("rn") > 50)
+        .select(col("doc_id"), col("text")), 16L, 50000000L)
       val delta0 = rekey(fixedArrivals.filter(col("doc_id") % 2 === 0), 27L, 10000000L)
         .unionByName(plant0.select(col("doc_id"), col("t")))
       val delta1 = rekey(fixedArrivals.filter(col("doc_id") % 2 === 1), 16L, 20000000L)
