@@ -310,7 +310,7 @@ object Pipeline {
   }
 
   private def oracle: String =
-    s"""WITH RECURSIVE raw AS (
+    s"""WITH RECURSIVE raw AS MATERIALIZED (
          SELECT doc_id,
                 'https://' || (CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END)
                   || '.example.com/article/' || CAST(doc_id // 140 AS VARCHAR)
@@ -319,15 +319,15 @@ object Pipeline {
                                       WHEN 1 THEN '?ref=home' ELSE '' END)
                   || (CASE WHEN doc_id % 6 = 0 THEN '#sec-' || CAST(doc_id % 5 AS VARCHAR) ELSE '' END) AS url
          FROM documents),
-       canon AS (
+       canon AS MATERIALIZED (
          SELECT doc_id, url,
                 lower(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
                   url, '#.*$$', ''), '\\?utm_[^#]*$$', ''), '/\\?', '?'), '/$$', '')) AS cu
          FROM raw),
-       k1 AS (SELECT cu, min(doc_id) AS doc_id FROM canon GROUP BY cu),
-       f1 AS (SELECT d.doc_id, d.source, d.lang, d.text
+       k1 AS MATERIALIZED (SELECT cu, min(doc_id) AS doc_id FROM canon GROUP BY cu),
+       f1 AS MATERIALIZED (SELECT d.doc_id, d.source, d.lang, d.text
               FROM documents d JOIN k1 ON k1.doc_id = d.doc_id),
-       f2 AS (
+       f2 AS MATERIALIZED (
          SELECT doc_id, source, lang,
                 CAST(len(regexp_extract_all(dtxt, '$MA|$MD')) AS BIGINT) AS n_marks,
                 replace(replace(dtxt, '$MA', '$RA'), '$MD', '$RD') AS rt
@@ -343,7 +343,7 @@ object Pipeline {
                            WHEN doc_id % 5 = 1 THEN text || ' $MD fin'
                            ELSE text END AS dtxt
                FROM f1)),
-       sc AS (
+       sc AS MATERIALIZED (
          SELECT doc_id, source, lang, n_marks, rt,
                 CASE WHEN sc_en >= greatest(sc_es, sc_de, sc_fr) AND sc_en > 0 THEN 'en'
                      WHEN sc_es >= greatest(sc_de, sc_fr) AND sc_es > 0 THEN 'es'
@@ -356,62 +356,62 @@ object Pipeline {
                       len(list_filter(string_split(rt, ' '), t -> t IN ('der','und','das'))) AS sc_de,
                       len(list_filter(string_split(rt, ' '), t -> t IN ('le','et','les'))) AS sc_fr
                FROM f2)),
-       f3 AS (SELECT doc_id, source, rt FROM sc WHERE predicted = 'en'),
-       f4 AS (
+       f3 AS MATERIALIZED (SELECT doc_id, source, rt FROM sc WHERE predicted = 'en'),
+       f4 AS MATERIALIZED (
          SELECT doc_id, source, rt, CAST(len(string_split(rt, ' ')) AS BIGINT) AS n_tok
          FROM f3
          WHERE len(string_split(rt, ' ')) >= 20
            AND len(list_distinct(string_split(rt, ' '))) >= 10),
-       ex AS (SELECT md5(rt) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+       ex AS MATERIALIZED (SELECT md5(rt) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
               FROM f4 GROUP BY md5(rt)),
-       f5 AS (SELECT f4.doc_id, f4.source, f4.rt, f4.n_tok
+       f5 AS MATERIALIZED (SELECT f4.doc_id, f4.source, f4.rt, f4.n_tok
               FROM f4 JOIN ex ON ex.keep_id = f4.doc_id),
-       shw AS (SELECT doc_id, string_split(rt, ' ') AS ws FROM f5),
-       sh AS (
+       shw AS MATERIALIZED (SELECT doc_id, string_split(rt, ' ') AS ws FROM f5),
+       sh AS MATERIALIZED (
          SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
          FROM (SELECT doc_id, ws,
                       unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
                FROM shw)),
-       hs AS (
+       hs AS MATERIALIZED (
          SELECT doc_id, ('0x' || substring(md5(sh), 1, 8))::BIGINT AS h1,
                 ('0x' || substring(md5(sh), 9, 8))::BIGINT AS h2
          FROM sh),
-       sig AS (
+       sig AS MATERIALIZED (
          SELECT doc_id, seed, min(h1 + seed * h2) AS mh
          FROM hs, (SELECT unnest(generate_series(0, 7)) AS seed) seeds
          GROUP BY doc_id, seed),
-       bands AS (
+       bands AS MATERIALIZED (
          SELECT doc_id, CAST(seed // 2 AS INT) AS band,
                 md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS band_key
          FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)),
-       bandc AS (
+       bandc AS MATERIALIZED (
          -- mirrors Dedup.dropOversizedBuckets' cap (pinned to the shared
          -- DefaultBucketCap constant on the Spark side): a band bucket
          -- above the cap emits no pairs
          SELECT doc_id, band, band_key FROM bands
          QUALIFY count(*) OVER (PARTITION BY band, band_key) <= ${Dedup.DefaultBucketCap}),
-       prs AS (
+       prs AS MATERIALIZED (
          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          FROM bandc a JOIN bandc b
            ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-       shd AS (SELECT DISTINCT doc_id, h1 * 134217728 + h2 % 134217728 AS h
+       shd AS MATERIALIZED (SELECT DISTINCT doc_id, h1 * 134217728 + h2 % 134217728 AS h
                FROM hs),
-       sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
-       inter AS (
+       sz AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+       inter AS MATERIALIZED (
          SELECT p.id_a, p.id_b, count(*) AS ni
          FROM prs p
            JOIN shd a ON a.doc_id = p.id_a
            JOIN shd b ON b.doc_id = p.id_b AND b.h = a.h
          GROUP BY p.id_a, p.id_b),
-       vpairs AS (
+       vpairs AS MATERIALIZED (
          SELECT i.id_a, i.id_b FROM inter i
            JOIN sz sa ON sa.doc_id = i.id_a
            JOIN sz sb ON sb.doc_id = i.id_b
          WHERE i.ni * 1.0 / (sa.n + sb.n - i.ni) >= 0.5),
-       nds AS (
+       nds AS MATERIALIZED (
          SELECT DISTINCT id FROM (
            SELECT id_a AS id FROM vpairs UNION ALL SELECT id_b AS id FROM vpairs)),
-       edges AS (
+       edges AS MATERIALIZED (
          SELECT id_a AS src, id_b AS dst FROM vpairs
          UNION ALL SELECT id_b AS src, id_a AS dst FROM vpairs),
        reach(a, b) AS (
@@ -419,31 +419,31 @@ object Pipeline {
          UNION
          SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
        comp AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a),
-       f6 AS (
+       f6 AS MATERIALIZED (
          SELECT doc_id, source, rt, n_tok FROM (
            SELECT f5.doc_id, f5.source, f5.rt, f5.n_tok,
                   coalesce(c.component, f5.doc_id) AS cluster
            FROM f5 LEFT JOIN comp c ON c.doc_id = f5.doc_id)
          QUALIFY doc_id = min(doc_id) OVER (PARTITION BY cluster, source)),
-       bench AS (
+       bench AS MATERIALIZED (
          SELECT DISTINCT md5(array_to_string(ws[i:i+12], ' ')) AS gh
          FROM (SELECT string_split(text, ' ') AS ws FROM documents WHERE doc_id % 7 = 0) t,
               unnest(generate_series(1, greatest(len(t.ws) - 12, 1))) AS u(i)),
-       cg AS (
+       cg AS MATERIALIZED (
          SELECT DISTINCT doc_id, md5(array_to_string(ws[i:i+12], ' ')) AS gh
          FROM (SELECT doc_id, string_split(rt, ' ') AS ws FROM f6 WHERE doc_id % 7 != 0) t,
               unnest(generate_series(1, greatest(len(t.ws) - 12, 1))) AS u(i)),
-       gsz AS (SELECT doc_id, count(*) AS n_g FROM cg GROUP BY doc_id),
-       hits AS (SELECT c.doc_id, count(*) AS n_h
+       gsz AS MATERIALIZED (SELECT doc_id, count(*) AS n_g FROM cg GROUP BY doc_id),
+       hits AS MATERIALIZED (SELECT c.doc_id, count(*) AS n_h
                 FROM cg c JOIN bench b ON b.gh = c.gh GROUP BY c.doc_id),
-       dec AS (
+       dec AS MATERIALIZED (
          SELECT g.doc_id,
                 (coalesce(h.n_h, 0) * 1.0 / g.n_g) > 0.05 AS dirty
          FROM gsz g LEFT JOIN hits h ON h.doc_id = g.doc_id),
-       f7 AS (
+       f7 AS MATERIALIZED (
          SELECT f6.doc_id, f6.n_tok
          FROM f6 JOIN dec ON dec.doc_id = f6.doc_id AND NOT dec.dirty),
-       f8 AS (
+       f8 AS MATERIALIZED (
          SELECT doc_id, n_tok,
                 CASE WHEN ('0x' || substring(md5(CAST(cluster AS VARCHAR)), 1, 4))::BIGINT % 100 < 90 THEN 'train'
                      WHEN ('0x' || substring(md5(CAST(cluster AS VARCHAR)), 1, 4))::BIGINT % 100 < 95 THEN 'val'
@@ -453,12 +453,12 @@ object Pipeline {
                      ELSE 'test' END AS doc_split
          FROM (SELECT f7.doc_id, f7.n_tok, coalesce(c.component, f7.doc_id) AS cluster
                FROM f7 LEFT JOIN comp c ON c.doc_id = f7.doc_id)),
-       pk AS (
+       pk AS MATERIALIZED (
          SELECT split, doc_id, n_tok,
                 sum(n_tok) OVER (PARTITION BY split ORDER BY doc_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
          FROM f8),
-       bins AS (
+       bins AS MATERIALIZED (
          SELECT split, CAST((cum - n_tok) // 512 AS BIGINT) AS bin, count(*) AS n_docs
          FROM pk GROUP BY split, CAST((cum - n_tok) // 512 AS BIGINT))
        SELECT CAST(stage AS BIGINT) AS stage, name, n_in, n_out, sum_ids, detail

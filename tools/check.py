@@ -7,7 +7,7 @@ Compares each Spark result parquet against the DuckDB oracle SQL: columns
 sorted by name, rows sorted, exact value match (floats reported with max
 abs diff when unequal).
 """
-import json, math, sys
+import json, math, sys, time
 import duckdb
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
@@ -39,37 +39,44 @@ def cmp_cell(a, b):
         pass
     return a == b
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, json_path=None):
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    report = {}
     failures = 0
+    t_start = time.time()
     for name, sql in sorted(oracle.items()):
         try:
             exp = canon(con.sql(sql).df())
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
+            report[name] = {"status": "fail", "reason": f"oracle SQL error: {e}"}
             failures += 1
             continue
         try:
             got = canon(con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df())
         except Exception as e:
             print(f"FAIL {name}: spark output missing/unreadable: {e}")
+            report[name] = {"status": "fail", "reason": f"spark output missing: {e}"}
             failures += 1
             continue
         if list(exp.columns) != list(got.columns):
             print(f"FAIL {name}: columns exp={list(exp.columns)} got={list(got.columns)}")
+            report[name] = {"status": "fail", "reason": "column mismatch"}
             failures += 1
             continue
         dt = [(c, str(exp[c].dtype), str(got[c].dtype)) for c in exp.columns
               if str(exp[c].dtype) != str(got[c].dtype)]
         if dt:
             print(f"FAIL {name}: dtype mismatch {dt}")
+            report[name] = {"status": "fail", "reason": f"dtype mismatch {dt}"}
             failures += 1
             continue
         if len(exp) != len(got):
             print(f"FAIL {name}: rows exp={len(exp)} got={len(got)}")
+            report[name] = {"status": "fail", "reason": f"rows exp={len(exp)} got={len(got)}"}
             failures += 1
             continue
         bad = None
@@ -86,9 +93,12 @@ def main(sf_dir, out_dir):
             c, i, a, b = bad
             extra = f" maxfloatdiff={maxdiff:.3e}" if maxdiff else ""
             print(f"FAIL {name}: first diff col={c} row={i} exp={a!r} got={b!r}{extra}")
+            report[name] = {"status": "fail",
+                            "reason": f"value diff col={c} row={i}{extra}"}
             failures += 1
         else:
             print(f"OK   {name} ({len(exp)} rows)")
+            report[name] = {"status": "ok", "rows": len(exp)}
     # rows-only queries (no oracle): just confirm output exists
     import os
     for d in sorted(os.listdir(out_dir)):
@@ -97,13 +107,24 @@ def main(sf_dir, out_dir):
             try:
                 n = con.sql(f"SELECT count(*) FROM '{p}/*.parquet'").fetchone()[0]
                 print(f"OK?  {d} (rows-only, {n} rows)")
+                report[d] = {"status": "rows_only", "rows": int(n)}
             except Exception as e:
                 print(f"FAIL {d}: rows-only output unreadable: {e}")
+                report[d] = {"status": "fail", "reason": "rows-only unreadable"}
                 failures += 1
     print(f"\n{'ALL GREEN' if failures == 0 else str(failures) + ' FAILURES'}")
+    if json_path:
+        summary = {"sf_dir": sf_dir, "out_dir": out_dir,
+                   "n_queries": len(report), "n_failures": failures,
+                   "wall_sec": round(time.time() - t_start, 1),
+                   "all_green": failures == 0, "queries": report}
+        with open(json_path, "w") as f:
+            json.dump(summary, f, indent=1, sort_keys=True)
+        print(f"wrote {json_path}")
     return 1 if failures else 0
 
 if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
-    sys.exit(main(sf, out))
+    jp = sys.argv[3] if len(sys.argv) > 3 else None
+    sys.exit(main(sf, out, jp))
