@@ -438,7 +438,7 @@ object Incremental {
     * must be RE-admitted) and the odd-group partners stay (their twins
     * must stay dropped): both takedown regimes are exercised by
     * construction. Mirrored verbatim in the oracle. */
-  private def removedPred =
+  private[graft] def removedPred =
     col("doc_id") % 17 === 3 ||
       (col("doc_id") % 11 === 4 && expr("(doc_id div 11) % 40 in (10, 11)"))
 
@@ -472,22 +472,57 @@ object Incremental {
     * relative to the corpus); the two probes share one arrival digest
     * and the index/shingle stores are read exactly as d21/p02 read
     * them — no rebuild, no extra corpus scan. */
-  private[graft] def takedownRun(s: SparkSession, d: String): TakedownRun = {
-    val docs = plantedDocs(s, d)
-    val corpus = docs.filter(col("doc_id") % 11 =!= 5)
-
-    // stores on the FULL corpus; the exact store carries (doc_id, h) so
-    // a hash claim is attributable to its owner
-    val idxTable = "graft_band_index_d56_" +
-      graft.Scratch.dir("graft_bi_d56").replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
-    val exDir = graft.Scratch.dir("graft_d56_exact")
-    val shDir = graft.Scratch.dir("graft_d56_shingles")
+  /** d56/d57 store build: the same trio as [[initStores]] but the exact
+    * store carries (doc_id, h) — every hash claim is attributable to its
+    * owner, the precondition for takedown and compaction. */
+  private[graft] def initOwnedStores(s: SparkSession, corpus: DataFrame,
+      tag: String): (String, String, String) = {
+    val idxTable = s"graft_band_index_${tag}_" +
+      graft.Scratch.dir(s"graft_bi_$tag").replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
+    val exDir = graft.Scratch.dir(s"graft_${tag}_exact")
+    val shDir = graft.Scratch.dir(s"graft_${tag}_shingles")
     val (cb, cs) = Dedup.lshBucketsAndShingles(
       corpus, "doc_id", "t", shingleWords = 3, bands = 4, rowsPerBand = 2)
     Dedup.writeBandIndex(s, cb, idxTable)
     cs.distinct().write.mode("overwrite").parquet(shDir)
     corpus.select(col("doc_id"), md5(col("t")).as("h"))
       .write.mode("overwrite").parquet(exDir)
+    (idxTable, exDir, shDir)
+  }
+
+  /** Shared arrival-admission body of the takedown/compaction family:
+    * exact-hash gate against an OWNED exact store, then banded near-dup
+    * gate from a precomputed candidate list, each optionally
+    * tombstone-filtered. The tombstone set, the arrival hash set, and
+    * the broadcast intersections are all frontier-tiny; the stores scan
+    * narrowly and never shuffle. */
+  private[graft] def admitArrivals(arrC: DataFrame, aS: DataFrame, cand: DataFrame,
+      exStore: DataFrame, storeSh: DataFrame,
+      tomb: Option[DataFrame]): DataFrame = {
+    // exact: live hash claims only
+    val liveEx = tomb.fold(exStore)(t =>
+      exStore.join(broadcast(t), Seq("doc_id"), "left_anti"))
+    val hitH = liveEx.join(broadcast(arrC.select("h").distinct()), Seq("h"))
+      .select("h").distinct()
+    val de = arrC.join(broadcast(hitH), Seq("h")).select("doc_id")
+    // near: tombstoned ids leave the candidate list BEFORE verification
+    val candLive = tomb.fold(cand)(t =>
+      cand.join(broadcast(t.select(col("doc_id").as("id_b"))),
+        Seq("id_b"), "left_anti"))
+    val dn = Dedup.jaccardVerifiedPairs(candLive, aS.unionAll(storeSh), tau = 0.5)
+      .select(col("id_a").as("doc_id")).distinct()
+    Dedup.reuse(arrC
+      .join(de, Seq("doc_id"), "left_anti")
+      .join(dn, Seq("doc_id"), "left_anti")
+      .select("doc_id"))
+  }
+
+  private[graft] def takedownRun(s: SparkSession, d: String): TakedownRun = {
+    val docs = plantedDocs(s, d)
+    val corpus = docs.filter(col("doc_id") % 11 =!= 5)
+
+    // stores on the FULL corpus, claims attributable to owners
+    val (idxTable, exDir, shDir) = initOwnedStores(s, corpus, "d56")
 
     val removed = corpus.filter(removedPred).select("doc_id")
 
@@ -501,25 +536,8 @@ object Incremental {
     val exStore = s.read.schema("doc_id LONG, h STRING").parquet(exDir)
     val cand0 = Dedup.probeBandIndex(s, idxTable, aB)
 
-    def admit(tomb: Option[DataFrame]): DataFrame = {
-      // exact: live hash claims only — the store scans narrowly, the
-      // tombstone set and the arrival hash set both broadcast
-      val liveEx = tomb.fold(exStore)(t =>
-        exStore.join(broadcast(t), Seq("doc_id"), "left_anti"))
-      val hitH = liveEx.join(broadcast(arrC.select("h").distinct()), Seq("h"))
-        .select("h").distinct()
-      val de = arrC.join(broadcast(hitH), Seq("h")).select("doc_id")
-      // near: tombstoned ids leave the candidate list BEFORE verification
-      val candLive = tomb.fold(cand0)(t =>
-        cand0.join(broadcast(t.select(col("doc_id").as("id_b"))),
-          Seq("id_b"), "left_anti"))
-      val dn = Dedup.jaccardVerifiedPairs(candLive, aS.unionAll(storeSh), tau = 0.5)
-        .select(col("id_a").as("doc_id")).distinct()
-      Dedup.reuse(arrC
-        .join(de, Seq("doc_id"), "left_anti")
-        .join(dn, Seq("doc_id"), "left_anti")
-        .select("doc_id"))
-    }
+    def admit(tomb: Option[DataFrame]): DataFrame =
+      admitArrivals(arrC, aS, cand0, exStore, storeSh, tomb)
 
     val admPre = admit(None)
     val admPost = admit(Some(removed))
@@ -592,5 +610,157 @@ object Incremental {
     takedownRun(s, d).census
   }
 
-  val defs: Seq[Q] = Seq(p02, d56)
+  // ======================= d57: store compaction =======================
+
+  /** Rewrite the three maintained stores keeping only LIVE rows — the
+    * reclamation pass d56 defers to. Tombstone filtering keeps takedowns
+    * correct on the query path, but the dead rows stay on disk: after
+    * months of deltas and takedowns every probe scans past them, and
+    * crash-retry residue (duplicate band/shingle rows, absorbed by the
+    * probes' distincts) accumulates the same way. Compaction is the
+    * OFFLINE maintenance job that rewrites each store dropping
+    * tombstoned ids and collapsing duplicate rows, so post-compaction
+    * probes need no tombstone filter at all.
+    *
+    * Generation discipline: the rewrite lands in a NEW table/dirs and
+    * the caller swaps handles when it completes — in-place delete does
+    * not exist for parquet, and a new generation means a crash mid-
+    * compaction leaves the old stores untouched (re-run, don't repair).
+    *
+    * Scale shape: the band index rewrite reuses the SAME bucketBy(8, bk)
+    * spec, so the exchange-free probe layout survives the generation
+    * swap (spec re-asserts it on the compacted table). The tombstone set
+    * broadcasts (removals are rare vs the corpus); each store rewrite is
+    * one scan → anti-join → write, embarrassingly parallel — the
+    * cheapest shape a full rewrite can have, and it runs rarely and
+    * offline, never on the ingest path. */
+  private[graft] def compactStores(s: SparkSession, idxTable: String,
+      exDir: String, shDir: String, tomb: DataFrame,
+      tag: String): (String, String, String) = {
+    val t = Dedup.reuse(tomb.select("doc_id"))
+    val newIdxTable = s"graft_band_index_${tag}_" +
+      graft.Scratch.dir(s"graft_bi_$tag").replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
+    val newExDir = graft.Scratch.dir(s"graft_${tag}_exact")
+    val newShDir = graft.Scratch.dir(s"graft_${tag}_shingles")
+    val dir = graft.Scratch.dir(s"graft_$newIdxTable")
+    s.table(idxTable)
+      .join(broadcast(t.select(col("doc_id").as("id"))), Seq("id"), "left_anti")
+      .select(col("bk"), col("id")).distinct()
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "bk").sortBy("bk")
+      .option("path", s"$dir/band_index").saveAsTable(newIdxTable)
+    s.read.schema("id LONG, h LONG").parquet(shDir)
+      .join(broadcast(t.select(col("doc_id").as("id"))), Seq("id"), "left_anti")
+      .distinct().write.mode("overwrite").parquet(newShDir)
+    s.read.schema("doc_id LONG, h STRING").parquet(exDir)
+      .join(broadcast(t), Seq("doc_id"), "left_anti")
+      .distinct().write.mode("overwrite").parquet(newExDir)
+    (newIdxTable, newExDir, newShDir)
+  }
+
+  /** Spec handles for the compaction run. */
+  final case class CompactionRun(census: DataFrame,
+      preIdx: String, preEx: String, preSh: String,
+      postIdx: String, postEx: String, postSh: String,
+      removed: DataFrame, admitted: DataFrame, planted: DataFrame)
+
+  /** d57 — the compaction census: build owned stores on the full
+    * corpus, take down the d56 tombstone set, compact, then admit the
+    * arrival batch against the COMPACTED stores with NO tombstone
+    * filter. The census carries each store's pre/post row count (the
+    * reclaimed evidence) plus the admission stats; the oracle recomputes
+    * all of it from the live-corpus definition, so a row the rewrite
+    * wrongly kept or dropped shows up as a count or admission
+    * mismatch. IncrementalSpec additionally proves the probe-equivalence
+    * and layout invariants the census cannot see. */
+  private[graft] def compactionRun(s: SparkSession, d: String): CompactionRun = {
+    val docs = plantedDocs(s, d)
+    val corpus = docs.filter(col("doc_id") % 11 =!= 5)
+    val (idxTable, exDir, shDir) = initOwnedStores(s, corpus, "d57")
+    val removed = Dedup.reuse(corpus.filter(removedPred).select("doc_id"))
+
+    val (cIdx, cEx, cSh) = compactStores(s, idxTable, exDir, shDir, removed, "d57c")
+
+    val arr = docs.filter(col("doc_id") % 11 === 5)
+      .select(col("doc_id"), col("t"), md5(col("t")).as("h"))
+    val arrC = Dedup.reuse(arr)
+    val (aB, aS) = Dedup.lshBucketsAndShingles(
+      arrC, "doc_id", "t", shingleWords = 3, bands = 4, rowsPerBand = 2)
+    // post-compaction: the dead rows are GONE — no tombstone filter
+    val adm = admitArrivals(arrC, aS, Dedup.probeBandIndex(s, cIdx, aB),
+      s.read.schema("doc_id LONG, h STRING").parquet(cEx),
+      s.read.schema("id LONG, h LONG").parquet(cSh), None)
+
+    val census = adm
+      .agg(count(lit(1)).as("n_admitted"),
+        coalesce(sum(col("doc_id")), lit(0L)).as("sum_admitted_ids"))
+      .crossJoin(broadcast(s.table(idxTable).agg(count(lit(1)).as("n_idx_pre"))))
+      .crossJoin(broadcast(s.table(cIdx).agg(count(lit(1)).as("n_idx_post"))))
+      .crossJoin(broadcast(s.read.schema("id LONG, h LONG").parquet(shDir)
+        .agg(count(lit(1)).as("n_sh_pre"))))
+      .crossJoin(broadcast(s.read.schema("id LONG, h LONG").parquet(cSh)
+        .agg(count(lit(1)).as("n_sh_post"))))
+      .crossJoin(broadcast(s.read.schema("doc_id LONG, h STRING").parquet(exDir)
+        .agg(count(lit(1)).as("n_ex_pre"))))
+      .crossJoin(broadcast(s.read.schema("doc_id LONG, h STRING").parquet(cEx)
+        .agg(count(lit(1)).as("n_ex_post"))))
+      .select(col("n_idx_pre"), col("n_idx_post"), col("n_sh_pre"),
+        col("n_sh_post"), col("n_ex_pre"), col("n_ex_post"),
+        col("n_admitted"), col("sum_admitted_ids"))
+    CompactionRun(census, idxTable, exDir, shDir, cIdx, cEx, cSh,
+      removed, adm, docs)
+  }
+
+  private def compactionOracle: String =
+    s"""$oraclePrelude,
+       exall AS MATERIALIZED (SELECT doc_id, md5(t) AS h FROM corp),
+       tomb AS MATERIALIZED (
+         SELECT doc_id FROM corp
+         WHERE doc_id % 17 = 3
+            OR (doc_id % 11 = 4 AND (doc_id // 11) % 40 IN (10, 11))),
+       live AS MATERIALIZED (
+         SELECT doc_id FROM corp
+         WHERE doc_id NOT IN (SELECT doc_id FROM tomb)),
+       de AS MATERIALIZED (
+         SELECT DISTINCT a.doc_id FROM arr a JOIN exall e ON md5(a.t) = e.h
+         WHERE e.doc_id IN (SELECT doc_id FROM live)),
+       cand AS MATERIALIZED (
+         SELECT DISTINCT n.doc_id AS id_a, o.doc_id AS id_b
+         FROM bands n JOIN bands o
+           ON n.band = o.band AND n.band_key = o.band_key
+         WHERE n.doc_id IN (SELECT doc_id FROM arr)
+           AND o.doc_id IN (SELECT doc_id FROM live)),
+       dn AS MATERIALIZED (
+         SELECT DISTINCT i.id_a AS doc_id FROM (
+           SELECT c.id_a, c.id_b, count(*) AS ni FROM cand c
+             JOIN shd a ON a.doc_id = c.id_a
+             JOIN shd b ON b.doc_id = c.id_b AND b.h = a.h
+           GROUP BY c.id_a, c.id_b) i
+           JOIN sz sa ON sa.doc_id = i.id_a
+           JOIN sz sb ON sb.doc_id = i.id_b
+         WHERE i.ni * 1.0 / (sa.n + sb.n - i.ni) >= 0.5),
+       adm AS MATERIALIZED (
+         SELECT doc_id FROM arr
+         WHERE doc_id NOT IN (SELECT doc_id FROM de)
+           AND doc_id NOT IN (SELECT doc_id FROM dn))
+       SELECT
+         (SELECT count(*) FROM bands
+          WHERE doc_id IN (SELECT doc_id FROM corp)) AS n_idx_pre,
+         (SELECT count(*) FROM bands
+          WHERE doc_id IN (SELECT doc_id FROM live)) AS n_idx_post,
+         (SELECT count(*) FROM shd
+          WHERE doc_id IN (SELECT doc_id FROM corp)) AS n_sh_pre,
+         (SELECT count(*) FROM shd
+          WHERE doc_id IN (SELECT doc_id FROM live)) AS n_sh_post,
+         (SELECT count(*) FROM corp) AS n_ex_pre,
+         (SELECT count(*) FROM live) AS n_ex_post,
+         (SELECT count(*) FROM adm) AS n_admitted,
+         (SELECT CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM adm)
+           AS sum_admitted_ids"""
+
+  private val d57 = Q("d57_store_compaction", compactionOracle) { (s, d) =>
+    compactionRun(s, d).census
+  }
+
+  val defs: Seq[Q] = Seq(p02, d56, d57)
 }

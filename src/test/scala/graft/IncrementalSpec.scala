@@ -289,6 +289,102 @@ class IncrementalSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("d57 compaction: the rewritten stores hold exactly the live rows " +
+    "(tombstoned ids gone, crash residue collapsed), the unfiltered " +
+    "probe on the compacted generation admits byte-identically to the " +
+    "tombstone-filtered probe on the old one, and the compacted index " +
+    "keeps its exchange-free bucketed layout") {
+    import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+    import ops.{Dedup, Incremental}
+    val docs = smallUniverse()
+    val corpus = docs.filter(col("doc_id") % 11 =!= 5).localCheckpoint(true)
+    val (idx, ex, sh) = Incremental.initOwnedStores(spark, corpus, "d57spec")
+
+    // plant crash-retry residue: duplicate band/shingle rows for 10 live
+    // docs — dead weight a probe's distinct absorbs but disk keeps
+    val res = corpus.orderBy("doc_id").limit(10)
+      .select(col("doc_id"), col("t"))
+    val (rB, rS) = Dedup.lshBucketsAndShingles(res, "doc_id", "t", 3, 4, 2)
+    Dedup.appendBandIndex(spark, rB, idx)
+    rS.distinct().write.mode("append").parquet(sh)
+
+    val removed = corpus.filter(Incremental.removedPred)
+      .select("doc_id").localCheckpoint(true)
+    assert(removed.count() > 0, "takedown set vacuous on the small universe")
+    val preIdxRows = spark.table(idx).count()
+
+    val (cIdx, cEx, cSh) = Incremental.compactStores(
+      spark, idx, ex, sh, removed, "d57specc")
+
+    // rewritten stores == from-scratch build on the live corpus, as rows
+    // AND counts (count equality proves the residue duplicates collapsed)
+    val live = corpus.join(removed, Seq("doc_id"), "left_anti")
+    val (lb, ls) = Dedup.lshBucketsAndShingles(live, "doc_id", "t", 3, 4, 2)
+    val rebuiltIdx = lb.select(
+      concat_ws(":", col("band"), col("band_key")).as("bk"), col("id"))
+    assert(rows(spark.table(cIdx)) == rows(rebuiltIdx),
+      "compacted band index diverged from live rebuild")
+    assert(spark.table(cIdx).count() == rebuiltIdx.count(),
+      "residue duplicates survived index compaction")
+    assert(preIdxRows > spark.table(cIdx).count(),
+      "compaction reclaimed nothing — drill is vacuous")
+    assert(rows(spark.read.schema("id LONG, h LONG").parquet(cSh)) ==
+      rows(ls.distinct()), "compacted shingle store diverged")
+    assert(spark.read.schema("id LONG, h LONG").parquet(cSh).count() ==
+      ls.distinct().count(), "residue survived shingle compaction")
+    assert(rows(spark.read.schema("doc_id LONG, h STRING").parquet(cEx)) ==
+      rows(live.select(col("doc_id"), md5(col("t")).as("h"))),
+      "compacted exact store diverged")
+
+    // probe equivalence: old stores + tombstone filter == compacted
+    // stores with NO filter
+    val arr = docs.filter(col("doc_id") % 11 === 5)
+      .select(col("doc_id"), col("t"), md5(col("t")).as("h"))
+    val arrC = Dedup.reuse(arr)
+    val (aB, aS) = Dedup.lshBucketsAndShingles(arrC, "doc_id", "t", 3, 4, 2)
+    val pre = Incremental.admitArrivals(arrC, aS,
+      Dedup.probeBandIndex(spark, idx, aB),
+      spark.read.schema("doc_id LONG, h STRING").parquet(ex),
+      spark.read.schema("id LONG, h LONG").parquet(sh), Some(removed))
+    val post = Incremental.admitArrivals(arrC, aS,
+      Dedup.probeBandIndex(spark, cIdx, aB),
+      spark.read.schema("doc_id LONG, h STRING").parquet(cEx),
+      spark.read.schema("id LONG, h LONG").parquet(cSh), None)
+    val preSet = rows(pre)
+    assert(preSet.nonEmpty && preSet == rows(post),
+      "unfiltered probe on compacted stores diverged from the " +
+        "tombstone-filtered probe on the old generation")
+
+    // layout invariant: the compacted table still answers the probe
+    // join straight from its bucketed files (the d21 contract, re-
+    // asserted on the NEW generation). Drop the cached plans first so
+    // the assert sees the real scan, not an InMemoryTableScan
+    spark.catalog.clearCache()
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val plan = castToImpl(Dedup.probeBandIndex(spark, cIdx, aB))
+        .queryExecution.executedPlan
+      val join = plan.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }
+      assert(join.isDefined, s"expected a shuffled probe join:\n$plan")
+      val indexSide = join.get.children.filter(_.toString.contains("band_index"))
+      assert(indexSide.size == 1, s"index scan not under the probe join:\n$plan")
+      assert(indexSide.head.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.isEmpty, "the compacted index side got re-shuffled")
+      assert(plan.toString.contains("Bucketed: true") ||
+        plan.toString.contains("SelectedBucketsCount"),
+        s"compacted index scan is not bucket-aware:\n$plan")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+    spark.catalog.clearCache()
+  }
+
   test("p02 composed sequence is partition-count invariant: all three " +
     "delta censuses are byte-identical under a different cluster shape — " +
     "the same contract p01 and the solo heavy pipelines carry") {
