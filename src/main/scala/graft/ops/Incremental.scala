@@ -173,11 +173,23 @@ object Incremental {
 
   /** Admit ONE arriving batch (doc_id, t) against the maintained stores
     * and append its admissions — the shared body of p02's deltas and
-    * s31's micro-batches. Returns (census row keyed `keyCol` = `key`,
-    * admitted docs). */
+    * s31/s32's micro-batches. Returns (census row keyed `keyCol` =
+    * `key`, admitted docs).
+    *
+    * `owned = true` switches the exact store to the attributable
+    * (doc_id, h) layout ([[initOwnedStores]]) — the precondition for
+    * honoring `tomb`: a tombstone set (removed corpus ids, frontier-tiny
+    * — it broadcasts) filters BOTH gates the way d56's batch takedown
+    * does, so a takedown landing between micro-batches is honored by
+    * the very next admission without touching the stores (s32; the dead
+    * rows are d57 compaction's job). */
   private[graft] def admitBatch(s: SparkSession, batch: DataFrame,
       keyCol: String, key: Long,
-      idxTable: String, exDir: String, shDir: String): (DataFrame, DataFrame) = {
+      idxTable: String, exDir: String, shDir: String,
+      owned: Boolean = false,
+      tomb: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+    require(tomb.isEmpty || owned,
+      "tombstones need the owned (doc_id, h) exact-store layout")
     // the arriving batch (tiny vs the corpus) — eager: reused many times
     val delta = batch
       .select(col("doc_id"), col("t"), md5(col("t")).as("h"))
@@ -189,9 +201,14 @@ object Incremental {
     val kp = delta.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
       .join(delta, Seq("h", "doc_id"))
     // store scanned narrowly, never shuffled: delta hashes broadcast in,
-    // the intersection broadcasts back out for the anti-join
-    val store = s.read.schema("h STRING").parquet(exDir)
-    val hitH = store.join(broadcast(kp.select("h").distinct()), Seq("h"))
+    // the intersection broadcasts back out for the anti-join; with
+    // tombstones only LIVE hash claims count
+    val store =
+      if (owned) s.read.schema("doc_id LONG, h STRING").parquet(exDir)
+      else s.read.schema("h STRING").parquet(exDir)
+    val liveStore = tomb.fold(store)(t =>
+      store.join(broadcast(t.select("doc_id")), Seq("doc_id"), "left_anti"))
+    val hitH = liveStore.join(broadcast(kp.select("h").distinct()), Seq("h"))
       .select("h").distinct()
     val e1 = kp.join(broadcast(hitH), Seq("h"), "left_anti")
       .localCheckpoint(true)
@@ -215,9 +232,15 @@ object Incremental {
     // the batch's full id set restores the clean run's stage-2 input
     // exactly and stage 3 recomputes identically (IncrementalSpec's
     // chain-retry drill proves it)
-    val cand = Dedup.probeBandIndex(s, idxTable, dB)
+    val cand0 = Dedup.probeBandIndex(s, idxTable, dB)
       .join(broadcast(delta.select(col("doc_id").as("id_b"))),
         Seq("id_b"), "left_anti")
+    // tombstoned ids leave the candidate list BEFORE verification (the
+    // d56 discipline): a removed doc can no longer claim an arrival as
+    // its duplicate even though its dead index rows are still on disk
+    val cand = tomb.fold(cand0)(t =>
+      cand0.join(broadcast(t.select(col("doc_id").as("id_b"))),
+        Seq("id_b"), "left_anti"))
     // dupStore needs no checkpoint of its own: e2's checkpoint below is
     // the pre-append materialization boundary for the whole store read
     val dupStore = Dedup.jaccardVerifiedPairs(cand, dS.unionAll(storeSh), tau = 0.5)
@@ -255,7 +278,10 @@ object Incremental {
       idxTable)
     dS.join(e3.select(col("doc_id").as("id")), Seq("id")).distinct()
       .write.mode("append").parquet(shDir)
-    e3.select(col("h")).distinct().write.mode("append").parquet(exDir)
+    if (owned)
+      e3.select(col("doc_id"), col("h")).write.mode("append").parquet(exDir)
+    else
+      e3.select(col("h")).distinct().write.mode("append").parquet(exDir)
 
     // census row: every input is a checkpointed mini-frame, so the lazy
     // crossJoin tree stays valid after the appends above
@@ -290,14 +316,15 @@ object Incremental {
       || ' ' || array_to_string(list_transform(generate_series(1, 3),
         i -> substring(md5(CAST(doc_id AS VARCHAR) || '~' || CAST(i AS VARCHAR)), 1, 6)), ' ')"""
 
-  private def deltaCtes(k: Int, where: String): String = {
+  private def deltaCtes(k: Int, where: String,
+      chName: String = "ch", corpName: String = "corp"): String = {
     val prevH = (0 until k).map(i => s" UNION SELECT h FROM admh$i").mkString
     val prevIds = (0 until k).map(i => s" UNION ALL SELECT doc_id FROM adm$i").mkString
     s"""dl$k AS MATERIALIZED (SELECT doc_id, md5(t) AS h FROM arr WHERE $where),
        kp$k AS MATERIALIZED (SELECT h, min(doc_id) AS doc_id FROM dl$k GROUP BY h),
        e1_$k AS MATERIALIZED (SELECT doc_id, h FROM kp$k
-                 WHERE h NOT IN (SELECT h FROM ch$prevH)),
-       old$k AS MATERIALIZED (SELECT doc_id FROM corp$prevIds),
+                 WHERE h NOT IN (SELECT h FROM $chName$prevH)),
+       old$k AS MATERIALIZED (SELECT doc_id FROM $corpName$prevIds),
        scand$k AS MATERIALIZED (
          SELECT DISTINCT n.doc_id AS id_a, o.doc_id AS id_b
          FROM bands n JOIN bands o
@@ -368,6 +395,33 @@ object Incremental {
     s"""$oraclePrelude,
        ch AS MATERIALIZED (SELECT DISTINCT md5(t) AS h FROM corp),
        ${(0 until n).map(k => deltaCtes(k, where(k))).mkString(",\n       ")}
+       SELECT $keyCol, n_arrived, n_exact_within, n_exact_store,
+              n_near_store, n_near_within, n_admitted, sum_admitted_ids
+       FROM (${(0 until n).map(k => censusSelect(k, keyCol)).mkString(" UNION ALL ")})
+       ORDER BY $keyCol"""
+
+  /** [[replayOracle]] with a takedown landing between batch `tombFrom-1`
+    * and batch `tombFrom`: batches before it admit against the full
+    * corpus, batches from it on see only LIVE hash claims and LIVE
+    * near-dup partners (the d56 tombstone set, verbatim). Admitted
+    * arrivals are never tombstoned, so the admh/adm chains carry over
+    * unchanged — exactly the Spark-side contract, where the stream's
+    * maintained state survives the takedown untouched. */
+  private[graft] def replayOracleTomb(keyCol: String, n: Int,
+      where: Int => String, tombFrom: Int): String =
+    s"""$oraclePrelude,
+       ch AS MATERIALIZED (SELECT DISTINCT md5(t) AS h FROM corp),
+       tomb AS MATERIALIZED (
+         SELECT doc_id FROM corp
+         WHERE doc_id % 17 = 3
+            OR (doc_id % 11 = 4 AND (doc_id // 11) % 40 IN (10, 11))),
+       corplive AS MATERIALIZED (
+         SELECT doc_id, t FROM corp
+         WHERE doc_id NOT IN (SELECT doc_id FROM tomb)),
+       chlive AS MATERIALIZED (SELECT DISTINCT md5(t) AS h FROM corplive),
+       ${(0 until n).map(k => deltaCtes(k, where(k),
+      if (k >= tombFrom) "chlive" else "ch",
+      if (k >= tombFrom) "corplive" else "corp")).mkString(",\n       ")}
        SELECT $keyCol, n_arrived, n_exact_within, n_exact_store,
               n_near_store, n_near_within, n_admitted, sum_admitted_ids
        FROM (${(0 until n).map(k => censusSelect(k, keyCol)).mkString(" UNION ALL ")})

@@ -1722,9 +1722,88 @@ object StreamingQueries {
     * [[s30ProbeBroadcasts]]). */
   @volatile private[graft] var s31LastStores: (String, String, String) = _
 
+  /** s32 = d56 × s31: tombstone-aware streaming admission. s31's body
+    * honors takedowns only if someone rebuilds its stores; here the
+    * foreachBatch body CONSUMES a tombstone store on every micro-batch,
+    * so a takedown landing between batches is honored by the very next
+    * admission — the production compliance path. Batch 0 admits against
+    * an empty tombstone set; the takedown (the d56 set, verbatim) lands
+    * between the two waves; batch 1's probes see only live hash claims
+    * and live near-dup partners, so arrivals whose only duplicate
+    * partner was removed are ADMITTED (re-admission), while a twin
+    * dropped in batch 0 — before the takedown — stays dropped (no
+    * resurrection, the d56 semantics). The maintained stores are never
+    * rewritten by the takedown itself: dead rows stay until d57
+    * compaction, exactly as in the batch pipeline.
+    *
+    * Scale shape: the tombstone store is frontier-tiny (removals are
+    * rare) and broadcasts into both gates; everything else is s31's
+    * per-batch cost. Oracle: the chained-CTE replay with the takedown
+    * applied from batch 1 on ([[graft.ops.Incremental.replayOracleTomb]]). */
+  private val s32 = Q("s32_stream_takedown_admission",
+    graft.ops.Incremental.replayOracleTomb("batch", 2,
+      k => s"doc_id % 2 = $k", tombFrom = 1)) { (s, d) =>
+    import graft.ops.Incremental
+    val docs = Incremental.plantedDocs(s, d)
+    val corpus = docs.filter(col("doc_id") % 11 =!= 5)
+    val (idxTable, exDir, shDir) = Incremental.initOwnedStores(s, corpus, "s32")
+    val arrivals = docs.filter(col("doc_id") % 11 === 5)
+    val watched = graft.Scratch.dir("graft_s32_watched")
+    val outDir = graft.Scratch.dir("graft_s32_out")
+    val ckpt = graft.Scratch.dir("graft_s32_ckpt")
+    val tombDir = graft.Scratch.dir("graft_s32_tomb")
+    // the stream starts against an EMPTY tombstone store; the body
+    // re-reads it every micro-batch
+    corpus.select(col("doc_id")).limit(0)
+      .write.mode("overwrite").parquet(tombDir)
+    s32LastStores = (idxTable, exDir, shDir)
+    (0 to 1).foreach { b =>
+      val tmp = graft.Scratch.dir(s"graft_s32_wave$b")
+      arrivals.filter(col("doc_id") % 2 === lit(b.toLong))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(watched, s"arrival$b.parquet").toPath)
+      val q = s.readStream
+        .schema(StructType(Seq(StructField("doc_id", LongType),
+          StructField("t", StringType))))
+        .parquet(watched)
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!batch.isEmpty) {
+            require(batchId == b.toLong,
+              s"s32 wave $b saw micro-batch $batchId: one-file-one-batch broken")
+            // the CURRENT tombstone set, read fresh each batch — this is
+            // the contract under test: state written between batches
+            // must bind the next admission
+            val tomb = s.read.schema("doc_id LONG").parquet(tombDir)
+            val (row, _) = Incremental.admitBatch(s, batch.toDF(),
+              "batch", b.toLong, idxTable, exDir, shDir,
+              owned = true, tomb = Some(tomb))
+            row.write.mode("append").parquet(outDir)
+          }
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      if (b == 0) {
+        // the takedown lands BETWEEN micro-batches
+        corpus.filter(Incremental.removedPred).select("doc_id")
+          .write.mode("overwrite").parquet(tombDir)
+      }
+    }
+    s.read.parquet(outDir).orderBy("batch")
+  }
+
+  /** Store handles of the most recent s32 run (test-only introspection). */
+  @volatile private[graft] var s32LastStores: (String, String, String) = _
+
   val defs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
     s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25,
-    s26, s27, s28, s29, s30, s31)
+    s26, s27, s28, s29, s30, s31, s32)
 }
 
 /** s11's StatefulProcessor: cumulative (event count, value cents) per

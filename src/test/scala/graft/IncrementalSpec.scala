@@ -240,6 +240,41 @@ class IncrementalSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("s32 tombstone-aware streaming admission: a takedown landing " +
+    "between micro-batches binds the very next batch — the freed arrival " +
+    "re-admits, a twin dropped before the takedown stays dropped (no " +
+    "resurrection), a twin of a still-live partner stays out, and " +
+    "maintained state still catches new-vs-new dups across the takedown") {
+    import ops.Incremental
+    val census = SparkEntry.queries("s32_stream_takedown_admission")(spark, sf0001)
+      .collect()
+    assert(census.length == 2, "one census row per micro-batch")
+    val (idxTable, _, _) = streaming.StreamingQueries.s32LastStores
+
+    val docs = Incremental.plantedDocs(spark, sf0001)
+    val corpus = docs.filter(col("doc_id") % 11 =!= 5)
+    val admitted = rows(spark.table(idxTable).select(col("id").as("doc_id"))
+      .distinct().join(corpus.select("doc_id"), Seq("doc_id"), "left_anti"))
+
+    // 115 arrives in wave 1 (odd id); its ONLY dup partner, corpus 114
+    // (j = 10 ∈ the j%40 takedown group), was tombstoned between waves —
+    // the next batch's probes must honor it
+    assert(admitted.contains("[115]"),
+      s"takedown between micro-batches did not free arrival 115: $admitted")
+    // 126 arrives in wave 0, BEFORE the takedown of its partner 125 —
+    // it dropped against a then-live claim and is not resurrected
+    assert(!admitted.contains("[126]"),
+      "a pre-takedown drop was resurrected by the later takedown")
+    // 335's partner 334 (j = 30) is still live — stays dropped
+    assert(!admitted.contains("[335]"),
+      "a twin of a still-live partner was wrongly admitted")
+    // the maintained stores survive the takedown: wave-0 admitted doc 38
+    // still claims its wave-1 exact twin 5
+    assert(admitted.contains("[38]") && !admitted.contains("[5]"),
+      s"cross-batch new-vs-new dedup broke across the takedown: $admitted")
+    spark.catalog.clearCache()
+  }
+
   test("d56 tombstone takedown equals a from-scratch rebuild on the live " +
     "corpus: the filtered probe admits exactly what stores built without " +
     "the removed docs admit, and the planted twins flip as designed") {
