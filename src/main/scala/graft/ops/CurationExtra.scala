@@ -464,7 +464,7 @@ object CurationExtra {
       .select(col("doc_id").as("bench_id"), col("gh")).distinct()
     val bsize = bench.groupBy("bench_id").agg(count(lit(1)).as("n_grams"))
     val matches = grams.filter(col("doc_id") % 7 =!= 0)
-      .join(broadcast(bench), "gh") // corpus grams never shuffle
+      .join(Dedup.benchSide(bench), "gh") // corpus grams never shuffle (conf-gated)
       .select("bench_id", "doc_id", "gh").distinct()
     val expo = matches.groupBy("bench_id")
       .agg(countDistinct(col("doc_id")).as("n_corpus_docs"),

@@ -138,6 +138,24 @@ object Dedup {
     p
   }
 
+  /** Benchmark-side join strategy for the decontamination family (d10,
+    * d13, d42, d48, p01 stage 7): BROADCAST-BY-PREMISE — a real
+    * benchmark/eval suite is tiny relative to the corpus, so its digest
+    * rides a broadcast and the corpus side never shuffles a gram. A
+    * deployment feeding a corpus-scale "benchmark" sets
+    * `graft.decontam.broadcastBench=false` (legacy spelling
+    * `graft.pipeline.broadcastBench` still honored) to take the
+    * shuffled hash join instead — identical rows, and A/B-measured
+    * ~0.97× on p01's stage 7 at 500k docs, so the knob exists to keep
+    * the driver alive, not to trade speed. */
+  private[graft] def benchSide(df: DataFrame): DataFrame = {
+    val conf = df.sparkSession.conf
+    val bcast = conf.getOption("graft.decontam.broadcastBench")
+      .orElse(conf.getOption("graft.pipeline.broadcastBench"))
+      .forall(_.toBoolean)
+    if (bcast) broadcast(df) else df
+  }
+
   /** Bucket-cardinality cap for banded self-joins, from
     * `graft.dedup.maxBucketSize` (default 1000). A bucket of size B
     * emits B·(B−1)/2 candidate pairs, so one degenerate band key — a
@@ -913,11 +931,13 @@ object Dedup {
     val benchBuckets = buckets.filter(col("id") % 7 === 0)
       .select("band", "band_key").distinct()
     val nearIds = buckets.filter(col("id") % 7 =!= 0)
-      .join(broadcast(benchBuckets), Seq("band", "band_key"))
+      .join(benchSide(benchBuckets), Seq("band", "band_key"))
       .select(col("id").as("near_id")).distinct()
+    // nearIds inherits the knob too: with a corpus-scale benchmark the
+    // near-contaminated set can be corpus-scale as well
     train.withColumn("h", md5(col("text")))
-      .join(broadcast(benchHashes), col("h") === col("bh"), "left")
-      .join(broadcast(nearIds), col("doc_id") === col("near_id"), "left")
+      .join(benchSide(benchHashes), col("h") === col("bh"), "left")
+      .join(benchSide(nearIds), col("doc_id") === col("near_id"), "left")
       .select(col("doc_id"),
         when(col("bh").isNotNull, "exact_contaminated")
           .when(col("near_id").isNotNull, "near_contaminated")
@@ -1062,7 +1082,7 @@ object Dedup {
       .select(col("doc_id"), md5(col("g")).as("gh"))
     val benchGrams = grams.filter(col("doc_id") % 7 === 0).select("gh").distinct()
     val hits = grams.filter(col("doc_id") % 7 =!= 0)
-      .join(broadcast(benchGrams), "gh") // corpus-side grams never shuffle
+      .join(benchSide(benchGrams), "gh") // corpus grams never shuffle (conf-gated)
       .select("doc_id", "gh").distinct() // only the matched (tiny) set does
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
     docs.filter(col("doc_id") % 7 =!= 0).select("doc_id")
@@ -2651,7 +2671,7 @@ object Dedup {
     val bench = grams.filter(col("doc_id") % 7 === 0).select("gh").distinct()
     val corpus = grams.filter(col("doc_id") % 7 =!= 0)
     val census = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-    val hits = corpus.join(broadcast(bench), "gh")
+    val hits = corpus.join(benchSide(bench), "gh")
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
     census.join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"),

@@ -219,19 +219,17 @@ object Pipeline {
     val bench = grams13(docs.filter(col("doc_id") % 7 === 0), "text")
       .select("gh").distinct().withColumn("hit", lit(1L))
     val corpusG = grams13(f6.filter(col("doc_id") % 7 =!= 0), "rt").distinct()
-    // BROADCAST-BY-PREMISE (d10/d13's documented contract): a real
-    // benchmark suite is tiny relative to the corpus, so its gram set
-    // rides a broadcast and the corpus grams never shuffle. The FIXTURE
-    // synthesizes the benchmark FROM the corpus (1/7 of it), so the
-    // broadcast grows with the input here — fine at test SFs, wrong for
-    // a deployment whose "benchmark" is actually corpus-scale. Such a
-    // deployment sets graft.pipeline.broadcastBench=false to take the
-    // shuffled hash join (both sides exchange on the 16-byte gram hash;
-    // identical rows, AQE picks the build side).
-    val benchSide =
-      if (s.conf.getOption("graft.pipeline.broadcastBench").forall(_.toBoolean))
-        broadcast(bench)
-      else bench
+    // BROADCAST-BY-PREMISE via the family-shared knob
+    // ([[Dedup.benchSide]]): a real benchmark suite is tiny relative to
+    // the corpus, so its gram set rides a broadcast and the corpus
+    // grams never shuffle. The FIXTURE synthesizes the benchmark FROM
+    // the corpus (1/7 of it), so the broadcast grows with the input
+    // here — fine at test SFs, wrong for a deployment whose
+    // "benchmark" is actually corpus-scale; such a deployment sets
+    // graft.decontam.broadcastBench=false (legacy
+    // graft.pipeline.broadcastBench honored) for the shuffled hash
+    // join (identical rows, AQE picks the build side, measured 0.97×).
+    val benchSide = Dedup.benchSide(bench)
     // ONE gram pass: a left join against the (at-most-one-match) distinct
     // benchmark set tags each corpus gram in place, so n_g and n_h come
     // from the SAME doc-keyed aggregation — the explode+distinct over the
