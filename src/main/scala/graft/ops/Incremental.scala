@@ -284,14 +284,25 @@ object Incremental {
       e3.select(col("h")).distinct().write.mode("append").parquet(exDir)
 
     // census row: every input is a checkpointed mini-frame, so the lazy
-    // crossJoin tree stays valid after the appends above
-    val row = e3
-      .agg(count(lit(1)).as("n_admitted"),
-        coalesce(sum(col("doc_id")), lit(0L)).as("sum_admitted_ids"))
-      .crossJoin(broadcast(delta.agg(count(lit(1)).as("n_arrived"))))
-      .crossJoin(broadcast(kp.agg(count(lit(1)).as("n_kp"))))
-      .crossJoin(broadcast(e1.agg(count(lit(1)).as("n_e1"))))
-      .crossJoin(broadcast(e2.agg(count(lit(1)).as("n_e2"))))
+    // plan stays valid after the appends above. ONE union-aggregation
+    // instead of five separate aggs crossJoined through four broadcast
+    // exchanges — under AQE each of those exchanges materialized as its
+    // own stage-job, pure fixed overhead per delta (the task-6 shave)
+    def tagged(df: DataFrame, tag: String): DataFrame =
+      df.select(lit(tag).as("st"), col("doc_id"))
+    val row = tagged(delta, "arr")
+      .unionByName(tagged(kp, "kp"))
+      .unionByName(tagged(e1, "e1"))
+      .unionByName(tagged(e2, "e2"))
+      .unionByName(tagged(e3, "e3"))
+      .agg(
+        count(when(col("st") === "arr", 1)).as("n_arrived"),
+        count(when(col("st") === "kp", 1)).as("n_kp"),
+        count(when(col("st") === "e1", 1)).as("n_e1"),
+        count(when(col("st") === "e2", 1)).as("n_e2"),
+        count(when(col("st") === "e3", 1)).as("n_admitted"),
+        coalesce(sum(when(col("st") === "e3", col("doc_id"))), lit(0L))
+          .as("sum_admitted_ids"))
       .select(lit(key).as(keyCol),
         col("n_arrived"),
         (col("n_arrived") - col("n_kp")).as("n_exact_within"),

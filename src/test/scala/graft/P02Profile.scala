@@ -42,12 +42,34 @@ object P02Profile {
           corpus.select(md5(col("t")).as("h")).distinct()
             .write.mode("overwrite").parquet(exDir) }
       }
+      // per-JOB breakdown: which Spark jobs a delta actually launches and
+      // what each costs (the fixed-overhead census behind task 6)
+      val jobs = new scala.collection.mutable.ArrayBuffer[(Int, Long, String)]
+      val starts = new scala.collection.mutable.HashMap[Int, (Long, String)]
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          starts(js.jobId) = (System.nanoTime(),
+            js.stageInfos.map(si => si.name.takeWhile(_ != '\n')).mkString(" | "))
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          starts.remove(je.jobId).foreach { case (t0, desc) =>
+            jobs.synchronized { jobs += ((je.jobId, System.nanoTime() - t0, desc)) }
+          }
+      }
+      spark.sparkContext.addSparkListener(listener)
       (0 to 2).foreach { k =>
+        jobs.synchronized(jobs.clear())
         t(s"delta $k") {
           val (row, _) = ops.Incremental.deltaStep(spark, docs, k, idxTable, exDir, shDir)
           t(s"delta $k census collect") { row.collect() }
         }
+        jobs.synchronized {
+          println(s"   delta $k: ${jobs.size} jobs")
+          jobs.foreach { case (id, ns, desc) =>
+            println(f"   job $id%4d ${ns / 1e9}%6.2f s  $desc")
+          }
+        }
       }
+      spark.sparkContext.removeSparkListener(listener)
     }
     spark.stop()
   }
