@@ -167,8 +167,32 @@ object Pipeline {
       .select(col("doc_id"), col("source"), col("lang"), col("n_marks"),
         col("rt"), col("predicted"), col("n_tok"), col("n_uniq")))
 
+    // ---------------- stage 3: language routing, AUDIT-GATED (t51)
+    // The router may only ACT when its own measured precision clears
+    // the gate: predicted-vs-declared precision for 'en' (floor-divided
+    // micros, one tiny agg of the ann cache — a bounded driver-side
+    // branch, like the decontamination knob but data-driven). On a
+    // corpus whose declared labels the classifier cannot reproduce —
+    // this fixture: 43.7%, because the synthetic vocabulary carries no
+    // language signal (the t51 finding) — acting on the prediction
+    // would silently drop over half the corpus on a coin flip, so the
+    // stage falls back to pass-through. On a corpus where the audit
+    // clears (e.g. the all-English synth probes: ~100%), routing acts.
+    // The oracle computes the identical gate, so the acted/passed
+    // decision is hash-checked, not trusted; the conf changes the
+    // threshold for deployments, never for verification (oracles pin
+    // the default).
+    val gateMicro = s.conf.getOption("graft.pipeline.langGatePrecision")
+      .map(_.toLong).getOrElse(500000L)
+    val enAudit = ann.filter(col("predicted") === "en")
+      .agg(count(lit(1)).as("n_pred"),
+        coalesce(sum(when(col("lang") === "en", 1L).otherwise(0L)), lit(0L)).as("n_hit"))
+      .collect()(0)
+    val nPred = enAudit.getAs[Long]("n_pred")
+    val enPrecMicro = if (nPred == 0L) 0L else 1000000L * enAudit.getAs[Long]("n_hit") / nPred
     // stage views over the one cache (filters/projections, no recompute)
-    val f3 = ann.filter(col("predicted") === "en")
+    val f3 =
+      if (enPrecMicro >= gateMicro) ann.filter(col("predicted") === "en") else ann
     val base = f3.filter(col("n_tok") >= 20 && col("n_uniq") >= 10)
       .select(col("doc_id"), col("source"), col("rt"), col("n_tok"))
 
@@ -354,7 +378,18 @@ object Pipeline {
                       len(list_filter(string_split(rt, ' '), t -> t IN ('der','und','das'))) AS sc_de,
                       len(list_filter(string_split(rt, ' '), t -> t IN ('le','et','les'))) AS sc_fr
                FROM f2)),
-       f3 AS MATERIALIZED (SELECT doc_id, source, rt FROM sc WHERE predicted = 'en'),
+       aud AS MATERIALIZED (
+         SELECT count(*) AS n_pred,
+                CAST(coalesce(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit
+         FROM sc WHERE predicted = 'en'),
+       f3 AS MATERIALIZED (
+         -- audit-gated routing: act on the prediction only when its
+         -- measured precision clears the gate (mirrors the engine's
+         -- default graft.pipeline.langGatePrecision = 500000 micros)
+         SELECT doc_id, source, rt FROM sc
+         WHERE predicted = 'en'
+            OR (SELECT CASE WHEN n_pred = 0 THEN 0
+                       ELSE (1000000 * n_hit) // n_pred END FROM aud) < 500000),
        f4 AS MATERIALIZED (
          SELECT doc_id, source, rt, CAST(len(string_split(rt, ' ')) AS BIGINT) AS n_tok
          FROM f3

@@ -56,6 +56,17 @@ object TextAnalysis {
   def langIdScores(textCol: String): Seq[(String, Column)] =
     Seq("en", "es", "de", "fr").map(l => l -> tokenSetCount(textCol, langStopwords(l)))
 
+  /** PRODUCTION stopword table for t51's capability audit — a fuller
+    * public function-word list per language. Kept SEPARATE from
+    * [[langStopwords]]: the 3-word teaching table is hardcoded verbatim
+    * in a dozen DuckDB oracles (t01, t26, p01's sc CTE, s30), so
+    * extending it in place would desynchronize engine and oracle. */
+  val langStopwordsFull: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "se"),
+    "de" -> Seq("der", "und", "das", "die", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "et", "les", "des", "une", "que", "dans", "est"))
+
   /** Distributed two-phase prefix sum: exact running total of `valueCol`
     * over rows ordered by (`groupCol`, `orderCol`), with parallelism set
     * by the partition count, not the group count.
@@ -2180,26 +2191,66 @@ object TextAnalysis {
   }
 
   /** Language-ID evaluation against ground truth — d55's
-    * measure-the-heuristic discipline applied to the text side: t01's
-    * stopword classifier scored against the fixture's `lang` labels as
-    * per-language precision / recall / F1. The verdict it returns on
-    * THIS fixture is itself the point: the synthetic vocabulary carries
-    * only the English stopwords, so the classifier collapses to
-    * en/unknown (measured: en recall 90.8% at 43.7% precision, every
-    * other language 0) — precisely the "your classifier does not work
-    * on your corpus" finding a production lang-ID audit exists to
-    * surface mechanically, before anyone trusts per-language routing.
+    * measure-the-heuristic discipline applied to the text side, in TWO
+    * audit families:
+    *
+    *  - `audit = 'fixture'`: t01's 3-stopword classifier scored against
+    *    the fixture's `lang` labels. The verdict on THIS fixture is
+    *    itself the point: the synthetic vocabulary carries only English
+    *    stopwords and the declared labels are uncorrelated with the
+    *    text (token distributions measured flat across languages), so
+    *    the classifier collapses to en/unknown (en recall 90.8% at
+    *    43.7% precision, every other language 0) — the "your classifier
+    *    does not work on your corpus" finding a production lang-ID
+    *    audit exists to surface mechanically. p01's stage-3 routing is
+    *    GATED on exactly this number.
+    *  - `audit = 'planted'`: the same argmax classifier over
+    *    [[langStopwordsFull]] (the production table), scored on a
+    *    deterministic planted set whose texts DO carry per-language
+    *    function words (row-local md5 arithmetic, replayed verbatim by
+    *    the oracle) — proving the classifier separates languages
+    *    perfectly where the text has signal (non-English F1 = 1.0), and
+    *    that an unsupported language (zh, filler-only text) honestly
+    *    scores 0 instead of being claimed.
     *
     * Integer-exact: n_true/n_pred/n_hit are counts; micro-F1 uses the
     * identity F1 = 2·TP/(n_true + n_pred) — one division of exact
     * integers per row, no P·R chain.
     *
-    * Scale shape: one scan scores all four stopword families map-side
+    * Scale shape: one scan scores all stopword families map-side
     * (shared with t01's expressions), then two tiny censuses (by
-    * declared, by predicted) join on the ≤ 6-row language key. */
+    * declared, by predicted) join on the ≤ 6-row language key; the
+    * planted set is a fixed 240-row range, scale-free. */
+  private def langArgmax: Column =
+    when(col("sc_en") >= greatest(col("sc_es"), col("sc_de"), col("sc_fr"))
+      && col("sc_en") > 0, "en")
+      .when(col("sc_es") >= greatest(col("sc_de"), col("sc_fr")) && col("sc_es") > 0, "es")
+      .when(col("sc_de") >= col("sc_fr") && col("sc_de") > 0, "de")
+      .when(col("sc_fr") > 0, "fr")
+      .otherwise("unknown")
+
+  private def evalCensus(scored: DataFrame, kind: String): DataFrame = {
+    val byTrue = scored.groupBy(col("declared"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(col("predicted") === col("declared"), 1L).otherwise(0L)).as("n_hit"))
+    val byPred = scored.groupBy(col("predicted")).agg(count(lit(1)).as("n_pred"))
+    byTrue.join(broadcast(byPred), col("predicted") === col("declared"), "left")
+      .select(lit(kind).as("audit"), col("declared").as("lang"), col("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"), col("n_hit"),
+        round(lit(1000000.0) * col("n_hit") / col("n_true"))
+          .cast(LongType).as("recall_micro"),
+        when(coalesce(col("n_pred"), lit(0L)) === 0L, 0L)
+          .otherwise(round(lit(1000000.0) * col("n_hit") / col("n_pred"))
+            .cast(LongType)).as("precision_micro"),
+        round(lit(2000000.0) * col("n_hit") / (col("n_true") + coalesce(col("n_pred"), lit(0L))))
+          .cast(LongType).as("f1_micro"))
+  }
+
+  private def plantedPhrase(l: String): String = langStopwordsFull(l).mkString(" ")
+
   private val t51 = Q(
     "t51_langid_eval",
-    s"""WITH scored AS (
+    s"""WITH fsc AS MATERIALIZED (
          SELECT doc_id, lang AS declared,
                 CASE WHEN sc_en >= greatest(sc_es, sc_de, sc_fr) AND sc_en > 0 THEN 'en'
                      WHEN sc_es >= greatest(sc_de, sc_fr) AND sc_es > 0 THEN 'es'
@@ -2212,46 +2263,77 @@ object TextAnalysis {
                       ${duckTokCount(Seq("der", "und", "das"))} AS sc_de,
                       ${duckTokCount(Seq("le", "et", "les"))} AS sc_fr
                FROM documents) t),
+       pd AS MATERIALIZED (
+         SELECT i AS id,
+                CASE i % 5 WHEN 0 THEN 'en' WHEN 1 THEN 'es' WHEN 2 THEN 'de'
+                           WHEN 3 THEN 'fr' ELSE 'zh' END AS declared,
+                concat_ws(' ',
+                  CASE i % 5 WHEN 0 THEN '${plantedPhrase("en")}'
+                             WHEN 1 THEN '${plantedPhrase("es")}'
+                             WHEN 2 THEN '${plantedPhrase("de")}'
+                             WHEN 3 THEN '${plantedPhrase("fr")}'
+                             ELSE NULL END,
+                  array_to_string(list_transform(generate_series(1, 10),
+                    j -> substring(md5(CAST(i AS VARCHAR) || '#' || CAST(j AS VARCHAR)), 1, 6)), ' ')) AS text
+         FROM generate_series(0, 239) t(i)),
+       psc AS MATERIALIZED (
+         SELECT id, declared,
+                CASE WHEN sc_en >= greatest(sc_es, sc_de, sc_fr) AND sc_en > 0 THEN 'en'
+                     WHEN sc_es >= greatest(sc_de, sc_fr) AND sc_es > 0 THEN 'es'
+                     WHEN sc_de >= sc_fr AND sc_de > 0 THEN 'de'
+                     WHEN sc_fr > 0 THEN 'fr'
+                     ELSE 'unknown' END AS predicted
+         FROM (SELECT id, declared,
+                      ${duckTokCount(langStopwordsFull("en"))} AS sc_en,
+                      ${duckTokCount(langStopwordsFull("es"))} AS sc_es,
+                      ${duckTokCount(langStopwordsFull("de"))} AS sc_de,
+                      ${duckTokCount(langStopwordsFull("fr"))} AS sc_fr
+               FROM pd) t),
+       uni AS MATERIALIZED (
+         SELECT 'fixture' AS audit, declared, predicted FROM fsc
+         UNION ALL
+         SELECT 'planted', declared, predicted FROM psc),
        byTrue AS (
-         SELECT declared, count(*) AS n_true,
+         SELECT audit, declared, count(*) AS n_true,
                 CAST(sum(CASE WHEN predicted = declared THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
-         FROM scored GROUP BY declared),
-       byPred AS (SELECT predicted, count(*) AS n_pred FROM scored GROUP BY predicted)
-       SELECT t.declared AS lang, t.n_true, coalesce(p.n_pred, 0) AS n_pred, t.n_hit,
+         FROM uni GROUP BY audit, declared),
+       byPred AS (SELECT audit, predicted, count(*) AS n_pred
+                  FROM uni GROUP BY audit, predicted)
+       SELECT t.audit AS audit, t.declared AS lang, t.n_true, coalesce(p.n_pred, 0) AS n_pred, t.n_hit,
               CAST(round(1000000.0 * t.n_hit / t.n_true) AS BIGINT) AS recall_micro,
               CAST(CASE WHEN coalesce(p.n_pred, 0) = 0 THEN 0
                    ELSE round(1000000.0 * t.n_hit / p.n_pred) END AS BIGINT) AS precision_micro,
               CAST(round(2000000.0 * t.n_hit / (t.n_true + coalesce(p.n_pred, 0))) AS BIGINT) AS f1_micro
-       FROM byTrue t LEFT JOIN byPred p ON p.predicted = t.declared
-       ORDER BY lang""") { (s, d) =>
-    val scored = Tables.documents(s, d).select(
+       FROM byTrue t LEFT JOIN byPred p ON p.audit = t.audit AND p.predicted = t.declared
+       ORDER BY audit, lang""") { (s, d) =>
+    val fixtureScored = Tables.documents(s, d).select(
       col("doc_id"), col("lang").as("declared"),
       tokenSetCount("text", langStopwords("en")).as("sc_en"),
       tokenSetCount("text", langStopwords("es")).as("sc_es"),
       tokenSetCount("text", langStopwords("de")).as("sc_de"),
       tokenSetCount("text", langStopwords("fr")).as("sc_fr"))
-      .select(col("doc_id"), col("declared"),
-        when(col("sc_en") >= greatest(col("sc_es"), col("sc_de"), col("sc_fr"))
-          && col("sc_en") > 0, "en")
-          .when(col("sc_es") >= greatest(col("sc_de"), col("sc_fr")) && col("sc_es") > 0, "es")
-          .when(col("sc_de") >= col("sc_fr") && col("sc_de") > 0, "de")
-          .when(col("sc_fr") > 0, "fr")
-          .otherwise("unknown").as("predicted"))
-    val byTrue = scored.groupBy(col("declared"))
-      .agg(count(lit(1)).as("n_true"),
-        sum(when(col("predicted") === col("declared"), 1L).otherwise(0L)).as("n_hit"))
-    val byPred = scored.groupBy(col("predicted")).agg(count(lit(1)).as("n_pred"))
-    byTrue.join(broadcast(byPred), col("predicted") === col("declared"), "left")
-      .select(col("declared").as("lang"), col("n_true"),
-        coalesce(col("n_pred"), lit(0L)).as("n_pred"), col("n_hit"),
-        round(lit(1000000.0) * col("n_hit") / col("n_true"))
-          .cast(LongType).as("recall_micro"),
-        when(coalesce(col("n_pred"), lit(0L)) === 0L, 0L)
-          .otherwise(round(lit(1000000.0) * col("n_hit") / col("n_pred"))
-            .cast(LongType)).as("precision_micro"),
-        round(lit(2000000.0) * col("n_hit") / (col("n_true") + coalesce(col("n_pred"), lit(0L))))
-          .cast(LongType).as("f1_micro"))
-      .orderBy("lang")
+      .select(col("declared"), langArgmax.as("predicted"))
+    val langsLit = typedLit(Seq("en", "es", "de", "fr", "zh"))
+    val plantedScored = s.range(240)
+      .select(col("id"),
+        element_at(langsLit, (col("id") % 5 + 1).cast("int")).as("declared"))
+      .withColumn("text", concat_ws(" ",
+        when(col("declared") === "en", plantedPhrase("en"))
+          .when(col("declared") === "es", plantedPhrase("es"))
+          .when(col("declared") === "de", plantedPhrase("de"))
+          .when(col("declared") === "fr", plantedPhrase("fr"))
+          .otherwise(lit(null)),
+        expr("concat_ws(' ', transform(sequence(1, 10), " +
+          "i -> substr(md5(concat(cast(id as string), '#', cast(i as string))), 1, 6)))")))
+      .select(col("declared"),
+        tokenSetCount("text", langStopwordsFull("en")).as("sc_en"),
+        tokenSetCount("text", langStopwordsFull("es")).as("sc_es"),
+        tokenSetCount("text", langStopwordsFull("de")).as("sc_de"),
+        tokenSetCount("text", langStopwordsFull("fr")).as("sc_fr"))
+      .select(col("declared"), langArgmax.as("predicted"))
+    evalCensus(fixtureScored, "fixture")
+      .unionByName(evalCensus(plantedScored, "planted"))
+      .orderBy("audit", "lang")
   }
 
   val defs: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,

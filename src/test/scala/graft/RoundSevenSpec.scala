@@ -979,11 +979,13 @@ class RoundSevenSpec extends SparkTestBase {
   }
 
   test("t51 lang-id eval identities hold: hits bounded by both censuses, " +
-      "micro-F1 equals its closed form, and the corpus is fully accounted") {
-    val rows = SparkEntry.queries("t51_langid_eval")(spark, sf001).collect()
+      "micro-F1 equals its closed form, the corpus is fully accounted, " +
+      "and the planted capability audit separates languages perfectly") {
+    val all = SparkEntry.queries("t51_langid_eval")(spark, sf001).collect()
+    val rows = all.filter(_.getAs[String]("audit") == "fixture")
     val n = Tables.documents(spark, sf001).count()
     assert(rows.map(_.getAs[Long]("n_true")).sum == n, "declared census lost docs")
-    for (r <- rows) {
+    for (r <- all) {
       val (nt, np, nh) = (r.getAs[Long]("n_true"), r.getAs[Long]("n_pred"),
         r.getAs[Long]("n_hit"))
       assert(nh <= math.min(nt, np max nh), s"hits exceed a census: $r")
@@ -995,6 +997,14 @@ class RoundSevenSpec extends SparkTestBase {
     // English stopwords): exactly one language is ever predicted
     assert(rows.count(_.getAs[Long]("n_pred") > 0) == 1,
       "fixture verdict drifted — re-derive the docstring's numbers")
+    // planted capability rows: the production stopword table separates
+    // every supported language perfectly where the text carries signal,
+    // and the unsupported one (zh) honestly scores zero
+    val planted = all.filter(_.getAs[String]("audit") == "planted")
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("f1_micro")).toMap
+    for (l <- Seq("en", "es", "de", "fr"))
+      assert(planted(l) == 1000000L, s"planted $l F1 not 1.0: ${planted(l)}")
+    assert(planted("zh") == 0L, "an unsupported language was claimed")
   }
 
   test("t52 mutation curve matches first-principles theory: periodic " +

@@ -68,6 +68,24 @@ class RoundTenSpec extends SparkTestBase {
     }
   }
 
+  test("p01 stage 3 is audit-gated: on this fixture the router's measured " +
+    "precision (43.7%) fails the 50% gate so routing passes everything " +
+    "through; lowering the gate to 0 makes the same prediction act") {
+    def stage3(census: Array[org.apache.spark.sql.Row]) =
+      census.find(_.getAs[String]("name") == "lang_route").get
+    val fn = SparkEntry.queries("p01_full_curation")
+    val dflt = stage3(fn(spark, sf0001).collect())
+    assert(dflt.getAs[Long]("n_out") == dflt.getAs[Long]("n_in"),
+      "gate failed open: an uncertified router dropped documents")
+    withConfs("graft.pipeline.langGatePrecision" -> "0") {
+      spark.catalog.clearCache()
+      val acted = stage3(fn(spark, sf0001).collect())
+      assert(acted.getAs[Long]("n_out") < acted.getAs[Long]("n_in"),
+        "gate at 0 should let the router act — routing never fired")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("d10/d13/d42/d48 produce byte-identical results on the shuffled " +
     "fallback route — the conf flips the plan, never the answer") {
     for (name <- Seq("d10_decontaminate", "d13_ngram_decontaminate",
