@@ -827,5 +827,139 @@ object Incremental {
     compactionRun(s, d).census
   }
 
-  val defs: Seq[Q] = Seq(p02, d56, d57)
+  // ============ d58: generation catalog + atomic swap ============
+
+  /** The store CATALOG: one tiny file naming the current generation's
+    * three store handles (band-index table, exact dir, shingle dir).
+    * Probes RESOLVE handles through the catalog; maintenance (d57
+    * compaction) builds the next generation OFFLINE and publishes it
+    * with ONE atomic same-directory move — the ManifestSink tmp+move
+    * discipline applied to store management. Readers therefore see the
+    * old generation or the new one, NEVER a mix: the three handles
+    * travel in one file and ATOMIC_MOVE forbids partial content. A
+    * crash mid-publish leaves the old pointer intact, with only a
+    * stale tmp file as residue (ignored by readers, overwritten by the
+    * next publish). Single publisher by contract — the same serial
+    * maintenance queue p02's ordered deltas already require.
+    *
+    * This is what makes d57 DEPLOYABLE: swapping three stores one by
+    * one would expose a concurrent probe to a MIXED generation (e.g.
+    * the compacted exact store beside the uncompacted band index),
+    * whose admissions match neither generation. */
+  private[graft] def publishStoreCatalog(path: String, idxTable: String,
+      exDir: String, shDir: String): Unit = {
+    val target = java.nio.file.Paths.get(path)
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    java.nio.file.Files.write(tmp,
+      s"$idxTable\n$exDir\n$shDir\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  /** Resolve the current generation's handles. A read concurrent with a
+    * publish returns the old or the new triple — never a blend (spec-
+    * drilled with racing reader threads against rapid swaps). */
+  private[graft] def resolveStoreCatalog(path: String): (String, String, String) = {
+    val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
+    require(lines.size == 3, s"corrupt store catalog: $lines")
+    (lines.get(0), lines.get(1), lines.get(2))
+  }
+
+  /** d58 — the full takedown→compaction lifecycle driven THROUGH the
+    * catalog: generation 1 serves tombstone-filtered probes while
+    * compaction builds generation 2 offline; one atomic publish swaps;
+    * the SAME probe code path (re-resolving the catalog) then runs
+    * unfiltered. The census's invariant is that both phases admit the
+    * identical set — the swap changes the mechanism, never the answer —
+    * and the oracle computes the live-corpus admission once and demands
+    * it from both rows. */
+  private[graft] def swapRun(s: SparkSession, d: String): DataFrame = {
+    val docs = plantedDocs(s, d)
+    val corpus = docs.filter(col("doc_id") % 11 =!= 5)
+    val (idx1, ex1, sh1) = initOwnedStores(s, corpus, "d58")
+    val cat = graft.Scratch.dir("graft_d58_cat") + "/stores.catalog"
+    publishStoreCatalog(cat, idx1, ex1, sh1)
+    val removed = Dedup.reuse(corpus.filter(removedPred).select("doc_id"))
+
+    val arr = docs.filter(col("doc_id") % 11 === 5)
+      .select(col("doc_id"), col("t"), md5(col("t")).as("h"))
+    val arrC = Dedup.reuse(arr)
+    val (aB, aS) = Dedup.lshBucketsAndShingles(
+      arrC, "doc_id", "t", shingleWords = 3, bands = 4, rowsPerBand = 2)
+
+    def probePhase(phase: String, gen: Long, tomb: Option[DataFrame]): DataFrame = {
+      val (idx, ex, sh) = resolveStoreCatalog(cat)
+      val adm = admitArrivals(arrC, aS, Dedup.probeBandIndex(s, idx, aB),
+        s.read.schema("doc_id LONG, h STRING").parquet(ex),
+        s.read.schema("id LONG, h LONG").parquet(sh), tomb)
+      adm.agg(count(lit(1)).as("n_admitted"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("sum_admitted_ids"))
+        .crossJoin(broadcast(arrC.agg(count(lit(1)).as("n_arrived"))))
+        .select(lit(phase).as("phase"), lit(gen).as("generation"),
+          col("n_arrived"),
+          (col("n_arrived") - col("n_admitted")).as("n_dropped"),
+          col("n_admitted"), col("sum_admitted_ids"))
+    }
+    // generation 1 serves, tombstone-filtered (the operational state
+    // between a takedown and its compaction); handles bind at plan
+    // construction, so the later swap cannot retarget this phase
+    val pre = probePhase("pre_swap", 1L, Some(removed))
+    // offline maintenance: compact into generation 2, publish atomically
+    val (idx2, ex2, sh2) = compactStores(s, idx1, ex1, sh1, removed, "d58c")
+    publishStoreCatalog(cat, idx2, ex2, sh2)
+    // the same probe path re-resolves the catalog: new generation, no
+    // tombstone filter — the dead rows are physically gone
+    val post = probePhase("post_swap", 2L, None)
+    pre.unionByName(post).orderBy("phase")
+  }
+
+  private def swapOracle: String = {
+    def row(phase: String, gen: Int): String =
+      s"""SELECT '$phase' AS phase, CAST($gen AS BIGINT) AS generation,
+          (SELECT count(*) FROM arr) AS n_arrived,
+          (SELECT count(*) FROM arr) - (SELECT count(*) FROM adm) AS n_dropped,
+          (SELECT count(*) FROM adm) AS n_admitted,
+          (SELECT CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM adm) AS sum_admitted_ids"""
+    s"""$oraclePrelude,
+       exall AS MATERIALIZED (SELECT doc_id, md5(t) AS h FROM corp),
+       tomb AS MATERIALIZED (
+         SELECT doc_id FROM corp
+         WHERE doc_id % 17 = 3
+            OR (doc_id % 11 = 4 AND (doc_id // 11) % 40 IN (10, 11))),
+       live AS MATERIALIZED (
+         SELECT doc_id FROM corp
+         WHERE doc_id NOT IN (SELECT doc_id FROM tomb)),
+       de AS MATERIALIZED (
+         SELECT DISTINCT a.doc_id FROM arr a JOIN exall e ON md5(a.t) = e.h
+         WHERE e.doc_id IN (SELECT doc_id FROM live)),
+       cand AS MATERIALIZED (
+         SELECT DISTINCT n.doc_id AS id_a, o.doc_id AS id_b
+         FROM bands n JOIN bands o
+           ON n.band = o.band AND n.band_key = o.band_key
+         WHERE n.doc_id IN (SELECT doc_id FROM arr)
+           AND o.doc_id IN (SELECT doc_id FROM live)),
+       dn AS MATERIALIZED (
+         SELECT DISTINCT i.id_a AS doc_id FROM (
+           SELECT c.id_a, c.id_b, count(*) AS ni FROM cand c
+             JOIN shd a ON a.doc_id = c.id_a
+             JOIN shd b ON b.doc_id = c.id_b AND b.h = a.h
+           GROUP BY c.id_a, c.id_b) i
+           JOIN sz sa ON sa.doc_id = i.id_a
+           JOIN sz sb ON sb.doc_id = i.id_b
+         WHERE i.ni * 1.0 / (sa.n + sb.n - i.ni) >= 0.5),
+       adm AS MATERIALIZED (
+         SELECT doc_id FROM arr
+         WHERE doc_id NOT IN (SELECT doc_id FROM de)
+           AND doc_id NOT IN (SELECT doc_id FROM dn))
+       SELECT phase, generation, n_arrived, n_dropped, n_admitted, sum_admitted_ids
+       FROM (${row("pre_swap", 1)} UNION ALL ${row("post_swap", 2)})
+       ORDER BY phase"""
+  }
+
+  private val d58 = Q("d58_generation_swap", swapOracle) { (s, d) =>
+    swapRun(s, d)
+  }
+
+  val defs: Seq[Q] = Seq(p02, d56, d57, d58)
 }

@@ -420,6 +420,59 @@ class IncrementalSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("d58 generation swap: the catalog publish is atomic under racing " +
+    "readers (old or new triple, never a blend), survives a crashed " +
+    "publish's tmp residue, and the swapped probe admits exactly what " +
+    "the tombstone-filtered pre-swap probe admitted") {
+    import ops.Incremental
+    // census invariant: both phases answer identically — the swap
+    // changes the mechanism, never the answer
+    val census = Incremental.swapRun(spark, sf001).collect()
+      .map(r => r.getAs[String]("phase") -> r).toMap
+    assert(census.size == 2)
+    for (c <- Seq("n_arrived", "n_dropped", "n_admitted", "sum_admitted_ids"))
+      assert(census("pre_swap").getAs[Long](c) == census("post_swap").getAs[Long](c),
+        s"swap changed the answer in $c")
+    assert(census("pre_swap").getAs[Long]("n_dropped") > 0 &&
+      census("pre_swap").getAs[Long]("n_admitted") > 0, "swap census vacuous")
+
+    // atomicity drill: 4 readers race 200 rapid swaps between two known
+    // generations; every resolved triple must be EXACTLY one of them
+    val dir = Scratch.dir("graft_d58spec_cat")
+    val cat = s"$dir/stores.catalog"
+    val genA = ("idxA", "exA", "shA")
+    val genB = ("idxB", "exB", "shB")
+    Incremental.publishStoreCatalog(cat, genA._1, genA._2, genA._3)
+    val bad = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val readers = (1 to 4).map { _ =>
+      val t = new Thread(() => {
+        while (!stop.get()) {
+          val got = Incremental.resolveStoreCatalog(cat)
+          if (got != genA && got != genB) bad.compareAndSet(null, got.toString): Unit
+        }
+      })
+      t.setDaemon(true); t.start(); t
+    }
+    (1 to 200).foreach { i =>
+      val g = if (i % 2 == 0) genA else genB
+      Incremental.publishStoreCatalog(cat, g._1, g._2, g._3)
+    }
+    stop.set(true); readers.foreach(_.join(2000))
+    assert(bad.get() == null, s"torn catalog read under racing swaps: ${bad.get()}")
+
+    // crashed-publish residue: a stale tmp must not confuse readers and
+    // must not block the next publish
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$cat.tmp"),
+      "garbage".getBytes)
+    assert(Incremental.resolveStoreCatalog(cat) == genA ||
+      Incremental.resolveStoreCatalog(cat) == genB)
+    Incremental.publishStoreCatalog(cat, genB._1, genB._2, genB._3)
+    assert(Incremental.resolveStoreCatalog(cat) == genB,
+      "publish after a crashed publish's residue failed")
+    spark.catalog.clearCache()
+  }
+
   test("p02 composed sequence is partition-count invariant: all three " +
     "delta censuses are byte-identical under a different cluster shape — " +
     "the same contract p01 and the solo heavy pipelines carry") {
