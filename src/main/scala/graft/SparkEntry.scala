@@ -76,6 +76,7 @@ object SparkEntry {
       "t29_bigram_lm", "t31_bpe_segment", "t35_gopher_repetition",
       "t37_unigram_segment",
       "p01_full_curation", "p02_incremental_curation",
+      "d56_takedown_readmission", "d57_store_compaction", "d58_generation_swap",
       "a01_pipe_cranker", "a02_pipe_throughput",
       "s01_stream_tumbling", "s10_stream_stateful_sessions",
       "s30_stream_curation_pipeline")
