@@ -1801,9 +1801,98 @@ object StreamingQueries {
   /** Store handles of the most recent s32 run (test-only introspection). */
   @volatile private[graft] var s32LastStores: (String, String, String) = _
 
+  /** s33 = s32 × d57/d58: COMPACTION UNDER A LIVE STREAM. s32 honors a
+    * takedown with per-batch tombstone filtering, but its store handles
+    * bind at stream start — a generation swap would strand it on dead
+    * handles. Here the foreachBatch body RESOLVES the store catalog
+    * every micro-batch, so the maintenance window between waves can run
+    * the whole d57/d58 lifecycle — takedown, offline compaction into
+    * generation 2 (which CARRIES the wave-0 admissions: tombstones only
+    * name corpus docs), atomic publish, tombstone clear (the compaction
+    * consumed them) — and the stream just keeps going: wave 1 probes
+    * the compacted generation unfiltered and STILL sees wave 0's
+    * admitted docs (cross-batch dedup survives the swap, the assertion
+    * that makes mid-stream compaction safe to claim).
+    *
+    * Oracle: the SAME replayOracleTomb as s32 — tombstone-filtered
+    * probing of the old generation and unfiltered probing of the
+    * compacted one are REQUIRED to admit identically (the d57
+    * invariant), so the two mechanisms share one oracle; the engines
+    * diverging under the swap is exactly what the hash would catch. */
+  private val s33 = Q("s33_stream_compacting_admission",
+    graft.ops.Incremental.replayOracleTomb("batch", 2,
+      k => s"doc_id % 2 = $k", tombFrom = 1)) { (s, d) =>
+    import graft.ops.Incremental
+    val docs = Incremental.plantedDocs(s, d)
+    val corpus = docs.filter(col("doc_id") % 11 =!= 5)
+    val (idx1, ex1, sh1) = Incremental.initOwnedStores(s, corpus, "s33")
+    val cat = graft.Scratch.dir("graft_s33_cat") + "/stores.catalog"
+    Incremental.publishStoreCatalog(cat, idx1, ex1, sh1)
+    val arrivals = docs.filter(col("doc_id") % 11 === 5)
+    val watched = graft.Scratch.dir("graft_s33_watched")
+    val outDir = graft.Scratch.dir("graft_s33_out")
+    val ckpt = graft.Scratch.dir("graft_s33_ckpt")
+    val tombDir = graft.Scratch.dir("graft_s33_tomb")
+    corpus.select(col("doc_id")).limit(0)
+      .write.mode("overwrite").parquet(tombDir)
+    s33Catalog = cat
+    (0 to 1).foreach { b =>
+      val tmp = graft.Scratch.dir(s"graft_s33_wave$b")
+      arrivals.filter(col("doc_id") % 2 === lit(b.toLong))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(watched, s"arrival$b.parquet").toPath)
+      val q = s.readStream
+        .schema(StructType(Seq(StructField("doc_id", LongType),
+          StructField("t", StringType))))
+        .parquet(watched)
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!batch.isEmpty) {
+            require(batchId == b.toLong,
+              s"s33 wave $b saw micro-batch $batchId: one-file-one-batch broken")
+            // the CURRENT generation and the CURRENT tombstone set,
+            // both re-read each batch — this is the contract under
+            // test: maintenance between batches binds the next one
+            val (idx, ex, sh) = Incremental.resolveStoreCatalog(cat)
+            val tomb = s.read.schema("doc_id LONG").parquet(tombDir)
+            val (row, _) = Incremental.admitBatch(s, batch.toDF(),
+              "batch", b.toLong, idx, ex, sh,
+              owned = true, tomb = Some(tomb))
+            row.write.mode("append").parquet(outDir)
+          }
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      if (b == 0) {
+        // the maintenance window between micro-batches: takedown lands,
+        // compaction rewrites the CURRENT generation (wave-0 admissions
+        // included) minus the tombstoned corpus docs, one atomic publish
+        // swaps, and the consumed tombstones are cleared
+        val removed = corpus.filter(Incremental.removedPred).select("doc_id")
+        removed.write.mode("overwrite").parquet(tombDir)
+        val (i1, e1, h1) = Incremental.resolveStoreCatalog(cat)
+        val (i2, e2, h2) = Incremental.compactStores(
+          s, i1, e1, h1, s.read.schema("doc_id LONG").parquet(tombDir), "s33c")
+        Incremental.publishStoreCatalog(cat, i2, e2, h2)
+        corpus.select(col("doc_id")).limit(0)
+          .write.mode("overwrite").parquet(tombDir)
+      }
+    }
+    s.read.parquet(outDir).orderBy("batch")
+  }
+
+  /** Catalog path of the most recent s33 run (test-only introspection). */
+  @volatile private[graft] var s33Catalog: String = _
+
   val defs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
     s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25,
-    s26, s27, s28, s29, s30, s31, s32)
+    s26, s27, s28, s29, s30, s31, s32, s33)
 }
 
 /** s11's StatefulProcessor: cumulative (event count, value cents) per

@@ -275,6 +275,52 @@ class IncrementalSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("s33 compaction under a live stream: the generation swap between " +
+    "micro-batches is honored by the next batch, wave-0 admissions " +
+    "survive into the compacted generation (cross-batch dedup outlives " +
+    "the swap), and the drained stores equal a rebuild on live corpus " +
+    "+ admitted") {
+    import ops.{Dedup, Incremental}
+    val census = SparkEntry.queries("s33_stream_compacting_admission")(spark, sf0001)
+      .collect()
+    assert(census.length == 2, "one census row per micro-batch")
+    val (idxTable, _, shDir) = Incremental.resolveStoreCatalog(
+      streaming.StreamingQueries.s33Catalog)
+
+    val docs = Incremental.plantedDocs(spark, sf0001)
+    val corpus = docs.filter(col("doc_id") % 11 =!= 5)
+    val removed = corpus.filter(Incremental.removedPred).select("doc_id")
+    val live = corpus.join(removed, Seq("doc_id"), "left_anti")
+    val admitted = rows(spark.table(idxTable).select(col("id").as("doc_id"))
+      .distinct().join(corpus.select("doc_id"), Seq("doc_id"), "left_anti"))
+
+    // the s32 behavioral quartet, now THROUGH the swap: freed arrival
+    // re-admits via the compacted generation; no resurrection; live
+    // partner keeps its twin out; wave-0 admitted doc 38 still claims
+    // its wave-1 exact twin 5 from generation 2
+    assert(admitted.contains("[115]"), s"compaction did not free 115: $admitted")
+    assert(!admitted.contains("[126]"), "pre-swap drop resurrected")
+    assert(!admitted.contains("[335]"), "live partner's twin admitted")
+    assert(admitted.contains("[38]") && !admitted.contains("[5]"),
+      s"cross-batch dedup did not survive the generation swap: $admitted")
+
+    // drained stores == rebuild on (live corpus ∪ admitted): generation 2
+    // dropped the tombstoned docs and CARRIED wave 0's admissions
+    val admittedDocs = docs.join(
+      spark.table(idxTable).select(col("id").as("doc_id")).distinct()
+        .join(corpus.select("doc_id"), Seq("doc_id"), "left_anti"),
+      Seq("doc_id"))
+    val surviving = live.unionByName(admittedDocs)
+    val (rb, rs) = Dedup.lshBucketsAndShingles(
+      surviving, "doc_id", "t", shingleWords = 3, bands = 4, rowsPerBand = 2)
+    assert(rows(spark.table(idxTable)) == rows(rb.select(
+      concat_ws(":", col("band"), col("band_key")).as("bk"), col("id"))),
+      "post-swap band index diverged from live rebuild")
+    assert(rows(spark.read.schema("id LONG, h LONG").parquet(shDir)) ==
+      rows(rs.distinct()), "post-swap shingle store diverged from live rebuild")
+    spark.catalog.clearCache()
+  }
+
   test("d56 tombstone takedown equals a from-scratch rebuild on the live " +
     "corpus: the filtered probe admits exactly what stores built without " +
     "the removed docs admit, and the planted twins flip as designed") {
