@@ -1092,7 +1092,7 @@ object Similarity {
     * centroids (the d07 convention at numCents=8): quantized corpus ×
     * broadcast centroids, argmax dot with cent_id tiebreak. Map-side but
     * for the tiny centroid broadcast; returns (vec_id, v, n2, cell). */
-  private def ivfAssign(e: DataFrame, numCents: Int = 8): DataFrame = {
+  private[graft] def ivfAssign(e: DataFrame, numCents: Int = 8): DataFrame = {
     val cents = e.filter(col("vec_id") < numCents)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
     val wc = Window.partitionBy(col("vec_id")).orderBy(col("dot").desc, col("cent_id"))
@@ -1503,6 +1503,128 @@ object Similarity {
       .orderBy("n")
   }
 
+  /** d59 — takedown on the VECTOR surface: the d56/d57 compliance
+    * discipline applied to the stored IVF index (d33). A removed
+    * document must stop being RETRIEVABLE by similarity search, not
+    * just by the dedup probes — a takedown that reaches the text
+    * stores but leaves the ANN index serving the removed vectors is a
+    * compliance hole. Three phases over the same query set:
+    *
+    *  - `pre`: the full stored index serves everyone;
+    *  - `post_tombstone`: the takedown landed — the tombstone set
+    *    (frontier-tiny, broadcasts) anti-joins index ENTRIES out before
+    *    ranking (rankings re-close over the survivors) and drops
+    *    removed QUERY vectors entirely;
+    *  - `post_compact`: the index is rewritten minus the tombstoned
+    *    entries (same bucketBy(cell) spec — the exchange-free probe
+    *    layout survives, spec-asserted) and probed UNFILTERED.
+    *
+    * The oracle computes the post-takedown ranking ONCE and demands it
+    * from BOTH post phases — tombstone-filtering the old generation and
+    * probing the compacted one must answer identically (the d57
+    * invariant, now on vectors). Centroid anchors are index STRUCTURE
+    * (like band boundaries), not retrievable payloads: the removed
+    * vector leaves every result set while the cell geometry stands;
+    * re-training centroids is model maintenance, out of takedown scope.
+    * The %7 tombstone set is chosen so pre-top3 rows ARE removed and
+    * one query vector (10) is itself taken down at both verify SFs —
+    * every phase transition is non-vacuous by construction. */
+  private val d59 = Q(
+    "d59_ann_takedown",
+    """WITH e AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+         FROM embeddings),
+       n AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2 FROM e),
+       cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+       scored AS (
+         SELECT n.vec_id, n.v, n.n2, c.cent_id,
+                row_number() OVER (PARTITION BY n.vec_id
+                  ORDER BY CAST(list_sum(list_transform(generate_series(1, 64), i -> n.v[i] * c.cv[i])) AS BIGINT) DESC,
+                           c.cent_id) AS rn
+         FROM n, cents c),
+       assign AS (SELECT vec_id, v, n2, cent_id AS cell FROM scored WHERE rn = 1),
+       tombv AS (SELECT vec_id FROM e WHERE vec_id % 7 = 3),
+       prep AS (
+         SELECT q.vec_id AS qid, q.cell, c.vec_id AS cid,
+                CAST(list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * c.v[i])) AS BIGINT)
+                  / (sqrt(q.n2) * sqrt(c.n2)) AS cos
+         FROM assign q JOIN assign c ON q.cell = c.cell AND c.vec_id <> q.vec_id
+         WHERE q.vec_id >= 10 AND q.vec_id < 15),
+       pre AS (
+         SELECT qid, cell, cid, cos,
+                row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+         FROM prep),
+       postp AS (
+         SELECT qid, cell, cid, cos,
+                row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+         FROM prep
+         WHERE qid NOT IN (SELECT vec_id FROM tombv)
+           AND cid NOT IN (SELECT vec_id FROM tombv))
+       SELECT phase, qid, cell, cid, rank, round(cos, 6) AS cosine
+       FROM (
+         SELECT 'pre' AS phase, qid, cell, cid, rank, cos FROM pre WHERE rank <= 3
+         UNION ALL
+         SELECT 'post_tombstone', qid, cell, cid, rank, cos FROM postp WHERE rank <= 3
+         UNION ALL
+         SELECT 'post_compact', qid, cell, cid, rank, cos FROM postp WHERE rank <= 3)
+       ORDER BY phase, qid, rank""") { (s, d) =>
+    graft.functions.LongDot.register(s)
+    graft.plans.TopKPerGroup.install(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("n2", norm2Q(col("v")))
+    val assign = Dedup.reuse(ivfAssign(e))
+    val dir = graft.Scratch.dir("graft_ivf_d59")
+    val indexTable = "graft_ivf_d59_" + dir.replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
+    assign.select(col("cell"), col("vec_id").as("cid"), col("v").as("cv2"),
+        col("n2").as("cn2"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "cell").sortBy("cell")
+      .option("path", s"$dir/ivf_index").saveAsTable(indexTable)
+    val tomb = Dedup.reuse(assign.filter(col("vec_id") % 7 === 3).select("vec_id"))
+
+    def probe(phase: String, table: String, filterIdx: Boolean,
+        filterQueries: Boolean): DataFrame = {
+      val probes0 = assign.filter(col("vec_id") >= 10 && col("vec_id") < 15)
+      val probes1 =
+        if (filterQueries)
+          probes0.join(broadcast(tomb), Seq("vec_id"), "left_anti")
+        else probes0
+      val probes = probes1.select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("n2").as("qn2"), col("cell").as("qcell"))
+      val idx0 = s.table(table)
+      val idx =
+        if (filterIdx)
+          idx0.join(broadcast(tomb.select(col("vec_id").as("cid"))),
+            Seq("cid"), "left_anti")
+        else idx0
+      val wr = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+      idx.join(broadcast(probes), col("cell") === col("qcell") && col("cid") =!= col("qid"))
+        .withColumn("cos", dotQ(col("qv"), col("cv2")) / (sqrt(col("qn2")) * sqrt(col("cn2"))))
+        .withColumn("rank", row_number().over(wr))
+        .filter(col("rank") <= 3)
+        .select(lit(phase).as("phase"), col("qid"), col("cell"), col("cid"),
+          col("rank").cast("long").as("rank"), round(col("cos"), 6).as("cosine"))
+    }
+
+    val pre = probe("pre", indexTable, filterIdx = false, filterQueries = false)
+    val postT = probe("post_tombstone", indexTable, filterIdx = true, filterQueries = true)
+    // compaction: the new generation keeps only live entries, same
+    // bucketed layout; probed UNFILTERED
+    val cdir = graft.Scratch.dir("graft_ivf_d59c")
+    val cTable = "graft_ivf_d59c_" + cdir.replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
+    s.table(indexTable)
+      .join(broadcast(tomb.select(col("vec_id").as("cid"))), Seq("cid"), "left_anti")
+      .select(col("cell"), col("cid"), col("cv2"), col("cn2"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "cell").sortBy("cell")
+      .option("path", s"$cdir/ivf_index").saveAsTable(cTable)
+    val postC = probe("post_compact", cTable, filterIdx = false, filterQueries = true)
+
+    pre.unionByName(postT).unionByName(postC).orderBy("phase", "qid", "rank")
+  }
+
   val defs: Seq[Q] = Seq(d05, d06, d07, d12, d14, d16, d19, d24, d25, d26, d29,
-    d30, d32, d33, d35, d40, d52)
+    d30, d32, d33, d35, d40, d52, d59)
 }

@@ -86,6 +86,76 @@ class RoundTenSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("d59 ANN takedown is non-vacuous and complete: tombstoned vectors " +
+    "appear in pre-top3 and in NO post phase, the removed query vector's " +
+    "result set disappears, rankings re-close over survivors, and the two " +
+    "post mechanisms (filtered old index, compacted index) agree") {
+    val all = SparkEntry.queries("d59_ann_takedown")(spark, sf0001).collect()
+    def phase(p: String) = all.filter(_.getAs[String]("phase") == p)
+    val pre = phase("pre")
+    val postT = phase("post_tombstone").map(_.toString.replace("post_tombstone", "post")).toSet
+    val postC = phase("post_compact").map(_.toString.replace("post_compact", "post")).toSet
+    assert(postT == postC,
+      "tombstone-filtered probe and compacted-index probe diverged")
+    assert(pre.exists(r => r.getAs[Long]("cid") % 7 == 3),
+      "no tombstoned vector in pre-top3 — takedown effect vacuous")
+    assert(!phase("post_tombstone").exists(r =>
+      r.getAs[Long]("cid") % 7 == 3 || r.getAs[Long]("qid") % 7 == 3),
+      "a removed vector is still retrievable (or still querying) post-takedown")
+    assert(pre.exists(_.getAs[Long]("qid") == 10) &&
+      !phase("post_tombstone").exists(_.getAs[Long]("qid") == 10),
+      "the removed query vector's results did not disappear")
+    // rankings re-close: every surviving query still has a full top-3
+    val byQ = phase("post_tombstone").groupBy(_.getAs[Long]("qid")).view.mapValues(_.length)
+    assert(byQ.values.forall(_ == 3), s"a survivor lost ranks: ${byQ.toMap}")
+    spark.catalog.clearCache()
+  }
+
+  test("d59's compacted IVF index still answers the probe join straight " +
+    "from its bucketed layout — the d21/d57 exchange-free contract on the " +
+    "vector surface") {
+    import ops.{Dedup, Similarity}
+    import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+    // build a compacted-index stand-in the same way d59 does
+    graft.functions.LongDot.register(spark)
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("v"))
+      .withColumn("n2", Similarity.norm2Q(col("v")))
+    val assign = Dedup.reuse(Similarity.ivfAssign(e))
+    val dir = Scratch.dir("graft_ivf_r10spec")
+    val table = "graft_ivf_r10spec_idx"
+    assign.filter(col("vec_id") % 7 =!= 3)
+      .select(col("cell"), col("vec_id").as("cid"), col("v").as("cv2"),
+        col("n2").as("cn2"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "cell").sortBy("cell")
+      .option("path", s"$dir/ivf_index").saveAsTable(table)
+    val probes = assign.filter(col("vec_id") >= 10 && col("vec_id") < 15)
+      .select(col("vec_id").as("qid"), col("cell").as("qcell"))
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      spark.catalog.clearCache()
+      val q = spark.table(table)
+        .join(probes, col("cell") === col("qcell") && col("cid") =!= col("qid"))
+      val plan = castToImpl(q).queryExecution.executedPlan
+      val join = plan.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }
+      assert(join.isDefined, s"expected a shuffled probe join:\n$plan")
+      val indexSide = join.get.children.filter(_.toString.contains("ivf_index"))
+      assert(indexSide.size == 1, s"index scan not under the probe join:\n$plan")
+      assert(indexSide.head.collect {
+        case ex: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => ex
+      }.isEmpty, "the compacted IVF index side got re-shuffled")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+    spark.catalog.clearCache()
+  }
+
   test("d10/d13/d42/d48 produce byte-identical results on the shuffled " +
     "fallback route — the conf flips the plan, never the answer") {
     for (name <- Seq("d10_decontaminate", "d13_ngram_decontaminate",
