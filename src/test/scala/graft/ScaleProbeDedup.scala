@@ -12,6 +12,14 @@ package graft
   * joins, and the d22 anchor-gram machinery scale with the data — no
   * plan silently flips quadratic.
   *
+  * Measured (r10): d03 1.38×, d15 2.32×, d22 1.90×, d08 7.21×. d08's
+  * outlier was diagnosed by replaying the banding in DuckDB: this
+  * generator's LSH candidate-edge set grows 8.6× at 10× docs
+  * (32,073 → 275,402 pairs — denser shingle collisions as the corpus
+  * outgrows the vocab), so d08's wall is SUB-linear in its own edge
+  * input and CC round count is stable. Cost tracks edges — the
+  * operator is fine; the generator is collision-dense vs real text.
+  *
   * Run: sbt 'Test/runMain graft.ScaleProbeDedup'; the JSON line is
   * merged into BENCH_SCALE_r10.json and summarized in SURVEY §6/§8.
   */
