@@ -135,7 +135,7 @@ object Incremental {
 
   /** Store init — the once-per-corpus build (the rebuild-equivalent
     * cost): band index, shingle digest, exact-hash store. */
-  private[graft] def initStores(s: SparkSession, corpus: DataFrame,
+  def initStores(s: SparkSession, corpus: DataFrame,
       prefix: String): (String, String, String) = {
     val idxTable = s"graft_band_index_${prefix}_" +
       graft.Scratch.dir(s"graft_bi_$prefix").replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
@@ -183,7 +183,7 @@ object Incremental {
     * does, so a takedown landing between micro-batches is honored by
     * the very next admission without touching the stores (s32; the dead
     * rows are d57 compaction's job). */
-  private[graft] def admitBatch(s: SparkSession, batch: DataFrame,
+  def admitBatch(s: SparkSession, batch: DataFrame,
       keyCol: String, key: Long,
       idxTable: String, exDir: String, shDir: String,
       owned: Boolean = false,
@@ -540,7 +540,7 @@ object Incremental {
   /** d56/d57 store build: the same trio as [[initStores]] but the exact
     * store carries (doc_id, h) — every hash claim is attributable to its
     * owner, the precondition for takedown and compaction. */
-  private[graft] def initOwnedStores(s: SparkSession, corpus: DataFrame,
+  def initOwnedStores(s: SparkSession, corpus: DataFrame,
       tag: String): (String, String, String) = {
     val idxTable = s"graft_band_index_${tag}_" +
       graft.Scratch.dir(s"graft_bi_$tag").replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
@@ -699,7 +699,7 @@ object Incremental {
     * one scan → anti-join → write, embarrassingly parallel — the
     * cheapest shape a full rewrite can have, and it runs rarely and
     * offline, never on the ingest path. */
-  private[graft] def compactStores(s: SparkSession, idxTable: String,
+  def compactStores(s: SparkSession, idxTable: String,
       exDir: String, shDir: String, tomb: DataFrame,
       tag: String): (String, String, String) = {
     val t = Dedup.reuse(tomb.select("doc_id"))
@@ -846,7 +846,7 @@ object Incremental {
     * one would expose a concurrent probe to a MIXED generation (e.g.
     * the compacted exact store beside the uncompacted band index),
     * whose admissions match neither generation. */
-  private[graft] def publishStoreCatalog(path: String, idxTable: String,
+  def publishStoreCatalog(path: String, idxTable: String,
       exDir: String, shDir: String): Unit = {
     val target = java.nio.file.Paths.get(path)
     val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
@@ -860,7 +860,7 @@ object Incremental {
   /** Resolve the current generation's handles. A read concurrent with a
     * publish returns the old or the new triple — never a blend (spec-
     * drilled with racing reader threads against rapid swaps). */
-  private[graft] def resolveStoreCatalog(path: String): (String, String, String) = {
+  def resolveStoreCatalog(path: String): (String, String, String) = {
     val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
     require(lines.size == 3, s"corrupt store catalog: $lines")
     (lines.get(0), lines.get(1), lines.get(2))

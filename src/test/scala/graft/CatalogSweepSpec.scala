@@ -158,6 +158,7 @@ object PlanSweep {
       "d32_knn_graph" -> pk,
       "d33_stored_ivf_topk" -> pk,
       "d35_ivf_probe_sweep" -> pk,
+      "d59_ann_takedown" -> pk,
       "d36_banding_curve" -> "PK interval: one banding config's signature set (config = '8x1')",
       "d40_hard_negatives" -> pk,
       "x01_custom_expression" -> pk,
