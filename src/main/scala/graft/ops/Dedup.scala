@@ -1543,11 +1543,40 @@ object Dedup {
     * update; d54's spec proves probe-after-append byte-identical to
     * probe-after-rebuild. */
   def appendBandIndex(s: org.apache.spark.sql.SparkSession,
-      batchBuckets: DataFrame, table: String): Unit =
+      batchBuckets: DataFrame, table: String): Unit = {
     batchBuckets.select(bandKey.as("bk"), col("id"))
       .write.mode("append").format("parquet")
       .bucketBy(8, "bk").sortBy("bk")
       .saveAsTable(table)
+    // Inside foreachBatch the write commits through the cloned micro-
+    // batch session; refresh through the CALLER's session as well so its
+    // readers list the appended files (see appendIvfIndex — the staleness
+    // was measured on the vector twin of this helper).
+    s.catalog.refreshTable(table)
+  }
+
+  /** Rewrite a stored band index minus tombstoned ids into a NEW
+    * generation table — the d57 reclamation pass as a standalone helper
+    * (shared by the document-store trio compaction and the media
+    * fingerprint store m11). Same bucketBy(8, bk) spec, so the
+    * exchange-free probe layout survives the generation swap; new-table
+    * discipline, so a crash mid-compaction leaves the old index
+    * untouched. The tombstone frame (column `id`) broadcasts; duplicate
+    * crash-residue rows collapse under the distinct. Returns the new
+    * table name for a catalog publish. */
+  def compactBandIndex(s: org.apache.spark.sql.SparkSession,
+      table: String, tomb: DataFrame, tag: String): String = {
+    val newTable = s"graft_band_index_${tag}_" +
+      graft.Scratch.dir(s"graft_bi_$tag").replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
+    val dir = graft.Scratch.dir(s"graft_$newTable")
+    s.table(table)
+      .join(broadcast(tomb.select(col("id"))), Seq("id"), "left_anti")
+      .select(col("bk"), col("id")).distinct()
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "bk").sortBy("bk")
+      .option("path", s"$dir/band_index").saveAsTable(newTable)
+    newTable
+  }
 
   /** Probes a stored band index with (small) new-batch buckets: the index
     * side reads its bucketed layout with no exchange. Returns candidate

@@ -190,6 +190,19 @@ object Incremental {
       tomb: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     require(tomb.isEmpty || owned,
       "tombstones need the owned (doc_id, h) exact-store layout")
+    // Layout validation at entry: both init functions and admitBatch are
+    // public API, so an owned=true call against an h-only store (or the
+    // reverse) must fail loudly HERE. A forced mismatched schema would
+    // instead read NULL doc_id rows, turn the tombstone anti-joins into
+    // no-ops, and then append mixed-layout rows — silent store
+    // corruption. The parquet footer is the source of truth (read
+    // without a forced schema; footers survive even an empty write).
+    val storeHasOwner = s.read.parquet(exDir).schema.fieldNames.contains("doc_id")
+    require(storeHasOwner == owned,
+      s"admitBatch(owned=$owned) against an exact store at $exDir with " +
+        s"${if (storeHasOwner) "(doc_id, h)" else "(h)"} layout — " +
+        "initStores writes (h), initOwnedStores writes (doc_id, h); " +
+        "mixing layouts corrupts the store")
     // the arriving batch (tiny vs the corpus) — eager: reused many times
     val delta = batch
       .select(col("doc_id"), col("t"), md5(col("t")).as("h"))
@@ -703,17 +716,10 @@ object Incremental {
       exDir: String, shDir: String, tomb: DataFrame,
       tag: String): (String, String, String) = {
     val t = Dedup.reuse(tomb.select("doc_id"))
-    val newIdxTable = s"graft_band_index_${tag}_" +
-      graft.Scratch.dir(s"graft_bi_$tag").replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
     val newExDir = graft.Scratch.dir(s"graft_${tag}_exact")
     val newShDir = graft.Scratch.dir(s"graft_${tag}_shingles")
-    val dir = graft.Scratch.dir(s"graft_$newIdxTable")
-    s.table(idxTable)
-      .join(broadcast(t.select(col("doc_id").as("id"))), Seq("id"), "left_anti")
-      .select(col("bk"), col("id")).distinct()
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(8, "bk").sortBy("bk")
-      .option("path", s"$dir/band_index").saveAsTable(newIdxTable)
+    val newIdxTable = Dedup.compactBandIndex(s, idxTable,
+      t.select(col("doc_id").as("id")), tag)
     s.read.schema("id LONG, h LONG").parquet(shDir)
       .join(broadcast(t.select(col("doc_id").as("id"))), Seq("id"), "left_anti")
       .distinct().write.mode("overwrite").parquet(newShDir)
@@ -847,23 +853,42 @@ object Incremental {
     * the compacted exact store beside the uncompacted band index),
     * whose admissions match neither generation. */
   def publishStoreCatalog(path: String, idxTable: String,
-      exDir: String, shDir: String): Unit = {
+      exDir: String, shDir: String): Unit =
+    publishCatalog(path, Seq(idxTable, exDir, shDir))
+
+  /** Generic atomic catalog publish: any line list, tmp + same-dir
+    * ATOMIC_MOVE. The tmp name is unique PER PUBLISH (UUID suffix) so a
+    * contract-violating concurrent publisher degrades to last-writer-wins
+    * — one whole triple or the other — instead of one publisher's move
+    * shipping the other's half-written bytes (or throwing
+    * NoSuchFileException when the rival's move already consumed the
+    * shared tmp). */
+  def publishCatalog(path: String, lines: Seq[String]): Unit = {
     val target = java.nio.file.Paths.get(path)
-    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+    val tmp = target.resolveSibling(
+      target.getFileName.toString + ".tmp." + java.util.UUID.randomUUID())
     java.nio.file.Files.write(tmp,
-      s"$idxTable\n$exDir\n$shDir\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      lines.mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.nio.file.Files.move(tmp, target,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  /** Generic catalog resolve (see [[publishCatalog]]); `expect` guards
+    * the line count so a wrong-surface catalog fails loudly. */
+  def resolveCatalog(path: String, expect: Int): Seq[String] = {
+    val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
+    require(lines.size == expect,
+      s"corrupt store catalog at $path (expected $expect lines): $lines")
+    scala.jdk.CollectionConverters.ListHasAsScala(lines).asScala.toSeq
   }
 
   /** Resolve the current generation's handles. A read concurrent with a
     * publish returns the old or the new triple — never a blend (spec-
     * drilled with racing reader threads against rapid swaps). */
   def resolveStoreCatalog(path: String): (String, String, String) = {
-    val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
-    require(lines.size == 3, s"corrupt store catalog: $lines")
-    (lines.get(0), lines.get(1), lines.get(2))
+    val lines = resolveCatalog(path, expect = 3)
+    (lines(0), lines(1), lines(2))
   }
 
   /** d58 — the full takedown→compaction lifecycle driven THROUGH the

@@ -3,7 +3,7 @@ package graft.ops
 import graft.{Q, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 
 import java.security.MessageDigest
 
@@ -528,6 +528,55 @@ object Multimodal {
       .orderBy("source")
   }
 
+  /** The m10/m11 re-encoded-variant batch: appended-metadata re-uploads
+    * (`%5=0`), tail trims (`%5=1`), byte-order scrambles (`%5=2`) —
+    * (id, payload), id = the source media's id. */
+  private[graft] def mediaVariants(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 5 <= 2).select(col("doc_id").as("id"),
+      encode(
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" reup")))
+          .when(col("doc_id") % 5 === 1,
+            expr("substring(text, 1, greatest(length(text) - 24, 1))"))
+          .otherwise(reverse(col("text"))), "UTF-8").as("payload"))
+
+  /** Stubbed decode + dHash, shared by the m10 batch detector and the
+    * m11 maintained store: 65-byte "pixel" grid at stride 8 (hex-lifted),
+    * gradient bits px[i] > px[i+1], 4 packed 16-bit ints for the cheap
+    * hamming. Input (id, payload) → output (id, sig, si): the payload is
+    * consumed map-side and never emitted, so nothing downstream can
+    * shuffle it. */
+  private[graft] def sigs(side: DataFrame): DataFrame = side
+    .withColumn("hx", hex(col("payload")))
+    .withColumn("px", expr(
+      "transform(sequence(0, 64), p -> IF(octet_length(payload) > p*8, " +
+        "cast(conv(substring(hx, p*16+1, 2), 16, 10) as int), 0))"))
+    .withColumn("sig", expr(
+      "array_join(transform(sequence(1, 64), i -> IF(px[i-1] > px[i], '1', '0')), '')"))
+    .withColumn("si", expr(
+      "transform(sequence(0, 3), b -> cast(conv(substring(sig, b*16 + 1, 16), 2, 10) as bigint))"))
+    .select(col("id"), col("sig"), col("si"))
+
+  /** 4×16-bit banding of dHash signatures (pigeonhole-complete for
+    * hamming ≤ 3; at the τ = 4 gate both engines apply the identical
+    * band-recall rule). The all-zero band (the "empty region" every
+    * short payload shares) is ineligible as a join key; buckets are
+    * capped at [[Dedup.DefaultBucketCap]] pinned (not the session conf):
+    * the oracles' QUALIFY mirrors hardcode the same 1000, so a conf
+    * override must not desync engine and oracle. */
+  private[graft] def bands(sg: DataFrame): DataFrame = {
+    val exploded = sg.select(col("id"), col("si"),
+      posexplode(array((0 until 4).map(k => substring(col("sig"), k * 16 + 1, 16)): _*))
+        .as(Seq("b", "bits")))
+      .filter(col("bits") =!= "0" * 16)
+    Dedup.dropOversizedBuckets(exploded, Seq("b", "bits"), Dedup.DefaultBucketCap)
+  }
+
+  /** Exact hamming distance from the packed 16-bit band ints (column
+    * names resolved in the caller's plan). */
+  private[graft] def hamming(sa: String, sb: String): Column =
+    expr(s"aggregate(zip_with($sa, $sb, (x, y) -> bit_count(x ^ y)), " +
+      "0, (acc, c) -> acc + c)").cast(LongType)
+
   /** Perceptual-hash (dHash) near-dup detection between a media corpus
     * and a batch of re-encoded variants — the re-upload / trim detector
     * that byte-exact dedup (m04) misses and token-simhash (m05) only
@@ -557,9 +606,12 @@ object Multimodal {
     * count OVER (band) <= 1000 per side, the `graft.dedup.maxBucketSize`
     * default) so an over-cap fixture bucket degrades both engines
     * identically instead of silently desynchronizing recall. */
-  private val m10 = Q(
-    "m10_perceptual_hash_dedup",
-    """WITH pa AS (
+  /** The dHash replay CTEs shared by the m10 and m11 oracles: corpus
+    * (`pa` → bands `ba`) and variant-batch (`vb`/`pb` → bands `bb`)
+    * signatures via the hex-lifted stubbed decode, with the m10-measured
+    * gradient-hash arithmetic and the cap/zero-band rules mirrored. */
+  private def dhashOracleCtes: String =
+    """pa AS (
          SELECT doc_id AS id, hex(encode(text)) AS hx,
                 octet_length(encode(text)) AS nb
          FROM documents),
@@ -584,11 +636,11 @@ object Multimodal {
                           + (strpos('0123456789ABCDEF', substring(hx, p*16+2, 1))-1)
                        ELSE 0 END) AS px
          FROM pb),
-       sa AS (
+       sa AS MATERIALIZED (
          SELECT id, array_to_string(list_transform(generate_series(1, 64), i ->
                   CASE WHEN px[i] > px[i+1] THEN '1' ELSE '0' END), '') AS sig
          FROM ga),
-       sb AS (
+       sb AS MATERIALIZED (
          SELECT id, array_to_string(list_transform(generate_series(1, 64), i ->
                   CASE WHEN px[i] > px[i+1] THEN '1' ELSE '0' END), '') AS sig
          FROM gb),
@@ -601,7 +653,11 @@ object Multimodal {
          SELECT id, b, substring(sig, b*16 + 1, 16) AS bits
          FROM sb, (SELECT unnest(generate_series(0, 3)) AS b) bs
          WHERE substring(sig, b*16 + 1, 16) <> '0000000000000000'
-         QUALIFY count(*) OVER (PARTITION BY b, substring(sig, b*16 + 1, 16)) <= 1000),
+         QUALIFY count(*) OVER (PARTITION BY b, substring(sig, b*16 + 1, 16)) <= 1000)"""
+
+  private val m10 = Q(
+    "m10_perceptual_hash_dedup",
+    s"""WITH $dhashOracleCtes,
        h AS (
          SELECT DISTINCT a.id AS id_a, b.id AS id_b,
                 CAST(list_sum(list_transform(generate_series(1, 64), i ->
@@ -618,41 +674,12 @@ object Multimodal {
     val docs = Tables.documents(s, d)
     val a = docs.select(col("doc_id").as("id"),
       encode(col("text"), "UTF-8").as("payload"))
-    val b = docs.filter(col("doc_id") % 5 <= 2).select(col("doc_id").as("id"),
-      encode(
-        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" reup")))
-          .when(col("doc_id") % 5 === 1,
-            expr("substring(text, 1, greatest(length(text) - 24, 1))"))
-          .otherwise(reverse(col("text"))), "UTF-8").as("payload"))
-    // stubbed decode + dHash, shared by both sides: 65-byte grid at
-    // stride 8 (hex-lifted), gradient bits px[i] > px[i+1], 4 packed
-    // 16-bit ints for the cheap hamming — payload never shuffles
-    def sigs(side: org.apache.spark.sql.DataFrame) = side
-      .withColumn("hx", hex(col("payload")))
-      .withColumn("px", expr(
-        "transform(sequence(0, 64), p -> IF(octet_length(payload) > p*8, " +
-          "cast(conv(substring(hx, p*16+1, 2), 16, 10) as int), 0))"))
-      .withColumn("sig", expr(
-        "array_join(transform(sequence(1, 64), i -> IF(px[i-1] > px[i], '1', '0')), '')"))
-      .withColumn("si", expr(
-        "transform(sequence(0, 3), b -> cast(conv(substring(sig, b*16 + 1, 16), 2, 10) as bigint))"))
-      .select(col("id"), col("sig"), col("si"))
-    def bands(sg: org.apache.spark.sql.DataFrame) = {
-      val exploded = sg.select(col("id"), col("si"),
-        posexplode(array((0 until 4).map(k => substring(col("sig"), k * 16 + 1, 16)): _*))
-          .as(Seq("b", "bits")))
-        .filter(col("bits") =!= "0" * 16)
-      // pinned to DefaultBucketCap (not the session conf): the oracle's
-      // QUALIFY mirror above hardcodes the same 1000, so a conf override
-      // must not desync engine and oracle
-      Dedup.dropOversizedBuckets(exploded, Seq("b", "bits"), Dedup.DefaultBucketCap)
-    }
+    val b = mediaVariants(docs)
     bands(sigs(a)).as("a")
       .join(bands(sigs(b)).as("b"),
         col("a.b") === col("b.b") && col("a.bits") === col("b.bits"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        expr("aggregate(zip_with(a.si, b.si, (x, y) -> bit_count(x ^ y)), 0, (acc, c) -> acc + c)")
-          .cast(LongType).as("hamming"))
+        hamming("a.si", "b.si").as("hamming"))
       .filter(col("hamming") <= 4)
       .distinct()
       .select(
@@ -665,5 +692,136 @@ object Multimodal {
       .orderBy("variant", "hamming")
   }
 
-  val defs: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10)
+  /** m11 — the MAINTAINED media-fingerprint store: d56/d57's takedown
+    * lifecycle on the modality where takedown requests actually land.
+    * m10 is batch-only (both sides re-signed per run); here the corpus
+    * dHash signatures are written ONCE as two stores — the 4×16-bit band
+    * index as a bucketed table ([[Dedup.writeBandIndex]], probed
+    * exchange-free) and the packed-signature table for hamming
+    * verification — and each arriving media batch probes them for a
+    * duplicate verdict. Three phases over one arrival batch:
+    *
+    *  - `pre`: the full store serves; every variant with a hamming ≤ 4
+    *    partner is dropped;
+    *  - `post_tombstone`: a media takedown landed (corpus ids % 9 = 4 —
+    *    measured non-vacuous at every verify SF) — the tombstone set
+    *    broadcasts and anti-joins CANDIDATES out before verification, so
+    *    a removed media item no longer claims arrivals as duplicates
+    *    (re-admission, the d56 semantics);
+    *  - `post_compact`: both stores rewritten minus the tombstoned ids
+    *    (band index via [[Dedup.compactBandIndex]] — same bucketBy spec,
+    *    layout survives; signature store anti-joined) and probed
+    *    UNFILTERED — required to admit identically to `post_tombstone`
+    *    (the d57 invariant on the media surface).
+    *
+    * Payloads NEVER shuffle: the stores hold only (bk, id) and (id, 4
+    * longs); arrivals are consumed map-side by the signature pass
+    * (plan-asserted in RoundElevenSpec). */
+  private val m11 = Q(
+    "m11_media_fingerprint_store",
+    s"""WITH $dhashOracleCtes,
+       cand AS MATERIALIZED (
+         SELECT DISTINCT b.id AS id_a, a.id AS id_b,
+                CAST(list_sum(list_transform(generate_series(1, 64), i ->
+                  CASE WHEN substring(sb.sig, i, 1) = substring(sa.sig, i, 1)
+                       THEN 0 ELSE 1 END)) AS BIGINT) AS hamming
+         FROM bb b JOIN ba a ON a.b = b.b AND a.bits = b.bits
+           JOIN sa ON sa.id = a.id JOIN sb ON sb.id = b.id),
+       tomb AS (SELECT id FROM pa WHERE id % 9 = 4),
+       adm0 AS MATERIALIZED (
+         SELECT id FROM vb
+         WHERE id NOT IN (SELECT id_a FROM cand WHERE hamming <= 4)),
+       adm1 AS MATERIALIZED (
+         SELECT id FROM vb
+         WHERE id NOT IN (
+           SELECT id_a FROM cand
+           WHERE hamming <= 4 AND id_b NOT IN (SELECT id FROM tomb)))
+       SELECT phase, n_arrived, n_dropped, n_admitted, n_readmitted, sum_admitted_ids
+       FROM (
+         SELECT 'pre' AS phase,
+                (SELECT count(*) FROM vb) AS n_arrived,
+                (SELECT count(*) FROM vb) - (SELECT count(*) FROM adm0) AS n_dropped,
+                (SELECT count(*) FROM adm0) AS n_admitted,
+                CAST(0 AS BIGINT) AS n_readmitted,
+                (SELECT CAST(coalesce(sum(id), 0) AS BIGINT) FROM adm0) AS sum_admitted_ids
+         UNION ALL
+         SELECT 'post_tombstone',
+                (SELECT count(*) FROM vb),
+                (SELECT count(*) FROM vb) - (SELECT count(*) FROM adm1),
+                (SELECT count(*) FROM adm1),
+                (SELECT count(*) FROM adm1 WHERE id NOT IN (SELECT id FROM adm0)),
+                (SELECT CAST(coalesce(sum(id), 0) AS BIGINT) FROM adm1)
+         UNION ALL
+         SELECT 'post_compact',
+                (SELECT count(*) FROM vb),
+                (SELECT count(*) FROM vb) - (SELECT count(*) FROM adm1),
+                (SELECT count(*) FROM adm1),
+                (SELECT count(*) FROM adm1 WHERE id NOT IN (SELECT id FROM adm0)),
+                (SELECT CAST(coalesce(sum(id), 0) AS BIGINT) FROM adm1))
+       ORDER BY phase""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val corpus = docs.select(col("doc_id").as("id"),
+      encode(col("text"), "UTF-8").as("payload"))
+    val arrivals = mediaVariants(docs)
+
+    // store build: ONE signature pass over corpus payloads feeds BOTH
+    // stores; payloads end at this map stage
+    val cS = Dedup.reuse(sigs(corpus))
+    val idxTable = "graft_band_index_m11_" +
+      graft.Scratch.dir("graft_bi_m11").replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
+    Dedup.writeBandIndex(s, bands(cS)
+      .select(col("b").as("band"), col("bits").as("band_key"), col("id")), idxTable)
+    val sigDir = graft.Scratch.dir("graft_m11_sigs")
+    cS.select(col("id"), col("si")).write.mode("overwrite").parquet(sigDir)
+
+    // arrivals: ONE digest pass; band keys probe the stored index
+    val aS = Dedup.reuse(sigs(arrivals))
+    val aBands = bands(aS)
+      .select(col("b").as("band"), col("bits").as("band_key"), col("id"))
+    val cand = Dedup.reuse(Dedup.probeBandIndex(s, idxTable, aBands))
+    val tomb = Dedup.reuse(corpus.filter(col("id") % 9 === 4).select("id"))
+
+    // hamming-verified duplicate gate; tombstoned ids leave the candidate
+    // list BEFORE verification (the d56 discipline)
+    def admissions(cnd: DataFrame, sigStore: DataFrame,
+        t: Option[DataFrame]): DataFrame = {
+      val live = t.fold(cnd)(tt =>
+        cnd.join(broadcast(tt.select(col("id").as("id_b"))), Seq("id_b"), "left_anti"))
+      val dup = live
+        .join(aS.select(col("id").as("id_a"), col("si").as("sva")), Seq("id_a"))
+        .join(sigStore.select(col("id").as("id_b"), col("si").as("svb")), Seq("id_b"))
+        .filter(hamming("sva", "svb") <= 4)
+        .select(col("id_a").as("id")).distinct()
+      arrivals.select("id").join(dup, Seq("id"), "left_anti")
+    }
+
+    val stored = s.read.schema("id LONG, si ARRAY<BIGINT>").parquet(sigDir)
+    val admPre = Dedup.reuse(admissions(cand, stored, None))
+    val admPostT = admissions(cand, stored, Some(tomb))
+    // compaction: new generation of BOTH stores, probed UNFILTERED
+    val cIdx = Dedup.compactBandIndex(s, idxTable, tomb, "m11c")
+    val cSigDir = graft.Scratch.dir("graft_m11c_sigs")
+    stored.join(broadcast(tomb), Seq("id"), "left_anti")
+      .write.mode("overwrite").parquet(cSigDir)
+    val admPostC = admissions(Dedup.probeBandIndex(s, cIdx, aBands),
+      s.read.schema("id LONG, si ARRAY<BIGINT>").parquet(cSigDir), None)
+
+    def row(phase: String, adm: DataFrame, readmit: DataFrame): DataFrame =
+      adm.agg(count(lit(1)).as("n_admitted"),
+          coalesce(sum(col("id")), lit(0L)).as("sum_admitted_ids"))
+        .crossJoin(broadcast(arrivals.agg(count(lit(1)).as("n_arrived"))))
+        .crossJoin(broadcast(readmit.agg(count(lit(1)).as("n_readmitted"))))
+        .select(lit(phase).as("phase"), col("n_arrived"),
+          (col("n_arrived") - col("n_admitted")).as("n_dropped"),
+          col("n_admitted"), col("n_readmitted"), col("sum_admitted_ids"))
+
+    row("pre", admPre, admPre.limit(0))
+      .unionByName(row("post_tombstone", admPostT,
+        admPostT.join(admPre, Seq("id"), "left_anti")))
+      .unionByName(row("post_compact", admPostC,
+        admPostC.join(admPre, Seq("id"), "left_anti")))
+      .orderBy("phase")
+  }
+
+  val defs: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11)
 }

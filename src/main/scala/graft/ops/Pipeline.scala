@@ -184,6 +184,14 @@ object Pipeline {
     // the default).
     val gateMicro = s.conf.getOption("graft.pipeline.langGatePrecision")
       .map(_.toLong).getOrElse(500000L)
+    // Oracles pin the 500000 default; a session that runs p01 with the
+    // conf set (e.g. leaked from an earlier test) would fail verification
+    // with a confusing census diff — say WHY loudly, up front.
+    if (gateMicro != 500000L)
+      Console.err.println(
+        s"[graft] WARNING: graft.pipeline.langGatePrecision=$gateMicro deviates from the " +
+          "default 500000 that every p01 oracle pins — oracle-verified runs WILL mismatch; " +
+          "unset the conf unless this is a deployment-tuned (non-verified) run")
     val enAudit = ann.filter(col("predicted") === "en")
       .agg(count(lit(1)).as("n_pred"),
         coalesce(sum(when(col("lang") === "en", 1L).otherwise(0L)), lit(0L)).as("n_hit"))

@@ -1092,9 +1092,15 @@ object Similarity {
     * centroids (the d07 convention at numCents=8): quantized corpus ×
     * broadcast centroids, argmax dot with cent_id tiebreak. Map-side but
     * for the tiny centroid broadcast; returns (vec_id, v, n2, cell). */
-  private[graft] def ivfAssign(e: DataFrame, numCents: Int = 8): DataFrame = {
-    val cents = e.filter(col("vec_id") < numCents)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+  private[graft] def ivfAssign(e: DataFrame, numCents: Int = 8): DataFrame =
+    ivfAssignAgainst(e, e.filter(col("vec_id") < numCents)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv")))
+
+  /** Cell assignment against an EXPLICIT centroid frame — the form an
+    * ingest batch needs: arriving vectors are assigned against the
+    * index's fixed anchors (which the batch itself does not contain).
+    * `cents` columns: (cent_id, cv). */
+  private[graft] def ivfAssignAgainst(e: DataFrame, cents: DataFrame): DataFrame = {
     val wc = Window.partitionBy(col("vec_id")).orderBy(col("dot").desc, col("cent_id"))
     e.crossJoin(broadcast(cents))
       .withColumn("dot", dotQ(col("v"), col("cv")))
@@ -1227,28 +1233,12 @@ object Similarity {
       .select(col("vec_id"), quantize(col("embedding")).as("v"))
       .withColumn("n2", norm2Q(col("v")))
     val assign = Dedup.reuse(ivfAssign(e))
-    // index build: paid once per corpus, maintained at ingest. The catalog
-    // name is derived from the per-run Scratch dir so concurrent sessions
-    // sharing a metastore never collide and reruns never trip on a stale
-    // registration (the data itself lives in the self-cleaning dir).
-    val dir = graft.Scratch.dir("graft_ivf_index")
-    val indexTable = "graft_ivf_index_" + dir.replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
-    assign.select(col("cell"), col("vec_id").as("cid"), col("v").as("cv2"),
-        col("n2").as("cn2"))
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(8, "cell").sortBy("cell")
-      .option("path", s"$dir/ivf_index").saveAsTable(indexTable)
-    val probes = assign.filter(col("vec_id") >= 10 && col("vec_id") < 15)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"),
-        col("cell").as("qcell"))
-    val wr = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
-    e.sparkSession.table(indexTable)
-      .join(broadcast(probes), col("cell") === col("qcell") && col("cid") =!= col("qid"))
-      .withColumn("cos", dotQ(col("qv"), col("cv2")) / (sqrt(col("qn2")) * sqrt(col("cn2"))))
-      .withColumn("rank", row_number().over(wr))
-      .filter(col("rank") <= 3)
-      .select(col("qid"), col("cell"), col("cid"), col("rank").cast("long").as("rank"),
-        round(col("cos"), 6).as("cosine"))
+    // index build: paid once per corpus, maintained at ingest (d60's
+    // append path). Table name derives from the per-run Scratch dir so
+    // concurrent sessions sharing a metastore never collide.
+    val indexTable = writeIvfIndex(s, assign, "ivf_index")
+    probeIvfTopK(s, indexTable,
+      asProbes(assign.filter(col("vec_id") >= 10 && col("vec_id") < 15)), k = 3)
       .orderBy("qid", "rank")
   }
 
@@ -1503,6 +1493,160 @@ object Similarity {
       .orderBy("n")
   }
 
+  // ============== stored IVF index lifecycle (d33/d59/d60/s34) ==============
+
+  /** Write a cell-assigned corpus ([[ivfAssign]] output) as the stored
+    * IVF index: a parquet table bucketed on `cell`, so probes join on
+    * their assigned cell with NO exchange on the index side (the vector
+    * sibling of [[Dedup.writeBandIndex]]). Paid once per corpus;
+    * maintained at ingest via [[appendIvfIndex]]. Returns the (per-run
+    * unique) table name — the handle a catalog publishes. */
+  def writeIvfIndex(s: org.apache.spark.sql.SparkSession,
+      assign: DataFrame, tag: String): String = {
+    val dir = graft.Scratch.dir(s"graft_$tag")
+    val table = s"graft_${tag}_" + dir.replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
+    assign.select(col("cell"), col("vec_id").as("cid"), col("v").as("cv2"),
+        col("n2").as("cn2"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "cell").sortBy("cell")
+      .option("path", s"$dir/ivf_index").saveAsTable(table)
+    table
+  }
+
+  /** Append an ingested batch's cell assignments to an EXISTING stored
+    * IVF index — the maintenance write that makes new vectors cost a
+    * batch-sized write instead of a full index rebuild (the
+    * [[Dedup.appendBandIndex]] template on the vector surface). Spark's
+    * bucketed append writes the new rows as additional files of the SAME
+    * bucket spec (hash(cell) % 8), so the exchange-free probe layout
+    * survives the update; RoundElevenSpec proves probe-after-append
+    * byte-identical to probe-after-rebuild. Cell assignment of the batch
+    * uses the SAME centroid anchors as the base build (index structure —
+    * re-training centroids is model maintenance, a rebuild). */
+  def appendIvfIndex(s: org.apache.spark.sql.SparkSession,
+      assignBatch: DataFrame, table: String): Unit = {
+    assignBatch.select(col("cell"), col("vec_id").as("cid"), col("v").as("cv2"),
+        col("n2").as("cn2"))
+      .write.mode("append").format("parquet")
+      .bucketBy(8, "cell").sortBy("cell")
+      .saveAsTable(table)
+    // The write commits through the FRAME's session — inside foreachBatch
+    // that is the cloned micro-batch session, whose insert refreshes its
+    // OWN relation cache only. Refresh through the caller's session too,
+    // so batch-side readers (the next probe, compaction) list the new
+    // files instead of a stale snapshot (measured: without this, an
+    // in-stream append was silently invisible to the outer session).
+    s.catalog.refreshTable(table)
+  }
+
+  /** Rewrite the stored IVF index minus the tombstoned vector ids into a
+    * NEW generation (same bucketBy(cell) spec — the probe layout
+    * survives; new-table discipline — a crash mid-compaction leaves the
+    * old index untouched). The d57 reclamation pass on vectors; the
+    * tombstone set is frontier-tiny and broadcasts. Returns the new
+    * table name for a catalog publish. */
+  def compactIvfIndex(s: org.apache.spark.sql.SparkSession,
+      table: String, tomb: DataFrame, tag: String): String = {
+    val dir = graft.Scratch.dir(s"graft_$tag")
+    val newTable = s"graft_${tag}_" + dir.replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
+    s.table(table)
+      .join(broadcast(tomb.select(col("vec_id").as("cid"))), Seq("cid"), "left_anti")
+      .select(col("cell"), col("cid"), col("cv2"), col("cn2"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "cell").sortBy("cell")
+      .option("path", s"$dir/ivf_index").saveAsTable(newTable)
+    newTable
+  }
+
+  /** Probe a stored IVF index with a (small, broadcast) query batch:
+    * top-`k` cosine neighbors per query within the query's assigned
+    * cell. The index side reads its bucketed layout — candidates, dots,
+    * and the heap top-k all happen without the index ever shuffling.
+    * `probes` columns: (qid, qv, qn2, qcell). */
+  def probeIvfTopK(s: org.apache.spark.sql.SparkSession,
+      table: String, probes: DataFrame, k: Int): DataFrame =
+    probeIvfTopK(s.table(table), probes, k)
+
+  /** DataFrame-input probe form, for callers that pre-filter the index
+    * (d59's tombstone anti-join, s34's per-batch live view). The anti-
+    * join's broadcast build keeps the index side's bucketed distribution
+    * intact. */
+  def probeIvfTopK(idx: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val wr = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    idx
+      .join(broadcast(probes), col("cell") === col("qcell") && col("cid") =!= col("qid"))
+      .withColumn("cos", dotQ(col("qv"), col("cv2")) / (sqrt(col("qn2")) * sqrt(col("cn2"))))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cell"), col("cid"), col("rank").cast("long").as("rank"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Shape an [[ivfAssign]] output as [[probeIvfTopK]]'s probe side. */
+  private def asProbes(assign: DataFrame): DataFrame =
+    assign.select(col("vec_id").as("qid"), col("v").as("qv"),
+      col("n2").as("qn2"), col("cell").as("qcell"))
+
+  /** d60 — INCREMENTAL IVF APPEND: the d53 bucketed-append template on
+    * the vector surface, closing the stored ANN index's lifecycle gap
+    * (write/probe existed via d33, takedown/compaction via d59 — but new
+    * vectors meant a full rewrite). Day 0 builds the index on the base
+    * corpus; day 1 APPENDS an ingested vector batch (batch-sized write,
+    * same bucket spec — the exchange-free probe layout survives,
+    * spec-asserted); day 2 probes the UPDATED index with the next
+    * arriving wave and must see day-1 vectors as neighbors. The oracle
+    * computes the same top-3 ranking over base ∪ day-1 directly, so an
+    * append that dropped, duplicated, or mis-bucketed a vector surfaces
+    * as a ranking mismatch. RoundElevenSpec additionally proves
+    * probe-after-append ≡ probe-after-rebuild byte-equality and the
+    * appended table's bucket-aware scan; ScaleProbeLifecycle prices
+    * append ∝ batch vs rebuild ∝ corpus. */
+  private val d60 = Q(
+    "d60_ivf_append",
+    """WITH e AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+         FROM embeddings),
+       n AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2 FROM e),
+       cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+       scored AS (
+         SELECT n.vec_id, n.v, n.n2, c.cent_id,
+                row_number() OVER (PARTITION BY n.vec_id
+                  ORDER BY CAST(list_sum(list_transform(generate_series(1, 64), i -> n.v[i] * c.cv[i])) AS BIGINT) DESC,
+                           c.cent_id) AS rn
+         FROM n, cents c),
+       assign AS MATERIALIZED (
+         SELECT vec_id, v, n2, cent_id AS cell FROM scored WHERE rn = 1),
+       probes AS (
+         SELECT q.vec_id AS qid, q.cell, c.vec_id AS cid,
+                CAST(list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * c.v[i])) AS BIGINT)
+                  / (sqrt(q.n2) * sqrt(c.n2)) AS cos
+         FROM assign q JOIN assign c ON q.cell = c.cell
+         WHERE q.vec_id % 7 = 5 AND c.vec_id % 7 <> 5),
+       ranked AS (
+         SELECT qid, cell, cid, cos,
+                row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+         FROM probes)
+       SELECT qid, cell, cid, rank, round(cos, 6) AS cosine
+       FROM ranked WHERE rank <= 3 ORDER BY qid, rank""") { (s, d) =>
+    graft.functions.LongDot.register(s)
+    graft.plans.TopKPerGroup.install(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("n2", norm2Q(col("v")))
+    // ONE assignment pass (centroid anchors fixed at build time) serves
+    // the base build, the appended batch, and the probe wave
+    val assign = Dedup.reuse(ivfAssign(e))
+    val isDay1 = col("vec_id") % 7 === 3
+    val isWave2 = col("vec_id") % 7 === 5
+    // day 0: index the base corpus; day 1: APPEND the ingested batch
+    val table = writeIvfIndex(s, assign.filter(!isDay1 && !isWave2), "ivf_d60")
+    appendIvfIndex(s, assign.filter(isDay1), table)
+    // day 2: probe the UPDATED index with the next wave
+    probeIvfTopK(s, table, asProbes(assign.filter(isWave2)), k = 3)
+      .orderBy("qid", "rank")
+  }
+
   /** d59 — takedown on the VECTOR surface: the d56/d57 compliance
     * discipline applied to the stored IVF index (d33). A removed
     * document must stop being RETRIEVABLE by similarity search, not
@@ -1575,13 +1719,7 @@ object Similarity {
       .select(col("vec_id"), quantize(col("embedding")).as("v"))
       .withColumn("n2", norm2Q(col("v")))
     val assign = Dedup.reuse(ivfAssign(e))
-    val dir = graft.Scratch.dir("graft_ivf_d59")
-    val indexTable = "graft_ivf_d59_" + dir.replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
-    assign.select(col("cell"), col("vec_id").as("cid"), col("v").as("cv2"),
-        col("n2").as("cn2"))
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(8, "cell").sortBy("cell")
-      .option("path", s"$dir/ivf_index").saveAsTable(indexTable)
+    val indexTable = writeIvfIndex(s, assign, "ivf_d59")
     val tomb = Dedup.reuse(assign.filter(col("vec_id") % 7 === 3).select("vec_id"))
 
     def probe(phase: String, table: String, filterIdx: Boolean,
@@ -1612,19 +1750,12 @@ object Similarity {
     val postT = probe("post_tombstone", indexTable, filterIdx = true, filterQueries = true)
     // compaction: the new generation keeps only live entries, same
     // bucketed layout; probed UNFILTERED
-    val cdir = graft.Scratch.dir("graft_ivf_d59c")
-    val cTable = "graft_ivf_d59c_" + cdir.replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
-    s.table(indexTable)
-      .join(broadcast(tomb.select(col("vec_id").as("cid"))), Seq("cid"), "left_anti")
-      .select(col("cell"), col("cid"), col("cv2"), col("cn2"))
-      .write.mode("overwrite").format("parquet")
-      .bucketBy(8, "cell").sortBy("cell")
-      .option("path", s"$cdir/ivf_index").saveAsTable(cTable)
+    val cTable = compactIvfIndex(s, indexTable, tomb, "ivf_d59c")
     val postC = probe("post_compact", cTable, filterIdx = false, filterQueries = true)
 
     pre.unionByName(postT).unionByName(postC).orderBy("phase", "qid", "rank")
   }
 
   val defs: Seq[Q] = Seq(d05, d06, d07, d12, d14, d16, d19, d24, d25, d26, d29,
-    d30, d32, d33, d35, d40, d52, d59)
+    d30, d32, d33, d35, d40, d52, d59, d60)
 }

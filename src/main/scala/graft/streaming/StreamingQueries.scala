@@ -1678,6 +1678,7 @@ object StreamingQueries {
     val outDir = graft.Scratch.dir("graft_s31_out")
     val ckpt = graft.Scratch.dir("graft_s31_ckpt")
     s31LastStores = (idxTable, exDir, shDir)
+    val s31NonEmpty = new java.util.concurrent.atomic.AtomicLong(0L)
     (0 to 1).foreach { b =>
       // wave b arrives as ONE new file; the shared checkpoint makes the
       // second run process only it — deterministic batch membership
@@ -1697,14 +1698,18 @@ object StreamingQueries {
         .option("checkpointLocation", ckpt)
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
           // contract: one new file → ONE non-empty micro-batch per wave.
-          // Empty batches (a no-data trigger) are skipped; a non-empty
-          // batch whose id disagrees with the wave counter means the
-          // one-file-one-batch assumption broke (e.g. a session
-          // maxFilesPerTrigger conf) — fail loudly instead of writing
-          // two census rows under one key
+          // Keyed on the count of NON-EMPTY batches seen, NOT the raw
+          // micro-batch id: Spark may run an intervening no-data batch
+          // (consuming an id) without violating the contract, so
+          // equating the wave counter with batchId would fail spuriously
+          // on the next real batch. Two non-empty batches inside one
+          // wave (e.g. a session maxFilesPerTrigger conf splitting the
+          // file) still fail loudly instead of writing two census rows
+          // under one key.
           if (!batch.isEmpty) {
-            require(batchId == b.toLong,
-              s"s31 wave $b saw micro-batch $batchId: one-file-one-batch broken")
+            require(s31NonEmpty.getAndIncrement() == b.toLong,
+              s"s31 wave $b saw a second non-empty micro-batch ($batchId): " +
+                "one-file-one-batch broken")
             val (row, _) = Incremental.admitBatch(s, batch.toDF(),
               "batch", b.toLong, idxTable, exDir, shDir)
             row.write.mode("append").parquet(outDir)
@@ -1757,6 +1762,7 @@ object StreamingQueries {
     corpus.select(col("doc_id")).limit(0)
       .write.mode("overwrite").parquet(tombDir)
     s32LastStores = (idxTable, exDir, shDir)
+    val s32NonEmpty = new java.util.concurrent.atomic.AtomicLong(0L)
     (0 to 1).foreach { b =>
       val tmp = graft.Scratch.dir(s"graft_s32_wave$b")
       arrivals.filter(col("doc_id") % 2 === lit(b.toLong))
@@ -1774,8 +1780,10 @@ object StreamingQueries {
         .option("checkpointLocation", ckpt)
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
           if (!batch.isEmpty) {
-            require(batchId == b.toLong,
-              s"s32 wave $b saw micro-batch $batchId: one-file-one-batch broken")
+            // non-empty-batch counter, not the raw id (s31's rationale)
+            require(s32NonEmpty.getAndIncrement() == b.toLong,
+              s"s32 wave $b saw a second non-empty micro-batch ($batchId): " +
+                "one-file-one-batch broken")
             // the CURRENT tombstone set, read fresh each batch — this is
             // the contract under test: state written between batches
             // must bind the next admission
@@ -1836,6 +1844,7 @@ object StreamingQueries {
     corpus.select(col("doc_id")).limit(0)
       .write.mode("overwrite").parquet(tombDir)
     s33Catalog = cat
+    val s33NonEmpty = new java.util.concurrent.atomic.AtomicLong(0L)
     (0 to 1).foreach { b =>
       val tmp = graft.Scratch.dir(s"graft_s33_wave$b")
       arrivals.filter(col("doc_id") % 2 === lit(b.toLong))
@@ -1853,8 +1862,10 @@ object StreamingQueries {
         .option("checkpointLocation", ckpt)
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
           if (!batch.isEmpty) {
-            require(batchId == b.toLong,
-              s"s33 wave $b saw micro-batch $batchId: one-file-one-batch broken")
+            // non-empty-batch counter, not the raw id (s31's rationale)
+            require(s33NonEmpty.getAndIncrement() == b.toLong,
+              s"s33 wave $b saw a second non-empty micro-batch ($batchId): " +
+                "one-file-one-batch broken")
             // the CURRENT generation and the CURRENT tombstone set,
             // both re-read each batch — this is the contract under
             // test: maintenance between batches binds the next one
@@ -1890,9 +1901,162 @@ object StreamingQueries {
   /** Catalog path of the most recent s33 run (test-only introspection). */
   @volatile private[graft] var s33Catalog: String = _
 
+  /** s34 = s33 on the VECTOR surface: streaming ANN ingest against the
+    * MAINTAINED IVF index behind the d58 catalog. s15 probes a static
+    * index; here every micro-batch (a) RESOLVES the current index
+    * generation through the catalog, (b) anti-joins the CURRENT
+    * tombstone set out of the index before ranking (d59's
+    * post_tombstone discipline), and (c) APPENDS its own vectors to the
+    * index (d60's batch-sized maintenance write), so later arrivals can
+    * retrieve earlier ones. The maintenance window between the two
+    * waves runs the full vector-takedown lifecycle mid-stream: the
+    * tombstone set lands, compaction rewrites the CURRENT generation —
+    * carrying wave-0's appended vectors, since tombstones only name
+    * corpus vectors — one atomic publish swaps, and the consumed
+    * tombstones clear. Wave 1 therefore probes generation 2 unfiltered
+    * and still retrieves wave-0 vectors (measured non-vacuous at every
+    * verify SF: wave-0 cids appear in wave-1 top-3s), while removed
+    * corpus vectors are gone from every result (also non-vacuous:
+    * tombstoned cids sat in the pre-takedown top-3s).
+    *
+    * Oracle: wave 0's ranking over the FULL corpus index; wave 1's over
+    * (corpus − tombstones) ∪ wave-0 arrivals — computed directly, so a
+    * swap that drops an append, resurrects a tombstone, or leaves the
+    * stream on a stale generation handle surfaces as a ranking
+    * mismatch. */
+  private val s34 = Q(
+    "s34_stream_ann_maintained_index",
+    """WITH e AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+         FROM embeddings),
+       n AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2 FROM e),
+       cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+       scored AS (
+         SELECT n.vec_id, n.v, n.n2, c.cent_id,
+                row_number() OVER (PARTITION BY n.vec_id
+                  ORDER BY CAST(list_sum(list_transform(generate_series(1, 64), i -> n.v[i] * c.cv[i])) AS BIGINT) DESC,
+                           c.cent_id) AS rn
+         FROM n, cents c),
+       assign AS MATERIALIZED (
+         SELECT vec_id, v, n2, cent_id AS cell FROM scored WHERE rn = 1),
+       tombv AS (SELECT vec_id FROM e WHERE vec_id % 10 <> 5 AND vec_id % 7 = 3),
+       idx0 AS (SELECT * FROM assign WHERE vec_id % 10 <> 5),
+       idx1 AS (SELECT * FROM assign
+                WHERE (vec_id % 10 <> 5 AND vec_id NOT IN (SELECT vec_id FROM tombv))
+                   OR vec_id % 20 = 5),
+       w0 AS (
+         SELECT CAST(0 AS BIGINT) AS wave, q.vec_id AS qid, q.cell, c.vec_id AS cid,
+                CAST(list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * c.v[i])) AS BIGINT)
+                  / (sqrt(q.n2) * sqrt(c.n2)) AS cos
+         FROM assign q JOIN idx0 c ON q.cell = c.cell AND c.vec_id <> q.vec_id
+         WHERE q.vec_id % 20 = 5),
+       w1 AS (
+         SELECT CAST(1 AS BIGINT) AS wave, q.vec_id AS qid, q.cell, c.vec_id AS cid,
+                CAST(list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * c.v[i])) AS BIGINT)
+                  / (sqrt(q.n2) * sqrt(c.n2)) AS cos
+         FROM assign q JOIN idx1 c ON q.cell = c.cell AND c.vec_id <> q.vec_id
+         WHERE q.vec_id % 20 = 15),
+       ranked AS (
+         SELECT wave, qid, cell, cid, cos,
+                row_number() OVER (PARTITION BY wave, qid ORDER BY cos DESC, cid) AS rank
+         FROM (SELECT * FROM w0 UNION ALL SELECT * FROM w1))
+       SELECT wave, qid, cell, cid, rank, round(cos, 6) AS cosine
+       FROM ranked WHERE rank <= 3 ORDER BY wave, qid, rank""") { (s, d) =>
+    import graft.ops.{Dedup, Incremental, Similarity}
+    import graft.ops.Similarity.{norm2Q, quantize}
+    graft.functions.LongDot.register(s)
+    graft.plans.TopKPerGroup.install(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("n2", norm2Q(col("v")))
+    // centroid anchors are index STRUCTURE, fixed at build time; arriving
+    // batches are assigned against the same anchors (d60's contract)
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val assign = Dedup.reuse(Similarity.ivfAssignAgainst(e, cents))
+    val idxGen1 = Similarity.writeIvfIndex(
+      s, assign.filter(col("vec_id") % 10 =!= 5), "ivf_s34")
+    val cat = graft.Scratch.dir("graft_s34_cat") + "/index.catalog"
+    Incremental.publishCatalog(cat, Seq(idxGen1))
+    val tombDir = graft.Scratch.dir("graft_s34_tomb")
+    e.select(col("vec_id")).limit(0).write.mode("overwrite").parquet(tombDir)
+    val watched = graft.Scratch.dir("graft_s34_watched")
+    val outDir = graft.Scratch.dir("graft_s34_out")
+    val ckpt = graft.Scratch.dir("graft_s34_ckpt")
+    s34Catalog = cat
+    val s34NonEmpty = new java.util.concurrent.atomic.AtomicLong(0L)
+    (0 to 1).foreach { b =>
+      val tmp = graft.Scratch.dir(s"graft_s34_wave$b")
+      Tables.embeddings(s, d).filter(col("vec_id") % 20 === lit(5L + 10L * b))
+        .select(col("vec_id"), col("embedding"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(watched, s"arrival$b.parquet").toPath)
+      val q = s.readStream
+        .schema(StructType(Seq(StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType)))))
+        .parquet(watched)
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!batch.isEmpty) {
+            // non-empty-batch counter, not the raw id (s31's rationale)
+            require(s34NonEmpty.getAndIncrement() == b.toLong,
+              s"s34 wave $b saw a second non-empty micro-batch ($batchId): " +
+                "one-file-one-batch broken")
+            // the CURRENT generation and the CURRENT tombstone set, both
+            // re-resolved each batch — the contract under test
+            val idxTable = Incremental.resolveCatalog(cat, expect = 1).head
+            val tomb = s.read.schema("vec_id LONG").parquet(tombDir)
+            val bAssign = Similarity.ivfAssignAgainst(
+              batch.toDF()
+                .select(col("vec_id"), quantize(col("embedding")).as("v"))
+                .withColumn("n2", norm2Q(col("v"))),
+              cents).localCheckpoint(true)
+            val liveIdx = s.table(idxTable)
+              .join(broadcast(tomb.select(col("vec_id").as("cid"))),
+                Seq("cid"), "left_anti")
+            Similarity.probeIvfTopK(liveIdx,
+                bAssign.select(col("vec_id").as("qid"), col("v").as("qv"),
+                  col("n2").as("qn2"), col("cell").as("qcell")), k = 3)
+              .select(lit(b.toLong).as("wave"), col("qid"), col("cell"),
+                col("cid"), col("rank"), col("cosine"))
+              .write.mode("append").parquet(outDir)
+            // maintained-index ingest: this batch's vectors become
+            // retrievable by every later arrival (probe-then-append, so
+            // a vector never ranks against itself within its own batch)
+            Similarity.appendIvfIndex(s, bAssign, idxTable)
+          }
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      if (b == 0) {
+        // maintenance window: takedown lands, compaction rewrites the
+        // CURRENT generation (wave-0 appends included) minus tombstoned
+        // corpus vectors, one atomic publish swaps, tombstones clear
+        e.filter(col("vec_id") % 10 =!= 5 && col("vec_id") % 7 === 3)
+          .select("vec_id").write.mode("overwrite").parquet(tombDir)
+        val cur = Incremental.resolveCatalog(cat, expect = 1).head
+        val idxGen2 = Similarity.compactIvfIndex(s, cur,
+          s.read.schema("vec_id LONG").parquet(tombDir), "ivf_s34c")
+        Incremental.publishCatalog(cat, Seq(idxGen2))
+        e.select(col("vec_id")).limit(0).write.mode("overwrite").parquet(tombDir)
+      }
+    }
+    s.read.parquet(outDir).orderBy("wave", "qid", "rank")
+  }
+
+  /** Catalog path of the most recent s34 run (test-only introspection). */
+  @volatile private[graft] var s34Catalog: String = _
+
   val defs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
     s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25,
-    s26, s27, s28, s29, s30, s31, s32, s33)
+    s26, s27, s28, s29, s30, s31, s32, s33, s34)
 }
 
 /** s11's StatefulProcessor: cumulative (event count, value cents) per

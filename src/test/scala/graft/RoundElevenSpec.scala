@@ -1,0 +1,209 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+
+/** Round-11 additions: the maintained-store lifecycle carried to the two
+  * surfaces that lacked it (the stored IVF index's append path d60 + its
+  * catalog-backed streaming ingest s34; the media-fingerprint store m11),
+  * plus the round-10 advice hardenings (admitBatch layout validation,
+  * per-publish-unique catalog tmp names). */
+class RoundElevenSpec extends SparkTestBase {
+
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  private def shuffles(df: DataFrame) =
+    castToImpl(df).queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+
+  test("d60 IVF append: probe-after-append is byte-equal to " +
+    "probe-after-rebuild, and the appended table still answers a " +
+    "shuffled probe join bucket-aware with no index-side exchange") {
+    import ops.{Dedup, Similarity}
+    import ops.Similarity.{norm2Q, quantize}
+    graft.functions.LongDot.register(spark)
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("n2", norm2Q(col("v")))
+    val assign = Dedup.reuse(Similarity.ivfAssign(e))
+    val isDay1 = col("vec_id") % 7 === 3
+    val isWave2 = col("vec_id") % 7 === 5
+    val probes = assign.filter(isWave2)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("n2").as("qn2"), col("cell").as("qcell"))
+
+    // maintained route: base write + batch append
+    val maintained = Similarity.writeIvfIndex(
+      spark, assign.filter(!isDay1 && !isWave2), "ivf_r11_app")
+    Similarity.appendIvfIndex(spark, assign.filter(isDay1), maintained)
+    // rebuild route: one fresh write over base ∪ day-1
+    val rebuilt = Similarity.writeIvfIndex(
+      spark, assign.filter(!isWave2), "ivf_r11_reb")
+
+    val viaAppend = rows(Similarity.probeIvfTopK(spark, maintained, probes, k = 3))
+    val viaRebuild = rows(Similarity.probeIvfTopK(spark, rebuilt, probes, k = 3))
+    assert(viaAppend.nonEmpty, "probe produced no rows — drill is vacuous")
+    assert(viaAppend == viaRebuild,
+      "append-maintained index diverged from a from-scratch rebuild")
+    // the appended rows must actually matter: day-1 vectors appear as
+    // neighbors (otherwise the equality above proves nothing)
+    assert(Similarity.probeIvfTopK(spark, maintained, probes, k = 3)
+      .filter(col("cid") % 7 === 3).count() > 0,
+      "no day-1 vector reached any top-3 — append-visibility untested")
+
+    // layout invariant (the d57/IncrementalSpec pattern, on the APPENDED
+    // table): a shuffled probe join reads the index side straight from
+    // its bucketed files — no exchange, bucket-aware scan
+    spark.catalog.clearCache()
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val probe = spark.table(maintained)
+        .join(probes.hint("shuffle_merge"), col("cell") === col("qcell"))
+      val plan = castToImpl(probe).queryExecution.executedPlan
+      val join = plan.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }
+      assert(join.isDefined, s"expected a shuffled probe join:\n$plan")
+      val indexSide = join.get.children.filter(_.toString.contains("ivf_index"))
+      assert(indexSide.size == 1, s"index scan not under the probe join:\n$plan")
+      assert(indexSide.head.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.isEmpty, "the appended index side got re-shuffled")
+      assert(plan.toString.contains("Bucketed: true") ||
+        plan.toString.contains("SelectedBucketsCount"),
+        s"appended index scan is not bucket-aware:\n$plan")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+    spark.catalog.clearCache()
+  }
+
+  test("s34 streaming ANN against the maintained index: a wave-0-ingested " +
+    "vector is retrievable from generation 2 through the swap, tombstoned " +
+    "corpus vectors leave every post-swap result, and the takedown was " +
+    "non-vacuous (tombstoned cids sat in wave-0 top-3s)") {
+    val out = SparkEntry.queries("s34_stream_ann_maintained_index")(spark, sf0001)
+      .collect()
+    val w0 = out.filter(_.getAs[Long]("wave") == 0L)
+    val w1 = out.filter(_.getAs[Long]("wave") == 1L)
+    assert(w0.nonEmpty && w1.nonEmpty)
+    def tombstoned(cid: Long): Boolean = cid % 10 != 5 && cid % 7 == 3
+    // pre-takedown: removed vectors were being served (non-vacuous)
+    assert(w0.exists(r => tombstoned(r.getAs[Long]("cid"))),
+      "no tombstoned cid in wave-0 results — the takedown removes nothing")
+    // post-swap: gone from every result, unfiltered
+    assert(!w1.exists(r => tombstoned(r.getAs[Long]("cid"))),
+      "a tombstoned vector survived the swap into generation 2")
+    // cross-batch retrievability: wave-0 arrivals (cid % 20 = 5) were
+    // appended in-stream, carried through compaction, and retrieved
+    assert(w1.exists(_.getAs[Long]("cid") % 20 == 5),
+      "no wave-0-ingested vector retrievable from generation 2")
+    // the published catalog resolves to exactly one live handle
+    val cat = streaming.StreamingQueries.s34Catalog
+    val handles = ops.Incremental.resolveCatalog(cat, expect = 1)
+    assert(spark.table(handles.head).count() > 0)
+    spark.catalog.clearCache()
+  }
+
+  test("m11 media-fingerprint store: tombstone-filtered probing of the " +
+    "old generation and unfiltered probing of the compacted one admit " +
+    "identically, re-admission is non-vacuous, and no exchange in the " +
+    "probe pipeline ever carries a payload column") {
+    val census = SparkEntry.queries("m11_media_fingerprint_store")(spark, sf0001)
+      .collect().map(r => r.getAs[String]("phase") -> r).toMap
+    assert(census.size == 3)
+    for (c <- Seq("n_arrived", "n_dropped", "n_admitted", "n_readmitted",
+        "sum_admitted_ids"))
+      assert(census("post_tombstone").getAs[Long](c) ==
+        census("post_compact").getAs[Long](c),
+        s"$c diverged between the tombstone filter and the compacted generation")
+    assert(census("post_tombstone").getAs[Long]("n_readmitted") > 0,
+      "media takedown re-admitted nothing — drill is vacuous")
+    assert(census("pre").getAs[Long]("n_dropped") > 0,
+      "no duplicate verdicts at all — the store detected nothing")
+
+    // payload-never-shuffles: the full probe pipeline (signature pass →
+    // band probe → hamming verification), built from the same helpers
+    // m11 uses, must not put `payload` (or the raw byte grid) through
+    // any exchange — only ids, band keys, and the 4 packed longs travel
+    val docs = Tables.documents(spark, sf0001)
+    val corpus = docs.select(col("doc_id").as("id"),
+      encode(col("text"), "UTF-8").as("payload"))
+    val arrivals = ops.Multimodal.mediaVariants(docs)
+    val cS = ops.Multimodal.sigs(corpus)
+    val aS = ops.Multimodal.sigs(arrivals)
+    val verdicts = ops.Multimodal.bands(cS).as("a")
+      .join(ops.Multimodal.bands(aS).as("b"),
+        col("a.b") === col("b.b") && col("a.bits") === col("b.bits"))
+      .select(col("b.id").as("id_a"), col("a.id").as("id_b"),
+        ops.Multimodal.hamming("b.si", "a.si").as("hamming"))
+      .filter(col("hamming") <= 4)
+    val leaky = shuffles(verdicts).filter(_.output.exists(a =>
+      a.name == "payload" || a.name == "hx" || a.name == "px"))
+    assert(leaky.isEmpty,
+      s"payload bytes crossed an exchange:\n${leaky.mkString("\n")}")
+    assert(rows(verdicts).nonEmpty)
+    spark.catalog.clearCache()
+  }
+
+  test("admitBatch validates the exact-store layout at entry: owned=true " +
+    "against an h-only store (and the reverse) fails loudly instead of " +
+    "silently reading NULL owners and corrupting the store") {
+    import ops.Incremental
+    val docs = Incremental.plantedDocs(spark, sf0001)
+    val corpus = docs.filter(col("doc_id") % 11 =!= 5).localCheckpoint(true)
+    val batch = docs.filter(col("doc_id") % 11 === 5).limit(5)
+
+    val (idxH, exH, shH) = Incremental.initStores(spark, corpus, "r11h")
+    val eH = intercept[IllegalArgumentException] {
+      Incremental.admitBatch(spark, batch, "k", 0L, idxH, exH, shH, owned = true)
+    }
+    assert(eH.getMessage.contains("layout"))
+
+    val (idxO, exO, shO) = Incremental.initOwnedStores(spark, corpus, "r11o")
+    val eO = intercept[IllegalArgumentException] {
+      Incremental.admitBatch(spark, batch, "k", 0L, idxO, exO, shO, owned = false)
+    }
+    assert(eO.getMessage.contains("layout"))
+    spark.catalog.clearCache()
+  }
+
+  test("publishCatalog: per-publish-unique tmp names make concurrent " +
+    "publishers degrade to last-writer-wins — every read during a " +
+    "two-writer race returns one COMPLETE triple, never a blend or a " +
+    "NoSuchFileException; resolveCatalog guards the line count") {
+    import ops.Incremental
+    val cat = graft.Scratch.dir("graft_r11_cat") + "/stores.catalog"
+    Incremental.publishCatalog(cat, Seq("a0", "b0", "c0"))
+    val failures = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val writers = (1 to 2).map { w =>
+      new Thread(() => {
+        try (1 to 200).foreach { i =>
+          Incremental.publishCatalog(cat, Seq(s"a$w$i", s"b$w$i", s"c$w$i"))
+        } catch { case t: Throwable => failures.compareAndSet(null, t) }
+      })
+    }
+    val reader = new Thread(() => {
+      try (1 to 400).foreach { _ =>
+        val (a, b, c) = Incremental.resolveStoreCatalog(cat)
+        // a complete triple shares one (writer, i) suffix — never a blend
+        assert(a.stripPrefix("a") == b.stripPrefix("b") &&
+          b.stripPrefix("b") == c.stripPrefix("c"), s"torn read: $a/$b/$c")
+      } catch { case t: Throwable => failures.compareAndSet(null, t) }
+    })
+    (writers :+ reader).foreach(_.start())
+    (writers :+ reader).foreach(_.join())
+    assert(failures.get() == null,
+      s"catalog race failed: ${Option(failures.get()).map(_.toString)}")
+    // wrong-surface catalog fails loudly
+    intercept[IllegalArgumentException] {
+      Incremental.resolveCatalog(cat, expect = 1)
+    }
+  }
+}
