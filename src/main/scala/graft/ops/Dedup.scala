@@ -202,11 +202,61 @@ object Dedup {
     buckets.join(broadcast(oversized.select(keys: _*)), keyCols, "left_anti")
   }
 
+  /** TOTAL candidate-edge budget from `graft.dedup.maxCandidateEdges`
+    * (default 0 = off). The per-bucket cap bounds the WORST key, but on
+    * a collision-dense corpus (saturated shingle vocabulary, templated
+    * text) the edge total still grows super-linearly through many
+    * medium buckets — ScaleProbeDedup measured d08's candidate edges
+    * growing 8.6× at 10× docs, and every edge also pays verification
+    * downstream. When set, the budget derives the LARGEST bucket-size
+    * threshold t whose cumulative pair count fits (greedy from the
+    * smallest sizes up — small buckets are the discriminating ones;
+    * recall lost on a dropped key is bounded by the other bands, the
+    * standard LSH argument) and tightens the cap to t, LOGGING the drop
+    * census instead of silently paying quadratic edges.
+    *
+    * Scale shape: the decision input is the bucket-SIZE histogram —
+    * ≤ cap rows by construction (sizes 2..cap), two map-side-combined
+    * aggs, a bounded driver collect. OPERATIONAL LEVER ONLY: like a
+    * `maxBucketSize` override, a triggered budget changes results, so
+    * oracle-verified runs must leave it unset (the census line makes a
+    * triggered run impossible to miss). */
+  val DefaultEdgeBudgetConf = "graft.dedup.maxCandidateEdges"
+
+  private def edgeBudgetCap(buckets: DataFrame, budget: Long): Long = {
+    val hist = buckets.groupBy("band", "band_key").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .groupBy("n").agg(count(lit(1)).as("n_buckets"),
+        sum(expr("n * (n - 1) div 2")).as("pairs"))
+      .orderBy("n").collect()
+    var cum = 0L
+    var t = 1L // size-1 buckets emit nothing; the floor if nothing fits
+    var fits = true
+    var dropped = 0L
+    var droppedPairs = 0L
+    hist.foreach { r =>
+      val p = r.getAs[Long]("pairs")
+      if (fits && cum + p <= budget) { cum += p; t = r.getAs[Long]("n") }
+      else {
+        fits = false
+        dropped += r.getAs[Long]("n_buckets")
+        droppedPairs += p
+      }
+    }
+    if (dropped > 0)
+      Console.err.println(s"[graft] candidate-edge budget $budget: capping bucket size " +
+        s"at $t — dropping $dropped buckets ($droppedPairs candidate pairs; $cum kept). " +
+        "Oracle-verified runs must not set graft.dedup.maxCandidateEdges.")
+    t
+  }
+
   /** Candidate near-dup pairs from LSH buckets (id_a < id_b, distinct).
     * The bucket pipeline is materialized once — a naive self-join would
     * run the whole minhash computation for both sides. Buckets above the
     * cardinality cap (`cap`, or `graft.dedup.maxBucketSize` when 0) are
-    * dropped first so no band key can go quadratic. Pass
+    * dropped first so no band key can go quadratic, and an optional
+    * TOTAL edge budget ([[edgeBudgetCap]]) tightens that cap further on
+    * collision-dense corpora. Pass
     * `materialize = false` ONLY when `buckets0` is already cheap to
     * recompute (e.g. derived from a persisted digest table, as in
     * [[lshBucketsAndShingles]]) — it skips the persist+count job and lets
@@ -214,7 +264,11 @@ object Dedup {
   def candidatePairs(buckets0: DataFrame, cap: Long = 0L,
       materialize: Boolean = true): DataFrame = {
     val all = if (materialize) reuse(buckets0) else buckets0
-    val effCap = if (cap > 0) cap else bucketCap(all.sparkSession)
+    val capBase = if (cap > 0) cap else bucketCap(all.sparkSession)
+    val budget = all.sparkSession.conf.getOption(DefaultEdgeBudgetConf)
+      .map(_.toLong).getOrElse(0L)
+    val effCap =
+      if (budget > 0) math.min(capBase, edgeBudgetCap(all, budget)) else capBase
     val buckets = dropOversizedBuckets(all, Seq("band", "band_key"), effCap)
     val a = buckets.as("a")
     val b = buckets.as("b")
@@ -731,7 +785,13 @@ object Dedup {
 
   /** Duplicate clusters: LSH candidate pairs → connected components
     * (iterative min-label propagation in Spark; recursive-CTE transitive
-    * closure in the oracle). */
+    * closure in the oracle). Cap pinned to [[DefaultBucketCap]] with the
+    * oracle's QUALIFY mirror (the m10/p01 discipline), so a session
+    * `maxBucketSize` override can never desynchronize engine and oracle;
+    * on collision-dense corpora the TOTAL edge count is the real cost
+    * driver (measured 8.6× at 10× docs on the saturated-vocab probe) —
+    * the `graft.dedup.maxCandidateEdges` budget is the operational lever
+    * there ([[edgeBudgetCap]]; priced in ScaleProbeDedup). */
   private val d08 = Q(
     "d08_dedup_groups",
     """WITH RECURSIVE docs AS (
@@ -749,10 +809,13 @@ object Dedup {
          SELECT doc_id, seed, min(h1 + seed * h2) AS mh
          FROM hs, (SELECT unnest(generate_series(0, 7)) AS seed) seeds
          GROUP BY doc_id, seed),
-       bands AS (
+       bands0 AS (
          SELECT doc_id, CAST(seed // 2 AS INT) AS band,
                 md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS band_key
          FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)),
+       bands AS (
+         SELECT * FROM bands0
+         QUALIFY count(*) OVER (PARTITION BY band, band_key) <= 1000),
        pairs AS (
          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          FROM bands a JOIN bands b
@@ -771,7 +834,8 @@ object Dedup {
        FROM reach GROUP BY a ORDER BY doc_id""") { (s, d) =>
     val buckets = lshBuckets(Tables.documents(s, d), "doc_id", "text",
       shingleWords = 3, bands = 4, rowsPerBand = 2)
-    connectedComponents(candidatePairs(buckets))
+    // cap pinned (not the session conf): the QUALIFY above hardcodes 1000
+    connectedComponents(candidatePairs(buckets, cap = DefaultBucketCap))
       .select(col("id").as("doc_id"), col("component"))
       .orderBy("doc_id")
   }
@@ -2554,7 +2618,7 @@ object Dedup {
          FROM (SELECT doc_id, ws,
                       unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
                FROM docs)),
-       hs AS (
+       hs AS MATERIALIZED (
          SELECT doc_id, ('0x' || substring(md5(sh), 1, 8))::BIGINT AS h1,
                 ('0x' || substring(md5(sh), 9, 8))::BIGINT AS h2
          FROM sh),
@@ -2562,24 +2626,24 @@ object Dedup {
          SELECT doc_id, seed, min(h1 + seed * h2) AS mh
          FROM hs, (SELECT unnest(generate_series(0, 7)) AS seed) seeds
          GROUP BY doc_id, seed),
-       bands AS (
+       bands AS MATERIALIZED (
          SELECT doc_id, CAST(seed // 2 AS INT) AS band,
                 md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS band_key
          FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)),
-       pairs AS (
+       pairs AS MATERIALIZED (
          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          FROM bands a JOIN bands b
            ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-       shd AS (SELECT DISTINCT doc_id, h1 * 134217728 + h2 % 134217728 AS h
+       shd AS MATERIALIZED (SELECT DISTINCT doc_id, h1 * 134217728 + h2 % 134217728 AS h
                FROM hs),
-       sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+       sz AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
        inter AS (
          SELECT p.id_a, p.id_b, count(*) AS ni
          FROM pairs p
            JOIN shd a ON a.doc_id = p.id_a
            JOIN shd b ON b.doc_id = p.id_b AND b.h = a.h
          GROUP BY p.id_a, p.id_b),
-       vpairs AS (
+       vpairs AS MATERIALIZED (
          SELECT i.id_a, i.id_b FROM inter i
            JOIN sz sa ON sa.doc_id = i.id_a
            JOIN sz sb ON sb.doc_id = i.id_b
@@ -2587,8 +2651,8 @@ object Dedup {
        und AS (
          SELECT id_a AS u, id_b AS v FROM vpairs
          UNION ALL SELECT id_b AS u, id_a AS v FROM vpairs),
-       deg AS (SELECT u AS id, count(*) AS deg FROM und GROUP BY u),
-       o AS (
+       deg AS MATERIALIZED (SELECT u AS id, count(*) AS deg FROM und GROUP BY u),
+       o AS MATERIALIZED (
          SELECT CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND e.id_a < e.id_b)
                      THEN e.id_a ELSE e.id_b END AS src,
                 CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND e.id_a < e.id_b)
@@ -2596,13 +2660,13 @@ object Dedup {
          FROM vpairs e
            JOIN deg da ON da.id = e.id_a
            JOIN deg db ON db.id = e.id_b),
-       od AS (SELECT o.src, o.dst, dd.deg AS ddeg
+       od AS MATERIALIZED (SELECT o.src, o.dst, dd.deg AS ddeg
               FROM o JOIN deg dd ON dd.id = o.dst),
        wed AS (
          SELECT a.src AS u, a.dst AS v, b.dst AS w
          FROM od a JOIN od b ON a.src = b.src
          WHERE (a.ddeg < b.ddeg) OR (a.ddeg = b.ddeg AND a.dst < b.dst)),
-       tri AS (
+       tri AS MATERIALIZED (
          SELECT wed.u, wed.v, wed.w
          FROM wed JOIN o ON o.src = wed.v AND o.dst = wed.w),
        tv AS (

@@ -33,8 +33,16 @@ object TextAnalysis {
   def tokens(textCol: Column, mode: String): Column = mode match {
     case "whitespace" => split(textCol, " ")
     case "unicode"    => regexp_extract_all(textCol, lit(unicodeTokenRe), lit(0))
+    // the CJK route: scripts with no word separators defeat both modes
+    // above (an unsegmented zh sentence is ONE token to either), so
+    // character bigrams are the standard segmentation-free unit — zh
+    // function words are mostly 1-2 chars, and char-bigram features are
+    // the classic lang-ID representation (Cavnar-Trenkle n-gram class)
+    case "char_bigram" =>
+      transform(sequence(lit(1), greatest(length(textCol) - 1, lit(1))),
+        i => textCol.substr(i, lit(2)))
     case other => throw new IllegalArgumentException(
-      s"unknown tokenizer mode '$other' (whitespace | unicode)")
+      s"unknown tokenizer mode '$other' (whitespace | unicode | char_bigram)")
   }
 
   private def toks(textCol: String): Column = tokens(col(textCol), "whitespace")
@@ -66,6 +74,20 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "se"),
     "de" -> Seq("der", "und", "das", "die", "ist", "nicht", "ein", "zu"),
     "fr" -> Seq("le", "et", "les", "des", "une", "que", "dans", "est"))
+
+  /** zh function words for the CJK lang-ID route (t51 v3) — all two
+    * characters, matched as CHAR BIGRAMS ([[tokens]] `char_bigram`
+    * mode): real zh text carries no word separators, so the whitespace
+    * and unicode tokenizers both see an unsegmented sentence as one
+    * token and every token-set score is 0 — exactly the honesty gap t51
+    * v2 reported (zh F1 = 0). Bigram matching needs no segmentation. */
+  val zhFunctionWords: Seq[String] = Seq(
+    "我们", "你们", "他们", "没有", "什么", "这个", "可以", "因为")
+
+  /** Count of char-bigram matches against a (two-char) word set. */
+  def bigramSetCount(textCol: String, words: Seq[String]): Column =
+    size(filter(tokens(col(textCol), "char_bigram"),
+      t => t.isin(words.map(lit(_)): _*))).cast(LongType)
 
   /** Distributed two-phase prefix sum: exact running total of `valueCol`
     * over rows ordered by (`groupCol`, `orderCol`), with parallelism set
@@ -2209,9 +2231,17 @@ object TextAnalysis {
     *    deterministic planted set whose texts DO carry per-language
     *    function words (row-local md5 arithmetic, replayed verbatim by
     *    the oracle) — proving the classifier separates languages
-    *    perfectly where the text has signal (non-English F1 = 1.0), and
-    *    that an unsupported language (zh, filler-only text) honestly
-    *    scores 0 instead of being claimed.
+    *    perfectly where the text has signal (non-English F1 = 1.0).
+    *
+    * v3 adds the CJK route: zh scored by CHAR-BIGRAM matches against
+    * [[zhFunctionWords]] (the `tokens()` char_bigram mode). The planted
+    * zh docs carry their function words with NO separators — real zh has
+    * none, so the whitespace/unicode tokenizers see one giant token and
+    * every token-set score stays 0 (v2's honest zh F1 = 0 finding);
+    * only the segmentation-free bigram channel fires, and zh F1 = 1.0.
+    * CJK bigrams and Latin stopwords are disjoint channels, so adding
+    * the zh arm cannot perturb a Latin prediction (sc_zh = 0 on any
+    * CJK-free text).
     *
     * Integer-exact: n_true/n_pred/n_hit are counts; micro-F1 uses the
     * identity F1 = 2·TP/(n_true + n_pred) — one division of exact
@@ -2222,8 +2252,10 @@ object TextAnalysis {
     * declared, by predicted) join on the ≤ 6-row language key; the
     * planted set is a fixed 240-row range, scale-free. */
   private def langArgmax: Column =
-    when(col("sc_en") >= greatest(col("sc_es"), col("sc_de"), col("sc_fr"))
-      && col("sc_en") > 0, "en")
+    when(col("sc_zh") >= greatest(col("sc_en"), col("sc_es"), col("sc_de"), col("sc_fr"))
+      && col("sc_zh") > 0, "zh")
+      .when(col("sc_en") >= greatest(col("sc_es"), col("sc_de"), col("sc_fr"))
+        && col("sc_en") > 0, "en")
       .when(col("sc_es") >= greatest(col("sc_de"), col("sc_fr")) && col("sc_es") > 0, "es")
       .when(col("sc_de") >= col("sc_fr") && col("sc_de") > 0, "de")
       .when(col("sc_fr") > 0, "fr")
@@ -2246,22 +2278,36 @@ object TextAnalysis {
           .cast(LongType).as("f1_micro"))
   }
 
-  private def plantedPhrase(l: String): String = langStopwordsFull(l).mkString(" ")
+  /** Planted per-language function-word phrase. zh is joined WITHOUT
+    * spaces — real zh has no word separators, which is exactly why the
+    * whitespace route scores it 0 and only the char-bigram route (v3)
+    * can see it; Latin languages keep their space-joined form. */
+  private def plantedPhrase(l: String): String =
+    if (l == "zh") zhFunctionWords.mkString("")
+    else langStopwordsFull(l).mkString(" ")
+
+  private def duckBigramCount(words: Seq[String]): String =
+    "len(list_filter(list_transform(generate_series(1, greatest(length(text) - 1, 1)), " +
+      s"i -> substring(text, i, 2)), g -> g IN (${words.map(w => s"'$w'").mkString(",")})))"
+
+  private def duckLangCase: String =
+    """CASE WHEN sc_zh >= greatest(sc_en, sc_es, sc_de, sc_fr) AND sc_zh > 0 THEN 'zh'
+            WHEN sc_en >= greatest(sc_es, sc_de, sc_fr) AND sc_en > 0 THEN 'en'
+            WHEN sc_es >= greatest(sc_de, sc_fr) AND sc_es > 0 THEN 'es'
+            WHEN sc_de >= sc_fr AND sc_de > 0 THEN 'de'
+            WHEN sc_fr > 0 THEN 'fr'
+            ELSE 'unknown' END"""
 
   private val t51 = Q(
     "t51_langid_eval",
     s"""WITH fsc AS MATERIALIZED (
-         SELECT doc_id, lang AS declared,
-                CASE WHEN sc_en >= greatest(sc_es, sc_de, sc_fr) AND sc_en > 0 THEN 'en'
-                     WHEN sc_es >= greatest(sc_de, sc_fr) AND sc_es > 0 THEN 'es'
-                     WHEN sc_de >= sc_fr AND sc_de > 0 THEN 'de'
-                     WHEN sc_fr > 0 THEN 'fr'
-                     ELSE 'unknown' END AS predicted
+         SELECT doc_id, lang AS declared, $duckLangCase AS predicted
          FROM (SELECT doc_id, lang,
                       ${duckTokCount(Seq("the", "a", "of"))} AS sc_en,
                       ${duckTokCount(Seq("el", "la", "de"))} AS sc_es,
                       ${duckTokCount(Seq("der", "und", "das"))} AS sc_de,
-                      ${duckTokCount(Seq("le", "et", "les"))} AS sc_fr
+                      ${duckTokCount(Seq("le", "et", "les"))} AS sc_fr,
+                      ${duckBigramCount(zhFunctionWords)} AS sc_zh
                FROM documents) t),
        pd AS MATERIALIZED (
          SELECT i AS id,
@@ -2272,22 +2318,18 @@ object TextAnalysis {
                              WHEN 1 THEN '${plantedPhrase("es")}'
                              WHEN 2 THEN '${plantedPhrase("de")}'
                              WHEN 3 THEN '${plantedPhrase("fr")}'
-                             ELSE NULL END,
+                             ELSE '${plantedPhrase("zh")}' END,
                   array_to_string(list_transform(generate_series(1, 10),
                     j -> substring(md5(CAST(i AS VARCHAR) || '#' || CAST(j AS VARCHAR)), 1, 6)), ' ')) AS text
          FROM generate_series(0, 239) t(i)),
        psc AS MATERIALIZED (
-         SELECT id, declared,
-                CASE WHEN sc_en >= greatest(sc_es, sc_de, sc_fr) AND sc_en > 0 THEN 'en'
-                     WHEN sc_es >= greatest(sc_de, sc_fr) AND sc_es > 0 THEN 'es'
-                     WHEN sc_de >= sc_fr AND sc_de > 0 THEN 'de'
-                     WHEN sc_fr > 0 THEN 'fr'
-                     ELSE 'unknown' END AS predicted
+         SELECT id, declared, $duckLangCase AS predicted
          FROM (SELECT id, declared,
                       ${duckTokCount(langStopwordsFull("en"))} AS sc_en,
                       ${duckTokCount(langStopwordsFull("es"))} AS sc_es,
                       ${duckTokCount(langStopwordsFull("de"))} AS sc_de,
-                      ${duckTokCount(langStopwordsFull("fr"))} AS sc_fr
+                      ${duckTokCount(langStopwordsFull("fr"))} AS sc_fr,
+                      ${duckBigramCount(zhFunctionWords)} AS sc_zh
                FROM pd) t),
        uni AS MATERIALIZED (
          SELECT 'fixture' AS audit, declared, predicted FROM fsc
@@ -2311,7 +2353,8 @@ object TextAnalysis {
       tokenSetCount("text", langStopwords("en")).as("sc_en"),
       tokenSetCount("text", langStopwords("es")).as("sc_es"),
       tokenSetCount("text", langStopwords("de")).as("sc_de"),
-      tokenSetCount("text", langStopwords("fr")).as("sc_fr"))
+      tokenSetCount("text", langStopwords("fr")).as("sc_fr"),
+      bigramSetCount("text", zhFunctionWords).as("sc_zh"))
       .select(col("declared"), langArgmax.as("predicted"))
     val langsLit = typedLit(Seq("en", "es", "de", "fr", "zh"))
     val plantedScored = s.range(240)
@@ -2322,14 +2365,15 @@ object TextAnalysis {
           .when(col("declared") === "es", plantedPhrase("es"))
           .when(col("declared") === "de", plantedPhrase("de"))
           .when(col("declared") === "fr", plantedPhrase("fr"))
-          .otherwise(lit(null)),
+          .otherwise(plantedPhrase("zh")),
         expr("concat_ws(' ', transform(sequence(1, 10), " +
           "i -> substr(md5(concat(cast(id as string), '#', cast(i as string))), 1, 6)))")))
       .select(col("declared"),
         tokenSetCount("text", langStopwordsFull("en")).as("sc_en"),
         tokenSetCount("text", langStopwordsFull("es")).as("sc_es"),
         tokenSetCount("text", langStopwordsFull("de")).as("sc_de"),
-        tokenSetCount("text", langStopwordsFull("fr")).as("sc_fr"))
+        tokenSetCount("text", langStopwordsFull("fr")).as("sc_fr"),
+        bigramSetCount("text", zhFunctionWords).as("sc_zh"))
       .select(col("declared"), langArgmax.as("predicted"))
     evalCensus(fixtureScored, "fixture")
       .unionByName(evalCensus(plantedScored, "planted"))

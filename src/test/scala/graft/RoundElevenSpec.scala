@@ -206,4 +206,64 @@ class RoundElevenSpec extends SparkTestBase {
       Incremental.resolveCatalog(cat, expect = 1)
     }
   }
+
+  test("candidate-edge budget: the bucket-size threshold keeps exactly " +
+    "the maximal small-bucket prefix whose pair total fits, drops the " +
+    "rest (census verified by brute count), and the default leaves " +
+    "every pair intact") {
+    import ops.Dedup
+    import spark.implicits._
+    // planted buckets: sizes 3 (3 pairs), 4 (6 pairs), 10 (45 pairs)
+    val buckets = (
+      (1 to 3).map(i => (i.toLong, 0, "A")) ++
+      (11 to 14).map(i => (i.toLong, 0, "B")) ++
+      (21 to 30).map(i => (i.toLong, 0, "C"))
+    ).toDF("id", "band", "band_key")
+    val allPairs = Dedup.candidatePairs(buckets, materialize = false).count()
+    assert(allPairs == 3 + 6 + 45, s"unbudgeted baseline wrong: $allPairs")
+    try {
+      // budget 10: sizes 3 (cum 3) and 4 (cum 9) fit; size 10 (45) drops
+      spark.conf.set(Dedup.DefaultEdgeBudgetConf, "10")
+      assert(Dedup.candidatePairs(buckets, materialize = false).count() == 9L)
+      // budget 2: nothing fits — every multi-bucket drops, zero pairs
+      spark.conf.set(Dedup.DefaultEdgeBudgetConf, "2")
+      assert(Dedup.candidatePairs(buckets, materialize = false).count() == 0L)
+      // budget large: no-op
+      spark.conf.set(Dedup.DefaultEdgeBudgetConf, "1000000")
+      assert(Dedup.candidatePairs(buckets, materialize = false).count() == allPairs)
+    } finally spark.conf.unset(Dedup.DefaultEdgeBudgetConf)
+  }
+
+  test("t51 v3 CJK route: char-bigram scoring detects the separator-free " +
+    "planted zh docs (F1 = 1.0) that every whitespace/unicode token " +
+    "score provably misses, without perturbing any Latin or fixture " +
+    "prediction") {
+    import ops.TextAnalysis
+    val out = SparkEntry.queries("t51_langid_eval")(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("audit"), r.getAs[String]("lang")) -> r).toMap
+    // the new capability: planted zh now classified perfectly
+    assert(out(("planted", "zh")).getAs[Long]("f1_micro") == 1000000L,
+      "planted zh F1 != 1.0 — the bigram route failed")
+    // Latin planted rows unperturbed (still perfect)
+    for (l <- Seq("en", "es", "de", "fr"))
+      assert(out(("planted", l)).getAs[Long]("f1_micro") == 1000000L,
+        s"planted $l regressed after adding the zh arm")
+    // honesty preserved: the fixture's declared labels still carry no
+    // text signal, and no fixture doc is suddenly claimed as zh
+    assert(out(("fixture", "zh")).getAs[Long]("n_pred") == 0L,
+      "a CJK-free fixture doc was predicted zh")
+    // the whitespace/unicode blindness claim, proven directly: the
+    // planted zh phrase is ONE token to both tokenizers
+    val zhText = TextAnalysis.zhFunctionWords.mkString("")
+    val toks = spark.range(1).select(
+      size(TextAnalysis.tokens(lit(zhText), "whitespace")).as("ws"),
+      size(TextAnalysis.tokens(lit(zhText), "unicode")).as("uni"),
+      size(filter(TextAnalysis.tokens(lit(zhText), "char_bigram"),
+        t => t.isin(TextAnalysis.zhFunctionWords.map(lit(_)): _*))).as("bi"))
+      .collect()(0)
+    assert(toks.getAs[Int]("ws") == 1 && toks.getAs[Int]("uni") == 1,
+      "separator-free zh text was somehow segmented by a token route")
+    assert(toks.getAs[Int]("bi") == TextAnalysis.zhFunctionWords.size,
+      "bigram route missed a planted zh function word")
+  }
 }

@@ -57,6 +57,31 @@ object ScaleProbeDedup {
         s""""ratio_10x":${f"${b / a}%.2f"}}"""
     }.mkString(",")
     println(s"""{"metric":"scale_dedup_10x","docs":[5000,50000],$qs}""")
-    spark.stop()
+
+    // d08 under the candidate-edge budget (r10 verdict item 5): this
+    // generator's edge set grows 8.6× at 10× docs and d08's wall tracks
+    // it; the budget knob trades tail recall for bounded edges. Census:
+    // edges with/without the budget at both scales, plus the capped wall.
+    import org.apache.spark.sql.functions.col
+    def edges(dir: String): Long = {
+      val buckets = graft.ops.Dedup.lshBuckets(
+        Tables.documents(spark, dir), "doc_id", "text", 3, 4, 2)
+      graft.ops.Dedup.candidatePairs(buckets).count()
+    }
+    val budget = 60000L
+    val e5k = edges(sf01)
+    val e50k = edges(dir50k)
+    spark.conf.set(graft.ops.Dedup.DefaultEdgeBudgetConf, budget.toString)
+    val e50kB = edges(dir50k)
+    val d08a = time("d08_dedup_groups", sf01)
+    val d08b = time("d08_dedup_groups", dir50k)
+    spark.conf.unset(graft.ops.Dedup.DefaultEdgeBudgetConf)
+    println(s"""{"metric":"scale_d08_edge_budget","docs":[5000,50000],""" +
+      s""""budget_edges":$budget,"cand_edges":[$e5k,$e50k],"cand_edges_budgeted_50k":$e50kB,""" +
+      f""""d08_budgeted":{"sf01_sec":$d08a%.2f,"x10_sec":$d08b%.2f,"ratio_10x":${d08b / d08a}%.2f}}""")
+    // sanity: the budget must actually bind at 50k and not at 5k
+    assert(e50kB <= budget, s"budgeted edge count $e50kB exceeds $budget")
+    assert(e5k <= budget, s"5k baseline $e5k already over budget — probe miscalibrated")
+    spark.stop(): Unit
   }
 }
