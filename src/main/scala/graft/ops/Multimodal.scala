@@ -195,12 +195,12 @@ object Multimodal {
   private val m05 = Q(
     "m05_media_near_dup",
     """WITH hx AS (SELECT doc_id, hex(encode(text)) AS h FROM documents),
-       hashed AS (
+       hashed AS MATERIALIZED (
          SELECT doc_id,
                 list_transform(generate_series(1, length(h) - 7, 2),
                   i -> md5(substring(h, i, 8))) AS md5s
          FROM hx),
-       s AS (
+       s AS MATERIALIZED (
          SELECT doc_id,
                 array_to_string(list_transform(generate_series(1, 64), i ->
                   CASE WHEN list_sum(list_transform(md5s, m ->
@@ -211,10 +211,10 @@ object Multimodal {
                               THEN 1 ELSE -1 END
                     END)) > 0 THEN '1' ELSE '0' END), '') AS sig
          FROM hashed),
-       bands AS (
+       bands AS MATERIALIZED (
          SELECT doc_id, b, substring(sig, b*16 + 1, 16) AS bits
          FROM s, (SELECT unnest(generate_series(0, 3)) AS b) bs),
-       cand AS (
+       cand AS MATERIALIZED (
          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          FROM bands a JOIN bands b
            ON a.b = b.b AND a.bits = b.bits AND a.doc_id < b.doc_id),
@@ -577,6 +577,25 @@ object Multimodal {
     expr(s"aggregate(zip_with($sa, $sb, (x, y) -> bit_count(x ^ y)), " +
       "0, (acc, c) -> acc + c)").cast(LongType)
 
+  /** The hamming-verified media admission gate shared by m11's batch
+    * phases and s35's micro-batches: candidates (id_a=arrival,
+    * id_b=stored) are tombstone-filtered BEFORE verification (the d56
+    * discipline — tombstones broadcast), verified at hamming ≤ 4 against
+    * the packed-signature store, and the arrival batch anti-joins the
+    * duplicate set. `arrivalIds`: one `id` column; `aS`: the batch's
+    * [[sigs]] output. Only ids, band keys, and 4-long vectors travel. */
+  private[graft] def mediaAdmissions(arrivalIds: DataFrame, aS: DataFrame,
+      cand: DataFrame, sigStore: DataFrame, tomb: Option[DataFrame]): DataFrame = {
+    val live = tomb.fold(cand)(t =>
+      cand.join(broadcast(t.select(col("id").as("id_b"))), Seq("id_b"), "left_anti"))
+    val dup = live
+      .join(aS.select(col("id").as("id_a"), col("si").as("sva")), Seq("id_a"))
+      .join(sigStore.select(col("id").as("id_b"), col("si").as("svb")), Seq("id_b"))
+      .filter(hamming("sva", "svb") <= 4)
+      .select(col("id_a").as("id")).distinct()
+    arrivalIds.join(dup, Seq("id"), "left_anti")
+  }
+
   /** Perceptual-hash (dHash) near-dup detection between a media corpus
     * and a batch of re-encoded variants — the re-upload / trim detector
     * that byte-exact dedup (m04) misses and token-simhash (m05) only
@@ -781,29 +800,17 @@ object Multimodal {
     val cand = Dedup.reuse(Dedup.probeBandIndex(s, idxTable, aBands))
     val tomb = Dedup.reuse(corpus.filter(col("id") % 9 === 4).select("id"))
 
-    // hamming-verified duplicate gate; tombstoned ids leave the candidate
-    // list BEFORE verification (the d56 discipline)
-    def admissions(cnd: DataFrame, sigStore: DataFrame,
-        t: Option[DataFrame]): DataFrame = {
-      val live = t.fold(cnd)(tt =>
-        cnd.join(broadcast(tt.select(col("id").as("id_b"))), Seq("id_b"), "left_anti"))
-      val dup = live
-        .join(aS.select(col("id").as("id_a"), col("si").as("sva")), Seq("id_a"))
-        .join(sigStore.select(col("id").as("id_b"), col("si").as("svb")), Seq("id_b"))
-        .filter(hamming("sva", "svb") <= 4)
-        .select(col("id_a").as("id")).distinct()
-      arrivals.select("id").join(dup, Seq("id"), "left_anti")
-    }
-
     val stored = s.read.schema("id LONG, si ARRAY<BIGINT>").parquet(sigDir)
-    val admPre = Dedup.reuse(admissions(cand, stored, None))
-    val admPostT = admissions(cand, stored, Some(tomb))
+    val admPre = Dedup.reuse(
+      mediaAdmissions(arrivals.select("id"), aS, cand, stored, None))
+    val admPostT = mediaAdmissions(arrivals.select("id"), aS, cand, stored, Some(tomb))
     // compaction: new generation of BOTH stores, probed UNFILTERED
     val cIdx = Dedup.compactBandIndex(s, idxTable, tomb, "m11c")
     val cSigDir = graft.Scratch.dir("graft_m11c_sigs")
     stored.join(broadcast(tomb), Seq("id"), "left_anti")
       .write.mode("overwrite").parquet(cSigDir)
-    val admPostC = admissions(Dedup.probeBandIndex(s, cIdx, aBands),
+    val admPostC = mediaAdmissions(arrivals.select("id"), aS,
+      Dedup.probeBandIndex(s, cIdx, aBands),
       s.read.schema("id LONG, si ARRAY<BIGINT>").parquet(cSigDir), None)
 
     def row(phase: String, adm: DataFrame, readmit: DataFrame): DataFrame =

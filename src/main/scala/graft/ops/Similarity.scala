@@ -1647,6 +1647,97 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** d61 — ANCHOR-DRIFT census: the maintenance TRIGGER the append-only
+    * lifecycle needs. d60 freezes the centroid anchors at build time
+    * (append ∝ batch is only possible because assignment structure never
+    * moves), which is exactly right until the ingest distribution drifts
+    * away from the anchors — then cells skew, probes scan bloated cells,
+    * and recall decays. Re-training is a REBUILD (expensive, offline),
+    * so production wants a measured signal for WHEN, not a guess: per
+    * cell, how well do the APPENDED vectors fit the frozen anchors
+    * versus the base corpus that chose them?
+    *
+    * Census per cell: base/appended member counts (cell-share skew) and
+    * each population's mean anchor fit — the cosine to the OWN anchor,
+    * quantized to integer micros ROW-LOCALLY (one fixed float-op
+    * sequence per row, the t51 recall_micro discipline), so the per-cell
+    * mean is one division of exact integer sums and the whole census is
+    * hash-exact cross-engine. `drift_micro` = fit_base − fit_app: a
+    * consumer thresholds it (and n_app share) to schedule the rebuild.
+    *
+    * Scale shape: one corpus × 8-anchor broadcast pass (the ivfAssign
+    * shape, keeping the dot), then ONE map-side-combined agg to 8 rows.
+    * Nothing after the scan is data-sized. */
+  private val d61 = Q(
+    "d61_ivf_drift_census",
+    """WITH e AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+         FROM embeddings),
+       n AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2 FROM e),
+       cents AS (SELECT vec_id AS cent_id, v AS cv,
+                        CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS cn2
+                 FROM e WHERE vec_id < 8),
+       scored AS (
+         SELECT n.vec_id, n.n2, c.cent_id, c.cn2,
+                CAST(list_sum(list_transform(generate_series(1, 64), i -> n.v[i] * c.cv[i])) AS BIGINT) AS dot,
+                row_number() OVER (PARTITION BY n.vec_id
+                  ORDER BY CAST(list_sum(list_transform(generate_series(1, 64), i -> n.v[i] * c.cv[i])) AS BIGINT) DESC,
+                           c.cent_id) AS rn
+         FROM n, cents c),
+       assign AS MATERIALIZED (
+         SELECT vec_id, cent_id AS cell,
+                CAST(round(1000000.0 * dot / (sqrt(n2) * sqrt(cn2))) AS BIGINT) AS cm
+         FROM scored WHERE rn = 1),
+       census AS (
+         SELECT cell,
+                count(*) FILTER (vec_id % 7 <> 3 AND vec_id % 7 <> 5) AS n_base,
+                count(*) FILTER (vec_id % 7 = 3) AS n_app,
+                CAST(coalesce(sum(cm) FILTER (vec_id % 7 <> 3 AND vec_id % 7 <> 5), 0) AS BIGINT) AS s_base,
+                CAST(coalesce(sum(cm) FILTER (vec_id % 7 = 3), 0) AS BIGINT) AS s_app
+         FROM assign WHERE vec_id % 7 <> 5 GROUP BY cell)
+       SELECT cell, n_base, n_app,
+              CAST(CASE WHEN n_base = 0 THEN 0 ELSE round(s_base * 1.0 / n_base) END AS BIGINT) AS fit_base_micro,
+              CAST(CASE WHEN n_app = 0 THEN 0 ELSE round(s_app * 1.0 / n_app) END AS BIGINT) AS fit_app_micro,
+              CAST(CASE WHEN n_app = 0 OR n_base = 0 THEN 0
+                   ELSE round(s_base * 1.0 / n_base) - round(s_app * 1.0 / n_app) END AS BIGINT) AS drift_micro
+       FROM census ORDER BY cell""") { (s, d) =>
+    graft.functions.LongDot.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("n2", norm2Q(col("v")))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("n2").as("cn2"))
+    // the ivfAssign pass, keeping the best dot + anchor norm for the fit
+    val wc = Window.partitionBy(col("vec_id")).orderBy(col("dot").desc, col("cent_id"))
+    val assign = e.crossJoin(broadcast(cents))
+      .withColumn("dot", dotQ(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(wc))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"),
+        expr("CAST(round(1000000.0 * dot / (sqrt(n2) * sqrt(cn2))) AS BIGINT)").as("cm"))
+    val isApp = col("vec_id") % 7 === 3
+    val isBase = col("vec_id") % 7 =!= 3 && col("vec_id") % 7 =!= 5
+    assign.filter(col("vec_id") % 7 =!= 5)
+      .groupBy("cell")
+      .agg(count(when(isBase, 1)).as("n_base"),
+        count(when(isApp, 1)).as("n_app"),
+        coalesce(sum(when(isBase, col("cm"))), lit(0L)).as("s_base"),
+        coalesce(sum(when(isApp, col("cm"))), lit(0L)).as("s_app"))
+      .select(col("cell"), col("n_base"), col("n_app"),
+        when(col("n_base") === 0, 0L)
+          .otherwise(round(col("s_base") * lit(1.0) / col("n_base")).cast("long"))
+          .as("fit_base_micro"),
+        when(col("n_app") === 0, 0L)
+          .otherwise(round(col("s_app") * lit(1.0) / col("n_app")).cast("long"))
+          .as("fit_app_micro"),
+        when(col("n_app") === 0 || col("n_base") === 0, 0L)
+          .otherwise((round(col("s_base") * lit(1.0) / col("n_base"))
+            - round(col("s_app") * lit(1.0) / col("n_app"))).cast("long"))
+          .as("drift_micro"))
+      .orderBy("cell")
+  }
+
   /** d59 — takedown on the VECTOR surface: the d56/d57 compliance
     * discipline applied to the stored IVF index (d33). A removed
     * document must stop being RETRIEVABLE by similarity search, not
@@ -1757,5 +1848,5 @@ object Similarity {
   }
 
   val defs: Seq[Q] = Seq(d05, d06, d07, d12, d14, d16, d19, d24, d25, d26, d29,
-    d30, d32, d33, d35, d40, d52, d59, d60)
+    d30, d32, d33, d35, d40, d52, d59, d60, d61)
 }

@@ -2054,9 +2054,373 @@ object StreamingQueries {
   /** Catalog path of the most recent s34 run (test-only introspection). */
   @volatile private[graft] var s34Catalog: String = _
 
+  /** The two-wave media-ingest replay shared by the s35 and s36 oracles:
+    * wave 0 against the corpus stores, wave 1 against (corpus −
+    * tombstones) ∪ wave-0 admissions, every bucket cap applied at the
+    * engine's SCOPE (corpus bands capped at build over the corpus,
+    * arrival bands per wave) so a near-cap bucket can never
+    * desynchronize the engines. */
+  private def mediaIngestOracleCtes: String =
+    """corp AS (SELECT doc_id AS id, text FROM documents),
+       arr AS (
+         SELECT doc_id + 500000 AS id, CAST(doc_id % 2 AS BIGINT) AS wave,
+                CASE WHEN doc_id % 5 = 0 THEN text || ' reup'
+                     WHEN doc_id % 5 = 1 THEN substring(text, 1, greatest(length(text) - 24, 1))
+                     ELSE reverse(text) END AS t
+         FROM documents WHERE doc_id % 5 <= 2
+         UNION ALL
+         SELECT doc_id + 1000000 AS id, CAST(1 AS BIGINT) AS wave,
+                reverse(text) || ' reup' AS t
+         FROM documents WHERE doc_id % 10 = 2),
+       pa AS (SELECT id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb FROM corp),
+       pb AS (SELECT id, wave, hex(encode(t)) AS hx, octet_length(encode(t)) AS nb FROM arr),
+       ga AS (
+         SELECT id, list_transform(generate_series(0, 64), p ->
+                  CASE WHEN nb > p*8
+                       THEN 16*(strpos('0123456789ABCDEF', substring(hx, p*16+1, 1))-1)
+                          + (strpos('0123456789ABCDEF', substring(hx, p*16+2, 1))-1)
+                       ELSE 0 END) AS px FROM pa),
+       gb AS (
+         SELECT id, wave, list_transform(generate_series(0, 64), p ->
+                  CASE WHEN nb > p*8
+                       THEN 16*(strpos('0123456789ABCDEF', substring(hx, p*16+1, 1))-1)
+                          + (strpos('0123456789ABCDEF', substring(hx, p*16+2, 1))-1)
+                       ELSE 0 END) AS px FROM pb),
+       sa AS MATERIALIZED (
+         SELECT id, array_to_string(list_transform(generate_series(1, 64), i ->
+                  CASE WHEN px[i] > px[i+1] THEN '1' ELSE '0' END), '') AS sig FROM ga),
+       sb AS MATERIALIZED (
+         SELECT id, wave, array_to_string(list_transform(generate_series(1, 64), i ->
+                  CASE WHEN px[i] > px[i+1] THEN '1' ELSE '0' END), '') AS sig FROM gb),
+       ba AS MATERIALIZED (
+         SELECT id, b, substring(sig, b*16 + 1, 16) AS bits
+         FROM sa, (SELECT unnest(generate_series(0, 3)) AS b) bs
+         WHERE substring(sig, b*16 + 1, 16) <> '0000000000000000'
+         QUALIFY count(*) OVER (PARTITION BY b, substring(sig, b*16 + 1, 16)) <= 1000),
+       bb AS MATERIALIZED (
+         SELECT id, wave, b, substring(sig, b*16 + 1, 16) AS bits
+         FROM sb, (SELECT unnest(generate_series(0, 3)) AS b) bs
+         WHERE substring(sig, b*16 + 1, 16) <> '0000000000000000'
+         QUALIFY count(*) OVER (PARTITION BY wave, b, substring(sig, b*16 + 1, 16)) <= 1000),
+       dup0 AS MATERIALIZED (
+         SELECT DISTINCT v.id FROM bb v JOIN ba c ON c.b = v.b AND c.bits = v.bits
+           JOIN sb ON sb.id = v.id JOIN sa ON sa.id = c.id
+         WHERE v.wave = 0
+           AND CAST(list_sum(list_transform(generate_series(1, 64), i ->
+                 CASE WHEN substring(sb.sig, i, 1) = substring(sa.sig, i, 1) THEN 0 ELSE 1 END)) AS BIGINT) <= 4),
+       adm0 AS MATERIALIZED (
+         SELECT id FROM arr WHERE wave = 0 AND id NOT IN (SELECT id FROM dup0)),
+       tomb AS (SELECT id FROM corp WHERE id % 9 = 4),
+       s1sig AS MATERIALIZED (
+         SELECT id, sig FROM sa
+         UNION ALL SELECT sb.id, sb.sig FROM sb JOIN adm0 ON adm0.id = sb.id),
+       s1band AS MATERIALIZED (
+         SELECT id, b, bits FROM ba
+         UNION ALL SELECT bb.id, bb.b, bb.bits FROM bb JOIN adm0 ON adm0.id = bb.id),
+       cand1 AS MATERIALIZED (
+         SELECT DISTINCT v.id AS id_a, c.id AS id_b,
+                CAST(list_sum(list_transform(generate_series(1, 64), i ->
+                  CASE WHEN substring(sb.sig, i, 1) = substring(s1sig.sig, i, 1) THEN 0 ELSE 1 END)) AS BIGINT) AS hamming
+         FROM bb v JOIN s1band c ON c.b = v.b AND c.bits = v.bits
+           JOIN sb ON sb.id = v.id JOIN s1sig ON s1sig.id = c.id
+         WHERE v.wave = 1),
+       dup1 AS MATERIALIZED (
+         SELECT DISTINCT id_a AS id FROM cand1
+         WHERE hamming <= 4 AND id_b NOT IN (SELECT id FROM tomb)),
+       dup1nt AS MATERIALIZED (
+         SELECT DISTINCT id_a AS id FROM cand1 WHERE hamming <= 4),
+       adm1 AS MATERIALIZED (
+         SELECT id FROM arr WHERE wave = 1 AND id NOT IN (SELECT id FROM dup1))"""
+
+  /** The census tail over [[mediaIngestOracleCtes]]. `withReadmit` adds
+    * the n_readmitted column — meaningful only while the tombstones are
+    * still a FILTER (s35); after s36's mid-stream compaction consumed
+    * them the takedown effect is baked into the store itself and there
+    * is no "without the filter" counterfactual to count. */
+  private def mediaIngestOracle(withReadmit: Boolean): String = {
+    val cols = "wave, n_arrived, n_dropped, n_admitted, n_twins_dropped, " +
+      (if (withReadmit) "n_readmitted, " else "") + "sum_admitted_ids"
+    val r0 = if (withReadmit) "CAST(0 AS BIGINT) AS n_readmitted," else ""
+    val r1 = if (withReadmit)
+      "(SELECT count(*) FROM adm1 WHERE id IN (SELECT id FROM dup1nt))," else ""
+    s"""WITH $mediaIngestOracleCtes
+       SELECT $cols
+       FROM (
+         SELECT CAST(0 AS BIGINT) AS wave,
+                (SELECT count(*) FROM arr WHERE wave = 0) AS n_arrived,
+                (SELECT count(*) FROM dup0) AS n_dropped,
+                (SELECT count(*) FROM adm0) AS n_admitted,
+                CAST(0 AS BIGINT) AS n_twins_dropped,
+                $r0
+                (SELECT CAST(coalesce(sum(id), 0) AS BIGINT) FROM adm0) AS sum_admitted_ids
+         UNION ALL
+         SELECT CAST(1 AS BIGINT),
+                (SELECT count(*) FROM arr WHERE wave = 1),
+                (SELECT count(*) FROM dup1),
+                (SELECT count(*) FROM adm1),
+                (SELECT count(*) FROM dup1 WHERE id >= 1000000),
+                $r1
+                (SELECT CAST(coalesce(sum(id), 0) AS BIGINT) FROM adm1))
+       ORDER BY wave"""
+  }
+
+  /** s35 — streaming MEDIA-fingerprint ingest against the maintained m11
+    * stores (m11 × s32, closing the modality × streaming matrix): each
+    * arriving media batch probes the stored dHash band index + packed-
+    * signature store for per-arrival duplicate verdicts, then APPENDS
+    * its ADMITTED signatures back — so a wave-1 re-upload of a wave-0
+    * admitted item is caught cross-batch (planted: twins of wave-0
+    * scramble variants, 43/50 dropped at sf0.001 — non-vacuous), while
+    * a media takedown landing between the waves frees the next batch's
+    * re-uploads of the removed item (per-batch tombstone re-read, the
+    * s32 contract; re-admissions measured non-vacuous at every verify
+    * SF). Arrival ids are offset (+500000 originals, +1000000 twins) so
+    * a corpus takedown can never collide with an admitted arrival's
+    * claim. Census per wave: arrivals, drops, admissions, twin drops,
+    * re-admissions (admitted-with-tombstones minus admitted-without,
+    * both probes sharing one batch digest), admitted-id checksum.
+    * Payloads never shuffle (m11's store shapes; the signature pass
+    * consumes them map-side per batch). */
+  private val s35 = Q(
+    "s35_stream_media_ingest",
+    mediaIngestOracle(withReadmit = true)) { (s, d) =>
+    import graft.ops.{Dedup, Multimodal}
+    val docs = Tables.documents(s, d)
+    val corpus = docs.select(col("doc_id").as("id"),
+      encode(col("text"), "UTF-8").as("payload"))
+
+    // store build: ONE signature pass feeds both stores (the m11 build)
+    val cS = Dedup.reuse(Multimodal.sigs(corpus))
+    val idxTable = "graft_band_index_s35_" +
+      graft.Scratch.dir("graft_bi_s35").replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
+    Dedup.writeBandIndex(s, Multimodal.bands(cS)
+      .select(col("b").as("band"), col("bits").as("band_key"), col("id")), idxTable)
+    val sigDir = graft.Scratch.dir("graft_s35_sigs")
+    cS.select(col("id"), col("si")).write.mode("overwrite").parquet(sigDir)
+
+    val variants = Multimodal.mediaVariants(docs)
+      .select((col("id") + 500000L).as("id"), col("payload"), (col("id") % 2).as("wave"))
+    val twins = docs.filter(col("doc_id") % 10 === 2)
+      .select((col("doc_id") + 1000000L).as("id"),
+        encode(concat(reverse(col("text")), lit(" reup")), "UTF-8").as("payload"),
+        lit(1L).as("wave"))
+    val arrivals = variants.unionByName(twins)
+
+    val watched = graft.Scratch.dir("graft_s35_watched")
+    val outDir = graft.Scratch.dir("graft_s35_out")
+    val ckpt = graft.Scratch.dir("graft_s35_ckpt")
+    val tombDir = graft.Scratch.dir("graft_s35_tomb")
+    corpus.select(col("id")).limit(0).write.mode("overwrite").parquet(tombDir)
+    val s35NonEmpty = new java.util.concurrent.atomic.AtomicLong(0L)
+    (0 to 1).foreach { b =>
+      val tmp = graft.Scratch.dir(s"graft_s35_wave$b")
+      arrivals.filter(col("wave") === lit(b.toLong)).select("id", "payload")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(watched, s"arrival$b.parquet").toPath)
+      val q = s.readStream
+        .schema(StructType(Seq(StructField("id", LongType),
+          StructField("payload", BinaryType))))
+        .parquet(watched)
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!batch.isEmpty) {
+            // non-empty-batch counter, not the raw id (s31's rationale)
+            require(s35NonEmpty.getAndIncrement() == b.toLong,
+              s"s35 wave $b saw a second non-empty micro-batch ($batchId): " +
+                "one-file-one-batch broken")
+            val tomb = s.read.schema("id LONG").parquet(tombDir)
+            // ONE batch digest serves both probes and the store appends
+            val aS = Dedup.reuse(Multimodal.sigs(batch.toDF()))
+            val aBands = Dedup.reuse(Multimodal.bands(aS))
+            val cand = Dedup.reuse(Dedup.probeBandIndex(s, idxTable, aBands
+              .select(col("b").as("band"), col("bits").as("band_key"), col("id"))))
+            val arrIds = aS.select("id")
+            val stored = s.read.schema("id LONG, si ARRAY<BIGINT>").parquet(sigDir)
+            // admitted is the pre-append materialization boundary: the
+            // census and the appends below all consume it, and the sig
+            // store must not be re-read after its own append (s30's
+            // cache-invalidation lesson)
+            val adm = Dedup.reuse(
+              Multimodal.mediaAdmissions(arrIds, aS, cand, stored, Some(tomb)))
+            val admNoTomb = Dedup.reuse(
+              Multimodal.mediaAdmissions(arrIds, aS, cand, stored, None))
+            // census row written BEFORE the appends (its lazy inputs
+            // still read the pre-append stores)
+            adm.agg(count(lit(1)).as("n_admitted"),
+                coalesce(sum(col("id")), lit(0L)).as("sum_admitted_ids"))
+              .crossJoin(broadcast(arrIds.agg(count(lit(1)).as("n_arrived"))))
+              .crossJoin(broadcast(arrIds.join(adm, Seq("id"), "left_anti")
+                .agg(count(when(col("id") >= 1000000L, 1)).as("n_twins_dropped"))))
+              .crossJoin(broadcast(adm.join(admNoTomb, Seq("id"), "left_anti")
+                .agg(count(lit(1)).as("n_readmitted"))))
+              .select(lit(b.toLong).as("wave"), col("n_arrived"),
+                (col("n_arrived") - col("n_admitted")).as("n_dropped"),
+                col("n_admitted"), col("n_twins_dropped"), col("n_readmitted"),
+                col("sum_admitted_ids"))
+              .write.mode("append").parquet(outDir)
+            // maintain the stores with the ADMITTED rows only — the
+            // cross-batch claim: a wave-1 twin of an admitted wave-0
+            // scramble must be caught by these appended rows
+            Dedup.appendBandIndex(s,
+              aBands.join(adm, Seq("id"))
+                .select(col("b").as("band"), col("bits").as("band_key"), col("id")),
+              idxTable)
+            aS.select(col("id"), col("si")).join(adm, Seq("id"))
+              .write.mode("append").parquet(sigDir)
+            aS.unpersist(); aBands.unpersist(); cand.unpersist()
+            adm.unpersist(); admNoTomb.unpersist(): Unit
+          }
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      if (b == 0) {
+        // the media takedown lands BETWEEN micro-batches (the s32 shape;
+        // reclamation of the dead store rows is m11 compaction's job)
+        corpus.filter(col("id") % 9 === 4).select("id")
+          .write.mode("overwrite").parquet(tombDir)
+      }
+    }
+    s.read.parquet(outDir).orderBy("wave")
+  }
+
+  /** s36 — media compaction UNDER the live ingest stream (s35 × s33):
+    * the media stores run behind a two-line d58 catalog that every
+    * micro-batch RESOLVES, so the maintenance window between waves can
+    * run the full lifecycle — takedown → compaction of BOTH stores into
+    * a new generation (band index via the shared compactBandIndex,
+    * signature store anti-joined; wave-0's in-stream admissions are
+    * CARRIED, since tombstones only name corpus ids) → atomic publish →
+    * tombstone clear — while the stream keeps going. Wave 1 probes
+    * generation 2 UNFILTERED and must admit exactly what s35's
+    * tombstone-filtered probe admits (the d57 invariant on the media
+    * surface: both queries share one oracle body, so any divergence
+    * under the swap fails the hash), including still catching the
+    * planted twins of wave-0 admissions through the swap. The census
+    * drops s35's n_readmitted column: after compaction consumed the
+    * tombstones the takedown effect is baked into the store — there is
+    * no "without the filter" counterfactual left to count. */
+  private val s36 = Q(
+    "s36_stream_media_compacting_ingest",
+    mediaIngestOracle(withReadmit = false)) { (s, d) =>
+    import graft.ops.{Dedup, Incremental, Multimodal}
+    val docs = Tables.documents(s, d)
+    val corpus = docs.select(col("doc_id").as("id"),
+      encode(col("text"), "UTF-8").as("payload"))
+
+    val cS = Dedup.reuse(Multimodal.sigs(corpus))
+    val idx1 = "graft_band_index_s36_" +
+      graft.Scratch.dir("graft_bi_s36").replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
+    Dedup.writeBandIndex(s, Multimodal.bands(cS)
+      .select(col("b").as("band"), col("bits").as("band_key"), col("id")), idx1)
+    val sig1 = graft.Scratch.dir("graft_s36_sigs")
+    cS.select(col("id"), col("si")).write.mode("overwrite").parquet(sig1)
+    val cat = graft.Scratch.dir("graft_s36_cat") + "/media.catalog"
+    Incremental.publishCatalog(cat, Seq(idx1, sig1))
+
+    val variants = Multimodal.mediaVariants(docs)
+      .select((col("id") + 500000L).as("id"), col("payload"), (col("id") % 2).as("wave"))
+    val twins = docs.filter(col("doc_id") % 10 === 2)
+      .select((col("doc_id") + 1000000L).as("id"),
+        encode(concat(reverse(col("text")), lit(" reup")), "UTF-8").as("payload"),
+        lit(1L).as("wave"))
+    val arrivals = variants.unionByName(twins)
+
+    val watched = graft.Scratch.dir("graft_s36_watched")
+    val outDir = graft.Scratch.dir("graft_s36_out")
+    val ckpt = graft.Scratch.dir("graft_s36_ckpt")
+    val tombDir = graft.Scratch.dir("graft_s36_tomb")
+    corpus.select(col("id")).limit(0).write.mode("overwrite").parquet(tombDir)
+    s36Catalog = cat
+    val s36NonEmpty = new java.util.concurrent.atomic.AtomicLong(0L)
+    (0 to 1).foreach { b =>
+      val tmp = graft.Scratch.dir(s"graft_s36_wave$b")
+      arrivals.filter(col("wave") === lit(b.toLong)).select("id", "payload")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(watched, s"arrival$b.parquet").toPath)
+      val q = s.readStream
+        .schema(StructType(Seq(StructField("id", LongType),
+          StructField("payload", BinaryType))))
+        .parquet(watched)
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!batch.isEmpty) {
+            // non-empty-batch counter, not the raw id (s31's rationale)
+            require(s36NonEmpty.getAndIncrement() == b.toLong,
+              s"s36 wave $b saw a second non-empty micro-batch ($batchId): " +
+                "one-file-one-batch broken")
+            // the CURRENT generation and the CURRENT tombstone set,
+            // both re-resolved each batch — the contract under test
+            val handles = Incremental.resolveCatalog(cat, expect = 2)
+            val (idx, sigD) = (handles(0), handles(1))
+            val tomb = s.read.schema("id LONG").parquet(tombDir)
+            val aS = Dedup.reuse(Multimodal.sigs(batch.toDF()))
+            val aBands = Dedup.reuse(Multimodal.bands(aS))
+            val cand = Dedup.reuse(Dedup.probeBandIndex(s, idx, aBands
+              .select(col("b").as("band"), col("bits").as("band_key"), col("id"))))
+            val arrIds = aS.select("id")
+            val stored = s.read.schema("id LONG, si ARRAY<BIGINT>").parquet(sigD)
+            val adm = Dedup.reuse(
+              Multimodal.mediaAdmissions(arrIds, aS, cand, stored, Some(tomb)))
+            adm.agg(count(lit(1)).as("n_admitted"),
+                coalesce(sum(col("id")), lit(0L)).as("sum_admitted_ids"))
+              .crossJoin(broadcast(arrIds.agg(count(lit(1)).as("n_arrived"))))
+              .crossJoin(broadcast(arrIds.join(adm, Seq("id"), "left_anti")
+                .agg(count(when(col("id") >= 1000000L, 1)).as("n_twins_dropped"))))
+              .select(lit(b.toLong).as("wave"), col("n_arrived"),
+                (col("n_arrived") - col("n_admitted")).as("n_dropped"),
+                col("n_admitted"), col("n_twins_dropped"),
+                col("sum_admitted_ids"))
+              .write.mode("append").parquet(outDir)
+            Dedup.appendBandIndex(s,
+              aBands.join(adm, Seq("id"))
+                .select(col("b").as("band"), col("bits").as("band_key"), col("id")),
+              idx)
+            aS.select(col("id"), col("si")).join(adm, Seq("id"))
+              .write.mode("append").parquet(sigD)
+            aS.unpersist(); aBands.unpersist(); cand.unpersist()
+            adm.unpersist(): Unit
+          }
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      if (b == 0) {
+        // maintenance window: takedown lands, BOTH stores compact into a
+        // new generation (carrying wave-0's in-stream admissions), one
+        // atomic publish swaps, the consumed tombstones clear
+        corpus.filter(col("id") % 9 === 4).select("id")
+          .write.mode("overwrite").parquet(tombDir)
+        val cur = Incremental.resolveCatalog(cat, expect = 2)
+        val tomb = s.read.schema("id LONG").parquet(tombDir)
+        val idx2 = Dedup.compactBandIndex(s, cur(0), tomb, "s36c")
+        val sig2 = graft.Scratch.dir("graft_s36c_sigs")
+        s.read.schema("id LONG, si ARRAY<BIGINT>").parquet(cur(1))
+          .join(broadcast(tomb), Seq("id"), "left_anti")
+          .write.mode("overwrite").parquet(sig2)
+        Incremental.publishCatalog(cat, Seq(idx2, sig2))
+        corpus.select(col("id")).limit(0).write.mode("overwrite").parquet(tombDir)
+      }
+    }
+    s.read.parquet(outDir).orderBy("wave")
+  }
+
+  /** Catalog path of the most recent s36 run (test-only introspection). */
+  @volatile private[graft] var s36Catalog: String = _
+
   val defs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
     s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25,
-    s26, s27, s28, s29, s30, s31, s32, s33, s34)
+    s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36)
 }
 
 /** s11's StatefulProcessor: cumulative (event count, value cents) per

@@ -159,6 +159,8 @@ object PlanSweep {
       "d33_stored_ivf_topk" -> pk,
       "d35_ivf_probe_sweep" -> pk,
       "d59_ann_takedown" -> pk,
+      "d60_ivf_append" -> pk,
+      "d61_ivf_drift_census" -> pk,
       "d36_banding_curve" -> "PK interval: one banding config's signature set (config = '8x1')",
       "d40_hard_negatives" -> pk,
       "x01_custom_expression" -> pk,

@@ -207,6 +207,81 @@ class RoundElevenSpec extends SparkTestBase {
     }
   }
 
+  test("s35 streaming media ingest: a wave-1 twin of a wave-0 ADMITTED " +
+    "item is caught cross-batch through the in-stream store append, and " +
+    "a media takedown landing between batches re-admits in the very " +
+    "next one (both non-vacuous)") {
+    val out = SparkEntry.queries("s35_stream_media_ingest")(spark, sf0001)
+      .collect().map(r => r.getAs[Long]("wave") -> r).toMap
+    assert(out.size == 2)
+    // cross-batch media dedup: planted twins of wave-0 admissions are
+    // dropped by store rows that were APPENDED inside wave 0's
+    // micro-batch — this count is 0 if the in-stream append is invisible
+    // (the exact staleness failure the refreshTable fix closed)
+    assert(out(1L).getAs[Long]("n_twins_dropped") > 0,
+      "no twin dropped — wave-0's in-stream store append was not probed")
+    // takedown honored mid-stream: some wave-1 arrival is admitted ONLY
+    // because its duplicate partner was tombstoned between the waves
+    assert(out(1L).getAs[Long]("n_readmitted") > 0,
+      "media takedown re-admitted nothing — drill is vacuous")
+    // wave 0 ran against an empty tombstone set and carries no twins
+    assert(out(0L).getAs[Long]("n_readmitted") == 0)
+    assert(out(0L).getAs[Long]("n_twins_dropped") == 0)
+    assert(out(0L).getAs[Long]("n_dropped") > 0 &&
+      out(0L).getAs[Long]("n_admitted") > 0)
+    spark.catalog.clearCache()
+  }
+
+  test("s36 media compaction under the live stream: the compacted, " +
+    "UNFILTERED generation admits exactly what s35's tombstone-filtered " +
+    "probe admits (the d57 invariant across two mechanisms), twins of " +
+    "wave-0 in-stream admissions are still caught through the swap, and " +
+    "the catalog resolves two live handles") {
+    def census(name: String): Map[Long, org.apache.spark.sql.Row] =
+      SparkEntry.queries(name)(spark, sf0001).collect()
+        .map(r => r.getAs[Long]("wave") -> r).toMap
+    val c35 = census("s35_stream_media_ingest")
+    val c36 = census("s36_stream_media_compacting_ingest")
+    for (w <- Seq(0L, 1L); c <- Seq("n_arrived", "n_dropped", "n_admitted",
+        "n_twins_dropped", "sum_admitted_ids"))
+      assert(c35(w).getAs[Long](c) == c36(w).getAs[Long](c),
+        s"wave $w $c diverged between the tombstone filter (s35) and " +
+          "the compacted generation (s36)")
+    assert(c36(1L).getAs[Long]("n_twins_dropped") > 0,
+      "no twin caught through the swap — wave-0 admissions lost by compaction")
+    val handles = ops.Incremental.resolveCatalog(
+      streaming.StreamingQueries.s36Catalog, expect = 2)
+    assert(spark.table(handles(0)).count() > 0)
+    assert(spark.read.parquet(handles(1)).count() > 0)
+    spark.catalog.clearCache()
+  }
+
+  test("d61 drift census identities: every anchor cell reports, the two " +
+    "populations partition base ∪ appended exactly, fits are valid " +
+    "cosine micros, and drift is the difference of the reported fits") {
+    val rows = SparkEntry.queries("d61_ivf_drift_census")(spark, sf0001).collect()
+    assert(rows.length == 8, s"expected one row per anchor cell: ${rows.length}")
+    val emb = Tables.embeddings(spark, sf0001)
+    val nBase = emb.filter(col("vec_id") % 7 =!= 3 && col("vec_id") % 7 =!= 5).count()
+    val nApp = emb.filter(col("vec_id") % 7 === 3).count()
+    assert(rows.map(_.getAs[Long]("n_base")).sum == nBase,
+      "base population not fully accounted across cells")
+    assert(rows.map(_.getAs[Long]("n_app")).sum == nApp,
+      "appended population not fully accounted across cells")
+    for (r <- rows) {
+      val (fb, fa, dr) = (r.getAs[Long]("fit_base_micro"),
+        r.getAs[Long]("fit_app_micro"), r.getAs[Long]("drift_micro"))
+      assert(math.abs(fb) <= 1000000L && math.abs(fa) <= 1000000L,
+        s"fit outside cosine range: $r")
+      if (r.getAs[Long]("n_base") > 0 && r.getAs[Long]("n_app") > 0)
+        assert(dr == fb - fa, s"drift is not the fit difference: $r")
+      else assert(dr == 0L, s"degenerate cell must report zero drift: $r")
+    }
+    // the signal is non-vacuous on this fixture: some cell actually drifts
+    assert(rows.exists(_.getAs[Long]("drift_micro") != 0L),
+      "no cell drifted at all — census vacuous")
+  }
+
   test("candidate-edge budget: the bucket-size threshold keeps exactly " +
     "the maximal small-bucket prefix whose pair total fits, drops the " +
     "rest (census verified by brute count), and the default leaves " +

@@ -997,14 +997,15 @@ class RoundSevenSpec extends SparkTestBase {
     // English stopwords): exactly one language is ever predicted
     assert(rows.count(_.getAs[Long]("n_pred") > 0) == 1,
       "fixture verdict drifted — re-derive the docstring's numbers")
-    // planted capability rows: the production stopword table separates
-    // every supported language perfectly where the text carries signal,
-    // and the unsupported one (zh) honestly scores zero
+    // planted capability rows: every supported language separates
+    // perfectly where the text carries signal — the Latin four via the
+    // production stopword table, and since v3 zh via the char-bigram
+    // route (RoundElevenSpec pins the v3-specific claims: the planted zh
+    // phrase is provably invisible to both token routes)
     val planted = all.filter(_.getAs[String]("audit") == "planted")
       .map(r => r.getAs[String]("lang") -> r.getAs[Long]("f1_micro")).toMap
-    for (l <- Seq("en", "es", "de", "fr"))
+    for (l <- Seq("en", "es", "de", "fr", "zh"))
       assert(planted(l) == 1000000L, s"planted $l F1 not 1.0: ${planted(l)}")
-    assert(planted("zh") == 0L, "an unsupported language was claimed")
   }
 
   test("t52 mutation curve matches first-principles theory: periodic " +
