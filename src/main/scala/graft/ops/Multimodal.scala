@@ -807,8 +807,10 @@ object Multimodal {
     // compaction: new generation of BOTH stores, probed UNFILTERED
     val cIdx = Dedup.compactBandIndex(s, idxTable, tomb, "m11c")
     val cSigDir = graft.Scratch.dir("graft_m11c_sigs")
+    // distinct collapses crash-retry residue (re-appended signature
+    // rows), like every other store compaction
     stored.join(broadcast(tomb), Seq("id"), "left_anti")
-      .write.mode("overwrite").parquet(cSigDir)
+      .distinct().write.mode("overwrite").parquet(cSigDir)
     val admPostC = mediaAdmissions(arrivals.select("id"), aS,
       Dedup.probeBandIndex(s, cIdx, aBands),
       s.read.schema("id LONG, si ARRAY<BIGINT>").parquet(cSigDir), None)

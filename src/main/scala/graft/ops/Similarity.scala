@@ -1522,7 +1522,14 @@ object Similarity {
     * survives the update; RoundElevenSpec proves probe-after-append
     * byte-identical to probe-after-rebuild. Cell assignment of the batch
     * uses the SAME centroid anchors as the base build (index structure —
-    * re-training centroids is model maintenance, a rebuild). */
+    * re-training centroids is model maintenance, a rebuild).
+    *
+    * Crash-retry contract (the admitBatch append-order discipline on the
+    * vector surface): this append and its caller's batch commit are not
+    * one transaction, so a retried micro-batch re-appends its rows. The
+    * duplicates are ABSORBED by [[probeIvfTopK]]'s candidate distinct
+    * (rankings unchanged, spec-drilled with a double append) and
+    * physically collapsed by [[compactIvfIndex]]'s distinct. */
   def appendIvfIndex(s: org.apache.spark.sql.SparkSession,
       assignBatch: DataFrame, table: String): Unit = {
     assignBatch.select(col("cell"), col("vec_id").as("cid"), col("v").as("cv2"),
@@ -1552,6 +1559,10 @@ object Similarity {
     s.table(table)
       .join(broadcast(tomb.select(col("vec_id").as("cid"))), Seq("cid"), "left_anti")
       .select(col("cell"), col("cid"), col("cv2"), col("cn2"))
+      // collapse crash-retry residue (re-appended batch rows) like
+      // compactStores does for the band/shingle stores — reclaiming
+      // residue is half of what compaction is FOR
+      .distinct()
       .write.mode("overwrite").format("parquet")
       .bucketBy(8, "cell").sortBy("cell")
       .option("path", s"$dir/ivf_index").saveAsTable(newTable)
@@ -1570,12 +1581,25 @@ object Similarity {
   /** DataFrame-input probe form, for callers that pre-filter the index
     * (d59's tombstone anti-join, s34's per-batch live view). The anti-
     * join's broadcast build keeps the index side's bucketed distribution
-    * intact. */
+    * intact.
+    *
+    * The scored candidates are DISTINCT'd before ranking — the
+    * probeBandIndex discipline on the vector surface: a crash-retried
+    * ingest batch re-appends its rows (the append and the micro-batch
+    * commit are not one transaction), and without the distinct a
+    * duplicated index entry would occupy TWO rank slots and push a
+    * legitimate neighbor out of the top-k. (cell, cid) determines
+    * (cv2, cn2), so duplicate rows score identically and the distinct
+    * restores the clean index's candidate set exactly; it rides the
+    * same small per-query candidate data the rank window already
+    * shuffles. */
   def probeIvfTopK(idx: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val wr = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
     idx
       .join(broadcast(probes), col("cell") === col("qcell") && col("cid") =!= col("qid"))
       .withColumn("cos", dotQ(col("qv"), col("cv2")) / (sqrt(col("qn2")) * sqrt(col("cn2"))))
+      .select(col("qid"), col("cell"), col("cid"), col("cos"))
+      .distinct()
       .withColumn("rank", row_number().over(wr))
       .filter(col("rank") <= k)
       .select(col("qid"), col("cell"), col("cid"), col("rank").cast("long").as("rank"),

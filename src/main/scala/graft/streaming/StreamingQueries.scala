@@ -1923,7 +1923,15 @@ object StreamingQueries {
     * (corpus − tombstones) ∪ wave-0 arrivals — computed directly, so a
     * swap that drops an append, resurrects a tombstone, or leaves the
     * stream on a stale generation handle surfaces as a ranking
-    * mismatch. */
+    * mismatch.
+    *
+    * Retry semantics: the INDEX append is retry-safe (probeIvfTopK's
+    * candidate distinct absorbs re-appended rows, compaction collapses
+    * them — drilled in RoundElevenSpec); the RESULT sink here is a plain
+    * parquet append, i.e. foreachBatch's at-least-once — a production
+    * deployment routes results through s29's batchId-addressed
+    * idempotent upsert for exactly-once, orthogonally to the index
+    * maintenance under test. */
   private val s34 = Q(
     "s34_stream_ann_maintained_index",
     """WITH e AS (
@@ -2405,9 +2413,10 @@ object StreamingQueries {
         val tomb = s.read.schema("id LONG").parquet(tombDir)
         val idx2 = Dedup.compactBandIndex(s, cur(0), tomb, "s36c")
         val sig2 = graft.Scratch.dir("graft_s36c_sigs")
+        // distinct collapses crash-retry residue (the m11 discipline)
         s.read.schema("id LONG, si ARRAY<BIGINT>").parquet(cur(1))
           .join(broadcast(tomb), Seq("id"), "left_anti")
-          .write.mode("overwrite").parquet(sig2)
+          .distinct().write.mode("overwrite").parquet(sig2)
         Incremental.publishCatalog(cat, Seq(idx2, sig2))
         corpus.select(col("id")).limit(0).write.mode("overwrite").parquet(tombDir)
       }

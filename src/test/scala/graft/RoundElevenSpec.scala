@@ -84,6 +84,49 @@ class RoundElevenSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("IVF crash-retry idempotence: a re-appended ingest batch (the " +
+    "foreachBatch retry after a crash between the append and the batch " +
+    "commit) leaves every probe ranking byte-identical, and compaction " +
+    "physically collapses the duplicate rows") {
+    import ops.{Dedup, Similarity}
+    import ops.Similarity.{norm2Q, quantize}
+    graft.functions.LongDot.register(spark)
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("n2", norm2Q(col("v")))
+    val assign = Dedup.reuse(Similarity.ivfAssign(e))
+    val isDay1 = col("vec_id") % 7 === 3
+    val isWave2 = col("vec_id") % 7 === 5
+    val probes = assign.filter(isWave2)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("n2").as("qn2"), col("cell").as("qcell"))
+    val clean = Similarity.writeIvfIndex(
+      spark, assign.filter(!isDay1 && !isWave2), "ivf_r11_rt1")
+    Similarity.appendIvfIndex(spark, assign.filter(isDay1), clean)
+    val retried = Similarity.writeIvfIndex(
+      spark, assign.filter(!isDay1 && !isWave2), "ivf_r11_rt2")
+    Similarity.appendIvfIndex(spark, assign.filter(isDay1), retried)
+    // the crash-retry: the SAME batch lands a second time
+    Similarity.appendIvfIndex(spark, assign.filter(isDay1), retried)
+    assert(spark.table(retried).count() > spark.table(clean).count(),
+      "double append left no residue — drill is vacuous")
+    val cleanRows = rows(Similarity.probeIvfTopK(spark, clean, probes, k = 3))
+    assert(cleanRows.nonEmpty &&
+      cleanRows == rows(Similarity.probeIvfTopK(spark, retried, probes, k = 3)),
+      "duplicate index rows leaked into the rankings — a retried batch " +
+        "would corrupt every top-k that touches its cells")
+    // compaction collapses the residue: same rows, same COUNT as a
+    // compaction of the clean index (empty tombstone set isolates the
+    // residue effect)
+    val noTomb = e.select("vec_id").limit(0)
+    val cClean = Similarity.compactIvfIndex(spark, clean, noTomb, "ivf_r11_rt1c")
+    val cRetried = Similarity.compactIvfIndex(spark, retried, noTomb, "ivf_r11_rt2c")
+    assert(spark.table(cRetried).count() == spark.table(cClean).count(),
+      "retry residue survived compaction")
+    assert(rows(spark.table(cRetried)) == rows(spark.table(cClean)))
+    spark.catalog.clearCache()
+  }
+
   test("s34 streaming ANN against the maintained index: a wave-0-ingested " +
     "vector is retrievable from generation 2 through the swap, tombstoned " +
     "corpus vectors leave every post-swap result, and the takedown was " +
