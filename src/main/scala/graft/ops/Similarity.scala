@@ -1671,6 +1671,21 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** Dot-argmax assignment that KEEPS the fit: (vec_id, v, n2, cell, cm)
+    * where `cm` is the cosine to the OWN centroid in integer micros
+    * (row-local quantization — the cross-engine-exact form). `cents`
+    * columns: (cent_id, cv, cn2). Shared by d61's census and d62's
+    * retrain loop. */
+  private[graft] def fitAssign(pop: DataFrame, cents: DataFrame): DataFrame = {
+    val wc = Window.partitionBy(col("vec_id")).orderBy(col("dot").desc, col("cent_id"))
+    pop.crossJoin(broadcast(cents))
+      .withColumn("dot", dotQ(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(wc))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("n2"), col("cent_id").as("cell"),
+        expr("CAST(round(1000000.0 * dot / (sqrt(n2) * sqrt(cn2))) AS BIGINT)").as("cm"))
+  }
+
   /** d61 — ANCHOR-DRIFT census: the maintenance TRIGGER the append-only
     * lifecycle needs. d60 freezes the centroid anchors at build time
     * (append ∝ batch is only possible because assignment structure never
@@ -1732,14 +1747,7 @@ object Similarity {
       .withColumn("n2", norm2Q(col("v")))
     val cents = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("n2").as("cn2"))
-    // the ivfAssign pass, keeping the best dot + anchor norm for the fit
-    val wc = Window.partitionBy(col("vec_id")).orderBy(col("dot").desc, col("cent_id"))
-    val assign = e.crossJoin(broadcast(cents))
-      .withColumn("dot", dotQ(col("v"), col("cv")))
-      .withColumn("rn", row_number().over(wc))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cent_id").as("cell"),
-        expr("CAST(round(1000000.0 * dot / (sqrt(n2) * sqrt(cn2))) AS BIGINT)").as("cm"))
+    val assign = fitAssign(e, cents)
     val isApp = col("vec_id") % 7 === 3
     val isBase = col("vec_id") % 7 =!= 3 && col("vec_id") % 7 =!= 5
     assign.filter(col("vec_id") % 7 =!= 5)
@@ -1759,6 +1767,126 @@ object Similarity {
           .otherwise((round(col("s_base") * lit(1.0) / col("n_base"))
             - round(col("s_app") * lit(1.0) / col("n_app"))).cast("long"))
           .as("drift_micro"))
+      .orderBy("cell")
+  }
+
+  /** d62 — DRIFT-GATED RE-TRAIN: the ACTION d61's census triggers,
+    * closing the maintenance loop (signal → decision → re-train). The
+    * gate is MEASURED and pinned (a cell with ≥ 5 appended members whose
+    * |drift_micro| ≥ 30000 — constants hardcoded in the oracle too, the
+    * p01 gate discipline): when no cell qualifies, the frozen anchors
+    * stand and the census reports the as-is fit; when one does, ONE
+    * centroid-update round runs over the index population (per-cell
+    * integer-exact means, the d24 Lloyd machinery) and the population is
+    * re-assigned against the NEW centroids — the re-train that d59/d60
+    * keep out of takedown/append scope, now executed exactly when the
+    * measured signal says it pays. Both branches are oracle-verified
+    * across the fixture family: the gate FIRES at sf0.001/sf0.01 (fit
+    * climbs ~180k → ~250k micros) and correctly HOLDS at sf0.1 (drift
+    * under threshold) — the decision itself is hash-checked, not
+    * trusted.
+    *
+    * Scale shape: one population × 8-centroid broadcast pass per
+    * assignment, the update a per-(cell, dim) partial-aggregable sum
+    * (k×64 rows cross the exchange), and the new centroids re-broadcast
+    * — nothing after the scans is data-sized; the gate is one 8-row
+    * census (a bounded driver branch, like p01's audit gate). */
+  private val d62 = Q(
+    "d62_drift_retrain",
+    """WITH e AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+         FROM embeddings),
+       n AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2
+             FROM e WHERE vec_id % 7 <> 5),
+       c0 AS (SELECT vec_id AS cent_id, v AS cv,
+                     CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS cn2
+              FROM e WHERE vec_id < 8),
+       a0 AS MATERIALIZED (
+         SELECT vec_id, v, n2, cell, cm FROM (
+           SELECT n.vec_id, n.v, n.n2, c.cent_id AS cell,
+                  CAST(round(1000000.0 * CAST(list_sum(list_transform(generate_series(1, 64), i -> n.v[i] * c.cv[i])) AS BIGINT)
+                       / (sqrt(n.n2) * sqrt(c.cn2))) AS BIGINT) AS cm,
+                  row_number() OVER (PARTITION BY n.vec_id
+                    ORDER BY CAST(list_sum(list_transform(generate_series(1, 64), i -> n.v[i] * c.cv[i])) AS BIGINT) DESC,
+                             c.cent_id) AS rn
+           FROM n, c0 c) t WHERE rn = 1),
+       cen AS (
+         SELECT cell,
+                count(*) FILTER (vec_id % 7 <> 3) AS n_base,
+                count(*) FILTER (vec_id % 7 = 3) AS n_app,
+                CAST(coalesce(sum(cm) FILTER (vec_id % 7 <> 3), 0) AS BIGINT) AS s_base,
+                CAST(coalesce(sum(cm) FILTER (vec_id % 7 = 3), 0) AS BIGINT) AS s_app
+         FROM a0 GROUP BY cell),
+       gate AS MATERIALIZED (
+         SELECT coalesce(max(CASE WHEN n_app >= 5 AND n_base > 0 AND
+                  abs(round(s_base * 1.0 / n_base) - round(s_app * 1.0 / n_app)) >= 30000
+                  THEN 1 ELSE 0 END), 0) = 1 AS acted
+         FROM cen),
+       u1 AS (
+         SELECT cell, i, CAST(round(CAST(sum(v[i]) AS DOUBLE) / count(*)) AS BIGINT) AS m
+         FROM a0 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) ix
+         GROUP BY cell, i),
+       c1 AS (
+         SELECT cell AS cent_id, list(m ORDER BY i) AS cv,
+                CAST(list_sum(list_transform(list(m ORDER BY i), x -> x * x)) AS BIGINT) AS cn2
+         FROM u1 GROUP BY cell),
+       a1 AS MATERIALIZED (
+         SELECT vec_id, cell, cm FROM (
+           SELECT n.vec_id, c.cent_id AS cell,
+                  CAST(round(1000000.0 * CAST(list_sum(list_transform(generate_series(1, 64), i -> n.v[i] * c.cv[i])) AS BIGINT)
+                       / (sqrt(n.n2) * sqrt(c.cn2))) AS BIGINT) AS cm,
+                  row_number() OVER (PARTITION BY n.vec_id
+                    ORDER BY CAST(list_sum(list_transform(generate_series(1, 64), i -> n.v[i] * c.cv[i])) AS BIGINT) DESC,
+                             c.cent_id) AS rn
+           FROM n, c1 c) t WHERE rn = 1),
+       pre AS (SELECT cell, count(*) AS n_members,
+                      CAST(round(sum(cm) * 1.0 / count(*)) AS BIGINT) AS fit_micro
+               FROM a0 GROUP BY cell),
+       post AS (SELECT cell, count(*) AS n_members,
+                       CAST(round(sum(cm) * 1.0 / count(*)) AS BIGINT) AS fit_micro
+                FROM a1 GROUP BY cell)
+       SELECT cell, (SELECT acted FROM gate) AS acted, n_members, fit_micro
+       FROM (SELECT * FROM post WHERE (SELECT acted FROM gate)
+             UNION ALL
+             SELECT * FROM pre WHERE NOT (SELECT acted FROM gate))
+       ORDER BY cell""") { (s, d) =>
+    graft.functions.LongDot.register(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("n2", norm2Q(col("v")))
+    // the index population: base ∪ appended (probes excluded), the d60
+    // fixture convention
+    val pop = Dedup.reuse(e.filter(col("vec_id") % 7 =!= 5))
+    val cents0 = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("n2").as("cn2"))
+    val a0 = Dedup.reuse(fitAssign(pop, cents0))
+    // the MEASURED gate (d61's census): a bounded driver branch, like
+    // p01's audit gate — the oracle computes the identical decision, so
+    // acting (or not) is hash-checked, not trusted
+    val isApp = col("vec_id") % 7 === 3
+    val acted = a0.groupBy("cell")
+      .agg(count(when(!isApp, 1)).as("n_base"),
+        count(when(isApp, 1)).as("n_app"),
+        coalesce(sum(when(!isApp, col("cm"))), lit(0L)).as("s_base"),
+        coalesce(sum(when(isApp, col("cm"))), lit(0L)).as("s_app"))
+      .filter(col("n_app") >= 5 && col("n_base") > 0 &&
+        abs(round(col("s_base") * lit(1.0) / col("n_base"))
+          - round(col("s_app") * lit(1.0) / col("n_app"))) >= 30000)
+      .limit(1).count() > 0
+    val chosen =
+      if (acted) {
+        // one Lloyd update round from the current state (integer-exact
+        // per-cell means), then re-assign against the NEW centroids
+        val cents1 = centroidUpdateDF(a0)
+          .select(col("cell").as("cent_id"), col("cv"))
+          .withColumn("cn2", norm2Q(col("cv")))
+        fitAssign(pop, cents1)
+      } else a0
+    chosen.groupBy("cell")
+      .agg(count(lit(1)).as("n_members"),
+        round(sum(col("cm")) * lit(1.0) / count(lit(1))).cast("long").as("fit_micro"))
+      .select(col("cell"), lit(acted).as("acted"), col("n_members"), col("fit_micro"))
       .orderBy("cell")
   }
 
@@ -1872,5 +2000,5 @@ object Similarity {
   }
 
   val defs: Seq[Q] = Seq(d05, d06, d07, d12, d14, d16, d19, d24, d25, d26, d29,
-    d30, d32, d33, d35, d40, d52, d59, d60, d61)
+    d30, d32, d33, d35, d40, d52, d59, d60, d61, d62)
 }

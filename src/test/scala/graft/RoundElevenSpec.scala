@@ -325,6 +325,36 @@ class RoundElevenSpec extends SparkTestBase {
       "no cell drifted at all — census vacuous")
   }
 
+  test("d62 drift-gated re-train: the measured gate fires on this " +
+    "fixture, one Lloyd round strictly improves the population's mean " +
+    "own-centroid fit over the frozen anchors, and the population is " +
+    "fully accounted") {
+    val pre = SparkEntry.queries("d61_ivf_drift_census")(spark, sf0001).collect()
+    val post = SparkEntry.queries("d62_drift_retrain")(spark, sf0001).collect()
+    assert(post.length == 8 && post.forall(_.getAs[Boolean]("acted")),
+      "gate did not fire at sf0.001 — the planted drift vanished")
+    val emb = Tables.embeddings(spark, sf0001)
+    val popN = emb.filter(col("vec_id") % 7 =!= 5).count()
+    assert(post.map(_.getAs[Long]("n_members")).sum == popN,
+      "re-assigned population not fully accounted")
+    // weighted mean fit, frozen anchors (d61's census covers the same
+    // population: base + appended) vs re-trained centroids (d62)
+    def wmean(rows: Array[org.apache.spark.sql.Row],
+        parts: Seq[(String, String)]): Double = {
+      val (s, n) = rows.foldLeft((0.0, 0L)) { case ((ss, nn), r) =>
+        val add = parts.map { case (nc, fc) =>
+          r.getAs[Long](nc).toDouble * r.getAs[Long](fc) }.sum
+        (ss + add, nn + parts.map { case (nc, _) => r.getAs[Long](nc) }.sum)
+      }
+      s / n
+    }
+    val fitPre = wmean(pre, Seq("n_base" -> "fit_base_micro", "n_app" -> "fit_app_micro"))
+    val fitPost = wmean(post, Seq("n_members" -> "fit_micro"))
+    assert(fitPost > fitPre + 20000,
+      s"re-training did not materially improve fit: $fitPre -> $fitPost")
+    spark.catalog.clearCache()
+  }
+
   test("candidate-edge budget: the bucket-size threshold keeps exactly " +
     "the maximal small-bucket prefix whose pair total fits, drops the " +
     "rest (census verified by brute count), and the default leaves " +
