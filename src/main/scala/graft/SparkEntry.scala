@@ -77,7 +77,8 @@ object SparkEntry {
       "t37_unigram_segment",
       "p01_full_curation", "p02_incremental_curation",
       "d56_takedown_readmission", "d57_store_compaction", "d58_generation_swap",
-      "d59_ann_takedown", "d60_ivf_append", "s34_stream_ann_maintained_index",
+      "d59_ann_takedown", "d60_ivf_append", "d63_ivfpq_index",
+      "s34_stream_ann_maintained_index",
       "m11_media_fingerprint_store", "s35_stream_media_ingest",
       "s36_stream_media_compacting_ingest",
       "a01_pipe_cranker", "a02_pipe_throughput",

@@ -698,6 +698,61 @@ object Similarity {
       .orderBy("cluster")
   }
 
+  /** PQ codebook from the vec_id<64 seeds' subvectors: 8 subspaces × 64
+    * codes, collected once (64×64 longs — index STRUCTURE, like the IVF
+    * anchors, not data). Shared by d26's measured funnel and the stored
+    * IVF-PQ index (d63). */
+  private[graft] def pqCodebook(e: DataFrame): Array[Array[(Long, Array[Long])]] = {
+    val seeds = e.filter(col("vec_id") < 64).select(col("vec_id"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+    Array.tabulate(8)(sub => seeds.map { case (code, v) =>
+      (code, v.slice(sub * 8, sub * 8 + 8)) })
+  }
+
+  /** Subvector `sub` of the quantized vector column `v`. */
+  private def pqSubCol(sub: Int): Column = slice(col("v"), sub * 8 + 1, 8)
+
+  /** Map-side PQ encode of `col("v")`: argmin code per subspace over the
+    * literal codebook (codes are the contiguous seed ids 0..63, so
+    * code == position — ADC LUT lookups index on that invariant). The
+    * 64-code scan stays a COMPACT HOF tree (unrolling 8×64×8 literal
+    * terms makes janino spend ~40s compiling the projection — measured,
+    * d26) and each per-code distance is one fused `long_l2` loop. */
+  private[graft] def pqCodesCol(codebook: Array[Array[(Long, Array[Long])]]): Column =
+    array((0 until 8).map { sub =>
+      val cbV = typedLit(codebook(sub).map(_._2.toSeq))
+      val cbI = typedLit(codebook(sub).map(_._1))
+      val sv = pqSubCol(sub)
+      aggregate(
+        sequence(lit(0), lit(codebook(sub).length - 1)),
+        struct(lit(Long.MaxValue).as("d2"), lit(Long.MaxValue).as("code")),
+        (acc, j) => {
+          val cv = element_at(cbV, (j + 1).cast("int"))
+          val d2 = graft.functions.LongL2.long_l2(sv, cv)
+          val code = element_at(cbI, (j + 1).cast("int"))
+          when(d2 < acc.getField("d2"),
+            struct(d2.as("d2"), code.as("code"))).otherwise(acc)
+        }).getField("code")
+    }: _*)
+
+  /** Per-query ADC lookup table over `col("v")`: dist2(q_sub,
+    * codebook[sub][code]) for all 8×64 entries — computed once per query
+    * and broadcast with the probe batch, so each candidate costs 8 table
+    * lookups instead of a 64-dim dot. */
+  private[graft] def pqLutCol(codebook: Array[Array[(Long, Array[Long])]]): Column =
+    array((0 until 8).map { sub =>
+      val cbV = typedLit(codebook(sub).map(_._2.toSeq))
+      transform(cbV, cv => graft.functions.LongL2.long_l2(pqSubCol(sub), cv))
+    }: _*)
+
+  /** Asymmetric PQ distance: the sum of 8 LUT lookups of `codes` into
+    * `lut` (code == position invariant from [[pqCodesCol]]). */
+  private[graft] def pqAdcCol(lut: Column, codes: Column): Column =
+    (0 until 8).map(sub =>
+      element_at(element_at(lut, sub + 1),
+        (element_at(codes, sub + 1) + 1).cast("int"))
+    ).reduce(_ + _)
+
   /** Product-quantization ANN with MEASURED recall (the FAISS-style PQ
     * path: 64 dims → 8 subspaces × 64 codes, codebook from the vec_id<64
     * seeds' subvectors): each vector compresses to 8 code bytes (64× vs
@@ -782,47 +837,13 @@ object Similarity {
     graft.plans.TopKPerGroup.install(s)
     val e = Dedup.reuse(Tables.embeddings(s, d)
       .select(col("vec_id"), quantize(col("embedding")).as("v")))
-    // codebook: 8 subspaces × 64 codes, collected once (64×64 ints)
-    val seeds = e.filter(col("vec_id") < 64).select(col("vec_id"), col("v"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
-    val codebook: Array[Array[(Long, Array[Long])]] =
-      Array.tabulate(8)(sub => seeds.map { case (code, v) =>
-        (code, v.slice(sub * 8, sub * 8 + 8)) })
-    def subCol(sub: Int): Column = slice(col("v"), sub * 8 + 1, 8)
-    // subspace distance via the fused long_l2 Expression: the 64-code
-    // scan stays a COMPACT expression tree (unrolling 8 subspaces × 64
-    // codes × 8 dims into literal terms makes janino spend ~40s compiling
-    // the projection — measured), and each per-code distance is one
-    // unboxed loop instead of zip_with's array alloc + lambda dispatch
     graft.functions.LongL2.register(s)
-    def hofDist2(sv: Column, cv: Column): Column =
-      graft.functions.LongL2.long_l2(sv, cv)
-    // encode map-side: per subspace, argmin over the literal codebook
-    // (codes are the contiguous seed ids 0..63, so code == position — the
-    // LUT lookup below indexes on that invariant)
-    val encoded = e.select(col("vec_id").as("cid"),
-      array((0 until 8).map { sub =>
-        val cbV = typedLit(codebook(sub).map(_._2.toSeq))
-        val cbI = typedLit(codebook(sub).map(_._1))
-        val sv = subCol(sub)
-        aggregate(
-          sequence(lit(0), lit(codebook(sub).length - 1)),
-          struct(lit(Long.MaxValue).as("d2"), lit(Long.MaxValue).as("code")),
-          (acc, j) => {
-            val cv = element_at(cbV, (j + 1).cast("int"))
-            val d2 = hofDist2(sv, cv)
-            val code = element_at(cbI, (j + 1).cast("int"))
-            when(d2 < acc.getField("d2"),
-              struct(d2.as("d2"), code.as("code"))).otherwise(acc)
-          }).getField("code")
-      }: _*).as("codes"))
-    // query LUT: dist2(q_sub, codebook[sub][code]) for all 8×64 entries
+    // codebook / map-side encode / query LUTs: the shared PQ helpers
+    // (pqCodebook et al. above), also driving the stored IVF-PQ index (d63)
+    val codebook = pqCodebook(e)
+    val encoded = e.select(col("vec_id").as("cid"), pqCodesCol(codebook).as("codes"))
     val qlut = e.filter(col("vec_id") >= 10 && col("vec_id") < 25)
-      .select(col("vec_id").as("qid"),
-        array((0 until 8).map { sub =>
-          val cbV = typedLit(codebook(sub).map(_._2.toSeq))
-          transform(cbV, cv => hofDist2(subCol(sub), cv))
-        }: _*).as("lut"))
+      .select(col("vec_id").as("qid"), pqLutCol(codebook).as("lut"))
     val wr = Window.partitionBy(col("qid")).orderBy(col("ad").asc, col("cid"))
     // not persisted (measured, with pairsD2 below: 2.70s → 1.06s at
     // sf0.1): the encode+ADC scan is a map-side compute over the cached
@@ -831,11 +852,7 @@ object Similarity {
     // PlanSpec: only the `e` cache remains)
     val adcRanked = encoded.crossJoin(broadcast(qlut))
       .filter(col("cid") =!= col("qid"))
-      .select(col("qid"), col("cid"),
-        (0 until 8).map(sub =>
-          element_at(element_at(col("lut"), sub + 1),
-            (element_at(col("codes"), sub + 1) + 1).cast("int"))
-        ).reduce(_ + _).as("ad"))
+      .select(col("qid"), col("cid"), pqAdcCol(col("lut"), col("codes")).as("ad"))
       .withColumn("rk", row_number().over(wr))
       .filter(col("rk") <= 50)
       .select(col("qid"), col("cid"), col("rk"))
@@ -1569,6 +1586,101 @@ object Similarity {
     newTable
   }
 
+  /** Write a PQ-encoded, cell-assigned corpus as the stored IVF-PQ
+    * index: (cell, cid, codes) bucketed on `cell` — the COMPRESSED form
+    * of [[writeIvfIndex]]'s layout (8 small code longs per vector
+    * instead of the 64-long raw vector: the storage shape that actually
+    * fits a 100 TB vector corpus in an index tier). Probes read the
+    * bucketed layout exchange-free; the refine step fetches raw vectors
+    * from the CORPUS by id (candidates only, broadcast), so raw floats
+    * never live in — or shuffle through — the index. Returns the table
+    * name, the handle a d58 catalog publishes. */
+  def writeIvfPqIndex(s: org.apache.spark.sql.SparkSession,
+      enc: DataFrame, tag: String): String = {
+    val dir = graft.Scratch.dir(s"graft_$tag")
+    val table = s"graft_${tag}_" + dir.replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
+    enc.select(col("cell"), col("vec_id").as("cid"), col("codes"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "cell").sortBy("cell")
+      .option("path", s"$dir/ivfpq_index").saveAsTable(table)
+    table
+  }
+
+  /** Append a PQ-encoded ingested batch to an EXISTING stored IVF-PQ
+    * index — [[appendIvfIndex]]'s batch-sized-write contract on the
+    * compressed layout (same bucket spec, probe layout survives). The
+    * batch is encoded against the FROZEN codebook and anchors: both are
+    * index structure; re-training either is a rebuild (d62's gate decides
+    * when). Crash-retry residue is absorbed by [[probeIvfPqTopK]]'s
+    * candidate distinct and collapsed by [[compactIvfPqIndex]]. */
+  def appendIvfPqIndex(s: org.apache.spark.sql.SparkSession,
+      enc: DataFrame, table: String): Unit = {
+    enc.select(col("cell"), col("vec_id").as("cid"), col("codes"))
+      .write.mode("append").format("parquet")
+      .bucketBy(8, "cell").sortBy("cell")
+      .saveAsTable(table)
+    // the s34 staleness fix: commit through the frame's session, refresh
+    // through the caller's too
+    s.catalog.refreshTable(table)
+  }
+
+  /** Rewrite the stored IVF-PQ index minus tombstoned ids into a NEW
+    * generation (same bucket spec; crash-retry residue collapsed by the
+    * distinct — the [[compactIvfIndex]] contract on codes). */
+  def compactIvfPqIndex(s: org.apache.spark.sql.SparkSession,
+      table: String, tomb: DataFrame, tag: String): String = {
+    val dir = graft.Scratch.dir(s"graft_$tag")
+    val newTable = s"graft_${tag}_" + dir.replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
+    s.table(table)
+      .join(broadcast(tomb.select(col("vec_id").as("cid"))), Seq("cid"), "left_anti")
+      .select(col("cell"), col("cid"), col("codes"))
+      .distinct()
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "cell").sortBy("cell")
+      .option("path", s"$dir/ivfpq_index").saveAsTable(newTable)
+    newTable
+  }
+
+  /** Probe a stored IVF-PQ index — the full production funnel against
+    * the compressed layout: ADC-rank the query's cell from codes alone
+    * (8 LUT lookups per candidate; the index never shuffles and raw
+    * vectors never enter the scan), keep the top-`kAdc` per query, then
+    * REFINE: fetch exactly those candidates' raw vectors from the corpus
+    * by id (queries×kAdc rows, broadcast against the corpus scan — the
+    * id-keyed fetch a deployed system does against its vector store) and
+    * re-rank by exact integer L2. Emits BOTH the ADC distance and the
+    * exact d2, so the compressed scoring itself is hash-checked, not
+    * just the refined ranking.
+    *
+    * The scored candidates are DISTINCT'd before ranking (the
+    * [[probeIvfTopK]] crash-retry contract: duplicate (cell, cid) rows
+    * from a re-appended batch carry identical codes, so the distinct
+    * restores the clean index's candidate set exactly).
+    *
+    * `probes`: (qid, qcell, lut); `queryVecs`: (qid, qv, qn2);
+    * `corpus`: (cid, cv, cn2). */
+  def probeIvfPqTopK(idx: DataFrame, probes: DataFrame, queryVecs: DataFrame,
+      corpus: DataFrame, kAdc: Int, k: Int): DataFrame = {
+    val wa = Window.partitionBy(col("qid")).orderBy(col("ad").asc, col("cid"))
+    val cand = idx
+      .join(broadcast(probes), col("cell") === col("qcell") && col("cid") =!= col("qid"))
+      .select(col("qid"), col("cell"), col("cid"),
+        pqAdcCol(col("lut"), col("codes")).as("ad"))
+      .distinct()
+      .withColumn("rk", row_number().over(wa))
+      .filter(col("rk") <= kAdc)
+      .select(col("qid"), col("cell"), col("cid"), col("ad"))
+    val wd = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("cid"))
+    corpus.join(broadcast(cand), Seq("cid"))
+      .join(broadcast(queryVecs), Seq("qid"))
+      .withColumn("d2",
+        col("qn2") + col("cn2") - lit(2L) * dotQ(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(wd))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cell"), col("cid"),
+        col("rank").cast("long").as("rank"), col("ad"), col("d2"))
+  }
+
   /** Probe a stored IVF index with a (small, broadcast) query batch:
     * top-`k` cosine neighbors per query within the query's assigned
     * cell. The index side reads its bucketed layout — candidates, dots,
@@ -1668,6 +1780,111 @@ object Similarity {
     appendIvfIndex(s, assign.filter(isDay1), table)
     // day 2: probe the UPDATED index with the next wave
     probeIvfTopK(s, table, asProbes(assign.filter(isWave2)), k = 3)
+      .orderBy("qid", "rank")
+  }
+
+  /** d63 — STORED IVF-PQ INDEX: the layout a 100 TB vector corpus
+    * actually deploys. d33/d60's stored IVF keeps raw 64-long vectors in
+    * the index; at production scale the index tier holds COMPRESSED
+    * codes (8 small longs ≈ 8 bytes/vector here) and raw vectors stay in
+    * the corpus, fetched by id only for the refine step. d63 runs the
+    * full lifecycle on that layout: day-0 build (cells from the frozen
+    * anchors, codes from the frozen vec_id<64 codebook — both index
+    * STRUCTURE), day-1 batch APPEND (encode map-side against the frozen
+    * structures, batch-sized bucketed write), day-2 probe = the d26
+    * funnel against the store — ADC over the query's cell from codes
+    * alone, top-10, exact re-rank of exactly those candidates via an
+    * id-keyed corpus fetch. Output carries the ADC distance AND the
+    * exact d2 (both exact integers), so the compressed scoring, the
+    * candidate cut, and the refine are ALL hash-checked. The oracle
+    * re-derives assignment, encoding, ADC, and refine over base ∪ day-1
+    * directly — a dropped/duplicated/mis-bucketed/mis-encoded append
+    * surfaces as a mismatch. RoundTwelveSpec proves probe-after-append ≡
+    * probe-after-rebuild, the codes-only index schema (the compression
+    * contract), exchange-free index scans on the appended table, and the
+    * double-append retry drill. */
+  private val d63 = Q(
+    "d63_ivfpq_index",
+    """WITH e AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+         FROM embeddings),
+       n AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2 FROM e),
+       cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+       scored AS (
+         SELECT n.vec_id, n.v, n.n2, c.cent_id,
+                row_number() OVER (PARTITION BY n.vec_id
+                  ORDER BY CAST(list_sum(list_transform(generate_series(1, 64), i -> n.v[i] * c.cv[i])) AS BIGINT) DESC,
+                           c.cent_id) AS rn
+         FROM n, cents c),
+       assign AS MATERIALIZED (
+         SELECT vec_id, v, n2, cent_id AS cell FROM scored WHERE rn = 1),
+       subs AS (SELECT unnest(generate_series(0, 7)) AS s),
+       vs AS (SELECT vec_id, s, list_slice(v, s * 8 + 1, s * 8 + 8) AS sv
+              FROM e CROSS JOIN subs),
+       cbs AS MATERIALIZED (SELECT vec_id AS code, s, sv AS cv FROM vs WHERE vec_id < 64),
+       enc AS MATERIALIZED (
+         SELECT vec_id, s, code FROM (
+           SELECT v.vec_id, v.s, c.code,
+                  row_number() OVER (PARTITION BY v.vec_id, v.s
+                    ORDER BY CAST(list_sum(list_transform(generate_series(1, 8),
+                               i -> (v.sv[i] - c.cv[i]) * (v.sv[i] - c.cv[i]))) AS BIGINT) ASC,
+                             c.code) AS rn
+           FROM vs v JOIN cbs c ON v.s = c.s
+           WHERE v.vec_id % 7 <> 5) t WHERE rn = 1),
+       qa AS MATERIALIZED (
+         SELECT vec_id AS qid, cell, v AS qv, n2 AS qn2 FROM assign WHERE vec_id % 7 = 5),
+       qs AS MATERIALIZED (SELECT vec_id AS qid, s, sv FROM vs WHERE vec_id % 7 = 5),
+       adc AS MATERIALIZED (
+         SELECT qa.qid, qa.cell, en.vec_id AS cid,
+                CAST(sum(list_sum(list_transform(generate_series(1, 8),
+                  i -> (q.sv[i] - c.cv[i]) * (q.sv[i] - c.cv[i])))) AS BIGINT) AS ad
+         FROM qa
+         JOIN assign ca ON ca.cell = qa.cell AND ca.vec_id % 7 <> 5 AND ca.vec_id <> qa.qid
+         JOIN enc en ON en.vec_id = ca.vec_id
+         JOIN qs q ON q.qid = qa.qid AND q.s = en.s
+         JOIN cbs c ON c.s = en.s AND c.code = en.code
+         GROUP BY qa.qid, qa.cell, en.vec_id),
+       cand AS (
+         SELECT qid, cell, cid, ad FROM (
+           SELECT qid, cell, cid, ad,
+                  row_number() OVER (PARTITION BY qid ORDER BY ad ASC, cid) AS rk
+           FROM adc) t WHERE rk <= 10),
+       refined AS (
+         SELECT cand.qid, cand.cell, cand.cid, cand.ad,
+                qa.qn2 + c.n2 - 2 * CAST(list_sum(list_transform(generate_series(1, 64),
+                  i -> qa.qv[i] * c.v[i])) AS BIGINT) AS d2
+         FROM cand
+         JOIN qa ON qa.qid = cand.qid
+         JOIN n c ON c.vec_id = cand.cid)
+       SELECT qid, cell, cid, CAST(rank AS BIGINT) AS rank, ad, d2
+       FROM (SELECT qid, cell, cid, ad, d2,
+                    row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, cid) AS rank
+             FROM refined) t
+       WHERE rank <= 3 ORDER BY qid, rank""") { (s, d) =>
+    graft.functions.LongDot.register(s)
+    graft.functions.LongL2.register(s)
+    graft.plans.TopKPerGroup.install(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("n2", norm2Q(col("v")))
+    val assign = Dedup.reuse(ivfAssign(e))
+    val cb = pqCodebook(e)
+    val isDay1 = col("vec_id") % 7 === 3
+    val isWave2 = col("vec_id") % 7 === 5
+    // ONE map-side encode pass (frozen codebook + anchors) serves the
+    // base build and the appended batch
+    val encAll = assign.withColumn("codes", pqCodesCol(cb))
+    val table = writeIvfPqIndex(s, encAll.filter(!isDay1 && !isWave2), "ivfpq_d63")
+    appendIvfPqIndex(s, encAll.filter(isDay1), table)
+    val probes = assign.filter(isWave2)
+      .select(col("vec_id").as("qid"), col("cell").as("qcell"),
+        pqLutCol(cb).as("lut"))
+    val queryVecs = assign.filter(isWave2)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+    val corpus = e.select(col("vec_id").as("cid"), col("v").as("cv"),
+      col("n2").as("cn2"))
+    probeIvfPqTopK(s.table(table), probes, queryVecs, corpus, kAdc = 10, k = 3)
       .orderBy("qid", "rank")
   }
 
@@ -2000,5 +2217,5 @@ object Similarity {
   }
 
   val defs: Seq[Q] = Seq(d05, d06, d07, d12, d14, d16, d19, d24, d25, d26, d29,
-    d30, d32, d33, d35, d40, d52, d59, d60, d61, d62)
+    d30, d32, d33, d35, d40, d52, d59, d60, d61, d62, d63)
 }

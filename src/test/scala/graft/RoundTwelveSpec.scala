@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+
+/** Round-12 additions: the stored IVF-PQ index (d63) — the compressed
+  * production layout for the vector surface — with the full lifecycle
+  * drill set the raw-vector index already has (append ≡ rebuild,
+  * exchange-free appended layout, crash-retry idempotence, compaction
+  * probe-equivalence), plus the compression contract itself: the index
+  * stores codes only, never raw vectors. */
+class RoundTwelveSpec extends SparkTestBase {
+
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  /** The d63 fixture family: quantized corpus, cell assignment against
+    * the frozen anchors, PQ codes against the frozen codebook, and the
+    * probe/queryVec/corpus frames [[ops.Similarity.probeIvfPqTopK]]
+    * consumes. */
+  private def pqFixture() = {
+    import ops.{Dedup, Similarity}
+    import ops.Similarity.{norm2Q, quantize}
+    graft.functions.LongDot.register(spark)
+    graft.functions.LongL2.register(spark)
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("n2", norm2Q(col("v")))
+    val assign = Dedup.reuse(Similarity.ivfAssign(e))
+    val cb = Similarity.pqCodebook(e)
+    val encAll = assign.withColumn("codes", Similarity.pqCodesCol(cb))
+    val probes = assign.filter(col("vec_id") % 7 === 5)
+      .select(col("vec_id").as("qid"), col("cell").as("qcell"),
+        Similarity.pqLutCol(cb).as("lut"))
+    val queryVecs = assign.filter(col("vec_id") % 7 === 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+    val corpus = e.select(col("vec_id").as("cid"), col("v").as("cv"),
+      col("n2").as("cn2"))
+    (e, encAll, probes, queryVecs, corpus)
+  }
+
+  test("d63 IVF-PQ: probe-after-append is byte-equal to probe-after-" +
+    "rebuild, day-1 vectors reach the refined top-3, and the index " +
+    "schema is codes-only — the compression contract") {
+    import ops.Similarity
+    val (_, encAll, probes, queryVecs, corpus) = pqFixture()
+    val isDay1 = col("vec_id") % 7 === 3
+    val isWave2 = col("vec_id") % 7 === 5
+
+    val maintained = Similarity.writeIvfPqIndex(
+      spark, encAll.filter(!isDay1 && !isWave2), "ivfpq_r12_app")
+    Similarity.appendIvfPqIndex(spark, encAll.filter(isDay1), maintained)
+    val rebuilt = Similarity.writeIvfPqIndex(
+      spark, encAll.filter(!isWave2), "ivfpq_r12_reb")
+
+    def probe(t: String) = Similarity.probeIvfPqTopK(
+      spark.table(t), probes, queryVecs, corpus, kAdc = 10, k = 3)
+    val viaAppend = rows(probe(maintained))
+    assert(viaAppend.nonEmpty, "probe produced no rows — drill is vacuous")
+    assert(viaAppend == rows(probe(rebuilt)),
+      "append-maintained IVF-PQ index diverged from a from-scratch rebuild")
+    assert(probe(maintained).filter(col("cid") % 7 === 3).count() > 0,
+      "no day-1 vector reached any refined top-3 — append-visibility untested")
+
+    // the compression contract: the stored index carries (cell, cid,
+    // codes) ONLY — raw vectors live in the corpus and are fetched by id
+    // at refine time, never written to (or shuffled through) the index
+    val fields = spark.table(maintained).schema.fields
+      .map(f => f.name -> f.dataType.simpleString).toMap
+    assert(fields.keySet == Set("cell", "cid", "codes"),
+      s"index schema is not codes-only: $fields")
+    assert(fields("codes") == "array<bigint>" &&
+      spark.table(maintained)
+        .select(max(size(col("codes")))).head.getInt(0) == 8,
+      "codes column is not the 8-subspace PQ encoding")
+    spark.catalog.clearCache()
+  }
+
+  test("d63 appended IVF-PQ table still answers a shuffled probe join " +
+    "bucket-aware with no index-side exchange") {
+    import ops.Similarity
+    val (_, encAll, probes, _, _) = pqFixture()
+    val isDay1 = col("vec_id") % 7 === 3
+    val isWave2 = col("vec_id") % 7 === 5
+    val maintained = Similarity.writeIvfPqIndex(
+      spark, encAll.filter(!isDay1 && !isWave2), "ivfpq_r12_pl")
+    Similarity.appendIvfPqIndex(spark, encAll.filter(isDay1), maintained)
+
+    spark.catalog.clearCache()
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val probe = spark.table(maintained)
+        .join(probes.hint("shuffle_merge"), col("cell") === col("qcell"))
+      val plan = castToImpl(probe).queryExecution.executedPlan
+      val join = plan.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }
+      assert(join.isDefined, s"expected a shuffled probe join:\n$plan")
+      val indexSide = join.get.children.filter(_.toString.contains("ivfpq_index"))
+      assert(indexSide.size == 1, s"index scan not under the probe join:\n$plan")
+      assert(indexSide.head.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.isEmpty, "the appended IVF-PQ index side got re-shuffled")
+      assert(plan.toString.contains("Bucketed: true") ||
+        plan.toString.contains("SelectedBucketsCount"),
+        s"appended IVF-PQ index scan is not bucket-aware:\n$plan")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+    spark.catalog.clearCache()
+  }
+
+  test("d63 crash-retry idempotence: a re-appended PQ batch leaves every " +
+    "funnel ranking byte-identical, and compaction collapses the residue " +
+    "while answering byte-equal to the tombstone-filtered probe") {
+    import ops.Similarity
+    val (e, encAll, probes, queryVecs, corpus) = pqFixture()
+    val isDay1 = col("vec_id") % 7 === 3
+    val isWave2 = col("vec_id") % 7 === 5
+
+    val clean = Similarity.writeIvfPqIndex(
+      spark, encAll.filter(!isDay1 && !isWave2), "ivfpq_r12_rt1")
+    Similarity.appendIvfPqIndex(spark, encAll.filter(isDay1), clean)
+    val retried = Similarity.writeIvfPqIndex(
+      spark, encAll.filter(!isDay1 && !isWave2), "ivfpq_r12_rt2")
+    Similarity.appendIvfPqIndex(spark, encAll.filter(isDay1), retried)
+    // the crash-retry: the SAME batch lands a second time
+    Similarity.appendIvfPqIndex(spark, encAll.filter(isDay1), retried)
+    assert(spark.table(retried).count() > spark.table(clean).count(),
+      "double append left no residue — drill is vacuous")
+    def probe(idx: DataFrame) =
+      Similarity.probeIvfPqTopK(idx, probes, queryVecs, corpus, kAdc = 10, k = 3)
+    val cleanRows = rows(probe(spark.table(clean)))
+    assert(cleanRows.nonEmpty && cleanRows == rows(probe(spark.table(retried))),
+      "duplicate PQ index rows leaked into the funnel rankings")
+
+    // takedown + compaction: tombstone-filtered probe on the old
+    // generation ≡ unfiltered probe on the compacted one (the d57/d59
+    // invariant on the compressed layout), and the retry residue is
+    // physically reclaimed
+    val tomb = e.filter(col("vec_id") % 7 === 1).select("vec_id")
+    val filtered = spark.table(retried).join(
+      broadcast(tomb.select(col("vec_id").as("cid"))), Seq("cid"), "left_anti")
+    val compacted = Similarity.compactIvfPqIndex(spark, retried, tomb, "ivfpq_r12_c")
+    val viaFilter = rows(probe(filtered))
+    assert(viaFilter.nonEmpty && viaFilter != cleanRows,
+      "tombstones did not change any ranking — takedown drill is vacuous")
+    assert(viaFilter == rows(probe(spark.table(compacted))),
+      "compacted IVF-PQ generation diverged from the tombstone-filtered probe")
+    val cleanCompact = Similarity.compactIvfPqIndex(
+      spark, clean, tomb, "ivfpq_r12_cc")
+    assert(spark.table(compacted).count() == spark.table(cleanCompact).count(),
+      "retry residue survived IVF-PQ compaction")
+    spark.catalog.clearCache()
+  }
+}
