@@ -80,7 +80,7 @@ object SparkEntry {
       "d59_ann_takedown", "d60_ivf_append", "d63_ivfpq_index",
       "s34_stream_ann_maintained_index",
       "m11_media_fingerprint_store", "s35_stream_media_ingest",
-      "s36_stream_media_compacting_ingest",
+      "s36_stream_media_compacting_ingest", "s37_stream_drift_retrain",
       "a01_pipe_cranker", "a02_pipe_throughput",
       "s01_stream_tumbling", "s10_stream_stateful_sessions",
       "s30_stream_curation_pipeline")

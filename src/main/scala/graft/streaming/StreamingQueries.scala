@@ -2427,9 +2427,254 @@ object StreamingQueries {
   /** Catalog path of the most recent s36 run (test-only introspection). */
   @volatile private[graft] var s36Catalog: String = _
 
+  /** s37 — DRIFT-GATED RE-TRAIN UNDER THE LIVE STREAM: d62's maintenance
+    * action landing in s34's maintenance window, which makes the
+    * assignment structure ITSELF generation state. s34's anchors are
+    * frozen in the stream's closure — correct while they stand, but a
+    * re-train swap changes the geometry every later arrival must be
+    * assigned against, so here the catalog carries TWO handles (index
+    * table, centroid store) and every micro-batch resolves BOTH.
+    *
+    * Wave 0 is a PLANTED skewed ingest (arrivals = 3×anchor-0 + own
+    * vector: the ingest distribution collapsing into one region — all
+    * land in one cell at ~950k-micro fit vs ~190k base, so d61's census
+    * gates TRUE at every verify SF); it probes generation 1, appends,
+    * and logs its ids to the ingest log (how maintenance knows which
+    * stored entries are post-build — the production seam, not fixture
+    * knowledge). The maintenance window then runs the d62 loop on the
+    * STORED index: fit census against the current anchors split by the
+    * ingest log, the pinned gate (≥5 appended members, |drift| ≥ 30000
+    * micros — d62's constants, hardcoded in the oracle), one Lloyd round
+    * over the stored population, re-assignment, and ONE atomic publish
+    * of (gen-2 index, gen-2 centroids). Wave 1 resolves the catalog,
+    * assigns against the RETRAINED anchors, and probes the re-assigned
+    * index — which still carries wave-0's appends through the re-train
+    * swap (the s34 invariant, now across a geometry change).
+    *
+    * The oracle replays both branches (d62's UNION-where-gate pattern):
+    * wave-1 rankings under retrained anchors WHERE the gate fires,
+    * under frozen anchors otherwise — the mid-stream re-train DECISION
+    * and the post-re-train geometry are both hash-checked. */
+  private val s37 = Q(
+    "s37_stream_drift_retrain",
+    """WITH e AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+         FROM embeddings),
+       n AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2 FROM e),
+       c0 AS (SELECT vec_id AS cent_id, v AS cv,
+                     CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS cn2
+              FROM e WHERE vec_id < 8),
+       av AS (SELECT v AS a FROM e WHERE vec_id = 0),
+       arr AS (
+         SELECT n.vec_id, list_transform(generate_series(1, 64), i -> 3 * av.a[i] + n.v[i]) AS v
+         FROM n, av WHERE n.vec_id % 20 = 5),
+       arrn AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2 FROM arr),
+       pop0 AS (SELECT vec_id, v, n2, 0 AS app FROM n WHERE vec_id % 10 <> 5
+                UNION ALL SELECT vec_id, v, n2, 1 AS app FROM arrn),
+       a0 AS MATERIALIZED (
+         SELECT vec_id, v, n2, app, cell, cm FROM (
+           SELECT p.vec_id, p.v, p.n2, p.app, c.cent_id AS cell,
+                  CAST(round(1000000.0 * CAST(list_sum(list_transform(generate_series(1, 64), i -> p.v[i] * c.cv[i])) AS BIGINT)
+                       / (sqrt(p.n2) * sqrt(c.cn2))) AS BIGINT) AS cm,
+                  row_number() OVER (PARTITION BY p.vec_id
+                    ORDER BY CAST(list_sum(list_transform(generate_series(1, 64), i -> p.v[i] * c.cv[i])) AS BIGINT) DESC,
+                             c.cent_id) AS rn
+           FROM pop0 p, c0 c) t WHERE rn = 1),
+       w0 AS (
+         SELECT CAST(0 AS BIGINT) AS wave, q.vec_id AS qid, q.cell, c.vec_id AS cid,
+                CAST(list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * c.v[i])) AS BIGINT)
+                  / (sqrt(q.n2) * sqrt(c.n2)) AS cos
+         FROM a0 q JOIN a0 c ON q.cell = c.cell AND c.app = 0 AND c.vec_id <> q.vec_id
+         WHERE q.app = 1),
+       cen AS (
+         SELECT cell,
+                count(*) FILTER (app = 0) AS n_base, count(*) FILTER (app = 1) AS n_app,
+                CAST(coalesce(sum(cm) FILTER (app = 0), 0) AS BIGINT) AS s_base,
+                CAST(coalesce(sum(cm) FILTER (app = 1), 0) AS BIGINT) AS s_app
+         FROM a0 GROUP BY cell),
+       gate AS MATERIALIZED (
+         SELECT coalesce(max(CASE WHEN n_app >= 5 AND n_base > 0 AND
+                  abs(round(s_base * 1.0 / n_base) - round(s_app * 1.0 / n_app)) >= 30000
+                  THEN 1 ELSE 0 END), 0) = 1 AS acted
+         FROM cen),
+       u1 AS (
+         SELECT cell, i, CAST(round(CAST(sum(v[i]) AS DOUBLE) / count(*)) AS BIGINT) AS m
+         FROM a0 CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) ix
+         GROUP BY cell, i),
+       c1 AS (
+         SELECT cell AS cent_id, list(m ORDER BY i) AS cv,
+                CAST(list_sum(list_transform(list(m ORDER BY i), x -> x * x)) AS BIGINT) AS cn2
+         FROM u1 GROUP BY cell),
+       a1 AS MATERIALIZED (
+         SELECT vec_id, v, n2, cell FROM (
+           SELECT p.vec_id, p.v, p.n2, c.cent_id AS cell,
+                  row_number() OVER (PARTITION BY p.vec_id
+                    ORDER BY CAST(list_sum(list_transform(generate_series(1, 64), i -> p.v[i] * c.cv[i])) AS BIGINT) DESC,
+                             c.cent_id) AS rn
+           FROM a0 p, c1 c) t WHERE rn = 1),
+       q1 AS (SELECT vec_id, v, n2 FROM n WHERE vec_id % 20 = 15),
+       q1r AS (
+         SELECT vec_id, v, n2, cell FROM (
+           SELECT q.vec_id, q.v, q.n2, c.cent_id AS cell,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY CAST(list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * c.cv[i])) AS BIGINT) DESC,
+                             c.cent_id) AS rn
+           FROM q1 q, c1 c) t WHERE rn = 1),
+       q1f AS (
+         SELECT vec_id, v, n2, cell FROM (
+           SELECT q.vec_id, q.v, q.n2, c.cent_id AS cell,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY CAST(list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * c.cv[i])) AS BIGINT) DESC,
+                             c.cent_id) AS rn
+           FROM q1 q, c0 c) t WHERE rn = 1),
+       w1r AS (
+         SELECT CAST(1 AS BIGINT) AS wave, q.vec_id AS qid, q.cell, c.vec_id AS cid,
+                CAST(list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * c.v[i])) AS BIGINT)
+                  / (sqrt(q.n2) * sqrt(c.n2)) AS cos
+         FROM q1r q JOIN a1 c ON q.cell = c.cell AND c.vec_id <> q.vec_id),
+       w1f AS (
+         SELECT CAST(1 AS BIGINT) AS wave, q.vec_id AS qid, q.cell, c.vec_id AS cid,
+                CAST(list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * c.v[i])) AS BIGINT)
+                  / (sqrt(q.n2) * sqrt(c.n2)) AS cos
+         FROM q1f q JOIN a0 c ON q.cell = c.cell AND c.vec_id <> q.vec_id),
+       ranked AS (
+         SELECT wave, qid, cell, cid, cos,
+                row_number() OVER (PARTITION BY wave, qid ORDER BY cos DESC, cid) AS rank
+         FROM (SELECT * FROM w0
+               UNION ALL SELECT * FROM w1r WHERE (SELECT acted FROM gate)
+               UNION ALL SELECT * FROM w1f WHERE NOT (SELECT acted FROM gate)))
+       SELECT wave, qid, cell, cid, rank, round(cos, 6) AS cosine
+       FROM ranked WHERE rank <= 3 ORDER BY wave, qid, rank""") { (s, d) =>
+    import graft.ops.{Incremental, Similarity}
+    import graft.ops.Similarity.{norm2Q, quantize}
+    graft.functions.LongDot.register(s)
+    graft.plans.TopKPerGroup.install(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("n2", norm2Q(col("v")))
+    val cents0 = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("n2").as("cn2"))
+    // generation 1: index over the base population + the anchors that
+    // define its geometry — BOTH are published, both are generation state
+    val idxGen1 = Similarity.writeIvfIndex(s,
+      Similarity.ivfAssignAgainst(e.filter(col("vec_id") % 10 =!= 5),
+        cents0.select(col("cent_id"), col("cv"))), "ivf_s37")
+    val centsDir1 = graft.Scratch.dir("graft_s37_cents1")
+    cents0.write.mode("overwrite").parquet(centsDir1)
+    val cat = graft.Scratch.dir("graft_s37_cat") + "/index.catalog"
+    Incremental.publishCatalog(cat, Seq(idxGen1, centsDir1))
+    s37Catalog = cat
+    // the ingest log: which index entries arrived post-build — the seam
+    // maintenance reads (NOT fixture knowledge)
+    val logDir = graft.Scratch.dir("graft_s37_log")
+    e.select(col("vec_id")).limit(0).write.mode("overwrite").parquet(logDir)
+    val watched = graft.Scratch.dir("graft_s37_watched")
+    val outDir = graft.Scratch.dir("graft_s37_out")
+    val ckpt = graft.Scratch.dir("graft_s37_ckpt")
+    s37Acted = false
+    val a0vec = e.filter(col("vec_id") === 0).select("v").head.getSeq[Long](0)
+    val s37NonEmpty = new java.util.concurrent.atomic.AtomicLong(0L)
+    (0 to 1).foreach { b =>
+      val tmp = graft.Scratch.dir(s"graft_s37_wave$b")
+      val waveDf =
+        if (b == 0)
+          // the planted skewed ingest: every arrival collapses toward
+          // the anchor-0 region (3×anchor + own vector)
+          e.filter(col("vec_id") % 20 === 5)
+            .select(col("vec_id"),
+              zip_with(typedLit(a0vec.toSeq), col("v"),
+                (a, x) => lit(3L) * a + x).as("v"))
+        else e.filter(col("vec_id") % 20 === 15).select(col("vec_id"), col("v"))
+      waveDf.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(watched, s"arrival$b.parquet").toPath)
+      val q = s.readStream
+        .schema(StructType(Seq(StructField("vec_id", LongType),
+          StructField("v", ArrayType(LongType)))))
+        .parquet(watched)
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!batch.isEmpty) {
+            require(s37NonEmpty.getAndIncrement() == b.toLong,
+              s"s37 wave $b saw a second non-empty micro-batch ($batchId): " +
+                "one-file-one-batch broken")
+            // BOTH generation handles re-resolved each batch: after a
+            // re-train swap, arrivals must assign against the CURRENT
+            // anchors, not the closure's
+            val handles = Incremental.resolveCatalog(cat, expect = 2)
+            val curCents = s.read.parquet(handles(1))
+            val bAssign = Similarity.ivfAssignAgainst(
+              batch.toDF().withColumn("n2", norm2Q(col("v"))),
+              curCents.select(col("cent_id"), col("cv"))).localCheckpoint(true)
+            Similarity.probeIvfTopK(s.table(handles(0)),
+                bAssign.select(col("vec_id").as("qid"), col("v").as("qv"),
+                  col("n2").as("qn2"), col("cell").as("qcell")), k = 3)
+              .select(lit(b.toLong).as("wave"), col("qid"), col("cell"),
+                col("cid"), col("rank"), col("cosine"))
+              .write.mode("append").parquet(outDir)
+            Similarity.appendIvfIndex(s, bAssign, handles(0))
+            bAssign.select(col("vec_id")).write.mode("append").parquet(logDir)
+          }
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      if (b == 0) {
+        // maintenance window: the d62 loop on the STORED index. Census
+        // against the current anchors, appended membership from the
+        // ingest log; on a firing gate, one Lloyd round + re-assignment
+        // + ONE atomic publish of (index, centroids) — the swap carries
+        // wave-0's appends into the new geometry
+        val handles = Incremental.resolveCatalog(cat, expect = 2)
+        val curCents = s.read.parquet(handles(1))
+        val pop = s.table(handles(0)).select(col("cid").as("vec_id"),
+          col("cv2").as("v"), col("cn2").as("n2"))
+        val a0 = Similarity.fitAssign(pop, curCents).localCheckpoint(true)
+        val appIds = s.read.schema("vec_id LONG").parquet(logDir)
+        val flagged = a0.join(
+          broadcast(appIds.withColumn("app", lit(1))), Seq("vec_id"), "left")
+          .withColumn("app", coalesce(col("app"), lit(0)))
+        val isApp = col("app") === 1
+        val acted = flagged.groupBy("cell")
+          .agg(count(when(!isApp, 1)).as("n_base"),
+            count(when(isApp, 1)).as("n_app"),
+            coalesce(sum(when(!isApp, col("cm"))), lit(0L)).as("s_base"),
+            coalesce(sum(when(isApp, col("cm"))), lit(0L)).as("s_app"))
+          .filter(col("n_app") >= 5 && col("n_base") > 0 &&
+            abs(round(col("s_base") * lit(1.0) / col("n_base"))
+              - round(col("s_app") * lit(1.0) / col("n_app"))) >= 30000)
+          .limit(1).count() > 0
+        s37Acted = acted
+        if (acted) {
+          val cents1 = Similarity.centroidUpdateDF(a0)
+            .select(col("cell").as("cent_id"), col("cv"))
+            .withColumn("cn2", norm2Q(col("cv")))
+          val idxGen2 = Similarity.writeIvfIndex(s,
+            Similarity.ivfAssignAgainst(pop, cents1.select(col("cent_id"), col("cv"))),
+            "ivf_s37g2")
+          val centsDir2 = graft.Scratch.dir("graft_s37_cents2")
+          cents1.write.mode("overwrite").parquet(centsDir2)
+          Incremental.publishCatalog(cat, Seq(idxGen2, centsDir2))
+        }
+      }
+    }
+    s.read.parquet(outDir).orderBy("wave", "qid", "rank")
+  }
+
+  /** Whether the most recent s37 run's drift gate fired (test-only). */
+  @volatile private[graft] var s37Acted: Boolean = false
+
+  /** Catalog path of the most recent s37 run (test-only introspection). */
+  @volatile private[graft] var s37Catalog: String = _
+
   val defs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
     s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25,
-    s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36)
+    s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37)
 }
 
 /** s11's StatefulProcessor: cumulative (event count, value cents) per

@@ -157,4 +157,44 @@ class RoundTwelveSpec extends SparkTestBase {
       "retry residue survived IVF-PQ compaction")
     spark.catalog.clearCache()
   }
+
+  test("s37 drift-gated re-train under the live stream: the planted " +
+    "skewed ingest fires the gate, the swap publishes a RETRAINED " +
+    "geometry (cells actually move), and wave-0's appends are carried " +
+    "through the re-train swap") {
+    import ops.{Incremental, Similarity}
+    import ops.Similarity.{norm2Q, quantize}
+    val q = SparkEntry.queries("s37_stream_drift_retrain")
+    val out = q(spark, sf0001)
+    assert(out.count() > 0)
+    assert(streaming.StreamingQueries.s37Acted,
+      "the drift gate did not fire on the planted skewed ingest — " +
+        "the re-train branch went unexercised")
+    val handles = Incremental.resolveCatalog(
+      streaming.StreamingQueries.s37Catalog, expect = 2)
+    val gen2 = spark.table(handles(0))
+    // wave-0 arrivals (ids %20=5) survived into generation 2
+    assert(gen2.filter(col("cid") % 20 === 5).count() > 0,
+      "wave-0 appends were dropped by the re-train swap")
+    // the geometry actually moved: at least one stored vector's cell
+    // under the retrained anchors differs from a fresh assignment
+    // against the FROZEN anchors
+    graft.functions.LongDot.register(spark)
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("n2", norm2Q(col("v")))
+    val cents0 = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val frozen = Similarity.ivfAssignAgainst(
+      gen2.select(col("cid").as("vec_id"), col("cv2").as("v"),
+        col("cn2").as("n2")), cents0)
+      .select(col("vec_id"), col("cell").as("frozen_cell"))
+    val moved = gen2.select(col("cid").as("vec_id"), col("cell"))
+      .join(frozen, Seq("vec_id"))
+      .filter(col("cell") =!= col("frozen_cell")).count()
+    assert(moved > 0,
+      "no stored vector changed cell — the re-train was a no-op and the " +
+        "drill is vacuous")
+    spark.catalog.clearCache()
+  }
 }
