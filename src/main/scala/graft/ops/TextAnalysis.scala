@@ -2380,7 +2380,276 @@ object TextAnalysis {
       .orderBy("audit", "lang")
   }
 
+  // ------------------------------------------------------------ t53
+  // The maintained BM25 index: the d53/d60 store-lifecycle discipline on
+  // the TEXT-RETRIEVAL surface. t17 re-derives postings, df, and corpus
+  // stats from the full corpus on every run; a production retrieval
+  // index is MAINTAINED — postings appended per ingest batch, the
+  // global statistics (df per term, n_docs, total tokens) kept as
+  // mergeable (and DECREMENTABLE) aggregates, takedown honored without
+  // a rebuild. Layout:
+  //  - posting store: (term, doc_id, tf, dl) bucketed by term (the
+  //    Lucene norm-in-posting layout: dl denormalized onto each posting
+  //    so scoring never joins a doc-length table); probes read the
+  //    bucketed layout with the query vocabulary pushed to the scan.
+  //  - df/stats stores: APPEND-ONLY DELTA LOGS — an ingest batch
+  //    appends positive (term, d) / (d_docs, d_tok) rows, a takedown
+  //    appends the NEGATIVE deltas derived from the removed docs'
+  //    stored postings, and a reader folds the log with one sum. Delta
+  //    writes are BATCH-KEYED (overwrite of $dir/batch=N), so a
+  //    crash-retried batch overwrites its own deltas instead of
+  //    double-counting them (s29's idempotent-upsert discipline);
+  //    posting-store retries are absorbed by the probe's distinct and
+  //    collapsed by compaction (the d60 contract).
+
+  /** Posting rows of a doc set: (term, doc_id, tf, dl), one corpus scan
+    * (no tf↔dl join — dl rides the explode). */
+  private[graft] def postingsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), toks("text").as("ws"))
+      .select(col("doc_id"), size(col("ws")).as("dl"), explode(col("ws")).as("term"))
+      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+      .select("term", "doc_id", "tf", "dl")
+
+  private[graft] def writePostingStore(s: org.apache.spark.sql.SparkSession,
+      postings: DataFrame, tag: String): String = {
+    val dir = graft.Scratch.dir(s"graft_$tag")
+    val table = s"graft_${tag}_" + dir.replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
+    postings.write.mode("overwrite").format("parquet")
+      .bucketBy(8, "term").sortBy("term")
+      .option("path", s"$dir/postings").saveAsTable(table)
+    table
+  }
+
+  private[graft] def appendPostingStore(s: org.apache.spark.sql.SparkSession,
+      postings: DataFrame, table: String): Unit = {
+    postings.write.mode("append").format("parquet")
+      .bucketBy(8, "term").sortBy("term").saveAsTable(table)
+    s.catalog.refreshTable(table) // the s34 staleness fix
+  }
+
+  /** New-generation rewrite minus tombstoned docs, retry residue
+    * collapsed (the d57 contract on postings). */
+  private[graft] def compactPostingStore(s: org.apache.spark.sql.SparkSession,
+      table: String, tomb: DataFrame, tag: String): String = {
+    val dir = graft.Scratch.dir(s"graft_$tag")
+    val newTable = s"graft_${tag}_" + dir.replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
+    s.table(table)
+      .join(broadcast(tomb.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+      .distinct()
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "term").sortBy("term")
+      .option("path", s"$dir/postings").saveAsTable(newTable)
+    newTable
+  }
+
+  /** Append one batch's df/stats deltas under a batch-keyed path
+    * (overwrite → a retried batch replaces its own deltas, never
+    * double-counts). `sign` = +1 for ingest, −1 for takedown. */
+  private[graft] def logStatDeltas(postings: DataFrame, dfDir: String,
+      statsDir: String, batch: Int, sign: Int): Unit = {
+    postings.groupBy("term")
+      .agg((count(lit(1)) * sign).as("d"))
+      .write.mode("overwrite").parquet(s"$dfDir/batch=$batch")
+    postings.select("doc_id", "dl").distinct()
+      .agg((count(lit(1)) * sign).as("d_docs"), (sum("dl") * sign).as("d_tok"))
+      .write.mode("overwrite").parquet(s"$statsDir/batch=$batch")
+  }
+
+  /** BM25 top-5 per query against the maintained stores: the t17 scoring
+    * contract (k1=1.2, b=0.75, per-(doc,term) micro-quantization before
+    * the per-doc sum), df/n_docs/total_tok folded from the delta logs.
+    * The vocabulary IN-filter reaches the bucketed posting scan; the
+    * distinct absorbs crash-retried posting appends. */
+  private[graft] def bm25Probe(phase: String, postings: DataFrame,
+      qt: DataFrame, vocab: Seq[String], dfDir: String, statsDir: String,
+      s: org.apache.spark.sql.SparkSession): DataFrame = {
+    val dfAgg = s.read.parquet(dfDir)
+      .filter(col("term").isin(vocab.map(v => v: Any): _*))
+      .groupBy("term").agg(sum(col("d")).as("df"))
+    val stats = s.read.parquet(statsDir)
+      .agg(sum(col("d_docs")).as("n_docs"), sum(col("d_tok")).as("total_tok"))
+    val wr = Window.partitionBy(col("query_id")).orderBy(col("s").desc, col("doc_id"))
+    postings.filter(col("term").isin(vocab.map(v => v: Any): _*))
+      .select("term", "doc_id", "tf", "dl").distinct()
+      .join(broadcast(qt), "term")
+      .join(broadcast(dfAgg), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        round(
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+            (col("tf") * 2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") * col("n_docs") / col("total_tok").cast("double")))
+            * 1000000)
+          .cast(LongType).as("q_score"))
+      .groupBy("query_id", "doc_id").agg(sum(col("q_score")).as("s"))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= 5)
+      .select(lit(phase).as("phase"), col("query_id"), col("doc_id"),
+        col("rank").cast(LongType).as("rank"),
+        round(col("s") / 1000000.0, 4).as("bm25"))
+  }
+
+  /** t53 — INCREMENTAL BM25: the maintained-store lifecycle on the
+    * text-retrieval surface. Four phases over t17's query set, each
+    * required to equal a FROM-SCRATCH batch BM25 over the live doc set
+    * (the maintain-don't-rebuild invariant, hash-demanded per phase):
+    *
+    *  - `pre`: store built over the base corpus (doc_id % 5 ≠ 3);
+    *  - `post_append`: an ingest batch (doc_id % 5 = 3) lands as a
+    *    bucketed posting append + one batch-keyed positive delta — df
+    *    and the corpus stats are MERGEABLE aggregates, maintained, not
+    *    recomputed;
+    *  - `post_takedown`: a takedown (doc_id % 7 = 2) anti-joins the
+    *    posting scan and appends the NEGATIVE deltas derived from the
+    *    removed docs' stored postings — the same aggregates are
+    *    DECREMENTABLE, so removal costs a delta, not a rebuild;
+    *  - `post_compact`: both stores rewritten (postings minus tombstones
+    *    + residue distinct; the delta log collapsed to one folded row)
+    *    and probed UNFILTERED — must answer exactly like
+    *    `post_takedown` (the d57 invariant on retrieval).
+    *
+    * Every doc in this corpus has ≥1 token (the t17-proven
+    * toks ≡ string_split equivalence), so n_docs folded from
+    * posting-derived deltas equals the oracle's doc count. */
+  private val t53 = Q(
+    "t53_incremental_bm25",
+    """WITH qt AS (
+         SELECT * FROM (VALUES
+           ('q01','merge'),('q01','sort'),
+           ('q02','stream'),('q02','window'),
+           ('q03','customer'),('q03','value')) AS t(query_id, term)),
+       dl AS MATERIALIZED (
+         SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+       tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       tfq AS MATERIALIZED (
+         SELECT doc_id, term, count(*) AS tf FROM tok
+         WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, term),
+       stats_pre AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tok
+                     FROM dl WHERE doc_id % 5 <> 3),
+       df_pre AS (SELECT term, count(*) AS df FROM tfq WHERE doc_id % 5 <> 3 GROUP BY term),
+       scored_pre AS (
+         SELECT q.query_id, f.doc_id,
+                CAST(round(
+                  ln((n_docs - g.df + 0.5) / (g.df + 0.5) + 1.0) *
+                  (f.tf * 2.2) /
+                  (f.tf + 1.2 * (0.25 + 0.75 * d.dl * n_docs / CAST(total_tok AS DOUBLE)))
+                  * 1000000) AS BIGINT) AS q_score
+         FROM tfq f
+         JOIN qt q ON f.term = q.term
+         JOIN df_pre g ON f.term = g.term
+         JOIN dl d ON f.doc_id = d.doc_id
+         CROSS JOIN stats_pre
+         WHERE f.doc_id % 5 <> 3),
+       ranked_pre AS (
+         SELECT query_id, doc_id, s,
+                row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rank
+         FROM (SELECT query_id, doc_id, CAST(sum(q_score) AS BIGINT) AS s
+               FROM scored_pre GROUP BY query_id, doc_id)),
+       stats_app AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tok FROM dl),
+       df_app AS (SELECT term, count(*) AS df FROM tfq GROUP BY term),
+       scored_app AS (
+         SELECT q.query_id, f.doc_id,
+                CAST(round(
+                  ln((n_docs - g.df + 0.5) / (g.df + 0.5) + 1.0) *
+                  (f.tf * 2.2) /
+                  (f.tf + 1.2 * (0.25 + 0.75 * d.dl * n_docs / CAST(total_tok AS DOUBLE)))
+                  * 1000000) AS BIGINT) AS q_score
+         FROM tfq f
+         JOIN qt q ON f.term = q.term
+         JOIN df_app g ON f.term = g.term
+         JOIN dl d ON f.doc_id = d.doc_id
+         CROSS JOIN stats_app),
+       ranked_app AS (
+         SELECT query_id, doc_id, s,
+                row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rank
+         FROM (SELECT query_id, doc_id, CAST(sum(q_score) AS BIGINT) AS s
+               FROM scored_app GROUP BY query_id, doc_id)),
+       stats_live AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tok
+                      FROM dl WHERE doc_id % 7 <> 2),
+       df_live AS (SELECT term, count(*) AS df FROM tfq WHERE doc_id % 7 <> 2 GROUP BY term),
+       scored_live AS (
+         SELECT q.query_id, f.doc_id,
+                CAST(round(
+                  ln((n_docs - g.df + 0.5) / (g.df + 0.5) + 1.0) *
+                  (f.tf * 2.2) /
+                  (f.tf + 1.2 * (0.25 + 0.75 * d.dl * n_docs / CAST(total_tok AS DOUBLE)))
+                  * 1000000) AS BIGINT) AS q_score
+         FROM tfq f
+         JOIN qt q ON f.term = q.term
+         JOIN df_live g ON f.term = g.term
+         JOIN dl d ON f.doc_id = d.doc_id
+         CROSS JOIN stats_live
+         WHERE f.doc_id % 7 <> 2),
+       ranked_live AS MATERIALIZED (
+         SELECT query_id, doc_id, s,
+                row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rank
+         FROM (SELECT query_id, doc_id, CAST(sum(q_score) AS BIGINT) AS s
+               FROM scored_live GROUP BY query_id, doc_id))
+       SELECT phase, query_id, doc_id, CAST(rank AS BIGINT) AS rank,
+              round(s / 1000000.0, 4) AS bm25
+       FROM (
+         SELECT 'pre' AS phase, query_id, doc_id, s, rank FROM ranked_pre WHERE rank <= 5
+         UNION ALL
+         SELECT 'post_append', query_id, doc_id, s, rank FROM ranked_app WHERE rank <= 5
+         UNION ALL
+         SELECT 'post_takedown', query_id, doc_id, s, rank FROM ranked_live WHERE rank <= 5
+         UNION ALL
+         SELECT 'post_compact', query_id, doc_id, s, rank FROM ranked_live WHERE rank <= 5)
+       ORDER BY phase, query_id, rank""") { (s, d) =>
+    graft.plans.TopKPerGroup.install(s)
+    import s.implicits._
+    val queryTerms = Seq(
+      "q01" -> "merge", "q01" -> "sort",
+      "q02" -> "stream", "q02" -> "window",
+      "q03" -> "customer", "q03" -> "value")
+    val qt = queryTerms.toDF("query_id", "term")
+    val vocab = queryTerms.map(_._2).distinct
+    val docs = Tables.documents(s, d)
+    val dfDir = graft.Scratch.dir("graft_t53_df")
+    val statsDir = graft.Scratch.dir("graft_t53_st")
+    // day 0: build the store over the base corpus, log the first delta
+    val p0 = graft.ops.Dedup.reuse(postingsOf(docs.filter(col("doc_id") % 5 =!= 3)))
+    val table = writePostingStore(s, p0, "post_t53")
+    logStatDeltas(p0, dfDir, statsDir, batch = 0, sign = 1)
+    // each phase's probe is PINNED (localCheckpoint) before the next
+    // maintenance write mutates the shared stores/logs — the laziness
+    // hazard a mutable-store query must close explicitly
+    val pre = bm25Probe("pre", s.table(table), qt, vocab, dfDir, statsDir, s)
+      .localCheckpoint(true)
+    // ingest batch: posting append + ONE batch-keyed positive delta
+    val p1 = graft.ops.Dedup.reuse(postingsOf(docs.filter(col("doc_id") % 5 === 3)))
+    appendPostingStore(s, p1, table)
+    logStatDeltas(p1, dfDir, statsDir, batch = 1, sign = 1)
+    val postA = bm25Probe("post_append", s.table(table), qt, vocab, dfDir, statsDir, s)
+      .localCheckpoint(true)
+    // takedown: NEGATIVE deltas derived from the removed docs' STORED
+    // postings (distinct first — retry residue must not double the
+    // decrement), probe anti-joins the tombstones
+    val tomb = docs.filter(col("doc_id") % 7 === 2).select("doc_id")
+    val removed = s.table(table).join(broadcast(tomb), Seq("doc_id"))
+      .select("term", "doc_id", "tf", "dl").distinct()
+    logStatDeltas(removed, dfDir, statsDir, batch = 2, sign = -1)
+    val postT = bm25Probe("post_takedown",
+      s.table(table).join(broadcast(tomb), Seq("doc_id"), "left_anti"),
+      qt, vocab, dfDir, statsDir, s).localCheckpoint(true)
+    // compaction: postings rewritten minus tombstones, the delta log
+    // FOLDED into one collapsed batch — probed unfiltered
+    val table2 = compactPostingStore(s, table, tomb, "post_t53c")
+    val dfDir2 = graft.Scratch.dir("graft_t53_df2")
+    val statsDir2 = graft.Scratch.dir("graft_t53_st2")
+    s.read.parquet(dfDir).groupBy("term").agg(sum(col("d")).as("d"))
+      .write.mode("overwrite").parquet(s"$dfDir2/batch=0")
+    s.read.parquet(statsDir)
+      .agg(sum(col("d_docs")).as("d_docs"), sum(col("d_tok")).as("d_tok"))
+      .write.mode("overwrite").parquet(s"$statsDir2/batch=0")
+    val postC = bm25Probe("post_compact", s.table(table2), qt, vocab,
+      dfDir2, statsDir2, s)
+    pre.unionByName(postA).unionByName(postT).unionByName(postC)
+      .orderBy("phase", "query_id", "rank")
+  }
+
   val defs: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
     t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
-    t25, t26, t27, t28, t29, t32, t33, t34, t35, t38, t41, t42, t51)
+    t25, t26, t27, t28, t29, t32, t33, t34, t35, t38, t41, t42, t51, t53)
 }

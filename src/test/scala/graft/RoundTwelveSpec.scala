@@ -197,4 +197,83 @@ class RoundTwelveSpec extends SparkTestBase {
         "drill is vacuous")
     spark.catalog.clearCache()
   }
+
+  test("t53 incremental BM25: every phase transition is non-vacuous, " +
+    "post_compact equals post_takedown value-for-value, and the query " +
+    "vocabulary is pushed down to the bucketed posting scan") {
+    val out = SparkEntry.queries("t53_incremental_bm25")(spark, sf0001)
+      .collect().groupBy(_.getString(0))
+      .map { case (ph, rs) =>
+        ph -> rs.map(r => (r.getString(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).toSet
+      }
+    assert(out.keySet == Set("pre", "post_append", "post_takedown", "post_compact"))
+    assert(out("pre") != out("post_append"),
+      "ingest batch changed no ranking — append drill is vacuous")
+    assert(out("post_append") != out("post_takedown"),
+      "takedown changed no ranking — takedown drill is vacuous")
+    assert(out("post_takedown") == out("post_compact"),
+      "compacted stores diverged from the delta-folded tombstone-filtered probe")
+
+    // pushdown: the vocabulary IN-filter reaches the posting store scan
+    import ops.TextAnalysis
+    val docs = Tables.documents(spark, sf0001)
+    val table = TextAnalysis.writePostingStore(spark,
+      TextAnalysis.postingsOf(docs), "post_r12_pd")
+    val vocab = Seq("merge", "sort")
+    val plan = castToImpl(spark.table(table)
+      .filter(col("term").isin(vocab.map(v => v: Any): _*)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(term"),
+      s"vocabulary filter did not reach the posting scan:\n$plan")
+    spark.catalog.clearCache()
+  }
+
+  test("t53 crash-retry idempotence: a re-run ingest batch (posting " +
+    "append doubled, batch-keyed delta overwritten in place) leaves " +
+    "every BM25 ranking byte-identical, and compaction collapses the " +
+    "posting residue") {
+    import ops.TextAnalysis
+    import spark.implicits._
+    val queryTerms = Seq("q01" -> "merge", "q01" -> "sort",
+      "q02" -> "stream", "q02" -> "window")
+    val qt = queryTerms.toDF("query_id", "term")
+    val vocab = queryTerms.map(_._2).distinct
+    val docs = Tables.documents(spark, sf0001)
+    val base = TextAnalysis.postingsOf(docs.filter(col("doc_id") % 5 =!= 3))
+    val batch = TextAnalysis.postingsOf(docs.filter(col("doc_id") % 5 === 3))
+
+    def build(tag: String, retried: Boolean) = {
+      val dfDir = graft.Scratch.dir(s"graft_r12_df_$tag")
+      val statsDir = graft.Scratch.dir(s"graft_r12_st_$tag")
+      val table = TextAnalysis.writePostingStore(spark, base, s"post_r12_$tag")
+      TextAnalysis.logStatDeltas(base, dfDir, statsDir, 0, 1)
+      TextAnalysis.appendPostingStore(spark, batch, table)
+      TextAnalysis.logStatDeltas(batch, dfDir, statsDir, 1, 1)
+      if (retried) { // the crash-retry: the SAME batch lands again
+        TextAnalysis.appendPostingStore(spark, batch, table)
+        TextAnalysis.logStatDeltas(batch, dfDir, statsDir, 1, 1)
+      }
+      (table, dfDir, statsDir)
+    }
+    val (cleanT, cleanDf, cleanSt) = build("c", retried = false)
+    val (retryT, retryDf, retrySt) = build("r", retried = true)
+    assert(spark.table(retryT).count() > spark.table(cleanT).count(),
+      "double append left no residue — drill is vacuous")
+    def probe(t: String, df: String, st: String) =
+      TextAnalysis.bm25Probe("p", spark.table(t), qt, vocab, df, st, spark)
+        .collect().map(_.toString).toSet
+    val clean = probe(cleanT, cleanDf, cleanSt)
+    assert(clean.nonEmpty && clean == probe(retryT, retryDf, retrySt),
+      "a retried ingest batch corrupted the BM25 rankings — the " +
+        "batch-keyed delta overwrite or the posting distinct failed")
+    // compaction reclaims the posting residue (empty tombstone set
+    // isolates the residue effect)
+    val noTomb = docs.select("doc_id").limit(0)
+    val cClean = TextAnalysis.compactPostingStore(spark, cleanT, noTomb, "post_r12_cc")
+    val cRetry = TextAnalysis.compactPostingStore(spark, retryT, noTomb, "post_r12_rc")
+    assert(spark.table(cRetry).count() == spark.table(cClean).count(),
+      "retry residue survived posting-store compaction")
+    spark.catalog.clearCache()
+  }
 }
