@@ -1591,11 +1591,23 @@ object Dedup {
     * on the probe key. Paid once per corpus build; maintained at ingest
     * in production (d17 sketch merge). */
   def writeBandIndex(s: org.apache.spark.sql.SparkSession,
-      corpusBuckets: DataFrame, table: String): Unit = {
+      corpusBuckets: DataFrame, table: String): Unit =
+    writeBandIndexN(s, corpusBuckets, table, 8)
+
+  /** Band-index write at an EXPLICIT bucket count. The count is
+    * GENERATION STATE (d64 publishes it in the catalog next to the
+    * table handle): a maintenance append must match the stored table's
+    * spec exactly — Spark refuses a mismatched bucketBy, the loud guard
+    * RoundTwelveSpec drills — so writers resolve the spec, never assume
+    * it. 8 suits the fixture; a corpus that grew 100× migrates to a
+    * larger count with [[migrateBandIndex]] instead of living with
+    * oversized buckets. */
+  def writeBandIndexN(s: org.apache.spark.sql.SparkSession,
+      corpusBuckets: DataFrame, table: String, nBuckets: Int): Unit = {
     val dir = graft.Scratch.dir(s"graft_$table")
     corpusBuckets.select(bandKey.as("bk"), col("id"))
       .write.mode("overwrite").format("parquet")
-      .bucketBy(8, "bk").sortBy("bk")
+      .bucketBy(nBuckets, "bk").sortBy("bk")
       .option("path", s"$dir/band_index").saveAsTable(table)
   }
 
@@ -1607,16 +1619,48 @@ object Dedup {
     * update; d54's spec proves probe-after-append byte-identical to
     * probe-after-rebuild. */
   def appendBandIndex(s: org.apache.spark.sql.SparkSession,
-      batchBuckets: DataFrame, table: String): Unit = {
+      batchBuckets: DataFrame, table: String): Unit =
+    appendBandIndexN(s, batchBuckets, table, 8)
+
+  /** Bucketed append at an EXPLICIT (catalog-resolved) bucket count —
+    * the maintenance write after a [[migrateBandIndex]] generation
+    * swap. A count that disagrees with the stored table's spec fails
+    * loudly in Spark's bucket validation (drilled), which is exactly
+    * why d64 carries the spec in the catalog. */
+  def appendBandIndexN(s: org.apache.spark.sql.SparkSession,
+      batchBuckets: DataFrame, table: String, nBuckets: Int): Unit = {
     batchBuckets.select(bandKey.as("bk"), col("id"))
       .write.mode("append").format("parquet")
-      .bucketBy(8, "bk").sortBy("bk")
+      .bucketBy(nBuckets, "bk").sortBy("bk")
       .saveAsTable(table)
     // Inside foreachBatch the write commits through the cloned micro-
     // batch session; refresh through the CALLER's session as well so its
     // readers list the appended files (see appendIvfIndex — the staleness
     // was measured on the vector twin of this helper).
     s.catalog.refreshTable(table)
+  }
+
+  /** d64 — RE-BUCKET MIGRATION: rewrite the stored band index into a
+    * new generation at a DIFFERENT bucket count. Bucket counts are
+    * sized to the corpus (per-bucket data must fit an executor's scan
+    * budget); a corpus that grew 100× since the index was laid out
+    * needs more buckets, and at 100 TB that migration must be an online
+    * generation swap, not downtime. Content-preserving by contract
+    * (crash-retry residue collapsed by the distinct — a migration
+    * doubles as a compaction); the caller publishes (newTable,
+    * newCount) atomically so probes and maintenance writers resolve the
+    * NEW spec together. */
+  def migrateBandIndex(s: org.apache.spark.sql.SparkSession,
+      table: String, nBuckets: Int, tag: String): String = {
+    val newTable = s"graft_band_index_${tag}_" +
+      graft.Scratch.dir(s"graft_bi_$tag").replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
+    val dir = graft.Scratch.dir(s"graft_$newTable")
+    s.table(table)
+      .select(col("bk"), col("id")).distinct()
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, "bk").sortBy("bk")
+      .option("path", s"$dir/band_index").saveAsTable(newTable)
+    newTable
   }
 
   /** Rewrite a stored band index minus tombstoned ids into a NEW
@@ -3533,7 +3577,156 @@ object Dedup {
       .orderBy("n_exact")
   }
 
+  /** d64 — RE-BUCKET MIGRATION behind the catalog: the store operation a
+    * 100× corpus growth actually forces. Bucket counts are sized so a
+    * bucket's data fits an executor's scan budget; an index laid out at
+    * count N eventually needs count M ≫ N, and at scale that migration
+    * must be an online generation swap. The bucket spec therefore
+    * becomes GENERATION STATE: the d58 catalog carries (table handle,
+    * bucket count) as one atomic pair, probes resolve both, and the
+    * maintenance append writes at the RESOLVED count — an append at a
+    * stale spec fails loudly in Spark's bucket validation (drilled), so
+    * the catalog is what makes post-migration maintenance safe, not
+    * convention.
+    *
+    * Phases: `pre` probes generation 1 (8 buckets, base corpus);
+    * migration rewrites the content at 32 buckets and publishes
+    * (gen-2, "32") atomically; the wave-1 ingest batch then appends AT
+    * THE RESOLVED 32-bucket spec, and `post_migrate` probes the
+    * migrated+maintained index. The oracle computes both phases from
+    * the doc sets directly — layout must never change an answer, and a
+    * migration that dropped/duplicated rows or broke the append path
+    * surfaces as a phase mismatch. RoundTwelveSpec adds the layout
+    * drills: content equality across the migration, exchange-free
+    * bucket-aware probes on the 32-bucket generation, and the
+    * stale-spec append rejection. */
+  private val d64 = Q(
+    "d64_rebucket_migration",
+    """WITH docs AS (
+         SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       sh AS (
+         SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+         FROM (SELECT doc_id, ws,
+                      unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+               FROM docs)),
+       hs AS MATERIALIZED (
+         SELECT doc_id, ('0x' || substring(md5(sh), 1, 8))::BIGINT AS h1,
+                ('0x' || substring(md5(sh), 9, 8))::BIGINT AS h2
+         FROM sh),
+       sig AS (
+         SELECT doc_id, seed, min(h1 + seed * h2) AS mh
+         FROM hs, (SELECT unnest(generate_series(0, 7)) AS seed) seeds
+         GROUP BY doc_id, seed),
+       bands AS MATERIALIZED (
+         SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+                md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS band_key
+         FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)),
+       cand_pre AS (
+         SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+         FROM (SELECT * FROM bands WHERE doc_id % 7 = 5) n
+         JOIN (SELECT * FROM bands WHERE doc_id % 7 != 5 AND doc_id % 7 != 3) o
+           ON n.band = o.band AND n.band_key = o.band_key),
+       cand_post AS (
+         SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+         FROM (SELECT * FROM bands WHERE doc_id % 7 = 5) n
+         JOIN (SELECT * FROM bands WHERE doc_id % 7 != 5) o
+           ON n.band = o.band AND n.band_key = o.band_key),
+       shd AS MATERIALIZED (
+         SELECT DISTINCT doc_id, h1 * 134217728 + h2 % 134217728 AS h FROM hs),
+       sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+       inter_pre AS (
+         SELECT c.new_id, c.old_id, count(*) AS ni
+         FROM cand_pre c
+           JOIN shd a ON a.doc_id = c.new_id
+           JOIN shd b ON b.doc_id = c.old_id AND b.h = a.h
+         GROUP BY c.new_id, c.old_id),
+       ver_pre AS (
+         SELECT i.new_id, i.old_id FROM inter_pre i
+           JOIN sz sa ON sa.doc_id = i.new_id
+           JOIN sz sb ON sb.doc_id = i.old_id
+         WHERE i.ni * 1.0 / (sa.n + sb.n - i.ni) >= 0.5),
+       inter_post AS (
+         SELECT c.new_id, c.old_id, count(*) AS ni
+         FROM cand_post c
+           JOIN shd a ON a.doc_id = c.new_id
+           JOIN shd b ON b.doc_id = c.old_id AND b.h = a.h
+         GROUP BY c.new_id, c.old_id),
+       ver_post AS (
+         SELECT i.new_id, i.old_id FROM inter_post i
+           JOIN sz sa ON sa.doc_id = i.new_id
+           JOIN sz sb ON sb.doc_id = i.old_id
+         WHERE i.ni * 1.0 / (sa.n + sb.n - i.ni) >= 0.5),
+       probes AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 5),
+       out_pre AS (
+         SELECT 'pre' AS phase, d.doc_id AS new_doc_id,
+                CAST(coalesce(c.n_cand, 0) AS BIGINT) AS n_candidates,
+                CAST(coalesce(v.n_ver, 0) AS BIGINT) AS n_verified,
+                CASE WHEN v.new_id IS NOT NULL THEN 'duplicate' ELSE 'unique' END AS verdict,
+                v.best_match
+         FROM probes d
+           LEFT JOIN (SELECT new_id, count(*) AS n_cand FROM cand_pre GROUP BY new_id) c
+             ON d.doc_id = c.new_id
+           LEFT JOIN (SELECT new_id, count(*) AS n_ver, min(old_id) AS best_match
+                      FROM ver_pre GROUP BY new_id) v
+             ON d.doc_id = v.new_id),
+       out_post AS (
+         SELECT 'post_migrate' AS phase, d.doc_id AS new_doc_id,
+                CAST(coalesce(c.n_cand, 0) AS BIGINT) AS n_candidates,
+                CAST(coalesce(v.n_ver, 0) AS BIGINT) AS n_verified,
+                CASE WHEN v.new_id IS NOT NULL THEN 'duplicate' ELSE 'unique' END AS verdict,
+                v.best_match
+         FROM probes d
+           LEFT JOIN (SELECT new_id, count(*) AS n_cand FROM cand_post GROUP BY new_id) c
+             ON d.doc_id = c.new_id
+           LEFT JOIN (SELECT new_id, count(*) AS n_ver, min(old_id) AS best_match
+                      FROM ver_post GROUP BY new_id) v
+             ON d.doc_id = v.new_id)
+       SELECT * FROM (SELECT * FROM out_pre UNION ALL SELECT * FROM out_post)
+       ORDER BY phase, new_doc_id""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val (buckets, shingles) = lshBucketsAndShingles(docs, "doc_id", "text",
+      shingleWords = 3, bands = 4, rowsPerBand = 2)
+    val isWave1 = col("id") % 7 === 3
+    val isWave2 = col("id") % 7 === 5
+    val t1 = "graft_band_mig_" +
+      graft.Scratch.dir("graft_band_mig").replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
+    writeBandIndexN(s, buckets.filter(!isWave1 && !isWave2), t1, 8)
+    val cat = graft.Scratch.dir("graft_d64_cat") + "/store.catalog"
+    graft.ops.Incremental.publishCatalog(cat, Seq(t1, "8"))
+
+    def probePhase(phase: String): DataFrame = {
+      val handles = graft.ops.Incremental.resolveCatalog(cat, expect = 2)
+      val cand = probeBandIndex(s, handles(0), buckets.filter(isWave2))
+      val verified = jaccardVerifiedPairs(cand, shingles, tau = 0.5)
+      val candN = cand.groupBy(col("id_a").as("new_id"))
+        .agg(count(lit(1)).as("n_cand"))
+      val verN = verified.groupBy(col("id_a").as("new_id"))
+        .agg(count(lit(1)).as("n_ver"), min(col("id_b")).as("best_match"))
+      docs.filter(col("doc_id") % 7 === 5).select(col("doc_id").as("new_doc_id"))
+        .join(candN, col("new_doc_id") === candN("new_id"), "left")
+        .join(verN, col("new_doc_id") === verN("new_id"), "left")
+        .select(lit(phase).as("phase"), col("new_doc_id"),
+          coalesce(col("n_cand"), lit(0L)).as("n_candidates"),
+          coalesce(col("n_ver"), lit(0L)).as("n_verified"),
+          when(verN("new_id").isNotNull, "duplicate").otherwise("unique").as("verdict"),
+          col("best_match"))
+    }
+
+    // phase 1 pinned before the migration mutates the catalog
+    val pre = probePhase("pre").localCheckpoint(true)
+    // the online migration: resolve → rewrite at 32 buckets → ONE atomic
+    // publish of (handle, spec); maintenance then appends at the
+    // RESOLVED spec — the catalog, not convention, keeps writers correct
+    val cur = graft.ops.Incremental.resolveCatalog(cat, expect = 2)
+    val t2 = migrateBandIndex(s, cur(0), nBuckets = 32, "d64")
+    graft.ops.Incremental.publishCatalog(cat, Seq(t2, "32"))
+    val post = graft.ops.Incremental.resolveCatalog(cat, expect = 2)
+    appendBandIndexN(s, buckets.filter(isWave1), post(0), post(1).toInt)
+    pre.unionByName(probePhase("post_migrate"))
+      .orderBy("phase", "new_doc_id")
+  }
+
   val defs: Seq[Q] = Seq(d01, d02, d03, d04, d08, d09, d10, d11, d13, d15,
     d17, d18, d20, d21, d22, d23, d27, d28, d31, d34, d36, d37, d38, d39,
-    d41, d42, d43, d44, d49, d50, d53, d54, d55)
+    d41, d42, d43, d44, d49, d50, d53, d54, d55, d64)
 }

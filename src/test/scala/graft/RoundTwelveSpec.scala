@@ -276,4 +276,64 @@ class RoundTwelveSpec extends SparkTestBase {
       "retry residue survived posting-store compaction")
     spark.catalog.clearCache()
   }
+
+  test("d64 re-bucket migration: content survives the 8→32 rewrite, the " +
+    "32-bucket generation answers a shuffled probe bucket-aware with no " +
+    "index-side exchange, and an append at the STALE spec is rejected " +
+    "loudly") {
+    import ops.Dedup
+    val docs = Tables.documents(spark, sf0001)
+    val (buckets, _) = Dedup.lshBucketsAndShingles(docs, "doc_id", "text",
+      shingleWords = 3, bands = 4, rowsPerBand = 2)
+    val base = buckets.filter(col("id") % 7 =!= 3 && col("id") % 7 =!= 5)
+    val t1 = "graft_band_r12m_" +
+      graft.Scratch.dir("graft_band_r12m").replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
+    Dedup.writeBandIndexN(spark, base, t1, 8)
+    val t2 = Dedup.migrateBandIndex(spark, t1, nBuckets = 32, "r12m")
+
+    // content-preserving: the migrated generation holds exactly the
+    // distinct rows of generation 1
+    assert(rows(spark.table(t2)) == rows(spark.table(t1).distinct()),
+      "migration changed the index content")
+
+    // the maintenance path works at the NEW spec and fails LOUDLY at
+    // the stale one — the reason d64 publishes the spec in the catalog
+    Dedup.appendBandIndexN(spark, buckets.filter(col("id") % 7 === 3), t2, 32)
+    val ex = intercept[Exception] {
+      Dedup.appendBandIndexN(spark, buckets.filter(col("id") % 7 === 5), t2, 8)
+    }
+    assert(ex.getMessage.toLowerCase.contains("bucket"),
+      s"stale-spec append failed for the wrong reason: ${ex.getMessage}")
+
+    // layout: a shuffled probe join reads the 32-bucket side straight
+    // from its files — no exchange, bucket-aware scan
+    spark.catalog.clearCache()
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val probeSide = buckets.filter(col("id") % 7 === 5)
+        .select(concat_ws(":", col("band"), col("band_key")).as("bk"),
+          col("id").as("new_id"))
+      val probe = spark.table(t2)
+        .join(probeSide.hint("shuffle_merge"), "bk")
+      val plan = castToImpl(probe).queryExecution.executedPlan
+      val join = plan.collectFirst {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }
+      assert(join.isDefined, s"expected a shuffled probe join:\n$plan")
+      val indexSide = join.get.children.filter(_.toString.contains("band_index"))
+      assert(indexSide.size == 1, s"index scan not under the probe join:\n$plan")
+      assert(indexSide.head.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.isEmpty, "the migrated 32-bucket index side got re-shuffled")
+      assert(plan.toString.contains("Bucketed: true") ||
+        plan.toString.contains("SelectedBucketsCount"),
+        s"migrated index scan is not bucket-aware:\n$plan")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+    spark.catalog.clearCache()
+  }
 }
