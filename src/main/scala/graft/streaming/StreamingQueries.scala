@@ -2672,9 +2672,207 @@ object StreamingQueries {
   /** Catalog path of the most recent s37 run (test-only introspection). */
   @volatile private[graft] var s37Catalog: String = _
 
+  /** s38 — STREAMING MAINTENANCE OF THE RETRIEVAL INDEX: t53's
+    * maintained BM25 stores (term-bucketed postings + df/stats delta
+    * logs) run behind the d58 catalog under a live ingest stream, with
+    * the full takedown→compact→publish lifecycle landing in the
+    * maintenance window (the s33/s36 quartet on the retrieval surface).
+    *
+    * Each micro-batch: resolve the catalog (postings table, df dir,
+    * stats dir — three handles, one atomic publish), INDEX the arriving
+    * docs (bucketed posting append + ONE delta keyed by the MICRO-BATCH
+    * id — Spark's batchId is exactly the idempotence key t53's
+    * batch-keyed overwrite needs: a crash-retried batch re-runs with
+    * the SAME id and replaces its own deltas instead of double-counting
+    * them), then serve the fixed query set against the live index
+    * (tombstones anti-joined, stats delta-folded) — append-then-probe,
+    * so a wave's own docs are immediately retrievable, and BM25 scores
+    * themselves SHIFT with every ingest because n_docs/total_tok/df
+    * moved: the oracle recomputes each wave's full scoring from its
+    * live doc set, so a stale stat fold is a hash mismatch, not a
+    * subtle drift.
+    *
+    * Maintenance window between waves: a takedown lands (negative
+    * deltas from the removed docs' STORED postings), both stores are
+    * compacted (postings minus tombstones + residue distinct; the delta
+    * log folded to one row), ONE atomic publish swaps all three
+    * handles, tombstones clear. Wave 1 probes generation 2 UNFILTERED —
+    * wave-0's in-stream appends are carried through the swap and
+    * removed docs stay gone. */
+  private val s38 = Q(
+    "s38_stream_bm25_maintenance",
+    """WITH qt AS (
+         SELECT * FROM (VALUES
+           ('q01','merge'),('q01','sort'),
+           ('q02','stream'),('q02','window'),
+           ('q03','customer'),('q03','value')) AS t(query_id, term)),
+       dl AS MATERIALIZED (
+         SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+       tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       tfq AS MATERIALIZED (
+         SELECT doc_id, term, count(*) AS tf FROM tok
+         WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, term),
+       live0 AS (SELECT doc_id FROM documents WHERE doc_id % 10 <> 5 OR doc_id % 20 = 5),
+       live1 AS (SELECT doc_id FROM documents
+                 WHERE (doc_id % 10 <> 5 AND doc_id % 7 <> 2) OR doc_id % 10 = 5),
+       stats0 AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tok
+                  FROM dl JOIN live0 USING (doc_id)),
+       df0 AS (SELECT term, count(*) AS df FROM tfq JOIN live0 USING (doc_id) GROUP BY term),
+       scored0 AS (
+         SELECT q.query_id, f.doc_id,
+                CAST(round(
+                  ln((n_docs - g.df + 0.5) / (g.df + 0.5) + 1.0) *
+                  (f.tf * 2.2) /
+                  (f.tf + 1.2 * (0.25 + 0.75 * d.dl * n_docs / CAST(total_tok AS DOUBLE)))
+                  * 1000000) AS BIGINT) AS q_score
+         FROM tfq f
+         JOIN live0 USING (doc_id)
+         JOIN qt q ON f.term = q.term
+         JOIN df0 g ON f.term = g.term
+         JOIN dl d ON f.doc_id = d.doc_id
+         CROSS JOIN stats0),
+       ranked0 AS (
+         SELECT query_id, doc_id, s,
+                row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rank
+         FROM (SELECT query_id, doc_id, CAST(sum(q_score) AS BIGINT) AS s
+               FROM scored0 GROUP BY query_id, doc_id)),
+       stats1 AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tok
+                  FROM dl JOIN live1 USING (doc_id)),
+       df1 AS (SELECT term, count(*) AS df FROM tfq JOIN live1 USING (doc_id) GROUP BY term),
+       scored1 AS (
+         SELECT q.query_id, f.doc_id,
+                CAST(round(
+                  ln((n_docs - g.df + 0.5) / (g.df + 0.5) + 1.0) *
+                  (f.tf * 2.2) /
+                  (f.tf + 1.2 * (0.25 + 0.75 * d.dl * n_docs / CAST(total_tok AS DOUBLE)))
+                  * 1000000) AS BIGINT) AS q_score
+         FROM tfq f
+         JOIN live1 USING (doc_id)
+         JOIN qt q ON f.term = q.term
+         JOIN df1 g ON f.term = g.term
+         JOIN dl d ON f.doc_id = d.doc_id
+         CROSS JOIN stats1),
+       ranked1 AS (
+         SELECT query_id, doc_id, s,
+                row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rank
+         FROM (SELECT query_id, doc_id, CAST(sum(q_score) AS BIGINT) AS s
+               FROM scored1 GROUP BY query_id, doc_id))
+       SELECT wave, query_id, doc_id, CAST(rank AS BIGINT) AS rank,
+              round(s / 1000000.0, 4) AS bm25
+       FROM (
+         SELECT CAST(0 AS BIGINT) AS wave, query_id, doc_id, s, rank
+         FROM ranked0 WHERE rank <= 5
+         UNION ALL
+         SELECT CAST(1 AS BIGINT), query_id, doc_id, s, rank
+         FROM ranked1 WHERE rank <= 5)
+       ORDER BY wave, query_id, rank""") { (s, d) =>
+    import graft.ops.{Incremental, TextAnalysis}
+    graft.plans.TopKPerGroup.install(s)
+    import s.implicits._
+    val queryTerms = Seq(
+      "q01" -> "merge", "q01" -> "sort",
+      "q02" -> "stream", "q02" -> "window",
+      "q03" -> "customer", "q03" -> "value")
+    val qt = queryTerms.toDF("query_id", "term")
+    val vocab = queryTerms.map(_._2).distinct
+    val docs = Tables.documents(s, d)
+    // generation 1 over the base corpus
+    val p0 = TextAnalysis.postingsOf(docs.filter(col("doc_id") % 10 =!= 5))
+      .localCheckpoint(true)
+    val table = TextAnalysis.writePostingStore(s, p0, "post_s38")
+    val dfDir = graft.Scratch.dir("graft_s38_df")
+    val statsDir = graft.Scratch.dir("graft_s38_st")
+    TextAnalysis.logStatDeltas(p0, dfDir, statsDir, batch = 0, sign = 1)
+    val cat = graft.Scratch.dir("graft_s38_cat") + "/store.catalog"
+    Incremental.publishCatalog(cat, Seq(table, dfDir, statsDir))
+    s38Catalog = cat
+    val tombDir = graft.Scratch.dir("graft_s38_tomb")
+    docs.select(col("doc_id")).limit(0).write.mode("overwrite").parquet(tombDir)
+    val watched = graft.Scratch.dir("graft_s38_watched")
+    val outDir = graft.Scratch.dir("graft_s38_out")
+    val ckpt = graft.Scratch.dir("graft_s38_ckpt")
+    val s38NonEmpty = new java.util.concurrent.atomic.AtomicLong(0L)
+    (0 to 1).foreach { b =>
+      val tmp = graft.Scratch.dir(s"graft_s38_wave$b")
+      docs.filter(col("doc_id") % 20 === lit(5L + 10L * b))
+        .select(col("doc_id"), col("text"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(watched, s"arrival$b.parquet").toPath)
+      val q = s.readStream
+        .schema(StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType))))
+        .parquet(watched)
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!batch.isEmpty) {
+            require(s38NonEmpty.getAndIncrement() == b.toLong,
+              s"s38 wave $b saw a second non-empty micro-batch ($batchId): " +
+                "one-file-one-batch broken")
+            val h = Incremental.resolveCatalog(cat, expect = 3)
+            val tomb = s.read.schema("doc_id LONG").parquet(tombDir)
+            val pb = TextAnalysis.postingsOf(batch.toDF()).localCheckpoint(true)
+            // index the arrivals: bucketed append + ONE delta keyed by
+            // the MICRO-BATCH id — Spark's batchId IS the idempotence
+            // key (a crash-retried batch replaces its own deltas); the
+            // +10 offset keeps ingest keys clear of the init/takedown
+            // keys the maintenance window writes
+            TextAnalysis.appendPostingStore(s, pb, h(0))
+            TextAnalysis.logStatDeltas(pb, h(1), h(2),
+              batch = 10 + batchId.toInt, sign = 1)
+            // serve AFTER indexing: the wave's own docs are immediately
+            // retrievable, and every score reflects the moved stats
+            TextAnalysis.bm25Probe(s"w$b",
+                s.table(h(0)).join(broadcast(
+                  tomb.select(col("doc_id"))), Seq("doc_id"), "left_anti"),
+                qt, vocab, h(1), h(2), s)
+              .select(lit(b.toLong).as("wave"), col("query_id"), col("doc_id"),
+                col("rank"), col("bm25"))
+              .write.mode("append").parquet(outDir)
+          }
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      if (b == 0) {
+        // maintenance window: takedown lands (negative deltas from the
+        // STORED postings of the removed docs), both stores compact,
+        // ONE atomic three-handle publish, tombstones clear
+        docs.filter(col("doc_id") % 10 =!= 5 && col("doc_id") % 7 === 2)
+          .select("doc_id").write.mode("overwrite").parquet(tombDir)
+        val h = Incremental.resolveCatalog(cat, expect = 3)
+        val tomb = s.read.schema("doc_id LONG").parquet(tombDir)
+        val removed = s.table(h(0)).join(broadcast(tomb), Seq("doc_id"))
+          .select("term", "doc_id", "tf", "dl").distinct()
+        TextAnalysis.logStatDeltas(removed, h(1), h(2), batch = 2, sign = -1)
+        val table2 = TextAnalysis.compactPostingStore(s, h(0), tomb, "post_s38c")
+        val dfDir2 = graft.Scratch.dir("graft_s38_df2")
+        val statsDir2 = graft.Scratch.dir("graft_s38_st2")
+        s.read.parquet(h(1)).groupBy("term").agg(sum(col("d")).as("d"))
+          .write.mode("overwrite").parquet(s"$dfDir2/batch=0")
+        s.read.parquet(h(2))
+          .agg(sum(col("d_docs")).as("d_docs"), sum(col("d_tok")).as("d_tok"))
+          .write.mode("overwrite").parquet(s"$statsDir2/batch=0")
+        Incremental.publishCatalog(cat, Seq(table2, dfDir2, statsDir2))
+        docs.select(col("doc_id")).limit(0).write.mode("overwrite").parquet(tombDir)
+      }
+    }
+    s.read.parquet(outDir)
+      .select(col("wave"), col("query_id"), col("doc_id"),
+        col("rank").cast(LongType).as("rank"), col("bm25"))
+      .orderBy("wave", "query_id", "rank")
+  }
+
+  /** Catalog path of the most recent s38 run (test-only introspection). */
+  @volatile private[graft] var s38Catalog: String = _
+
   val defs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
     s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25,
-    s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37)
+    s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38)
 }
 
 /** s11's StatefulProcessor: cumulative (event count, value cents) per

@@ -336,4 +336,32 @@ class RoundTwelveSpec extends SparkTestBase {
     } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
     spark.catalog.clearCache()
   }
+
+  test("s38 streaming BM25 maintenance: a wave-0 arrival is retrievable " +
+    "in its own wave's serving probe, the mid-stream takedown removes " +
+    "docs that held wave-0 top-5 slots, and wave-0's in-stream posting " +
+    "appends survive the compaction swap into generation 2") {
+    import ops.Incremental
+    val out = SparkEntry.queries("s38_stream_bm25_maintenance")(spark, sf0001)
+      .collect()
+    val w0 = out.filter(_.getLong(0) == 0L).map(r => r.getLong(2)).toSet
+    val w1 = out.filter(_.getLong(0) == 1L).map(r => r.getLong(2)).toSet
+    assert(w0.nonEmpty && w1.nonEmpty)
+    // append-then-probe: the wave's own docs are immediately retrievable
+    assert(w0.exists(_ % 20 == 5),
+      "no wave-0 arrival reached its own wave's top-5 — in-stream " +
+        "indexing is invisible to serving")
+    // the takedown is non-vacuous: tombstoned docs HELD wave-0 slots and
+    // are gone from wave 1
+    assert(w0.exists(id => id % 10 != 5 && id % 7 == 2),
+      "no tombstoned doc held a wave-0 slot — takedown drill is vacuous")
+    assert(!w1.exists(id => id % 10 != 5 && id % 7 == 2),
+      "a tombstoned doc survived into wave 1's results")
+    // wave-0's appends are carried through the compaction swap
+    val h = Incremental.resolveCatalog(
+      streaming.StreamingQueries.s38Catalog, expect = 3)
+    assert(spark.table(h(0)).filter(col("doc_id") % 20 === 5).count() > 0,
+      "wave-0's in-stream posting appends were dropped by the swap")
+    spark.catalog.clearCache()
+  }
 }
