@@ -3726,7 +3726,106 @@ object Dedup {
       .orderBy("phase", "new_doc_id")
   }
 
+  /** d65 — GROWTH-GATED MIGRATION: the measured trigger for d64 (the
+    * d61→d62 signal→decision→action triple, on the LAYOUT axis). A
+    * bucket count is right until the corpus outgrows it; production
+    * wants a measured "when" and a measured "to what", not a guess. The
+    * census is one aggregation over the stored index (total rows,
+    * distinct band keys, the largest single key — the skew the cap
+    * machinery watches); the gate is a PINNED per-bucket row budget
+    * (256 — holds at sf0.001/0.01 at 250 rows/bucket, fires at sf0.1 at
+    * 2500: the growth gate fires exactly when the corpus GROWS, the
+    * inverse of d62's fixture profile, so both branches are exercised
+    * across the family); the SIZING POLICY — the smallest 8·2^k whose
+    * per-bucket rows fit the budget — is a bounded CASE ladder
+    * hardcoded on both sides (the d37 discipline: exact cross-engine,
+    * no fp log2), so the decision AND the chosen target count are
+    * hash-checked, not trusted. When the gate fires, the d64 machinery
+    * runs: one content-preserving rewrite at the chosen count + one
+    * atomic (handle, spec) publish. RoundTwelveSpec asserts the
+    * physical outcome at both SFs: the catalog still holds (gen-1, 8)
+    * where the gate holds, and a REAL 128-bucket table where it fired.
+    *
+    * Scale shape: the census is one map-side-combined agg over the
+    * bucketed index scan (8-byte keys only); the gate is a one-row
+    * driver branch; the migration itself is d64's single bucketed
+    * rewrite. Nothing else is data-sized. */
+  private val d65 = Q(
+    "d65_growth_gated_migration",
+    """WITH docs AS (
+         SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       sh AS (
+         SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+         FROM (SELECT doc_id, ws,
+                      unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+               FROM docs)),
+       hs AS (
+         SELECT doc_id, ('0x' || substring(md5(sh), 1, 8))::BIGINT AS h1,
+                ('0x' || substring(md5(sh), 9, 8))::BIGINT AS h2
+         FROM sh),
+       sig AS (
+         SELECT doc_id, seed, min(h1 + seed * h2) AS mh
+         FROM hs, (SELECT unnest(generate_series(0, 7)) AS seed) seeds
+         GROUP BY doc_id, seed),
+       bands AS (
+         SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+                md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS band_key
+         FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)),
+       keys AS (SELECT band, band_key, count(*) AS c FROM bands GROUP BY band, band_key),
+       census AS (
+         SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+                count(*) AS n_keys,
+                CAST(max(c) AS BIGINT) AS max_key_rows
+         FROM keys)
+       SELECT n_rows, n_keys, max_key_rows,
+              n_rows >= 256 * 8 AS acted,
+              CAST(8 AS BIGINT) AS n_buckets_pre,
+              CAST(CASE WHEN n_rows < 256 * 8 THEN 8
+                        WHEN n_rows < 256 * 16 THEN 16
+                        WHEN n_rows < 256 * 32 THEN 32
+                        WHEN n_rows < 256 * 64 THEN 64
+                        WHEN n_rows < 256 * 128 THEN 128
+                        WHEN n_rows < 256 * 256 THEN 256
+                        WHEN n_rows < 256 * 512 THEN 512
+                        ELSE 1024 END AS BIGINT) AS n_buckets_post
+       FROM census ORDER BY n_rows""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val (buckets, _) = lshBucketsAndShingles(docs, "doc_id", "text",
+      shingleWords = 3, bands = 4, rowsPerBand = 2)
+    val t1 = "graft_band_grw_" +
+      graft.Scratch.dir("graft_band_grw").replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
+    writeBandIndexN(s, buckets, t1, 8)
+    val cat = graft.Scratch.dir("graft_d65_cat") + "/store.catalog"
+    graft.ops.Incremental.publishCatalog(cat, Seq(t1, "8"))
+    d65Catalog = cat
+    // the census: ONE agg over the stored index (8-byte keys only)
+    val cur = graft.ops.Incremental.resolveCatalog(cat, expect = 2)
+    val nbPre = cur(1).toInt
+    val perKey = s.table(cur(0)).groupBy("bk").agg(count(lit(1)).as("c"))
+    val cRow = perKey.agg(sum(col("c")).as("n_rows"),
+      count(lit(1)).as("n_keys"), max(col("c")).as("max_key_rows")).head
+    val (nRows, nKeys, maxKey) = (cRow.getLong(0), cRow.getLong(1), cRow.getLong(2))
+    // pinned budget + bounded sizing ladder — both hardcoded in the
+    // oracle; acting (or not) and the TARGET count are hash-checked
+    val budget = 256L
+    val acted = nRows >= budget * nbPre
+    val nbPost =
+      Seq(8, 16, 32, 64, 128, 256, 512).find(k => nRows < budget * k).getOrElse(1024)
+    if (acted) {
+      val t2 = migrateBandIndex(s, cur(0), nbPost, "d65")
+      graft.ops.Incremental.publishCatalog(cat, Seq(t2, nbPost.toString))
+    }
+    import s.implicits._
+    Seq((nRows, nKeys, maxKey, acted, nbPre.toLong, nbPost.toLong))
+      .toDF("n_rows", "n_keys", "max_key_rows", "acted",
+        "n_buckets_pre", "n_buckets_post")
+      .orderBy("n_rows")
+  }
+
+  /** Catalog path of the most recent d65 run (test-only introspection). */
+  @volatile private[graft] var d65Catalog: String = _
+
   val defs: Seq[Q] = Seq(d01, d02, d03, d04, d08, d09, d10, d11, d13, d15,
     d17, d18, d20, d21, d22, d23, d27, d28, d31, d34, d36, d37, d38, d39,
-    d41, d42, d43, d44, d49, d50, d53, d54, d55, d64)
+    d41, d42, d43, d44, d49, d50, d53, d54, d55, d64, d65)
 }

@@ -364,4 +364,30 @@ class RoundTwelveSpec extends SparkTestBase {
       "wave-0's in-stream posting appends were dropped by the swap")
     spark.catalog.clearCache()
   }
+
+  test("d65 growth gate: holds at sf0.001 (catalog keeps generation 1 at " +
+    "8 buckets) and fires at sf0.1 (catalog swaps to a REAL 128-bucket " +
+    "table) — the physical outcome of both hash-checked branches") {
+    import ops.{Dedup, Incremental}
+    def bucketCountOf(table: String): Int =
+      spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .bucketSpec.get.numBuckets
+
+    val small = SparkEntry.queries("d65_growth_gated_migration")(spark, sf0001)
+      .collect().head
+    assert(!small.getBoolean(3), "gate fired at sf0.001 — budget mis-pinned")
+    val hSmall = Incremental.resolveCatalog(Dedup.d65Catalog, expect = 2)
+    assert(hSmall(1) == "8" && bucketCountOf(hSmall(0)) == 8,
+      "holding gate still changed the published generation")
+
+    val big = SparkEntry.queries("d65_growth_gated_migration")(
+      spark, "/root/testdata/sf0.1").collect().head
+    assert(big.getBoolean(3), "gate held at sf0.1 — budget mis-pinned")
+    assert(big.getLong(5) == 128L, s"sizing ladder chose ${big.getLong(5)}, not 128")
+    val hBig = Incremental.resolveCatalog(Dedup.d65Catalog, expect = 2)
+    assert(hBig(1) == "128" && bucketCountOf(hBig(0)) == 128,
+      "the published generation is not the 128-bucket table the ladder chose")
+    spark.catalog.clearCache()
+  }
 }
