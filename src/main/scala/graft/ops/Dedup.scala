@@ -3825,7 +3825,174 @@ object Dedup {
   /** Catalog path of the most recent d65 run (test-only introspection). */
   @volatile private[graft] var d65Catalog: String = _
 
+  /** d66 — CATALOG HISTORY: pinned-generation reads + retention GC (the
+    * Iceberg snapshot semantics on the d58 catalog). Two production
+    * needs the bare pointer can't serve: (1) SESSION CONSISTENCY — a
+    * long-running consumer (a training run, an audit) must keep reading
+    * the generation it started on even while maintenance swaps the
+    * current pointer under it; (2) RECLAMATION — swapped-out
+    * generations hold real storage and must eventually be deleted, but
+    * only past a retention horizon that makes outstanding pins safe.
+    * Each publish now also writes an immutable history version
+    * (`publishCatalogVersioned`); a reader pins with
+    * `resolveCatalogVersion`; `gcCatalogHistory(retain)` physically
+    * reclaims everything older than the newest `retain` generations
+    * (DROP TABLE + storage delete), keeping handles still referenced by
+    * a retained generation.
+    *
+    * Phases: `pre` probes generation 1; a takedown compaction publishes
+    * generation 2; `pinned_gen1` probes THROUGH THE PIN taken before
+    * the swap and must equal `pre` EXACTLY (the oracle emits the same
+    * ranking under both phases — a pin that silently drifted to the new
+    * generation fails the hash); `current_post` re-resolves the pointer
+    * and must see the takedown. The GC mechanics (a generation beyond
+    * retention is PHYSICALLY gone — table dropped, storage deleted,
+    * pinned read fails loudly; generations within retention stay
+    * readable) are RoundTwelveSpec drills on the same run. */
+  private val d66 = Q(
+    "d66_catalog_history_timetravel",
+    """WITH docs AS (
+         SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       sh AS (
+         SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+         FROM (SELECT doc_id, ws,
+                      unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+               FROM docs)),
+       hs AS MATERIALIZED (
+         SELECT doc_id, ('0x' || substring(md5(sh), 1, 8))::BIGINT AS h1,
+                ('0x' || substring(md5(sh), 9, 8))::BIGINT AS h2
+         FROM sh),
+       sig AS (
+         SELECT doc_id, seed, min(h1 + seed * h2) AS mh
+         FROM hs, (SELECT unnest(generate_series(0, 7)) AS seed) seeds
+         GROUP BY doc_id, seed),
+       bands AS MATERIALIZED (
+         SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+                md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS band_key
+         FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)),
+       cand_g1 AS (
+         SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+         FROM (SELECT * FROM bands WHERE doc_id % 7 = 5) n
+         JOIN (SELECT * FROM bands WHERE doc_id % 7 != 5) o
+           ON n.band = o.band AND n.band_key = o.band_key),
+       cand_g2 AS (
+         SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+         FROM (SELECT * FROM bands WHERE doc_id % 7 = 5) n
+         JOIN (SELECT * FROM bands WHERE doc_id % 7 != 5 AND doc_id % 7 != 3) o
+           ON n.band = o.band AND n.band_key = o.band_key),
+       shd AS MATERIALIZED (
+         SELECT DISTINCT doc_id, h1 * 134217728 + h2 % 134217728 AS h FROM hs),
+       sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+       inter_g1 AS (
+         SELECT c.new_id, c.old_id, count(*) AS ni
+         FROM cand_g1 c
+           JOIN shd a ON a.doc_id = c.new_id
+           JOIN shd b ON b.doc_id = c.old_id AND b.h = a.h
+         GROUP BY c.new_id, c.old_id),
+       ver_g1 AS (
+         SELECT i.new_id, i.old_id FROM inter_g1 i
+           JOIN sz sa ON sa.doc_id = i.new_id
+           JOIN sz sb ON sb.doc_id = i.old_id
+         WHERE i.ni * 1.0 / (sa.n + sb.n - i.ni) >= 0.5),
+       inter_g2 AS (
+         SELECT c.new_id, c.old_id, count(*) AS ni
+         FROM cand_g2 c
+           JOIN shd a ON a.doc_id = c.new_id
+           JOIN shd b ON b.doc_id = c.old_id AND b.h = a.h
+         GROUP BY c.new_id, c.old_id),
+       ver_g2 AS (
+         SELECT i.new_id, i.old_id FROM inter_g2 i
+           JOIN sz sa ON sa.doc_id = i.new_id
+           JOIN sz sb ON sb.doc_id = i.old_id
+         WHERE i.ni * 1.0 / (sa.n + sb.n - i.ni) >= 0.5),
+       probes AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 5),
+       g1 AS MATERIALIZED (
+         SELECT d.doc_id AS new_doc_id,
+                CAST(coalesce(c.n_cand, 0) AS BIGINT) AS n_candidates,
+                CAST(coalesce(v.n_ver, 0) AS BIGINT) AS n_verified,
+                CASE WHEN v.new_id IS NOT NULL THEN 'duplicate' ELSE 'unique' END AS verdict,
+                v.best_match
+         FROM probes d
+           LEFT JOIN (SELECT new_id, count(*) AS n_cand FROM cand_g1 GROUP BY new_id) c
+             ON d.doc_id = c.new_id
+           LEFT JOIN (SELECT new_id, count(*) AS n_ver, min(old_id) AS best_match
+                      FROM ver_g1 GROUP BY new_id) v
+             ON d.doc_id = v.new_id),
+       g2 AS (
+         SELECT d.doc_id AS new_doc_id,
+                CAST(coalesce(c.n_cand, 0) AS BIGINT) AS n_candidates,
+                CAST(coalesce(v.n_ver, 0) AS BIGINT) AS n_verified,
+                CASE WHEN v.new_id IS NOT NULL THEN 'duplicate' ELSE 'unique' END AS verdict,
+                v.best_match
+         FROM probes d
+           LEFT JOIN (SELECT new_id, count(*) AS n_cand FROM cand_g2 GROUP BY new_id) c
+             ON d.doc_id = c.new_id
+           LEFT JOIN (SELECT new_id, count(*) AS n_ver, min(old_id) AS best_match
+                      FROM ver_g2 GROUP BY new_id) v
+             ON d.doc_id = v.new_id)
+       SELECT phase, new_doc_id, n_candidates, n_verified, verdict, best_match
+       FROM (
+         SELECT 'pre' AS phase, * FROM g1
+         UNION ALL SELECT 'pinned_gen1', * FROM g1
+         UNION ALL SELECT 'current_post', * FROM g2)
+       ORDER BY phase, new_doc_id""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val (buckets, shingles) = lshBucketsAndShingles(docs, "doc_id", "text",
+      shingleWords = 3, bands = 4, rowsPerBand = 2)
+    val isTomb = col("id") % 7 === 3
+    val isProbe = col("id") % 7 === 5
+    val t1 = "graft_band_tt_" +
+      graft.Scratch.dir("graft_band_tt").replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
+    writeBandIndex(s, buckets.filter(!isProbe), t1)
+    val cat = graft.Scratch.dir("graft_d66_cat") + "/store.catalog"
+    graft.ops.Incremental.publishCatalogVersioned(cat, Seq(t1))
+    d66Catalog = cat
+
+    def probePhase(phase: String, table: String): DataFrame = {
+      val cand = probeBandIndex(s, table, buckets.filter(isProbe))
+      val verified = jaccardVerifiedPairs(cand, shingles, tau = 0.5)
+      val candN = cand.groupBy(col("id_a").as("new_id"))
+        .agg(count(lit(1)).as("n_cand"))
+      val verN = verified.groupBy(col("id_a").as("new_id"))
+        .agg(count(lit(1)).as("n_ver"), min(col("id_b")).as("best_match"))
+      docs.filter(col("doc_id") % 7 === 5).select(col("doc_id").as("new_doc_id"))
+        .join(candN, col("new_doc_id") === candN("new_id"), "left")
+        .join(verN, col("new_doc_id") === verN("new_id"), "left")
+        .select(lit(phase).as("phase"), col("new_doc_id"),
+          coalesce(col("n_cand"), lit(0L)).as("n_candidates"),
+          coalesce(col("n_ver"), lit(0L)).as("n_verified"),
+          when(verN("new_id").isNotNull, "duplicate").otherwise("unique").as("verdict"),
+          col("best_match"))
+    }
+
+    // the long-running consumer's PIN, taken before any swap
+    val pinnedV = graft.ops.Incremental.catalogVersions(cat).last
+    val pre = probePhase("pre",
+      graft.ops.Incremental.resolveCatalog(cat, expect = 1).head)
+      .localCheckpoint(true)
+    // maintenance: takedown compaction publishes generation 2
+    val tomb = docs.filter(col("doc_id") % 7 === 3).select(col("doc_id").as("id"))
+    val t2 = compactBandIndex(s,
+      graft.ops.Incremental.resolveCatalog(cat, expect = 1).head, tomb, "d66")
+    graft.ops.Incremental.publishCatalogVersioned(cat, Seq(t2))
+    // time travel: the pin still answers EXACTLY like `pre` (hash-
+    // demanded), while the re-resolved pointer sees the takedown
+    val pinned = probePhase("pinned_gen1",
+      graft.ops.Incremental.resolveCatalogVersion(cat, pinnedV, expect = 1).head)
+    val current = probePhase("current_post",
+      graft.ops.Incremental.resolveCatalog(cat, expect = 1).head)
+    // retention: both generations are inside retain=2 — nothing drops
+    // here; the reclamation path is drilled in RoundTwelveSpec
+    val dropped = graft.ops.Incremental.gcCatalogHistory(s, cat, retain = 2)
+    require(dropped.isEmpty, s"retain=2 GC dropped $dropped with 2 generations")
+    pre.unionByName(pinned).unionByName(current)
+      .orderBy("phase", "new_doc_id")
+  }
+
+  /** Catalog path of the most recent d66 run (test-only introspection). */
+  @volatile private[graft] var d66Catalog: String = _
+
   val defs: Seq[Q] = Seq(d01, d02, d03, d04, d08, d09, d10, d11, d13, d15,
     d17, d18, d20, d21, d22, d23, d27, d28, d31, d34, d36, d37, d38, d39,
-    d41, d42, d43, d44, d49, d50, d53, d54, d55, d64, d65)
+    d41, d42, d43, d44, d49, d50, d53, d54, d55, d64, d65, d66)
 }

@@ -891,6 +891,101 @@ object Incremental {
     (lines(0), lines(1), lines(2))
   }
 
+  // -------------------------------------------------- versioned catalog
+  // d66: the d58 pointer plus an immutable HISTORY — each publish also
+  // writes v%05d under `$path.history/`, so a reader can PIN a
+  // generation (time travel / session consistency across swaps) and a
+  // retention GC can physically reclaim generations nobody may pin any
+  // more. The pointer update stays the single ATOMIC_MOVE; the history
+  // file is written (tmp+move) BEFORE the pointer, so a crash between
+  // the two leaves an orphan history version but never a current
+  // pointer without history.
+
+  private def historyDir(path: String): java.nio.file.Path =
+    java.nio.file.Paths.get(path + ".history")
+
+  /** Publish a new generation: record it as the next immutable history
+    * version, then swap the current pointer. Returns the version
+    * number. Single publisher by contract (the d58 premise). */
+  def publishCatalogVersioned(path: String, lines: Seq[String]): Int = {
+    val hd = historyDir(path)
+    java.nio.file.Files.createDirectories(hd)
+    val v = catalogVersions(path).lastOption.getOrElse(0) + 1
+    val hist = hd.resolve(f"v$v%05d")
+    val tmp = hd.resolve(f"v$v%05d.tmp." + java.util.UUID.randomUUID())
+    java.nio.file.Files.write(tmp,
+      lines.mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, hist,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    publishCatalog(path, lines)
+    v
+  }
+
+  /** All recorded history versions, ascending. */
+  def catalogVersions(path: String): Seq[Int] = {
+    val hd = historyDir(path)
+    if (!java.nio.file.Files.isDirectory(hd)) Seq.empty
+    else {
+      val s = java.nio.file.Files.list(hd)
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator()).asScala
+        .map(_.getFileName.toString)
+        .filter(_.matches("v\\d{5}"))
+        .map(_.drop(1).toInt).toSeq.sorted
+      finally s.close()
+    }
+  }
+
+  /** Resolve a PINNED generation by version — fails loudly if the
+    * version was never published or has been GC'd past retention. */
+  def resolveCatalogVersion(path: String, version: Int, expect: Int): Seq[String] = {
+    val hist = historyDir(path).resolve(f"v$version%05d")
+    require(java.nio.file.Files.exists(hist),
+      s"catalog generation v$version at $path is gone (never published, " +
+        "or reclaimed by retention GC)")
+    val lines = java.nio.file.Files.readAllLines(hist)
+    require(lines.size == expect,
+      s"corrupt catalog history v$version at $path (expected $expect lines): $lines")
+    scala.jdk.CollectionConverters.ListHasAsScala(lines).asScala.toSeq
+  }
+
+  /** Retention GC: physically reclaim every generation older than the
+    * newest `retain`. Per reclaimed line: a registered table is dropped
+    * AND its storage deleted; a bare directory path is deleted; scalar
+    * metadata lines (e.g. d64's bucket count) are ignored. A handle
+    * still referenced by a RETAINED generation is kept (generations may
+    * share stores across metadata-only publishes). Returns the
+    * reclaimed versions. Pins are safe within retention by contract —
+    * the Iceberg snapshot-expiry semantics. */
+  def gcCatalogHistory(s: org.apache.spark.sql.SparkSession,
+      path: String, retain: Int): Seq[Int] = {
+    require(retain >= 1, "retention must keep at least the current generation")
+    val versions = catalogVersions(path)
+    val (dead, live) = versions.splitAt(math.max(versions.size - retain, 0))
+    val keep = live.flatMap { v =>
+      scala.jdk.CollectionConverters.ListHasAsScala(java.nio.file.Files
+        .readAllLines(historyDir(path).resolve(f"v$v%05d"))).asScala
+    }.toSet
+
+    dead.foreach { v =>
+      val hist = historyDir(path).resolve(f"v$v%05d")
+      val lines = scala.jdk.CollectionConverters.ListHasAsScala(
+        java.nio.file.Files.readAllLines(hist)).asScala.toSeq
+      lines.filterNot(keep).foreach { h =>
+        if (s.catalog.tableExists(h)) {
+          val loc = s.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(h)).location
+          s.sql(s"DROP TABLE `$h`")
+          graft.Scratch.deleteRecursively(new java.io.File(loc))
+        } else {
+          val f = new java.io.File(h)
+          if (f.isDirectory) graft.Scratch.deleteRecursively(f)
+        }
+      }
+      java.nio.file.Files.delete(hist)
+    }
+    dead
+  }
+
   /** d58 — the full takedown→compaction lifecycle driven THROUGH the
     * catalog: generation 1 serves tombstone-filtered probes while
     * compaction builds generation 2 offline; one atomic publish swaps;

@@ -390,4 +390,43 @@ class RoundTwelveSpec extends SparkTestBase {
       "the published generation is not the 128-bucket table the ladder chose")
     spark.catalog.clearCache()
   }
+
+  test("d66 retention GC: a generation beyond retention is PHYSICALLY " +
+    "reclaimed (table dropped, storage deleted, pinned read fails " +
+    "loudly) while generations within retention stay pinned-readable") {
+    import ops.{Dedup, Incremental}
+    // the query run leaves v1 (full index) and v2 (post-takedown)
+    assert(SparkEntry.queries("d66_catalog_history_timetravel")(
+      spark, sf0001).count() > 0)
+    val cat = Dedup.d66Catalog
+    assert(Incremental.catalogVersions(cat) == Seq(1, 2))
+    val t1 = Incremental.resolveCatalogVersion(cat, 1, expect = 1).head
+    val loc1 = new java.io.File(spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(t1)).location)
+    assert(spark.catalog.tableExists(t1) && loc1.exists())
+
+    // a third generation pushes v1 past retain=2; GC reclaims it
+    val t2 = Incremental.resolveCatalog(cat, expect = 1).head
+    val noTomb = Tables.documents(spark, sf0001)
+      .select(col("doc_id").as("id")).limit(0)
+    val t3 = Dedup.compactBandIndex(spark, t2, noTomb, "r12gc")
+    Incremental.publishCatalogVersioned(cat, Seq(t3))
+    val dropped = Incremental.gcCatalogHistory(spark, cat, retain = 2)
+    assert(dropped == Seq(1), s"GC reclaimed $dropped, expected Seq(1)")
+
+    // v1 is PHYSICALLY gone: history entry, table registration, storage
+    intercept[IllegalArgumentException] {
+      Incremental.resolveCatalogVersion(cat, 1, expect = 1)
+    }
+    assert(!spark.catalog.tableExists(t1), "GC'd generation's table survives")
+    assert(!loc1.exists(), "GC'd generation's storage survives")
+
+    // generations within retention keep working: the pin and the pointer
+    assert(Incremental.catalogVersions(cat) == Seq(2, 3))
+    assert(spark.table(
+      Incremental.resolveCatalogVersion(cat, 2, expect = 1).head).count() > 0)
+    assert(spark.table(
+      Incremental.resolveCatalog(cat, expect = 1).head).count() > 0)
+    spark.catalog.clearCache()
+  }
 }
