@@ -3992,7 +3992,102 @@ object Dedup {
   /** Catalog path of the most recent d66 run (test-only introspection). */
   @volatile private[graft] var d66Catalog: String = _
 
+  /** d67 — RECLAMATION-GATED COMPACTION: the measured trigger for d57's
+    * rewrite, completing the signal→decision→action triple on the
+    * RECLAMATION axis (d61→d62 = drift, d65→d64 = layout). Compaction
+    * pays a full store rewrite; production runs it when the RECLAIMABLE
+    * VOLUME justifies that write amplification, not on a timer. The
+    * census is exact and one pass over the stored index: total rows,
+    * distinct live rows (their difference = crash-retry residue — this
+    * run PLANTS a double-append so the residue term is non-zero and
+    * verified), and tombstoned-doc live rows; `reclaimable = residue +
+    * tombstoned`. The gate is a pinned absolute volume (1000 rows —
+    * HOLDS at sf0.001/0.01 at 572 reclaimable, FIRES at sf0.1 at 5716:
+    * like d65, the gate fires when the corpus grows, so both branches
+    * are exercised across the fixture family and BOTH the decision and
+    * the post-action row count are hash-checked). A firing gate runs
+    * the d57 machinery: compactBandIndex (tombstones anti-joined,
+    * residue collapsed) + one atomic publish. */
+  private val d67 = Q(
+    "d67_reclamation_gated_compaction",
+    """WITH docs AS (
+         SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       sh AS (
+         SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+         FROM (SELECT doc_id, ws,
+                      unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+               FROM docs)),
+       hs AS (
+         SELECT doc_id, ('0x' || substring(md5(sh), 1, 8))::BIGINT AS h1,
+                ('0x' || substring(md5(sh), 9, 8))::BIGINT AS h2
+         FROM sh),
+       sig AS (
+         SELECT doc_id, seed, min(h1 + seed * h2) AS mh
+         FROM hs, (SELECT unnest(generate_series(0, 7)) AS seed) seeds
+         GROUP BY doc_id, seed),
+       bands AS MATERIALIZED (
+         SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+                md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS band_key
+         FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)),
+       base AS (SELECT * FROM bands WHERE doc_id % 7 != 3 AND doc_id % 7 != 5),
+       batch AS (SELECT * FROM bands WHERE doc_id % 7 = 3),
+       store AS (SELECT * FROM base
+                 UNION ALL SELECT * FROM batch
+                 UNION ALL SELECT * FROM batch),
+       dr AS MATERIALIZED (SELECT DISTINCT band, band_key, doc_id FROM store),
+       census AS (
+         SELECT (SELECT count(*) FROM store) AS n_rows,
+                (SELECT count(*) FROM dr) AS n_distinct,
+                (SELECT count(*) FROM dr WHERE doc_id % 7 = 1) AS n_tomb_live)
+       SELECT CAST(n_rows AS BIGINT) AS n_rows,
+              CAST(n_rows - n_distinct AS BIGINT) AS n_residue,
+              CAST(n_tomb_live AS BIGINT) AS n_tomb_live,
+              CAST((n_rows - n_distinct) + n_tomb_live AS BIGINT) AS n_reclaimable,
+              (n_rows - n_distinct) + n_tomb_live >= 1000 AS acted,
+              CAST(CASE WHEN (n_rows - n_distinct) + n_tomb_live >= 1000
+                   THEN n_distinct - n_tomb_live ELSE n_rows END AS BIGINT) AS n_rows_post
+       FROM census ORDER BY n_rows""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val (buckets, _) = lshBucketsAndShingles(docs, "doc_id", "text",
+      shingleWords = 3, bands = 4, rowsPerBand = 2)
+    val isBatch = col("id") % 7 === 3
+    val isProbe = col("id") % 7 === 5
+    val t1 = "graft_band_rgc_" +
+      graft.Scratch.dir("graft_band_rgc").replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
+    writeBandIndex(s, buckets.filter(!isBatch && !isProbe), t1)
+    // the crash-retry plant: one ingest batch lands TWICE, so the
+    // census's residue term is non-zero and the count is verified
+    appendBandIndex(s, buckets.filter(isBatch), t1)
+    appendBandIndex(s, buckets.filter(isBatch), t1)
+    val cat = graft.Scratch.dir("graft_d67_cat") + "/store.catalog"
+    graft.ops.Incremental.publishCatalog(cat, Seq(t1))
+    d67Catalog = cat
+    // the census: one pass over the stored index, exact integers
+    val st = s.table(t1)
+    val nRows = st.count()
+    val dist = reuse(st.distinct())
+    val nDist = dist.count()
+    val nTombLive = dist.filter(col("id") % 7 === 1).count()
+    val nReclaimable = (nRows - nDist) + nTombLive
+    val acted = nReclaimable >= 1000L
+    if (acted) {
+      val tomb = docs.filter(col("doc_id") % 7 === 1).select(col("doc_id").as("id"))
+      val t2 = compactBandIndex(s, t1, tomb, "d67")
+      graft.ops.Incremental.publishCatalog(cat, Seq(t2))
+    }
+    val nPost =
+      s.table(graft.ops.Incremental.resolveCatalog(cat, expect = 1).head).count()
+    import s.implicits._
+    Seq((nRows, nRows - nDist, nTombLive, nReclaimable, acted, nPost))
+      .toDF("n_rows", "n_residue", "n_tomb_live", "n_reclaimable",
+        "acted", "n_rows_post")
+      .orderBy("n_rows")
+  }
+
+  /** Catalog path of the most recent d67 run (test-only introspection). */
+  @volatile private[graft] var d67Catalog: String = _
+
   val defs: Seq[Q] = Seq(d01, d02, d03, d04, d08, d09, d10, d11, d13, d15,
     d17, d18, d20, d21, d22, d23, d27, d28, d31, d34, d36, d37, d38, d39,
-    d41, d42, d43, d44, d49, d50, d53, d54, d55, d64, d65, d66)
+    d41, d42, d43, d44, d49, d50, d53, d54, d55, d64, d65, d66, d67)
 }

@@ -429,4 +429,27 @@ class RoundTwelveSpec extends SparkTestBase {
       Incremental.resolveCatalog(cat, expect = 1).head).count() > 0)
     spark.catalog.clearCache()
   }
+
+  test("d67 reclamation gate: holds at sf0.001 (the catalog keeps the " +
+    "residue-carrying store) and fires at sf0.1 (a compacted generation " +
+    "is published whose count matches the census arithmetic)") {
+    import ops.{Dedup, Incremental}
+    val small = SparkEntry.queries("d67_reclamation_gated_compaction")(
+      spark, sf0001).collect().head
+    assert(!small.getBoolean(4), "gate fired at sf0.001 — volume mis-pinned")
+    assert(small.getLong(1) > 0, "planted residue missing — census untested")
+    val tSmall = Incremental.resolveCatalog(Dedup.d67Catalog, expect = 1).head
+    assert(spark.table(tSmall).count() == small.getLong(0),
+      "holding gate still rewrote the store")
+
+    val big = SparkEntry.queries("d67_reclamation_gated_compaction")(
+      spark, "/root/testdata/sf0.1").collect().head
+    assert(big.getBoolean(4), "gate held at sf0.1 — volume mis-pinned")
+    val tBig = Incremental.resolveCatalog(Dedup.d67Catalog, expect = 1).head
+    assert(spark.table(tBig).count() == big.getLong(5),
+      "compacted generation's physical count diverges from the census")
+    assert(big.getLong(5) == big.getLong(0) - big.getLong(3),
+      "post count is not rows minus reclaimable — the census lies")
+    spark.catalog.clearCache()
+  }
 }
