@@ -225,5 +225,88 @@ object BpeTokenizer {
     TokenizerOracles.t31Sql(merges)
   }
 
-  val defs: Seq[Q] = Seq(t30, t31)
+  /** Segment arbitrary word TYPES under an already-learned merge table —
+    * the APPLICATION path an arriving batch takes against the STORED
+    * tokenizer (training touches only the base census; serving a new
+    * batch must not re-train). The merge chain is checkpointed every 10
+    * rules to bound expression depth; the fold semantics is the proven
+    * t31 machinery ([[mergeCol]], BpeSpec-checked against the Scala
+    * reference). */
+  private[graft] def segmentTypes(types: DataFrame,
+      merges: Seq[(Int, String, String, Long)]): DataFrame = {
+    var df = types.select(col("word"), charsCol(col("word")).as("syms"))
+    merges.grouped(10).foreach { grp =>
+      grp.foreach { case (_, l, r, _) =>
+        df = df.withColumn("syms", mergeCol(col("syms"), l, r))
+      }
+      df = df.localCheckpoint(true)
+    }
+    df.select(col("word"), size(col("syms")).cast("long").as("n_tok"))
+  }
+
+  /** t54 — TOKENIZER DRIFT CENSUS: the d61 signal pattern on the
+    * tokenizer surface, completing the drift-trigger family (vectors
+    * d61, layout d65, reclamation d67). A stored merge table is
+    * training-corpus state: as the ingest distribution drifts, merges
+    * stop firing and fertility (tokens emitted per character) climbs —
+    * the cost signal that schedules a tokenizer re-train (itself t30's
+    * training, a REBUILD by design, like centroid re-training). The
+    * census segments the BASE census and an ARRIVING batch under the
+    * SAME stored merges (one shared type table, one application pass)
+    * and compares integer-micro fertilities; the drift gate (≥ 30000
+    * micros) is pinned in the oracle, so the re-train decision is
+    * hash-checked. The batch is a PLANTED distribution shift (reversed
+    * words — deterministic, oracle-expressible, and guaranteed to
+    * starve left-to-right learned merges), the d62/s37 planting
+    * discipline.
+    *
+    * Oracle: DYNAMIC — the learned merge table renders into the t31
+    * recursive-apply SQL and DuckDB independently re-segments BOTH
+    * populations, recomputes both fertilities, and re-decides the gate. */
+  private val t54 = Q.dynamic("t54_tokenizer_drift_census") { (s, d) =>
+    val k = confInt(s, "graft.bpe.merges", 40)
+    val docs = Tables.documents(s, d)
+    val baseCen = Dedup.reuse(docs.filter(col("doc_id") % 5 =!= 3)
+      .select(explode(TextAnalysis.tokens(col("text"), "whitespace")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt")))
+    val batchCen = Dedup.reuse(docs.filter(col("doc_id") % 5 === 3)
+      .select(explode(TextAnalysis.tokens(col("text"), "whitespace")).as("w0"))
+      .filter(length(col("w0")) > 0)
+      .select(reverse(col("w0")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt")))
+    // the stored tokenizer: merges learned on the BASE census only
+    val (merges, _) = learn(s,
+      baseCen.select(col("word"), col("cnt").as("freq")), k)
+    // ONE application pass over the union of type tables serves both
+    // fertility censuses
+    val segAll = Dedup.reuse(segmentTypes(
+      baseCen.select("word").union(batchCen.select("word")).distinct(), merges))
+    def wide(cen: DataFrame, p: String): DataFrame =
+      cen.join(segAll, "word")
+        .agg(sum(col("cnt")).as(s"${p}_words"),
+          sum(col("cnt") * length(col("word"))).as(s"${p}_chars"),
+          sum(col("cnt") * col("n_tok")).as(s"${p}_tokens"))
+    val tpc = (tok: String, ch: String) =>
+      round(lit(1000000.0) * col(tok) / col(ch)).cast("long")
+    wide(baseCen, "base").crossJoin(wide(batchCen, "batch"))
+      .select(col("base_words"), col("base_chars"), col("base_tokens"),
+        col("batch_words"), col("batch_chars"), col("batch_tokens"),
+        tpc("base_tokens", "base_chars").as("base_tpc_micro"),
+        tpc("batch_tokens", "batch_chars").as("batch_tpc_micro"),
+        (tpc("batch_tokens", "batch_chars") - tpc("base_tokens", "base_chars"))
+          .as("drift_micro"),
+        (tpc("batch_tokens", "batch_chars") - tpc("base_tokens", "base_chars")
+          >= 30000L).as("acted"))
+      .orderBy("base_words")
+  } { (s, d) =>
+    val k = confInt(s, "graft.bpe.merges", 40)
+    val baseCen = Tables.documents(s, d).filter(col("doc_id") % 5 =!= 3)
+      .select(explode(TextAnalysis.tokens(col("text"), "whitespace")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    TokenizerOracles.t54Sql(learn(s, baseCen, k)._1, gateMicro = 30000L)
+  }
+
+  val defs: Seq[Q] = Seq(t30, t31, t54)
 }

@@ -273,6 +273,50 @@ private[graft] object TokenizerOracles {
        GROUP BY dw.doc_id
        ORDER BY dw.doc_id"""
 
+  /** t54: the tokenizer drift census — base and (reversed-word) batch
+    * populations segmented under ONE rendered merge table, integer-micro
+    * fertilities, and the pinned re-train gate re-decided by DuckDB. */
+  def t54Sql(merges: Seq[(Int, String, String, Long)], gateMicro: Long): String =
+    s"""WITH RECURSIVE
+       dwb AS MATERIALIZED (
+         SELECT word, count(*) AS cnt
+         FROM (SELECT unnest(string_split(text, ' ')) AS word
+               FROM documents WHERE doc_id % 5 <> 3) u
+         WHERE len(word) > 0 GROUP BY word),
+       dwa AS MATERIALIZED (
+         SELECT reverse(word) AS word, count(*) AS cnt
+         FROM (SELECT unnest(string_split(text, ' ')) AS word
+               FROM documents WHERE doc_id % 5 = 3) u
+         WHERE len(word) > 0 GROUP BY reverse(word)),
+       types AS (
+         -- explicit DISTINCT over UNION ALL: inside WITH RECURSIVE,
+         -- DuckDB gives a bare UNION the recursive anchor/step
+         -- treatment and a row can survive in BOTH branches (measured:
+         -- 'a' twice → a 731-row fanout through the bseg join)
+         SELECT DISTINCT word FROM (
+           SELECT word FROM dwb UNION ALL SELECT word FROM dwa)),
+       ${bpeCtes(mergeValues(merges))},
+       cb AS (
+         SELECT CAST(sum(d.cnt) AS BIGINT) AS base_words,
+                CAST(sum(d.cnt * len(d.word)) AS BIGINT) AS base_chars,
+                CAST(sum(d.cnt * b.n_tok) AS BIGINT) AS base_tokens
+         FROM dwb d JOIN bseg b ON b.word = d.word),
+       ca AS (
+         SELECT CAST(sum(d.cnt) AS BIGINT) AS batch_words,
+                CAST(sum(d.cnt * len(d.word)) AS BIGINT) AS batch_chars,
+                CAST(sum(d.cnt * b.n_tok) AS BIGINT) AS batch_tokens
+         FROM dwa d JOIN bseg b ON b.word = d.word)
+       SELECT base_words, base_chars, base_tokens,
+              batch_words, batch_chars, batch_tokens,
+              CAST(round(1000000.0 * base_tokens / base_chars) AS BIGINT) AS base_tpc_micro,
+              CAST(round(1000000.0 * batch_tokens / batch_chars) AS BIGINT) AS batch_tpc_micro,
+              CAST(round(1000000.0 * batch_tokens / batch_chars)
+                   - round(1000000.0 * base_tokens / base_chars) AS BIGINT) AS drift_micro,
+              round(1000000.0 * batch_tokens / batch_chars)
+                - round(1000000.0 * base_tokens / base_chars) >= $gateMicro AS acted
+       FROM cb CROSS JOIN ca
+       ORDER BY base_words"""
+
   /** t37: per-doc word + unigram token counts under the rendered pieces. */
   def t37Sql(pieces: Seq[(String, Long, Long)]): String =
     s"""WITH RECURSIVE ${dwCtes("doc_id")},

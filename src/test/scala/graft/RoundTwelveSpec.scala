@@ -452,4 +452,41 @@ class RoundTwelveSpec extends SparkTestBase {
       "post count is not rows minus reclaimable — the census lies")
     spark.catalog.clearCache()
   }
+
+  test("t54 tokenizer drift: the planted distribution shift fires the " +
+    "gate with a large fertility climb, while an UNDRIFTED batch of the " +
+    "same corpus measures far below it — the census separates, not " +
+    "rubber-stamps") {
+    import ops.{BpeTokenizer, Dedup, TextAnalysis}
+    val row = SparkEntry.queries("t54_tokenizer_drift_census")(spark, sf0001)
+      .collect().head
+    val drift = row.getLong(8)
+    assert(row.getBoolean(9) && drift >= 100000,
+      s"planted reversal drifted only $drift micros — the plant is weak")
+
+    // hold branch: the SAME batch without the reversal (same
+    // distribution as training) must measure far under the gate
+    val docs = Tables.documents(spark, sf0001)
+    def census(df: org.apache.spark.sql.DataFrame) = Dedup.reuse(
+      df.select(explode(TextAnalysis.tokens(col("text"), "whitespace")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("cnt")))
+    val baseCen = census(docs.filter(col("doc_id") % 5 =!= 3))
+    val batchCen = census(docs.filter(col("doc_id") % 5 === 3))
+    val (merges, _) = BpeTokenizer.learn(spark,
+      baseCen.select(col("word"), col("cnt").as("freq")), 40)
+    val segAll = BpeTokenizer.segmentTypes(
+      baseCen.select("word").union(batchCen.select("word")).distinct(), merges)
+    def tpc(cen: org.apache.spark.sql.DataFrame): Long = {
+      val r = cen.join(segAll, "word")
+        .agg(sum(col("cnt") * col("n_tok")).as("t"),
+          sum(col("cnt") * length(col("word"))).as("c")).head
+      math.round(1e6 * r.getLong(0) / r.getLong(1))
+    }
+    val undrifted = tpc(batchCen) - tpc(baseCen)
+    assert(math.abs(undrifted) < 30000,
+      s"an in-distribution batch measured $undrifted micros — the gate " +
+        "would re-train on noise")
+    spark.catalog.clearCache()
+  }
 }
