@@ -961,10 +961,21 @@ object Incremental {
     require(retain >= 1, "retention must keep at least the current generation")
     val versions = catalogVersions(path)
     val (dead, live) = versions.splitAt(math.max(versions.size - retain, 0))
+    // The CURRENT pointer's handles are always kept, independent of the
+    // history window: a publish that crashed between its history write
+    // and the pointer swap leaves the ORPHAN as the newest version, and
+    // without this the pointed-at generation could fall out of the
+    // retain window and be reclaimed under the only reader guaranteed
+    // to exist (drilled in RoundTwelveSpec).
+    val pointer =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+        scala.jdk.CollectionConverters.ListHasAsScala(java.nio.file.Files
+          .readAllLines(java.nio.file.Paths.get(path))).asScala.toSet
+      else Set.empty[String]
     val keep = live.flatMap { v =>
       scala.jdk.CollectionConverters.ListHasAsScala(java.nio.file.Files
         .readAllLines(historyDir(path).resolve(f"v$v%05d"))).asScala
-    }.toSet
+    }.toSet ++ pointer
 
     dead.foreach { v =>
       val hist = historyDir(path).resolve(f"v$v%05d")

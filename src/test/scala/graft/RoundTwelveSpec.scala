@@ -489,4 +489,51 @@ class RoundTwelveSpec extends SparkTestBase {
         "would re-train on noise")
     spark.catalog.clearCache()
   }
+
+  test("d66 GC crash windows: an orphan history version (publish died " +
+    "before the pointer swap) cannot push the POINTED generation out of " +
+    "retention, and a GC retried after a partial crash converges") {
+    import ops.{Dedup, Incremental}
+    val docs = Tables.documents(spark, sf0001)
+    val (buckets, _) = Dedup.lshBucketsAndShingles(docs, "doc_id", "text", 3, 4, 2)
+    def freshTable(tag: String): String = {
+      val t = s"graft_band_${tag}_" +
+        graft.Scratch.dir(s"graft_band_$tag").replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
+      Dedup.writeBandIndex(spark, buckets.limit(50), t)
+      t
+    }
+    val cat = graft.Scratch.dir("graft_r12_gccrash") + "/store.catalog"
+    val t1 = freshTable("gcc1")
+    Incremental.publishCatalogVersioned(cat, Seq(t1))
+    // the crash window: v2's history lands but the pointer swap never
+    // ran — the pointer still names v1's generation
+    val t2 = freshTable("gcc2")
+    val hd = java.nio.file.Paths.get(cat + ".history")
+    java.nio.file.Files.write(hd.resolve("v00002"), s"$t2\n".getBytes)
+    assert(Incremental.resolveCatalog(cat, expect = 1).head == t1)
+    // retain=1 would otherwise keep only the orphan v2 and reclaim v1 —
+    // the generation the only guaranteed reader (the pointer) still uses
+    val dropped = Incremental.gcCatalogHistory(spark, cat, retain = 1)
+    assert(dropped == Seq(1), s"expected v1's history trimmed, got $dropped")
+    assert(spark.catalog.tableExists(t1),
+      "GC reclaimed the generation the current pointer references")
+    assert(spark.table(t1).count() > 0)
+
+    // partial-crash idempotence: a GC that died after dropping the
+    // table but before deleting the history entry converges on retry
+    val t3 = freshTable("gcc3")
+    Incremental.publishCatalogVersioned(cat, Seq(t3))
+    val t4 = freshTable("gcc4")
+    Incremental.publishCatalogVersioned(cat, Seq(t4))
+    // simulate the torn state for the oldest version: table gone, entry kept
+    val victim = Incremental.resolveCatalogVersion(cat,
+      Incremental.catalogVersions(cat).head, expect = 1).head
+    if (spark.catalog.tableExists(victim)) spark.sql(s"DROP TABLE `$victim`")
+    val retried = Incremental.gcCatalogHistory(spark, cat, retain = 1)
+    assert(retried.nonEmpty, "retried GC did nothing with a torn version")
+    assert(spark.table(
+      Incremental.resolveCatalog(cat, expect = 1).head).count() > 0,
+      "retried GC broke the current generation")
+    spark.catalog.clearCache()
+  }
 }
