@@ -75,7 +75,7 @@ object SparkEntry {
       "t12_sequence_pack", "t13_unigram_surprisal", "t17_bm25",
       "t29_bigram_lm", "t31_bpe_segment", "t35_gopher_repetition",
       "t37_unigram_segment", "t53_incremental_bm25",
-      "t54_tokenizer_drift_census",
+      "t54_tokenizer_drift_census", "t55_epoch_shard_export",
       "p01_full_curation", "p02_incremental_curation",
       "d56_takedown_readmission", "d57_store_compaction", "d58_generation_swap",
       "d59_ann_takedown", "d60_ivf_append", "d63_ivfpq_index",

@@ -951,6 +951,59 @@ object CurationExtra {
       .orderBy("step")
   }
 
+  /** t55 — DETERMINISTIC EPOCH-SHARD EXPORT: the training-export step a
+    * curated corpus feeds. A trainer wants each epoch to see the data in
+    * a DIFFERENT order (shuffling matters for convergence) that is also
+    * perfectly REPRODUCIBLE (restarts, data-lineage audits, ablations
+    * re-running an epoch must see byte-identical shard streams) — so the
+    * permutation must be a pure function of (epoch, doc), never of
+    * partitioning, timing, or RNG state. Keyed md5: h = first 60 bits of
+    * md5(epoch:doc_id); shard = h mod 8; within-shard order = (h,
+    * doc_id). The census hash-checks the whole permutation per (epoch,
+    * shard): row count, id sum, and an ORDER FINGERPRINT (md5 of the
+    * ordered id list) — one flipped position anywhere flips the
+    * fingerprint, so the oracle verifies the ORDER, not just membership.
+    * Two epochs are emitted from one pass; their fingerprints differing
+    * (same membership, different permutation) is part of what the hash
+    * locks in.
+    *
+    * Scale shape: shard assignment is map-side arithmetic on an 8-byte
+    * hash; the only exchange is the per-(epoch, shard) aggregation —
+    * exactly the shuffle the physical export (repartition(shard) +
+    * sortWithinPartitions(h)) would pay anyway, which RoundTwelveSpec
+    * runs for real (src07's layout: one sorted file tree per shard) and
+    * round-trips. No global sort: the hash IS the order. */
+  private val t55 = Q(
+    "t55_epoch_shard_export",
+    """WITH ep AS (SELECT unnest(generate_series(1, 2)) AS epoch),
+       keyed AS (
+         SELECT e.epoch, d.doc_id,
+                ('0x' || substring(md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+         FROM documents d CROSS JOIN ep e),
+       sharded AS (SELECT epoch, doc_id, h, h % 8 AS shard FROM keyed)
+       SELECT epoch, shard,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(doc_id) AS BIGINT) AS id_sum,
+              md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY h, doc_id)) AS order_fp
+       FROM sharded GROUP BY epoch, shard
+       ORDER BY epoch, shard""") { (s, d) =>
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val keyed = docs.select(col("doc_id"))
+      .crossJoin(broadcast(Seq(1L, 2L).toDF("epoch")))
+      .withColumn("h",
+        conv(substring(md5(concat(col("epoch").cast("string"), lit(":"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10).cast(LongType))
+      .withColumn("shard", col("h") % 8)
+    keyed.groupBy("epoch", "shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("id_sum"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("h"), col("doc_id")))),
+          x => x.getField("doc_id").cast("string")), ",")).as("order_fp"))
+      .orderBy("epoch", "shard")
+  }
+
   val defs: Seq[Q] = Seq(d45, d46, t40, t43, t44, t45, d47, t46, d48, t47,
-    t48, d51, t49, t50, t52)
+    t48, d51, t49, t50, t52, t55)
 }

@@ -536,4 +536,47 @@ class RoundTwelveSpec extends SparkTestBase {
       "retried GC broke the current generation")
     spark.catalog.clearCache()
   }
+
+  test("t55 epoch export: the permutation is a pure function of " +
+    "(epoch, doc) — invariant to input partitioning, different across " +
+    "epochs with identical membership — and the physical sharded write " +
+    "streams docs in exactly the fingerprinted order") {
+    val q = SparkEntry.queries("t55_epoch_shard_export")
+    val out = q(spark, sf0001).collect()
+    val byEpoch = out.groupBy(_.getLong(0))
+    // same membership per shard-set, different permutation per epoch
+    assert(byEpoch(1L).map(r => r.getLong(2)).sum == byEpoch(2L).map(_.getLong(2)).sum,
+      "epochs disagree on total membership")
+    assert(byEpoch(1L).map(_.getString(4)).toSet
+      .intersect(byEpoch(2L).map(_.getString(4)).toSet).isEmpty,
+      "an epoch-1 shard has the same order fingerprint as an epoch-2 " +
+        "shard — the epochs do not re-permute")
+    // partitioning invariance: a differently-partitioned run is byte-equal
+    val again = q(spark, sf0001).repartition(13).orderBy("epoch", "shard").collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+
+    // the physical export: repartition by shard, sort within partitions
+    // by (h, doc_id), one file tree per (epoch, shard) — reading a shard
+    // back in file order must reproduce the fingerprint exactly
+    val docs = Tables.documents(spark, sf0001)
+    val keyed = docs.select(col("doc_id"))
+      .withColumn("epoch", lit(1L))
+      .withColumn("h",
+        conv(substring(md5(concat(col("epoch").cast("string"), lit(":"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long"))
+      .withColumn("shard", col("h") % 8)
+    val outDir = graft.Scratch.dir("graft_r12_export")
+    keyed.repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("h"), col("doc_id"))
+      .write.partitionBy("shard").mode("overwrite").parquet(outDir)
+    val shard0 = spark.read.parquet(s"$outDir/shard=0")
+      .collect().map(_.getAs[Long]("doc_id"))
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(shard0.mkString(",").getBytes)
+      .map("%02x".format(_)).mkString
+    val expected = out.find(r => r.getLong(0) == 1L && r.getLong(1) == 0L).get.getString(4)
+    assert(fp == expected,
+      "the physically exported shard stream is not in the fingerprinted order")
+    spark.catalog.clearCache()
+  }
 }
