@@ -1004,6 +1004,67 @@ object CurationExtra {
       .orderBy("epoch", "shard")
   }
 
+  /** t56 — PII DETECTION + REDACTION: the scrub pass a public-corpus
+    * pipeline runs before anything trains. The fixture corpus is
+    * synthetic prose, so the PII is PLANTED deterministically in-query
+    * (both engines construct the identical contaminated text — the
+    * d62/s37/t54 planting discipline): every doc_id % 6 = 1 doc gains an
+    * email built from its own first word, every % 6 = 2 doc a
+    * 555-prefixed phone. Detection + redaction run the same two regex
+    * passes on both engines (character classes + literal dot only — the
+    * dialect-safe subset of Java regex ∩ RE2), and the census
+    * hash-checks per doc: match counts per PII class AND the md5 of the
+    * fully-redacted text — so a redaction that missed a span, clipped a
+    * neighbor character, or ran the passes in the wrong order fails on
+    * the text hash, not just the counts.
+    *
+    * Scale shape: pure map-side — one projection over the corpus scan
+    * (plant, count, redact, hash); the only exchange is the final
+    * ORDER BY of the doc-sized census. At 100 TB this is the shape a
+    * scrub pass must have: no shuffle of text, no UDF, codegen'd
+    * regexes. */
+  private val t56 = Q(
+    "t56_pii_redaction",
+    """WITH planted AS (
+         SELECT doc_id,
+                CASE WHEN doc_id % 6 = 1
+                       THEN text || ' reach me at ' || string_split(text, ' ')[1] || '@mail.test'
+                     WHEN doc_id % 6 = 2
+                       THEN text || ' or call 555-0' || CAST(doc_id % 100 AS VARCHAR)
+                     ELSE text END AS t
+         FROM documents),
+       scrubbed AS (
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(t, '[a-z]+@[a-z]+[.][a-z]+')) AS BIGINT) AS n_emails,
+                CAST(len(regexp_extract_all(t, '555-[0-9]+')) AS BIGINT) AS n_phones,
+                md5(regexp_replace(
+                      regexp_replace(t, '[a-z]+@[a-z]+[.][a-z]+', '[EMAIL]', 'g'),
+                      '555-[0-9]+', '[PHONE]', 'g')) AS clean_hash
+         FROM planted)
+       SELECT doc_id, n_emails, n_phones, clean_hash
+       FROM scrubbed WHERE n_emails > 0 OR n_phones > 0
+       ORDER BY doc_id""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val email = "[a-z]+@[a-z]+[.][a-z]+"
+    val phone = "555-[0-9]+"
+    docs.select(col("doc_id"),
+      when(col("doc_id") % 6 === 1,
+        concat(col("text"), lit(" reach me at "),
+          element_at(split(col("text"), " "), 1), lit("@mail.test")))
+        .when(col("doc_id") % 6 === 2,
+          concat(col("text"), lit(" or call 555-0"),
+            (col("doc_id") % 100).cast("string")))
+        .otherwise(col("text")).as("t"))
+      .select(col("doc_id"),
+        expr(s"CAST(regexp_count(t, '$email') AS BIGINT)").as("n_emails"),
+        expr(s"CAST(regexp_count(t, '$phone') AS BIGINT)").as("n_phones"),
+        md5(regexp_replace(
+          regexp_replace(col("t"), email, "[EMAIL]"),
+          phone, "[PHONE]")).as("clean_hash"))
+      .filter(col("n_emails") > 0 || col("n_phones") > 0)
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[Q] = Seq(d45, d46, t40, t43, t44, t45, d47, t46, d48, t47,
-    t48, d51, t49, t50, t52, t55)
+    t48, d51, t49, t50, t52, t55, t56)
 }

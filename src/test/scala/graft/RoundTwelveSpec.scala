@@ -579,4 +579,33 @@ class RoundTwelveSpec extends SparkTestBase {
       "the physically exported shard stream is not in the fingerprinted order")
     spark.catalog.clearCache()
   }
+
+  test("t56 PII scrub: the redacted text actually loses the planted " +
+    "spans (no residual @ or 555- anywhere), and the scrub is one " +
+    "narrow map stage — no exchange before the census sort") {
+    val docs = Tables.documents(spark, sf0001)
+    val email = "[a-z]+@[a-z]+[.][a-z]+"
+    val phone = "555-[0-9]+"
+    val scrub = docs.select(col("doc_id"),
+      when(col("doc_id") % 6 === 1,
+        concat(col("text"), lit(" reach me at "),
+          element_at(split(col("text"), " "), 1), lit("@mail.test")))
+        .when(col("doc_id") % 6 === 2,
+          concat(col("text"), lit(" or call 555-0"),
+            (col("doc_id") % 100).cast("string")))
+        .otherwise(col("text")).as("t"))
+      .select(col("doc_id"),
+        regexp_replace(regexp_replace(col("t"), email, "[EMAIL]"),
+          phone, "[PHONE]").as("clean"))
+    assert(scrub.filter(col("clean").contains("@") ||
+      col("clean").rlike("555-[0-9]")).count() == 0,
+      "residual PII survived the redaction pass")
+    assert(scrub.filter(col("clean").contains("[EMAIL]")).count() > 0 &&
+      scrub.filter(col("clean").contains("[PHONE]")).count() > 0,
+      "no planted span was redacted — drill is vacuous")
+    val shuffles = castToImpl(scrub).queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty, "the scrub pass shuffles corpus text")
+  }
 }
