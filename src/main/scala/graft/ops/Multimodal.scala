@@ -832,5 +832,146 @@ object Multimodal {
       .orderBy("phase")
   }
 
-  val defs: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11)
+  /** d68 — CROSS-SURFACE TAKEDOWN ORCHESTRATION: the compliance capstone
+    * over the maintained-store program. A real takedown request names
+    * DOCUMENTS; the pipeline holds that document's traces on several
+    * independent surfaces (text dedup bands d53/d56, retrieval postings
+    * t53, media fingerprint bands + signatures m11), and a takedown that
+    * reaches some surfaces but not others is exactly the compliance hole
+    * d59's scaladoc warns about. d68 drives ONE tombstone set through
+    * every doc-keyed surface's own compaction machinery and emits the
+    * completeness census per surface: rows before, rows after, and —
+    * the invariant — rows still referencing a tombstoned doc after
+    * (hash-demanded 0 on every surface; the oracle derives all three
+    * numbers from doc sets independently, so a surface whose compaction
+    * missed rows fails on ITS census line). Note the media-band line
+    * carries build-scope capping (the cap was computed over the full
+    * corpus; compaction removes rows, it never re-caps) — mirrored
+    * exactly in the oracle's QUALIFY-at-build scope.
+    *
+    * Scale shape: each surface compacts with its own bucketed rewrite
+    * (tombstones broadcast); the census lines are one count per store.
+    * Four stores are built in-query — the bench wall is the setup, the
+    * marginal takedown cost is the four broadcast anti-joins. */
+  private val d68 = Q(
+    "d68_cross_surface_takedown",
+    s"""WITH docs AS (
+         SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       tsh AS (
+         SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+         FROM (SELECT doc_id, ws,
+                      unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+               FROM docs)),
+       ths AS (
+         SELECT doc_id, ('0x' || substring(md5(sh), 1, 8))::BIGINT AS h1,
+                ('0x' || substring(md5(sh), 9, 8))::BIGINT AS h2
+         FROM tsh),
+       tsig AS (
+         SELECT doc_id, seed, min(h1 + seed * h2) AS mh
+         FROM ths, (SELECT unnest(generate_series(0, 7)) AS seed) seeds
+         GROUP BY doc_id, seed),
+       tband AS MATERIALIZED (
+         SELECT doc_id, CAST(seed // 2 AS INT) AS band
+         FROM tsig GROUP BY doc_id, CAST(seed // 2 AS INT)),
+       post AS MATERIALIZED (
+         SELECT DISTINCT doc_id, word FROM (
+           SELECT doc_id, unnest(ws) AS word FROM docs) u WHERE len(word) > 0),
+       pa AS (
+         SELECT doc_id AS id, hex(encode(text)) AS hx,
+                octet_length(encode(text)) AS nb
+         FROM documents),
+       ga AS (
+         SELECT id, list_transform(generate_series(0, 64), p ->
+                  CASE WHEN nb > p*8
+                       THEN 16*(strpos('0123456789ABCDEF', substring(hx, p*16+1, 1))-1)
+                          + (strpos('0123456789ABCDEF', substring(hx, p*16+2, 1))-1)
+                       ELSE 0 END) AS px
+         FROM pa),
+       sa AS MATERIALIZED (
+         SELECT id, array_to_string(list_transform(generate_series(1, 64), i ->
+                  CASE WHEN px[i] > px[i+1] THEN '1' ELSE '0' END), '') AS sig
+         FROM ga),
+       ba AS MATERIALIZED (
+         SELECT id, b, substring(sig, b*16 + 1, 16) AS bits
+         FROM sa, (SELECT unnest(generate_series(0, 3)) AS b) bs
+         WHERE substring(sig, b*16 + 1, 16) <> '0000000000000000'
+         QUALIFY count(*) OVER (PARTITION BY b, substring(sig, b*16 + 1, 16)) <= 1000)
+       SELECT surface, n_before, n_after, n_tomb_after FROM (
+         SELECT 'text_bands' AS surface,
+                (SELECT count(*) FROM tband) AS n_before,
+                (SELECT count(*) FROM tband WHERE doc_id % 9 <> 4) AS n_after,
+                (SELECT count(*) FROM tband WHERE doc_id % 9 <> 4 AND doc_id % 9 = 4) AS n_tomb_after
+         UNION ALL
+         SELECT 'bm25_postings',
+                (SELECT count(*) FROM post),
+                (SELECT count(*) FROM post WHERE doc_id % 9 <> 4),
+                (SELECT count(*) FROM post WHERE doc_id % 9 <> 4 AND doc_id % 9 = 4)
+         UNION ALL
+         SELECT 'media_bands',
+                (SELECT count(*) FROM ba),
+                (SELECT count(*) FROM ba WHERE id % 9 <> 4),
+                (SELECT count(*) FROM ba WHERE id % 9 <> 4 AND id % 9 = 4)
+         UNION ALL
+         SELECT 'media_sigs',
+                (SELECT count(*) FROM pa),
+                (SELECT count(*) FROM pa WHERE id % 9 <> 4),
+                (SELECT count(*) FROM pa WHERE id % 9 <> 4 AND id % 9 = 4))
+       ORDER BY surface""") { (s, d) =>
+    import graft.ops.{Dedup, TextAnalysis}
+    val docs = Tables.documents(s, d)
+    val tombDoc = Dedup.reuse(docs.filter(col("doc_id") % 9 === 4)
+      .select(col("doc_id")))
+    val tombId = tombDoc.select(col("doc_id").as("id"))
+
+    // surface 1: the text dedup band index
+    val (buckets, _) = Dedup.lshBucketsAndShingles(docs, "doc_id", "text",
+      shingleWords = 3, bands = 4, rowsPerBand = 2)
+    val tText = "graft_band_xst_" +
+      graft.Scratch.dir("graft_band_xst").replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
+    Dedup.writeBandIndex(s, buckets, tText)
+    val cText = Dedup.compactBandIndex(s, tText, tombId, "xst")
+
+    // surface 2: the BM25 posting store
+    val tPost = TextAnalysis.writePostingStore(s,
+      TextAnalysis.postingsOf(docs), "post_xst")
+    val cPost = TextAnalysis.compactPostingStore(s, tPost, tombDoc, "post_xstc")
+
+    // surfaces 3+4: the media fingerprint stores (band index + signatures)
+    val cS = Dedup.reuse(sigs(docs.select(col("doc_id").as("id"),
+      encode(col("text"), "UTF-8").as("payload"))))
+    val tMedia = "graft_band_xsm_" +
+      graft.Scratch.dir("graft_band_xsm").replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
+    Dedup.writeBandIndex(s, bands(cS)
+      .select(col("b").as("band"), col("bits").as("band_key"), col("id")), tMedia)
+    val cMedia = Dedup.compactBandIndex(s, tMedia, tombId, "xsm")
+    val sigDir = graft.Scratch.dir("graft_xs_sigs")
+    cS.select(col("id"), col("si")).write.mode("overwrite").parquet(sigDir)
+    val cSigDir = graft.Scratch.dir("graft_xsc_sigs")
+    s.read.schema("id LONG, si ARRAY<BIGINT>").parquet(sigDir)
+      .join(broadcast(tombId), Seq("id"), "left_anti")
+      .distinct().write.mode("overwrite").parquet(cSigDir)
+
+    // the completeness census: per surface, before/after counts and the
+    // rows still referencing a tombstoned doc (the hash demands 0)
+    def census(surface: String, before: DataFrame, after: DataFrame,
+        key: String): DataFrame =
+      before.agg(count(lit(1)).as("n_before"))
+        .crossJoin(after.agg(count(lit(1)).as("n_after")))
+        .crossJoin(after.join(broadcast(
+          tombDoc.select(col("doc_id").as(key))), Seq(key))
+          .agg(count(lit(1)).as("n_tomb_after")))
+        .select(lit(surface).as("surface"), col("n_before"),
+          col("n_after"), col("n_tomb_after"))
+
+    census("text_bands", s.table(tText), s.table(cText), "id")
+      .unionByName(census("bm25_postings", s.table(tPost), s.table(cPost), "doc_id"))
+      .unionByName(census("media_bands", s.table(tMedia), s.table(cMedia), "id"))
+      .unionByName(census("media_sigs",
+        s.read.schema("id LONG, si ARRAY<BIGINT>").parquet(sigDir),
+        s.read.schema("id LONG, si ARRAY<BIGINT>").parquet(cSigDir), "id"))
+      .orderBy("surface")
+  }
+
+  val defs: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10,
+    m11, d68)
 }
