@@ -2649,7 +2649,57 @@ object TextAnalysis {
       .orderBy("phase", "query_id", "rank")
   }
 
+  /** t57 — PER-DOC DROP ATTRIBUTION: the explainability record a
+    * filter-chain audit asks for ("why was doc X dropped?"). p01's
+    * stage census answers in aggregate; production audits, appeal
+    * workflows, and filter-tuning ablations need the PER-DOCUMENT
+    * first-drop attribution: each doc carries the FIRST stage that
+    * rejected it (stage order is the pipeline contract — a doc failing
+    * two gates is attributed to the one that actually dropped it), or
+    * 'kept'. Three representative cheap gates, thresholds pinned after
+    * measuring the corpus (tokens 10–100 median ~55, TTR 0.27–0.6
+    * median 0.45, stopword ratio median 0.06): too_short (< 20 tokens),
+    * repetitive (type-token ratio < 0.40), low_stopword (< 0.04). Every
+    * ratio gate is a CROSS-MULTIPLIED integer comparison
+    * (nd·10⁶ < 400000·n), so there is no division-rounding hazard
+    * cross-engine — the d37 exact-bucketing discipline on predicates.
+    *
+    * Scale shape: one map-side pass over the corpus scan (split, three
+    * counters, one CASE); the only exchange is the census ORDER BY. */
+  private val t57 = Q(
+    "t57_drop_attribution",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       m AS (
+         SELECT doc_id,
+                CAST(len(w) AS BIGINT) AS n_tokens,
+                CAST(len(list_distinct(w)) AS BIGINT) AS nd,
+                CAST(len(list_filter(w, x -> x IN ('the','of','and','to','a',
+                  'in','is','it','for','on'))) AS BIGINT) AS sw
+         FROM d)
+       SELECT doc_id, n_tokens,
+              CASE WHEN n_tokens < 20 THEN 'too_short'
+                   WHEN nd * 1000000 < 400000 * n_tokens THEN 'repetitive'
+                   WHEN sw * 1000000 < 40000 * n_tokens THEN 'low_stopword'
+                   ELSE 'kept' END AS reason
+       FROM m ORDER BY doc_id""") { (s, d) =>
+    val stop = Seq("the", "of", "and", "to", "a", "in", "is", "it", "for", "on")
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text"), "whitespace").as("w"))
+      .select(col("doc_id"),
+        size(col("w")).cast(LongType).as("n_tokens"),
+        size(array_distinct(col("w"))).cast(LongType).as("nd"),
+        size(filter(col("w"), x => x.isin(stop.map(v => v: Any): _*)))
+          .cast(LongType).as("sw"))
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("n_tokens") < 20, "too_short")
+          .when(col("nd") * 1000000L < col("n_tokens") * 400000L, "repetitive")
+          .when(col("sw") * 1000000L < col("n_tokens") * 40000L, "low_stopword")
+          .otherwise("kept").as("reason"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
     t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
-    t25, t26, t27, t28, t29, t32, t33, t34, t35, t38, t41, t42, t51, t53)
+    t25, t26, t27, t28, t29, t32, t33, t34, t35, t38, t41, t42, t51, t53,
+    t57)
 }

@@ -608,4 +608,21 @@ class RoundTwelveSpec extends SparkTestBase {
     }
     assert(shuffles.isEmpty, "the scrub pass shuffles corpus text")
   }
+
+  test("t57 drop attribution: every gate actually attributes documents " +
+    "(no vacuous stage), first-drop-wins holds (a too-short repetitive " +
+    "doc is attributed to too_short), and the corpus is covered exactly " +
+    "once") {
+    val out = SparkEntry.queries("t57_drop_attribution")(spark, sf0001).collect()
+    val byReason = out.groupBy(_.getString(2)).map { case (k, v) => k -> v.length }
+    assert(byReason.keySet == Set("kept", "too_short", "repetitive", "low_stopword"),
+      s"missing attribution classes: $byReason")
+    assert(byReason.values.forall(_ > 0))
+    assert(out.length == Tables.documents(spark, sf0001).count(),
+      "attribution does not cover the corpus exactly once")
+    // first-drop-wins: every too-short doc is attributed too_short even
+    // when later gates would also fire
+    assert(out.filter(_.getLong(1) < 20).forall(_.getString(2) == "too_short"),
+      "a short doc escaped the first gate's attribution")
+  }
 }
