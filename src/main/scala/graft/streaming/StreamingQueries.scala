@@ -2870,9 +2870,196 @@ object StreamingQueries {
   /** Catalog path of the most recent s38 run (test-only introspection). */
   @volatile private[graft] var s38Catalog: String = _
 
+  /** s39 — s34's maintained-index streaming quartet on the COMPRESSED
+    * layout (d63's IVF-PQ store): every micro-batch resolves the
+    * current generation through the catalog, anti-joins the current
+    * tombstones, runs the full funnel probe (ADC over codes in the
+    * query's cell, exact refine via id-keyed corpus fetch), then
+    * APPENDS its own vectors as codes — encode is map-side against the
+    * FROZEN anchors + codebook (both index structure; s37 owns the
+    * re-train story). The maintenance window runs takedown →
+    * compactIvfPqIndex (carrying wave-0's appended codes) → atomic
+    * publish → tombstone clear; wave 1 probes generation 2 unfiltered,
+    * still retrieves wave-0 vectors, and removed vectors are gone. The
+    * oracle replays both waves' ADC + refine over the exact live
+    * populations, so a stale generation handle, a dropped append, or a
+    * resurrected tombstone is a hash mismatch on integer distances. */
+  private val s39 = Q(
+    "s39_stream_ivfpq_maintained_index",
+    """WITH e AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+         FROM embeddings),
+       n AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2 FROM e),
+       cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+       scored AS (
+         SELECT n.vec_id, n.v, n.n2, c.cent_id,
+                row_number() OVER (PARTITION BY n.vec_id
+                  ORDER BY CAST(list_sum(list_transform(generate_series(1, 64), i -> n.v[i] * c.cv[i])) AS BIGINT) DESC,
+                           c.cent_id) AS rn
+         FROM n, cents c),
+       assign AS MATERIALIZED (
+         SELECT vec_id, v, n2, cent_id AS cell FROM scored WHERE rn = 1),
+       subs AS (SELECT unnest(generate_series(0, 7)) AS s),
+       vs AS (SELECT vec_id, s, list_slice(v, s * 8 + 1, s * 8 + 8) AS sv
+              FROM e CROSS JOIN subs),
+       cbs AS MATERIALIZED (SELECT vec_id AS code, s, sv AS cv FROM vs WHERE vec_id < 64),
+       enc AS MATERIALIZED (
+         SELECT vec_id, s, code FROM (
+           SELECT v.vec_id, v.s, c.code,
+                  row_number() OVER (PARTITION BY v.vec_id, v.s
+                    ORDER BY CAST(list_sum(list_transform(generate_series(1, 8),
+                               i -> (v.sv[i] - c.cv[i]) * (v.sv[i] - c.cv[i]))) AS BIGINT) ASC,
+                             c.code) AS rn
+           FROM vs v JOIN cbs c ON v.s = c.s) t WHERE rn = 1),
+       tombv AS (SELECT vec_id FROM e WHERE vec_id % 10 <> 5 AND vec_id % 7 = 3),
+       idx0 AS (SELECT vec_id FROM e WHERE vec_id % 10 <> 5),
+       idx1 AS (SELECT vec_id FROM e
+                WHERE (vec_id % 10 <> 5 AND vec_id NOT IN (SELECT vec_id FROM tombv))
+                   OR vec_id % 20 = 5),
+       qa AS MATERIALIZED (
+         SELECT CAST(CASE WHEN vec_id % 20 = 5 THEN 0 ELSE 1 END AS BIGINT) AS wave,
+                vec_id AS qid, cell, v AS qv, n2 AS qn2
+         FROM assign WHERE vec_id % 10 = 5),
+       qs AS MATERIALIZED (SELECT vec_id AS qid, s, sv FROM vs WHERE vec_id % 10 = 5),
+       adc AS MATERIALIZED (
+         SELECT qa.wave, qa.qid, qa.cell, en.vec_id AS cid,
+                CAST(sum(list_sum(list_transform(generate_series(1, 8),
+                  i -> (q.sv[i] - c.cv[i]) * (q.sv[i] - c.cv[i])))) AS BIGINT) AS ad
+         FROM qa
+         JOIN assign ca ON ca.cell = qa.cell AND ca.vec_id <> qa.qid
+         JOIN idx0 i0 ON qa.wave = 0 AND i0.vec_id = ca.vec_id
+         JOIN enc en ON en.vec_id = ca.vec_id
+         JOIN qs q ON q.qid = qa.qid AND q.s = en.s
+         JOIN cbs c ON c.s = en.s AND c.code = en.code
+         GROUP BY qa.wave, qa.qid, qa.cell, en.vec_id
+         UNION ALL
+         SELECT qa.wave, qa.qid, qa.cell, en.vec_id AS cid,
+                CAST(sum(list_sum(list_transform(generate_series(1, 8),
+                  i -> (q.sv[i] - c.cv[i]) * (q.sv[i] - c.cv[i])))) AS BIGINT) AS ad
+         FROM qa
+         JOIN assign ca ON ca.cell = qa.cell AND ca.vec_id <> qa.qid
+         JOIN idx1 i1 ON qa.wave = 1 AND i1.vec_id = ca.vec_id
+         JOIN enc en ON en.vec_id = ca.vec_id
+         JOIN qs q ON q.qid = qa.qid AND q.s = en.s
+         JOIN cbs c ON c.s = en.s AND c.code = en.code
+         GROUP BY qa.wave, qa.qid, qa.cell, en.vec_id),
+       cand AS (
+         SELECT wave, qid, cell, cid, ad FROM (
+           SELECT wave, qid, cell, cid, ad,
+                  row_number() OVER (PARTITION BY wave, qid ORDER BY ad ASC, cid) AS rk
+           FROM adc) t WHERE rk <= 10),
+       refined AS (
+         SELECT cand.wave, cand.qid, cand.cell, cand.cid, cand.ad,
+                qa.qn2 + c.n2 - 2 * CAST(list_sum(list_transform(generate_series(1, 64),
+                  i -> qa.qv[i] * c.v[i])) AS BIGINT) AS d2
+         FROM cand
+         JOIN qa ON qa.qid = cand.qid AND qa.wave = cand.wave
+         JOIN n c ON c.vec_id = cand.cid)
+       SELECT wave, qid, cell, cid, CAST(rank AS BIGINT) AS rank, ad, d2
+       FROM (SELECT wave, qid, cell, cid, ad, d2,
+                    row_number() OVER (PARTITION BY wave, qid ORDER BY d2 ASC, cid) AS rank
+             FROM refined) t
+       WHERE rank <= 3 ORDER BY wave, qid, rank""") { (s, d) =>
+    import graft.ops.{Dedup, Incremental, Similarity}
+    import graft.ops.Similarity.{norm2Q, quantize}
+    graft.functions.LongDot.register(s)
+    graft.functions.LongL2.register(s)
+    graft.plans.TopKPerGroup.install(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("n2", norm2Q(col("v")))
+    // anchors + codebook are FROZEN index structure (s37 owns re-train)
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val cb = Similarity.pqCodebook(e)
+    val assign = Dedup.reuse(Similarity.ivfAssignAgainst(e, cents))
+    val encAll = assign.withColumn("codes", Similarity.pqCodesCol(cb))
+    val idxGen1 = Similarity.writeIvfPqIndex(
+      s, encAll.filter(col("vec_id") % 10 =!= 5), "ivfpq_s39")
+    val cat = graft.Scratch.dir("graft_s39_cat") + "/index.catalog"
+    Incremental.publishCatalog(cat, Seq(idxGen1))
+    s39Catalog = cat
+    val tombDir = graft.Scratch.dir("graft_s39_tomb")
+    e.select(col("vec_id")).limit(0).write.mode("overwrite").parquet(tombDir)
+    val corpus = e.select(col("vec_id").as("cid"), col("v").as("cv"),
+      col("n2").as("cn2"))
+    val watched = graft.Scratch.dir("graft_s39_watched")
+    val outDir = graft.Scratch.dir("graft_s39_out")
+    val ckpt = graft.Scratch.dir("graft_s39_ckpt")
+    val s39NonEmpty = new java.util.concurrent.atomic.AtomicLong(0L)
+    (0 to 1).foreach { b =>
+      val tmp = graft.Scratch.dir(s"graft_s39_wave$b")
+      Tables.embeddings(s, d).filter(col("vec_id") % 20 === lit(5L + 10L * b))
+        .select(col("vec_id"), col("embedding"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(watched, s"arrival$b.parquet").toPath)
+      val q = s.readStream
+        .schema(StructType(Seq(StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType)))))
+        .parquet(watched)
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!batch.isEmpty) {
+            require(s39NonEmpty.getAndIncrement() == b.toLong,
+              s"s39 wave $b saw a second non-empty micro-batch ($batchId): " +
+                "one-file-one-batch broken")
+            val idxTable = Incremental.resolveCatalog(cat, expect = 1).head
+            val tomb = s.read.schema("vec_id LONG").parquet(tombDir)
+            val bAssign = Similarity.ivfAssignAgainst(
+              batch.toDF()
+                .select(col("vec_id"), quantize(col("embedding")).as("v"))
+                .withColumn("n2", norm2Q(col("v"))),
+              cents).localCheckpoint(true)
+            val liveIdx = s.table(idxTable)
+              .join(broadcast(tomb.select(col("vec_id").as("cid"))),
+                Seq("cid"), "left_anti")
+            // the full funnel against the compressed store: ADC from
+            // codes in-cell, exact refine via the id-keyed corpus fetch
+            Similarity.probeIvfPqTopK(liveIdx,
+                bAssign.select(col("vec_id").as("qid"), col("cell").as("qcell"),
+                  Similarity.pqLutCol(cb).as("lut")),
+                bAssign.select(col("vec_id").as("qid"), col("v").as("qv"),
+                  col("n2").as("qn2")),
+                corpus, kAdc = 10, k = 3)
+              .select(lit(b.toLong).as("wave"), col("qid"), col("cell"),
+                col("cid"), col("rank"), col("ad"), col("d2"))
+              .write.mode("append").parquet(outDir)
+            // probe-then-append (nothing ranks against itself), encode
+            // map-side against the frozen structures
+            Similarity.appendIvfPqIndex(s,
+              bAssign.withColumn("codes", Similarity.pqCodesCol(cb)), idxTable)
+          }
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      if (b == 0) {
+        // maintenance window: takedown → compaction (wave-0 codes
+        // carried) → atomic publish → tombstone clear
+        e.filter(col("vec_id") % 10 =!= 5 && col("vec_id") % 7 === 3)
+          .select("vec_id").write.mode("overwrite").parquet(tombDir)
+        val cur = Incremental.resolveCatalog(cat, expect = 1).head
+        val idxGen2 = Similarity.compactIvfPqIndex(s, cur,
+          s.read.schema("vec_id LONG").parquet(tombDir), "ivfpq_s39c")
+        Incremental.publishCatalog(cat, Seq(idxGen2))
+        e.select(col("vec_id")).limit(0).write.mode("overwrite").parquet(tombDir)
+      }
+    }
+    s.read.parquet(outDir).orderBy("wave", "qid", "rank")
+  }
+
+  /** Catalog path of the most recent s39 run (test-only introspection). */
+  @volatile private[graft] var s39Catalog: String = _
+
   val defs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
     s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25,
-    s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38)
+    s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38, s39)
 }
 
 /** s11's StatefulProcessor: cumulative (event count, value cents) per

@@ -625,4 +625,30 @@ class RoundTwelveSpec extends SparkTestBase {
     assert(out.filter(_.getLong(1) < 20).forall(_.getString(2) == "too_short"),
       "a short doc escaped the first gate's attribution")
   }
+
+  test("s39 streaming IVF-PQ: a wave-0 vector ingested as CODES is " +
+    "retrievable through the compaction swap, tombstoned vectors held " +
+    "wave-0 slots and leave every wave-1 result, and generation 2 " +
+    "stays codes-only") {
+    import ops.Incremental
+    val out = SparkEntry.queries("s39_stream_ivfpq_maintained_index")(
+      spark, sf0001).collect()
+    val w0 = out.filter(_.getLong(0) == 0L).map(_.getLong(3))
+    val w1 = out.filter(_.getLong(0) == 1L).map(_.getLong(3))
+    assert(w0.nonEmpty && w1.nonEmpty)
+    assert(w1.exists(_ % 20 == 5),
+      "no wave-0 ingested vector reached a wave-1 funnel top-3 — " +
+        "in-stream code appends are invisible")
+    assert(w0.exists(id => id % 10 != 5 && id % 7 == 3),
+      "no tombstoned vector held a wave-0 slot — takedown drill vacuous")
+    assert(!w1.exists(id => id % 10 != 5 && id % 7 == 3),
+      "a tombstoned vector survived into wave 1")
+    val gen2 = Incremental.resolveCatalog(
+      streaming.StreamingQueries.s39Catalog, expect = 1).head
+    assert(spark.table(gen2).schema.fieldNames.toSet == Set("cell", "cid", "codes"),
+      "the compacted generation is not codes-only")
+    assert(spark.table(gen2).filter(col("cid") % 20 === 5).count() > 0,
+      "wave-0 code appends were dropped by the swap")
+    spark.catalog.clearCache()
+  }
 }
