@@ -16,6 +16,13 @@ object Scratch {
     d.toString
   }
 
+  /** A unique lowercase suffix for minting table names. Pure name
+    * uniquifier — no filesystem side effects and no shutdown hook,
+    * unlike [[dir]] (ADVICE r11: minting a name via `dir` created a
+    * throwaway temp directory and registered a hook per call). */
+  def nameTag(): String =
+    java.util.UUID.randomUUID().toString.replaceAll("-", "")
+
   def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit

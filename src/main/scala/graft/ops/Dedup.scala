@@ -1578,7 +1578,7 @@ object Dedup {
     // per-run table name (the d33 rule): a fixed name collides across
     // concurrent sessions sharing a metastore and outlives the query
     val table = "graft_band_index_" +
-      graft.Scratch.dir("graft_band_index").replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
+      graft.Scratch.nameTag()
     writeBandIndex(s, buckets.filter(!isNew), table)
     probeBandIndex(s, table, buckets.filter(isNew))
   }
@@ -1653,7 +1653,7 @@ object Dedup {
   def migrateBandIndex(s: org.apache.spark.sql.SparkSession,
       table: String, nBuckets: Int, tag: String): String = {
     val newTable = s"graft_band_index_${tag}_" +
-      graft.Scratch.dir(s"graft_bi_$tag").replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
+      graft.Scratch.nameTag()
     val dir = graft.Scratch.dir(s"graft_$newTable")
     s.table(table)
       .select(col("bk"), col("id")).distinct()
@@ -1675,7 +1675,7 @@ object Dedup {
   def compactBandIndex(s: org.apache.spark.sql.SparkSession,
       table: String, tomb: DataFrame, tag: String): String = {
     val newTable = s"graft_band_index_${tag}_" +
-      graft.Scratch.dir(s"graft_bi_$tag").replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
+      graft.Scratch.nameTag()
     val dir = graft.Scratch.dir(s"graft_$newTable")
     s.table(table)
       .join(broadcast(tomb.select(col("id"))), Seq("id"), "left_anti")
@@ -3364,7 +3364,7 @@ object Dedup {
     val isWave1 = col("id") % 7 === 3
     val isWave2 = col("id") % 7 === 5
     val table = "graft_band_index_upd_" +
-      graft.Scratch.dir("graft_band_index_upd").replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
+      graft.Scratch.nameTag()
     // day 0: index the base corpus; day 1: APPEND the ingested batch
     writeBandIndex(s, buckets.filter(!isWave1 && !isWave2), table)
     appendBandIndex(s, buckets.filter(isWave1), table)
@@ -3689,7 +3689,7 @@ object Dedup {
     val isWave1 = col("id") % 7 === 3
     val isWave2 = col("id") % 7 === 5
     val t1 = "graft_band_mig_" +
-      graft.Scratch.dir("graft_band_mig").replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
+      graft.Scratch.nameTag()
     writeBandIndexN(s, buckets.filter(!isWave1 && !isWave2), t1, 8)
     val cat = graft.Scratch.dir("graft_d64_cat") + "/store.catalog"
     graft.ops.Incremental.publishCatalog(cat, Seq(t1, "8"))
@@ -3793,7 +3793,7 @@ object Dedup {
     val (buckets, _) = lshBucketsAndShingles(docs, "doc_id", "text",
       shingleWords = 3, bands = 4, rowsPerBand = 2)
     val t1 = "graft_band_grw_" +
-      graft.Scratch.dir("graft_band_grw").replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
+      graft.Scratch.nameTag()
     writeBandIndexN(s, buckets, t1, 8)
     val cat = graft.Scratch.dir("graft_d65_cat") + "/store.catalog"
     graft.ops.Incremental.publishCatalog(cat, Seq(t1, "8"))
@@ -3942,7 +3942,7 @@ object Dedup {
     val isTomb = col("id") % 7 === 3
     val isProbe = col("id") % 7 === 5
     val t1 = "graft_band_tt_" +
-      graft.Scratch.dir("graft_band_tt").replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
+      graft.Scratch.nameTag()
     writeBandIndex(s, buckets.filter(!isProbe), t1)
     val cat = graft.Scratch.dir("graft_d66_cat") + "/store.catalog"
     graft.ops.Incremental.publishCatalogVersioned(cat, Seq(t1))
@@ -4053,7 +4053,7 @@ object Dedup {
     val isBatch = col("id") % 7 === 3
     val isProbe = col("id") % 7 === 5
     val t1 = "graft_band_rgc_" +
-      graft.Scratch.dir("graft_band_rgc").replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
+      graft.Scratch.nameTag()
     writeBandIndex(s, buckets.filter(!isBatch && !isProbe), t1)
     // the crash-retry plant: one ingest batch lands TWICE, so the
     // census's residue term is non-zero and the count is verified

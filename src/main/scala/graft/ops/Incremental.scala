@@ -138,7 +138,7 @@ object Incremental {
   def initStores(s: SparkSession, corpus: DataFrame,
       prefix: String): (String, String, String) = {
     val idxTable = s"graft_band_index_${prefix}_" +
-      graft.Scratch.dir(s"graft_bi_$prefix").replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
+      graft.Scratch.nameTag()
     val exDir = graft.Scratch.dir(s"graft_${prefix}_exact")
     val shDir = graft.Scratch.dir(s"graft_${prefix}_shingles")
     val (cb, cs) = Dedup.lshBucketsAndShingles(
@@ -556,7 +556,7 @@ object Incremental {
   def initOwnedStores(s: SparkSession, corpus: DataFrame,
       tag: String): (String, String, String) = {
     val idxTable = s"graft_band_index_${tag}_" +
-      graft.Scratch.dir(s"graft_bi_$tag").replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
+      graft.Scratch.nameTag()
     val exDir = graft.Scratch.dir(s"graft_${tag}_exact")
     val shDir = graft.Scratch.dir(s"graft_${tag}_shingles")
     val (cb, cs) = Dedup.lshBucketsAndShingles(
@@ -987,7 +987,11 @@ object Incremental {
             org.apache.spark.sql.catalyst.TableIdentifier(h)).location
           s.sql(s"DROP TABLE `$h`")
           graft.Scratch.deleteRecursively(new java.io.File(loc))
-        } else {
+        } else if (new java.io.File(h).isAbsolute) {
+          // Only an ABSOLUTE path is a filesystem handle; anything else
+          // is scalar metadata (d64's bucket counts "8"/"32", schema
+          // tags) and must be skipped — `File("8").isDirectory` against
+          // the process CWD was the ADVICE-r11 deletion hazard.
           val f = new java.io.File(h)
           if (f.isDirectory) graft.Scratch.deleteRecursively(f)
         }

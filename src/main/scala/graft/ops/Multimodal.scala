@@ -787,7 +787,7 @@ object Multimodal {
     // stores; payloads end at this map stage
     val cS = Dedup.reuse(sigs(corpus))
     val idxTable = "graft_band_index_m11_" +
-      graft.Scratch.dir("graft_bi_m11").replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
+      graft.Scratch.nameTag()
     Dedup.writeBandIndex(s, bands(cS)
       .select(col("b").as("band"), col("bits").as("band_key"), col("id")), idxTable)
     val sigDir = graft.Scratch.dir("graft_m11_sigs")
@@ -927,7 +927,7 @@ object Multimodal {
     val (buckets, _) = Dedup.lshBucketsAndShingles(docs, "doc_id", "text",
       shingleWords = 3, bands = 4, rowsPerBand = 2)
     val tText = "graft_band_xst_" +
-      graft.Scratch.dir("graft_band_xst").replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
+      graft.Scratch.nameTag()
     Dedup.writeBandIndex(s, buckets, tText)
     val cText = Dedup.compactBandIndex(s, tText, tombId, "xst")
 
@@ -940,7 +940,7 @@ object Multimodal {
     val cS = Dedup.reuse(sigs(docs.select(col("doc_id").as("id"),
       encode(col("text"), "UTF-8").as("payload"))))
     val tMedia = "graft_band_xsm_" +
-      graft.Scratch.dir("graft_band_xsm").replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
+      graft.Scratch.nameTag()
     Dedup.writeBandIndex(s, bands(cS)
       .select(col("b").as("band"), col("bits").as("band_key"), col("id")), tMedia)
     val cMedia = Dedup.compactBandIndex(s, tMedia, tombId, "xsm")

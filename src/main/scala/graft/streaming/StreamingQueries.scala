@@ -678,7 +678,7 @@ object StreamingQueries {
     // per-run table name (the d33 rule): fixed names collide across
     // concurrent sessions sharing a metastore
     val idxTable = "graft_band_index_s16_" +
-      graft.Scratch.dir("graft_bi_s16").replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
+      graft.Scratch.nameTag()
     Dedup.writeBandIndex(s, corpusBuckets, idxTable)
     val outDir = graft.Scratch.dir("graft_s16_sink")
     val schema = StructType(Seq(
@@ -1605,7 +1605,7 @@ object StreamingQueries {
     val (corpusBuckets, corpusShingles) = Dedup.lshBucketsAndShingles(
       corpus, "doc_id", "text", shingleWords = 3, bands = 4, rowsPerBand = 2)
     val idxTable = "graft_band_index_s30_" +
-      graft.Scratch.dir("graft_bi_s30").replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
+      graft.Scratch.nameTag()
     Dedup.writeBandIndex(s, corpusBuckets, idxTable)
     val benchSet = chunkHashes(docsStatic.filter(col("doc_id") % 13 === 7))
       .select(col("chunk_hash").as("bh")).distinct()
@@ -2200,7 +2200,7 @@ object StreamingQueries {
     // store build: ONE signature pass feeds both stores (the m11 build)
     val cS = Dedup.reuse(Multimodal.sigs(corpus))
     val idxTable = "graft_band_index_s35_" +
-      graft.Scratch.dir("graft_bi_s35").replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
+      graft.Scratch.nameTag()
     Dedup.writeBandIndex(s, Multimodal.bands(cS)
       .select(col("b").as("band"), col("bits").as("band_key"), col("id")), idxTable)
     val sigDir = graft.Scratch.dir("graft_s35_sigs")
@@ -2323,7 +2323,7 @@ object StreamingQueries {
 
     val cS = Dedup.reuse(Multimodal.sigs(corpus))
     val idx1 = "graft_band_index_s36_" +
-      graft.Scratch.dir("graft_bi_s36").replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
+      graft.Scratch.nameTag()
     Dedup.writeBandIndex(s, Multimodal.bands(cS)
       .select(col("b").as("band"), col("bits").as("band_key"), col("id")), idx1)
     val sig1 = graft.Scratch.dir("graft_s36_sigs")
