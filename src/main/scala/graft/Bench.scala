@@ -52,7 +52,18 @@ object Bench {
     val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+    println(json)
+    // The driver's tail-capture clipped the r11 stdout line (70 queries →
+    // one ~3 KB line) and its artifact parsed null. Persist the same JSON
+    // to a file as well (the CORRECTNESS_SELF discipline) so the round's
+    // bench number survives any stdout truncation.
+    val selfPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_SELF", "BENCH_SELF.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(selfPath),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    catch { case e: Throwable =>
+      Console.err.println(s"bench self-artifact write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -4087,7 +4087,146 @@ object Dedup {
   /** Catalog path of the most recent d67 run (test-only introspection). */
   @volatile private[graft] var d67Catalog: String = _
 
+  /** A NEW band-index generation = an existing stored generation plus an
+    * ingested batch's band keys — the ingest update under Iceberg-style
+    * immutable-generation discipline (d69's publisher A): the current
+    * generation's files are never touched, so a lost CAS race abandons a
+    * table, never corrupts one. Same bucketBy(8, bk) spec → the
+    * exchange-free probe layout survives the swap. */
+  def cloneBandIndexWithBatch(s: org.apache.spark.sql.SparkSession,
+      table: String, batchBuckets: DataFrame, tag: String): String = {
+    val newTable = s"graft_band_index_${tag}_" + graft.Scratch.nameTag()
+    val dir = graft.Scratch.dir(s"graft_$newTable")
+    s.table(table)
+      .unionByName(batchBuckets.select(bandKey.as("bk"), col("id")))
+      .distinct()
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "bk").sortBy("bk")
+      .option("path", s"$dir/band_index").saveAsTable(newTable)
+    newTable
+  }
+
+  /** d69 — OPTIMISTIC-CONCURRENCY CATALOG COMMIT: the multi-writer story
+    * for every maintained store. A real deployment has ingest,
+    * compaction, and re-train jobs publishing CONCURRENTLY against one
+    * catalog; under plain last-writer-wins publish one of them silently
+    * loses its update (the r11 verdict's top gap). The commit becomes a
+    * compare-and-swap on the d66 version machinery
+    * ([[graft.ops.Incremental.publishCatalogCas]]): each publisher
+    * carries the version it based its update on, exactly one racer wins
+    * each version (atomic hard-link claim), and the loser re-reads the
+    * winner's generation, RE-APPLIES its change on top, and retries —
+    * so BOTH updates survive, serialized instead of clobbered.
+    *
+    * This run drills the deterministic interleave (both publishers base
+    * on v1; ingest commits v2; compaction's stale commit CONFLICTS, is
+    * re-applied against v2, commits v3); the genuinely concurrent
+    * thread race and the plain-publish lost-update anomaly are drilled
+    * in RoundThirteenSpec. Every branch is hash-checked: the conflict
+    * event, both committed versions, and the final census — which
+    * equals base ∪ batch minus tombstones only if NEITHER update was
+    * lost (ingest-lost drops the batch docs; compaction-lost leaves the
+    * tombstoned docs). Disjoint plants (batch = doc_id%7=3, tombstones
+    * = doc_id%7=1) make the final set order-independent, which is what
+    * makes the race's outcome deterministic and oracle-checkable. */
+  private val d69 = Q(
+    "d69_cas_catalog_commit",
+    """WITH docs AS (
+         SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       sh AS (
+         SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+         FROM (SELECT doc_id, ws,
+                      unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+               FROM docs)),
+       hs AS (
+         SELECT doc_id, ('0x' || substring(md5(sh), 1, 8))::BIGINT AS h1,
+                ('0x' || substring(md5(sh), 9, 8))::BIGINT AS h2
+         FROM sh),
+       sig AS (
+         SELECT doc_id, seed, min(h1 + seed * h2) AS mh
+         FROM hs, (SELECT unnest(generate_series(0, 7)) AS seed) seeds
+         GROUP BY doc_id, seed),
+       bands AS MATERIALIZED (
+         SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+                md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS band_key
+         FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)),
+       fin AS MATERIALIZED (
+         SELECT DISTINCT band, band_key, doc_id FROM bands
+         WHERE doc_id % 7 != 1),
+       census AS (
+         SELECT (SELECT count(*) FROM fin) AS n_rows,
+                (SELECT count(DISTINCT doc_id) FROM fin) AS n_docs,
+                (SELECT sum(doc_id) FROM (SELECT DISTINCT doc_id FROM fin)) AS sum_doc_ids)
+       SELECT step, attempt, committed_version, conflict, n_rows, n_docs, sum_doc_ids
+       FROM (
+         SELECT 'publish_ingest' AS step, CAST(1 AS BIGINT) AS attempt,
+                CAST(2 AS BIGINT) AS committed_version, false AS conflict,
+                CAST(0 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_docs,
+                CAST(0 AS BIGINT) AS sum_doc_ids
+         UNION ALL
+         SELECT 'publish_compact', 1, -1, true, 0, 0, 0
+         UNION ALL
+         SELECT 'publish_compact', 2, 3, false, 0, 0, 0
+         UNION ALL
+         SELECT 'final', 0, 3, false, CAST(n_rows AS BIGINT),
+                CAST(n_docs AS BIGINT), CAST(sum_doc_ids AS BIGINT)
+         FROM census)
+       ORDER BY step, attempt""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val (buckets, _) = lshBucketsAndShingles(docs, "doc_id", "text",
+      shingleWords = 3, bands = 4, rowsPerBand = 2)
+    val isBatch = col("id") % 7 === 3
+    val t1 = "graft_band_cas_" + graft.Scratch.nameTag()
+    writeBandIndex(s, buckets.filter(!isBatch), t1)
+    val cat = graft.Scratch.dir("graft_d69_cat") + "/store.catalog"
+    graft.ops.Incremental.publishCatalogVersioned(cat, Seq(t1))
+
+    val events = mutable.ArrayBuffer[(String, Long, Long, Boolean)]()
+    // BOTH publishers base their update on the same snapshot (v1) —
+    // the racing read that makes plain publish lose an update
+    val baseV = graft.ops.Incremental.currentCatalogVersion(cat)
+    val baseTable = graft.ops.Incremental.readCatalogVersion(cat, baseV).head
+
+    // publisher A (ingest): base ∪ batch as a NEW generation; its CAS
+    // against v1 wins v2
+    val tA = cloneBandIndexWithBatch(s, baseTable, buckets.filter(isBatch), "d69i")
+    val vA = graft.ops.Incremental.publishCatalogCas(cat, baseV, Seq(tA))
+    events += (("publish_ingest", 1L, vA.toLong, false))
+
+    // publisher B (compaction): computed against the SAME stale v1 —
+    // its CAS must fail loudly instead of silently erasing the ingest
+    val tomb = docs.filter(col("doc_id") % 7 === 1).select(col("doc_id").as("id"))
+    val tB = compactBandIndex(s, baseTable, tomb, "d69c")
+    try {
+      val v = graft.ops.Incremental.publishCatalogCas(cat, baseV, Seq(tB))
+      events += (("publish_compact", 1L, v.toLong, false))
+    } catch {
+      case _: graft.ops.Incremental.CatalogCasConflict =>
+        events += (("publish_compact", 1L, -1L, true))
+        // the retry protocol: re-read the winner's generation, re-apply
+        // the compaction ON TOP of it, commit — both updates survive
+        val (v2, _) = graft.ops.Incremental.commitCatalogCas(cat) { (_, curLines) =>
+          Seq(compactBandIndex(s, curLines.head, tomb, "d69r"))
+        }
+        events += (("publish_compact", 2L, v2.toLong, false))
+    }
+
+    val finV = graft.ops.Incremental.currentCatalogVersion(cat)
+    val fin = s.table(graft.ops.Incremental.readCatalogVersion(cat, finV).head)
+    val nRows = fin.count()
+    val ids = reuse(fin.select(col("id")).distinct())
+    val nDocs = ids.count()
+    val sumIds = ids.agg(sum(col("id"))).head.getLong(0)
+
+    import s.implicits._
+    (events.toSeq.map { case (st, at, v, c) => (st, at, v, c, 0L, 0L, 0L) } :+
+      (("final", 0L, finV.toLong, false, nRows, nDocs, sumIds)))
+      .toDF("step", "attempt", "committed_version", "conflict",
+        "n_rows", "n_docs", "sum_doc_ids")
+      .orderBy("step", "attempt")
+  }
+
   val defs: Seq[Q] = Seq(d01, d02, d03, d04, d08, d09, d10, d11, d13, d15,
     d17, d18, d20, d21, d22, d23, d27, d28, d31, d34, d36, d37, d38, d39,
-    d41, d42, d43, d44, d49, d50, d53, d54, d55, d64, d65, d66, d67)
+    d41, d42, d43, d44, d49, d50, d53, d54, d55, d64, d65, d66, d67, d69)
 }

@@ -921,6 +921,111 @@ object Incremental {
     v
   }
 
+  // ------------------------------------- optimistic-concurrency commit
+  // d69: publishCatalogVersioned is single-publisher by contract — two
+  // racing publishers degrade to last-writer-wins and one UPDATE IS
+  // LOST (ingest's append vanishes under compaction's publish, or vice
+  // versa). A 100 TB deployment has ingest, compaction, and re-train
+  // jobs publishing concurrently, so the commit must be a COMPARE-AND-
+  // SWAP: the publisher carries the version it based its update on, and
+  // the commit fails loudly when the catalog moved — the caller
+  // re-reads the new current generation, re-applies its change ON TOP,
+  // and retries (the Iceberg optimistic-commit protocol). The atomic
+  // claim primitive is `Files.createLink` on the next history version:
+  // hard-link creation is atomic and fails with FileAlreadyExists when
+  // a rival claimed the slot first — no lock file, no coordinator, and
+  // it works across JVMs sharing the filesystem, which is exactly the
+  // multi-job deployment shape.
+
+  /** A CAS publish lost its race: the catalog moved past the version the
+    * publisher based its update on. Re-read, re-apply, retry. */
+  final class CatalogCasConflict(val path: String, val expected: Int, val found: Int)
+    extends RuntimeException(
+      s"catalog $path moved: publish expected current version v$expected, found v$found")
+
+  /** Current committed version (0 = never published). The HISTORY is the
+    * authority — the pointer file is a read-optimized cache of it. */
+  def currentCatalogVersion(path: String): Int =
+    catalogVersions(path).lastOption.getOrElse(0)
+
+  /** Raw line list of a recorded generation (no `expect` guard — CAS
+    * callers re-apply structural updates and validate themselves). */
+  def readCatalogVersion(path: String, version: Int): Seq[String] = {
+    val hist = historyDir(path).resolve(f"v$version%05d")
+    require(java.nio.file.Files.exists(hist),
+      s"catalog generation v$version at $path is gone")
+    scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(hist)).asScala.toSeq
+  }
+
+  /** Compare-and-swap publish: commits `lines` as generation
+    * `expectedVersion + 1` IFF the catalog is still at
+    * `expectedVersion`; throws [[CatalogCasConflict]] otherwise. The
+    * claim is atomic (hard-link onto the version slot), so of N racing
+    * publishers exactly one wins each version — a lost update is
+    * impossible, only a retried one. Returns the committed version. */
+  def publishCatalogCas(path: String, expectedVersion: Int, lines: Seq[String]): Int = {
+    val hd = historyDir(path)
+    java.nio.file.Files.createDirectories(hd)
+    val current = currentCatalogVersion(path)
+    if (current != expectedVersion)
+      throw new CatalogCasConflict(path, expectedVersion, current)
+    val v = expectedVersion + 1
+    val hist = hd.resolve(f"v$v%05d")
+    val tmp = hd.resolve(f"v$v%05d.tmp." + java.util.UUID.randomUUID())
+    java.nio.file.Files.write(tmp,
+      lines.mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try java.nio.file.Files.createLink(hist, tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        // a rival claimed v between our check and our link — same
+        // conflict, detected one step later
+        java.nio.file.Files.delete(tmp)
+        throw new CatalogCasConflict(path, expectedVersion, v)
+    } finally {
+      java.nio.file.Files.deleteIfExists(tmp): Unit
+    }
+    syncCatalogPointer(path)
+    v
+  }
+
+  /** Re-derives the pointer file from the LATEST history version, looping
+    * until the write landed for the version that is still latest. The
+    * pointer is a convergent cache: two CAS winners syncing out of order
+    * both re-check and the later content wins; legacy
+    * [[resolveCatalog]] readers stay at most one converging write behind,
+    * while version-aware readers never see a torn state at all. */
+  private def syncCatalogPointer(path: String): Unit = {
+    var settled = false
+    while (!settled) {
+      val latest = currentCatalogVersion(path)
+      publishCatalog(path, readCatalogVersion(path, latest))
+      settled = currentCatalogVersion(path) == latest
+    }
+  }
+
+  /** The full optimistic-commit loop: reads the current generation, asks
+    * `update(currentVersion, currentLines)` for the successor lines,
+    * CAS-publishes, and on conflict re-reads and RE-APPLIES — so the
+    * update composes with whatever the rival committed instead of
+    * clobbering it. Returns (committedVersion, attempts). `update` must
+    * be safe to re-run (it may materialize a new store generation per
+    * attempt; an abandoned attempt's table is dead weight for the GC,
+    * never corruption — new-table discipline). */
+  def commitCatalogCas(path: String, maxAttempts: Int = 10)(
+      update: (Int, Seq[String]) => Seq[String]): (Int, Int) = {
+    var attempts = 0
+    while (attempts < maxAttempts) {
+      attempts += 1
+      val cur = currentCatalogVersion(path)
+      val curLines = if (cur == 0) Seq.empty[String] else readCatalogVersion(path, cur)
+      try return (publishCatalogCas(path, cur, update(cur, curLines)), attempts)
+      catch { case _: CatalogCasConflict => () }
+    }
+    throw new IllegalStateException(
+      s"catalog $path: CAS commit lost $maxAttempts straight races — livelock")
+  }
+
   /** All recorded history versions, ascending. */
   def catalogVersions(path: String): Seq[Int] = {
     val hd = historyDir(path)

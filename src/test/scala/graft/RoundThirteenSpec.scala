@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-13 additions: multi-writer safety for the maintained-store
+  * catalogs. The d66 version machinery gains an optimistic-concurrency
+  * commit (compare-and-swap on the version the publisher based its
+  * update on, atomic hard-link claim on the version slot) and these
+  * drills prove the three contracts the r11 verdict demanded:
+  * the lost-update anomaly EXISTS under plain last-writer-wins publish,
+  * it is IMPOSSIBLE under CAS (the stale publisher fails loudly), and
+  * genuinely concurrent racing publishers all survive via re-read +
+  * re-apply + retry — including the real-store race (ingest append vs
+  * takedown compaction) where the final probe content must contain BOTH
+  * updates regardless of commit order. */
+class RoundThirteenSpec extends SparkTestBase {
+
+  import ops.Incremental
+
+  private def newCat(tag: String): String =
+    Scratch.dir(s"graft_${tag}_cat") + "/store.catalog"
+
+  test("plain versioned publish loses a racing update (the anomaly); a " +
+    "stale CAS publish fails loudly instead, and the retry composes " +
+    "both updates") {
+    // --- the anomaly, demonstrated: both publishers snapshot v1, then
+    // publish blindly; the second silently erases the first's update
+    val plain = newCat("r13_plain")
+    Incremental.publishCatalogVersioned(plain, Seq("base"))
+    val snapA = Incremental.resolveCatalog(plain, expect = 1)
+    val snapB = Incremental.resolveCatalog(plain, expect = 1)
+    Incremental.publishCatalogVersioned(plain, snapA :+ "ingest")
+    Incremental.publishCatalogVersioned(plain, snapB :+ "compact")
+    val lost = Incremental.resolveCatalog(plain, expect = 2)
+    assert(lost === Seq("base", "compact"),
+      "plain publish should exhibit last-writer-wins")
+    assert(!lost.contains("ingest"), "the ingest update is LOST — the anomaly")
+
+    // --- under CAS the same interleave cannot lose the update: the
+    // stale second publisher conflicts, re-reads, re-applies
+    val cas = newCat("r13_cas")
+    Incremental.publishCatalogVersioned(cas, Seq("base"))
+    val v1 = Incremental.currentCatalogVersion(cas)
+    assert(v1 === 1)
+    val base = Incremental.readCatalogVersion(cas, v1)
+    assert(Incremental.publishCatalogCas(cas, v1, base :+ "ingest") === 2)
+    val conflict = intercept[Incremental.CatalogCasConflict] {
+      Incremental.publishCatalogCas(cas, v1, base :+ "compact")
+    }
+    assert(conflict.expected === 1 && conflict.found === 2)
+    // the protocol: re-read the moved catalog, re-apply on top
+    val (v3, attempts) = Incremental.commitCatalogCas(cas) {
+      (_, cur) => cur :+ "compact"
+    }
+    assert(v3 === 3 && attempts === 1)
+    val fin = Incremental.resolveCatalog(cas, expect = 3)
+    assert(fin === Seq("base", "ingest", "compact"),
+      "BOTH updates survive under CAS")
+  }
+
+  test("same-version CAS race: of two publishers claiming the same slot " +
+    "concurrently, exactly one wins — the hard-link claim is atomic") {
+    // 20 rounds of a 2-thread same-slot race; a non-atomic claim would
+    // let both 'win' (or corrupt the slot) at least once
+    val cat = newCat("r13_slot")
+    Incremental.publishCatalogVersioned(cat, Seq("g1"))
+    (1 to 20).foreach { round =>
+      val expected = Incremental.currentCatalogVersion(cat)
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[Int, Int]]()
+      val ts = Seq("a", "b").map { who =>
+        new Thread(() => {
+          start.await()
+          try {
+            results.add(Right(
+              Incremental.publishCatalogCas(cat, expected, Seq(s"r$round-$who"))))
+            ()
+          } catch {
+            case c: Incremental.CatalogCasConflict =>
+              results.add(Left(c.found)); ()
+          }
+        })
+      }
+      ts.foreach(_.start()); start.countDown(); ts.foreach(_.join())
+      val (losers, winners) = results.toArray(Array.empty[Either[Int, Int]]).partition(_.isLeft)
+      assert(winners.length === 1, s"round $round: exactly one claim must win")
+      assert(losers.length === 1)
+      assert(winners.head === Right(expected + 1))
+      // the committed content is the winner's, intact (no torn write)
+      val cur = Incremental.readCatalogVersion(cat, expected + 1)
+      assert(cur.length === 1 && cur.head.startsWith(s"r$round-"))
+    }
+    assert(Incremental.catalogVersions(cat) === (1 to 21))
+  }
+
+  test("8 concurrent publishers through commitCatalogCas: every update " +
+    "survives, versions are contiguous, and the pointer converges to " +
+    "the latest generation") {
+    val cat = newCat("r13_many")
+    Incremental.publishCatalogVersioned(cat, Seq("base"))
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = (1 to 8).map { i =>
+      new Thread(() => {
+        start.await()
+        try Incremental.commitCatalogCas(cat, maxAttempts = 100) {
+          (_, cur) => cur :+ s"update-$i"
+        }: Unit
+        catch { case t: Throwable => failures.add(t): Unit }
+      })
+    }
+    ts.foreach(_.start()); start.countDown(); ts.foreach(_.join())
+    assert(failures.isEmpty, s"CAS loop failed: ${Option(failures.peek())}")
+    assert(Incremental.catalogVersions(cat) === (1 to 9),
+      "each winner claims exactly one contiguous version")
+    val fin = Incremental.readCatalogVersion(cat, 9)
+    assert(fin.head === "base")
+    assert((1 to 8).forall(i => fin.contains(s"update-$i")),
+      s"every racer's update must survive: $fin")
+    // the legacy pointer file converged to the latest generation
+    assert(Incremental.resolveCatalog(cat, expect = 9) === fin)
+  }
+
+  test("real-store race (d69's shape, genuinely concurrent): ingest " +
+    "append vs takedown compaction both survive; the final probe set " +
+    "is base ∪ batch minus tombstones regardless of commit order") {
+    import ops.Dedup
+    val docs = Tables.documents(spark, sf0001)
+    val (buckets, _) = Dedup.lshBucketsAndShingles(docs, "doc_id", "text",
+      shingleWords = 3, bands = 4, rowsPerBand = 2)
+    val isBatch = col("id") % 7 === 3
+    val t1 = "graft_band_r13_" + Scratch.nameTag()
+    Dedup.writeBandIndex(spark, buckets.filter(!isBatch), t1)
+    val cat = newCat("r13_store")
+    Incremental.publishCatalogVersioned(cat, Seq(t1))
+
+    val tomb = docs.filter(col("doc_id") % 7 === 1).select(col("doc_id").as("id"))
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def publisher(tag: String)(mk: String => String): Thread =
+      new Thread(() => {
+        start.await()
+        try Incremental.commitCatalogCas(cat, maxAttempts = 10) {
+          (_, cur) => Seq(mk(cur.head))
+        }: Unit
+        catch { case t: Throwable => failures.add(t): Unit }
+      })
+    val ingest = publisher("ingest")(curTable =>
+      Dedup.cloneBandIndexWithBatch(spark, curTable, buckets.filter(isBatch), "r13i"))
+    val compact = publisher("compact")(curTable =>
+      Dedup.compactBandIndex(spark, curTable, tomb, "r13c"))
+    ingest.start(); compact.start(); start.countDown()
+    ingest.join(); compact.join()
+    assert(failures.isEmpty, s"store race failed: ${Option(failures.peek())}")
+
+    // whoever won the race, the final generation holds BOTH updates:
+    // batch rows present, tombstoned docs gone, base preserved
+    val finV = Incremental.currentCatalogVersion(cat)
+    assert(finV >= 2 && finV <= 3,
+      s"2 if one publisher observed the other's commit, 3 if they raced: $finV")
+    val fin = spark.table(Incremental.readCatalogVersion(cat, finV).head)
+    val expected = buckets
+      .select(concat_ws(":", col("band"), col("band_key")).as("bk"), col("id"))
+      .filter(col("id") % 7 =!= 1).distinct()
+    assert(fin.count() === expected.count())
+    assert(fin.except(expected).isEmpty && expected.except(fin).isEmpty,
+      "final stored content must equal base ∪ batch minus tombstones")
+  }
+}
