@@ -1053,19 +1053,99 @@ object Incremental {
     scala.jdk.CollectionConverters.ListHasAsScala(lines).asScala.toSeq
   }
 
+  // ----------------------------------------------------- pin registry
+  // s40: d66's pinned reads were BATCH-only and the GC trusted "pins are
+  // safe within retention by contract". A long-running consumer (a
+  // training-export stream) needs a pin the GC actually SEES: a LEASE
+  // file per holder next to the history dir. An active lease protects
+  // its generation from retention GC even outside the retain window; an
+  // expired or released lease protects nothing, and a read through it
+  // fails loudly — never a silent fallback to the current generation
+  // (session consistency would be silently broken).
+
+  private def pinsDir(path: String): java.nio.file.Path =
+    java.nio.file.Paths.get(path + ".pins")
+
+  /** Take (or renew — a holder overwrites its own lease) a lease on a
+    * published generation. The lease is the GC contract: `version`
+    * cannot be reclaimed while the lease is unexpired. */
+  def acquireCatalogPin(path: String, version: Int, holder: String,
+      leaseMs: Long): Unit = {
+    require(java.nio.file.Files.exists(historyDir(path).resolve(f"v$version%05d")),
+      s"cannot pin unpublished generation v$version at $path")
+    val pd = pinsDir(path)
+    java.nio.file.Files.createDirectories(pd)
+    val tmp = pd.resolve(holder + ".tmp." + java.util.UUID.randomUUID())
+    java.nio.file.Files.write(tmp,
+      s"$version ${System.currentTimeMillis() + leaseMs}\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, pd.resolve(holder),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  /** Release a lease (idempotent — releasing an absent pin is a no-op:
+    * the consumer may have crashed past its own release). */
+  def releaseCatalogPin(path: String, holder: String): Unit =
+    java.nio.file.Files.deleteIfExists(pinsDir(path).resolve(holder)): Unit
+
+  /** holder → pinned version for every UNEXPIRED lease. Expired leases
+    * are invisible here (the GC may already have reclaimed their
+    * generation) but their files are left for [[resolvePinnedCatalog]]
+    * to fail loudly on. */
+  def activeCatalogPins(path: String,
+      now: Long = System.currentTimeMillis()): Map[String, Int] = {
+    val pd = pinsDir(path)
+    if (!java.nio.file.Files.isDirectory(pd)) Map.empty
+    else {
+      val s = java.nio.file.Files.list(pd)
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator()).asScala
+        .filterNot(_.getFileName.toString.contains(".tmp."))
+        .flatMap { p =>
+          val parts = new String(java.nio.file.Files.readAllBytes(p),
+            java.nio.charset.StandardCharsets.UTF_8).trim.split(" ")
+          if (parts(1).toLong > now) Some(p.getFileName.toString -> parts(0).toInt)
+          else None
+        }.toMap
+      finally s.close()
+    }
+  }
+
+  /** Resolve the generation a holder's pin names — loudly failing when
+    * the pin is absent or its lease EXPIRED (the consumer outlived its
+    * lease; its generation may be gone, and pretending otherwise would
+    * silently break session consistency). */
+  def resolvePinnedCatalog(path: String, holder: String, expect: Int,
+      now: Long = System.currentTimeMillis()): Seq[String] = {
+    val pin = pinsDir(path).resolve(holder)
+    require(java.nio.file.Files.exists(pin),
+      s"no pin '$holder' at $path — acquire a lease before pinned reads")
+    val parts = new String(java.nio.file.Files.readAllBytes(pin),
+      java.nio.charset.StandardCharsets.UTF_8).trim.split(" ")
+    require(parts(1).toLong > now,
+      s"pin '$holder' at $path EXPIRED (lease deadline ${parts(1)}) — " +
+        "renew the lease; its generation may already be reclaimed")
+    resolveCatalogVersion(path, parts(0).toInt, expect)
+  }
+
   /** Retention GC: physically reclaim every generation older than the
-    * newest `retain`. Per reclaimed line: a registered table is dropped
-    * AND its storage deleted; a bare directory path is deleted; scalar
-    * metadata lines (e.g. d64's bucket count) are ignored. A handle
-    * still referenced by a RETAINED generation is kept (generations may
-    * share stores across metadata-only publishes). Returns the
-    * reclaimed versions. Pins are safe within retention by contract —
-    * the Iceberg snapshot-expiry semantics. */
+    * newest `retain` — EXCEPT generations held by an active pin lease
+    * (s40: a pinned streaming consumer keeps its generation alive past
+    * the retain window; the lease expiring re-exposes it to the next
+    * GC). Per reclaimed line: a registered table is dropped AND its
+    * storage deleted; an absolute directory path is deleted; anything
+    * else is scalar metadata and skipped. A handle still referenced by
+    * a RETAINED (or pinned) generation is kept (generations may share
+    * stores across metadata-only publishes). Returns the reclaimed
+    * versions. */
   def gcCatalogHistory(s: org.apache.spark.sql.SparkSession,
       path: String, retain: Int): Seq[Int] = {
     require(retain >= 1, "retention must keep at least the current generation")
     val versions = catalogVersions(path)
-    val (dead, live) = versions.splitAt(math.max(versions.size - retain, 0))
+    val pinned = activeCatalogPins(path).values.toSet
+    val (deadByAge, live0) = versions.splitAt(math.max(versions.size - retain, 0))
+    val (deadPinned, dead) = deadByAge.partition(pinned)
+    val live = (deadPinned ++ live0).sorted
     // The CURRENT pointer's handles are always kept, independent of the
     // history window: a publish that crashed between its history write
     // and the pointer swap leaves the ORPHAN as the newest version, and
@@ -1087,7 +1167,11 @@ object Incremental {
       val lines = scala.jdk.CollectionConverters.ListHasAsScala(
         java.nio.file.Files.readAllLines(hist)).asScala.toSeq
       lines.filterNot(keep).foreach { h =>
-        if (s.catalog.tableExists(h)) {
+        // a metadata line need not even PARSE as a table identifier
+        // (e.g. "schema-v2") — any parse failure means "not a table"
+        val isTable =
+          try s.catalog.tableExists(h) catch { case _: Exception => false }
+        if (isTable) {
           val loc = s.sessionState.catalog.getTableMetadata(
             org.apache.spark.sql.catalyst.TableIdentifier(h)).location
           s.sql(s"DROP TABLE `$h`")

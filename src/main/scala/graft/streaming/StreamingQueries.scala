@@ -3057,9 +3057,252 @@ object StreamingQueries {
   /** Catalog path of the most recent s39 run (test-only introspection). */
   @volatile private[graft] var s39Catalog: String = _
 
+  /** s40 — PINNED GENERATION READS FROM A LIVE STREAM, and GC-vs-pin
+    * safety. d66's pinned reads are batch-only; every streaming
+    * consumer so far (s33/s34/s36/s38/s39) re-resolves the LATEST
+    * generation per batch. A training-export stream needs the OPPOSITE
+    * contract — session consistency: the generation it started on must
+    * keep answering, unchanged, across a mid-stream maintenance swap.
+    * That makes the pin a liability for the GC, so the pin becomes a
+    * LEASE the GC actually sees ([[graft.ops.Incremental
+    * .acquireCatalogPin]]): retention GC refuses to reclaim a
+    * generation held by an unexpired lease even outside the retain
+    * window, and once the lease is released (or expires) the next GC
+    * reclaims it — after which a read through the stale pin fails
+    * loudly (RoundThirteenSpec drills the expiry and the loud failure;
+    * this query hash-checks both GC decisions).
+    *
+    * Two consumers share one two-wave probe stream: `pinned` resolves
+    * THROUGH the lease every batch (the lease check runs per batch, as
+    * a renewing production consumer would) and must answer from
+    * generation 1 in BOTH waves — the oracle demands wave-1 verdicts
+    * computed against the PRE-swap store while the pointer already
+    * serves generation 2; `current` re-resolves the pointer and must
+    * see the takedown in wave 1. The maintenance window between waves
+    * runs takedown compaction + a CAS publish (d69's commit), then a
+    * retention GC UNDER THE LIVE PIN whose refusal is a hash-checked
+    * row (`gc`/wave 1: 0 reclaimed, 2 generations left); the
+    * post-stream GC after the release reclaims exactly generation 1
+    * (`gc`/wave 2: 1 reclaimed, 1 left). GC rows reuse the census
+    * columns: n_candidates = generations reclaimed, n_verified =
+    * generations remaining. */
+  private val s40 = Q(
+    "s40_stream_pinned_generation_read",
+    """WITH docs AS (
+         SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       sh AS (
+         SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+         FROM (SELECT doc_id, ws,
+                      unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+               FROM docs)),
+       hs AS MATERIALIZED (
+         SELECT doc_id, ('0x' || substring(md5(sh), 1, 8))::BIGINT AS h1,
+                ('0x' || substring(md5(sh), 9, 8))::BIGINT AS h2
+         FROM sh),
+       sig AS (
+         SELECT doc_id, seed, min(h1 + seed * h2) AS mh
+         FROM hs, (SELECT unnest(generate_series(0, 7)) AS seed) seeds
+         GROUP BY doc_id, seed),
+       bands AS MATERIALIZED (
+         SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+                md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS band_key
+         FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)),
+       cand_g1 AS (
+         SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+         FROM (SELECT * FROM bands WHERE doc_id % 7 = 5) n
+         JOIN (SELECT * FROM bands WHERE doc_id % 7 != 5) o
+           ON n.band = o.band AND n.band_key = o.band_key),
+       cand_g2 AS (
+         SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+         FROM (SELECT * FROM bands WHERE doc_id % 7 = 5) n
+         JOIN (SELECT * FROM bands WHERE doc_id % 7 != 5 AND doc_id % 7 != 3) o
+           ON n.band = o.band AND n.band_key = o.band_key),
+       shd AS MATERIALIZED (
+         SELECT DISTINCT doc_id, h1 * 134217728 + h2 % 134217728 AS h FROM hs),
+       sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+       inter_g1 AS (
+         SELECT c.new_id, c.old_id, count(*) AS ni
+         FROM cand_g1 c
+           JOIN shd a ON a.doc_id = c.new_id
+           JOIN shd b ON b.doc_id = c.old_id AND b.h = a.h
+         GROUP BY c.new_id, c.old_id),
+       ver_g1 AS MATERIALIZED (
+         SELECT i.new_id, i.old_id FROM inter_g1 i
+           JOIN sz sa ON sa.doc_id = i.new_id
+           JOIN sz sb ON sb.doc_id = i.old_id
+         WHERE i.ni * 1.0 / (sa.n + sb.n - i.ni) >= 0.5),
+       inter_g2 AS (
+         SELECT c.new_id, c.old_id, count(*) AS ni
+         FROM cand_g2 c
+           JOIN shd a ON a.doc_id = c.new_id
+           JOIN shd b ON b.doc_id = c.old_id AND b.h = a.h
+         GROUP BY c.new_id, c.old_id),
+       ver_g2 AS (
+         SELECT i.new_id, i.old_id FROM inter_g2 i
+           JOIN sz sa ON sa.doc_id = i.new_id
+           JOIN sz sb ON sb.doc_id = i.old_id
+         WHERE i.ni * 1.0 / (sa.n + sb.n - i.ni) >= 0.5),
+       cw10 AS MATERIALIZED (
+         SELECT d.doc_id AS new_doc_id,
+                CAST(coalesce(c.n_cand, 0) AS BIGINT) AS n_candidates,
+                CAST(coalesce(v.n_ver, 0) AS BIGINT) AS n_verified,
+                CASE WHEN v.new_id IS NOT NULL THEN 'duplicate' ELSE 'unique' END AS verdict,
+                v.best_match
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 14 = 5) d
+           LEFT JOIN (SELECT new_id, count(*) AS n_cand FROM cand_g1 GROUP BY new_id) c
+             ON d.doc_id = c.new_id
+           LEFT JOIN (SELECT new_id, count(*) AS n_ver, min(old_id) AS best_match
+                      FROM ver_g1 GROUP BY new_id) v
+             ON d.doc_id = v.new_id),
+       cw11 AS (
+         SELECT d.doc_id AS new_doc_id,
+                CAST(coalesce(c.n_cand, 0) AS BIGINT) AS n_candidates,
+                CAST(coalesce(v.n_ver, 0) AS BIGINT) AS n_verified,
+                CASE WHEN v.new_id IS NOT NULL THEN 'duplicate' ELSE 'unique' END AS verdict,
+                v.best_match
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 14 = 12) d
+           LEFT JOIN (SELECT new_id, count(*) AS n_cand FROM cand_g1 GROUP BY new_id) c
+             ON d.doc_id = c.new_id
+           LEFT JOIN (SELECT new_id, count(*) AS n_ver, min(old_id) AS best_match
+                      FROM ver_g1 GROUP BY new_id) v
+             ON d.doc_id = v.new_id),
+       cw21 AS (
+         SELECT d.doc_id AS new_doc_id,
+                CAST(coalesce(c.n_cand, 0) AS BIGINT) AS n_candidates,
+                CAST(coalesce(v.n_ver, 0) AS BIGINT) AS n_verified,
+                CASE WHEN v.new_id IS NOT NULL THEN 'duplicate' ELSE 'unique' END AS verdict,
+                v.best_match
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 14 = 12) d
+           LEFT JOIN (SELECT new_id, count(*) AS n_cand FROM cand_g2 GROUP BY new_id) c
+             ON d.doc_id = c.new_id
+           LEFT JOIN (SELECT new_id, count(*) AS n_ver, min(old_id) AS best_match
+                      FROM ver_g2 GROUP BY new_id) v
+             ON d.doc_id = v.new_id)
+       SELECT consumer, wave, new_doc_id, n_candidates, n_verified, verdict, best_match
+       FROM (
+         SELECT 'pinned' AS consumer, CAST(0 AS BIGINT) AS wave, * FROM cw10
+         UNION ALL SELECT 'pinned', 1, * FROM cw11
+         UNION ALL SELECT 'current', 0, * FROM cw10
+         UNION ALL SELECT 'current', 1, * FROM cw21
+         UNION ALL SELECT 'gc', 1, CAST(-1 AS BIGINT), CAST(0 AS BIGINT),
+           CAST(2 AS BIGINT), 'pin_refused', CAST(NULL AS BIGINT)
+         UNION ALL SELECT 'gc', 2, CAST(-1 AS BIGINT), CAST(1 AS BIGINT),
+           CAST(1 AS BIGINT), 'reclaimed', CAST(NULL AS BIGINT))
+       ORDER BY consumer, wave, new_doc_id""") { (s, d) =>
+    import graft.ops.{Dedup, Incremental}
+    val docs = Tables.documents(s, d)
+    val (buckets, shingles) = Dedup.lshBucketsAndShingles(docs, "doc_id", "text",
+      shingleWords = 3, bands = 4, rowsPerBand = 2)
+    val isProbe = col("id") % 7 === 5
+    val t1 = "graft_band_s40_" + graft.Scratch.nameTag()
+    Dedup.writeBandIndex(s, buckets.filter(!isProbe), t1)
+    val cat = graft.Scratch.dir("graft_s40_cat") + "/index.catalog"
+    Incremental.publishCatalogVersioned(cat, Seq(t1))
+    // the export stream's LEASE, taken at stream start; an hour dwarfs
+    // the run (a production consumer renews per batch)
+    Incremental.acquireCatalogPin(cat, version = 1, holder = "s40-export",
+      leaseMs = 3600000L)
+    s40Catalog = cat
+    val corpusShingles = shingles.filter(col("id") % 7 =!= 5)
+    val watched = graft.Scratch.dir("graft_s40_watched")
+    val outDir = graft.Scratch.dir("graft_s40_out")
+    val ckpt = graft.Scratch.dir("graft_s40_ckpt")
+    val gcRows = scala.collection.mutable
+      .ArrayBuffer[(String, Long, Long, Long, Long, String, Option[Long])]()
+    val s40NonEmpty = new java.util.concurrent.atomic.AtomicLong(0L)
+    (0 to 1).foreach { b =>
+      val tmp = graft.Scratch.dir(s"graft_s40_wave$b")
+      docs.filter(col("doc_id") % 14 === lit(5L + 7L * b))
+        .select(col("doc_id"), col("text").as("t"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(watched, s"arrival$b.parquet").toPath)
+      val q = s.readStream
+        .schema(StructType(Seq(StructField("doc_id", LongType),
+          StructField("t", StringType))))
+        .parquet(watched)
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!batch.isEmpty) {
+            // non-empty-batch counter, not the raw id (s31's rationale)
+            require(s40NonEmpty.getAndIncrement() == b.toLong,
+              s"s40 wave $b saw a second non-empty micro-batch ($batchId): " +
+                "one-file-one-batch broken")
+            // the probe's bands and shingles derive from the BATCH
+            val (bBuckets, bShingles) = Dedup.lshBucketsAndShingles(
+              batch.toDF(), "doc_id", "t",
+              shingleWords = 3, bands = 4, rowsPerBand = 2)
+            val bB = bBuckets.localCheckpoint(true)
+            val allSh = corpusShingles.unionByName(bShingles.localCheckpoint(true))
+            def consumerRows(consumer: String, table: String): DataFrame = {
+              val cand = Dedup.probeBandIndex(s, table, bB)
+              val candN = cand.groupBy(col("id_a").as("new_id"))
+                .agg(count(lit(1)).as("n_cand"))
+              val verN = Dedup.jaccardVerifiedPairs(cand, allSh, tau = 0.5)
+                .groupBy(col("id_a").as("new_id"))
+                .agg(count(lit(1)).as("n_ver"), min(col("id_b")).as("best_match"))
+              batch.toDF().select(col("doc_id").as("new_doc_id"))
+                .join(candN, col("new_doc_id") === candN("new_id"), "left")
+                .join(verN, col("new_doc_id") === verN("new_id"), "left")
+                .select(lit(consumer).as("consumer"), lit(b.toLong).as("wave"),
+                  col("new_doc_id"),
+                  coalesce(col("n_cand"), lit(0L)).as("n_candidates"),
+                  coalesce(col("n_ver"), lit(0L)).as("n_verified"),
+                  when(verN("new_id").isNotNull, "duplicate")
+                    .otherwise("unique").as("verdict"),
+                  col("best_match"))
+            }
+            // the pin is resolved — and its lease CHECKED — every batch;
+            // the current consumer re-resolves the moving pointer
+            val pinnedTable =
+              Incremental.resolvePinnedCatalog(cat, "s40-export", expect = 1).head
+            val currentTable = Incremental.resolveCatalog(cat, expect = 1).head
+            consumerRows("pinned", pinnedTable)
+              .unionByName(consumerRows("current", currentTable))
+              .write.mode("append").parquet(outDir)
+          }
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      if (b == 0) {
+        // maintenance window: takedown compaction publishes generation 2
+        // through the CAS commit, then retention GC runs UNDER the live
+        // pin — the lease must refuse generation 1's reclamation
+        val tomb = docs.filter(col("doc_id") % 7 === 3).select(col("doc_id").as("id"))
+        Incremental.commitCatalogCas(cat) { (_, cur) =>
+          Seq(Dedup.compactBandIndex(s, cur.head, tomb, "s40c"))
+        }
+        val reclaimed = Incremental.gcCatalogHistory(s, cat, retain = 1)
+        gcRows += (("gc", 1L, -1L, reclaimed.size.toLong,
+          Incremental.catalogVersions(cat).size.toLong,
+          if (reclaimed.isEmpty) "pin_refused" else "reclaimed", None))
+      }
+    }
+    // the consumer is done: release the lease; the SAME retention GC now
+    // reclaims generation 1 (the pin, not the policy, was the guard)
+    Incremental.releaseCatalogPin(cat, "s40-export")
+    val reclaimed2 = Incremental.gcCatalogHistory(s, cat, retain = 1)
+    gcRows += (("gc", 2L, -1L, reclaimed2.size.toLong,
+      Incremental.catalogVersions(cat).size.toLong,
+      if (reclaimed2.isEmpty) "pin_refused" else "reclaimed", None))
+    import s.implicits._
+    s.read.parquet(outDir)
+      .unionByName(gcRows.toSeq.toDF("consumer", "wave", "new_doc_id",
+        "n_candidates", "n_verified", "verdict", "best_match"))
+      .orderBy("consumer", "wave", "new_doc_id")
+  }
+
+  /** Catalog path of the most recent s40 run (test-only introspection). */
+  @volatile private[graft] var s40Catalog: String = _
+
   val defs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
     s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25,
-    s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38, s39)
+    s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38, s39, s40)
 }
 
 /** s11's StatefulProcessor: cumulative (event count, value cents) per

@@ -121,6 +121,45 @@ class RoundThirteenSpec extends SparkTestBase {
     assert(Incremental.resolveCatalog(cat, expect = 9) === fin)
   }
 
+  test("pin leases (s40): an unexpired lease blocks retention GC beyond " +
+    "the retain window; expiry re-exposes the generation; reads through " +
+    "an expired pin, of a reclaimed version, and re-pinning it all fail " +
+    "loudly") {
+    val cat = newCat("r13_lease")
+    // scalar metadata lines — GC reclaims the history version itself
+    // without touching any store (the path-classification guard)
+    Incremental.publishCatalogVersioned(cat, Seq("g1-meta"))
+    Incremental.publishCatalogVersioned(cat, Seq("g2-meta"))
+    Incremental.acquireCatalogPin(cat, version = 1, holder = "slow-reader",
+      leaseMs = 600000)
+    assert(Incremental.activeCatalogPins(cat) === Map("slow-reader" -> 1))
+    // retain=1 would reclaim v1 — the active lease refuses it
+    assert(Incremental.gcCatalogHistory(spark, cat, retain = 1) === Seq.empty)
+    assert(Incremental.catalogVersions(cat) === Seq(1, 2))
+    assert(Incremental.resolvePinnedCatalog(cat, "slow-reader", expect = 1)
+      === Seq("g1-meta"))
+    // the lease expires (renewed to an already-past deadline): the pin
+    // no longer protects, and reading through it fails loudly instead
+    // of silently falling forward to the current generation
+    Incremental.acquireCatalogPin(cat, version = 1, holder = "slow-reader",
+      leaseMs = -1000)
+    assert(Incremental.activeCatalogPins(cat) === Map.empty)
+    val expired = intercept[IllegalArgumentException] {
+      Incremental.resolvePinnedCatalog(cat, "slow-reader", expect = 1)
+    }
+    assert(expired.getMessage.contains("EXPIRED"))
+    // the next GC reclaims the no-longer-protected generation
+    assert(Incremental.gcCatalogHistory(spark, cat, retain = 1) === Seq(1))
+    assert(Incremental.catalogVersions(cat) === Seq(2))
+    // physically gone: direct version reads and re-pinning fail loudly
+    intercept[IllegalArgumentException] {
+      Incremental.resolveCatalogVersion(cat, 1, expect = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Incremental.acquireCatalogPin(cat, version = 1, holder = "late", leaseMs = 1000)
+    }
+  }
+
   test("real-store race (d69's shape, genuinely concurrent): ingest " +
     "append vs takedown compaction both survive; the final probe set " +
     "is base ∪ batch minus tombstones regardless of commit order") {
