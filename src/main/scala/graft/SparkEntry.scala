@@ -76,6 +76,7 @@ object SparkEntry {
       "t29_bigram_lm", "t31_bpe_segment", "t35_gopher_repetition",
       "t37_unigram_segment", "t53_incremental_bm25",
       "t54_tokenizer_drift_census", "t55_epoch_shard_export",
+      "d70_posting_schema_evolution", "t58_phrase_from_index",
       "t56_pii_redaction", "t57_drop_attribution",
       "p01_full_curation", "p02_incremental_curation",
       "d56_takedown_readmission", "d57_store_compaction", "d58_generation_swap",

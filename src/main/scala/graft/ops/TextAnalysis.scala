@@ -2649,6 +2649,247 @@ object TextAnalysis {
       .orderBy("phase", "query_id", "rank")
   }
 
+  /** Posting rows WITH positional data — the evolved (v2) posting
+    * schema: (term, doc_id, tf, dl, positions), positions sorted
+    * ascending so the stored form is deterministic. Same single corpus
+    * scan as [[postingsOf]]; the positions ride the same explode. */
+  private[graft] def postingsWithPositions(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), toks("text").as("ws"))
+      .select(col("doc_id"), size(col("ws")).as("dl"),
+        posexplode(col("ws")).as(Seq("pos0", "term")))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list((col("pos0") + 1).cast(LongType))).as("positions"))
+      .select("term", "doc_id", "tf", "dl", "positions")
+
+  /** The schema GENERATION a posting batch was built for — published in
+    * the catalog next to the table handle (d70: schema is generation
+    * state, exactly like d64's bucket count). */
+  private[graft] def postingSchemaTag(postings: DataFrame): String =
+    if (postings.columns.contains("positions")) "v2" else "v1"
+
+  /** Schema-checked maintenance append: the writer resolves the
+    * catalog's declared schema generation and a batch built for the
+    * WRONG generation fails loudly here — before any bytes land —
+    * instead of corrupting the store or dying halfway into Spark's
+    * column-mismatch analysis (the d64 stale-spec discipline on the
+    * schema axis; drilled in RoundThirteenSpec). */
+  private[graft] def appendPostingStoreTagged(s: org.apache.spark.sql.SparkSession,
+      postings: DataFrame, table: String, declaredTag: String): Unit = {
+    val got = postingSchemaTag(postings)
+    require(got == declaredTag,
+      s"stale-schema append against $table: batch built for schema '$got' " +
+        s"but the catalog declares '$declaredTag' — re-resolve the catalog " +
+        "and rebuild the batch for the current generation")
+    appendPostingStore(s, postings, table)
+  }
+
+  /** d70 — MAINTAINED-STORE SCHEMA EVOLUTION: the posting store's schema
+    * becomes catalog-published generation state, migrated by an online
+    * generation rewrite (the d64 pattern with SCHEMA, not bucket count,
+    * as the migrated property). The v1 store (term, doc_id, tf, dl)
+    * serves BM25; the migration backfills a `positions` column from the
+    * corpus (positions cannot be derived from the v1 store — the
+    * rewrite re-reads the source lake, the standard backfill shape) and
+    * publishes (table, "v2") through the CAS commit. Contracts, each
+    * hash-demanded: a reader PINNED to generation 1 is unaffected
+    * (`pinned_v1` ≡ `pre_v1` exactly); the evolved store answers
+    * identically ON THE SHARED COLUMNS (`current_v2` ≡ `pre_v1` scores
+    * — evolution must never change existing answers); and the evolved
+    * store stays MAINTAINABLE (`post_append_v2`: an ingest batch built
+    * for v2 lands through the schema-checked append + one positive
+    * delta, scores = batch BM25 over the full corpus). A batch built
+    * for the OLD schema fails the tagged append loudly
+    * (RoundThirteenSpec). The payoff for the new column is t58: phrase
+    * search served from stored positions instead of a corpus re-scan. */
+  private val d70 = Q(
+    "d70_posting_schema_evolution",
+    """WITH qt AS (
+         SELECT * FROM (VALUES
+           ('q01','merge'),('q01','sort'),
+           ('q02','stream'),('q02','window'),
+           ('q03','customer'),('q03','value')) AS t(query_id, term)),
+       dl AS MATERIALIZED (
+         SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+       tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       tfq AS MATERIALIZED (
+         SELECT doc_id, term, count(*) AS tf FROM tok
+         WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, term),
+       stats_pre AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tok
+                     FROM dl WHERE doc_id % 5 <> 3),
+       df_pre AS (SELECT term, count(*) AS df FROM tfq WHERE doc_id % 5 <> 3 GROUP BY term),
+       scored_pre AS (
+         SELECT q.query_id, f.doc_id,
+                CAST(round(
+                  ln((n_docs - g.df + 0.5) / (g.df + 0.5) + 1.0) *
+                  (f.tf * 2.2) /
+                  (f.tf + 1.2 * (0.25 + 0.75 * d.dl * n_docs / CAST(total_tok AS DOUBLE)))
+                  * 1000000) AS BIGINT) AS q_score
+         FROM tfq f
+         JOIN qt q ON f.term = q.term
+         JOIN df_pre g ON f.term = g.term
+         JOIN dl d ON f.doc_id = d.doc_id
+         CROSS JOIN stats_pre
+         WHERE f.doc_id % 5 <> 3),
+       ranked_pre AS MATERIALIZED (
+         SELECT query_id, doc_id, s,
+                row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rank
+         FROM (SELECT query_id, doc_id, CAST(sum(q_score) AS BIGINT) AS s
+               FROM scored_pre GROUP BY query_id, doc_id)),
+       stats_app AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_tok FROM dl),
+       df_app AS (SELECT term, count(*) AS df FROM tfq GROUP BY term),
+       scored_app AS (
+         SELECT q.query_id, f.doc_id,
+                CAST(round(
+                  ln((n_docs - g.df + 0.5) / (g.df + 0.5) + 1.0) *
+                  (f.tf * 2.2) /
+                  (f.tf + 1.2 * (0.25 + 0.75 * d.dl * n_docs / CAST(total_tok AS DOUBLE)))
+                  * 1000000) AS BIGINT) AS q_score
+         FROM tfq f
+         JOIN qt q ON f.term = q.term
+         JOIN df_app g ON f.term = g.term
+         JOIN dl d ON f.doc_id = d.doc_id
+         CROSS JOIN stats_app),
+       ranked_app AS (
+         SELECT query_id, doc_id, s,
+                row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc_id) AS rank
+         FROM (SELECT query_id, doc_id, CAST(sum(q_score) AS BIGINT) AS s
+               FROM scored_app GROUP BY query_id, doc_id))
+       SELECT phase, query_id, doc_id, CAST(rank AS BIGINT) AS rank,
+              round(s / 1000000.0, 4) AS bm25
+       FROM (
+         SELECT 'pre_v1' AS phase, query_id, doc_id, s, rank FROM ranked_pre WHERE rank <= 5
+         UNION ALL
+         SELECT 'pinned_v1', query_id, doc_id, s, rank FROM ranked_pre WHERE rank <= 5
+         UNION ALL
+         SELECT 'current_v2', query_id, doc_id, s, rank FROM ranked_pre WHERE rank <= 5
+         UNION ALL
+         SELECT 'post_append_v2', query_id, doc_id, s, rank FROM ranked_app WHERE rank <= 5)
+       ORDER BY phase, query_id, rank""") { (s, d) =>
+    graft.plans.TopKPerGroup.install(s)
+    import s.implicits._
+    import graft.ops.Incremental
+    val queryTerms = Seq(
+      "q01" -> "merge", "q01" -> "sort",
+      "q02" -> "stream", "q02" -> "window",
+      "q03" -> "customer", "q03" -> "value")
+    val qt = queryTerms.toDF("query_id", "term")
+    val vocab = queryTerms.map(_._2).distinct
+    val docs = Tables.documents(s, d)
+    val base = docs.filter(col("doc_id") % 5 =!= 3)
+    val dfDir = graft.Scratch.dir("graft_d70_df")
+    val statsDir = graft.Scratch.dir("graft_d70_st")
+    // generation 1: the v1 store, schema tag published NEXT TO the handle
+    val p0 = graft.ops.Dedup.reuse(postingsOf(base))
+    val t1 = writePostingStore(s, p0, "post_d70")
+    logStatDeltas(p0, dfDir, statsDir, batch = 0, sign = 1)
+    val cat = graft.Scratch.dir("graft_d70_cat") + "/postings.catalog"
+    Incremental.publishCatalogVersioned(cat, Seq(t1, "v1"))
+    def resolvedProbe(phase: String, lines: Seq[String]): DataFrame =
+      // shared-column projection: a v1 reader's plan, valid on EITHER
+      // schema generation — evolution adds columns, never moves them
+      bm25Probe(phase, s.table(lines.head).select("term", "doc_id", "tf", "dl"),
+        qt, vocab, dfDir, statsDir, s)
+    val pre = resolvedProbe("pre_v1",
+      Incremental.resolveCatalog(cat, expect = 2)).localCheckpoint(true)
+    // ONLINE SCHEMA MIGRATION: new generation, positions backfilled from
+    // the source corpus (not derivable from the v1 store), CAS-published
+    val p2 = graft.ops.Dedup.reuse(postingsWithPositions(base))
+    val t2 = writePostingStore(s, p2, "post_d70v2")
+    Incremental.commitCatalogCas(cat) { (_, _) => Seq(t2, "v2") }
+    // a reader pinned to generation 1 is untouched by the migration
+    // pinned/current probes are PINNED (localCheckpoint) before the
+    // later maintenance append mutates the shared delta logs — the t53
+    // laziness hazard
+    val pinned = resolvedProbe("pinned_v1",
+      Incremental.resolveCatalogVersion(cat, 1, expect = 2)).localCheckpoint(true)
+    // the current reader sees v2; shared columns answer identically
+    val cur = Incremental.resolveCatalog(cat, expect = 2)
+    require(cur(1) == "v2", s"catalog should declare v2 after migration: $cur")
+    val curV2 = resolvedProbe("current_v2", cur).localCheckpoint(true)
+    // the evolved store stays maintainable: a v2-built batch lands
+    // through the schema-CHECKED append + one positive delta
+    val batch = postingsWithPositions(docs.filter(col("doc_id") % 5 === 3))
+    appendPostingStoreTagged(s, batch, cur.head, declaredTag = cur(1))
+    logStatDeltas(batch.select("term", "doc_id", "tf", "dl"),
+      dfDir, statsDir, batch = 1, sign = 1)
+    val postApp = resolvedProbe("post_append_v2",
+      Incremental.resolveCatalog(cat, expect = 2))
+    d70Catalog = cat
+    pre.unionByName(pinned).unionByName(curV2).unionByName(postApp)
+      .orderBy("phase", "query_id", "rank")
+  }
+
+  /** Catalog path of the most recent d70 run (test-only introspection). */
+  @volatile private[graft] var d70Catalog: String = _
+
+  /** t58 — PHRASE SEARCH FROM THE MAINTAINED INDEX: t34's contract
+    * (exact two-term phrase occurrences) answered from the d70 v2
+    * posting store's STORED positions instead of a corpus re-scan —
+    * the payoff of the schema evolution, and the standard production
+    * shape (Lucene phrase queries read positional postings). The
+    * probe reads ONLY the two phrase terms' posting rows from the
+    * term-bucketed scan (broadcast phrase cuts both sides map-side),
+    * explodes their position lists, and runs t34's adjacency join;
+    * the oracle recomputes everything from raw text, so the hash
+    * proves stored positions ≡ text-derived positions end-to-end.
+    * Phrase selection itself stays the t34 zip census (what a user
+    * types is input; the index serves the lookup). */
+  private val t58 = Q(
+    "t58_phrase_from_index",
+    """WITH ws AS (
+         SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       post AS (
+         SELECT doc_id, i AS pos, w[i] AS term
+         FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM ws)),
+       bg AS (
+         SELECT a.term AS u, b.term AS v, count(*) AS c
+         FROM post a JOIN post b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         GROUP BY a.term, b.term),
+       phrase AS (
+         SELECT u, v FROM bg ORDER BY c DESC, u, v LIMIT 1),
+       hits AS (
+         SELECT a.doc_id, a.pos
+         FROM post a JOIN post b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         JOIN phrase p ON a.term = p.u AND b.term = p.v)
+       SELECT h.doc_id, p.u AS term1, p.v AS term2,
+              count(*) AS n_matches, min(h.pos) AS first_pos
+       FROM hits h CROSS JOIN phrase p
+       GROUP BY h.doc_id, p.u, p.v
+       ORDER BY h.doc_id""") { (s, d) =>
+    val docs = Tables.documents(s, d)
+    // the maintained v2 store (term-bucketed, positions stored)
+    val table = writePostingStore(s, postingsWithPositions(docs), "post_t58")
+    // phrase selection: the t34 zip census (cheap, text-side)
+    val bg = docs
+      .select(split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> struct(element_at(w, i) AS u, element_at(w, i + 1) AS v))"))
+        .as("p"))
+      .select(col("p.u"), col("p.v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("c"))
+    val phrase = bg.orderBy(col("c").desc, col("u"), col("v")).limit(1)
+      .select(col("u"), col("v"))
+    // the lookup: ONLY the two phrase terms' rows leave the bucketed
+    // scan (broadcast semijoin cuts map-side), positions explode into
+    // t34's adjacency join — the corpus text is never re-read
+    val stored = s.table(table)
+    val pu = stored.join(broadcast(phrase), stored("term") === phrase("u"))
+      .select(col("doc_id"), explode(col("positions")).as("pos"),
+        col("u"), col("v"))
+    val pv = stored.join(broadcast(phrase.select(col("v").as("v2"))),
+        stored("term") === col("v2"))
+      .select(col("doc_id").as("doc_id2"), explode(col("positions")).as("pos2"))
+    pu.join(pv, col("doc_id") === col("doc_id2")
+        && col("pos2") === col("pos") + 1)
+      .groupBy(col("doc_id"), col("u"), col("v"))
+      .agg(count(lit(1)).as("n_matches"), min(col("pos")).as("first_pos"))
+      .select(col("doc_id"), col("u").as("term1"), col("v").as("term2"),
+        col("n_matches"), col("first_pos"))
+      .orderBy("doc_id")
+  }
+
   /** t57 — PER-DOC DROP ATTRIBUTION: the explainability record a
     * filter-chain audit asks for ("why was doc X dropped?"). p01's
     * stage census answers in aggregate; production audits, appeal
@@ -2701,5 +2942,5 @@ object TextAnalysis {
   val defs: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
     t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t32, t33, t34, t35, t38, t41, t42, t51, t53,
-    t57)
+    t57, d70, t58)
 }

@@ -160,6 +160,32 @@ class RoundThirteenSpec extends SparkTestBase {
     }
   }
 
+  test("d70 stale-schema append: a batch built for the old posting " +
+    "schema fails the tagged append loudly and leaves the store " +
+    "untouched") {
+    import ops.TextAnalysis
+    val docs = Tables.documents(spark, sf0001).limit(50)
+    val t2 = TextAnalysis.writePostingStore(spark,
+      TextAnalysis.postingsWithPositions(docs), "post_r13")
+    val before = spark.table(t2).count()
+    // a writer that based its batch on the PRE-migration schema
+    val staleBatch = TextAnalysis.postingsOf(docs.limit(10))
+    val ex = intercept[IllegalArgumentException] {
+      TextAnalysis.appendPostingStoreTagged(spark, staleBatch, t2,
+        declaredTag = "v2")
+    }
+    assert(ex.getMessage.contains("stale-schema"))
+    assert(spark.table(t2).count() === before, "no bytes may land")
+    // and the guard is schema-driven, not order-driven: a v2 batch
+    // declared against a v1 catalog fails the same way
+    val ex2 = intercept[IllegalArgumentException] {
+      TextAnalysis.appendPostingStoreTagged(spark,
+        TextAnalysis.postingsWithPositions(docs.limit(10)), t2,
+        declaredTag = "v1")
+    }
+    assert(ex2.getMessage.contains("stale-schema"))
+  }
+
   test("real-store race (d69's shape, genuinely concurrent): ingest " +
     "append vs takedown compaction both survive; the final probe set " +
     "is base ∪ batch minus tombstones regardless of commit order") {
