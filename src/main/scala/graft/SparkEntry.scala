@@ -88,7 +88,7 @@ object SparkEntry {
       "m11_media_fingerprint_store", "s35_stream_media_ingest",
       "s36_stream_media_compacting_ingest", "s37_stream_drift_retrain",
       "s38_stream_bm25_maintenance", "s39_stream_ivfpq_maintained_index",
-      "s40_stream_pinned_generation_read",
+      "s40_stream_pinned_generation_read", "s41_stream_tokenizer_retrain",
       "a01_pipe_cranker", "a02_pipe_throughput",
       "s01_stream_tumbling", "s10_stream_stateful_sessions",
       "s30_stream_curation_pipeline")

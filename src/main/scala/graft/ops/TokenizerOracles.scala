@@ -317,6 +317,97 @@ private[graft] object TokenizerOracles {
        FROM cb CROSS JOIN ca
        ORDER BY base_words"""
 
+  /** A suffixed copy of [[bpeCtes]] so one oracle can apply TWO merge
+    * tables (s41: segmentation under both tokenizer generations). */
+  private def bpeCtesNamed(sfx: String, mergeVals: String,
+      typesRel: String): String =
+    s"""merges$sfx(rank, l, r) AS (VALUES $mergeVals),
+       seg$sfx AS (
+         SELECT word, 0 AS rank,
+                ' ' || array_to_string(list_transform(generate_series(1, len(word)),
+                    i -> substring(word, i, 1)), '  ') || ' ' AS ws
+         FROM $typesRel
+         UNION ALL
+         SELECT s.word, m.rank,
+                replace(s.ws, ' ' || m.l || '  ' || m.r || ' ', ' ' || m.l || m.r || ' ')
+         FROM seg$sfx s JOIN merges$sfx m ON m.rank = s.rank + 1),
+       bseg$sfx AS MATERIALIZED (
+         SELECT word, (len(ws) - len(replace(ws, ' ', ''))) // 2 AS n_tok
+         FROM seg$sfx WHERE rank = (SELECT coalesce(max(rank), 0) FROM merges$sfx))"""
+
+  /** s41: the mid-stream tokenizer re-train. BOTH learned merge tables
+    * render as VALUES (generation 1 = base-trained, generation 2 =
+    * re-trained on base ∪ arrived batch); DuckDB independently
+    * re-segments wave 0 (the reversed-word shift plant) under
+    * generation 1, RE-DECIDES t54's drift gate from the rendered
+    * generation-1 fertilities, and segments wave 1 under whichever
+    * generation the gate selects — both branches live in the SQL, so a
+    * stream that swapped when it shouldn't (or failed to swap) is a
+    * hash mismatch on the wave-1 rows' values AND their `generation`
+    * column. Training itself stays spec-verified (the standing
+    * tokenizer discipline; t30's unrolled SQL re-learn covers the
+    * trainer separately). */
+  def s41Sql(merges1: Seq[(Int, String, String, Long)],
+      merges2: Seq[(Int, String, String, Long)], gateMicro: Long): String =
+    s"""WITH RECURSIVE
+       dwb AS MATERIALIZED (
+         SELECT word, count(*) AS cnt
+         FROM (SELECT unnest(string_split(text, ' ')) AS word
+               FROM documents WHERE doc_id % 5 <> 3) u
+         WHERE len(word) > 0 GROUP BY word),
+       dwa AS MATERIALIZED (
+         SELECT doc_id, reverse(word) AS word, count(*) AS cnt
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+               FROM documents WHERE doc_id % 5 = 3) u
+         WHERE len(word) > 0 GROUP BY doc_id, reverse(word)),
+       dw1 AS MATERIALIZED (
+         SELECT doc_id, word, count(*) AS cnt
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+               FROM documents WHERE doc_id % 5 = 3) u
+         WHERE len(word) > 0 GROUP BY doc_id, word),
+       types1 AS (
+         SELECT DISTINCT word FROM (
+           SELECT word FROM dwb UNION ALL SELECT word FROM dwa
+           UNION ALL SELECT word FROM dw1)),
+       types2 AS (SELECT DISTINCT word FROM dw1),
+       ${bpeCtesNamed("1", mergeValues(merges1), "types1")},
+       ${bpeCtesNamed("2", mergeValues(merges2), "types2")},
+       cb AS (
+         SELECT CAST(sum(d.cnt * len(d.word)) AS BIGINT) AS base_chars,
+                CAST(sum(d.cnt * b.n_tok) AS BIGINT) AS base_tokens
+         FROM dwb d JOIN bseg1 b ON b.word = d.word),
+       ca AS (
+         SELECT CAST(sum(d.cnt * len(d.word)) AS BIGINT) AS batch_chars,
+                CAST(sum(d.cnt * b.n_tok) AS BIGINT) AS batch_tokens
+         FROM (SELECT word, sum(cnt) AS cnt FROM dwa GROUP BY word) d
+           JOIN bseg1 b ON b.word = d.word),
+       gate AS MATERIALIZED (
+         SELECT round(1000000.0 * batch_tokens / batch_chars)
+                  - round(1000000.0 * base_tokens / base_chars)
+                  >= $gateMicro AS acted
+         FROM cb CROSS JOIN ca),
+       w0 AS (
+         SELECT CAST(0 AS BIGINT) AS wave, CAST(1 AS BIGINT) AS generation,
+                d.doc_id,
+                CAST(sum(d.cnt) AS BIGINT) AS n_words,
+                CAST(sum(d.cnt * b.n_tok) AS BIGINT) AS n_bpe_tokens
+         FROM dwa d JOIN bseg1 b ON b.word = d.word GROUP BY d.doc_id),
+       w1 AS (
+         SELECT CAST(1 AS BIGINT) AS wave,
+                CASE WHEN (SELECT acted FROM gate)
+                     THEN CAST(2 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS generation,
+                d.doc_id,
+                CAST(sum(d.cnt) AS BIGINT) AS n_words,
+                CAST(sum(d.cnt * CASE WHEN (SELECT acted FROM gate)
+                     THEN b2.n_tok ELSE b1.n_tok END) AS BIGINT) AS n_bpe_tokens
+         FROM dw1 d
+           JOIN bseg1 b1 ON b1.word = d.word
+           JOIN bseg2 b2 ON b2.word = d.word
+         GROUP BY d.doc_id)
+       SELECT wave, generation, doc_id, n_words, n_bpe_tokens
+       FROM (SELECT * FROM w0 UNION ALL SELECT * FROM w1)
+       ORDER BY wave, doc_id"""
+
   /** t37: per-doc word + unigram token counts under the rendered pieces. */
   def t37Sql(pieces: Seq[(String, Long, Long)]): String =
     s"""WITH RECURSIVE ${dwCtes("doc_id")},

@@ -3300,9 +3300,179 @@ object StreamingQueries {
   /** Catalog path of the most recent s40 run (test-only introspection). */
   @volatile private[graft] var s40Catalog: String = _
 
+  /** s41 — TOKENIZER RE-TRAIN MID-STREAM: the s37 signal→action→swap
+    * loop on the tokenizer surface, closing the last open trigger
+    * family. The stored merge table is catalog generation state; each
+    * micro-batch resolves the CURRENT generation, segments its per-doc
+    * word census under it (t31's join shape — the stream is never
+    * re-tokenized, only the batch's word TYPES pass through the merge
+    * fold), logs the batch's type census to the ingest log, and emits
+    * per-doc (wave, generation, n_words, n_bpe_tokens) rows. The
+    * maintenance window between waves runs t54's drift census — base
+    * fertility vs the ARRIVED batch's fertility from the log (the seam
+    * maintenance reads, not fixture knowledge), both under the current
+    * merges, integer micros, pinned ≥30000 gate — and a firing gate
+    * runs the t30 re-train over base ∪ arrived census and swaps the
+    * merge table with one CAS publish. Wave 0 is the planted shift
+    * (reversed words, t54's plant), so the gate fires and wave 1 — the
+    * same docs un-reversed — segments under generation 2; the oracle
+    * ([[graft.ops.TokenizerOracles.s41Sql]]) renders BOTH merge tables,
+    * re-decides the gate, and keeps both branches live, so a missed or
+    * spurious swap hash-fails on wave-1's values and generation column.
+    * The no-drift branch (in-distribution wave 0 → no swap, wave 1
+    * still generation 1) is drilled in RoundThirteenSpec. */
+  private val s41 = Q.dynamic("s41_stream_tokenizer_retrain") { (s, d) =>
+    import graft.ops.{BpeTokenizer, Incremental, TextAnalysis}
+    val k = s.conf.getOption("graft.bpe.merges").map(_.toInt).getOrElse(40)
+    val docs = Tables.documents(s, d)
+    val wordsOf = (c: org.apache.spark.sql.Column) =>
+      explode(TextAnalysis.tokens(c, "whitespace"))
+    val baseCen = graft.ops.Dedup.reuse(docs.filter(col("doc_id") % 5 =!= 3)
+      .select(wordsOf(col("text")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq")))
+    // generation 1: merges learned on the base corpus, published as
+    // catalog state (the merge table IS the tokenizer)
+    val m1 = BpeTokenizer.learn(s, baseCen, k)._1
+    import s.implicits._
+    val mergesDir1 = graft.Scratch.dir("graft_s41_m1")
+    m1.toDF("rank", "left", "right", "n_pairs")
+      .write.mode("overwrite").parquet(mergesDir1)
+    val cat = graft.Scratch.dir("graft_s41_cat") + "/tokenizer.catalog"
+    Incremental.publishCatalogVersioned(cat, Seq(mergesDir1))
+    s41Catalog = cat
+    val logDir = graft.Scratch.dir("graft_s41_log")
+    baseCen.select(col("word"), col("freq").as("cnt")).limit(0)
+      .write.mode("overwrite").parquet(logDir)
+    val watched = graft.Scratch.dir("graft_s41_watched")
+    val outDir = graft.Scratch.dir("graft_s41_out")
+    val ckpt = graft.Scratch.dir("graft_s41_ckpt")
+    val s41NonEmpty = new java.util.concurrent.atomic.AtomicLong(0L)
+    (0 to 1).foreach { b =>
+      val tmp = graft.Scratch.dir(s"graft_s41_wave$b")
+      val waveDf =
+        if (b == 0)
+          // the planted distribution shift: every word reversed —
+          // deterministic, oracle-expressible, starves left-to-right
+          // learned merges (t54's plant)
+          docs.filter(col("doc_id") % 5 === 3)
+            .select(col("doc_id"),
+              array_join(transform(split(col("text"), " "), w => reverse(w)), " ").as("t"))
+        else docs.filter(col("doc_id") % 5 === 3)
+          .select(col("doc_id"), col("text").as("t"))
+      waveDf.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(watched, s"arrival$b.parquet").toPath)
+      val q = s.readStream
+        .schema(StructType(Seq(StructField("doc_id", LongType),
+          StructField("t", StringType))))
+        .parquet(watched)
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!batch.isEmpty) {
+            require(s41NonEmpty.getAndIncrement() == b.toLong,
+              s"s41 wave $b saw a second non-empty micro-batch ($batchId): " +
+                "one-file-one-batch broken")
+            // the CURRENT tokenizer generation, re-resolved each batch
+            val gen = Incremental.currentCatalogVersion(cat)
+            val mergesDir = Incremental.resolveCatalog(cat, expect = 1).head
+            val merges = s.read.parquet(mergesDir)
+              .orderBy("rank")
+              .as[(Int, String, String, Long)].collect().toSeq
+            val dwB = batch.toDF()
+              .select(col("doc_id"), wordsOf(col("t")).as("word"))
+              .filter(length(col("word")) > 0)
+              .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+              .localCheckpoint(true)
+            val segB = BpeTokenizer.segmentTypes(
+              dwB.select("word").distinct(), merges)
+            dwB.join(segB, "word")
+              .groupBy("doc_id")
+              .agg(sum(col("cnt")).as("n_words"),
+                sum(col("cnt") * col("n_tok")).as("n_bpe_tokens"))
+              .select(lit(b.toLong).as("wave"), lit(gen.toLong).as("generation"),
+                col("doc_id"), col("n_words"), col("n_bpe_tokens"))
+              .write.mode("append").parquet(outDir)
+            // the ingest log: the batch's TYPE census — what the drift
+            // census and a re-train read (never the fixture)
+            dwB.groupBy("word").agg(sum(col("cnt")).as("cnt"))
+              .write.mode("append").parquet(logDir)
+          }
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      if (b == 0) {
+        // maintenance window: t54's drift census over the ARRIVED
+        // census (from the log) vs the base census, both under the
+        // CURRENT merges; a firing gate re-trains on base ∪ arrived
+        // and swaps the merge table via one CAS publish
+        val mergesDir = Incremental.resolveCatalog(cat, expect = 1).head
+        val merges = s.read.parquet(mergesDir)
+          .orderBy("rank").as[(Int, String, String, Long)].collect().toSeq
+        val arrived = graft.ops.Dedup.reuse(
+          s.read.schema("word STRING, cnt LONG").parquet(logDir)
+            .groupBy("word").agg(sum(col("cnt")).as("cnt")))
+        val segAll = graft.ops.Dedup.reuse(BpeTokenizer.segmentTypes(
+          baseCen.select("word").union(arrived.select("word")).distinct(), merges))
+        def fert(cen: DataFrame, cntCol: String): DataFrame =
+          cen.join(segAll, "word")
+            .agg(sum(col(cntCol) * length(col("word"))).as("chars"),
+              sum(col(cntCol) * col("n_tok")).as("tokens"))
+            .select(round(lit(1000000.0) * col("tokens") / col("chars"))
+              .cast(LongType).as("tpc"))
+        val drift = fert(arrived, "cnt").crossJoin(
+            fert(baseCen, "freq").select(col("tpc").as("base_tpc")))
+          .select((col("tpc") - col("base_tpc")).as("drift_micro"))
+          .head.getLong(0)
+        s41Acted = drift >= 30000L
+        if (s41Acted) {
+          val unionCen = baseCen
+            .unionByName(arrived.select(col("word"), col("cnt").as("freq")))
+            .groupBy("word").agg(sum(col("freq")).as("freq"))
+          val m2 = BpeTokenizer.learn(s, unionCen, k)._1
+          val mergesDir2 = graft.Scratch.dir("graft_s41_m2")
+          m2.toDF("rank", "left", "right", "n_pairs")
+            .write.mode("overwrite").parquet(mergesDir2)
+          Incremental.commitCatalogCas(cat) { (_, _) => Seq(mergesDir2) }
+        }
+      }
+    }
+    s.read.parquet(outDir).orderBy("wave", "doc_id")
+  } { (s, d) =>
+    import graft.ops.{BpeTokenizer, TextAnalysis, TokenizerOracles}
+    val k = s.conf.getOption("graft.bpe.merges").map(_.toInt).getOrElse(40)
+    val docs = Tables.documents(s, d)
+    val baseCen = docs.filter(col("doc_id") % 5 =!= 3)
+      .select(explode(TextAnalysis.tokens(col("text"), "whitespace")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val revCen = docs.filter(col("doc_id") % 5 === 3)
+      .select(explode(TextAnalysis.tokens(col("text"), "whitespace")).as("w0"))
+      .filter(length(col("w0")) > 0)
+      .select(reverse(col("w0")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val m1 = BpeTokenizer.learn(s, baseCen, k)._1
+    val unionCen = baseCen.unionByName(revCen)
+      .groupBy("word").agg(sum(col("freq")).as("freq"))
+    val m2 = BpeTokenizer.learn(s, unionCen, k)._1
+    TokenizerOracles.s41Sql(m1, m2, gateMicro = 30000L)
+  }
+
+  /** Whether the most recent s41 run's drift gate fired (test-only). */
+  @volatile private[graft] var s41Acted: Boolean = false
+
+  /** Catalog path of the most recent s41 run (test-only introspection). */
+  @volatile private[graft] var s41Catalog: String = _
+
   val defs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
     s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25,
-    s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38, s39, s40)
+    s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38, s39, s40,
+    s41)
 }
 
 /** s11's StatefulProcessor: cumulative (event count, value cents) per

@@ -186,6 +186,60 @@ class RoundThirteenSpec extends SparkTestBase {
     assert(ex2.getMessage.contains("stale-schema"))
   }
 
+  test("s41: the planted shift fires the gate and swaps to generation 2, " +
+    "the swap is non-vacuous (wave-1 counts differ from a gen-1 replay), " +
+    "and an in-distribution batch measures UNDER the gate (no re-train " +
+    "on noise)") {
+    import ops.{BpeTokenizer, Incremental, TextAnalysis}
+    import org.apache.spark.sql.functions.{explode, length => slen}
+    val out = SparkEntry.queries("s41_stream_tokenizer_retrain")(spark, sf0001)
+      .collect()
+    assert(streaming.StreamingQueries.s41Acted, "the reversed plant must fire")
+    val cat = streaming.StreamingQueries.s41Catalog
+    assert(Incremental.catalogVersions(cat) === Seq(1, 2))
+    assert(out.forall(r => r.getLong(1) == (if (r.getLong(0) == 0) 1L else 2L)),
+      "wave 0 serves generation 1; wave 1 serves generation 2")
+    // non-vacuity: replay wave 1 under the RETIRED generation-1 merges —
+    // at least one doc's token count must differ, or the swap check has
+    // no teeth
+    import spark.implicits._
+    val m1 = spark.read.parquet(
+        Incremental.resolveCatalogVersion(cat, 1, expect = 1).head)
+      .orderBy("rank").as[(Int, String, String, Long)].collect().toSeq
+    val dw1 = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") % 5 === 3)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"), "whitespace")).as("word"))
+      .filter(slen(col("word")) > 0)
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+    val gen1Replay = dw1
+      .join(BpeTokenizer.segmentTypes(dw1.select("word").distinct(), m1), "word")
+      .groupBy("doc_id").agg(sum(col("cnt") * col("n_tok")).as("n_gen1"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val wave1 = out.filter(_.getLong(0) == 1L)
+      .map(r => r.getLong(2) -> r.getLong(4)).toMap
+    assert(wave1.keySet === gen1Replay.keySet)
+    assert(wave1.exists { case (id, n) => gen1Replay(id) != n },
+      "generation 2 must actually re-segment at least one wave-1 doc")
+    // the no-drift branch: the SAME docs arriving un-reversed measure
+    // under the 30000-micro gate against the same base census
+    val baseCen = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") % 5 =!= 3)
+      .select(explode(TextAnalysis.tokens(col("text"), "whitespace")).as("word"))
+      .filter(slen(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val plain = dw1.groupBy("word").agg(sum(col("cnt")).as("cnt"))
+    val segAll = BpeTokenizer.segmentTypes(
+      baseCen.select("word").union(plain.select("word")).distinct(), m1)
+    def tpc(cen: org.apache.spark.sql.DataFrame, c: String): Long = {
+      val ratio = round(lit(1000000.0) * sum(col(c) * col("n_tok"))
+        / sum(col(c) * slen(col("word"))))
+      cen.join(segAll, "word").agg(ratio.as("tpc")).head.getDouble(0).toLong
+    }
+    val drift = tpc(plain, "cnt") - tpc(baseCen, "freq")
+    assert(drift < 30000L,
+      s"in-distribution drift must stay under the gate, was $drift micros")
+  }
+
   test("real-store race (d69's shape, genuinely concurrent): ingest " +
     "append vs takedown compaction both survive; the final probe set " +
     "is base ∪ batch minus tombstones regardless of commit order") {
