@@ -84,6 +84,7 @@ object SparkEntry {
       "d64_rebucket_migration", "d65_growth_gated_migration",
       "d66_catalog_history_timetravel", "d67_reclamation_gated_compaction",
       "d68_cross_surface_takedown", "d69_cas_catalog_commit",
+      "d71_cross_surface_atomic_takedown",
       "s34_stream_ann_maintained_index",
       "m11_media_fingerprint_store", "s35_stream_media_ingest",
       "s36_stream_media_compacting_ingest", "s37_stream_drift_retrain",

@@ -972,6 +972,175 @@ object Multimodal {
       .orderBy("surface")
   }
 
+  /** d71 — ATOMIC CROSS-SURFACE TAKEDOWN: d68 proves each surface's
+    * compaction is complete, but it publishes nothing — a reader
+    * probing DURING the orchestration (or after a crashed one) could
+    * see a MIXED state: the text bands compacted but the postings not,
+    * admission and retrieval semantics disagreeing about whether a
+    * document exists. d71 puts ALL FOUR surface handles in ONE
+    * versioned catalog, so the takedown is a single CAS commit: every
+    * reader resolves the quadruple atomically and sees the old
+    * generation on every surface or the new one on every surface,
+    * never a blend.
+    *
+    * The crash window is the hash-checked centerpiece: the
+    * orchestrator compacts TWO surfaces and dies before publishing
+    * (`mid_crash`) — two new tables exist on disk, but the catalog
+    * still serves generation 1, so the probe's census is REQUIRED to
+    * equal `pre` EXACTLY on all four surfaces (tombstoned rows still
+    * visible everywhere — consistently). The retry then re-runs the
+    * whole orchestration from the CURRENT catalog (new-table
+    * discipline: the abandoned half-finished tables are dead weight
+    * for GC, never corruption) and lands ONE CAS publish; `post` shows
+    * zero tombstone-referencing rows on every surface. Scale shape is
+    * d68's (per-surface bucketed rewrites, tombstones broadcast) plus
+    * one 4-line file swap. */
+  private val d71 = Q(
+    "d71_cross_surface_atomic_takedown",
+    s"""WITH docs AS (
+         SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       tsh AS (
+         SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+         FROM (SELECT doc_id, ws,
+                      unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+               FROM docs)),
+       ths AS (
+         SELECT doc_id, ('0x' || substring(md5(sh), 1, 8))::BIGINT AS h1,
+                ('0x' || substring(md5(sh), 9, 8))::BIGINT AS h2
+         FROM tsh),
+       tsig AS (
+         SELECT doc_id, seed, min(h1 + seed * h2) AS mh
+         FROM ths, (SELECT unnest(generate_series(0, 7)) AS seed) seeds
+         GROUP BY doc_id, seed),
+       tband AS MATERIALIZED (
+         SELECT doc_id, CAST(seed // 2 AS INT) AS band
+         FROM tsig GROUP BY doc_id, CAST(seed // 2 AS INT)),
+       post AS MATERIALIZED (
+         SELECT DISTINCT doc_id, word FROM (
+           SELECT doc_id, unnest(ws) AS word FROM docs) u WHERE len(word) > 0),
+       pa AS (
+         SELECT doc_id AS id, hex(encode(text)) AS hx,
+                octet_length(encode(text)) AS nb
+         FROM documents),
+       ga AS (
+         SELECT id, list_transform(generate_series(0, 64), p ->
+                  CASE WHEN nb > p*8
+                       THEN 16*(strpos('0123456789ABCDEF', substring(hx, p*16+1, 1))-1)
+                          + (strpos('0123456789ABCDEF', substring(hx, p*16+2, 1))-1)
+                       ELSE 0 END) AS px
+         FROM pa),
+       sa AS MATERIALIZED (
+         SELECT id, array_to_string(list_transform(generate_series(1, 64), i ->
+                  CASE WHEN px[i] > px[i+1] THEN '1' ELSE '0' END), '') AS sig
+         FROM ga),
+       ba AS MATERIALIZED (
+         SELECT id, b, substring(sig, b*16 + 1, 16) AS bits
+         FROM sa, (SELECT unnest(generate_series(0, 3)) AS b) bs
+         WHERE substring(sig, b*16 + 1, 16) <> '0000000000000000'
+         QUALIFY count(*) OVER (PARTITION BY b, substring(sig, b*16 + 1, 16)) <= 1000),
+       pre AS (
+         SELECT 'text_bands' AS surface, count(*) AS n_rows,
+                count(*) FILTER (doc_id % 9 = 4) AS n_tomb_refs FROM tband
+         UNION ALL
+         SELECT 'bm25_postings', count(*),
+                count(*) FILTER (doc_id % 9 = 4) FROM post
+         UNION ALL
+         SELECT 'media_bands', count(*),
+                count(*) FILTER (id % 9 = 4) FROM ba
+         UNION ALL
+         SELECT 'media_sigs', count(*),
+                count(*) FILTER (id % 9 = 4) FROM pa),
+       pst AS (
+         SELECT 'text_bands' AS surface, count(*) AS n_rows,
+                CAST(0 AS BIGINT) AS n_tomb_refs FROM tband WHERE doc_id % 9 <> 4
+         UNION ALL
+         SELECT 'bm25_postings', count(*), 0 FROM post WHERE doc_id % 9 <> 4
+         UNION ALL
+         SELECT 'media_bands', count(*), 0 FROM ba WHERE id % 9 <> 4
+         UNION ALL
+         SELECT 'media_sigs', count(*), 0 FROM pa WHERE id % 9 <> 4)
+       SELECT phase, surface, CAST(n_rows AS BIGINT) AS n_rows,
+              CAST(n_tomb_refs AS BIGINT) AS n_tomb_refs
+       FROM (
+         SELECT 'pre' AS phase, * FROM pre
+         UNION ALL SELECT 'mid_crash', * FROM pre
+         UNION ALL SELECT 'post', * FROM pst)
+       ORDER BY phase, surface""") { (s, d) =>
+    import graft.ops.{Dedup, Incremental, TextAnalysis}
+    val docs = Tables.documents(s, d)
+    val tombDoc = Dedup.reuse(docs.filter(col("doc_id") % 9 === 4)
+      .select(col("doc_id")))
+    val tombId = tombDoc.select(col("doc_id").as("id"))
+
+    // generation 1: all four surfaces, ONE catalog
+    val (buckets, _) = Dedup.lshBucketsAndShingles(docs, "doc_id", "text",
+      shingleWords = 3, bands = 4, rowsPerBand = 2)
+    val tText = "graft_band_xa_" + graft.Scratch.nameTag()
+    Dedup.writeBandIndex(s, buckets, tText)
+    val tPost = TextAnalysis.writePostingStore(s,
+      TextAnalysis.postingsOf(docs), "post_xa")
+    val cS = Dedup.reuse(sigs(docs.select(col("doc_id").as("id"),
+      encode(col("text"), "UTF-8").as("payload"))))
+    val tMedia = "graft_band_xam_" + graft.Scratch.nameTag()
+    Dedup.writeBandIndex(s, bands(cS)
+      .select(col("b").as("band"), col("bits").as("band_key"), col("id")), tMedia)
+    val sigDir = graft.Scratch.dir("graft_xa_sigs")
+    cS.select(col("id"), col("si")).write.mode("overwrite").parquet(sigDir)
+    val cat = graft.Scratch.dir("graft_d71_cat") + "/surfaces.catalog"
+    Incremental.publishCatalogVersioned(cat, Seq(tText, tPost, tMedia, sigDir))
+    d71Catalog = cat
+
+    // every probe resolves the QUADRUPLE atomically through the catalog
+    def probePhase(phase: String): DataFrame = {
+      val h = Incremental.resolveCatalog(cat, expect = 4)
+      def census(surface: String, df: DataFrame, key: String): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"))
+          .crossJoin(df.join(broadcast(
+            tombDoc.select(col("doc_id").as(key))), Seq(key))
+            .agg(count(lit(1)).as("n_tomb_refs")))
+          .select(lit(phase).as("phase"), lit(surface).as("surface"),
+            col("n_rows"), col("n_tomb_refs"))
+      census("text_bands", s.table(h(0)), "id")
+        .unionByName(census("bm25_postings", s.table(h(1)), "doc_id"))
+        .unionByName(census("media_bands", s.table(h(2)), "id"))
+        .unionByName(census("media_sigs",
+          s.read.schema("id LONG, si ARRAY<BIGINT>").parquet(h(3)), "id"))
+    }
+
+    // the orchestration body: compact all four FROM the current catalog,
+    // return the new quadruple — run whole per attempt (new-table
+    // discipline makes a re-run safe)
+    def compactAll(cur: Seq[String], tag: String): Seq[String] = {
+      val nText = Dedup.compactBandIndex(s, cur(0), tombId, s"${tag}t")
+      val nPost = TextAnalysis.compactPostingStore(s, cur(1), tombDoc, s"post_$tag")
+      val nMedia = Dedup.compactBandIndex(s, cur(2), tombId, s"${tag}m")
+      val nSigs = graft.Scratch.dir(s"graft_${tag}_sigs")
+      s.read.schema("id LONG, si ARRAY<BIGINT>").parquet(cur(3))
+        .join(broadcast(tombId), Seq("id"), "left_anti")
+        .distinct().write.mode("overwrite").parquet(nSigs)
+      Seq(nText, nPost, nMedia, nSigs)
+    }
+
+    val pre = probePhase("pre").localCheckpoint(true)
+    // the CRASH: the orchestrator compacts two surfaces and dies before
+    // publishing — half-finished generations exist on disk, the catalog
+    // does not know them
+    val g1 = Incremental.resolveCatalog(cat, expect = 4)
+    Dedup.compactBandIndex(s, g1(0), tombId, "xac_t"): Unit
+    TextAnalysis.compactPostingStore(s, g1(1), tombDoc, "post_xac"): Unit
+    // a reader DURING/AFTER the crash: generation 1 on every surface —
+    // consistently un-compacted, never a blend (hash-demanded ≡ pre)
+    val mid = probePhase("mid_crash").localCheckpoint(true)
+    // the RETRY re-runs the whole orchestration and lands ONE CAS commit
+    Incremental.commitCatalogCas(cat) { (_, cur) => compactAll(cur, "xar") }
+    val post = probePhase("post")
+    pre.unionByName(mid).unionByName(post)
+      .orderBy("phase", "surface")
+  }
+
+  /** Catalog path of the most recent d71 run (test-only introspection). */
+  @volatile private[graft] var d71Catalog: String = _
+
   val defs: Seq[Q] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10,
-    m11, d68)
+    m11, d68, d71)
 }
