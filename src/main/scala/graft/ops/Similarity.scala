@@ -2216,6 +2216,187 @@ object Similarity {
     pre.unionByName(postT).unionByName(postC).orderBy("phase", "qid", "rank")
   }
 
+  /** d72 — INDEX-TIER MIGRATION: the raw IVF index (d60's layout, 64
+    * longs + norm per vector) migrates ONLINE to the compressed IVF-PQ
+    * tier (d63's layout, 8 longs per vector) behind the catalog — the
+    * production migration a growing vector corpus actually performs
+    * (the raw tier stops fitting the serving budget; the compressed
+    * tier plus exact re-rank replaces it). The migration is the d70
+    * discipline with the TIER as the migrated property: the codebook
+    * trains on the STORED generation's vectors and the encode pass
+    * reads the STORE, not the source fixture (a migration must be a
+    * function of the data it migrates); the new generation publishes
+    * (handle, "pq") through the CAS commit; an in-query guard demands
+    * the migrated table is CODES-ONLY (cell, cid, codes — the
+    * compression really happened).
+    *
+    * Hash-checked phases: `pre_raw` (cosine top-3 from the raw tier),
+    * `pinned_raw` (a reader pinned to generation 1, oracle-demanded
+    * ≡ pre_raw while the pointer serves the compressed tier), and
+    * `current_pq` (the d63 funnel — ADC from stored codes, exact
+    * re-rank via the id-keyed corpus fetch; ADC distance AND exact d2
+    * both hash-checked). The oracle re-derives the codebook from the
+    * same store-membership rule, so an encode pass that read the wrong
+    * tier or trained on the wrong seeds is an integer-distance
+    * mismatch. Raw-phase rows carry NULL ad/d2; pq rows NULL cosine —
+    * every emitted number is phase-appropriate and checked. */
+  private val d72 = Q(
+    "d72_index_tier_migration",
+    """WITH e AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+         FROM embeddings),
+       n AS (SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2 FROM e),
+       cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8),
+       scored AS (
+         SELECT n.vec_id, n.v, n.n2, c.cent_id,
+                row_number() OVER (PARTITION BY n.vec_id
+                  ORDER BY CAST(list_sum(list_transform(generate_series(1, 64), i -> n.v[i] * c.cv[i])) AS BIGINT) DESC,
+                           c.cent_id) AS rn
+         FROM n, cents c),
+       assign AS MATERIALIZED (
+         SELECT vec_id, v, n2, cent_id AS cell FROM scored WHERE rn = 1),
+       w_raw AS MATERIALIZED (
+         SELECT q.vec_id AS qid, q.cell, c.vec_id AS cid,
+                CAST(list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * c.v[i])) AS BIGINT)
+                  / (sqrt(q.n2) * sqrt(c.n2)) AS cos
+         FROM assign q JOIN assign c
+           ON q.cell = c.cell AND c.vec_id % 7 <> 5 AND c.vec_id <> q.vec_id
+         WHERE q.vec_id % 7 = 5),
+       ranked_raw AS MATERIALIZED (
+         SELECT qid, cell, cid, cos,
+                row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+         FROM w_raw),
+       subs AS (SELECT unnest(generate_series(0, 7)) AS s),
+       vs AS (SELECT vec_id, s, list_slice(v, s * 8 + 1, s * 8 + 8) AS sv
+              FROM e CROSS JOIN subs),
+       cbs AS MATERIALIZED (
+         SELECT vec_id AS code, s, sv AS cv FROM vs
+         WHERE vec_id < 64 AND vec_id % 7 <> 5),
+       enc AS MATERIALIZED (
+         SELECT vec_id, s, code FROM (
+           SELECT v.vec_id, v.s, c.code,
+                  row_number() OVER (PARTITION BY v.vec_id, v.s
+                    ORDER BY CAST(list_sum(list_transform(generate_series(1, 8),
+                               i -> (v.sv[i] - c.cv[i]) * (v.sv[i] - c.cv[i]))) AS BIGINT) ASC,
+                             c.code) AS rn
+           FROM vs v JOIN cbs c ON v.s = c.s
+           WHERE v.vec_id % 7 <> 5) t WHERE rn = 1),
+       qa AS MATERIALIZED (
+         SELECT vec_id AS qid, cell, v AS qv, n2 AS qn2 FROM assign WHERE vec_id % 7 = 5),
+       qs AS MATERIALIZED (SELECT vec_id AS qid, s, sv FROM vs WHERE vec_id % 7 = 5),
+       adc AS MATERIALIZED (
+         SELECT qa.qid, qa.cell, en.vec_id AS cid,
+                CAST(sum(list_sum(list_transform(generate_series(1, 8),
+                  i -> (q.sv[i] - c.cv[i]) * (q.sv[i] - c.cv[i])))) AS BIGINT) AS ad
+         FROM qa
+         JOIN assign ca ON ca.cell = qa.cell AND ca.vec_id % 7 <> 5 AND ca.vec_id <> qa.qid
+         JOIN enc en ON en.vec_id = ca.vec_id
+         JOIN qs q ON q.qid = qa.qid AND q.s = en.s
+         JOIN cbs c ON c.s = en.s AND c.code = en.code
+         GROUP BY qa.qid, qa.cell, en.vec_id),
+       cand AS (
+         SELECT qid, cell, cid, ad FROM (
+           SELECT qid, cell, cid, ad,
+                  row_number() OVER (PARTITION BY qid ORDER BY ad ASC, cid) AS rk
+           FROM adc) t WHERE rk <= 10),
+       refined AS (
+         SELECT cand.qid, cand.cell, cand.cid, cand.ad,
+                qa.qn2 + c.n2 - 2 * CAST(list_sum(list_transform(generate_series(1, 64),
+                  i -> qa.qv[i] * c.v[i])) AS BIGINT) AS d2
+         FROM cand
+         JOIN qa ON qa.qid = cand.qid
+         JOIN n c ON c.vec_id = cand.cid),
+       ranked_pq AS (
+         SELECT qid, cell, cid, ad, d2,
+                row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, cid) AS rank
+         FROM refined)
+       SELECT phase, qid, cell, cid, CAST(rank AS BIGINT) AS rank,
+              cosine, ad, d2
+       FROM (
+         SELECT 'pre_raw' AS phase, qid, cell, cid, rank,
+                round(cos, 6) AS cosine, CAST(NULL AS BIGINT) AS ad,
+                CAST(NULL AS BIGINT) AS d2
+         FROM ranked_raw WHERE rank <= 3
+         UNION ALL
+         SELECT 'pinned_raw', qid, cell, cid, rank, round(cos, 6),
+                CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+         FROM ranked_raw WHERE rank <= 3
+         UNION ALL
+         SELECT 'current_pq', qid, cell, cid, rank,
+                CAST(NULL AS DOUBLE), ad, d2
+         FROM ranked_pq WHERE rank <= 3)
+       ORDER BY phase, qid, rank""") { (s, d) =>
+    import graft.ops.Incremental
+    graft.functions.LongDot.register(s)
+    graft.functions.LongL2.register(s)
+    graft.plans.TopKPerGroup.install(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("n2", norm2Q(col("v")))
+    val assign = Dedup.reuse(ivfAssign(e))
+    val isQuery = col("vec_id") % 7 === 5
+    // generation 1: the RAW tier
+    val rawTable = writeIvfIndex(s, assign.filter(!isQuery), "ivf_d72")
+    val cat = graft.Scratch.dir("graft_d72_cat") + "/index.catalog"
+    Incremental.publishCatalogVersioned(cat, Seq(rawTable, "raw"))
+    d72Catalog = cat
+
+    val probesRaw = asProbes(assign.filter(isQuery))
+    def rawProbe(phase: String, lines: Seq[String]): DataFrame = {
+      require(lines(1) == "raw", s"raw probe against a ${lines(1)} tier")
+      probeIvfTopK(s, lines.head, probesRaw, k = 3)
+        .select(lit(phase).as("phase"), col("qid"), col("cell"), col("cid"),
+          col("rank"), col("cosine"),
+          lit(null).cast("long").as("ad"), lit(null).cast("long").as("d2"))
+    }
+    val pre = rawProbe("pre_raw", Incremental.resolveCatalog(cat, expect = 2))
+      .localCheckpoint(true)
+
+    // THE MIGRATION: codebook trained on the STORED generation's
+    // vectors, encode pass reads the STORE (never the source fixture),
+    // new generation CAS-published as the compressed tier
+    val g1 = Incremental.resolveCatalog(cat, expect = 2)
+    val stored = s.table(g1.head)
+      .select(col("cell"), col("cid").as("vec_id"), col("cv2").as("v"))
+    // store-trained seeds are the SURVIVING vec_id<64 ids (queries are
+    // not stored), so re-key codes to their dense position — the
+    // code==position LUT invariant pqAdcCol relies on; position order
+    // equals vec_id order, so argmin tie-breaks are unchanged
+    val cb = pqCodebook(stored.select(col("vec_id"), col("v")))
+      .map(_.zipWithIndex.map { case ((_, v), i) => (i.toLong, v) })
+    val pqTable = writeIvfPqIndex(s,
+      stored.withColumn("codes", pqCodesCol(cb)), "ivfpq_d72")
+    Incremental.commitCatalogCas(cat) { (_, _) => Seq(pqTable, "pq") }
+    // the compression really happened: the migrated tier is codes-only
+    require(s.table(pqTable).columns.toSeq == Seq("cell", "cid", "codes"),
+      s"migrated tier must be codes-only: ${s.table(pqTable).columns.toSeq}")
+
+    // a reader pinned to generation 1 still serves raw-tier answers
+    val pinned = rawProbe("pinned_raw",
+      Incremental.resolveCatalogVersion(cat, 1, expect = 2))
+    // the current reader runs the compressed funnel
+    val cur = Incremental.resolveCatalog(cat, expect = 2)
+    require(cur(1) == "pq", s"catalog should declare the pq tier: $cur")
+    val probesPq = assign.filter(isQuery)
+      .select(col("vec_id").as("qid"), col("cell").as("qcell"),
+        pqLutCol(cb).as("lut"))
+    val queryVecs = assign.filter(isQuery)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+    val corpus = e.select(col("vec_id").as("cid"), col("v").as("cv"),
+      col("n2").as("cn2"))
+    val curPq = probeIvfPqTopK(s.table(cur.head), probesPq, queryVecs,
+        corpus, kAdc = 10, k = 3)
+      .select(lit("current_pq").as("phase"), col("qid"), col("cell"),
+        col("cid"), col("rank"),
+        lit(null).cast("double").as("cosine"), col("ad"), col("d2"))
+    pre.unionByName(pinned).unionByName(curPq)
+      .orderBy("phase", "qid", "rank")
+  }
+
+  /** Catalog path of the most recent d72 run (test-only introspection). */
+  @volatile private[graft] var d72Catalog: String = _
+
   val defs: Seq[Q] = Seq(d05, d06, d07, d12, d14, d16, d19, d24, d25, d26, d29,
-    d30, d32, d33, d35, d40, d52, d59, d60, d61, d62, d63)
+    d30, d32, d33, d35, d40, d52, d59, d60, d61, d62, d63, d72)
 }
