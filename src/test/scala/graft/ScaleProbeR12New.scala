@@ -21,7 +21,9 @@ object ScaleProbeR12New {
       "d70_posting_schema_evolution",
       "t58_phrase_from_index",
       "s40_stream_pinned_generation_read",
-      "s41_stream_tokenizer_retrain")
+      "s41_stream_tokenizer_retrain",
+      "d71_cross_surface_atomic_takedown",
+      "d72_index_tier_migration")
 
     def wall(name: String, sf: String): Double = {
       spark.catalog.clearCache(); System.gc()
