@@ -162,6 +162,7 @@ object PlanSweep {
       "d60_ivf_append" -> pk,
       "d61_ivf_drift_census" -> pk,
       "d63_ivfpq_index" -> pk,
+      "d72_index_tier_migration" -> pk,
       "d62_drift_retrain" ->
         "PK interval seeds + 8-row centroid-update aggregate (k bounded by the cell domain)",
       "d36_banding_curve" -> "PK interval: one banding config's signature set (config = '8x1')",
