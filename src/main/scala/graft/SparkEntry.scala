@@ -91,6 +91,7 @@ object SparkEntry {
       "s36_stream_media_compacting_ingest", "s37_stream_drift_retrain",
       "s38_stream_bm25_maintenance", "s39_stream_ivfpq_maintained_index",
       "s40_stream_pinned_generation_read", "s41_stream_tokenizer_retrain",
+      "s42_stream_concurrent_maintenance",
       "a01_pipe_cranker", "a02_pipe_throughput",
       "s01_stream_tumbling", "s10_stream_stateful_sessions",
       "s30_stream_curation_pipeline")

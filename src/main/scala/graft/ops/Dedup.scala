@@ -1673,7 +1673,14 @@ object Dedup {
     * crash-residue rows collapse under the distinct. Returns the new
     * table name for a catalog publish. */
   def compactBandIndex(s: org.apache.spark.sql.SparkSession,
-      table: String, tomb: DataFrame, tag: String): String = {
+      table: String, tomb: DataFrame, tag: String): String =
+    compactBandIndexN(s, table, tomb, tag, nBuckets = 8)
+
+  /** Compaction at an EXPLICIT (catalog-resolved) bucket count — a
+    * compaction publisher racing a d64 migration (s42) must rewrite at
+    * the CURRENT generation's spec, not assume 8. */
+  def compactBandIndexN(s: org.apache.spark.sql.SparkSession,
+      table: String, tomb: DataFrame, tag: String, nBuckets: Int): String = {
     val newTable = s"graft_band_index_${tag}_" +
       graft.Scratch.nameTag()
     val dir = graft.Scratch.dir(s"graft_$newTable")
@@ -1681,7 +1688,7 @@ object Dedup {
       .join(broadcast(tomb.select(col("id"))), Seq("id"), "left_anti")
       .select(col("bk"), col("id")).distinct()
       .write.mode("overwrite").format("parquet")
-      .bucketBy(8, "bk").sortBy("bk")
+      .bucketBy(nBuckets, "bk").sortBy("bk")
       .option("path", s"$dir/band_index").saveAsTable(newTable)
     newTable
   }

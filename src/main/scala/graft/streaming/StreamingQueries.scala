@@ -3463,6 +3463,227 @@ object StreamingQueries {
     TokenizerOracles.s41Sql(m1, m2, gateMicro = 30000L)
   }
 
+  /** s42 — CONCURRENT MAINTENANCE UNDER A LIVE STREAM: the d69 CAS
+    * commit doing its real job. The maintenance window between waves
+    * runs TWO genuinely concurrent publishers against the ingest
+    * stream's catalog — a d64 re-bucket migration (8 → 32, layout) and
+    * a takedown compaction (content) — racing from the same snapshot on
+    * real threads. Exactly one wins v2; the loser's CAS conflicts, it
+    * re-reads and RE-APPLIES against the winner's generation, and
+    * commits v3. The operations commute on content (compact∘migrate ≡
+    * migrate∘compact), and the compaction publisher rewrites at the
+    * RESOLVED bucket spec rather than assuming 8
+    * ([[graft.ops.Dedup.compactBandIndexN]]), so the final state —
+    * (base ∪ wave-0 appends) − tombstones at 32 buckets, version 3 —
+    * is deterministic REGARDLESS of race order, which is what makes a
+    * genuinely nondeterministic thread race oracle-checkable: wave 1
+    * probes it, appends its own bands at the resolved 32-bucket spec,
+    * and the closing store census row pins the final row count, the
+    * version count (3 = both publishers survived), and the resolved
+    * spec. Probing derives bands from each batch; Jaccard verification
+    * reads the static shingle table (shingle-store maintenance is
+    * s31/p02's proven machinery, not this query's subject). */
+  private val s42 = Q(
+    "s42_stream_concurrent_maintenance",
+    """WITH docs AS (
+         SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       sh AS (
+         SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+         FROM (SELECT doc_id, ws,
+                      unnest(generate_series(1, greatest(len(ws) - 2, 1))) AS i
+               FROM docs)),
+       hs AS MATERIALIZED (
+         SELECT doc_id, ('0x' || substring(md5(sh), 1, 8))::BIGINT AS h1,
+                ('0x' || substring(md5(sh), 9, 8))::BIGINT AS h2
+         FROM sh),
+       sig AS (
+         SELECT doc_id, seed, min(h1 + seed * h2) AS mh
+         FROM hs, (SELECT unnest(generate_series(0, 7)) AS seed) seeds
+         GROUP BY doc_id, seed),
+       bands AS MATERIALIZED (
+         SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+                md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed)) AS band_key
+         FROM sig GROUP BY doc_id, CAST(seed // 2 AS INT)),
+       cand_g1 AS (
+         SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+         FROM (SELECT * FROM bands WHERE doc_id % 14 = 5) n
+         JOIN (SELECT * FROM bands WHERE doc_id % 7 != 5) o
+           ON n.band = o.band AND n.band_key = o.band_key),
+       cand_g3 AS (
+         SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+         FROM (SELECT * FROM bands WHERE doc_id % 14 = 12) n
+         JOIN (SELECT * FROM bands
+               WHERE (doc_id % 7 != 5 AND doc_id % 7 != 3) OR doc_id % 14 = 5) o
+           ON n.band = o.band AND n.band_key = o.band_key),
+       shd AS MATERIALIZED (
+         SELECT DISTINCT doc_id, h1 * 134217728 + h2 % 134217728 AS h FROM hs),
+       sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+       inter_g1 AS (
+         SELECT c.new_id, c.old_id, count(*) AS ni
+         FROM cand_g1 c
+           JOIN shd a ON a.doc_id = c.new_id
+           JOIN shd b ON b.doc_id = c.old_id AND b.h = a.h
+         GROUP BY c.new_id, c.old_id),
+       ver_g1 AS (
+         SELECT i.new_id, i.old_id FROM inter_g1 i
+           JOIN sz sa ON sa.doc_id = i.new_id
+           JOIN sz sb ON sb.doc_id = i.old_id
+         WHERE i.ni * 1.0 / (sa.n + sb.n - i.ni) >= 0.5),
+       inter_g3 AS (
+         SELECT c.new_id, c.old_id, count(*) AS ni
+         FROM cand_g3 c
+           JOIN shd a ON a.doc_id = c.new_id
+           JOIN shd b ON b.doc_id = c.old_id AND b.h = a.h
+         GROUP BY c.new_id, c.old_id),
+       ver_g3 AS (
+         SELECT i.new_id, i.old_id FROM inter_g3 i
+           JOIN sz sa ON sa.doc_id = i.new_id
+           JOIN sz sb ON sb.doc_id = i.old_id
+         WHERE i.ni * 1.0 / (sa.n + sb.n - i.ni) >= 0.5),
+       w0 AS (
+         SELECT d.doc_id AS new_doc_id,
+                CAST(coalesce(c.n_cand, 0) AS BIGINT) AS n_candidates,
+                CAST(coalesce(v.n_ver, 0) AS BIGINT) AS n_verified,
+                CASE WHEN v.new_id IS NOT NULL THEN 'duplicate' ELSE 'unique' END AS verdict,
+                v.best_match
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 14 = 5) d
+           LEFT JOIN (SELECT new_id, count(*) AS n_cand FROM cand_g1 GROUP BY new_id) c
+             ON d.doc_id = c.new_id
+           LEFT JOIN (SELECT new_id, count(*) AS n_ver, min(old_id) AS best_match
+                      FROM ver_g1 GROUP BY new_id) v
+             ON d.doc_id = v.new_id),
+       w1 AS (
+         SELECT d.doc_id AS new_doc_id,
+                CAST(coalesce(c.n_cand, 0) AS BIGINT) AS n_candidates,
+                CAST(coalesce(v.n_ver, 0) AS BIGINT) AS n_verified,
+                CASE WHEN v.new_id IS NOT NULL THEN 'duplicate' ELSE 'unique' END AS verdict,
+                v.best_match
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 14 = 12) d
+           LEFT JOIN (SELECT new_id, count(*) AS n_cand FROM cand_g3 GROUP BY new_id) c
+             ON d.doc_id = c.new_id
+           LEFT JOIN (SELECT new_id, count(*) AS n_ver, min(old_id) AS best_match
+                      FROM ver_g3 GROUP BY new_id) v
+             ON d.doc_id = v.new_id)
+       SELECT wave, generation, new_doc_id, n_candidates, n_verified, verdict, best_match
+       FROM (
+         SELECT CAST(0 AS BIGINT) AS wave, CAST(1 AS BIGINT) AS generation, * FROM w0
+         UNION ALL
+         SELECT 1, 3, * FROM w1
+         UNION ALL
+         SELECT 2, 3, CAST(-1 AS BIGINT),
+                (SELECT count(*) FROM bands WHERE doc_id % 7 != 3),
+                CAST(3 AS BIGINT), 'spec_32', CAST(NULL AS BIGINT))
+       ORDER BY wave, new_doc_id""") { (s, d) =>
+    import graft.ops.{Dedup, Incremental}
+    val docs = Tables.documents(s, d)
+    val (buckets, shingles) = Dedup.lshBucketsAndShingles(docs, "doc_id", "text",
+      shingleWords = 3, bands = 4, rowsPerBand = 2)
+    val t1 = "graft_band_s42_" + graft.Scratch.nameTag()
+    Dedup.writeBandIndexN(s, buckets.filter(col("id") % 7 =!= 5), t1, 8)
+    val cat = graft.Scratch.dir("graft_s42_cat") + "/index.catalog"
+    Incremental.publishCatalogVersioned(cat, Seq(t1, "8"))
+    s42Catalog = cat
+    val allShingles = shingles
+    val watched = graft.Scratch.dir("graft_s42_watched")
+    val outDir = graft.Scratch.dir("graft_s42_out")
+    val ckpt = graft.Scratch.dir("graft_s42_ckpt")
+    val s42NonEmpty = new java.util.concurrent.atomic.AtomicLong(0L)
+    (0 to 1).foreach { b =>
+      val tmp = graft.Scratch.dir(s"graft_s42_wave$b")
+      docs.filter(col("doc_id") % 14 === lit(5L + 7L * b))
+        .select(col("doc_id"), col("text").as("t"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(watched, s"arrival$b.parquet").toPath)
+      val q = s.readStream
+        .schema(StructType(Seq(StructField("doc_id", LongType),
+          StructField("t", StringType))))
+        .parquet(watched)
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!batch.isEmpty) {
+            require(s42NonEmpty.getAndIncrement() == b.toLong,
+              s"s42 wave $b saw a second non-empty micro-batch ($batchId): " +
+                "one-file-one-batch broken")
+            // resolve (handle, bucket spec) atomically; probe-then-append
+            // at the RESOLVED spec — the d64 writer discipline
+            val lines = Incremental.resolveCatalog(cat, expect = 2)
+            val gen = Incremental.currentCatalogVersion(cat)
+            val (bBuckets, _) = Dedup.lshBucketsAndShingles(
+              batch.toDF(), "doc_id", "t",
+              shingleWords = 3, bands = 4, rowsPerBand = 2)
+            val bB = bBuckets.localCheckpoint(true)
+            val cand = Dedup.probeBandIndex(s, lines.head, bB)
+            val candN = cand.groupBy(col("id_a").as("new_id"))
+              .agg(count(lit(1)).as("n_cand"))
+            val verN = Dedup.jaccardVerifiedPairs(cand, allShingles, tau = 0.5)
+              .groupBy(col("id_a").as("new_id"))
+              .agg(count(lit(1)).as("n_ver"), min(col("id_b")).as("best_match"))
+            batch.toDF().select(col("doc_id").as("new_doc_id"))
+              .join(candN, col("new_doc_id") === candN("new_id"), "left")
+              .join(verN, col("new_doc_id") === verN("new_id"), "left")
+              .select(lit(b.toLong).as("wave"), lit(gen.toLong).as("generation"),
+                col("new_doc_id"),
+                coalesce(col("n_cand"), lit(0L)).as("n_candidates"),
+                coalesce(col("n_ver"), lit(0L)).as("n_verified"),
+                when(verN("new_id").isNotNull, "duplicate")
+                  .otherwise("unique").as("verdict"),
+                col("best_match"))
+              .write.mode("append").parquet(outDir)
+            Dedup.appendBandIndexN(s, bB, lines.head, lines(1).toInt)
+          }
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      if (b == 0) {
+        // the maintenance window: migration and compaction racing from
+        // the same snapshot on REAL threads, both through the CAS loop —
+        // exactly one wins v2, the loser re-applies on top and wins v3
+        val tomb = docs.filter(col("doc_id") % 7 === 3).select(col("doc_id").as("id"))
+        val start = new java.util.concurrent.CountDownLatch(1)
+        val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        def publisher(body: (Int, Seq[String]) => Seq[String]): Thread =
+          new Thread(() => {
+            start.await()
+            try Incremental.commitCatalogCas(cat, maxAttempts = 10)(body): Unit
+            catch { case t: Throwable => failures.add(t): Unit }
+          })
+        val migrate = publisher { (_, cur) =>
+          Seq(Dedup.migrateBandIndex(s, cur.head, 32, "s42m"), "32")
+        }
+        val compact = publisher { (_, cur) =>
+          Seq(Dedup.compactBandIndexN(s, cur.head, tomb, "s42c", cur(1).toInt),
+            cur(1))
+        }
+        migrate.start(); compact.start(); start.countDown()
+        migrate.join(); compact.join()
+        require(failures.isEmpty, s"racing maintenance failed: ${failures.peek()}")
+        require(Incremental.currentCatalogVersion(cat) == 3,
+          "both publishers must survive: one wins v2, the retry wins v3")
+        require(Incremental.resolveCatalog(cat, expect = 2)(1) == "32",
+          "the migrated spec must survive whichever publisher won the race")
+      }
+    }
+    // the closing census: final content, version count, resolved spec
+    val fin = Incremental.resolveCatalog(cat, expect = 2)
+    import s.implicits._
+    val storeRow = Seq((2L, 3L, -1L, s.table(fin.head).count(),
+      Incremental.catalogVersions(cat).size.toLong,
+      "spec_" + fin(1), Option.empty[Long]))
+      .toDF("wave", "generation", "new_doc_id", "n_candidates",
+        "n_verified", "verdict", "best_match")
+    s.read.parquet(outDir).unionByName(storeRow)
+      .orderBy("wave", "new_doc_id")
+  }
+
+  /** Catalog path of the most recent s42 run (test-only introspection). */
+  @volatile private[graft] var s42Catalog: String = _
+
   /** Whether the most recent s41 run's drift gate fired (test-only). */
   @volatile private[graft] var s41Acted: Boolean = false
 
@@ -3472,7 +3693,7 @@ object StreamingQueries {
   val defs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
     s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25,
     s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38, s39, s40,
-    s41)
+    s41, s42)
 }
 
 /** s11's StatefulProcessor: cumulative (event count, value cents) per
