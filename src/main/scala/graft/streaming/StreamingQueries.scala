@@ -3256,8 +3256,12 @@ object StreamingQueries {
                     .otherwise("unique").as("verdict"),
                   col("best_match"))
             }
-            // the pin is resolved — and its lease CHECKED — every batch;
-            // the current consumer re-resolves the moving pointer
+            // the production consumer RENEWS its lease every batch (a
+            // holder overwrites its own lease file), then resolves —
+            // and re-checks — the pin; the current consumer re-resolves
+            // the moving pointer
+            Incremental.acquireCatalogPin(cat, version = 1,
+              holder = "s40-export", leaseMs = 3600000L)
             val pinnedTable =
               Incremental.resolvePinnedCatalog(cat, "s40-export", expect = 1).head
             val currentTable = Incremental.resolveCatalog(cat, expect = 1).head

@@ -23,7 +23,8 @@ object ScaleProbeR12New {
       "s40_stream_pinned_generation_read",
       "s41_stream_tokenizer_retrain",
       "d71_cross_surface_atomic_takedown",
-      "d72_index_tier_migration")
+      "d72_index_tier_migration",
+      "s42_stream_concurrent_maintenance")
 
     def wall(name: String, sf: String): Double = {
       spark.catalog.clearCache(); System.gc()
