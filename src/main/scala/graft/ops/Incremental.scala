@@ -1162,32 +1162,43 @@ object Incremental {
         .readAllLines(historyDir(path).resolve(f"v$v%05d"))).asScala
     }.toSet ++ pointer
 
-    dead.foreach { v =>
+    // Reclamation is IDEMPOTENT under concurrent sweeps (overlapping GC
+    // crons are normal ops): a version another sweep already reclaimed
+    // reads as absent — skip it; per-line reclamation tolerates losing
+    // a DROP race (the loser's handle is simply gone — the next sweep
+    // has nothing left to do); the history delete is deleteIfExists.
+    // GC is best-effort by contract: a line skipped on a race stays for
+    // the next sweep, never corrupts (drilled with 3 concurrent sweeps
+    // under a 6-publisher storm in RoundThirteenSpec).
+    dead.filter { v =>
       val hist = historyDir(path).resolve(f"v$v%05d")
-      val lines = scala.jdk.CollectionConverters.ListHasAsScala(
-        java.nio.file.Files.readAllLines(hist)).asScala.toSeq
-      lines.filterNot(keep).foreach { h =>
-        // a metadata line need not even PARSE as a table identifier
-        // (e.g. "schema-v2") — any parse failure means "not a table"
-        val isTable =
-          try s.catalog.tableExists(h) catch { case _: Exception => false }
-        if (isTable) {
-          val loc = s.sessionState.catalog.getTableMetadata(
-            org.apache.spark.sql.catalyst.TableIdentifier(h)).location
-          s.sql(s"DROP TABLE `$h`")
-          graft.Scratch.deleteRecursively(new java.io.File(loc))
-        } else if (new java.io.File(h).isAbsolute) {
-          // Only an ABSOLUTE path is a filesystem handle; anything else
-          // is scalar metadata (d64's bucket counts "8"/"32", schema
-          // tags) and must be skipped — `File("8").isDirectory` against
-          // the process CWD was the ADVICE-r11 deletion hazard.
-          val f = new java.io.File(h)
-          if (f.isDirectory) graft.Scratch.deleteRecursively(f)
-        }
-      }
-      java.nio.file.Files.delete(hist)
+      val linesOpt =
+        try Some(scala.jdk.CollectionConverters.ListHasAsScala(
+          java.nio.file.Files.readAllLines(hist)).asScala.toSeq)
+        catch { case _: java.io.IOException => None } // rival sweep got it
+      linesOpt.foreach(_.filterNot(keep).foreach { h =>
+        try {
+          // a metadata line need not even PARSE as a table identifier
+          // (e.g. "schema-v2") — any parse failure means "not a table"
+          val isTable =
+            try s.catalog.tableExists(h) catch { case _: Exception => false }
+          if (isTable) {
+            val loc = s.sessionState.catalog.getTableMetadata(
+              org.apache.spark.sql.catalyst.TableIdentifier(h)).location
+            s.sql(s"DROP TABLE `$h`")
+            graft.Scratch.deleteRecursively(new java.io.File(loc))
+          } else if (new java.io.File(h).isAbsolute) {
+            // Only an ABSOLUTE path is a filesystem handle; anything else
+            // is scalar metadata (d64's bucket counts "8"/"32", schema
+            // tags) and must be skipped — `File("8").isDirectory` against
+            // the process CWD was the ADVICE-r11 deletion hazard.
+            val f = new java.io.File(h)
+            if (f.isDirectory) graft.Scratch.deleteRecursively(f)
+          }
+        } catch { case scala.util.control.NonFatal(_) => () } // lost a race
+      })
+      linesOpt.isDefined && java.nio.file.Files.deleteIfExists(hist)
     }
-    dead
   }
 
   /** d58 — the full takedown→compaction lifecycle driven THROUGH the

@@ -160,6 +160,66 @@ class RoundThirteenSpec extends SparkTestBase {
     }
   }
 
+  test("multi-holder pins: GC honors EVERY active lease independently — " +
+    "two consumers pinned to different dead-window generations both " +
+    "survive, and each release exposes exactly its own generation") {
+    val cat = newCat("r13_multi")
+    (1 to 4).foreach(i => Incremental.publishCatalogVersioned(cat, Seq(s"g$i")))
+    Incremental.acquireCatalogPin(cat, 1, "reader-a", leaseMs = 600000)
+    Incremental.acquireCatalogPin(cat, 2, "reader-b", leaseMs = 600000)
+    // retain=1 would reclaim v1..v3; the two leases keep v1 and v2
+    assert(Incremental.gcCatalogHistory(spark, cat, retain = 1) === Seq(3))
+    assert(Incremental.catalogVersions(cat) === Seq(1, 2, 4))
+    Incremental.releaseCatalogPin(cat, "reader-a")
+    assert(Incremental.gcCatalogHistory(spark, cat, retain = 1) === Seq(1))
+    assert(Incremental.catalogVersions(cat) === Seq(2, 4))
+    assert(Incremental.resolvePinnedCatalog(cat, "reader-b", expect = 1)
+      === Seq("g2"), "the surviving pin still answers")
+    Incremental.releaseCatalogPin(cat, "reader-b")
+    assert(Incremental.gcCatalogHistory(spark, cat, retain = 1) === Seq(2))
+    assert(Incremental.catalogVersions(cat) === Seq(4))
+  }
+
+  test("GC racing live CAS publishers: retention GC runs concurrently " +
+    "with a publisher storm and never reclaims the current generation " +
+    "or loses an update") {
+    val cat = newCat("r13_gcrace")
+    Incremental.publishCatalogVersioned(cat, Seq("base"))
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val pubs = (1 to 6).map { i =>
+      new Thread(() => {
+        start.await()
+        try Incremental.commitCatalogCas(cat, maxAttempts = 100) {
+          (_, cur) => cur :+ s"u$i"
+        }: Unit
+        catch { case t: Throwable => failures.add(t): Unit }
+      })
+    }
+    val gcs = (1 to 3).map { _ =>
+      new Thread(() => {
+        start.await()
+        try (1 to 4).foreach { _ =>
+          Incremental.gcCatalogHistory(spark, cat, retain = 2): Unit
+          Thread.sleep(20)
+        }
+        catch { case t: Throwable => failures.add(t): Unit }
+      })
+    }
+    (pubs ++ gcs).foreach(_.start()); start.countDown()
+    (pubs ++ gcs).foreach(_.join())
+    assert(failures.isEmpty, s"race failed: ${Option(failures.peek())}")
+    // no update lost despite GC sweeping behind the publishers
+    val latest = Incremental.currentCatalogVersion(cat)
+    assert(latest === 7)
+    val fin = Incremental.readCatalogVersion(cat, latest)
+    assert(fin.head === "base" && (1 to 6).forall(i => fin.contains(s"u$i")),
+      s"every racer's update must survive GC interleaving: $fin")
+    // a final sweep leaves exactly the retained window
+    Incremental.gcCatalogHistory(spark, cat, retain = 2): Unit
+    assert(Incremental.catalogVersions(cat) === Seq(6, 7))
+  }
+
   test("d70 stale-schema append: a batch built for the old posting " +
     "schema fails the tagged append loudly and leaves the store " +
     "untouched") {
