@@ -1026,6 +1026,40 @@ object Incremental {
       s"catalog $path: CAS commit lost $maxAttempts straight races — livelock")
   }
 
+  /** Orphan reclamation for CAS retry debris: a publisher whose commit
+    * lost its race abandons the generation it materialized (the
+    * new-table discipline — never corruption, but real storage). An
+    * orphan is a registered table carrying the store's naming `prefix`
+    * that NO recorded history version and not even the current pointer
+    * references — absent from every version file, nothing can ever
+    * resolve it again, pinned or not. Prefix scoping keeps the sweep
+    * from ever touching another store's tables; reclamation is the GC
+    * loop's drop-table + storage-delete. Returns the reclaimed table
+    * names (drilled against a real lost race in RoundThirteenSpec). */
+  def gcOrphanTables(s: org.apache.spark.sql.SparkSession,
+      path: String, prefix: String): Seq[String] = {
+    val referenced = catalogVersions(path)
+      .flatMap(v =>
+        try readCatalogVersion(path, v)
+        catch { case _: Exception => Seq.empty[String] })
+      .toSet ++ (
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+          scala.jdk.CollectionConverters.ListHasAsScala(java.nio.file.Files
+            .readAllLines(java.nio.file.Paths.get(path))).asScala.toSeq
+        else Seq.empty[String])
+    val candidates = s.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith(prefix)).filterNot(referenced)
+    candidates.flatMap { t =>
+      try {
+        val loc = s.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(t)).location
+        s.sql(s"DROP TABLE `$t`")
+        graft.Scratch.deleteRecursively(new java.io.File(loc))
+        Some(t)
+      } catch { case scala.util.control.NonFatal(_) => None } // lost a race
+    }.toSeq
+  }
+
   /** All recorded history versions, ascending. */
   def catalogVersions(path: String): Seq[Int] = {
     val hd = historyDir(path)

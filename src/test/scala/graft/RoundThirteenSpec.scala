@@ -121,6 +121,45 @@ class RoundThirteenSpec extends SparkTestBase {
     assert(Incremental.resolveCatalog(cat, expect = 9) === fin)
   }
 
+  test("orphan-table GC: a lost CAS race's abandoned generation is " +
+    "reclaimed (table dropped, storage deleted); every referenced " +
+    "generation — live, historical, or pointer — survives") {
+    import ops.Dedup
+    val docs = Tables.documents(spark, sf0001).limit(60)
+    val (buckets, _) = Dedup.lshBucketsAndShingles(docs, "doc_id", "text",
+      shingleWords = 3, bands = 4, rowsPerBand = 2)
+    val prefix = "graft_band_r13o_"
+    def mkTable(tag: String, pred: org.apache.spark.sql.Column): String = {
+      val t = prefix + Scratch.nameTag()
+      Dedup.writeBandIndex(spark, buckets.filter(pred), t)
+      t
+    }
+    val cat = newCat("r13_orphan")
+    val t1 = mkTable("g1", col("id") % 2 === 0)
+    Incremental.publishCatalogVersioned(cat, Seq(t1))
+    // the d69 interleave: two publishers base on v1; the loser's table
+    // is materialized but its stale CAS fails — the orphan
+    val baseV = Incremental.currentCatalogVersion(cat)
+    val t2 = mkTable("g2", col("id") % 2 === 1)
+    assert(Incremental.publishCatalogCas(cat, baseV, Seq(t2)) === 2)
+    val orphan = mkTable("lost", col("id") % 3 === 0)
+    intercept[Incremental.CatalogCasConflict] {
+      Incremental.publishCatalogCas(cat, baseV, Seq(orphan))
+    }
+    val orphanLoc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(orphan)).location
+    val reclaimed = Incremental.gcOrphanTables(spark, cat, prefix)
+    assert(reclaimed === Seq(orphan), s"exactly the orphan: $reclaimed")
+    assert(!spark.catalog.tableExists(orphan))
+    assert(!new java.io.File(orphanLoc).exists(), "storage must be deleted")
+    // every referenced generation survives: the historical v1 and the
+    // current v2 both still resolve and answer
+    assert(spark.table(Incremental.readCatalogVersion(cat, 1).head).count() > 0)
+    assert(spark.table(Incremental.resolveCatalog(cat, expect = 1).head).count() > 0)
+    // idempotent: a second sweep finds nothing
+    assert(Incremental.gcOrphanTables(spark, cat, prefix) === Seq.empty)
+  }
+
   test("pin leases (s40): an unexpired lease blocks retention GC beyond " +
     "the retain window; expiry re-exposes the generation; reads through " +
     "an expired pin, of a reclaimed version, and re-pinning it all fail " +
