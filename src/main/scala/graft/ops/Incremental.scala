@@ -904,6 +904,50 @@ object Incremental {
   private def historyDir(path: String): java.nio.file.Path =
     java.nio.file.Paths.get(path + ".history")
 
+  // ----------------------------------------- version-file integrity
+  // r13: `resolveCatalogVersion` used to validate line COUNT only — a
+  // torn or corrupted version file with the right number of lines would
+  // resolve to wrong handles silently. Every version file now carries a
+  // trailing checksum line (`#crc32:<hex>` over the content bytes),
+  // written with the content in one atomic claim and verified on EVERY
+  // read — resolve, pin resolve, GC keep-set, orphan-scan. A torn write
+  // (truncated tail, flipped byte, missing trailer) fails loudly at the
+  // reader instead of resolving wrong handles; on the conditional-put
+  // committer the same trailer is what detects a reader racing the
+  // (non-atomic on POSIX) content write.
+
+  private val ChecksumPrefix = "#crc32:"
+
+  private def crcHex(content: String): String = {
+    val crc = new java.util.zip.CRC32()
+    crc.update(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.toHexString(crc.getValue)
+  }
+
+  /** Bytes of a version file: content lines + checksum trailer. Exposed
+    * private[graft] so crash-window drills can fabricate VALID files. */
+  private[graft] def versionFileBytes(lines: Seq[String]): Array[Byte] = {
+    val body = lines.mkString("", "\n", "\n")
+    (body + ChecksumPrefix + crcHex(body) + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Read a version file, verify its checksum trailer, return the
+    * content lines. Fails loudly (IllegalArgumentException) on a
+    * missing trailer or a checksum mismatch — a torn/corrupted write,
+    * or a read racing an in-flight conditional-put claim. */
+  private def parseVersionFile(p: java.nio.file.Path): Seq[String] = {
+    val all = scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(p)).asScala.toSeq
+    require(all.nonEmpty && all.last.startsWith(ChecksumPrefix),
+      s"catalog version file $p has no checksum trailer — torn or truncated write")
+    val content = all.dropRight(1)
+    val expect = all.last.stripPrefix(ChecksumPrefix)
+    require(crcHex(content.mkString("", "\n", "\n")) == expect,
+      s"catalog version file $p FAILED its checksum — torn or corrupted write")
+    content
+  }
+
   /** Publish a new generation: record it as the next immutable history
     * version, then swap the current pointer. Returns the version
     * number. Single publisher by contract (the d58 premise). */
@@ -913,8 +957,7 @@ object Incremental {
     val v = catalogVersions(path).lastOption.getOrElse(0) + 1
     val hist = hd.resolve(f"v$v%05d")
     val tmp = hd.resolve(f"v$v%05d.tmp." + java.util.UUID.randomUUID())
-    java.nio.file.Files.write(tmp,
-      lines.mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(tmp, versionFileBytes(lines))
     java.nio.file.Files.move(tmp, hist,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
     publishCatalog(path, lines)
@@ -931,11 +974,68 @@ object Incremental {
   // the commit fails loudly when the catalog moved — the caller
   // re-reads the new current generation, re-applies its change ON TOP,
   // and retries (the Iceberg optimistic-commit protocol). The atomic
-  // claim primitive is `Files.createLink` on the next history version:
-  // hard-link creation is atomic and fails with FileAlreadyExists when
-  // a rival claimed the slot first — no lock file, no coordinator, and
-  // it works across JVMs sharing the filesystem, which is exactly the
-  // multi-job deployment shape.
+  // claim primitive is a [[SlotCommitter]] — no lock file, no
+  // coordinator, works across JVMs sharing the catalog (drilled with
+  // real child JVMs racing the suite JVM in CasCrossJvmSpec).
+
+  /** The atomic version-slot claim, extracted behind a seam so the
+    * commit protocol is PORTABLE beyond a POSIX shared filesystem: of N
+    * concurrent claimants of one slot, exactly one returns true; the
+    * losers return false having left the slot untouched. Two shipped
+    * shapes, selectable per call or globally via
+    * `-Dgraft.catalog.committer=hardlink|createnew`; both run the full
+    * RoundThirteenSpec race drills (same-slot races, publisher storm,
+    * real-store race) and the cross-JVM drill. */
+  sealed trait SlotCommitter {
+    def name: String
+    def claim(slot: java.nio.file.Path, bytes: Array[Byte]): Boolean
+  }
+
+  /** POSIX shape: write the content to a temp sibling, then hard-link it
+    * onto the slot. Link creation is atomic AND makes the full content
+    * visible atomically — a reader can never observe a partial file.
+    * Hard links do not exist on object stores; there this committer is
+    * the wrong choice and [[CreateNewCommitter]] is the shape to port. */
+  case object HardLinkCommitter extends SlotCommitter {
+    val name = "hardlink"
+    def claim(slot: java.nio.file.Path, bytes: Array[Byte]): Boolean = {
+      val tmp = slot.resolveSibling(
+        slot.getFileName.toString + ".tmp." + java.util.UUID.randomUUID())
+      java.nio.file.Files.write(tmp, bytes)
+      try { java.nio.file.Files.createLink(slot, tmp); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      finally { java.nio.file.Files.deleteIfExists(tmp): Unit }
+    }
+  }
+
+  /** Conditional-put shape: create the slot file itself with CREATE_NEW
+    * — the put-if-absent an object store (S3 `If-None-Match: *`, GCS
+    * `ifGenerationMatch=0`) or HDFS `create(overwrite=false)` offers,
+    * where the whole object lands atomically or not at all. The POSIX
+    * emulation's one divergence is that the content write AFTER the
+    * exclusive create is not atomic — a reader racing that window sees
+    * a partial file, which the checksum trailer turns into a LOUD
+    * retryable failure (never wrong handles); [[commitCatalogCas]]
+    * treats it as a conflict and re-reads. */
+  case object CreateNewCommitter extends SlotCommitter {
+    val name = "createnew"
+    def claim(slot: java.nio.file.Path, bytes: Array[Byte]): Boolean = {
+      val ch =
+        try java.nio.channels.FileChannel.open(slot,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        catch { case _: java.nio.file.FileAlreadyExistsException => return false }
+      try { ch.write(java.nio.ByteBuffer.wrap(bytes)); ch.force(true) }
+      finally ch.close()
+      true
+    }
+  }
+
+  /** Session-wide committer choice (hardlink unless overridden). */
+  def defaultCommitter: SlotCommitter =
+    if (sys.props.get("graft.catalog.committer").contains(CreateNewCommitter.name))
+      CreateNewCommitter
+    else HardLinkCommitter
 
   /** A CAS publish lost its race: the catalog moved past the version the
     * publisher based its update on. Re-read, re-apply, retry. */
@@ -949,42 +1049,33 @@ object Incremental {
     catalogVersions(path).lastOption.getOrElse(0)
 
   /** Raw line list of a recorded generation (no `expect` guard — CAS
-    * callers re-apply structural updates and validate themselves). */
+    * callers re-apply structural updates and validate themselves).
+    * Checksum-verified: a torn file fails loudly, never wrong lines. */
   def readCatalogVersion(path: String, version: Int): Seq[String] = {
     val hist = historyDir(path).resolve(f"v$version%05d")
     require(java.nio.file.Files.exists(hist),
       s"catalog generation v$version at $path is gone")
-    scala.jdk.CollectionConverters.ListHasAsScala(
-      java.nio.file.Files.readAllLines(hist)).asScala.toSeq
+    parseVersionFile(hist)
   }
 
   /** Compare-and-swap publish: commits `lines` as generation
     * `expectedVersion + 1` IFF the catalog is still at
     * `expectedVersion`; throws [[CatalogCasConflict]] otherwise. The
-    * claim is atomic (hard-link onto the version slot), so of N racing
+    * slot claim is the committer's atomic primitive, so of N racing
     * publishers exactly one wins each version — a lost update is
     * impossible, only a retried one. Returns the committed version. */
-  def publishCatalogCas(path: String, expectedVersion: Int, lines: Seq[String]): Int = {
+  def publishCatalogCas(path: String, expectedVersion: Int, lines: Seq[String],
+      committer: SlotCommitter = defaultCommitter): Int = {
     val hd = historyDir(path)
     java.nio.file.Files.createDirectories(hd)
     val current = currentCatalogVersion(path)
     if (current != expectedVersion)
       throw new CatalogCasConflict(path, expectedVersion, current)
     val v = expectedVersion + 1
-    val hist = hd.resolve(f"v$v%05d")
-    val tmp = hd.resolve(f"v$v%05d.tmp." + java.util.UUID.randomUUID())
-    java.nio.file.Files.write(tmp,
-      lines.mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    try java.nio.file.Files.createLink(hist, tmp)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        // a rival claimed v between our check and our link — same
-        // conflict, detected one step later
-        java.nio.file.Files.delete(tmp)
-        throw new CatalogCasConflict(path, expectedVersion, v)
-    } finally {
-      java.nio.file.Files.deleteIfExists(tmp): Unit
-    }
+    // a rival may claim v between our check and our claim — same
+    // conflict, detected one step later
+    if (!committer.claim(hd.resolve(f"v$v%05d"), versionFileBytes(lines)))
+      throw new CatalogCasConflict(path, expectedVersion, v)
     syncCatalogPointer(path)
     v
   }
@@ -997,10 +1088,21 @@ object Incremental {
     * while version-aware readers never see a torn state at all. */
   private def syncCatalogPointer(path: String): Unit = {
     var settled = false
-    while (!settled) {
+    var tries = 0
+    while (!settled && tries < 1000) {
+      tries += 1
       val latest = currentCatalogVersion(path)
-      publishCatalog(path, readCatalogVersion(path, latest))
-      settled = currentCatalogVersion(path) == latest
+      try {
+        publishCatalog(path, readCatalogVersion(path, latest))
+        settled = currentCatalogVersion(path) == latest
+      } catch {
+        // the latest slot is a rival's in-flight conditional-put write
+        // (checksum trailer not landed yet) or was reclaimed mid-loop —
+        // yield and re-check. The pointer is a convergent CACHE: if we
+        // lose every race the rival's own sync converges it, and the
+        // bounded give-up leaves version-aware readers unaffected.
+        case _: IllegalArgumentException => Thread.sleep(1)
+      }
     }
   }
 
@@ -1012,18 +1114,35 @@ object Incremental {
     * be safe to re-run (it may materialize a new store generation per
     * attempt; an abandoned attempt's table is dead weight for the GC,
     * never corruption — new-table discipline). */
-  def commitCatalogCas(path: String, maxAttempts: Int = 10)(
+  def commitCatalogCas(path: String, maxAttempts: Int = 10,
+      committer: SlotCommitter = defaultCommitter)(
       update: (Int, Seq[String]) => Seq[String]): (Int, Int) = {
     var attempts = 0
+    var lastRead: Throwable = null
     while (attempts < maxAttempts) {
       attempts += 1
-      val cur = currentCatalogVersion(path)
-      val curLines = if (cur == 0) Seq.empty[String] else readCatalogVersion(path, cur)
-      try return (publishCatalogCas(path, cur, update(cur, curLines)), attempts)
-      catch { case _: CatalogCasConflict => () }
+      try {
+        val cur = currentCatalogVersion(path)
+        val curLines = if (cur == 0) Seq.empty[String] else readCatalogVersion(path, cur)
+        return (publishCatalogCas(path, cur, update(cur, curLines), committer), attempts)
+      } catch {
+        case _: CatalogCasConflict => ()
+        case e: IllegalArgumentException =>
+          // the basis READ failed, not the claim: either retention GC
+          // reclaimed our basis between the version list and the read
+          // (two newer versions landed mid-loop — the same "catalog
+          // moved" fact as a conflict), or the latest slot is a rival's
+          // in-flight conditional-put write (checksum not landed). Both
+          // are retryable races, not corruption — re-read and retry
+          // with a small backoff so an in-flight writer can finish.
+          lastRead = e
+          Thread.sleep(math.min(5L * attempts, 50L))
+      }
     }
     throw new IllegalStateException(
-      s"catalog $path: CAS commit lost $maxAttempts straight races — livelock")
+      s"catalog $path: CAS commit lost $maxAttempts straight races — livelock " +
+        "(or the current version file is persistently unreadable; see cause)",
+      lastRead)
   }
 
   /** Orphan reclamation for CAS retry debris: a publisher whose commit
@@ -1035,27 +1154,43 @@ object Incremental {
     * resolve it again, pinned or not. Prefix scoping keeps the sweep
     * from ever touching another store's tables; reclamation is the GC
     * loop's drop-table + storage-delete. Returns the reclaimed table
-    * names (drilled against a real lost race in RoundThirteenSpec). */
+    * names (drilled against a real lost race in RoundThirteenSpec).
+    *
+    * `graceMs` is the in-flight-publisher guard (Iceberg's older-than
+    * cutoff): a table a publisher materialized but has NOT YET
+    * CAS-published is indistinguishable from lost-race debris — only
+    * AGE separates them. Candidates younger than the grace window are
+    * skipped; set it well above the fleet's worst publish latency. A
+    * torn (checksum-failing) version file aborts the sweep loudly — its
+    * references are unknowable, so reclaiming anything would gamble. */
   def gcOrphanTables(s: org.apache.spark.sql.SparkSession,
-      path: String, prefix: String): Seq[String] = {
+      path: String, prefix: String,
+      graceMs: Long = 10L * 60 * 1000): Seq[String] = {
     val referenced = catalogVersions(path)
-      .flatMap(v =>
-        try readCatalogVersion(path, v)
-        catch { case _: Exception => Seq.empty[String] })
+      .flatMap { v =>
+        // absent = a rival sweep reclaimed it (its references are moot);
+        // a TORN file propagates parseVersionFile's loud failure instead
+        try parseVersionFile(historyDir(path).resolve(f"v$v%05d"))
+        catch { case _: java.nio.file.NoSuchFileException => Seq.empty[String] }
+      }
       .toSet ++ (
         if (java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
           scala.jdk.CollectionConverters.ListHasAsScala(java.nio.file.Files
             .readAllLines(java.nio.file.Paths.get(path))).asScala.toSeq
         else Seq.empty[String])
+    val cutoff = System.currentTimeMillis() - graceMs
     val candidates = s.catalog.listTables().collect()
       .map(_.name).filter(_.startsWith(prefix)).filterNot(referenced)
     candidates.flatMap { t =>
       try {
-        val loc = s.sessionState.catalog.getTableMetadata(
-          org.apache.spark.sql.catalyst.TableIdentifier(t)).location
-        s.sql(s"DROP TABLE `$t`")
-        graft.Scratch.deleteRecursively(new java.io.File(loc))
-        Some(t)
+        val meta = s.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(t))
+        if (meta.createTime > cutoff) None // maybe an in-flight publisher's
+        else {
+          s.sql(s"DROP TABLE `$t`")
+          graft.Scratch.deleteRecursively(new java.io.File(meta.location))
+          Some(t)
+        }
       } catch { case scala.util.control.NonFatal(_) => None } // lost a race
     }.toSeq
   }
@@ -1081,10 +1216,10 @@ object Incremental {
     require(java.nio.file.Files.exists(hist),
       s"catalog generation v$version at $path is gone (never published, " +
         "or reclaimed by retention GC)")
-    val lines = java.nio.file.Files.readAllLines(hist)
+    val lines = parseVersionFile(hist) // checksum-verified: torn → loud
     require(lines.size == expect,
       s"corrupt catalog history v$version at $path (expected $expect lines): $lines")
-    scala.jdk.CollectionConverters.ListHasAsScala(lines).asScala.toSeq
+    lines
   }
 
   // ----------------------------------------------------- pin registry
@@ -1136,10 +1271,18 @@ object Incremental {
       try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator()).asScala
         .filterNot(_.getFileName.toString.contains(".tmp."))
         .flatMap { p =>
-          val parts = new String(java.nio.file.Files.readAllBytes(p),
-            java.nio.charset.StandardCharsets.UTF_8).trim.split(" ")
-          if (parts(1).toLong > now) Some(p.getFileName.toString -> parts(0).toInt)
-          else None
+          // per-file guard: a holder releasing CONCURRENTLY makes the
+          // read throw NoSuchFile, and a torn/malformed lease parses
+          // wrong — both mean "this lease protects nothing", exactly
+          // what a released pin means. Guarding per file keeps one
+          // racing release from aborting a whole retention sweep.
+          try {
+            val parts = new String(java.nio.file.Files.readAllBytes(p),
+              java.nio.charset.StandardCharsets.UTF_8).trim.split(" ")
+            if (parts.length == 2 && parts(1).toLong > now)
+              Some(p.getFileName.toString -> parts(0).toInt)
+            else None
+          } catch { case scala.util.control.NonFatal(_) => None }
         }.toMap
       finally s.close()
     }
@@ -1192,8 +1335,9 @@ object Incremental {
           .readAllLines(java.nio.file.Paths.get(path))).asScala.toSet
       else Set.empty[String]
     val keep = live.flatMap { v =>
-      scala.jdk.CollectionConverters.ListHasAsScala(java.nio.file.Files
-        .readAllLines(historyDir(path).resolve(f"v$v%05d"))).asScala
+      // checksum-verified: a TORN live version aborts the sweep loudly —
+      // what it references is unknowable, so reclaiming would gamble
+      parseVersionFile(historyDir(path).resolve(f"v$v%05d"))
     }.toSet ++ pointer
 
     // Reclamation is IDEMPOTENT under concurrent sweeps (overlapping GC
@@ -1204,34 +1348,58 @@ object Incremental {
     // GC is best-effort by contract: a line skipped on a race stays for
     // the next sweep, never corrupts (drilled with 3 concurrent sweeps
     // under a 6-publisher storm in RoundThirteenSpec).
+    //
+    // Reclaims a HANDLE line; returns false only when the attempt FAILED
+    // and the handle still exists (a transient FS/metastore error) — a
+    // handle that is simply gone (rival sweep won the drop race) counts
+    // reclaimed. The distinction is what keeps the version's history
+    // file around: deleting it after a failed line would erase the only
+    // record of the leaked handle (not even gcOrphanTables could find an
+    // unregistered directory again), so the version is left for the
+    // next sweep to retry — exactly what the in-code contract promises.
+    def reclaimLine(h: String): Boolean = {
+      def stillThere: Boolean =
+        (try s.catalog.tableExists(h) catch { case _: Exception => false }) ||
+          (new java.io.File(h).isAbsolute && new java.io.File(h).isDirectory)
+      try {
+        // a metadata line need not even PARSE as a table identifier
+        // (e.g. "schema-v2") — any parse failure means "not a table"
+        val isTable =
+          try s.catalog.tableExists(h) catch { case _: Exception => false }
+        if (isTable) {
+          val loc = s.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(h)).location
+          s.sql(s"DROP TABLE `$h`")
+          graft.Scratch.deleteRecursively(new java.io.File(loc))
+        } else if (new java.io.File(h).isAbsolute) {
+          // Only an ABSOLUTE path is a filesystem handle; anything else
+          // is scalar metadata (d64's bucket counts "8"/"32", schema
+          // tags) and must be skipped — `File("8").isDirectory` against
+          // the process CWD was the ADVICE-r11 deletion hazard.
+          val f = new java.io.File(h)
+          if (f.isDirectory) graft.Scratch.deleteRecursively(f)
+        }
+        true
+      } catch {
+        case scala.util.control.NonFatal(_) => !stillThere // lost a race?
+      }
+    }
     dead.filter { v =>
       val hist = historyDir(path).resolve(f"v$v%05d")
       val linesOpt =
-        try Some(scala.jdk.CollectionConverters.ListHasAsScala(
-          java.nio.file.Files.readAllLines(hist)).asScala.toSeq)
-        catch { case _: java.io.IOException => None } // rival sweep got it
-      linesOpt.foreach(_.filterNot(keep).foreach { h =>
-        try {
-          // a metadata line need not even PARSE as a table identifier
-          // (e.g. "schema-v2") — any parse failure means "not a table"
-          val isTable =
-            try s.catalog.tableExists(h) catch { case _: Exception => false }
-          if (isTable) {
-            val loc = s.sessionState.catalog.getTableMetadata(
-              org.apache.spark.sql.catalyst.TableIdentifier(h)).location
-            s.sql(s"DROP TABLE `$h`")
-            graft.Scratch.deleteRecursively(new java.io.File(loc))
-          } else if (new java.io.File(h).isAbsolute) {
-            // Only an ABSOLUTE path is a filesystem handle; anything else
-            // is scalar metadata (d64's bucket counts "8"/"32", schema
-            // tags) and must be skipped — `File("8").isDirectory` against
-            // the process CWD was the ADVICE-r11 deletion hazard.
-            val f = new java.io.File(h)
-            if (f.isDirectory) graft.Scratch.deleteRecursively(f)
-          }
-        } catch { case scala.util.control.NonFatal(_) => () } // lost a race
-      })
-      linesOpt.isDefined && java.nio.file.Files.deleteIfExists(hist)
+        try Some(parseVersionFile(hist))
+        catch {
+          case _: java.io.IOException => None // rival sweep got it
+          // torn DEAD version: its handles are unknowable — keep the
+          // file as the investigation record, reclaim nothing from it
+          case _: IllegalArgumentException => None
+        }
+      // attempt EVERY line (no short-circuit): one failed handle must not
+      // stop the others from being reclaimed this sweep
+      val allReclaimed =
+        linesOpt.forall(_.filterNot(keep).map(reclaimLine).forall(identity))
+      // a failed line keeps the version file: "stays for the next sweep"
+      linesOpt.isDefined && allReclaimed && java.nio.file.Files.deleteIfExists(hist)
     }
   }
 

@@ -58,67 +58,78 @@ class RoundThirteenSpec extends SparkTestBase {
       "BOTH updates survive under CAS")
   }
 
-  test("same-version CAS race: of two publishers claiming the same slot " +
-    "concurrently, exactly one wins — the hard-link claim is atomic") {
-    // 20 rounds of a 2-thread same-slot race; a non-atomic claim would
-    // let both 'win' (or corrupt the slot) at least once
-    val cat = newCat("r13_slot")
-    Incremental.publishCatalogVersioned(cat, Seq("g1"))
-    (1 to 20).foreach { round =>
-      val expected = Incremental.currentCatalogVersion(cat)
+  // Both shipped committers run the full race drill set: the POSIX
+  // hard-link shape AND the conditional-put (CREATE_NEW) shape a real
+  // object-store deployment ports — exclusivity is a property each
+  // primitive must prove for itself, not inherit from the protocol.
+  private val committers =
+    Seq(Incremental.HardLinkCommitter, Incremental.CreateNewCommitter)
+
+  committers.foreach { committer =>
+    test(s"[${committer.name}] same-version CAS race: of two publishers " +
+      "claiming the same slot concurrently, exactly one wins — the " +
+      "claim is atomic") {
+      // 20 rounds of a 2-thread same-slot race; a non-atomic claim would
+      // let both 'win' (or corrupt the slot) at least once
+      val cat = newCat(s"r13_slot_${committer.name}")
+      Incremental.publishCatalogVersioned(cat, Seq("g1"))
+      (1 to 20).foreach { round =>
+        val expected = Incremental.currentCatalogVersion(cat)
+        val start = new java.util.concurrent.CountDownLatch(1)
+        val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[Int, Int]]()
+        val ts = Seq("a", "b").map { who =>
+          new Thread(() => {
+            start.await()
+            try {
+              results.add(Right(Incremental.publishCatalogCas(
+                cat, expected, Seq(s"r$round-$who"), committer)))
+              ()
+            } catch {
+              case c: Incremental.CatalogCasConflict =>
+                results.add(Left(c.found)); ()
+            }
+          })
+        }
+        ts.foreach(_.start()); start.countDown(); ts.foreach(_.join())
+        val (losers, winners) = results.toArray(Array.empty[Either[Int, Int]]).partition(_.isLeft)
+        assert(winners.length === 1, s"round $round: exactly one claim must win")
+        assert(losers.length === 1)
+        assert(winners.head === Right(expected + 1))
+        // the committed content is the winner's, intact (no torn write —
+        // readCatalogVersion checksum-verifies)
+        val cur = Incremental.readCatalogVersion(cat, expected + 1)
+        assert(cur.length === 1 && cur.head.startsWith(s"r$round-"))
+      }
+      assert(Incremental.catalogVersions(cat) === (1 to 21))
+    }
+
+    test(s"[${committer.name}] 8 concurrent publishers through " +
+      "commitCatalogCas: every update survives, versions are contiguous, " +
+      "and the pointer converges to the latest generation") {
+      val cat = newCat(s"r13_many_${committer.name}")
+      Incremental.publishCatalogVersioned(cat, Seq("base"))
       val start = new java.util.concurrent.CountDownLatch(1)
-      val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[Int, Int]]()
-      val ts = Seq("a", "b").map { who =>
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val ts = (1 to 8).map { i =>
         new Thread(() => {
           start.await()
-          try {
-            results.add(Right(
-              Incremental.publishCatalogCas(cat, expected, Seq(s"r$round-$who"))))
-            ()
-          } catch {
-            case c: Incremental.CatalogCasConflict =>
-              results.add(Left(c.found)); ()
-          }
+          try Incremental.commitCatalogCas(cat, maxAttempts = 100, committer) {
+            (_, cur) => cur :+ s"update-$i"
+          }: Unit
+          catch { case t: Throwable => failures.add(t): Unit }
         })
       }
       ts.foreach(_.start()); start.countDown(); ts.foreach(_.join())
-      val (losers, winners) = results.toArray(Array.empty[Either[Int, Int]]).partition(_.isLeft)
-      assert(winners.length === 1, s"round $round: exactly one claim must win")
-      assert(losers.length === 1)
-      assert(winners.head === Right(expected + 1))
-      // the committed content is the winner's, intact (no torn write)
-      val cur = Incremental.readCatalogVersion(cat, expected + 1)
-      assert(cur.length === 1 && cur.head.startsWith(s"r$round-"))
+      assert(failures.isEmpty, s"CAS loop failed: ${Option(failures.peek())}")
+      assert(Incremental.catalogVersions(cat) === (1 to 9),
+        "each winner claims exactly one contiguous version")
+      val fin = Incremental.readCatalogVersion(cat, 9)
+      assert(fin.head === "base")
+      assert((1 to 8).forall(i => fin.contains(s"update-$i")),
+        s"every racer's update must survive: $fin")
+      // the legacy pointer file converged to the latest generation
+      assert(Incremental.resolveCatalog(cat, expect = 9) === fin)
     }
-    assert(Incremental.catalogVersions(cat) === (1 to 21))
-  }
-
-  test("8 concurrent publishers through commitCatalogCas: every update " +
-    "survives, versions are contiguous, and the pointer converges to " +
-    "the latest generation") {
-    val cat = newCat("r13_many")
-    Incremental.publishCatalogVersioned(cat, Seq("base"))
-    val start = new java.util.concurrent.CountDownLatch(1)
-    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
-    val ts = (1 to 8).map { i =>
-      new Thread(() => {
-        start.await()
-        try Incremental.commitCatalogCas(cat, maxAttempts = 100) {
-          (_, cur) => cur :+ s"update-$i"
-        }: Unit
-        catch { case t: Throwable => failures.add(t): Unit }
-      })
-    }
-    ts.foreach(_.start()); start.countDown(); ts.foreach(_.join())
-    assert(failures.isEmpty, s"CAS loop failed: ${Option(failures.peek())}")
-    assert(Incremental.catalogVersions(cat) === (1 to 9),
-      "each winner claims exactly one contiguous version")
-    val fin = Incremental.readCatalogVersion(cat, 9)
-    assert(fin.head === "base")
-    assert((1 to 8).forall(i => fin.contains(s"update-$i")),
-      s"every racer's update must survive: $fin")
-    // the legacy pointer file converged to the latest generation
-    assert(Incremental.resolveCatalog(cat, expect = 9) === fin)
   }
 
   test("orphan-table GC: a lost CAS race's abandoned generation is " +
@@ -148,7 +159,9 @@ class RoundThirteenSpec extends SparkTestBase {
     }
     val orphanLoc = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(orphan)).location
-    val reclaimed = Incremental.gcOrphanTables(spark, cat, prefix)
+    // graceMs=0: this drill's race is COMPLETE (the loser's CAS already
+    // failed), so age-based in-flight protection is deliberately off
+    val reclaimed = Incremental.gcOrphanTables(spark, cat, prefix, graceMs = 0L)
     assert(reclaimed === Seq(orphan), s"exactly the orphan: $reclaimed")
     assert(!spark.catalog.tableExists(orphan))
     assert(!new java.io.File(orphanLoc).exists(), "storage must be deleted")
@@ -157,7 +170,18 @@ class RoundThirteenSpec extends SparkTestBase {
     assert(spark.table(Incremental.readCatalogVersion(cat, 1).head).count() > 0)
     assert(spark.table(Incremental.resolveCatalog(cat, expect = 1).head).count() > 0)
     // idempotent: a second sweep finds nothing
-    assert(Incremental.gcOrphanTables(spark, cat, prefix) === Seq.empty)
+    assert(Incremental.gcOrphanTables(spark, cat, prefix, graceMs = 0L) === Seq.empty)
+    // the in-flight-publisher guard (ADVICE r12): a table materialized
+    // but not yet CAS-published is indistinguishable from debris except
+    // by AGE — the default grace window must leave it alone, so a
+    // publisher that wins its CAS a moment later references a LIVE table
+    val inflight = mkTable("inflight", col("id") % 5 === 0)
+    assert(Incremental.gcOrphanTables(spark, cat, prefix) === Seq.empty,
+      "a young unpublished table must survive the default grace window")
+    assert(spark.catalog.tableExists(inflight))
+    Incremental.commitCatalogCas(cat) { (_, _) => Seq(inflight) }: Unit
+    assert(spark.table(Incremental.resolveCatalog(cat, expect = 1).head).count() > 0,
+      "the late-winning publisher's generation must answer")
   }
 
   test("pin leases (s40): an unexpired lease blocks retention GC beyond " +
@@ -339,17 +363,19 @@ class RoundThirteenSpec extends SparkTestBase {
       s"in-distribution drift must stay under the gate, was $drift micros")
   }
 
-  test("real-store race (d69's shape, genuinely concurrent): ingest " +
-    "append vs takedown compaction both survive; the final probe set " +
-    "is base ∪ batch minus tombstones regardless of commit order") {
+  committers.foreach { committer =>
+  test(s"[${committer.name}] real-store race (d69's shape, genuinely " +
+    "concurrent): ingest append vs takedown compaction both survive; " +
+    "the final probe set is base ∪ batch minus tombstones regardless " +
+    "of commit order") {
     import ops.Dedup
     val docs = Tables.documents(spark, sf0001)
     val (buckets, _) = Dedup.lshBucketsAndShingles(docs, "doc_id", "text",
       shingleWords = 3, bands = 4, rowsPerBand = 2)
     val isBatch = col("id") % 7 === 3
-    val t1 = "graft_band_r13_" + Scratch.nameTag()
+    val t1 = s"graft_band_r13${committer.name.take(2)}_" + Scratch.nameTag()
     Dedup.writeBandIndex(spark, buckets.filter(!isBatch), t1)
-    val cat = newCat("r13_store")
+    val cat = newCat(s"r13_store_${committer.name}")
     Incremental.publishCatalogVersioned(cat, Seq(t1))
 
     val tomb = docs.filter(col("doc_id") % 7 === 1).select(col("doc_id").as("id"))
@@ -358,7 +384,7 @@ class RoundThirteenSpec extends SparkTestBase {
     def publisher(tag: String)(mk: String => String): Thread =
       new Thread(() => {
         start.await()
-        try Incremental.commitCatalogCas(cat, maxAttempts = 10) {
+        try Incremental.commitCatalogCas(cat, maxAttempts = 10, committer) {
           (_, cur) => Seq(mk(cur.head))
         }: Unit
         catch { case t: Throwable => failures.add(t): Unit }
@@ -383,5 +409,6 @@ class RoundThirteenSpec extends SparkTestBase {
     assert(fin.count() === expected.count())
     assert(fin.except(expected).isEmpty && expected.except(fin).isEmpty,
       "final stored content must equal base ∪ batch minus tombstones")
+  }
   }
 }

@@ -509,7 +509,8 @@ class RoundTwelveSpec extends SparkTestBase {
     // ran — the pointer still names v1's generation
     val t2 = freshTable("gcc2")
     val hd = java.nio.file.Paths.get(cat + ".history")
-    java.nio.file.Files.write(hd.resolve("v00002"), s"$t2\n".getBytes)
+    java.nio.file.Files.write(hd.resolve("v00002"),
+      ops.Incremental.versionFileBytes(Seq(t2)))
     assert(Incremental.resolveCatalog(cat, expect = 1).head == t1)
     // retain=1 would otherwise keep only the orphan v2 and reclaim v1 —
     // the generation the only guaranteed reader (the pointer) still uses
