@@ -1519,15 +1519,36 @@ object Similarity {
     * maintained at ingest via [[appendIvfIndex]]. Returns the (per-run
     * unique) table name — the handle a catalog publishes. */
   def writeIvfIndex(s: org.apache.spark.sql.SparkSession,
-      assign: DataFrame, tag: String): String = {
+      assign: DataFrame, tag: String, nBuckets: Int = 8): String = {
     val dir = graft.Scratch.dir(s"graft_$tag")
     val table = s"graft_${tag}_" + dir.replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
     assign.select(col("cell"), col("vec_id").as("cid"), col("v").as("cv2"),
         col("n2").as("cn2"))
       .write.mode("overwrite").format("parquet")
-      .bucketBy(8, "cell").sortBy("cell")
+      .bucketBy(nBuckets, "cell").sortBy("cell")
       .option("path", s"$dir/ivf_index").saveAsTable(table)
     table
+  }
+
+  /** d73 — re-layout a stored IVF index at a NEW cell count: centroids
+    * are the stored generation's vectors with `cid < numCents` (the
+    * d07/d59 seed convention, now sourced from the STORE — a migration
+    * must be a function of the data it migrates, the d72 discipline),
+    * every stored vector re-assigned against them, written as a new
+    * generation whose physical bucket count scales with the cell count
+    * so file-level parallelism grows with the logical layout. This is
+    * THE vector-tier scale lever: per-cell population (and therefore
+    * per-probe candidate cost) stays constant only if cells grow with
+    * the corpus — ScaleProbePqCells measured the fixed-8-cells probe at
+    * 74.9× under a 100× corpus and the re-laid index back at 2.17×. */
+  def migrateIvfIndexCells(s: org.apache.spark.sql.SparkSession,
+      table: String, numCents: Int, tag: String): String = {
+    val stored = s.table(table)
+      .select(col("cid").as("vec_id"), col("cv2").as("v"), col("cn2").as("n2"))
+    val cents = stored.filter(col("vec_id") < numCents)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    writeIvfIndex(s, ivfAssignAgainst(stored, cents), tag,
+      nBuckets = math.max(numCents, 8))
   }
 
   /** Append an ingested batch's cell assignments to an EXISTING stored
@@ -2397,6 +2418,154 @@ object Similarity {
   /** Catalog path of the most recent d72 run (test-only introspection). */
   @volatile private[graft] var d72Catalog: String = _
 
+  /** d73 — CELL-COUNT GROWTH GATE for the vector tier: the d65 pattern
+    * (census → pinned budget → bounded sizing ladder → gated migration)
+    * on the IVF cell axis, closing the one measured 100× pathology that
+    * still had a MANUAL trigger: probe cost under a fixed cell count is
+    * per-cell-population-linear (ScaleProbePqCells: 74.9× at 100× under
+    * 8 cells; 2.17× after re-laying at the grown count). The census is
+    * ONE map-side-combined aggregation over the stored bucketed index
+    * (total rows, non-empty cells, largest cell — the skew signal); the
+    * gate is a PINNED per-cell row budget (128 — holds at sf0.001/0.01
+    * at 500 vectors, fires at sf0.1 at 2000: the growth gate fires
+    * exactly when the corpus grows, so both branches run across the
+    * verify SFs); the sizing ladder is the bounded 8·2^k CASE hardcoded
+    * on both sides (the d37 exact-cross-engine discipline, no fp log2).
+    * When the gate fires, [[migrateIvfIndexCells]] runs and the new
+    * (handle, cells) generation publishes through the CAS commit — the
+    * concurrent-maintenance path s42 drills. Hash-checked: the census,
+    * the decision, the TARGET count, and a top-3 cosine probe served
+    * through the CURRENT generation (probes re-assigned against the
+    * resolved generation's own stored centroids), so a migration that
+    * mis-assigned even one vector is a ranking mismatch. */
+  private val d73 = Q(
+    "d73_cell_growth_gate",
+    """WITH e AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+         FROM embeddings),
+       n AS MATERIALIZED (
+         SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2 FROM e),
+       cents8 AS (SELECT vec_id AS cent_id, v AS cv FROM n WHERE vec_id < 8),
+       scored8 AS (
+         SELECT n.vec_id, c.cent_id,
+                row_number() OVER (PARTITION BY n.vec_id
+                  ORDER BY CAST(list_sum(list_transform(generate_series(1, 64), i -> n.v[i] * c.cv[i])) AS BIGINT) DESC,
+                           c.cent_id) AS rn
+         FROM n, cents8 c),
+       assign8 AS MATERIALIZED (SELECT vec_id, cent_id AS cell FROM scored8 WHERE rn = 1),
+       census AS MATERIALIZED (
+         SELECT CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_cells,
+                CAST(max(c) AS BIGINT) AS max_cell_rows
+         FROM (SELECT cell, count(*) AS c FROM assign8 GROUP BY cell)),
+       gate AS MATERIALIZED (
+         SELECT n_rows, n_cells, max_cell_rows,
+                n_rows >= 128 * 8 AS acted,
+                CAST(8 AS BIGINT) AS cells_pre,
+                CAST(CASE WHEN n_rows < 128 * 8 THEN 8
+                          WHEN n_rows < 128 * 16 THEN 16
+                          WHEN n_rows < 128 * 32 THEN 32
+                          WHEN n_rows < 128 * 64 THEN 64
+                          WHEN n_rows < 128 * 128 THEN 128
+                          WHEN n_rows < 128 * 256 THEN 256
+                          WHEN n_rows < 128 * 512 THEN 512
+                          ELSE 1024 END AS BIGINT) AS cells_post
+         FROM census),
+       centsc AS (
+         SELECT vec_id AS cent_id, v AS cv FROM n
+         WHERE vec_id < (SELECT CASE WHEN acted THEN cells_post ELSE cells_pre END FROM gate)),
+       scoredc AS (
+         SELECT n.vec_id, n.v, n.n2, c.cent_id,
+                row_number() OVER (PARTITION BY n.vec_id
+                  ORDER BY CAST(list_sum(list_transform(generate_series(1, 64), i -> n.v[i] * c.cv[i])) AS BIGINT) DESC,
+                           c.cent_id) AS rn
+         FROM n, centsc c),
+       assignc AS MATERIALIZED (
+         SELECT vec_id, v, n2, cent_id AS cell FROM scoredc WHERE rn = 1),
+       prep AS (
+         SELECT q.vec_id AS qid, q.cell, c.vec_id AS cid,
+                CAST(list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * c.v[i])) AS BIGINT)
+                  / (sqrt(q.n2) * sqrt(c.n2)) AS cos
+         FROM assignc q JOIN assignc c ON q.cell = c.cell AND c.vec_id <> q.vec_id
+         WHERE q.vec_id >= 10 AND q.vec_id < 15),
+       pr AS (
+         SELECT qid, cell, cid, cos,
+                row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rank
+         FROM prep)
+       SELECT phase, n_rows, n_cells, max_cell_rows, acted, cells_pre, cells_post,
+              qid, cell, cid, CAST(rank AS BIGINT) AS rank, cosine
+       FROM (
+         SELECT 'gate' AS phase, n_rows, n_cells, max_cell_rows, acted,
+                cells_pre, cells_post,
+                CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS cell,
+                CAST(NULL AS BIGINT) AS cid, CAST(NULL AS BIGINT) AS rank,
+                CAST(NULL AS DOUBLE) AS cosine
+         FROM gate
+         UNION ALL
+         SELECT 'probe', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN),
+                CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                qid, cell, cid, rank, round(cos, 6)
+         FROM pr WHERE rank <= 3)
+       ORDER BY phase, qid, rank""") { (s, d) =>
+    import graft.ops.Incremental
+    graft.functions.LongDot.register(s)
+    graft.plans.TopKPerGroup.install(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("n2", norm2Q(col("v")))
+    // generation 1: the index at the 8-cell seed layout
+    val t1 = writeIvfIndex(s, Dedup.reuse(ivfAssign(e)), "ivf_d73")
+    val cat = graft.Scratch.dir("graft_d73_cat") + "/index.catalog"
+    Incremental.publishCatalogVersioned(cat, Seq(t1, "8"))
+    d73Catalog = cat
+    // the census: ONE agg over the stored bucketed scan (ids only)
+    val cur = Incremental.resolveCatalog(cat, expect = 2)
+    val cellsPre = cur(1).toInt
+    val perCell = s.table(cur.head).groupBy("cell").agg(count(lit(1)).as("c"))
+    val cRow = perCell.agg(sum(col("c")).as("n_rows"),
+      count(lit(1)).as("n_cells"), max(col("c")).as("max_cell_rows")).head
+    val (nRows, nCells, maxCell) = (cRow.getLong(0), cRow.getLong(1), cRow.getLong(2))
+    // pinned budget + bounded sizing ladder, hardcoded in the oracle —
+    // the decision AND the target count are hash-checked, not trusted
+    val budget = 128L
+    val acted = nRows >= budget * cellsPre
+    val cellsPost = Seq(8, 16, 32, 64, 128, 256, 512)
+      .find(c => nRows < budget * c).getOrElse(1024)
+    if (acted) {
+      val t2 = migrateIvfIndexCells(s, cur.head, cellsPost, "d73m")
+      Incremental.commitCatalogCas(cat) { (_, _) => Seq(t2, cellsPost.toString) }: Unit
+    }
+    import s.implicits._
+    val gate = Seq((nRows, nCells, maxCell, acted, cellsPre.toLong, cellsPost.toLong))
+      .toDF("n_rows", "n_cells", "max_cell_rows", "acted", "cells_pre", "cells_post")
+      .select(lit("gate").as("phase"), col("n_rows"), col("n_cells"),
+        col("max_cell_rows"), col("acted"), col("cells_pre"), col("cells_post"),
+        lit(null).cast("long").as("qid"), lit(null).cast("long").as("cell"),
+        lit(null).cast("long").as("cid"), lit(null).cast("long").as("rank"),
+        lit(null).cast("double").as("cosine"))
+    // the probe serves through the CURRENT generation — whichever branch
+    // ran — with probes assigned against ITS stored centroids
+    val fin = Incremental.resolveCatalog(cat, expect = 2)
+    val cents = s.table(fin.head).filter(col("cid") < fin(1).toInt)
+      .select(col("cid").as("cent_id"), col("cv2").as("cv"))
+    val probes = ivfAssignAgainst(
+        e.filter(col("vec_id") >= 10 && col("vec_id") < 15), cents)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("n2").as("qn2"), col("cell").as("qcell"))
+    val probeRows = probeIvfTopK(s, fin.head, probes, k = 3)
+      .select(lit("probe").as("phase"),
+        lit(null).cast("long").as("n_rows"), lit(null).cast("long").as("n_cells"),
+        lit(null).cast("long").as("max_cell_rows"),
+        lit(null).cast("boolean").as("acted"),
+        lit(null).cast("long").as("cells_pre"), lit(null).cast("long").as("cells_post"),
+        col("qid"), col("cell"), col("cid"), col("rank"), col("cosine"))
+    gate.unionByName(probeRows).orderBy("phase", "qid", "rank")
+  }
+
+  /** Catalog path of the most recent d73 run (test-only introspection). */
+  @volatile private[graft] var d73Catalog: String = _
+
   val defs: Seq[Q] = Seq(d05, d06, d07, d12, d14, d16, d19, d24, d25, d26, d29,
-    d30, d32, d33, d35, d40, d52, d59, d60, d61, d62, d63, d72)
+    d30, d32, d33, d35, d40, d52, d59, d60, d61, d62, d63, d72, d73)
 }

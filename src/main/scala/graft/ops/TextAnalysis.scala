@@ -2890,6 +2890,81 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t59 — k-TERM PHRASE SEARCH FROM THE INDEX: t58's two-term
+    * adjacency generalized to arbitrary-length phrases via CHAINED
+    * position joins on the d70 v2 store — the Lucene
+    * `PhraseQuery`/`SloppyPhraseScorer` shape (one positional-postings
+    * leg per phrase term, intersected on doc and relative offset). The
+    * probe is a fold: leg i reads ONLY term i's posting rows from the
+    * term-bucketed scan (broadcast single-row phrase cuts each leg
+    * map-side), explodes its positions, and joins `pos_i = pos_0 + i`;
+    * the corpus text is never re-read and non-phrase terms never leave
+    * the scan. k=3 here (the smallest k that actually exercises the
+    * chain beyond t58); the fold is k-generic. Phrase selection stays
+    * the census shape (top trigram — what a user types is input); the
+    * oracle recomputes everything from raw text, so the hash proves the
+    * chained stored-position intersection ≡ a text re-scan. */
+  private val t59 = Q(
+    "t59_kterm_phrase_from_index",
+    """WITH ws AS (
+         SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       post AS MATERIALIZED (
+         SELECT doc_id, i AS pos, w[i] AS term
+         FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM ws)),
+       tg AS (
+         SELECT a.term AS u, b.term AS v, c.term AS x, count(*) AS c
+         FROM post a
+         JOIN post b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         JOIN post c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+         GROUP BY a.term, b.term, c.term),
+       phrase AS MATERIALIZED (
+         SELECT u, v, x FROM tg ORDER BY c DESC, u, v, x LIMIT 1),
+       hits AS (
+         SELECT a.doc_id, a.pos
+         FROM post a
+         JOIN post b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         JOIN post e ON a.doc_id = e.doc_id AND e.pos = a.pos + 2
+         JOIN phrase p ON a.term = p.u AND b.term = p.v AND e.term = p.x)
+       SELECT h.doc_id, p.u AS term1, p.v AS term2, p.x AS term3,
+              count(*) AS n_matches, min(h.pos) AS first_pos
+       FROM hits h CROSS JOIN phrase p
+       GROUP BY h.doc_id, p.u, p.v, p.x
+       ORDER BY h.doc_id""") { (s, d) =>
+    val k = 3
+    val termCols = Seq("u", "v", "x")
+    val docs = Tables.documents(s, d)
+    val table = writePostingStore(s, postingsWithPositions(docs), "post_t59")
+    // phrase selection: the t34/t58 census on trigrams (cheap, text-side)
+    val phrase = docs
+      .select(split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(explode(expr(
+        "transform(sequence(1, size(w) - 2), i -> struct(" +
+          "element_at(w, i) AS u, element_at(w, i + 1) AS v, element_at(w, i + 2) AS x))"))
+        .as("p"))
+      .select(col("p.u"), col("p.v"), col("p.x"))
+      .groupBy("u", "v", "x").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("u"), col("v"), col("x")).limit(1)
+      .select("u", "v", "x")
+    // the k-generic chained lookup: one bucketed-scan leg per phrase
+    // term, positions exploded, intersected on (doc, pos_0 + i)
+    val stored = s.table(table)
+    def leg(i: Int): DataFrame =
+      stored.join(broadcast(phrase.select(col(termCols(i)).as(s"t$i"))),
+          stored("term") === col(s"t$i"))
+        .select(col("doc_id").as(s"d$i"), explode(col("positions")).as(s"p$i"))
+    val chain = (1 until k).foldLeft(leg(0)) { (acc, i) =>
+      acc.join(leg(i), col("d0") === col(s"d$i") && col(s"p$i") === col("p0") + i)
+    }
+    chain
+      .groupBy(col("d0").as("doc_id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("p0")).as("first_pos"))
+      .crossJoin(broadcast(phrase))
+      .select(col("doc_id"), col("u").as("term1"), col("v").as("term2"),
+        col("x").as("term3"), col("n_matches"), col("first_pos"))
+      .orderBy("doc_id")
+  }
+
   /** t57 — PER-DOC DROP ATTRIBUTION: the explainability record a
     * filter-chain audit asks for ("why was doc X dropped?"). p01's
     * stage census answers in aggregate; production audits, appeal
@@ -2942,5 +3017,5 @@ object TextAnalysis {
   val defs: Seq[Q] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10,
     t11, t12, t13, t14, t15, t16, t17, t18, t19, t20, t21, t22, t23, t24,
     t25, t26, t27, t28, t29, t32, t33, t34, t35, t38, t41, t42, t51, t53,
-    t57, d70, t58)
+    t57, d70, t58, t59)
 }

@@ -176,6 +176,35 @@ class RoundFourteenSpec extends SparkTestBase {
     assert(Incremental.catalogVersions(cat) === Seq(1, 3))
   }
 
+  test("d73 physical outcome: the cell gate HOLDS at sf0.001 (catalog " +
+    "stays at generation 1, 8 cells) and FIRES at sf0.1 (a real 16-cell, " +
+    "16-bucket table published through the CAS catalog)") {
+    import ops.Similarity
+    // hold branch: 500 vectors < 128 * 8 budget
+    SparkEntry.queries("d73_cell_growth_gate")(spark, sf0001).collect(): Unit
+    val catHold = Similarity.d73Catalog
+    assert(Incremental.catalogVersions(catHold) === Seq(1),
+      "no migration may publish when the gate holds")
+    assert(Incremental.resolveCatalog(catHold, expect = 2)(1) === "8")
+
+    // fire branch: 2000 vectors >= 1024 → ladder picks 16
+    SparkEntry.queries("d73_cell_growth_gate")(spark, "/root/testdata/sf0.1")
+      .collect(): Unit
+    val catFire = Similarity.d73Catalog
+    assert(Incremental.catalogVersions(catFire) === Seq(1, 2),
+      "the fired gate must CAS-publish the migrated generation")
+    val fin = Incremental.resolveCatalog(catFire, expect = 2)
+    assert(fin(1) === "16", s"the sizing ladder must pick 16: $fin")
+    // the migrated table is REAL: 16 distinct cells, 16-bucket layout
+    val migrated = spark.table(fin.head)
+    assert(migrated.select("cell").distinct().count() === 16)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(fin.head))
+    assert(meta.bucketSpec.exists(_.numBuckets === 16),
+      s"physical bucket count must scale with the cell count: ${meta.bucketSpec}")
+    assert(migrated.count() === 2000, "the migration is content-preserving")
+  }
+
   test("lease outlived by a REAL slow batch: the renewal is missed while " +
     "the batch sleeps past the lease, and the NEXT pinned read fails the " +
     "stream loudly — never a silent read of a possibly-reclaimed " +
