@@ -2566,6 +2566,223 @@ object Similarity {
   /** Catalog path of the most recent d73 run (test-only introspection). */
   @volatile private[graft] var d73Catalog: String = _
 
+  /** d74 — COMPRESSED-TIER growth gate, the COMPOSED automation of the
+    * measured cure (ScaleProbeR13b: fixed-8-cells compressed probe
+    * 88.6 s at a 100× corpus → 11.9 s after cell migration + re-encode):
+    * d73 gates the RAW tier, but the tier that actually serves a 100 TB
+    * corpus is the compressed one, and its probe cost is per-cell
+    * candidate population too — so the gate must drive BOTH stores
+    * through one atomic commit. The catalog carries the TRIPLE (raw
+    * handle, pq handle, cells); the census runs over the SERVING (pq)
+    * index; when the pinned 128-rows-per-cell budget fires, the action
+    * is [[migrateIvfIndexCells]] on the raw tier followed by the d72
+    * encode fed from the MIGRATED store, and one CAS publish swaps the
+    * triple — a reader can never see new cells on one tier and old on
+    * the other. The codebook is retrained on the migrated store; since
+    * migration is content-preserving its seeds are the same ids, which
+    * an in-query guard asserts (re-encode is a re-LAYOUT: codes depend
+    * on content, cells on geometry).
+    *
+    * Hash-checked: the census row (rows, non-empty cells, max cell,
+    * decision, target — the d73/d65 discipline) and the full d63 funnel
+    * through the CURRENT generation for 5 fixed probes: ADC from stored
+    * codes at the RESOLVED cell count AND the exact integer d2 re-rank,
+    * so a migration that mis-assigned a vector, re-encoded from the
+    * wrong tier, or left the tiers at different cell counts is an
+    * integer mismatch. Gate fires at sf0.1 (2000 vectors ≥ 1024) and
+    * holds at sf0.001/0.01 (500) — both branches run across verify SFs. */
+  private val d74 = Q(
+    "d74_pq_tier_growth_gate",
+    """WITH e AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+         FROM embeddings),
+       n AS MATERIALIZED (
+         SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2 FROM e),
+       census AS MATERIALIZED (
+         SELECT CAST(count(*) AS BIGINT) AS n_rows FROM n),
+       cents8 AS (SELECT vec_id AS cent_id, v AS cv FROM n WHERE vec_id < 8),
+       assign8 AS MATERIALIZED (
+         SELECT vec_id, cent_id AS cell FROM (
+           SELECT n.vec_id, c.cent_id,
+                  row_number() OVER (PARTITION BY n.vec_id
+                    ORDER BY CAST(list_sum(list_transform(generate_series(1, 64), i -> n.v[i] * c.cv[i])) AS BIGINT) DESC,
+                             c.cent_id) AS rn
+           FROM n, cents8 c) t WHERE rn = 1),
+       cells8 AS MATERIALIZED (
+         SELECT count(DISTINCT cell) AS n_cells,
+                CAST(max(c) AS BIGINT) AS max_cell_rows
+         FROM (SELECT cell, count(*) AS c FROM assign8 GROUP BY cell)),
+       gate AS MATERIALIZED (
+         SELECT n_rows, n_cells, max_cell_rows,
+                n_rows >= 128 * 8 AS acted,
+                CAST(8 AS BIGINT) AS cells_pre,
+                CAST(CASE WHEN n_rows < 128 * 8 THEN 8
+                          WHEN n_rows < 128 * 16 THEN 16
+                          WHEN n_rows < 128 * 32 THEN 32
+                          WHEN n_rows < 128 * 64 THEN 64
+                          WHEN n_rows < 128 * 128 THEN 128
+                          WHEN n_rows < 128 * 256 THEN 256
+                          WHEN n_rows < 128 * 512 THEN 512
+                          ELSE 1024 END AS BIGINT) AS cells_post
+         FROM census, cells8),
+       centsc AS (
+         SELECT vec_id AS cent_id, v AS cv FROM n
+         WHERE vec_id < (SELECT CASE WHEN acted THEN cells_post ELSE cells_pre END FROM gate)),
+       assignc AS MATERIALIZED (
+         SELECT vec_id, cell FROM (
+           SELECT n.vec_id, c.cent_id AS cell,
+                  row_number() OVER (PARTITION BY n.vec_id
+                    ORDER BY CAST(list_sum(list_transform(generate_series(1, 64), i -> n.v[i] * c.cv[i])) AS BIGINT) DESC,
+                             c.cent_id) AS rn
+           FROM n, centsc c) t WHERE rn = 1),
+       subs AS (SELECT unnest(generate_series(0, 7)) AS s),
+       vs AS (SELECT vec_id, s, list_slice(v, s * 8 + 1, s * 8 + 8) AS sv
+              FROM e CROSS JOIN subs),
+       cbs AS MATERIALIZED (
+         SELECT vec_id AS code, s, sv AS cv FROM vs WHERE vec_id < 64),
+       enc AS MATERIALIZED (
+         SELECT vec_id, s, code FROM (
+           SELECT v.vec_id, v.s, c.code,
+                  row_number() OVER (PARTITION BY v.vec_id, v.s
+                    ORDER BY CAST(list_sum(list_transform(generate_series(1, 8),
+                               i -> (v.sv[i] - c.cv[i]) * (v.sv[i] - c.cv[i]))) AS BIGINT) ASC,
+                             c.code) AS rn
+           FROM vs v JOIN cbs c ON v.s = c.s) t WHERE rn = 1),
+       qa AS MATERIALIZED (
+         SELECT a.vec_id AS qid, a.cell, n.v AS qv, n.n2 AS qn2
+         FROM assignc a JOIN n ON n.vec_id = a.vec_id
+         WHERE a.vec_id >= 10 AND a.vec_id < 15),
+       qs AS MATERIALIZED (
+         SELECT vec_id AS qid, s, sv FROM vs WHERE vec_id >= 10 AND vec_id < 15),
+       adc AS MATERIALIZED (
+         SELECT qa.qid, qa.cell, en.vec_id AS cid,
+                CAST(sum(list_sum(list_transform(generate_series(1, 8),
+                  i -> (q.sv[i] - c.cv[i]) * (q.sv[i] - c.cv[i])))) AS BIGINT) AS ad
+         FROM qa
+         JOIN assignc ca ON ca.cell = qa.cell AND ca.vec_id <> qa.qid
+         JOIN enc en ON en.vec_id = ca.vec_id
+         JOIN qs q ON q.qid = qa.qid AND q.s = en.s
+         JOIN cbs c ON c.s = en.s AND c.code = en.code
+         GROUP BY qa.qid, qa.cell, en.vec_id),
+       cand AS (
+         SELECT qid, cell, cid, ad FROM (
+           SELECT qid, cell, cid, ad,
+                  row_number() OVER (PARTITION BY qid ORDER BY ad ASC, cid) AS rk
+           FROM adc) t WHERE rk <= 10),
+       refined AS (
+         SELECT cand.qid, cand.cell, cand.cid, cand.ad,
+                qa.qn2 + c.n2 - 2 * CAST(list_sum(list_transform(generate_series(1, 64),
+                  i -> qa.qv[i] * c.v[i])) AS BIGINT) AS d2
+         FROM cand
+         JOIN qa ON qa.qid = cand.qid
+         JOIN n c ON c.vec_id = cand.cid),
+       ranked AS (
+         SELECT qid, cell, cid, ad, d2,
+                row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, cid) AS rank
+         FROM refined)
+       SELECT phase, n_rows, n_cells, max_cell_rows, acted, cells_pre, cells_post,
+              qid, cell, cid, CAST(rank AS BIGINT) AS rank, ad, d2
+       FROM (
+         SELECT 'gate' AS phase, n_rows, n_cells, max_cell_rows, acted,
+                cells_pre, cells_post,
+                CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS cell,
+                CAST(NULL AS BIGINT) AS cid, CAST(NULL AS BIGINT) AS rank,
+                CAST(NULL AS BIGINT) AS ad, CAST(NULL AS BIGINT) AS d2
+         FROM gate
+         UNION ALL
+         SELECT 'probe_pq', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN),
+                CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                qid, cell, cid, rank, ad, d2
+         FROM ranked WHERE rank <= 3)
+       ORDER BY phase, qid, rank""") { (s, d) =>
+    import graft.ops.Incremental
+    graft.functions.LongDot.register(s)
+    graft.functions.LongL2.register(s)
+    graft.plans.TopKPerGroup.install(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("n2", norm2Q(col("v")))
+    // generation 1: BOTH tiers at the 8-cell seed layout + the count
+    val assign8 = Dedup.reuse(ivfAssign(e))
+    val raw1 = writeIvfIndex(s, assign8, "ivf_d74r")
+    def codebookOf(rawTable: String): Array[Array[(Long, Array[Long])]] = {
+      val cb = pqCodebook(s.table(rawTable)
+        .select(col("cid").as("vec_id"), col("cv2").as("v")))
+      // seeds are vec_id<64 corpus members: dense position == vec_id, so
+      // the code==position ADC-LUT invariant holds without re-keying
+      cb.foreach(sub => require(sub.zipWithIndex.forall { case ((id, _), i) => id == i },
+        "store-trained seeds must be the dense vec_id<64 prefix"))
+      cb
+    }
+    def encodePq(rawTable: String, tag: String): String = {
+      val stored = s.table(rawTable)
+        .select(col("cell"), col("cid").as("vec_id"), col("cv2").as("v"))
+      writeIvfPqIndex(s,
+        stored.withColumn("codes", pqCodesCol(codebookOf(rawTable))), tag)
+    }
+    val pq1 = encodePq(raw1, "ivfpq_d74")
+    val cat = graft.Scratch.dir("graft_d74_cat") + "/tiers.catalog"
+    Incremental.publishCatalogVersioned(cat, Seq(raw1, pq1, "8"))
+    d74Catalog = cat
+    // census over the SERVING tier (the pq index: ids only)
+    val cur = Incremental.resolveCatalog(cat, expect = 3)
+    val cellsPre = cur(2).toInt
+    val perCell = s.table(cur(1)).groupBy("cell").agg(count(lit(1)).as("c"))
+    val cRow = perCell.agg(sum(col("c")).as("n_rows"),
+      count(lit(1)).as("n_cells"), max(col("c")).as("max_cell_rows")).head
+    val (nRows, nCells, maxCell) = (cRow.getLong(0), cRow.getLong(1), cRow.getLong(2))
+    val budget = 128L
+    val acted = nRows >= budget * cellsPre
+    val cellsPost = Seq(8, 16, 32, 64, 128, 256, 512)
+      .find(c => nRows < budget * c).getOrElse(1024)
+    if (acted) {
+      // the composed action: raw re-layout, pq re-encode FROM the
+      // migrated store, ONE atomic publish of the triple
+      val raw2 = migrateIvfIndexCells(s, cur.head, cellsPost, "d74m")
+      val pq2 = encodePq(raw2, "ivfpq_d74m")
+      Incremental.commitCatalogCas(cat) { (_, _) =>
+        Seq(raw2, pq2, cellsPost.toString)
+      }: Unit
+    }
+    import s.implicits._
+    val gate = Seq((nRows, nCells, maxCell, acted, cellsPre.toLong, cellsPost.toLong))
+      .toDF("n_rows", "n_cells", "max_cell_rows", "acted", "cells_pre", "cells_post")
+      .select(lit("gate").as("phase"), col("n_rows"), col("n_cells"),
+        col("max_cell_rows"), col("acted"), col("cells_pre"), col("cells_post"),
+        lit(null).cast("long").as("qid"), lit(null).cast("long").as("cell"),
+        lit(null).cast("long").as("cid"), lit(null).cast("long").as("rank"),
+        lit(null).cast("long").as("ad"), lit(null).cast("long").as("d2"))
+    // the full compressed funnel through the CURRENT triple: both tiers
+    // must sit at the SAME resolved cell count or the ADC/refine hashes
+    // cannot both match
+    val fin = Incremental.resolveCatalog(cat, expect = 3)
+    val cbF = codebookOf(fin.head)
+    val cents = s.table(fin.head).filter(col("cid") < fin(2).toInt)
+      .select(col("cid").as("cent_id"), col("cv2").as("cv"))
+    val assignQ = ivfAssignAgainst(
+      e.filter(col("vec_id") >= 10 && col("vec_id") < 15), cents)
+    val probes = assignQ.select(col("vec_id").as("qid"), col("cell").as("qcell"),
+      pqLutCol(cbF).as("lut"))
+    val queryVecs = assignQ.select(col("vec_id").as("qid"), col("v").as("qv"),
+      col("n2").as("qn2"))
+    val corpus = e.select(col("vec_id").as("cid"), col("v").as("cv"),
+      col("n2").as("cn2"))
+    val probeRows = probeIvfPqTopK(s.table(fin(1)), probes, queryVecs,
+        corpus, kAdc = 10, k = 3)
+      .select(lit("probe_pq").as("phase"),
+        lit(null).cast("long").as("n_rows"), lit(null).cast("long").as("n_cells"),
+        lit(null).cast("long").as("max_cell_rows"),
+        lit(null).cast("boolean").as("acted"),
+        lit(null).cast("long").as("cells_pre"), lit(null).cast("long").as("cells_post"),
+        col("qid"), col("cell"), col("cid"), col("rank"), col("ad"), col("d2"))
+    gate.unionByName(probeRows).orderBy("phase", "qid", "rank")
+  }
+
+  /** Catalog path of the most recent d74 run (test-only introspection). */
+  @volatile private[graft] var d74Catalog: String = _
+
   val defs: Seq[Q] = Seq(d05, d06, d07, d12, d14, d16, d19, d24, d25, d26, d29,
-    d30, d32, d33, d35, d40, d52, d59, d60, d61, d62, d63, d72, d73)
+    d30, d32, d33, d35, d40, d52, d59, d60, d61, d62, d63, d72, d73, d74)
 }

@@ -205,6 +205,33 @@ class RoundFourteenSpec extends SparkTestBase {
     assert(migrated.count() === 2000, "the migration is content-preserving")
   }
 
+  test("d74 physical outcome: the composed gate holds at sf0.001 (one " +
+    "generation, both tiers at 8 cells) and fires at sf0.1 — BOTH tiers " +
+    "re-laid at 16 cells and swapped in ONE catalog version") {
+    import ops.Similarity
+    SparkEntry.queries("d74_pq_tier_growth_gate")(spark, sf0001).collect(): Unit
+    val catHold = Similarity.d74Catalog
+    assert(Incremental.catalogVersions(catHold) === Seq(1))
+    assert(Incremental.resolveCatalog(catHold, expect = 3)(2) === "8")
+
+    SparkEntry.queries("d74_pq_tier_growth_gate")(spark, "/root/testdata/sf0.1")
+      .collect(): Unit
+    val catFire = Similarity.d74Catalog
+    assert(Incremental.catalogVersions(catFire) === Seq(1, 2),
+      "the fired gate must land exactly one CAS publish for the whole triple")
+    val fin = Incremental.resolveCatalog(catFire, expect = 3)
+    assert(fin(2) === "16")
+    // BOTH tiers really moved: same 16 cells on each, same membership
+    val raw = spark.table(fin.head)
+    val pq = spark.table(fin(1))
+    assert(raw.select("cell").distinct().count() === 16)
+    assert(pq.select("cell").distinct().count() === 16)
+    assert(pq.columns.toSeq === Seq("cell", "cid", "codes"), "pq stays codes-only")
+    assert(raw.select("cell", "cid").except(pq.select("cell", "cid")).isEmpty &&
+      pq.select("cell", "cid").except(raw.select("cell", "cid")).isEmpty,
+      "the tiers must agree on every vector's cell — they swapped together")
+  }
+
   test("lease outlived by a REAL slow batch: the renewal is missed while " +
     "the batch sleeps past the lease, and the NEXT pinned read fails the " +
     "stream loudly — never a silent read of a possibly-reclaimed " +
