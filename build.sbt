@@ -36,4 +36,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // Forward the catalog slot-claim committer choice into the forked JVM
+  // (sbt -D flags stop at sbt's own JVM), so the whole Verify/test run
+  // can be exercised under the conditional-put primitive:
+  //   GRAFT_CATALOG_COMMITTER=createnew sbt -batch "runMain graft.Verify ..."
+  sys.env.get("GRAFT_CATALOG_COMMITTER")
+    .map(v => s"-Dgraft.catalog.committer=$v").toSeq

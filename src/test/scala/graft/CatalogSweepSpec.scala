@@ -163,6 +163,13 @@ object PlanSweep {
       "d61_ivf_drift_census" -> pk,
       "d63_ivfpq_index" -> pk,
       "d72_index_tier_migration" -> pk,
+      // d73/d74 re-seed centroids from the STORE: `cid < cells_post` is
+      // the same fixed-PK-interval contract (cid = vec_id, unique), just
+      // read back from the stored generation instead of the fixture
+      "d73_cell_growth_gate" ->
+        "PK interval: centroid seed set = fixed cid range of the stored index",
+      "d74_pq_tier_growth_gate" ->
+        "PK interval: centroid seed set = fixed cid range of the stored index",
       "d62_drift_retrain" ->
         "PK interval seeds + 8-row centroid-update aggregate (k bounded by the cell domain)",
       "d36_banding_curve" -> "PK interval: one banding config's signature set (config = '8x1')",
