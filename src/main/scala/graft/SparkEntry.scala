@@ -82,7 +82,8 @@ object SparkEntry {
       "d56_takedown_readmission", "d57_store_compaction", "d58_generation_swap",
       "d59_ann_takedown", "d60_ivf_append", "d63_ivfpq_index",
       "d64_rebucket_migration", "d65_growth_gated_migration",
-      "d72_index_tier_migration",
+      "d72_index_tier_migration", "d73_cell_growth_gate",
+      "d74_pq_tier_growth_gate", "t59_kterm_phrase_from_index",
       "d66_catalog_history_timetravel", "d67_reclamation_gated_compaction",
       "d68_cross_surface_takedown", "d69_cas_catalog_commit",
       "d71_cross_surface_atomic_takedown",
