@@ -1569,11 +1569,11 @@ object Similarity {
     * (rankings unchanged, spec-drilled with a double append) and
     * physically collapsed by [[compactIvfIndex]]'s distinct. */
   def appendIvfIndex(s: org.apache.spark.sql.SparkSession,
-      assignBatch: DataFrame, table: String): Unit = {
+      assignBatch: DataFrame, table: String, nBuckets: Int = 8): Unit = {
     assignBatch.select(col("cell"), col("vec_id").as("cid"), col("v").as("cv2"),
         col("n2").as("cn2"))
       .write.mode("append").format("parquet")
-      .bucketBy(8, "cell").sortBy("cell")
+      .bucketBy(nBuckets, "cell").sortBy("cell")
       .saveAsTable(table)
     // The write commits through the FRAME's session — inside foreachBatch
     // that is the cloned micro-batch session, whose insert refreshes its
@@ -2767,10 +2767,17 @@ object Similarity {
       pqLutCol(cbF).as("lut"))
     val queryVecs = assignQ.select(col("vec_id").as("qid"), col("v").as("qv"),
       col("n2").as("qn2"))
-    val corpus = e.select(col("vec_id").as("cid"), col("v").as("cv"),
-      col("n2").as("cn2"))
+    // d75's cell-local refine: candidates live in the probed cells, and
+    // the raw tier is bucketed by cell — fetch exact vectors from its
+    // pruned buckets instead of scanning the corpus (RoundFifteenSpec
+    // proves equality with the corpus fetch and the pruning itself)
+    val qcells = assignQ.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val localFetch = s.table(fin.head)
+      .filter(col("cell").isin(qcells.map(Long.box): _*))
+      .select(col("cid"), col("cv2").as("cv"), col("cn2"))
     val probeRows = probeIvfPqTopK(s.table(fin(1)), probes, queryVecs,
-        corpus, kAdc = 10, k = 3)
+        localFetch, kAdc = 10, k = 3)
       .select(lit("probe_pq").as("phase"),
         lit(null).cast("long").as("n_rows"), lit(null).cast("long").as("n_cells"),
         lit(null).cast("long").as("max_cell_rows"),
@@ -2783,6 +2790,129 @@ object Similarity {
   /** Catalog path of the most recent d74 run (test-only introspection). */
   @volatile private[graft] var d74Catalog: String = _
 
+  /** d75 — CELL-LOCAL EXACT REFINE: the compressed funnel's refine leg
+    * fed from the RAW TIER's bucketed layout instead of a corpus scan.
+    * [[probeIvfPqTopK]]'s refine step fetches candidate vectors with
+    * `corpus.join(broadcast(cand))` — a broadcast probe whose BUILD side
+    * is tiny but whose STREAM side scans the whole corpus, and
+    * ScaleProbeR13b measured exactly that residual: after the d74 cell
+    * cure the fixed-query compressed probe's remaining cost is the
+    * corpus-∝ refine fetch. At 100 TB that is the funnel's bottleneck.
+    *
+    * The fix is locality the store already has: every ADC candidate
+    * comes from a PROBED CELL, and the raw tier ([[writeIvfIndex]])
+    * is bucketed BY cell — so the refine fetch filters the raw tier to
+    * the probe batch's cells (driver-known, bounded by the query batch:
+    * ≤ queries × nprobe literals) and Spark's bucket pruning reads ONLY
+    * those buckets (`SelectedBucketsCount` in the scan, plan-asserted by
+    * RoundFifteenSpec). At d73's cells-∝-corpus discipline the refine
+    * leg reads nprobe/cells of the tier — constant per-cell work — where
+    * the corpus fetch read all of it. Raw floats still never enter the
+    * compressed scan; they are read from the raw tier, which serves
+    * point-lookups exactly as a deployed IVF system serves its inverted
+    * lists. Hash-checked: the full funnel (ADC distance AND exact d2)
+    * for 5 fixed probes, so a refine that fetched from the wrong cell,
+    * missed a candidate, or re-ranked on stale vectors is an integer
+    * mismatch. RoundFifteenSpec additionally proves cell-local ≡
+    * corpus-fetch row-for-row and that the pruned scan touches fewer
+    * buckets than the table has. */
+  private val d75 = Q(
+    "d75_cell_local_refine",
+    """WITH e AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+         FROM embeddings),
+       n AS MATERIALIZED (
+         SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2 FROM e),
+       cents8 AS (SELECT vec_id AS cent_id, v AS cv FROM n WHERE vec_id < 8),
+       assign8 AS MATERIALIZED (
+         SELECT vec_id, cent_id AS cell FROM (
+           SELECT n.vec_id, c.cent_id,
+                  row_number() OVER (PARTITION BY n.vec_id
+                    ORDER BY CAST(list_sum(list_transform(generate_series(1, 64), i -> n.v[i] * c.cv[i])) AS BIGINT) DESC,
+                             c.cent_id) AS rn
+           FROM n, cents8 c) t WHERE rn = 1),
+       subs AS (SELECT unnest(generate_series(0, 7)) AS s),
+       vs AS (SELECT vec_id, s, list_slice(v, s * 8 + 1, s * 8 + 8) AS sv
+              FROM e CROSS JOIN subs),
+       cbs AS MATERIALIZED (SELECT vec_id AS code, s, sv AS cv FROM vs WHERE vec_id < 64),
+       enc AS MATERIALIZED (
+         SELECT vec_id, s, code FROM (
+           SELECT v.vec_id, v.s, c.code,
+                  row_number() OVER (PARTITION BY v.vec_id, v.s
+                    ORDER BY CAST(list_sum(list_transform(generate_series(1, 8),
+                               i -> (v.sv[i] - c.cv[i]) * (v.sv[i] - c.cv[i]))) AS BIGINT) ASC,
+                             c.code) AS rn
+           FROM vs v JOIN cbs c ON v.s = c.s) t WHERE rn = 1),
+       qa AS MATERIALIZED (
+         SELECT a.vec_id AS qid, a.cell, n.v AS qv, n.n2 AS qn2
+         FROM assign8 a JOIN n ON n.vec_id = a.vec_id
+         WHERE a.vec_id >= 10 AND a.vec_id < 15),
+       qs AS MATERIALIZED (
+         SELECT vec_id AS qid, s, sv FROM vs WHERE vec_id >= 10 AND vec_id < 15),
+       adc AS MATERIALIZED (
+         SELECT qa.qid, qa.cell, en.vec_id AS cid,
+                CAST(sum(list_sum(list_transform(generate_series(1, 8),
+                  i -> (q.sv[i] - c.cv[i]) * (q.sv[i] - c.cv[i])))) AS BIGINT) AS ad
+         FROM qa
+         JOIN assign8 ca ON ca.cell = qa.cell AND ca.vec_id <> qa.qid
+         JOIN enc en ON en.vec_id = ca.vec_id
+         JOIN qs q ON q.qid = qa.qid AND q.s = en.s
+         JOIN cbs c ON c.s = en.s AND c.code = en.code
+         GROUP BY qa.qid, qa.cell, en.vec_id),
+       cand AS (
+         SELECT qid, cell, cid, ad FROM (
+           SELECT qid, cell, cid, ad,
+                  row_number() OVER (PARTITION BY qid ORDER BY ad ASC, cid) AS rk
+           FROM adc) t WHERE rk <= 10),
+       refined AS (
+         SELECT cand.qid, cand.cell, cand.cid, cand.ad,
+                qa.qn2 + c.n2 - 2 * CAST(list_sum(list_transform(generate_series(1, 64),
+                  i -> qa.qv[i] * c.v[i])) AS BIGINT) AS d2
+         FROM cand
+         JOIN qa ON qa.qid = cand.qid
+         JOIN n c ON c.vec_id = cand.cid)
+       SELECT qid, cell, cid, CAST(rank AS BIGINT) AS rank, ad, d2
+       FROM (SELECT qid, cell, cid, ad, d2,
+                    row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, cid) AS rank
+             FROM refined) t
+       WHERE rank <= 3 ORDER BY qid, rank""") { (s, d) =>
+    graft.functions.LongDot.register(s)
+    graft.functions.LongL2.register(s)
+    graft.plans.TopKPerGroup.install(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("n2", norm2Q(col("v")))
+    // the two-tier store: raw vectors AND codes both bucketed by cell
+    val raw = writeIvfIndex(s, Dedup.reuse(ivfAssign(e)), "ivf_d75")
+    val cb = pqCodebook(s.table(raw)
+      .select(col("cid").as("vec_id"), col("cv2").as("v")))
+    cb.foreach(sub => require(sub.zipWithIndex.forall { case ((id, _), i) => id == i },
+      "store-trained seeds must be the dense vec_id<64 prefix"))
+    val pq = writeIvfPqIndex(s, s.table(raw)
+      .select(col("cell"), col("cid").as("vec_id"), col("cv2").as("v"))
+      .withColumn("codes", pqCodesCol(cb)), "ivfpq_d75")
+    val cents = s.table(raw).filter(col("cid") < 8)
+      .select(col("cid").as("cent_id"), col("cv2").as("cv"))
+    val assignQ = ivfAssignAgainst(
+      e.filter(col("vec_id") >= 10 && col("vec_id") < 15), cents)
+    val probes = assignQ.select(col("vec_id").as("qid"),
+      col("cell").as("qcell"), pqLutCol(cb).as("lut"))
+    val queryVecs = assignQ.select(col("vec_id").as("qid"),
+      col("v").as("qv"), col("n2").as("qn2"))
+    // the probed cells: driver-known literals bounded by the query
+    // batch (≤ 5 here; ≤ queries × nprobe in general) — the IN list is
+    // what makes the raw-tier scan bucket-prunable
+    val cells = assignQ.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val localFetch = s.table(raw)
+      .filter(col("cell").isin(cells.map(Long.box): _*))
+      .select(col("cid"), col("cv2").as("cv"), col("cn2"))
+    probeIvfPqTopK(s.table(pq), probes, queryVecs, localFetch,
+        kAdc = 10, k = 3)
+      .orderBy("qid", "rank")
+  }
+
   val defs: Seq[Q] = Seq(d05, d06, d07, d12, d14, d16, d19, d24, d25, d26, d29,
-    d30, d32, d33, d35, d40, d52, d59, d60, d61, d62, d63, d72, d73, d74)
+    d30, d32, d33, d35, d40, d52, d59, d60, d61, d62, d63, d72, d73, d74, d75)
 }

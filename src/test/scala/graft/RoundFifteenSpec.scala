@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-13 follow-on work: the ANN funnel's exact-refine LOCALITY (d75 —
+  * the refine leg fed from the cell-bucketed raw tier under bucket
+  * pruning instead of a corpus scan) and the streaming cell-growth gate
+  * (s43 — d73's census→budget→ladder→migration loop closed inside a live
+  * ingest stream's maintenance window). */
+class RoundFifteenSpec extends SparkTestBase {
+
+  import ops.{Dedup, Incremental, Similarity}
+
+  test("d75: the cell-local refine is row-identical to the corpus-fetch " +
+    "refine, and its raw-tier scan is bucket-pruned to the probed cells") {
+    import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+    graft.functions.LongDot.register(spark)
+    graft.functions.LongL2.register(spark)
+    graft.plans.TopKPerGroup.install(spark)
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("v"))
+      .withColumn("n2", Similarity.norm2Q(col("v")))
+    val raw = Similarity.writeIvfIndex(spark,
+      Dedup.reuse(Similarity.ivfAssign(e)), "ivf_r15")
+    val cb = Similarity.pqCodebook(spark.table(raw)
+      .select(col("cid").as("vec_id"), col("cv2").as("v")))
+    val pq = Similarity.writeIvfPqIndex(spark, spark.table(raw)
+      .select(col("cell"), col("cid").as("vec_id"), col("cv2").as("v"))
+      .withColumn("codes", Similarity.pqCodesCol(cb)), "ivfpq_r15")
+    val cents = spark.table(raw).filter(col("cid") < 8)
+      .select(col("cid").as("cent_id"), col("cv2").as("cv"))
+    val assignQ = Similarity.ivfAssignAgainst(
+      e.filter(col("vec_id") >= 10 && col("vec_id") < 15), cents)
+    val probes = assignQ.select(col("vec_id").as("qid"),
+      col("cell").as("qcell"), Similarity.pqLutCol(cb).as("lut"))
+    val queryVecs = assignQ.select(col("vec_id").as("qid"),
+      col("v").as("qv"), col("n2").as("qn2"))
+    // the corpus-fetch shape (d63/d74's refine): scans ALL vectors
+    val corpus = e.select(col("vec_id").as("cid"), col("v").as("cv"),
+      col("n2").as("cn2"))
+    // the cell-local shape (d75): only the probed cells' buckets
+    val cells = assignQ.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    assert(cells.nonEmpty && cells.size <= 5, s"probe cells: $cells")
+    val localFetch = spark.table(raw)
+      .filter(col("cell").isin(cells.map(Long.box): _*))
+      .select(col("cid"), col("cv2").as("cv"), col("cn2"))
+    val viaCorpus = Similarity.probeIvfPqTopK(spark.table(pq), probes,
+        queryVecs, corpus, kAdc = 10, k = 3)
+      .orderBy("qid", "rank").collect().toSeq
+    val viaLocal = Similarity.probeIvfPqTopK(spark.table(pq), probes,
+        queryVecs, localFetch, kAdc = 10, k = 3)
+      .orderBy("qid", "rank")
+    assert(viaLocal.collect().toSeq === viaCorpus,
+      "cell-local refine diverged from the corpus fetch")
+    // the refine leg's raw-tier scan must be bucket-pruned: strictly
+    // fewer buckets read than the table has (the scan that replaces the
+    // corpus read at 100 TB reads nprobe/cells of the tier, not all of it)
+    val plan = castToImpl(viaLocal).queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findAllMatchIn(plan).toSeq
+    assert(sel.nonEmpty, s"no bucket-pruned scan in the refine plan:\n$plan")
+    assert(sel.exists(m => m.group(1).toInt < m.group(2).toInt),
+      s"bucket pruning selected every bucket: ${sel.map(_.matched)}")
+  }
+}
