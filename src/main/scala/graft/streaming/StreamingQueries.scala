@@ -3694,10 +3694,239 @@ object StreamingQueries {
   /** Catalog path of the most recent s41 run (test-only introspection). */
   @volatile private[graft] var s41Catalog: String = _
 
+  /** s43 — STREAMING CELL-GROWTH GATE: d73's census → pinned budget →
+    * sizing ladder → CAS-published cell migration, run where a real
+    * deployment runs it — inside a live vector-ingest stream's
+    * maintenance window. The last gated maintenance family (vectors
+    * d61→d62→s37, layout d65→d64, tokenizer t54→t30→s41, cells
+    * d73/d74) gets its streaming drill: the gate's input is a store
+    * that has ABSORBED mid-stream appends, and the layout decision it
+    * publishes must be picked up by the very next micro-batch.
+    *
+    * Two ingest waves (the s39 one-file-one-batch discipline). Every
+    * micro-batch resolves the CURRENT (handle, cells) through the
+    * catalog, assigns its arrivals against the resolved generation's
+    * OWN stored centroids (`cid < cells` — the store-fed d73
+    * discipline), probes top-3 cosine through the resolved store
+    * (probe-then-append: nothing ranks against itself), then appends at
+    * the resolved generation's bucket count — so a wave-1 append onto a
+    * migrated 16-bucket generation writes 16-bucket files and the
+    * exchange-free probe layout survives the migration. The maintenance
+    * window between waves runs d73's census over the store (base PLUS
+    * the wave-0 ingest — 488 rows holds at sf0.001/0.01, 1950 fires at
+    * sf0.1 → 16 cells), and a fired gate CAS-publishes the migrated
+    * generation mid-stream; wave 1 then probes THROUGH the new layout
+    * (its queries assigned against 16 stored centroids, candidates =
+    * the re-laid base ∪ wave-0 population). The oracle recomputes both
+    * waves' rankings and the gate row from the raw fixture — a stale
+    * generation resolved after the swap, a dropped mid-stream append, a
+    * mis-assigned vector in the migration, or a wrong ladder target is
+    * a hash mismatch. RoundFifteenSpec asserts the physical outcomes
+    * (hold: one generation, 8 buckets; fire: a 16-cell 16-bucket v2
+    * with the wave-1 append inside it). */
+  private val s43 = Q(
+    "s43_stream_cell_growth_gate",
+    """WITH e AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+         FROM embeddings),
+       n AS MATERIALIZED (
+         SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2 FROM e),
+       cents8 AS (SELECT vec_id AS cent_id, v AS cv FROM n WHERE vec_id < 8),
+       assign8 AS MATERIALIZED (
+         SELECT vec_id, cent_id AS cell FROM (
+           SELECT n.vec_id, c.cent_id,
+                  row_number() OVER (PARTITION BY n.vec_id
+                    ORDER BY CAST(list_sum(list_transform(generate_series(1, 64), i -> n.v[i] * c.cv[i])) AS BIGINT) DESC,
+                             c.cent_id) AS rn
+           FROM n, cents8 c) t WHERE rn = 1),
+       w0 AS (
+         SELECT CAST(0 AS BIGINT) AS wave, qa.vec_id AS qid, qa.cell,
+                ca.vec_id AS cid,
+                CAST(list_sum(list_transform(generate_series(1, 64), i -> qn.v[i] * cn.v[i])) AS BIGINT)
+                  / (sqrt(qn.n2) * sqrt(cn.n2)) AS cos
+         FROM assign8 qa
+         JOIN assign8 ca ON ca.cell = qa.cell
+         JOIN n qn ON qn.vec_id = qa.vec_id
+         JOIN n cn ON cn.vec_id = ca.vec_id
+         WHERE qa.vec_id % 40 = 19
+           AND ca.vec_id % 40 <> 19 AND ca.vec_id % 40 <> 39),
+       census AS MATERIALIZED (
+         SELECT CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_cells,
+                CAST(max(c) AS BIGINT) AS max_cell_rows
+         FROM (SELECT cell, count(*) AS c FROM assign8
+               WHERE vec_id % 40 <> 39 GROUP BY cell)),
+       gate AS MATERIALIZED (
+         SELECT n_rows, n_cells, max_cell_rows,
+                n_rows >= 128 * 8 AS acted,
+                CAST(8 AS BIGINT) AS cells_pre,
+                CAST(CASE WHEN n_rows < 128 * 8 THEN 8
+                          WHEN n_rows < 128 * 16 THEN 16
+                          WHEN n_rows < 128 * 32 THEN 32
+                          WHEN n_rows < 128 * 64 THEN 64
+                          WHEN n_rows < 128 * 128 THEN 128
+                          WHEN n_rows < 128 * 256 THEN 256
+                          WHEN n_rows < 128 * 512 THEN 512
+                          ELSE 1024 END AS BIGINT) AS cells_post
+         FROM census),
+       centsc AS (
+         SELECT vec_id AS cent_id, v AS cv FROM n
+         WHERE vec_id < (SELECT CASE WHEN acted THEN cells_post ELSE cells_pre END FROM gate)),
+       assignc AS MATERIALIZED (
+         SELECT vec_id, cent_id AS cell FROM (
+           SELECT n.vec_id, c.cent_id,
+                  row_number() OVER (PARTITION BY n.vec_id
+                    ORDER BY CAST(list_sum(list_transform(generate_series(1, 64), i -> n.v[i] * c.cv[i])) AS BIGINT) DESC,
+                             c.cent_id) AS rn
+           FROM n, centsc c) t WHERE rn = 1),
+       w1 AS (
+         SELECT CAST(1 AS BIGINT) AS wave, qa.vec_id AS qid, qa.cell,
+                ca.vec_id AS cid,
+                CAST(list_sum(list_transform(generate_series(1, 64), i -> qn.v[i] * cn.v[i])) AS BIGINT)
+                  / (sqrt(qn.n2) * sqrt(cn.n2)) AS cos
+         FROM assignc qa
+         JOIN assignc ca ON ca.cell = qa.cell
+         JOIN n qn ON qn.vec_id = qa.vec_id
+         JOIN n cn ON cn.vec_id = ca.vec_id
+         WHERE qa.vec_id % 40 = 39
+           AND ca.vec_id % 40 <> 39),
+       pr AS (
+         SELECT wave, qid, cell, cid, cos,
+                row_number() OVER (PARTITION BY wave, qid ORDER BY cos DESC, cid) AS rank
+         FROM (SELECT * FROM w0 UNION ALL SELECT * FROM w1))
+       SELECT phase, n_rows, n_cells, max_cell_rows, acted, cells_pre, cells_post,
+              wave, qid, cell, cid, CAST(rank AS BIGINT) AS rank, cosine
+       FROM (
+         SELECT 'gate' AS phase, n_rows, n_cells, max_cell_rows, acted,
+                cells_pre, cells_post,
+                CAST(NULL AS BIGINT) AS wave, CAST(NULL AS BIGINT) AS qid,
+                CAST(NULL AS BIGINT) AS cell, CAST(NULL AS BIGINT) AS cid,
+                CAST(NULL AS BIGINT) AS rank, CAST(NULL AS DOUBLE) AS cosine
+         FROM gate
+         UNION ALL
+         SELECT 'probe', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN),
+                CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                wave, qid, cell, cid, rank, round(cos, 6)
+         FROM pr WHERE rank <= 3)
+       ORDER BY phase, wave, qid, rank""") { (s, d) =>
+    import graft.ops.{Dedup, Incremental, Similarity}
+    import graft.ops.Similarity.{norm2Q, quantize}
+    graft.functions.LongDot.register(s)
+    graft.plans.TopKPerGroup.install(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("n2", norm2Q(col("v")))
+    // generation 1: the base corpus (both arrival classes withheld) at
+    // the 8-cell seed layout, published as (handle, cells)
+    val base = e.filter(col("vec_id") % 40 =!= 19 && col("vec_id") % 40 =!= 39)
+    val t1 = Similarity.writeIvfIndex(s,
+      Dedup.reuse(Similarity.ivfAssign(base)), "ivf_s43")
+    val cat = graft.Scratch.dir("graft_s43_cat") + "/index.catalog"
+    Incremental.publishCatalogVersioned(cat, Seq(t1, "8"))
+    s43Catalog = cat
+    val watched = graft.Scratch.dir("graft_s43_watched")
+    val outDir = graft.Scratch.dir("graft_s43_out")
+    val ckpt = graft.Scratch.dir("graft_s43_ckpt")
+    val s43NonEmpty = new java.util.concurrent.atomic.AtomicLong(0L)
+    var gateRow: (Long, Long, Long, Boolean, Long, Long) = null
+    (0 to 1).foreach { b =>
+      val tmp = graft.Scratch.dir(s"graft_s43_wave$b")
+      Tables.embeddings(s, d).filter(col("vec_id") % 40 === lit(19L + 20L * b))
+        .select(col("vec_id"), col("embedding"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(watched, s"arrival$b.parquet").toPath)
+      val q = s.readStream
+        .schema(StructType(Seq(StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType)))))
+        .parquet(watched)
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          if (!batch.isEmpty) {
+            require(s43NonEmpty.getAndIncrement() == b.toLong,
+              s"s43 wave $b saw a second non-empty micro-batch ($batchId): " +
+                "one-file-one-batch broken")
+            // resolve the CURRENT layout: handle AND cell count — after
+            // a fired gate this batch must see the migrated generation
+            val h = Incremental.resolveCatalog(cat, expect = 2)
+            val cells = h(1).toInt
+            val cents = s.table(h.head).filter(col("cid") < cells)
+              .select(col("cid").as("cent_id"), col("cv2").as("cv"))
+            val bAssign = Similarity.ivfAssignAgainst(
+              batch.toDF()
+                .select(col("vec_id"), quantize(col("embedding")).as("v"))
+                .withColumn("n2", norm2Q(col("v"))),
+              cents).localCheckpoint(true)
+            // probe-then-append through the resolved generation
+            Similarity.probeIvfTopK(s, h.head,
+                bAssign.select(col("vec_id").as("qid"), col("v").as("qv"),
+                  col("n2").as("qn2"), col("cell").as("qcell")), k = 3)
+              .select(lit(b.toLong).as("wave"), col("qid"), col("cell"),
+                col("cid"), col("rank"), col("cosine"))
+              .write.mode("append").parquet(outDir)
+            // append at the RESOLVED bucket count: a post-migration
+            // append follows the migrated physical layout
+            Similarity.appendIvfIndex(s, bAssign, h.head,
+              nBuckets = math.max(cells, 8))
+          }
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      if (b == 0) {
+        // maintenance window: the d73 gate over the live store (which
+        // has absorbed the wave-0 ingest) — census, pinned budget,
+        // bounded ladder, CAS-published migration when it fires
+        val cur = Incremental.resolveCatalog(cat, expect = 2)
+        val cellsPre = cur(1).toInt
+        val cRow = s.table(cur.head).groupBy("cell").agg(count(lit(1)).as("c"))
+          .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_cells"),
+            max(col("c")).as("max_cell_rows")).head
+        val (nRows, nCells, maxCell) =
+          (cRow.getLong(0), cRow.getLong(1), cRow.getLong(2))
+        val budget = 128L
+        val acted = nRows >= budget * cellsPre
+        val cellsPost = Seq(8, 16, 32, 64, 128, 256, 512)
+          .find(c => nRows < budget * c).getOrElse(1024)
+        if (acted) {
+          val t2 = Similarity.migrateIvfIndexCells(s, cur.head, cellsPost, "s43m")
+          Incremental.commitCatalogCas(cat) { (_, _) =>
+            Seq(t2, cellsPost.toString)
+          }: Unit
+        }
+        gateRow = (nRows, nCells, maxCell, acted, cellsPre.toLong, cellsPost.toLong)
+      }
+    }
+    import s.implicits._
+    val gate = Seq(gateRow)
+      .toDF("n_rows", "n_cells", "max_cell_rows", "acted", "cells_pre", "cells_post")
+      .select(lit("gate").as("phase"), col("n_rows"), col("n_cells"),
+        col("max_cell_rows"), col("acted"), col("cells_pre"), col("cells_post"),
+        lit(null).cast("long").as("wave"), lit(null).cast("long").as("qid"),
+        lit(null).cast("long").as("cell"), lit(null).cast("long").as("cid"),
+        lit(null).cast("long").as("rank"), lit(null).cast("double").as("cosine"))
+    val probeRows = s.read.parquet(outDir)
+      .select(lit("probe").as("phase"),
+        lit(null).cast("long").as("n_rows"), lit(null).cast("long").as("n_cells"),
+        lit(null).cast("long").as("max_cell_rows"),
+        lit(null).cast("boolean").as("acted"),
+        lit(null).cast("long").as("cells_pre"), lit(null).cast("long").as("cells_post"),
+        col("wave"), col("qid"), col("cell"), col("cid"), col("rank"), col("cosine"))
+    gate.unionByName(probeRows).orderBy("phase", "wave", "qid", "rank")
+  }
+
+  /** Catalog path of the most recent s43 run (test-only introspection). */
+  @volatile private[graft] var s43Catalog: String = _
+
   val defs: Seq[Q] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10,
     s11, s12, s13, s14, s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25,
     s26, s27, s28, s29, s30, s31, s32, s33, s34, s35, s36, s37, s38, s39, s40,
-    s41, s42)
+    s41, s42, s43)
 }
 
 /** s11's StatefulProcessor: cumulative (event count, value cents) per

@@ -63,4 +63,44 @@ class RoundFifteenSpec extends SparkTestBase {
     assert(sel.exists(m => m.group(1).toInt < m.group(2).toInt),
       s"bucket pruning selected every bucket: ${sel.map(_.matched)}")
   }
+
+  test("s43 physical outcome: the streaming cell gate HOLDS at sf0.001 " +
+    "(one generation, 8 cells, both waves absorbed) and FIRES at sf0.1 — " +
+    "a 16-cell 16-bucket generation CAS-published mid-stream with the " +
+    "wave-1 append landing INSIDE the migrated layout") {
+    import streaming.StreamingQueries
+    // hold branch: 488 rows at census time < the 1024 budget
+    SparkEntry.queries("s43_stream_cell_growth_gate")(spark, sf0001)
+      .collect(): Unit
+    val catHold = StreamingQueries.s43Catalog
+    assert(Incremental.catalogVersions(catHold) === Seq(1),
+      "no migration may publish when the gate holds")
+    val hold = Incremental.resolveCatalog(catHold, expect = 2)
+    assert(hold(1) === "8")
+    // both ingest waves were absorbed into generation 1 (475 + 13 + 12)
+    assert(spark.table(hold.head).count() === 500)
+
+    // fire branch: 1950 rows at census time → the ladder picks 16
+    SparkEntry.queries("s43_stream_cell_growth_gate")(spark, "/root/testdata/sf0.1")
+      .collect(): Unit
+    val catFire = StreamingQueries.s43Catalog
+    assert(Incremental.catalogVersions(catFire) === Seq(1, 2),
+      "the fired gate must CAS-publish the migrated generation mid-stream")
+    val fin = Incremental.resolveCatalog(catFire, expect = 2)
+    assert(fin(1) === "16", s"the sizing ladder must pick 16: $fin")
+    val migrated = spark.table(fin.head)
+    assert(migrated.select("cell").distinct().count() === 16)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(fin.head))
+    assert(meta.bucketSpec.exists(_.numBuckets === 16),
+      s"physical bucket count must scale with the cell count: ${meta.bucketSpec}")
+    // the migrated generation carries base + wave 0 (1950), and wave 1's
+    // 50 arrivals were appended to IT after the swap — not to gen 1
+    assert(migrated.count() === 2000,
+      "the wave-1 append must land inside the migrated generation")
+    assert(migrated.filter(col("cid") % 40 === 39).count() === 50)
+    val gen1 = Incremental.readCatalogVersion(catFire, 1)
+    assert(spark.table(gen1.head).count() === 1950,
+      "generation 1 must stop growing once the swap lands")
+  }
 }
