@@ -83,7 +83,8 @@ object SparkEntry {
       "d59_ann_takedown", "d60_ivf_append", "d63_ivfpq_index",
       "d64_rebucket_migration", "d65_growth_gated_migration",
       "d72_index_tier_migration", "d73_cell_growth_gate",
-      "d74_pq_tier_growth_gate", "t59_kterm_phrase_from_index",
+      "d74_pq_tier_growth_gate", "d75_cell_local_refine",
+      "t59_kterm_phrase_from_index",
       "d66_catalog_history_timetravel", "d67_reclamation_gated_compaction",
       "d68_cross_surface_takedown", "d69_cas_catalog_commit",
       "d71_cross_surface_atomic_takedown",
@@ -92,7 +93,7 @@ object SparkEntry {
       "s36_stream_media_compacting_ingest", "s37_stream_drift_retrain",
       "s38_stream_bm25_maintenance", "s39_stream_ivfpq_maintained_index",
       "s40_stream_pinned_generation_read", "s41_stream_tokenizer_retrain",
-      "s42_stream_concurrent_maintenance",
+      "s42_stream_concurrent_maintenance", "s43_stream_cell_growth_gate",
       "a01_pipe_cranker", "a02_pipe_throughput",
       "s01_stream_tumbling", "s10_stream_stateful_sessions",
       "s30_stream_curation_pipeline")

@@ -2776,8 +2776,9 @@ object Similarity {
     val localFetch = s.table(fin.head)
       .filter(col("cell").isin(qcells.map(Long.box): _*))
       .select(col("cid"), col("cv2").as("cv"), col("cn2"))
-    val probeRows = probeIvfPqTopK(s.table(fin(1)), probes, queryVecs,
-        localFetch, kAdc = 10, k = 3)
+    val probeRows = probeIvfPqTopK(
+        s.table(fin(1)).filter(col("cell").isin(qcells.map(Long.box): _*)),
+        probes, queryVecs, localFetch, kAdc = 10, k = 3)
       .select(lit("probe_pq").as("phase"),
         lit(null).cast("long").as("n_rows"), lit(null).cast("long").as("n_cells"),
         lit(null).cast("long").as("max_cell_rows"),
@@ -2815,7 +2816,24 @@ object Similarity {
     * missed a candidate, or re-ranked on stale vectors is an integer
     * mismatch. RoundFifteenSpec additionally proves cell-local ≡
     * corpus-fetch row-for-row and that the pruned scan touches fewer
-    * buckets than the table has. */
+    * buckets than the table has.
+    *
+    * Priced honestly (ScaleProbeR15, 200k vectors at 1024 cells): the
+    * saving is VOLUMETRIC — the pruned scan's bytes are nprobe/cells of
+    * the tier — while the pruned scan's WALL at toy scale is
+    * task-launch-bound, because Spark schedules one task per bucket
+    * even when pruning empties it, and a 195-row bucket file costs more
+    * to open than to read. So the serving shape ties on wall locally
+    * and the bulk shape (2100 queries covering 811/1024 cells) should
+    * keep the full-tier fetch — locality buys nothing when the batch
+    * touches every cell. At production bucket sizes (the same 1024
+    * cells over 10^9+ vectors → multi-GB buckets) the bytes term
+    * dominates and the pruned fetch is what keeps a probe batch from
+    * re-reading the tier end to end. (Where the planner decides the
+    * bucket distribution is unnecessary it auto-disables the bucketed
+    * scan — the byte bound survives that fallback too, because the
+    * `In(cell, …)` predicate pushes to parquet over the cell-SORTED
+    * bucket files and skips non-matching row groups.) */
   private val d75 = Q(
     "d75_cell_local_refine",
     """WITH e AS (
@@ -2908,7 +2926,13 @@ object Similarity {
     val localFetch = s.table(raw)
       .filter(col("cell").isin(cells.map(Long.box): _*))
       .select(col("cid"), col("cv2").as("cv"), col("cn2"))
-    probeIvfPqTopK(s.table(pq), probes, queryVecs, localFetch,
+    // the ADC leg prunes the SAME way: the compressed tier is bucketed
+    // by cell too, and its scan schedules one task per bucket whether
+    // pruned or not — so reading only the probed cells' code buckets is
+    // strictly fewer bytes at equal task count
+    val prunedIdx = s.table(pq)
+      .filter(col("cell").isin(cells.map(Long.box): _*))
+    probeIvfPqTopK(prunedIdx, probes, queryVecs, localFetch,
         kAdc = 10, k = 3)
       .orderBy("qid", "rank")
   }

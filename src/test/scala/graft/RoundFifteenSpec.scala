@@ -48,7 +48,10 @@ class RoundFifteenSpec extends SparkTestBase {
     val viaCorpus = Similarity.probeIvfPqTopK(spark.table(pq), probes,
         queryVecs, corpus, kAdc = 10, k = 3)
       .orderBy("qid", "rank").collect().toSeq
-    val viaLocal = Similarity.probeIvfPqTopK(spark.table(pq), probes,
+    // the shipped d75 shape prunes BOTH tiers' scans to the probed cells
+    val prunedPq = spark.table(pq)
+      .filter(col("cell").isin(cells.map(Long.box): _*))
+    val viaLocal = Similarity.probeIvfPqTopK(prunedPq, probes,
         queryVecs, localFetch, kAdc = 10, k = 3)
       .orderBy("qid", "rank")
     assert(viaLocal.collect().toSeq === viaCorpus,
