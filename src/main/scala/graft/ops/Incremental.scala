@@ -874,6 +874,69 @@ object Incremental {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
   }
 
+  /** Everything a FRESH SparkSession — another JVM, another cluster
+    * job — needs to serve a bucketed store generation. Catalog handles
+    * are metastore-scoped table NAMES: resolvable by every session
+    * sharing the publishing metastore (a cluster's jobs normally do),
+    * but not by a session with its own metastore. The portable form
+    * carries the physical path plus the layout contract (schema, bucket
+    * spec, sort spec), from which [[registerHandle]] reconstructs an
+    * identical external table — same exchange-free probe plan, same
+    * bucket pruning — against the same files. One line, `|`-separated
+    * (none of the fields can contain a pipe: identifiers, a
+    * path, and a Spark-generated DDL string). */
+  final case class PortableHandle(name: String, path: String,
+      schemaDdl: String, numBuckets: Int, bucketCols: Seq[String],
+      sortCols: Seq[String]) {
+    def encoded: String = {
+      val fields = Seq(name, path, schemaDdl, numBuckets.toString,
+        bucketCols.mkString(","), sortCols.mkString(","))
+      require(fields.forall(f => !f.contains("|") && !f.contains("\n")),
+        s"unencodable handle field: $fields")
+      fields.mkString("|")
+    }
+  }
+
+  object PortableHandle {
+    def decode(line: String): PortableHandle = {
+      val f = line.split('|')
+      require(f.length == 6, s"malformed portable handle: $line")
+      PortableHandle(f(0), f(1), f(2), f(3).toInt,
+        f(4).split(',').toSeq.filter(_.nonEmpty),
+        f(5).split(',').toSeq.filter(_.nonEmpty))
+    }
+  }
+
+  /** Export a store generation's portable handle from the publishing
+    * session's own metastore entry. */
+  def exportHandle(s: org.apache.spark.sql.SparkSession,
+      table: String): PortableHandle = {
+    val meta = s.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"$table is not a bucketed store — nothing to carry portably"))
+    PortableHandle(table, meta.location.toString, meta.schema.toDDL,
+      spec.numBuckets, spec.bucketColumnNames, spec.sortColumnNames)
+  }
+
+  /** Register a portable handle in THIS session's metastore as an
+    * external table over the generation's existing files, reproducing
+    * the publisher's bucket/sort layout so probes plan exchange-free
+    * with bucket pruning, exactly as in the publishing session.
+    * Idempotent (IF NOT EXISTS); the generation's files are never
+    * touched — dropping the registration later does not drop data.
+    * Returns the (unchanged) table name. */
+  def registerHandle(s: org.apache.spark.sql.SparkSession,
+      h: PortableHandle): String = {
+    val sorted = if (h.sortCols.isEmpty) ""
+      else s"SORTED BY (${h.sortCols.mkString(", ")}) "
+    s.sql(s"""CREATE TABLE IF NOT EXISTS ${h.name} (${h.schemaDdl})
+      USING PARQUET
+      CLUSTERED BY (${h.bucketCols.mkString(", ")}) ${sorted}INTO ${h.numBuckets} BUCKETS
+      LOCATION '${h.path}'"""): Unit
+    h.name
+  }
+
   /** Generic catalog resolve (see [[publishCatalog]]); `expect` guards
     * the line count so a wrong-surface catalog fails loudly. */
   def resolveCatalog(path: String, expect: Int): Seq[String] = {

@@ -106,4 +106,48 @@ class RoundFifteenSpec extends SparkTestBase {
     assert(spark.table(gen1.head).count() === 1950,
       "generation 1 must stop growing once the swap lands")
   }
+
+  test("portable store handles: a REAL second JVM — fresh metastore, " +
+    "separate process — proves the bare table name does not resolve, " +
+    "registers the generation from (path, schema, bucket spec), and " +
+    "serves the identical probe") {
+    graft.functions.LongDot.register(spark)
+    graft.plans.TopKPerGroup.install(spark)
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("v"))
+      .withColumn("n2", Similarity.norm2Q(col("v")))
+    val table = Similarity.writeIvfIndex(spark,
+      Dedup.reuse(Similarity.ivfAssign(e)), "ivf_xjvm")
+    val h = Incremental.exportHandle(spark, table)
+    assert(h.numBuckets === 8 && h.bucketCols === Seq("cell"))
+    val dir = Scratch.dir("graft_xjvm")
+    val handleFile = s"$dir/handle.txt"
+    val outFile = s"$dir/rows.txt"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(handleFile), h.encoded): Unit
+    // the parent's own probe of the same generation, same code path
+    val cents = spark.table(table).filter(col("cid") < 8)
+      .select(col("cid").as("cent_id"), col("cv2").as("cv"))
+    val probes = Similarity.ivfAssignAgainst(
+        e.filter(col("vec_id") >= 10 && col("vec_id") < 15), cents)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("n2").as("qn2"), col("cell").as("qcell"))
+    val expected = Similarity.probeIvfTopK(spark, table, probes, k = 3)
+      .orderBy("qid", "rank").collect()
+      .map(_.mkString(",")).mkString("\n")
+    assert(expected.nonEmpty)
+
+    val cmd = Seq("java") ++ StoreServeMain.jdk17AddOpens ++ Seq("-Xmx2g",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.StoreServeMain", handleFile, sf0001, outFile)
+    val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val out = new String(p.getInputStream.readAllBytes())
+    val code = p.waitFor()
+    assert(code === 0, s"child JVM died (exit $code):\n${out.takeRight(4000)}")
+    assert(out.contains("STORESERVE_OK"), s"no OK line:\n${out.takeRight(4000)}")
+    val served = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(outFile))
+    assert(served === expected,
+      "the second JVM's probe through the registered handle diverged")
+  }
 }
