@@ -1522,11 +1522,21 @@ object Similarity {
       assign: DataFrame, tag: String, nBuckets: Int = 8): String = {
     val dir = graft.Scratch.dir(s"graft_$tag")
     val table = s"graft_${tag}_" + dir.replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
+    writeIvfIndexAt(s, assign, s"$dir/ivf_index", table, nBuckets)
+  }
+
+  /** Core of [[writeIvfIndex]] with the physical location and table
+    * name explicit — what a cross-JVM maintainer needs: its OWN
+    * session's Scratch dirs die with its JVM, so a generation meant to
+    * outlive the maintainer (a handle another process will resolve)
+    * must land at a caller-owned durable path. */
+  def writeIvfIndexAt(s: org.apache.spark.sql.SparkSession,
+      assign: DataFrame, path: String, table: String, nBuckets: Int): String = {
     assign.select(col("cell"), col("vec_id").as("cid"), col("v").as("cv2"),
         col("n2").as("cn2"))
       .write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, "cell").sortBy("cell")
-      .option("path", s"$dir/ivf_index").saveAsTable(table)
+      .option("path", path).saveAsTable(table)
     table
   }
 
@@ -1548,6 +1558,19 @@ object Similarity {
     val cents = stored.filter(col("vec_id") < numCents)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
     writeIvfIndex(s, ivfAssignAgainst(stored, cents), tag,
+      nBuckets = math.max(numCents, 8))
+  }
+
+  /** [[migrateIvfIndexCells]] at an explicit durable location (the
+    * [[writeIvfIndexAt]] contract, for generations that must outlive
+    * the publishing JVM). */
+  def migrateIvfIndexCellsAt(s: org.apache.spark.sql.SparkSession,
+      table: String, numCents: Int, path: String, newTable: String): String = {
+    val stored = s.table(table)
+      .select(col("cid").as("vec_id"), col("cv2").as("v"), col("cn2").as("n2"))
+    val cents = stored.filter(col("vec_id") < numCents)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    writeIvfIndexAt(s, ivfAssignAgainst(stored, cents), path, newTable,
       nBuckets = math.max(numCents, 8))
   }
 
@@ -1594,6 +1617,18 @@ object Similarity {
       table: String, tomb: DataFrame, tag: String): String = {
     val dir = graft.Scratch.dir(s"graft_$tag")
     val newTable = s"graft_${tag}_" + dir.replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
+    compactIvfIndexAt(s, table, tomb, s"$dir/ivf_index", newTable, nBuckets = 8)
+  }
+
+  /** [[compactIvfIndex]] at the RESOLVED bucket spec and an explicit
+    * durable location — the s42 lesson (`compactBandIndexN`) on the
+    * vector surface: a compaction that re-applies after losing a CAS
+    * race against a re-layout must rewrite at the WINNER's bucket
+    * count, not assume 8; and a generation published for other
+    * processes must not live in the maintainer's self-deleting temp. */
+  def compactIvfIndexAt(s: org.apache.spark.sql.SparkSession,
+      table: String, tomb: DataFrame, path: String, newTable: String,
+      nBuckets: Int): String = {
     s.table(table)
       .join(broadcast(tomb.select(col("vec_id").as("cid"))), Seq("cid"), "left_anti")
       .select(col("cell"), col("cid"), col("cv2"), col("cn2"))
@@ -1602,8 +1637,8 @@ object Similarity {
       // residue is half of what compaction is FOR
       .distinct()
       .write.mode("overwrite").format("parquet")
-      .bucketBy(8, "cell").sortBy("cell")
-      .option("path", s"$dir/ivf_index").saveAsTable(newTable)
+      .bucketBy(nBuckets, "cell").sortBy("cell")
+      .option("path", path).saveAsTable(newTable)
     newTable
   }
 

@@ -150,4 +150,76 @@ class RoundFifteenSpec extends SparkTestBase {
     assert(served === expected,
       "the second JVM's probe through the registered handle diverged")
   }
+
+  test("cross-process concurrent maintenance on a REAL store: a second " +
+    "JVM's takedown compaction races this JVM's cell migration through " +
+    "one CAS catalog via portable handles — contiguous versions, both " +
+    "updates in the deterministic final generation") {
+    graft.functions.LongDot.register(spark)
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("v"))
+      .withColumn("n2", Similarity.norm2Q(col("v")))
+    val work = Scratch.dir("graft_xmaint")
+    val gen1 = Similarity.writeIvfIndexAt(spark,
+      Dedup.reuse(Similarity.ivfAssign(e)), s"$work/gen1",
+      "graft_xmaint_gen1_" + Scratch.nameTag().take(16), nBuckets = 8)
+    val cat = s"$work/store.catalog"
+    Incremental.publishCatalogVersioned(cat,
+      Seq(Incremental.exportHandle(spark, gen1).encoded, "8"))
+
+    val ready = s"$work/child.ready"
+    val go = s"$work/parent.go"
+    val cmd = Seq("java") ++ StoreServeMain.jdk17AddOpens ++ Seq("-Xmx2g",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.StoreMaintainMain", cat, work, ready, go)
+    val child = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+    while (!java.nio.file.Files.exists(java.nio.file.Paths.get(ready))) {
+      assert(System.nanoTime() < deadline, "child never became ready")
+      Thread.sleep(10)
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(go), "go"): Unit
+    // the parent races its own publisher: a cell migration (layout op,
+    // commuting with the child's content op — tombstones exclude the
+    // cid<16 seed interval so the migration seeds are order-independent)
+    var attempt = 0
+    Incremental.commitCatalogCas(cat) { (_, cur) =>
+      attempt += 1
+      val h = Incremental.PortableHandle.decode(cur.head)
+      Incremental.registerHandle(spark, h): Unit
+      val name = s"graft_xmaint_p${attempt}_" + Scratch.nameTag().take(16)
+      val t = Similarity.migrateIvfIndexCellsAt(spark, h.name, 16,
+        s"$work/parent_gen$attempt", name)
+      Seq(Incremental.exportHandle(spark, t).encoded, "16")
+    }: Unit
+    val out = new String(child.getInputStream.readAllBytes())
+    val code = child.waitFor()
+    assert(code === 0, s"child JVM died (exit $code):\n${out.takeRight(4000)}")
+    assert(out.contains("STOREMAINT_OK"), s"no OK line:\n${out.takeRight(4000)}")
+    info("child: " + out.linesIterator
+      .find(_.contains("STOREMAINT_OK")).getOrElse("?") +
+      s"; parent attempts=$attempt")
+
+    // deterministic final state regardless of race order: v3, 16 cells,
+    // (all − tombstones) assigned against the fixture's cid<16 seeds
+    assert(Incremental.catalogVersions(cat) === Seq(1, 2, 3),
+      "both publishers must land: one wins v2, the loser re-applies as v3")
+    val fin = Incremental.readCatalogVersion(cat, 3)
+    assert(fin(1) === "16", s"the layout op must survive the race: $fin")
+    val finH = Incremental.PortableHandle.decode(fin.head)
+    val finTable = Incremental.registerHandle(spark, finH)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(finTable))
+    assert(meta.bucketSpec.exists(_.numBuckets === 16))
+    val cents16 = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val expected16 = Similarity.ivfAssignAgainst(
+        e.filter(!(col("vec_id") % 7 === 3 && col("vec_id") >= 16)), cents16)
+      .select(col("cell"), col("vec_id").as("cid"))
+      .orderBy("cell", "cid").collect().toSeq
+    val got = spark.table(finTable).select("cell", "cid")
+      .orderBy("cell", "cid").collect().toSeq
+    assert(got === expected16,
+      "final generation must hold BOTH updates: compacted content at the migrated layout")
+  }
 }
