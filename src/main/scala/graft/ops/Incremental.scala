@@ -1258,6 +1258,67 @@ object Incremental {
     }.toSeq
   }
 
+  /** File-level orphan reclamation for CROSS-PROCESS maintainer
+    * debris: a maintainer in another JVM lands its generation
+    * DIRECTORY at a durable shared path BEFORE its CAS commit, and its
+    * metastore dies with its process — so a lost race or a crashed
+    * maintainer leaks a directory that [[gcOrphanTables]] (which
+    * sweeps THIS metastore's registered tables) can never see. The
+    * referenced set is every path named by a portable-handle line of
+    * any recorded version (plus the current pointer); candidates are
+    * the direct subdirectories of `baseDir`, the store's agreed
+    * generation area (the catalog's own history directory is always
+    * kept). The [[gcOrphanTables]] disciplines carry over: an
+    * older-than grace window keeps an in-flight maintainer's landing
+    * zone, and a torn version file aborts the sweep loudly — its
+    * references are unknowable, so reclaiming anything would gamble.
+    * A candidate is kept if ANY referenced path sits at or under it.
+    * Returns the reclaimed directory paths. */
+  def gcOrphanGenerationDirs(catalogPath: String, baseDir: String,
+      graceMs: Long = 10L * 60 * 1000): Seq[String] = {
+    import java.nio.file.{Files, Paths}
+    def norm(s: String): String = {
+      val p =
+        if (s.contains(":/")) Paths.get(java.net.URI.create(s))
+        else Paths.get(s)
+      p.toAbsolutePath.normalize.toString
+    }
+    def handlePaths(lines: Seq[String]): Seq[String] =
+      lines.flatMap { l =>
+        try Some(norm(PortableHandle.decode(l).path))
+        catch { case scala.util.control.NonFatal(_) => None }
+      }
+    val rawLines = catalogVersions(catalogPath)
+      .flatMap { v =>
+        // absent = a rival retention sweep reclaimed it; TORN propagates
+        // parseVersionFile's loud failure and aborts this sweep
+        try parseVersionFile(historyDir(catalogPath).resolve(f"v$v%05d"))
+        catch { case _: java.nio.file.NoSuchFileException => Seq.empty[String] }
+      } ++ (
+        if (Files.exists(Paths.get(catalogPath)))
+          scala.jdk.CollectionConverters.ListHasAsScala(
+            Files.readAllLines(Paths.get(catalogPath))).asScala.toSeq
+        else Seq.empty[String])
+    val referenced = handlePaths(rawLines).toSet
+    val hist = historyDir(catalogPath).toAbsolutePath.normalize.toString
+    val cutoff = System.currentTimeMillis() - graceMs
+    val listing = Files.list(Paths.get(baseDir))
+    val candidates =
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(listing.iterator())
+        .asScala.filter(Files.isDirectory(_)).map(_.toAbsolutePath.normalize)
+        .toSeq
+      finally listing.close()
+    candidates.filter { c =>
+      val cs = c.toString
+      cs != hist &&
+        !referenced.exists(r => r == cs || r.startsWith(cs + "/")) &&
+        Files.getLastModifiedTime(c).toMillis < cutoff
+    }.map { c =>
+      graft.Scratch.deleteRecursively(c.toFile)
+      c.toString
+    }
+  }
+
   /** All recorded history versions, ascending. */
   def catalogVersions(path: String): Seq[Int] = {
     val hd = historyDir(path)

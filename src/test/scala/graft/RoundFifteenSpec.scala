@@ -222,4 +222,65 @@ class RoundFifteenSpec extends SparkTestBase {
     assert(got === expected16,
       "final generation must hold BOTH updates: compacted content at the migrated layout")
   }
+
+  test("file-level orphan GC: a dead cross-process maintainer's lost-race " +
+    "generation directory is reclaimed; referenced, young, and " +
+    "catalog-history directories are kept; a torn version aborts the sweep") {
+    graft.functions.LongDot.register(spark)
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("v"))
+      .withColumn("n2", Similarity.norm2Q(col("v")))
+    val work = Scratch.dir("graft_orphdir")
+    val gen1 = Similarity.writeIvfIndexAt(spark,
+      Dedup.reuse(Similarity.ivfAssign(e)), s"$work/gen1",
+      "graft_orphdir_gen1_" + Scratch.nameTag().take(16), nBuckets = 8)
+    val cat = s"$work/store.catalog"
+    Incremental.publishCatalogVersioned(cat,
+      Seq(Incremental.exportHandle(spark, gen1).encoded, "8"))
+
+    // debris: a dead maintainer's lost-race landing zone (old), and an
+    // in-flight maintainer's landing zone (young)
+    def mkDir(name: String, ageMs: Long): java.nio.file.Path = {
+      val d = java.nio.file.Files.createDirectory(
+        java.nio.file.Paths.get(s"$work/$name"))
+      java.nio.file.Files.writeString(d.resolve("part-0.parquet"), "x"): Unit
+      java.nio.file.Files.setLastModifiedTime(d,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - ageMs))
+      d
+    }
+    val lost = mkDir("child_gen1", ageMs = 60L * 60 * 1000)
+    val young = mkDir("child_gen2", ageMs = 0L)
+
+    val reclaimed = Incremental.gcOrphanGenerationDirs(cat, work,
+      graceMs = 10L * 60 * 1000)
+    assert(reclaimed === Seq(lost.toAbsolutePath.normalize.toString),
+      s"exactly the dead maintainer's directory: $reclaimed")
+    assert(!java.nio.file.Files.exists(lost))
+    assert(java.nio.file.Files.exists(young),
+      "the grace window must keep an in-flight maintainer's landing zone")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$work/gen1")),
+      "the referenced generation must be kept")
+    // the catalog itself survived its own sweep: still resolvable
+    assert(Incremental.resolveCatalogVersion(cat, 1, expect = 2)(1) === "8")
+    assert(spark.table(gen1).count() > 0)
+
+    // a torn version file makes references unknowable: abort, reclaim 0
+    val hist = java.nio.file.Paths.get(cat + ".history").resolve("v00001")
+    val intact = java.nio.file.Files.readAllBytes(hist)
+    java.nio.file.Files.write(hist, intact.dropRight(4)): Unit
+    java.nio.file.Files.setLastModifiedTime(young,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 60L * 60 * 1000)): Unit
+    intercept[IllegalArgumentException] {
+      Incremental.gcOrphanGenerationDirs(cat, work, graceMs = 10L * 60 * 1000)
+    }
+    assert(java.nio.file.Files.exists(young),
+      "an aborted sweep must reclaim NOTHING")
+    java.nio.file.Files.write(hist, intact): Unit
+    val second = Incremental.gcOrphanGenerationDirs(cat, work,
+      graceMs = 10L * 60 * 1000)
+    assert(second === Seq(young.toAbsolutePath.normalize.toString),
+      "after the tear heals, the aged-out debris is reclaimed")
+  }
 }
