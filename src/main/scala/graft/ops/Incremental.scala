@@ -1302,6 +1302,8 @@ object Incremental {
     val referenced = handlePaths(rawLines).toSet
     val hist = historyDir(catalogPath).toAbsolutePath.normalize.toString
     val cutoff = System.currentTimeMillis() - graceMs
+    // a store whose generation area was never created has no debris
+    if (!Files.isDirectory(Paths.get(baseDir))) return Seq.empty
     val listing = Files.list(Paths.get(baseDir))
     val candidates =
       try scala.jdk.CollectionConverters.IteratorHasAsScala(listing.iterator())

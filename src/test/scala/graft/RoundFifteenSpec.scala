@@ -282,5 +282,7 @@ class RoundFifteenSpec extends SparkTestBase {
       graceMs = 10L * 60 * 1000)
     assert(second === Seq(young.toAbsolutePath.normalize.toString),
       "after the tear heals, the aged-out debris is reclaimed")
+    // a never-created generation area is a no-op, not a crash
+    assert(Incremental.gcOrphanGenerationDirs(cat, s"$work/nowhere") === Seq())
   }
 }
