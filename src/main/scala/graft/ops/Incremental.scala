@@ -937,6 +937,22 @@ object Incremental {
     h.name
   }
 
+  /** Resolve a catalog whose lines may be PORTABLE handles: every line
+    * that decodes as a [[PortableHandle]] is registered in THIS session
+    * (idempotent) and replaced by its locally-usable table name;
+    * metadata lines (cell counts, schema tags — no pipes) pass through
+    * untouched. This is the per-batch resolve shape for a consumer
+    * serving generations published by OTHER processes: a micro-batch
+    * that resolves after a foreign maintainer's CAS publish registers
+    * the new generation on the fly and probes it with the full layout
+    * contract. */
+  def resolvePortableCatalog(s: org.apache.spark.sql.SparkSession,
+      path: String, expect: Int): Seq[String] =
+    resolveCatalog(path, expect).map { l =>
+      try registerHandle(s, PortableHandle.decode(l))
+      catch { case scala.util.control.NonFatal(_) => l }
+    }
+
   /** Generic catalog resolve (see [[publishCatalog]]); `expect` guards
     * the line count so a wrong-surface catalog fails loudly. */
   def resolveCatalog(path: String, expect: Int): Seq[String] = {

@@ -285,4 +285,119 @@ class RoundFifteenSpec extends SparkTestBase {
     // a never-created generation area is a no-op, not a crash
     assert(Incremental.gcOrphanGenerationDirs(cat, s"$work/nowhere") === Seq())
   }
+
+  test("a live stream consumes a generation published by ANOTHER JVM: " +
+    "the mid-stream maintenance (takedown compaction + CAS publish) runs " +
+    "in a separate process, and the next micro-batch registers the " +
+    "foreign generation on the fly and serves it") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import org.apache.spark.sql.types._
+    graft.functions.LongDot.register(spark)
+    graft.plans.TopKPerGroup.install(spark)
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("v"))
+      .withColumn("n2", Similarity.norm2Q(col("v")))
+    val work = Scratch.dir("graft_xstream")
+    val gen1 = Similarity.writeIvfIndexAt(spark,
+      Dedup.reuse(Similarity.ivfAssign(e)), s"$work/gen1",
+      "graft_xstream_gen1_" + Scratch.nameTag().take(16), nBuckets = 8)
+    val cat = s"$work/store.catalog"
+    Incremental.publishCatalogVersioned(cat,
+      Seq(Incremental.exportHandle(spark, gen1).encoded, "8"))
+
+    // the foreign maintainer: takedown compaction in its own JVM,
+    // gated on our `go` file (written after wave 0)
+    val ready = s"$work/child.ready"
+    val go = s"$work/parent.go"
+    val cmd = Seq("java") ++ StoreServeMain.jdk17AddOpens ++ Seq("-Xmx2g",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.StoreMaintainMain", cat, work, ready, go)
+    val child = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+
+    val watched = Scratch.dir("graft_xstream_watched")
+    val outDir = Scratch.dir("graft_xstream_out")
+    val ckpt = Scratch.dir("graft_xstream_ckpt")
+    (0 to 1).foreach { b =>
+      val tmp = Scratch.dir(s"graft_xstream_w$b")
+      Tables.embeddings(spark, sf0001)
+        .filter(col("vec_id") % 40 === lit(19L + 20L * b))
+        .select(col("vec_id"), col("embedding"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(watched, s"arrival$b.parquet").toPath): Unit
+      val q = spark.readStream
+        .schema(StructType(Seq(StructField("vec_id", LongType),
+          StructField("embedding", ArrayType(FloatType)))))
+        .parquet(watched)
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          if (!batch.isEmpty) {
+            // the portable resolve: a foreign generation registers on
+            // the fly, a local one is the IF NOT EXISTS no-op
+            val h = Incremental.resolvePortableCatalog(spark, cat, expect = 2)
+            val bAssign = Similarity.ivfAssignAgainst(
+              batch.toDF()
+                .select(col("vec_id"), Similarity.quantize(col("embedding")).as("v"))
+                .withColumn("n2", Similarity.norm2Q(col("v"))),
+              spark.table(h.head).filter(col("cid") < h(1).toInt)
+                .select(col("cid").as("cent_id"), col("cv2").as("cv")))
+            Similarity.probeIvfTopK(spark, h.head,
+                bAssign.select(col("vec_id").as("qid"), col("v").as("qv"),
+                  col("n2").as("qn2"), col("cell").as("qcell")), k = 3)
+              .select(lit(b.toLong).as("wave"), col("qid"), col("cell"),
+                col("cid"), col("rank"), col("cosine"))
+              .write.mode("append").parquet(outDir)
+          }
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      if (b == 0) {
+        // the maintenance window belongs to the OTHER process: let it
+        // publish, wait for its generation to land
+        val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+        while (!java.nio.file.Files.exists(java.nio.file.Paths.get(ready))) {
+          assert(System.nanoTime() < deadline, "child never became ready")
+          Thread.sleep(10)
+        }
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(go), "go"): Unit
+        while (Incremental.catalogVersions(cat) != Seq(1, 2)) {
+          assert(System.nanoTime() < deadline, "child never published")
+          Thread.sleep(20)
+        }
+      }
+    }
+    val out = new String(child.getInputStream.readAllBytes())
+    assert(child.waitFor() === 0 && out.contains("STOREMAINT_OK"),
+      s"maintainer failed:\n${out.takeRight(4000)}")
+
+    // wave 1 must have served the FOREIGN generation: tombstoned ids
+    // gone, everything else ranked exactly as a direct probe of the
+    // compacted content
+    val rows = spark.read.parquet(outDir)
+    val w1 = rows.filter(col("wave") === 1)
+    assert(rows.filter(col("wave") === 0).count() > 0 && w1.count() > 0)
+    assert(w1.filter(col("cid") % 7 === 3 && col("cid") >= 16).count() === 0,
+      "the foreign takedown must be visible to the stream")
+    val live = e.filter(!(col("vec_id") % 7 === 3 && col("vec_id") >= 16))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val liveAssign = Similarity.ivfAssignAgainst(live, cents)
+    val expected = Similarity.probeIvfTopK(
+        liveAssign.select(col("cell"), col("vec_id").as("cid"),
+          col("v").as("cv2"), col("n2").as("cn2")),
+        Similarity.ivfAssignAgainst(
+            e.filter(col("vec_id") % 40 === 39), cents)
+          .select(col("vec_id").as("qid"), col("v").as("qv"),
+            col("n2").as("qn2"), col("cell").as("qcell")), k = 3)
+      .orderBy("qid", "rank").collect().toSeq
+    val got = w1.select("qid", "cell", "cid", "rank", "cosine")
+      .orderBy("qid", "rank").collect().toSeq
+    assert(got === expected,
+      "wave-1 rankings must equal a direct probe of the compacted content")
+  }
 }
