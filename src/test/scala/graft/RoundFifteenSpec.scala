@@ -286,6 +286,41 @@ class RoundFifteenSpec extends SparkTestBase {
     assert(Incremental.gcOrphanGenerationDirs(cat, s"$work/nowhere") === Seq())
   }
 
+  test("portable handles round-trip EVERY bucketed store family: band " +
+    "index, posting store, and IVF store each survive drop-table (files " +
+    "kept) and re-register from the handle with content and bucket spec " +
+    "intact") {
+    import ops.TextAnalysis
+    graft.functions.LongDot.register(spark)
+    val docs = Tables.documents(spark, sf0001).limit(200)
+    // band index (bk-bucketed): build from the standard minhash pipeline
+    val bandTable = "graft_r15_bands_" + Scratch.nameTag().take(16)
+    Dedup.writeBandIndex(spark,
+      Dedup.lshBuckets(docs, "doc_id", "text",
+        shingleWords = 3, bands = 4, rowsPerBand = 2), bandTable)
+    // posting store (term-bucketed)
+    val postTable = TextAnalysis.writePostingStore(spark,
+      TextAnalysis.postingsOf(docs), "r15_post")
+    Seq(bandTable -> "bk", postTable -> "term").foreach { case (t, bcol) =>
+      val before = spark.table(t).orderBy(spark.table(t).columns.map(col): _*)
+        .collect().toSeq
+      val h = Incremental.exportHandle(spark, t)
+      assert(h.bucketCols === Seq(bcol), s"$t bucket col: ${h.bucketCols}")
+      // external table: DROP removes the metastore entry, keeps files —
+      // the same blindness a genuinely fresh metastore starts with
+      spark.sql(s"DROP TABLE `$t`"): Unit
+      assert(!spark.catalog.tableExists(t))
+      val back = Incremental.registerHandle(spark, h)
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(back))
+      assert(meta.bucketSpec.exists(_.numBuckets === h.numBuckets))
+      assert(meta.bucketSpec.exists(_.bucketColumnNames === Seq(bcol)))
+      val after = spark.table(back).orderBy(spark.table(back).columns.map(col): _*)
+        .collect().toSeq
+      assert(after === before, s"$t content changed across the round-trip")
+    }
+  }
+
   test("a live stream consumes a generation published by ANOTHER JVM: " +
     "the mid-stream maintenance (takedown compaction + CAS publish) runs " +
     "in a separate process, and the next micro-batch registers the " +
