@@ -58,7 +58,13 @@ object Bench {
     // one ~3 KB line) and its artifact parsed null. Persist the same JSON
     // to a file as well (the CORRECTNESS_SELF discipline) so the round's
     // bench number survives any stdout truncation.
-    val selfPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_SELF", "BENCH_SELF.json")
+    // Default is date-stamped and untracked (BENCH_SELF_LAST_*.json is
+    // gitignored): the r13 driver bench run overwrote the COMMITTED
+    // BENCH_SELF.json with its own state-polluted numbers via this
+    // default. Builder runs that should be kept pass an explicit
+    // SPARK_GRAFT_BENCH_SELF=BENCH_SELF_r{N}_runX.json.
+    val selfPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_SELF",
+      "BENCH_SELF_LAST_" + java.time.LocalDate.now() + ".json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(selfPath),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
     catch { case e: Throwable =>

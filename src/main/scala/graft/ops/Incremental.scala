@@ -899,7 +899,10 @@ object Incremental {
 
   object PortableHandle {
     def decode(line: String): PortableHandle = {
-      val f = line.split('|')
+      // limit -1: trailing EMPTY fields survive — a bucketed-but-unsorted
+      // table encodes with a trailing '|' (empty sortCols, a shape
+      // registerHandle explicitly supports) and must round-trip
+      val f = line.split("\\|", -1)
       require(f.length == 6, s"malformed portable handle: $line")
       PortableHandle(f(0), f(1), f(2), f(3).toInt,
         f(4).split(',').toSeq.filter(_.nonEmpty),
@@ -1200,22 +1203,41 @@ object Incremental {
     var lastRead: Throwable = null
     while (attempts < maxAttempts) {
       attempts += 1
-      try {
-        val cur = currentCatalogVersion(path)
-        val curLines = if (cur == 0) Seq.empty[String] else readCatalogVersion(path, cur)
-        return (publishCatalogCas(path, cur, update(cur, curLines), committer), attempts)
-      } catch {
-        case _: CatalogCasConflict => ()
-        case e: IllegalArgumentException =>
-          // the basis READ failed, not the claim: either retention GC
-          // reclaimed our basis between the version list and the read
-          // (two newer versions landed mid-loop — the same "catalog
-          // moved" fact as a conflict), or the latest slot is a rival's
-          // in-flight conditional-put write (checksum not landed). Both
-          // are retryable races, not corruption — re-read and retry
-          // with a small backoff so an in-flight writer can finish.
-          lastRead = e
-          Thread.sleep(math.min(5L * attempts, 50L))
+      // The retryable-IllegalArgumentException catch is scoped to the
+      // basis READ alone: `update` may itself throw
+      // IllegalArgumentException (require failures, .toInt,
+      // PortableHandle.decode), and retrying a DETERMINISTIC caller bug
+      // maxAttempts times would materialize a full store generation of
+      // debris per attempt and then surface as a misleading "livelock".
+      // Those propagate unswallowed from the block below.
+      val basis =
+        try {
+          val cur = currentCatalogVersion(path)
+          val curLines =
+            if (cur == 0) Seq.empty[String] else readCatalogVersion(path, cur)
+          Some((cur, curLines))
+        } catch {
+          case e: IllegalArgumentException =>
+            // the basis READ failed: either retention GC reclaimed our
+            // basis between the version list and the read (two newer
+            // versions landed mid-loop — the same "catalog moved" fact
+            // as a conflict), or the latest slot is a rival's in-flight
+            // conditional-put write (checksum not landed), or a rival
+            // DIED mid-conditional-put and left a torn slot behind.
+            // The first two heal themselves; the third never does —
+            // repair it once it is old enough to rule out an in-flight
+            // writer, then retry with a small backoff.
+            lastRead = e
+            repairTornCatalogSlot(path)
+            Thread.sleep(math.min(5L * attempts, 50L))
+            None
+        }
+      basis match {
+        case Some((cur, curLines)) =>
+          val next = update(cur, curLines) // caller bugs propagate from here
+          try return (publishCatalogCas(path, cur, next, committer), attempts)
+          catch { case _: CatalogCasConflict => () }
+        case None => ()
       }
     }
     throw new IllegalStateException(
@@ -1223,6 +1245,40 @@ object Incremental {
         "(or the current version file is persistently unreadable; see cause)",
       lastRead)
   }
+
+  /** Crash recovery for the conditional-put committer's one
+    * unrecoverable window: a publisher dying between its CREATE_NEW
+    * slot claim and the content write/force leaves an empty/torn file
+    * permanently holding the LATEST version slot — every reader fails
+    * the checksum, every CAS basis read fails, and (absent this rule)
+    * the catalog wedges for all writers forever. The repair: a
+    * checksum-failing latest slot whose mtime is older than `graceMs`
+    * cannot be an in-flight writer (a claim's content write is
+    * milliseconds; the window is generous anyway) — it is crash
+    * debris, and the trailer distinguishes it from every valid file,
+    * so deleting it re-opens the slot for the next claimant. Scoped
+    * deliberately: ONLY the latest slot (a torn DEAD version stays as
+    * the investigation record the retention sweep preserves), ONLY a
+    * checksum failure (a valid file is never touched), ONLY past the
+    * grace window (a racing in-flight write is left to finish).
+    * Invoked automatically by [[commitCatalogCas]]'s failed-basis
+    * path and available directly as the operator repair procedure.
+    * Returns the reclaimed slot's version, if any. */
+  def repairTornCatalogSlot(path: String, graceMs: Long = 60000L): Option[Int] =
+    catalogVersions(path).lastOption.flatMap { v =>
+      val slot = historyDir(path).resolve(f"v$v%05d")
+      val torn =
+        try { parseVersionFile(slot); false }
+        catch {
+          case _: IllegalArgumentException => true
+          case _: java.nio.file.NoSuchFileException => false // rival repaired it
+        }
+      val old =
+        try torn && java.nio.file.Files.getLastModifiedTime(slot).toMillis <
+          System.currentTimeMillis() - graceMs
+        catch { case _: java.io.IOException => false } // gone mid-check
+      if (old && java.nio.file.Files.deleteIfExists(slot)) Some(v) else None
+    }
 
   /** Orphan reclamation for CAS retry debris: a publisher whose commit
     * lost its race abandons the generation it materialized (the
@@ -1316,6 +1372,13 @@ object Incremental {
             Files.readAllLines(Paths.get(catalogPath))).asScala.toSeq
         else Seq.empty[String])
     val referenced = handlePaths(rawLines).toSet
+    // Guard: a catalog whose recorded versions carry NO decodable
+    // portable-handle line (the plain-table-name flow, e.g. d73/s43's
+    // writeIvfIndex catalogs) yields an EMPTY referenced set — running
+    // the sweep against such a store's data area would reclaim every
+    // aged subdirectory INCLUDING the live serving generation. This
+    // sweep only governs portable-handle stores: no handles → no-op.
+    if (referenced.isEmpty) return Seq.empty
     val hist = historyDir(catalogPath).toAbsolutePath.normalize.toString
     val cutoff = System.currentTimeMillis() - graceMs
     // a store whose generation area was never created has no debris
@@ -1417,14 +1480,22 @@ object Incremental {
           // read throw NoSuchFile, and a torn/malformed lease parses
           // wrong — both mean "this lease protects nothing", exactly
           // what a released pin means. Guarding per file keeps one
-          // racing release from aborting a whole retention sweep.
+          // racing release from aborting a whole retention sweep. ONLY
+          // those two shapes are treated as released: an unexpected
+          // I/O error on a live lease propagates and aborts the caller
+          // (GC is best-effort by contract, so aborting is safe) —
+          // defaulting a transiently-unreadable pin to "unpinned"
+          // would let retention reclaim a generation a reader holds.
           try {
             val parts = new String(java.nio.file.Files.readAllBytes(p),
               java.nio.charset.StandardCharsets.UTF_8).trim.split(" ")
             if (parts.length == 2 && parts(1).toLong > now)
               Some(p.getFileName.toString -> parts(0).toInt)
             else None
-          } catch { case scala.util.control.NonFatal(_) => None }
+          } catch {
+            case _: java.nio.file.NoSuchFileException => None // racing release
+            case _: NumberFormatException => None // torn/malformed lease shape
+          }
         }.toMap
       finally s.close()
     }

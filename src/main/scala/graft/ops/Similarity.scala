@@ -2972,6 +2972,194 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** d76 — MULTI-PROBE SERVING with a MEASURED RECALL CENSUS on the
+    * MAINTAINED funnel: the r13 verdict's two open serving-quality
+    * claims closed in one query. d35 measured the nprobe ∈ {1,2,4}
+    * operating curve, but only on a TRANSIENT in-query index; every
+    * stored-funnel probe (d63/d72/d74/d75/s39) served the query's own
+    * cell only — nprobe=1, the lowest-recall point of the very curve
+    * d35 published — and none of them reported recall at all: the
+    * stored funnel hash-checked ADC and exact distances but never its
+    * quality vs exact ground truth.
+    *
+    * This query serves the CURRENT catalog generation (the d74
+    * discipline: raw + PQ tier + cell count published as one triple,
+    * probes resolve the catalog first) at nprobe ∈ {1,2,4} and emits
+    * recall@10 vs the exact integer-L2 top-10 per (nprobe, query) —
+    * the d55 measure-the-heuristic rule applied to the serving path.
+    * Multi-probe is d75's pruned fetch with a GROWN IN-list: the probe
+    * frame carries one row per (query, probed cell) — ranked centroid
+    * top-nprobe, the Lloyd's-nearest-cells rule — and BOTH tiers'
+    * scans stay pruned to the probed cells (union over the batch,
+    * still ≤ queries × nprobe literals), so the plan SHAPE is
+    * unchanged from nprobe=1: the ADC leg reads nprobe/cells of the
+    * code tier, the refine leg nprobe/cells of the raw tier, and the
+    * index never shuffles. The exact-ground-truth leg is corpus-∝ BY
+    * DEFINITION (it is the measuring stick, not the serving path —
+    * d12/d35's discipline) and rides a 15-query broadcast.
+    *
+    * Everything is hash-checked as integers/fixed-round decimals: the
+    * DuckDB oracle rebuilds assignment, PQ codebook, encodings, the
+    * per-nprobe ADC→refine funnel, AND the exact top-10, so a probe
+    * that read a wrong cell, a LUT mismatch, or an off-by-one in the
+    * candidate cut all surface as a recall-row mismatch.
+    * RoundSixteenSpec additionally asserts the pruned plan shape at
+    * nprobe=4 and that mean recall is monotone non-decreasing in
+    * nprobe — what each extra probed cell BUYS, measured on the
+    * layout that actually serves. */
+  private val d76 = Q(
+    "d76_multiprobe_recall",
+    """WITH e AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+         FROM embeddings),
+       n AS MATERIALIZED (
+         SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2 FROM e),
+       cents8 AS (SELECT vec_id AS cent_id, v AS cv FROM n WHERE vec_id < 8),
+       scored AS MATERIALIZED (
+         SELECT n.vec_id, c.cent_id,
+                row_number() OVER (PARTITION BY n.vec_id
+                  ORDER BY CAST(list_sum(list_transform(generate_series(1, 64), i -> n.v[i] * c.cv[i])) AS BIGINT) DESC,
+                           c.cent_id) AS rn
+         FROM n, cents8 c),
+       assign8 AS MATERIALIZED (SELECT vec_id, cent_id AS cell FROM scored WHERE rn = 1),
+       subs AS (SELECT unnest(generate_series(0, 7)) AS s),
+       vs AS (SELECT vec_id, s, list_slice(v, s * 8 + 1, s * 8 + 8) AS sv
+              FROM e CROSS JOIN subs),
+       cbs AS MATERIALIZED (SELECT vec_id AS code, s, sv AS cv FROM vs WHERE vec_id < 64),
+       enc AS MATERIALIZED (
+         SELECT vec_id, s, code FROM (
+           SELECT v.vec_id, v.s, c.code,
+                  row_number() OVER (PARTITION BY v.vec_id, v.s
+                    ORDER BY CAST(list_sum(list_transform(generate_series(1, 8),
+                               i -> (v.sv[i] - c.cv[i]) * (v.sv[i] - c.cv[i]))) AS BIGINT) ASC,
+                             c.code) AS rn
+           FROM vs v JOIN cbs c ON v.s = c.s) t WHERE rn = 1),
+       qa AS MATERIALIZED (
+         SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM n
+         WHERE vec_id >= 10 AND vec_id < 25),
+       qs AS MATERIALIZED (
+         SELECT vec_id AS qid, s, sv FROM vs WHERE vec_id >= 10 AND vec_id < 25),
+       probes AS (SELECT * FROM (VALUES (1), (2), (4)) AS t(nprobe)),
+       cellrank AS (
+         SELECT vec_id AS qid, cent_id AS cell, rn AS cr
+         FROM scored WHERE vec_id >= 10 AND vec_id < 25 AND rn <= 4),
+       adc AS MATERIALIZED (
+         SELECT p.nprobe, cr.qid, en.vec_id AS cid,
+                CAST(sum(list_sum(list_transform(generate_series(1, 8),
+                  i -> (q.sv[i] - c.cv[i]) * (q.sv[i] - c.cv[i])))) AS BIGINT) AS ad
+         FROM cellrank cr
+         JOIN probes p ON cr.cr <= p.nprobe
+         JOIN assign8 ca ON ca.cell = cr.cell AND ca.vec_id <> cr.qid
+         JOIN enc en ON en.vec_id = ca.vec_id
+         JOIN qs q ON q.qid = cr.qid AND q.s = en.s
+         JOIN cbs c ON c.s = en.s AND c.code = en.code
+         GROUP BY p.nprobe, cr.qid, en.vec_id),
+       cand AS (
+         SELECT nprobe, qid, cid FROM (
+           SELECT nprobe, qid, cid,
+                  row_number() OVER (PARTITION BY nprobe, qid
+                    ORDER BY ad ASC, cid) AS rk
+           FROM adc) t WHERE rk <= 20),
+       fun AS MATERIALIZED (
+         SELECT nprobe, qid, cid FROM (
+           SELECT cand.nprobe, cand.qid, cand.cid,
+                  row_number() OVER (PARTITION BY cand.nprobe, cand.qid
+                    ORDER BY qa.qn2 + c.n2 - 2 * CAST(list_sum(list_transform(generate_series(1, 64),
+                      i -> qa.qv[i] * c.v[i])) AS BIGINT) ASC, cand.cid) AS rank
+           FROM cand JOIN qa ON qa.qid = cand.qid
+                     JOIN n c ON c.vec_id = cand.cid) t WHERE rank <= 10),
+       gt AS MATERIALIZED (
+         SELECT qid, cid FROM (
+           SELECT qa.qid, c.vec_id AS cid,
+                  row_number() OVER (PARTITION BY qa.qid
+                    ORDER BY qa.qn2 + c.n2 - 2 * CAST(list_sum(list_transform(generate_series(1, 64),
+                      i -> qa.qv[i] * c.v[i])) AS BIGINT) ASC, c.vec_id) AS rank
+           FROM qa JOIN n c ON c.vec_id <> qa.qid) t WHERE rank <= 10),
+       overlap AS (
+         SELECT p.nprobe, g.qid, count(f.cid) AS n_overlap
+         FROM gt g CROSS JOIN probes p
+         LEFT JOIN fun f
+           ON f.nprobe = p.nprobe AND f.qid = g.qid AND f.cid = g.cid
+         GROUP BY p.nprobe, g.qid)
+       SELECT nprobe, qid, n_overlap,
+              round(n_overlap / 10.0, 4) AS recall_at_10
+       FROM overlap ORDER BY nprobe, qid""") { (s, d) =>
+    graft.functions.LongDot.register(s)
+    graft.functions.LongL2.register(s)
+    graft.plans.TopKPerGroup.install(s)
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("n2", norm2Q(col("v")))
+    // the maintained generation: both tiers + the cell count behind one
+    // catalog triple; the probe path resolves the CURRENT generation
+    val raw = writeIvfIndex(s, Dedup.reuse(ivfAssign(e)), "ivf_d76")
+    val cb = pqCodebook(s.table(raw)
+      .select(col("cid").as("vec_id"), col("cv2").as("v")))
+    cb.foreach(sub => require(sub.zipWithIndex.forall { case ((id, _), i) => id == i },
+      "store-trained seeds must be the dense vec_id<64 prefix"))
+    val pq = writeIvfPqIndex(s, s.table(raw)
+      .select(col("cell"), col("cid").as("vec_id"), col("cv2").as("v"))
+      .withColumn("codes", pqCodesCol(cb)), "ivfpq_d76")
+    val cat = graft.Scratch.dir("graft_d76_cat") + "/tiers.catalog"
+    Incremental.publishCatalogVersioned(cat, Seq(raw, pq, "8"))
+    val cur = Incremental.resolveCatalog(cat, expect = 3)
+    val cents = s.table(cur.head).filter(col("cid") < cur(2).toInt)
+      .select(col("cid").as("cent_id"), col("cv2").as("cv"))
+    val isQuery = col("vec_id") >= 10 && col("vec_id") < 25
+    // one centroid-ranking pass (queries × k-bounded centroid broadcast)
+    // serves every nprobe slice
+    val wc = Window.partitionBy(col("vec_id")).orderBy(col("dot").desc, col("cent_id"))
+    val ranked = Dedup.reuse(e.filter(isQuery).crossJoin(broadcast(cents))
+      .withColumn("dot", dotQ(col("v"), col("cv")))
+      .withColumn("cr", row_number().over(wc))
+      .filter(col("cr") <= 4))
+    val queryVecs = e.filter(isQuery).select(col("vec_id").as("qid"),
+      col("v").as("qv"), col("n2").as("qn2"))
+    val funnel = Seq(1, 2, 4).map { np =>
+      // one probe row per (query, probed cell): probeIvfPqTopK's join
+      // on cell === qcell makes multi-probe a data change, not a plan
+      // change — candidates union over the probed cells, ranked once
+      val probeRows = ranked.filter(col("cr") <= np)
+        .select(col("vec_id").as("qid"), col("cent_id").as("qcell"),
+          pqLutCol(cb).as("lut"))
+      // the probe batch's cell union: driver-known literals, ≤ queries
+      // × nprobe — the IN-list that prunes BOTH tiers' bucketed scans
+      val cells = ranked.filter(col("cr") <= np).select(col("cent_id"))
+        .distinct().collect().map(_.getLong(0)).sorted.toSeq
+      val localFetch = s.table(cur.head)
+        .filter(col("cell").isin(cells.map(Long.box): _*))
+        .select(col("cid"), col("cv2").as("cv"), col("cn2"))
+      val prunedIdx = s.table(cur(1))
+        .filter(col("cell").isin(cells.map(Long.box): _*))
+      probeIvfPqTopK(prunedIdx, probeRows, queryVecs, localFetch,
+          kAdc = 20, k = 10)
+        .select(lit(np).as("inprobe"), col("qid").as("iqid"),
+          col("cid").as("icid"))
+    }.reduce(_ unionByName _)
+    // exact ground truth from the SAME generation's raw tier — the
+    // measuring stick is corpus-∝ by definition (d12/d35 discipline)
+    val wg = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("cid"))
+    val gt = s.table(cur.head)
+      .crossJoin(broadcast(queryVecs))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("d2",
+        col("qn2") + col("cn2") - lit(2L) * dotQ(col("qv"), col("cv2")))
+      .withColumn("rank", row_number().over(wg))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("cid"))
+    gt.select(col("*"), explode(array(lit(1), lit(2), lit(4))).as("nprobe"))
+      .join(funnel,
+        col("inprobe") === col("nprobe") && col("iqid") === col("qid")
+          && col("icid") === col("cid"), "left")
+      .groupBy("nprobe", "qid")
+      .agg(count(col("icid")).as("n_overlap"))
+      .select(col("nprobe"), col("qid"), col("n_overlap"),
+        round(col("n_overlap") / 10.0, 4).as("recall_at_10"))
+      .orderBy("nprobe", "qid")
+  }
+
   val defs: Seq[Q] = Seq(d05, d06, d07, d12, d14, d16, d19, d24, d25, d26, d29,
-    d30, d32, d33, d35, d40, d52, d59, d60, d61, d62, d63, d72, d73, d74, d75)
+    d30, d32, d33, d35, d40, d52, d59, d60, d61, d62, d63, d72, d73, d74, d75,
+    d76)
 }

@@ -1,0 +1,245 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-14 hardening drills on the catalog machinery — the five r13
+  * ADVICE findings, each reproduced first and then proven fixed:
+  * (1) a bucketed-but-UNSORTED portable handle (trailing empty field)
+  * must round-trip the codec and register; (2) commitCatalogCas must
+  * NOT retry a deterministic caller bug in `update` (one attempt, real
+  * exception, no debris ladder); (3) a publisher dying inside
+  * CreateNewCommitter's claim window (slot created, content never
+  * written) must not wedge the catalog forever — the torn LATEST slot
+  * past the grace window is reclaimed and the next commit proceeds;
+  * (4) the pin-registry scan treats ONLY racing-release / torn-shape
+  * failures as "released" — an unexpected I/O error on a live lease
+  * aborts the sweep rather than silently dropping the pin; (5) the
+  * file-level orphan sweep refuses to run against a PLAIN-NAME
+  * catalog's data area (empty referenced set would otherwise reclaim
+  * the live serving generation). */
+class RoundSixteenSpec extends SparkTestBase {
+
+  import ops.Incremental
+
+  private def newCat(tag: String): String =
+    Scratch.dir(s"graft_${tag}_cat") + "/store.catalog"
+
+  private def histFile(cat: String, v: Int): java.nio.file.Path =
+    java.nio.file.Paths.get(cat + ".history").resolve(f"v$v%05d")
+
+  private def ageFile(p: java.nio.file.Path, ageMs: Long): Unit =
+    java.nio.file.Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - ageMs)): Unit
+
+  test("d76: multi-probe serving on the maintained funnel — mean recall@10 " +
+    "is monotone non-decreasing in nprobe, every (nprobe, query) cell is " +
+    "present, and the serving scans are bucket-pruned to the probed cells " +
+    "(the plan SHAPE of nprobe=1, with a grown IN-list)") {
+    import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+    val df = SparkEntry.queries("d76_multiprobe_recall")(spark, sf0001)
+    // the pruned serving scans survive into the composed census plan:
+    // at least one bucketed scan reads strictly fewer buckets than the
+    // tier has (the GT leg legitimately reads the full tier — it is the
+    // measuring stick, not the serving path)
+    val plan = castToImpl(df).queryExecution.executedPlan.toString
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findAllMatchIn(plan).toSeq
+    assert(sel.exists(m => m.group(1).toInt < m.group(2).toInt),
+      s"no bucket-pruned serving scan in the d76 plan: ${sel.map(_.matched)}")
+    val rows = df.collect()
+    assert(rows.length === 45, "15 queries × nprobe {1,2,4}")
+    val byNp = rows.groupBy(_.getInt(0)).view
+      .mapValues(rs => rs.map(_.getLong(2)).sum / (10.0 * rs.length)).toMap
+    assert(byNp.keySet === Set(1, 2, 4))
+    assert(byNp(1) <= byNp(2) && byNp(2) <= byNp(4),
+      s"mean recall must be monotone in nprobe: $byNp")
+    assert(byNp(4) > byNp(1),
+      s"probing 4 cells must buy real recall over 1 on this fixture: $byNp")
+  }
+
+  test("a bucketed-but-UNSORTED store's portable handle (empty sortCols " +
+    "= trailing empty encoded field) round-trips the codec and registers " +
+    "through resolvePortableCatalog") {
+    import spark.implicits._
+    val dir = Scratch.dir("graft_r16_unsorted")
+    val t = "graft_r16_unsorted_" + Scratch.nameTag().take(16)
+    (1 to 40).map(i => (i.toLong, s"p$i")).toDF("k", "payload")
+      .write.bucketBy(4, "k").option("path", s"$dir/gen1").saveAsTable(t)
+    val h = Incremental.exportHandle(spark, t)
+    assert(h.sortCols.isEmpty, "premise: the store is bucketed, not sorted")
+    assert(h.encoded.endsWith("|"),
+      "premise: empty sortCols encode as a trailing empty field")
+    // the r13 defect: split('|') dropped the trailing empty field →
+    // 5 fields → decode failed → the handle passed through unresolved
+    assert(Incremental.PortableHandle.decode(h.encoded) === h)
+
+    val before = spark.table(t).orderBy($"k").collect().toSeq
+    spark.sql(s"DROP TABLE `$t`"): Unit // external: files survive
+    val cat = newCat("r16_unsorted")
+    Incremental.publishCatalogVersioned(cat, Seq(h.encoded, "4"))
+    val resolved = Incremental.resolvePortableCatalog(spark, cat, expect = 2)
+    assert(resolved === Seq(t, "4"),
+      "the handle line must RESOLVE to the table name, not pass through")
+    assert(spark.catalog.tableExists(t))
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(t))
+    assert(meta.bucketSpec.exists(_.numBuckets === 4))
+    assert(meta.bucketSpec.exists(_.sortColumnNames.isEmpty))
+    assert(spark.table(t).orderBy($"k").collect().toSeq === before)
+  }
+
+  test("commitCatalogCas does NOT retry a deterministic caller bug: an " +
+    "IllegalArgumentException thrown by `update` propagates after exactly " +
+    "one invocation instead of surfacing as a 10-attempt 'livelock'") {
+    val cat = newCat("r16_updbug")
+    Incremental.publishCatalogVersioned(cat, Seq("table_a", "8"))
+    var calls = 0
+    val boom = intercept[IllegalArgumentException] {
+      Incremental.commitCatalogCas(cat) { (_, lines) =>
+        calls += 1
+        require(lines.head == "no-such-line", "deterministic caller bug")
+        lines
+      }
+    }
+    assert(boom.getMessage.contains("deterministic caller bug"),
+      "the caller's own exception must surface, not a livelock wrapper")
+    assert(calls === 1,
+      "a caller bug must not be retried (each retry could materialize a " +
+        "full store generation of debris)")
+    // the catalog is untouched and still commits normally afterwards
+    val (v, att) = Incremental.commitCatalogCas(cat)((_, l) => l :+ "extra")
+    assert(v === 2 && att === 1)
+  }
+
+  test("conditional-put crash window: a publisher dying between " +
+    "CREATE_NEW and the content write leaves a torn LATEST slot; past " +
+    "the grace window the next commitCatalogCas reclaims it and the " +
+    "catalog un-wedges — while a YOUNG torn slot (possible in-flight " +
+    "writer) and a torn DEAD slot are both left alone") {
+    val cat = newCat("r16_crash")
+    Incremental.publishCatalogVersioned(cat, Seq("gen1", "8"))
+    Incremental.publishCatalogVersioned(cat, Seq("gen2", "8"))
+
+    // simulate the crash: the v3 slot file exists (CREATE_NEW won) but
+    // the content/checksum never landed — zero bytes, like a publisher
+    // kill -9'd inside CreateNewCommitter.claim
+    val slot3 = histFile(cat, 3)
+    java.nio.file.Files.write(slot3, Array.empty[Byte],
+      java.nio.file.StandardOpenOption.CREATE_NEW): Unit
+
+    // every reader now fails loudly on the latest generation
+    intercept[IllegalArgumentException] { Incremental.readCatalogVersion(cat, 3) }
+
+    // a YOUNG torn slot is indistinguishable from an in-flight rival's
+    // write — repair must refuse, and the short CAS loop must exhaust
+    assert(Incremental.repairTornCatalogSlot(cat).isEmpty)
+    val wedged = intercept[IllegalStateException] {
+      Incremental.commitCatalogCas(cat, maxAttempts = 3)((_, l) => l)
+    }
+    assert(wedged.getMessage.contains("livelock"))
+    assert(java.nio.file.Files.exists(slot3), "young torn slot must survive")
+
+    // age the slot past the grace window: now it is provably crash
+    // debris (no writer holds a claim open for a minute)
+    ageFile(slot3, 2L * 60 * 1000)
+    val (v, _) = Incremental.commitCatalogCas(cat) { (cur, lines) =>
+      assert(cur === 2, "the basis after repair is the last VALID generation")
+      assert(lines === Seq("gen2", "8"))
+      Seq("gen3", "8")
+    }
+    assert(v === 3, "the reclaimed slot is re-claimed by the next commit")
+    assert(Incremental.readCatalogVersion(cat, 3) === Seq("gen3", "8"))
+
+    // scope guard: a torn NON-latest slot is the retention sweep's
+    // investigation record — repair must never touch it
+    val slot1 = histFile(cat, 1)
+    val intact1 = java.nio.file.Files.readAllBytes(slot1)
+    java.nio.file.Files.write(slot1, intact1.dropRight(5))
+    ageFile(slot1, 2L * 60 * 1000)
+    assert(Incremental.repairTornCatalogSlot(cat).isEmpty,
+      "repair is scoped to the LATEST slot only")
+    assert(java.nio.file.Files.exists(slot1))
+    // and a VALID latest slot is never touched regardless of age
+    ageFile(histFile(cat, 3), 2L * 60 * 1000)
+    assert(Incremental.repairTornCatalogSlot(cat).isEmpty)
+    assert(Incremental.readCatalogVersion(cat, 3) === Seq("gen3", "8"))
+  }
+
+  test("pin-registry scan failure taxonomy: a torn/malformed lease reads " +
+    "as released, but an UNEXPECTED I/O error on a lease aborts the scan " +
+    "(and hence the retention sweep) instead of silently unpinning") {
+    val cat = newCat("r16_pins")
+    (1 to 3).foreach(i => Incremental.publishCatalogVersioned(cat, Seq(s"g$i")))
+    Incremental.acquireCatalogPin(cat, 1, "live-reader", leaseMs = 60000)
+
+    val pd = java.nio.file.Paths.get(cat + ".pins")
+    // a torn lease (shape garbage): protects nothing, scan continues
+    java.nio.file.Files.write(pd.resolve("torn-holder"),
+      "not a lease".getBytes("UTF-8")): Unit
+    assert(Incremental.activeCatalogPins(cat) === Map("live-reader" -> 1))
+
+    // an unreadable lease entry (directory where a file belongs — the
+    // stand-in for a transient I/O fault): the scan must ABORT, because
+    // defaulting it to "unpinned" would let GC reclaim a generation a
+    // reader still holds
+    val weird = pd.resolve("io-fault-holder")
+    java.nio.file.Files.createDirectories(weird)
+    intercept[java.io.IOException] { Incremental.activeCatalogPins(cat) }
+    intercept[java.io.IOException] {
+      Incremental.gcCatalogHistory(spark, cat, retain = 1)
+    }
+    assert(Incremental.catalogVersions(cat) === Seq(1, 2, 3),
+      "an aborted sweep must reclaim nothing")
+
+    // fault cleared → the sweep proceeds and the live pin still protects v1
+    java.nio.file.Files.delete(weird)
+    val reclaimed = Incremental.gcCatalogHistory(spark, cat, retain = 1)
+    assert(reclaimed === Seq(2))
+    assert(Incremental.catalogVersions(cat) === Seq(1, 3))
+  }
+
+  test("file-level orphan sweep refuses a PLAIN-NAME catalog: with no " +
+    "decodable portable-handle line in any recorded version the sweep " +
+    "is a no-op — it cannot reclaim the live serving generation of a " +
+    "store it does not govern") {
+    val work = Scratch.dir("graft_r16_plainname")
+    val cat = s"$work/store.catalog"
+    // the default writeIvfIndex/publishCatalogVersioned flow: lines are
+    // plain metastore table names + scalar metadata, no handles
+    Incremental.publishCatalogVersioned(cat,
+      Seq("graft_plain_gen1", "8", "schema=v2"))
+    val gen = java.nio.file.Paths.get(s"$work/gen1")
+    java.nio.file.Files.createDirectories(gen)
+    java.nio.file.Files.write(gen.resolve("part-0.parquet"),
+      "live data".getBytes("UTF-8")): Unit
+    ageFile(gen, 2L * 60 * 60 * 1000) // far past any grace window
+
+    val swept = Incremental.gcOrphanGenerationDirs(cat, work, graceMs = 0)
+    assert(swept.isEmpty, "plain-name catalog → the sweep must no-op")
+    assert(java.nio.file.Files.exists(gen.resolve("part-0.parquet")),
+      "the live serving generation must survive")
+
+    // contrast: once a recorded version DOES carry a handle, the sweep
+    // governs the area and reclaims true orphans while keeping the
+    // referenced generation
+    import spark.implicits._
+    val t = "graft_r16_handle_" + Scratch.nameTag().take(16)
+    (1 to 10).map(i => (i.toLong, i.toString)).toDF("k", "v")
+      .write.bucketBy(2, "k").option("path", s"$work/gen2").saveAsTable(t)
+    Incremental.publishCatalogVersioned(cat,
+      Seq(Incremental.exportHandle(spark, t).encoded, "8", "schema=v2"))
+    val orphan = java.nio.file.Paths.get(s"$work/dead_gen")
+    java.nio.file.Files.createDirectories(orphan)
+    ageFile(orphan, 2L * 60 * 60 * 1000)
+    ageFile(java.nio.file.Paths.get(s"$work/gen2"), 2L * 60 * 60 * 1000)
+    val swept2 = Incremental.gcOrphanGenerationDirs(cat, work, graceMs = 60000)
+    // dead_gen is a true orphan; gen1 is legitimately sweepable too now —
+    // no HANDLE in any recorded version references it once the store
+    // migrated to portable handles (plain names don't pin directories)
+    assert(swept2.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+      === Set("dead_gen", "gen1"))
+    assert(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$work/gen2")),
+      "the handle-referenced generation must survive")
+  }
+}
