@@ -1113,11 +1113,66 @@ object Incremental {
     }
   }
 
+  /** The DEPLOYABLE Hadoop-filesystem port of the conditional-put
+    * shape: the slot claim is `FileSystem.create(path, overwrite =
+    * false)` — on HDFS a single atomic namenode operation (the
+    * `create(overwrite=false)` contract [[CreateNewCommitter]]'s doc
+    * names), so of N racing claimants exactly one wins. This is the
+    * committer a cluster deployment selects for an `hdfs://` catalog;
+    * it goes through `org.apache.hadoop.fs.FileSystem`, so the same
+    * code serves any Hadoop-API store whose exclusive-create is atomic.
+    *
+    * Honest scope of what is DRILLED here vs claimed: this container
+    * ships only the hadoop-CLIENT jars (no NameNode/DataNode/
+    * MiniDFSCluster classes exist on the classpath, and the build has
+    * zero egress to fetch them), so a real-HDFS drill is not runnable —
+    * the drills run this committer against the LOCAL Hadoop filesystem
+    * (`file://`, raw, no .crc sidecars), which exercises the full API
+    * path (create-exclusive exception taxonomy, stream write/close
+    * ordering, byte-compatibility of version files written through the
+    * Hadoop stack with the java.nio readers and checksum trailers) but
+    * NOT namenode atomicity: `RawLocalFileSystem.create(overwrite =
+    * false)` is an exists-check-then-create with a TOCTOU window, so on
+    * `file://` two racing claimants can BOTH win (RoundSixteenSpec
+    * measures exactly that divergence). Select this committer for
+    * Hadoop filesystems whose exclusive-create is atomic (HDFS); on a
+    * shared POSIX filesystem use [[HardLinkCommitter]] /
+    * [[CreateNewCommitter]], which are race-proven locally. */
+  case object HadoopFsCommitter extends SlotCommitter {
+    val name = "hadoopfs"
+    def claim(slot: java.nio.file.Path, bytes: Array[Byte]): Boolean = {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val p = new org.apache.hadoop.fs.Path(slot.toUri)
+      // unwrap the checksumming local wrapper: a local drill must not
+      // strew .crc sidecars through the history dir (HDFS checksums
+      // are server-side and unaffected)
+      val fs = p.getFileSystem(conf) match {
+        case l: org.apache.hadoop.fs.LocalFileSystem => l.getRawFileSystem
+        case other => other
+      }
+      val out =
+        try fs.create(p, false)
+        catch {
+          // HDFS and RawLocalFileSystem both signal a held slot with
+          // FileAlreadyExistsException; older Hadoop FSes used a bare
+          // IOException with an "already exists" message
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => return false
+          case e: java.io.IOException
+              if e.getMessage != null && e.getMessage.contains("already exists") =>
+            return false
+        }
+      try { out.write(bytes); out.hflush() } finally out.close()
+      true
+    }
+  }
+
   /** Session-wide committer choice (hardlink unless overridden). */
   def defaultCommitter: SlotCommitter =
-    if (sys.props.get("graft.catalog.committer").contains(CreateNewCommitter.name))
-      CreateNewCommitter
-    else HardLinkCommitter
+    sys.props.get("graft.catalog.committer") match {
+      case Some(CreateNewCommitter.name) => CreateNewCommitter
+      case Some(HadoopFsCommitter.name) => HadoopFsCommitter
+      case _ => HardLinkCommitter
+    }
 
   /** A CAS publish lost its race: the catalog moved past the version the
     * publisher based its update on. Re-read, re-apply, retry. */
@@ -1408,7 +1463,12 @@ object Incremental {
       val s = java.nio.file.Files.list(hd)
       try scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator()).asScala
         .map(_.getFileName.toString)
-        .filter(_.matches("v\\d{5}"))
+        // {5,}: %05d pads to AT LEAST five digits, so v100000 is six wide
+        // — an exactly-five filter would make every version ≥ 100000
+        // invisible (currentCatalogVersion stuck at 99999, every CAS a
+        // livelock); at the drilled 60-72 commits/s that is ~25 minutes
+        // of production commits (CatalogVolumeProbe drills the boundary)
+        .filter(_.matches("v\\d{5,}"))
         .map(_.drop(1).toInt).toSeq.sorted
       finally s.close()
     }

@@ -199,6 +199,111 @@ class RoundSixteenSpec extends SparkTestBase {
     assert(Incremental.catalogVersions(cat) === Seq(1, 3))
   }
 
+  test("HadoopFsCommitter: the deployable FileSystem.create(overwrite=" +
+    "false) port drives the FULL catalog lifecycle on file:// — version " +
+    "files written through the Hadoop stack are byte-compatible with the " +
+    "java.nio readers (checksums verify), CAS composes updates, the " +
+    "retention sweep reclaims, and no .crc sidecars pollute the history") {
+    val cat = newCat("r16_hadoopfs")
+    val hfs = Incremental.HadoopFsCommitter
+    Incremental.publishCatalogVersioned(cat, Seq("base"))
+    (1 to 5).foreach { i =>
+      val (v, _) = Incremental.commitCatalogCas(cat, committer = hfs) {
+        (_, lines) => lines :+ s"gen$i"
+      }
+      assert(v === i + 1)
+    }
+    assert(Incremental.resolveCatalog(cat, expect = 6)
+      === "base" +: (1 to 5).map(i => s"gen$i"))
+    // java.nio readers checksum-verify the Hadoop-written files
+    assert(Incremental.readCatalogVersion(cat, 6).last === "gen5")
+    assert(Incremental.resolveCatalogVersion(cat, 4, expect = 4).last === "gen3")
+    // the local claim ran RAW (no ChecksumFileSystem .crc debris that
+    // would survive sweeps as untracked files)
+    val hd = java.nio.file.Paths.get(cat + ".history")
+    val listing = java.nio.file.Files.list(hd)
+    val names =
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(listing.iterator())
+        .asScala.map(_.getFileName.toString).toSeq
+      finally listing.close()
+    assert(!names.exists(_.endsWith(".crc")), s"crc sidecars: $names")
+    assert(Incremental.gcCatalogHistory(spark, cat, retain = 2) === (1 to 4))
+    assert(Incremental.catalogVersions(cat) === Seq(5, 6))
+  }
+
+  test("HadoopFsCommitter divergence measurement: on file:// the " +
+    "exclusive-create is exists-check-then-create (TOCTOU), so a " +
+    "same-slot race may yield TWO winners — but never more, never zero, " +
+    "and the slot content is always exactly one claimant's bytes or a " +
+    "LOUDLY-torn file (the checksum trailer), never a silent blend. " +
+    "(On HDFS the namenode makes the same call atomic — exactly one " +
+    "winner; not drillable here: no HDFS server classes ship in the " +
+    "hadoop-client jars.)") {
+    val hfs = Incremental.HadoopFsCommitter
+    val cat = newCat("r16_hfsrace")
+    val hd = java.nio.file.Paths.get(cat + ".history")
+    java.nio.file.Files.createDirectories(hd)
+    var dualClaims = 0
+    (1 to 20).foreach { round =>
+      val slot = hd.resolve(f"v$round%05d")
+      val payloads = Seq("a", "b").map(w =>
+        w -> Incremental.versionFileBytes(Seq(s"r$round-$w")))
+      val start = new java.util.concurrent.CountDownLatch(1)
+      val wins = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val ts = payloads.map { case (who, bytes) =>
+        new Thread(() => {
+          start.await()
+          if (hfs.claim(slot, bytes)) { wins.add(who); () }
+        })
+      }
+      ts.foreach(_.start()); start.countDown(); ts.foreach(_.join())
+      val winners = wins.toArray(Array.empty[String]).toSeq
+      assert(winners.nonEmpty && winners.size <= 2,
+        s"round $round: $winners")
+      if (winners.size == 2) dualClaims += 1
+      // content integrity: whatever landed is ONE claimant's whole file,
+      // or the checksum rejects it loudly — never wrong-lines resolve
+      val parsed =
+        try Some(Incremental.readCatalogVersion(cat, round))
+        catch { case _: IllegalArgumentException => None } // torn → LOUD
+      parsed.foreach { lines =>
+        assert(lines.size == 1 && winners.exists(w => lines.head == s"r$round-$w"),
+          s"round $round resolved to a blend: $lines vs winners $winners")
+      }
+    }
+    info(s"dual-claim rounds on file:// (TOCTOU divergence, 0 on HDFS): " +
+      s"$dualClaims/20")
+  }
+
+  test("the version-number boundary at v100000: %05d grows to six digits " +
+    "there, and the version list must keep seeing every newer generation " +
+    "(the exactly-five-digit filter would wedge every CAS at 25 minutes " +
+    "of production commit rate)") {
+    val cat = newCat("r16_v100k")
+    val hd = java.nio.file.Paths.get(cat + ".history")
+    java.nio.file.Files.createDirectories(hd)
+    // synthesize the boundary directly (publishing 100k real versions is
+    // the volume probe's job): the last five-digit version and the first
+    // six-digit one
+    Seq(99999, 100000).foreach { v =>
+      java.nio.file.Files.write(hd.resolve(f"v$v%05d"),
+        Incremental.versionFileBytes(Seq(s"gen$v", "8"))): Unit
+    }
+    assert(Incremental.catalogVersions(cat) === Seq(99999, 100000))
+    assert(Incremental.currentCatalogVersion(cat) === 100000)
+    assert(Incremental.readCatalogVersion(cat, 100000) === Seq("gen100000", "8"))
+    // and the commit path crosses the boundary without wedging
+    val (v, att) = Incremental.commitCatalogCas(cat)((_, l) => l :+ "extra")
+    assert(v === 100001 && att === 1)
+    assert(Incremental.resolveCatalogVersion(cat, 100001, expect = 3)
+      === Seq("gen100000", "8", "extra"))
+    // a version-file tmp (claim in flight) is still never mistaken for a
+    // committed version, on either side of the boundary
+    java.nio.file.Files.write(hd.resolve("v100002.tmp.deadbeef"),
+      "junk".getBytes("UTF-8")): Unit
+    assert(Incremental.currentCatalogVersion(cat) === 100001)
+  }
+
   test("file-level orphan sweep refuses a PLAIN-NAME catalog: with no " +
     "decodable portable-handle line in any recorded version the sweep " +
     "is a no-op — it cannot reclaim the live serving generation of a " +
