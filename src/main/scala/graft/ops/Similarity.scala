@@ -3159,7 +3159,258 @@ object Similarity {
       .orderBy("nprobe", "qid")
   }
 
+  /** d77 — NPROBE AUTO-TUNING GATE: d76 measures the nprobe operating
+    * curve on the maintained funnel; d77 closes the loop the way every
+    * gated family here does (d62 drift, d65 growth, d73 cells): the
+    * measurement DECIDES, and the decision is itself hash-checked. The
+    * census half reruns d76's recall sweep (nprobe ∈ {1,2,4} on a
+    * 15-query sample vs exact ground truth, through the CURRENT
+    * catalog generation); the gate picks the SMALLEST nprobe whose
+    * total overlap meets an integer threshold (Σ n_overlap ≥ 53 of
+    * 150 — recall ≥ ~0.35, integer so the branch cannot flap on float
+    * rounding), falling back to the largest probed depth when no
+    * setting meets it — serve as well as the index CAN rather than
+    * refusing. The serving half then probes a DISJOINT query batch at
+    * the chosen depth through d75/d76's pruned two-tier funnel: the
+    * operating point a production funnel would deploy, derived from
+    * measurement instead of guessed. Branch diversity across the
+    * verify SFs is real: the sums (45/61/69 at sf0.001, 31/53/64 at
+    * sf0.01, 29/32/40 at sf0.1) choose nprobe=2, nprobe=2, and the
+    * fallback nprobe=4 respectively — both branches oracle-checked.
+    * The decision input is a 3-row collect (nprobe → Σ overlap), the
+    * d73 bounded-census discipline; everything else stays distributed
+    * and bucket-pruned. The DuckDB oracle recomputes census, choice,
+    * AND the served funnel (ADC + exact d2 integers), so a wrong
+    * branch, a wrong threshold compare, or a serve at the wrong depth
+    * is a hash mismatch. */
+  private val d77 = Q(
+    "d77_nprobe_autotune",
+    """WITH e AS (
+         SELECT vec_id,
+                list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+         FROM embeddings),
+       n AS MATERIALIZED (
+         SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS n2 FROM e),
+       cents8 AS (SELECT vec_id AS cent_id, v AS cv FROM n WHERE vec_id < 8),
+       scored AS MATERIALIZED (
+         SELECT n.vec_id, c.cent_id,
+                row_number() OVER (PARTITION BY n.vec_id
+                  ORDER BY CAST(list_sum(list_transform(generate_series(1, 64), i -> n.v[i] * c.cv[i])) AS BIGINT) DESC,
+                           c.cent_id) AS rn
+         FROM n, cents8 c),
+       assign8 AS MATERIALIZED (SELECT vec_id, cent_id AS cell FROM scored WHERE rn = 1),
+       subs AS (SELECT unnest(generate_series(0, 7)) AS s),
+       vs AS (SELECT vec_id, s, list_slice(v, s * 8 + 1, s * 8 + 8) AS sv
+              FROM e CROSS JOIN subs),
+       cbs AS MATERIALIZED (SELECT vec_id AS code, s, sv AS cv FROM vs WHERE vec_id < 64),
+       enc AS MATERIALIZED (
+         SELECT vec_id, s, code FROM (
+           SELECT v.vec_id, v.s, c.code,
+                  row_number() OVER (PARTITION BY v.vec_id, v.s
+                    ORDER BY CAST(list_sum(list_transform(generate_series(1, 8),
+                               i -> (v.sv[i] - c.cv[i]) * (v.sv[i] - c.cv[i]))) AS BIGINT) ASC,
+                             c.code) AS rn
+           FROM vs v JOIN cbs c ON v.s = c.s) t WHERE rn = 1),
+       qa AS MATERIALIZED (
+         SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM n
+         WHERE vec_id >= 10 AND vec_id < 25),
+       qs AS MATERIALIZED (
+         SELECT vec_id AS qid, s, sv FROM vs WHERE vec_id >= 10 AND vec_id < 25),
+       probes AS (SELECT * FROM (VALUES (1), (2), (4)) AS t(nprobe)),
+       cellrank AS (
+         SELECT vec_id AS qid, cent_id AS cell, rn AS cr
+         FROM scored WHERE vec_id >= 10 AND vec_id < 25 AND rn <= 4),
+       adc AS MATERIALIZED (
+         SELECT p.nprobe, cr.qid, en.vec_id AS cid,
+                CAST(sum(list_sum(list_transform(generate_series(1, 8),
+                  i -> (q.sv[i] - c.cv[i]) * (q.sv[i] - c.cv[i])))) AS BIGINT) AS ad
+         FROM cellrank cr
+         JOIN probes p ON cr.cr <= p.nprobe
+         JOIN assign8 ca ON ca.cell = cr.cell AND ca.vec_id <> cr.qid
+         JOIN enc en ON en.vec_id = ca.vec_id
+         JOIN qs q ON q.qid = cr.qid AND q.s = en.s
+         JOIN cbs c ON c.s = en.s AND c.code = en.code
+         GROUP BY p.nprobe, cr.qid, en.vec_id),
+       cand AS (
+         SELECT nprobe, qid, cid FROM (
+           SELECT nprobe, qid, cid,
+                  row_number() OVER (PARTITION BY nprobe, qid
+                    ORDER BY ad ASC, cid) AS rk
+           FROM adc) t WHERE rk <= 20),
+       fun AS MATERIALIZED (
+         SELECT nprobe, qid, cid FROM (
+           SELECT cand.nprobe, cand.qid, cand.cid,
+                  row_number() OVER (PARTITION BY cand.nprobe, cand.qid
+                    ORDER BY qa.qn2 + c.n2 - 2 * CAST(list_sum(list_transform(generate_series(1, 64),
+                      i -> qa.qv[i] * c.v[i])) AS BIGINT) ASC, cand.cid) AS rank
+           FROM cand JOIN qa ON qa.qid = cand.qid
+                     JOIN n c ON c.vec_id = cand.cid) t WHERE rank <= 10),
+       gt AS MATERIALIZED (
+         SELECT qid, cid FROM (
+           SELECT qa.qid, c.vec_id AS cid,
+                  row_number() OVER (PARTITION BY qa.qid
+                    ORDER BY qa.qn2 + c.n2 - 2 * CAST(list_sum(list_transform(generate_series(1, 64),
+                      i -> qa.qv[i] * c.v[i])) AS BIGINT) ASC, c.vec_id) AS rank
+           FROM qa JOIN n c ON c.vec_id <> qa.qid) t WHERE rank <= 10),
+       overlap AS (
+         SELECT p.nprobe, g.qid, count(f.cid) AS n_overlap
+         FROM gt g CROSS JOIN probes p
+         LEFT JOIN fun f
+           ON f.nprobe = p.nprobe AND f.qid = g.qid AND f.cid = g.cid
+         GROUP BY p.nprobe, g.qid),
+       sums AS MATERIALIZED (
+         SELECT nprobe, sum(n_overlap) AS so FROM overlap GROUP BY nprobe),
+       chosen AS MATERIALIZED (
+         SELECT COALESCE(MIN(nprobe) FILTER (WHERE so >= 53), 4) AS np FROM sums),
+       qa2 AS MATERIALIZED (
+         SELECT vec_id AS qid, v AS qv, n2 AS qn2 FROM n
+         WHERE vec_id >= 30 AND vec_id < 35),
+       qs2 AS MATERIALIZED (
+         SELECT vec_id AS qid, s, sv FROM vs WHERE vec_id >= 30 AND vec_id < 35),
+       cellrank2 AS (
+         SELECT vec_id AS qid, cent_id AS cell, rn AS cr
+         FROM scored WHERE vec_id >= 30 AND vec_id < 35
+           AND rn <= (SELECT np FROM chosen)),
+       adc2 AS MATERIALIZED (
+         SELECT cr.qid, ca.cell, en.vec_id AS cid,
+                CAST(sum(list_sum(list_transform(generate_series(1, 8),
+                  i -> (q.sv[i] - c.cv[i]) * (q.sv[i] - c.cv[i])))) AS BIGINT) AS ad
+         FROM cellrank2 cr
+         JOIN assign8 ca ON ca.cell = cr.cell AND ca.vec_id <> cr.qid
+         JOIN enc en ON en.vec_id = ca.vec_id
+         JOIN qs2 q ON q.qid = cr.qid AND q.s = en.s
+         JOIN cbs c ON c.s = en.s AND c.code = en.code
+         GROUP BY cr.qid, ca.cell, en.vec_id),
+       cand2 AS (
+         SELECT qid, cell, cid, ad FROM (
+           SELECT qid, cell, cid, ad,
+                  row_number() OVER (PARTITION BY qid ORDER BY ad ASC, cid) AS rk
+           FROM adc2) t WHERE rk <= 20),
+       served AS (
+         SELECT qid, cell, cid, CAST(rank AS BIGINT) AS rank, ad, d2 FROM (
+           SELECT cand2.qid, cand2.cell, cand2.cid, cand2.ad,
+                  qa2.qn2 + c.n2 - 2 * CAST(list_sum(list_transform(generate_series(1, 64),
+                    i -> qa2.qv[i] * c.v[i])) AS BIGINT) AS d2,
+                  row_number() OVER (PARTITION BY cand2.qid
+                    ORDER BY qa2.qn2 + c.n2 - 2 * CAST(list_sum(list_transform(generate_series(1, 64),
+                      i -> qa2.qv[i] * c.v[i])) AS BIGINT) ASC, cand2.cid) AS rank
+           FROM cand2 JOIN qa2 ON qa2.qid = cand2.qid
+                      JOIN n c ON c.vec_id = cand2.cid) t WHERE rank <= 3)
+       SELECT phase, nprobe, sum_overlap, mean_recall, qid, cell, cid, rank, ad, d2
+       FROM (
+         SELECT 'gate' AS phase, s.nprobe, s.so AS sum_overlap,
+                round(s.so / 150.0, 4) AS mean_recall,
+                CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS cell,
+                CAST(NULL AS BIGINT) AS cid, CAST(NULL AS BIGINT) AS rank,
+                CAST(NULL AS BIGINT) AS ad, CAST(NULL AS BIGINT) AS d2
+         FROM sums s
+         UNION ALL
+         SELECT 'serve' AS phase, (SELECT np FROM chosen) AS nprobe,
+                CAST(NULL AS BIGINT) AS sum_overlap,
+                CAST(NULL AS DOUBLE) AS mean_recall,
+                qid, cell, cid, rank, ad, d2
+         FROM served) u
+       ORDER BY phase, nprobe, qid, rank""") { (s, d) =>
+    graft.functions.LongDot.register(s)
+    graft.functions.LongL2.register(s)
+    graft.plans.TopKPerGroup.install(s)
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), quantize(col("embedding")).as("v"))
+      .withColumn("n2", norm2Q(col("v")))
+    val raw = writeIvfIndex(s, Dedup.reuse(ivfAssign(e)), "ivf_d77")
+    val cb = pqCodebook(s.table(raw)
+      .select(col("cid").as("vec_id"), col("cv2").as("v")))
+    cb.foreach(sub => require(sub.zipWithIndex.forall { case ((id, _), i) => id == i },
+      "store-trained seeds must be the dense vec_id<64 prefix"))
+    val pq = writeIvfPqIndex(s, s.table(raw)
+      .select(col("cell"), col("cid").as("vec_id"), col("cv2").as("v"))
+      .withColumn("codes", pqCodesCol(cb)), "ivfpq_d77")
+    val cat = graft.Scratch.dir("graft_d77_cat") + "/tiers.catalog"
+    Incremental.publishCatalogVersioned(cat, Seq(raw, pq, "8"))
+    val cur = Incremental.resolveCatalog(cat, expect = 3)
+    val cents = s.table(cur.head).filter(col("cid") < cur(2).toInt)
+      .select(col("cid").as("cent_id"), col("cv2").as("cv"))
+    val wc = Window.partitionBy(col("vec_id")).orderBy(col("dot").desc, col("cent_id"))
+    def rankedOf(qFilter: org.apache.spark.sql.Column) =
+      e.filter(qFilter).crossJoin(broadcast(cents))
+        .withColumn("dot", dotQ(col("v"), col("cv")))
+        .withColumn("cr", row_number().over(wc))
+        .filter(col("cr") <= 4)
+    // ---- census half: d76's recall sweep on the sample batch
+    val isCensus = col("vec_id") >= 10 && col("vec_id") < 25
+    val rankedC = Dedup.reuse(rankedOf(isCensus))
+    val qvC = e.filter(isCensus).select(col("vec_id").as("qid"),
+      col("v").as("qv"), col("n2").as("qn2"))
+    val funnel = Seq(1, 2, 4).map { np =>
+      val probeRows = rankedC.filter(col("cr") <= np)
+        .select(col("vec_id").as("qid"), col("cent_id").as("qcell"),
+          pqLutCol(cb).as("lut"))
+      val cells = rankedC.filter(col("cr") <= np).select(col("cent_id"))
+        .distinct().collect().map(_.getLong(0)).sorted.toSeq
+      val localFetch = s.table(cur.head)
+        .filter(col("cell").isin(cells.map(Long.box): _*))
+        .select(col("cid"), col("cv2").as("cv"), col("cn2"))
+      val prunedIdx = s.table(cur(1))
+        .filter(col("cell").isin(cells.map(Long.box): _*))
+      probeIvfPqTopK(prunedIdx, probeRows, qvC, localFetch, kAdc = 20, k = 10)
+        .select(lit(np).as("inprobe"), col("qid").as("iqid"),
+          col("cid").as("icid"))
+    }.reduce(_ unionByName _)
+    val wg = Window.partitionBy(col("qid")).orderBy(col("d2").asc, col("cid"))
+    val gt = s.table(cur.head)
+      .crossJoin(broadcast(qvC))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("d2",
+        col("qn2") + col("cn2") - lit(2L) * dotQ(col("qv"), col("cv2")))
+      .withColumn("rank", row_number().over(wg))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("cid"))
+    // the gate's decision input: 3 (nprobe, Σ overlap) rows — bounded
+    // by the probed depths, the d73 census-collect discipline
+    val sums = gt
+      .select(col("*"), explode(array(lit(1), lit(2), lit(4))).as("nprobe"))
+      .join(funnel,
+        col("inprobe") === col("nprobe") && col("iqid") === col("qid")
+          && col("icid") === col("cid"), "left")
+      .groupBy("nprobe", "qid")
+      .agg(count(col("icid")).as("n_overlap"))
+      .groupBy("nprobe").agg(sum(col("n_overlap")).as("so"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).toSeq
+    // smallest depth meeting the integer target; else serve as well as
+    // the index CAN at the deepest probed setting
+    val choice = sums.collectFirst { case (np, so) if so >= 53L => np }
+      .getOrElse(4)
+    val gate = sums.toDF("nprobe", "sum_overlap")
+      .select(lit("gate").as("phase"), col("nprobe"), col("sum_overlap"),
+        round(col("sum_overlap") / 150.0, 4).as("mean_recall"),
+        lit(null).cast("long").as("qid"), lit(null).cast("long").as("cell"),
+        lit(null).cast("long").as("cid"), lit(null).cast("long").as("rank"),
+        lit(null).cast("long").as("ad"), lit(null).cast("long").as("d2"))
+    // ---- serving half: a DISJOINT batch at the chosen operating point
+    val isServe = col("vec_id") >= 30 && col("vec_id") < 35
+    val rankedS = Dedup.reuse(rankedOf(isServe).filter(col("cr") <= choice))
+    val probesS = rankedS.select(col("vec_id").as("qid"),
+      col("cent_id").as("qcell"), pqLutCol(cb).as("lut"))
+    val qvS = e.filter(isServe).select(col("vec_id").as("qid"),
+      col("v").as("qv"), col("n2").as("qn2"))
+    val cellsS = rankedS.select(col("cent_id")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val localFetchS = s.table(cur.head)
+      .filter(col("cell").isin(cellsS.map(Long.box): _*))
+      .select(col("cid"), col("cv2").as("cv"), col("cn2"))
+    val prunedIdxS = s.table(cur(1))
+      .filter(col("cell").isin(cellsS.map(Long.box): _*))
+    val serve = probeIvfPqTopK(prunedIdxS, probesS, qvS, localFetchS,
+        kAdc = 20, k = 3)
+      .select(lit("serve").as("phase"), lit(choice).as("nprobe"),
+        lit(null).cast("long").as("sum_overlap"),
+        lit(null).cast("double").as("mean_recall"),
+        col("qid"), col("cell"), col("cid"), col("rank"), col("ad"), col("d2"))
+    gate.unionByName(serve).orderBy("phase", "nprobe", "qid", "rank")
+  }
+
   val defs: Seq[Q] = Seq(d05, d06, d07, d12, d14, d16, d19, d24, d25, d26, d29,
     d30, d32, d33, d35, d40, d52, d59, d60, d61, d62, d63, d72, d73, d74, d75,
-    d76)
+    d76, d77)
 }

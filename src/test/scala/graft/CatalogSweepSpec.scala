@@ -174,6 +174,8 @@ object PlanSweep {
         "PK interval: centroid seed set = fixed cid range of the stored index",
       "d76_multiprobe_recall" ->
         "PK interval: centroid seed set = fixed cid range of the stored index",
+      "d77_nprobe_autotune" ->
+        "PK interval: centroid seed set = fixed cid range of the stored index",
       "d62_drift_retrain" ->
         "PK interval seeds + 8-row centroid-update aggregate (k bounded by the cell domain)",
       "d36_banding_curve" -> "PK interval: one banding config's signature set (config = '8x1')",

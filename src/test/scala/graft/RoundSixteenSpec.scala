@@ -58,6 +58,26 @@ class RoundSixteenSpec extends SparkTestBase {
       s"probing 4 cells must buy real recall over 1 on this fixture: $byNp")
   }
 
+  test("d77: the nprobe auto-tune gate measures the census, picks the " +
+    "SMALLEST depth meeting the integer recall target, and serves the " +
+    "disjoint batch at exactly that depth (sf0.001: 45/61/69 of the " +
+    "53-of-150 target → nprobe=2; the sf0.1 fallback branch is " +
+    "oracle-checked by Verify)") {
+    val rows = SparkEntry.queries("d77_nprobe_autotune")(spark, sf0001).collect()
+    val (gate, serve) = rows.partition(_.getString(0) == "gate")
+    assert(gate.length === 3 && serve.length === 15, s"${rows.length} rows")
+    val sums = gate.map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(sums === Map(1 -> 45L, 2 -> 61L, 4 -> 69L))
+    // smallest depth with Σoverlap ≥ 53 is nprobe=2 — every serve row
+    // must carry the CHOSEN depth
+    assert(serve.forall(_.getInt(1) === 2),
+      "the serving half must run at the gate's chosen depth")
+    // and the serve rows are a real funnel: 3 ranked hits per query
+    assert(serve.map(_.getLong(4)).distinct.length === 5)
+    assert(serve.groupBy(_.getLong(4)).values.forall(_.map(_.getLong(7)).sorted
+      === Seq(1L, 2L, 3L)))
+  }
+
   test("a bucketed-but-UNSORTED store's portable handle (empty sortCols " +
     "= trailing empty encoded field) round-trips the codec and registers " +
     "through resolvePortableCatalog") {
