@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.scheduler._
+import scala.collection.mutable
+
+/** Dev-loop measurement harness (guide §1: measure first). Runs the named
+  * queries exactly like `Bench` (same session, same `.count()` action) but
+  * records every Spark job/stage via a listener and prints a per-job
+  * breakdown: wall, task count, task time, input / shuffle-read /
+  * shuffle-write bytes, and the job's call site. This is how a 10 s
+  * lifecycle query gets decomposed into its phases without the (disabled)
+  * UI. Not part of the driver contract; not benched; changes nothing.
+  *
+  * Usage: sbt "runMain graft.Profile p02" [env SPARK_GRAFT_SF_DIR]
+  */
+object Profile {
+  final case class JobRow(id: Int, var desc: String, var start: Long,
+      var end: Long, var tasks: Int, var taskTime: Long, var input: Long,
+      var shRead: Long, var shWrite: Long, var stages: mutable.Buffer[String])
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = Engine.session(parallelism = cpus, appName = "graft-profile")
+    val only = args.lift(0).map(_.split(',').toSeq).getOrElse(Seq())
+    val names = SparkEntry.benchNames.filter(n => only.exists(n.startsWith))
+
+    val jobs = mutable.LinkedHashMap[Int, JobRow]()
+    val stageToJob = mutable.HashMap[Int, Int]()
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = jobs.synchronized {
+        val desc = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .orElse(Option(js.properties).flatMap(p => Option(p.getProperty("callSite.short"))))
+          .getOrElse("")
+        jobs(js.jobId) = JobRow(js.jobId, desc, js.time, 0L, 0, 0L, 0L, 0L, 0L,
+          mutable.Buffer())
+        js.stageIds.foreach(sid => stageToJob(sid) = js.jobId)
+      }
+      override def onJobEnd(je: SparkListenerJobEnd): Unit = jobs.synchronized {
+        jobs.get(je.jobId).foreach(_.end = je.time)
+      }
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        jobs.synchronized {
+          val si = sc.stageInfo
+          for (jid <- stageToJob.get(si.stageId); j <- jobs.get(jid)) {
+            j.tasks += si.numTasks
+            j.taskTime += si.taskMetrics.executorRunTime
+            j.input += si.taskMetrics.inputMetrics.bytesRead
+            j.shRead += si.taskMetrics.shuffleReadMetrics.totalBytesRead
+            j.shWrite += si.taskMetrics.shuffleWriteMetrics.bytesWritten
+            j.stages += s"${si.name.takeWhile(_ != '\n').take(60)}"
+          }
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+
+    // one warm pass at the small SF (Bench parity), then the timed pass
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    names.foreach { n =>
+      try SparkEntry.queries(n)(spark, warmDir).count() catch { case _: Throwable => () }
+    }
+    names.foreach { name =>
+      jobs.synchronized { jobs.clear(); stageToJob.clear() }
+      spark.catalog.clearCache()
+      System.gc()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      // listener bus is async; let the tail events drain
+      Thread.sleep(500)
+      val rows = jobs.synchronized { jobs.values.toVector }
+      println(f"%nPROFILE $name wall=$wall%.2f s  jobs=${rows.size}")
+      println(f"${"job"}%4s ${"wall_s"}%7s ${"tasks"}%6s ${"taskT_s"}%8s " +
+        f"${"input"}%9s ${"shRead"}%9s ${"shWrite"}%9s  first-stage")
+      val gap = wall - rows.map(r => (r.end - r.start) / 1e3).sum
+      rows.foreach { r =>
+        val w = (r.end - r.start) / 1e3
+        def mb(b: Long) = f"${b / 1048576.0}%8.1fM"
+        println(f"${r.id}%4d $w%7.3f ${r.tasks}%6d ${r.taskTime / 1e3}%8.2f " +
+          f"${mb(r.input)} ${mb(r.shRead)} ${mb(r.shWrite)}  " +
+          r.stages.headOption.getOrElse("").take(70) +
+          (if (r.desc.nonEmpty) s" [${r.desc.take(40)}]" else ""))
+      }
+      println(f"PROFILE $name driver-side (outside jobs) = $gap%.2f s")
+    }
+    spark.stop()
+  }
+}
