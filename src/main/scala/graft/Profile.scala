@@ -16,7 +16,8 @@ import scala.collection.mutable
 object Profile {
   final case class JobRow(id: Int, var desc: String, var start: Long,
       var end: Long, var tasks: Int, var taskTime: Long, var input: Long,
-      var shRead: Long, var shWrite: Long, var stages: mutable.Buffer[String])
+      var shRead: Long, var shWrite: Long, var stages: mutable.Buffer[String],
+      var gc: Long = 0L, var deser: Long = 0L)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -49,7 +50,13 @@ object Profile {
             j.input += si.taskMetrics.inputMetrics.bytesRead
             j.shRead += si.taskMetrics.shuffleReadMetrics.totalBytesRead
             j.shWrite += si.taskMetrics.shuffleWriteMetrics.bytesWritten
-            j.stages += s"${si.name.takeWhile(_ != '\n').take(60)}"
+            j.gc += si.taskMetrics.jvmGCTime
+            j.deser += si.taskMetrics.executorDeserializeTime
+            val sw = (si.completionTime.getOrElse(0L) -
+              si.submissionTime.getOrElse(0L)) / 1e3
+            j.stages += f"S${si.stageId}%d n=${si.numTasks}%d w=$sw%.2f " +
+              f"tt=${si.taskMetrics.executorRunTime / 1e3}%.1f " +
+              si.name.takeWhile(_ != '\n').take(56)
           }
         }
     }
@@ -72,17 +79,36 @@ object Profile {
       val rows = jobs.synchronized { jobs.values.toVector }
       println(f"%nPROFILE $name wall=$wall%.2f s  jobs=${rows.size}")
       println(f"${"job"}%4s ${"wall_s"}%7s ${"tasks"}%6s ${"taskT_s"}%8s " +
+        f"${"gc_s"}%6s ${"deser_s"}%7s " +
         f"${"input"}%9s ${"shRead"}%9s ${"shWrite"}%9s  first-stage")
       val gap = wall - rows.map(r => (r.end - r.start) / 1e3).sum
       rows.foreach { r =>
         val w = (r.end - r.start) / 1e3
         def mb(b: Long) = f"${b / 1048576.0}%8.1fM"
         println(f"${r.id}%4d $w%7.3f ${r.tasks}%6d ${r.taskTime / 1e3}%8.2f " +
+          f"${r.gc / 1e3}%6.2f ${r.deser / 1e3}%7.2f " +
           f"${mb(r.input)} ${mb(r.shRead)} ${mb(r.shWrite)}  " +
-          r.stages.headOption.getOrElse("").take(70) +
-          (if (r.desc.nonEmpty) s" [${r.desc.take(40)}]" else ""))
+          (if (r.desc.nonEmpty) s"[${r.desc.take(40)}]" else ""))
+        r.stages.foreach(st => println("        " + st))
       }
       println(f"PROFILE $name driver-side (outside jobs) = $gap%.2f s")
+      // store-layout evidence (guide §6): what landed in this query's
+      // scratch dirs — file counts expose small-file storms from e.g.
+      // bucketed writes fanning out nTasks × nBuckets files
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      val dirs = Option(tmp.listFiles()).getOrElse(Array())
+        .filter(f => f.isDirectory && f.getName.startsWith("graft"))
+      def walk(f: java.io.File): (Int, Long) = {
+        if (f.isFile) (1, f.length())
+        else Option(f.listFiles()).getOrElse(Array())
+          .map(walk).foldLeft((0, 0L)) { case ((c1, b1), (c2, b2)) =>
+            (c1 + c2, b1 + b2) }
+      }
+      dirs.sortBy(_.getName).foreach { d =>
+        val (files, bytes) = walk(d)
+        if (files > 0)
+          println(f"  SCRATCH ${d.getName}%-44s files=$files%5d bytes=${bytes / 1024}%8dK")
+      }
     }
     spark.stop()
   }

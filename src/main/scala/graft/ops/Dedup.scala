@@ -1590,6 +1590,21 @@ object Dedup {
   /** Writes a band-bucket DataFrame as the stored index table, bucketed
     * on the probe key. Paid once per corpus build; maintained at ingest
     * in production (d17 sketch merge). */
+  /** Cluster a store write by its bucket key before the bucketed write.
+    * Spark's bucketed writer opens one file per (task, bucket-present-
+    * in-task): an N-task input fans out up to N × nBuckets files —
+    * measured 1026 files for a ~1 MB posting store at sf0.1, and at
+    * 100 TB the same shape is (10k tasks × buckets) of tiny files that
+    * every probe must list and open (guide §6: compact on write). A
+    * repartition on the bucket key is the writer-side exchange that
+    * makes each task hold exactly one bucket → exactly nBuckets files
+    * per write. Parallelism is not lost at scale: the bucket count IS
+    * the corpus-sized scale lever here (d64/d73 migrations grow it with
+    * the data), so write parallelism grows with the layout. */
+  private[graft] def clusterForBuckets(df: DataFrame, nBuckets: Int,
+      key: String): DataFrame =
+    df.repartition(nBuckets, col(key))
+
   def writeBandIndex(s: org.apache.spark.sql.SparkSession,
       corpusBuckets: DataFrame, table: String): Unit =
     writeBandIndexN(s, corpusBuckets, table, 8)
@@ -1605,7 +1620,8 @@ object Dedup {
   def writeBandIndexN(s: org.apache.spark.sql.SparkSession,
       corpusBuckets: DataFrame, table: String, nBuckets: Int): Unit = {
     val dir = graft.Scratch.dir(s"graft_$table")
-    corpusBuckets.select(bandKey.as("bk"), col("id"))
+    clusterForBuckets(corpusBuckets.select(bandKey.as("bk"), col("id")),
+        nBuckets, "bk")
       .write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, "bk").sortBy("bk")
       .option("path", s"$dir/band_index").saveAsTable(table)
@@ -1629,7 +1645,8 @@ object Dedup {
     * why d64 carries the spec in the catalog. */
   def appendBandIndexN(s: org.apache.spark.sql.SparkSession,
       batchBuckets: DataFrame, table: String, nBuckets: Int): Unit = {
-    batchBuckets.select(bandKey.as("bk"), col("id"))
+    clusterForBuckets(batchBuckets.select(bandKey.as("bk"), col("id")),
+        nBuckets, "bk")
       .write.mode("append").format("parquet")
       .bucketBy(nBuckets, "bk").sortBy("bk")
       .saveAsTable(table)
@@ -1655,8 +1672,8 @@ object Dedup {
     val newTable = s"graft_band_index_${tag}_" +
       graft.Scratch.nameTag()
     val dir = graft.Scratch.dir(s"graft_$newTable")
-    s.table(table)
-      .select(col("bk"), col("id")).distinct()
+    clusterForBuckets(s.table(table)
+        .select(col("bk"), col("id")).distinct(), nBuckets, "bk")
       .write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, "bk").sortBy("bk")
       .option("path", s"$dir/band_index").saveAsTable(newTable)
@@ -1684,9 +1701,9 @@ object Dedup {
     val newTable = s"graft_band_index_${tag}_" +
       graft.Scratch.nameTag()
     val dir = graft.Scratch.dir(s"graft_$newTable")
-    s.table(table)
-      .join(broadcast(tomb.select(col("id"))), Seq("id"), "left_anti")
-      .select(col("bk"), col("id")).distinct()
+    clusterForBuckets(s.table(table)
+        .join(broadcast(tomb.select(col("id"))), Seq("id"), "left_anti")
+        .select(col("bk"), col("id")).distinct(), nBuckets, "bk")
       .write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, "bk").sortBy("bk")
       .option("path", s"$dir/band_index").saveAsTable(newTable)
@@ -4104,9 +4121,9 @@ object Dedup {
       table: String, batchBuckets: DataFrame, tag: String): String = {
     val newTable = s"graft_band_index_${tag}_" + graft.Scratch.nameTag()
     val dir = graft.Scratch.dir(s"graft_$newTable")
-    s.table(table)
-      .unionByName(batchBuckets.select(bandKey.as("bk"), col("id")))
-      .distinct()
+    clusterForBuckets(s.table(table)
+        .unionByName(batchBuckets.select(bandKey.as("bk"), col("id")))
+        .distinct(), 8, "bk")
       .write.mode("overwrite").format("parquet")
       .bucketBy(8, "bk").sortBy("bk")
       .option("path", s"$dir/band_index").saveAsTable(newTable)

@@ -1532,8 +1532,9 @@ object Similarity {
     * must land at a caller-owned durable path. */
   def writeIvfIndexAt(s: org.apache.spark.sql.SparkSession,
       assign: DataFrame, path: String, table: String, nBuckets: Int): String = {
-    assign.select(col("cell"), col("vec_id").as("cid"), col("v").as("cv2"),
-        col("n2").as("cn2"))
+    Dedup.clusterForBuckets(
+        assign.select(col("cell"), col("vec_id").as("cid"), col("v").as("cv2"),
+          col("n2").as("cn2")), nBuckets, "cell")
       .write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, "cell").sortBy("cell")
       .option("path", path).saveAsTable(table)
@@ -1593,8 +1594,9 @@ object Similarity {
     * physically collapsed by [[compactIvfIndex]]'s distinct. */
   def appendIvfIndex(s: org.apache.spark.sql.SparkSession,
       assignBatch: DataFrame, table: String, nBuckets: Int = 8): Unit = {
-    assignBatch.select(col("cell"), col("vec_id").as("cid"), col("v").as("cv2"),
-        col("n2").as("cn2"))
+    Dedup.clusterForBuckets(
+        assignBatch.select(col("cell"), col("vec_id").as("cid"), col("v").as("cv2"),
+          col("n2").as("cn2")), nBuckets, "cell")
       .write.mode("append").format("parquet")
       .bucketBy(nBuckets, "cell").sortBy("cell")
       .saveAsTable(table)
@@ -1629,13 +1631,13 @@ object Similarity {
   def compactIvfIndexAt(s: org.apache.spark.sql.SparkSession,
       table: String, tomb: DataFrame, path: String, newTable: String,
       nBuckets: Int): String = {
-    s.table(table)
-      .join(broadcast(tomb.select(col("vec_id").as("cid"))), Seq("cid"), "left_anti")
-      .select(col("cell"), col("cid"), col("cv2"), col("cn2"))
-      // collapse crash-retry residue (re-appended batch rows) like
-      // compactStores does for the band/shingle stores — reclaiming
-      // residue is half of what compaction is FOR
-      .distinct()
+    Dedup.clusterForBuckets(s.table(table)
+        .join(broadcast(tomb.select(col("vec_id").as("cid"))), Seq("cid"), "left_anti")
+        .select(col("cell"), col("cid"), col("cv2"), col("cn2"))
+        // collapse crash-retry residue (re-appended batch rows) like
+        // compactStores does for the band/shingle stores — reclaiming
+        // residue is half of what compaction is FOR
+        .distinct(), nBuckets, "cell")
       .write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, "cell").sortBy("cell")
       .option("path", path).saveAsTable(newTable)
@@ -1655,7 +1657,8 @@ object Similarity {
       enc: DataFrame, tag: String): String = {
     val dir = graft.Scratch.dir(s"graft_$tag")
     val table = s"graft_${tag}_" + dir.replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
-    enc.select(col("cell"), col("vec_id").as("cid"), col("codes"))
+    Dedup.clusterForBuckets(
+        enc.select(col("cell"), col("vec_id").as("cid"), col("codes")), 8, "cell")
       .write.mode("overwrite").format("parquet")
       .bucketBy(8, "cell").sortBy("cell")
       .option("path", s"$dir/ivfpq_index").saveAsTable(table)
@@ -1671,7 +1674,8 @@ object Similarity {
     * candidate distinct and collapsed by [[compactIvfPqIndex]]. */
   def appendIvfPqIndex(s: org.apache.spark.sql.SparkSession,
       enc: DataFrame, table: String): Unit = {
-    enc.select(col("cell"), col("vec_id").as("cid"), col("codes"))
+    Dedup.clusterForBuckets(
+        enc.select(col("cell"), col("vec_id").as("cid"), col("codes")), 8, "cell")
       .write.mode("append").format("parquet")
       .bucketBy(8, "cell").sortBy("cell")
       .saveAsTable(table)
@@ -1687,10 +1691,10 @@ object Similarity {
       table: String, tomb: DataFrame, tag: String): String = {
     val dir = graft.Scratch.dir(s"graft_$tag")
     val newTable = s"graft_${tag}_" + dir.replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
-    s.table(table)
-      .join(broadcast(tomb.select(col("vec_id").as("cid"))), Seq("cid"), "left_anti")
-      .select(col("cell"), col("cid"), col("codes"))
-      .distinct()
+    Dedup.clusterForBuckets(s.table(table)
+        .join(broadcast(tomb.select(col("vec_id").as("cid"))), Seq("cid"), "left_anti")
+        .select(col("cell"), col("cid"), col("codes"))
+        .distinct(), 8, "cell")
       .write.mode("overwrite").format("parquet")
       .bucketBy(8, "cell").sortBy("cell")
       .option("path", s"$dir/ivfpq_index").saveAsTable(newTable)

@@ -2414,7 +2414,8 @@ object TextAnalysis {
       postings: DataFrame, tag: String): String = {
     val dir = graft.Scratch.dir(s"graft_$tag")
     val table = s"graft_${tag}_" + dir.replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
-    postings.write.mode("overwrite").format("parquet")
+    Dedup.clusterForBuckets(postings, 8, "term")
+      .write.mode("overwrite").format("parquet")
       .bucketBy(8, "term").sortBy("term")
       .option("path", s"$dir/postings").saveAsTable(table)
     table
@@ -2422,7 +2423,8 @@ object TextAnalysis {
 
   private[graft] def appendPostingStore(s: org.apache.spark.sql.SparkSession,
       postings: DataFrame, table: String): Unit = {
-    postings.write.mode("append").format("parquet")
+    Dedup.clusterForBuckets(postings, 8, "term")
+      .write.mode("append").format("parquet")
       .bucketBy(8, "term").sortBy("term").saveAsTable(table)
     s.catalog.refreshTable(table) // the s34 staleness fix
   }
@@ -2433,10 +2435,10 @@ object TextAnalysis {
       table: String, tomb: DataFrame, tag: String): String = {
     val dir = graft.Scratch.dir(s"graft_$tag")
     val newTable = s"graft_${tag}_" + dir.replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
-    s.table(table)
-      .join(broadcast(tomb.select(col("doc_id"))), Seq("doc_id"), "left_anti")
-      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
-      .distinct()
+    Dedup.clusterForBuckets(s.table(table)
+        .join(broadcast(tomb.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+        .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+        .distinct(), 8, "term")
       .write.mode("overwrite").format("parquet")
       .bucketBy(8, "term").sortBy("term")
       .option("path", s"$dir/postings").saveAsTable(newTable)

@@ -127,11 +127,12 @@ object SourceQueries {
        WHERE o_orderdate >= DATE '1996-01-01'
        GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, d) =>
     val dir = tmp("graft_bucketed")
-    Tables.orders(s, d)
+    graft.ops.Dedup.clusterForBuckets(Tables.orders(s, d), 8, "o_orderkey")
       .write.mode("overwrite").format("parquet")
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .option("path", s"$dir/orders_b").saveAsTable("graft_orders_bucketed")
-    Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice")
+    graft.ops.Dedup.clusterForBuckets(
+        Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice"), 8, "l_orderkey")
       .write.mode("overwrite").format("parquet")
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .option("path", s"$dir/lineitem_b").saveAsTable("graft_lineitem_bucketed")
