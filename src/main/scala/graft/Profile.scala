@@ -92,6 +92,17 @@ object Profile {
         r.stages.foreach(st => println("        " + st))
       }
       println(f"PROFILE $name driver-side (outside jobs) = $gap%.2f s")
+      // driver hotspots: gaps between consecutive jobs > 100 ms, labeled
+      // with the NEXT job's call site (what the driver was preparing)
+      rows.sliding(2).foreach {
+        case Seq(a, b) =>
+          val g = (b.start - a.end) / 1e3
+          if (g > 0.1)
+            println(f"  GAP $g%6.2f s before job ${b.id}%4d " +
+              b.stages.headOption.getOrElse("").replaceAll("S\\d+ n=\\d+ w=[\\d.]+ tt=[\\d.]+ ", "") +
+              (if (b.desc.nonEmpty) s" [${b.desc.take(40)}]" else ""))
+        case _ => ()
+      }
       // store-layout evidence (guide §6): what landed in this query's
       // scratch dirs — file counts expose small-file storms from e.g.
       // bucketed writes fanning out nTasks × nBuckets files
