@@ -74,8 +74,13 @@ object Profile {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).count()
       val wall = (System.nanoTime() - t0) / 1e9
-      // listener bus is async; let the tail events drain
-      Thread.sleep(500)
+      // listener bus is async; drain until every submitted job has its
+      // end event (ADVICE r14: a fixed sleep under-attributed late
+      // events), bounded at 5 s. Skipped stages are not attributed.
+      val deadline = System.nanoTime() + 5_000_000_000L
+      while (jobs.synchronized { jobs.values.exists(_.end == 0L) } &&
+          System.nanoTime() < deadline)
+        Thread.sleep(100)
       val rows = jobs.synchronized { jobs.values.toVector }
       println(f"%nPROFILE $name wall=$wall%.2f s  jobs=${rows.size}")
       println(f"${"job"}%4s ${"wall_s"}%7s ${"tasks"}%6s ${"taskT_s"}%8s " +

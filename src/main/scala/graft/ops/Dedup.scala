@@ -1587,9 +1587,6 @@ object Dedup {
     * concat is collision-free). */
   private def bandKey: Column = concat_ws(":", col("band"), col("band_key"))
 
-  /** Writes a band-bucket DataFrame as the stored index table, bucketed
-    * on the probe key. Paid once per corpus build; maintained at ingest
-    * in production (d17 sketch merge). */
   /** Cluster a store write by its bucket key before the bucketed write.
     * Spark's bucketed writer opens one file per (task, bucket-present-
     * in-task): an N-task input fans out up to N × nBuckets files —
@@ -1600,14 +1597,86 @@ object Dedup {
     * makes each task hold exactly one bucket → exactly nBuckets files
     * per write. Parallelism is not lost at scale: the bucket count IS
     * the corpus-sized scale lever here (d64/d73 migrations grow it with
-    * the data), so write parallelism grows with the layout. */
+    * the data, [[scaleBuckets]] sizes first writes from the input), so
+    * write parallelism grows with the layout. */
   private[graft] def clusterForBuckets(df: DataFrame, nBuckets: Int,
       key: String): DataFrame =
     df.repartition(nBuckets, col(key))
 
+  /** Bucket count of an existing bucketed table, resolved from its
+    * catalog metadata — zero jobs, zero scans. Maintenance writers
+    * (append/compact) must match the STORED generation's spec exactly
+    * (Spark fails a mismatched bucketBy loudly), so they resolve it
+    * here instead of assuming the seed count: after a d64/d73-style
+    * migration grew the layout, appends and compactions ride the grown
+    * count automatically (r14 verdict: the fixed-8 maintenance sites
+    * capped write parallelism at 8 tasks forever). */
+  private[graft] def bucketCountOf(s: org.apache.spark.sql.SparkSession,
+      table: String): Int =
+    s.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .bucketSpec.map(_.numBuckets).getOrElse(
+        throw new IllegalArgumentException(
+          s"$table is not a bucketed store — no bucket spec to resolve"))
+
+  /** Scale-adaptive bucket count for a store's FIRST write: the d73
+    * 8·2^k ladder over the writer input's SOURCE row count, read from
+    * the parquet footers on the driver ([[footerRowCount]] — pure
+    * metadata, zero Spark jobs). Under `clusterForBuckets` each write
+    * task materializes and sorts one whole bucket, so a fixed seed
+    * count caps write parallelism AND per-task memory at corpus scale
+    * (guide §2.5/§5: the 100 TB posting store would be 8 spill-heavy
+    * sort tasks); the ladder keeps per-bucket source volume bounded by
+    * `graft.store.rowsPerBucket` (default 16384 — sized so every
+    * fixture SF keeps the seed-8 layout, bench-comparable, while the
+    * 100× scale probes derive a grown count; a deployment sets the
+    * conf to its executor scan budget in rows). Bounded at 1024 like
+    * the d73 ladder; a non-parquet input (in-memory fixture frames)
+    * falls back to the seed count. Bucket count is PHYSICAL layout
+    * only — probe results are invariant (hash-partitioned join/probe
+    * plans adapt), which is what makes this a safe derivation. */
+  private[graft] def scaleBuckets(df: DataFrame, seed: Int = 8): Int = {
+    val budget = df.sparkSession.conf
+      .getOption("graft.store.rowsPerBucket").map(_.toLong).getOrElse(16384L)
+    footerRowCount(df) match {
+      case Some(rows) =>
+        var b = seed
+        while (b < 1024 && rows > budget * b) b *= 2
+        b
+      case None => seed
+    }
+  }
+
+  /** Run independent store-write actions CONCURRENTLY on the session's
+    * FIFO scheduler (guide §2.6: overlap independent jobs). The
+    * lifecycle operators issue several writes that share no data
+    * dependency (band index + shingle store + exact store of one
+    * generation); calling them sequentially pays each job's scheduling
+    * floor and straggler tail back to back while the rest of the
+    * cluster idles. Submitting them from sibling threads lets each
+    * job's tasks back-fill the others' tails — at toy scale it
+    * collapses the per-job floors, at 100 TB it fills the write tails.
+    * Failures propagate: the first throwable is rethrown after all
+    * actions settle (no write is silently abandoned mid-flight). */
+  private[graft] def inParallel(actions: (() => Unit)*): Unit = {
+    if (actions.size <= 1) { actions.foreach(_()); return }
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ts = actions.map { a =>
+      val t = new Thread(() => try a() catch { case e: Throwable => errs.add(e): Unit })
+      t.setDaemon(true); t.start(); t
+    }
+    ts.foreach(_.join())
+    if (!errs.isEmpty) throw errs.peek()
+  }
+
+  /** Writes a band-bucket DataFrame as the stored index table, bucketed
+    * on the probe key. Paid once per corpus build; maintained at ingest
+    * in production (d17 sketch merge). Bucket count is scale-derived
+    * from the source ([[scaleBuckets]]); every fixture SF lands the
+    * seed-8 layout. */
   def writeBandIndex(s: org.apache.spark.sql.SparkSession,
       corpusBuckets: DataFrame, table: String): Unit =
-    writeBandIndexN(s, corpusBuckets, table, 8)
+    writeBandIndexN(s, corpusBuckets, table, scaleBuckets(corpusBuckets))
 
   /** Band-index write at an EXPLICIT bucket count. The count is
     * GENERATION STATE (d64 publishes it in the catalog next to the
@@ -1636,7 +1705,7 @@ object Dedup {
     * probe-after-rebuild. */
   def appendBandIndex(s: org.apache.spark.sql.SparkSession,
       batchBuckets: DataFrame, table: String): Unit =
-    appendBandIndexN(s, batchBuckets, table, 8)
+    appendBandIndexN(s, batchBuckets, table, bucketCountOf(s, table))
 
   /** Bucketed append at an EXPLICIT (catalog-resolved) bucket count —
     * the maintenance write after a [[migrateBandIndex]] generation
@@ -1691,7 +1760,7 @@ object Dedup {
     * table name for a catalog publish. */
   def compactBandIndex(s: org.apache.spark.sql.SparkSession,
       table: String, tomb: DataFrame, tag: String): String =
-    compactBandIndexN(s, table, tomb, tag, nBuckets = 8)
+    compactBandIndexN(s, table, tomb, tag, nBuckets = bucketCountOf(s, table))
 
   /** Compaction at an EXPLICIT (catalog-resolved) bucket count — a
     * compaction publisher racing a d64 migration (s42) must rewrite at
@@ -4115,17 +4184,19 @@ object Dedup {
     * ingested batch's band keys — the ingest update under Iceberg-style
     * immutable-generation discipline (d69's publisher A): the current
     * generation's files are never touched, so a lost CAS race abandons a
-    * table, never corrupts one. Same bucketBy(8, bk) spec → the
-    * exchange-free probe layout survives the swap. */
+    * table, never corrupts one. Same bucket spec as the SOURCE
+    * generation (catalog-resolved, not assumed 8) → the exchange-free
+    * probe layout survives the swap at any migrated count. */
   def cloneBandIndexWithBatch(s: org.apache.spark.sql.SparkSession,
       table: String, batchBuckets: DataFrame, tag: String): String = {
     val newTable = s"graft_band_index_${tag}_" + graft.Scratch.nameTag()
     val dir = graft.Scratch.dir(s"graft_$newTable")
+    val nBuckets = bucketCountOf(s, table)
     clusterForBuckets(s.table(table)
         .unionByName(batchBuckets.select(bandKey.as("bk"), col("id")))
-        .distinct(), 8, "bk")
+        .distinct(), nBuckets, "bk")
       .write.mode("overwrite").format("parquet")
-      .bucketBy(8, "bk").sortBy("bk")
+      .bucketBy(nBuckets, "bk").sortBy("bk")
       .option("path", s"$dir/band_index").saveAsTable(newTable)
     newTable
   }

@@ -143,10 +143,15 @@ object Incremental {
     val shDir = graft.Scratch.dir(s"graft_${prefix}_shingles")
     val (cb, cs) = Dedup.lshBucketsAndShingles(
       corpus, "doc_id", "t", shingleWords = 3, bands = 4, rowsPerBand = 2)
-    Dedup.writeBandIndex(s, cb, idxTable)
-    cs.distinct().write.mode("overwrite").parquet(shDir)
-    corpus.select(md5(col("t")).as("h")).distinct()
-      .write.mode("overwrite").parquet(exDir)
+    // the three generation writes share no dependency (band keys and
+    // shingles both read the one persisted digest; the exact store
+    // re-scans the corpus) — overlap them (guide §2.6) instead of
+    // paying three sequential job floors + write tails
+    Dedup.inParallel(
+      () => Dedup.writeBandIndex(s, cb, idxTable),
+      () => cs.distinct().write.mode("overwrite").parquet(shDir),
+      () => corpus.select(md5(col("t")).as("h")).distinct()
+        .write.mode("overwrite").parquet(exDir))
     (idxTable, exDir, shDir)
   }
 
@@ -287,10 +292,15 @@ object Incremental {
     // admits the identical set and the stores converge. Marker-first
     // would instead drop the whole delta as "already seen" while its
     // bands/shingles never land — silent index corruption.
-    Dedup.appendBandIndex(s, dB.join(e3.select(col("doc_id").as("id")), Seq("id")),
-      idxTable)
-    dS.join(e3.select(col("doc_id").as("id")), Seq("id")).distinct()
-      .write.mode("append").parquet(shDir)
+    // band and shingle appends are BOTH "first" in the contract and
+    // share no dependency (each joins the e3 checkpoint against its own
+    // digest cache) — overlap them; only the exact-store marker must
+    // stay strictly last
+    Dedup.inParallel(
+      () => Dedup.appendBandIndex(s,
+        dB.join(e3.select(col("doc_id").as("id")), Seq("id")), idxTable),
+      () => dS.join(e3.select(col("doc_id").as("id")), Seq("id")).distinct()
+        .write.mode("append").parquet(shDir))
     if (owned)
       e3.select(col("doc_id"), col("h")).write.mode("append").parquet(exDir)
     else
@@ -561,10 +571,12 @@ object Incremental {
     val shDir = graft.Scratch.dir(s"graft_${tag}_shingles")
     val (cb, cs) = Dedup.lshBucketsAndShingles(
       corpus, "doc_id", "t", shingleWords = 3, bands = 4, rowsPerBand = 2)
-    Dedup.writeBandIndex(s, cb, idxTable)
-    cs.distinct().write.mode("overwrite").parquet(shDir)
-    corpus.select(col("doc_id"), md5(col("t")).as("h"))
-      .write.mode("overwrite").parquet(exDir)
+    // independent generation writes overlap (guide §2.6; see initStores)
+    Dedup.inParallel(
+      () => Dedup.writeBandIndex(s, cb, idxTable),
+      () => cs.distinct().write.mode("overwrite").parquet(shDir),
+      () => corpus.select(col("doc_id"), md5(col("t")).as("h"))
+        .write.mode("overwrite").parquet(exDir))
     (idxTable, exDir, shDir)
   }
 
@@ -599,17 +611,26 @@ object Incremental {
     val docs = plantedDocs(s, d)
     val corpus = docs.filter(col("doc_id") % 11 =!= 5)
 
-    // stores on the FULL corpus, claims attributable to owners
-    val (idxTable, exDir, shDir) = initOwnedStores(s, corpus, "d56")
+    // The store build (corpus digest + 3 writes) and the arrival digest
+    // read disjoint slices of the corpus and share no store state —
+    // overlap them (guide §2.6); both must exist before the probes.
+    var stores: (String, String, String) = null
+    var arrC: DataFrame = null
+    var aBS: (DataFrame, DataFrame) = null
+    Dedup.inParallel(
+      // stores on the FULL corpus, claims attributable to owners
+      () => stores = initOwnedStores(s, corpus, "d56"),
+      // ONE arrival digest serves both phases
+      () => {
+        arrC = Dedup.reuse(docs.filter(col("doc_id") % 11 === 5)
+          .select(col("doc_id"), col("t"), md5(col("t")).as("h")))
+        aBS = Dedup.lshBucketsAndShingles(
+          arrC, "doc_id", "t", shingleWords = 3, bands = 4, rowsPerBand = 2)
+      })
+    val (idxTable, exDir, shDir) = stores
+    val (aB, aS) = aBS
 
     val removed = corpus.filter(removedPred).select("doc_id")
-
-    // ONE arrival digest serves both phases
-    val arr = docs.filter(col("doc_id") % 11 === 5)
-      .select(col("doc_id"), col("t"), md5(col("t")).as("h"))
-    val arrC = Dedup.reuse(arr)
-    val (aB, aS) = Dedup.lshBucketsAndShingles(
-      arrC, "doc_id", "t", shingleWords = 3, bands = 4, rowsPerBand = 2)
     val storeSh = s.read.schema("id LONG, h LONG").parquet(shDir)
     val exStore = s.read.schema("doc_id LONG, h STRING").parquet(exDir)
     val cand0 = Dedup.probeBandIndex(s, idxTable, aB)
@@ -617,8 +638,13 @@ object Incremental {
     def admit(tomb: Option[DataFrame]): DataFrame =
       admitArrivals(arrC, aS, cand0, exStore, storeSh, tomb)
 
-    val admPre = admit(None)
-    val admPost = admit(Some(removed))
+    // the two probe phases read the same immutable generation — their
+    // eager verification pipelines overlap too
+    var admPre: DataFrame = null
+    var admPost: DataFrame = null
+    Dedup.inParallel(
+      () => admPre = admit(None),
+      () => admPost = admit(Some(removed)))
     def row(phase: String, adm: DataFrame, readmit: DataFrame): DataFrame =
       adm.agg(count(lit(1)).as("n_admitted"),
         coalesce(sum(col("doc_id")), lit(0L)).as("sum_admitted_ids"))
@@ -718,14 +744,19 @@ object Incremental {
     val t = Dedup.reuse(tomb.select("doc_id"))
     val newExDir = graft.Scratch.dir(s"graft_${tag}_exact")
     val newShDir = graft.Scratch.dir(s"graft_${tag}_shingles")
-    val newIdxTable = Dedup.compactBandIndex(s, idxTable,
-      t.select(col("doc_id").as("id")), tag)
-    s.read.schema("id LONG, h LONG").parquet(shDir)
-      .join(broadcast(t.select(col("doc_id").as("id"))), Seq("id"), "left_anti")
-      .distinct().write.mode("overwrite").parquet(newShDir)
-    s.read.schema("doc_id LONG, h STRING").parquet(exDir)
-      .join(broadcast(t), Seq("doc_id"), "left_anti")
-      .distinct().write.mode("overwrite").parquet(newExDir)
+    // the three rewrites are independent scan→anti-join→write legs over
+    // different stores — overlap them (guide §2.6; the tombstone side is
+    // already materialized, so each leg broadcasts cached blocks)
+    var newIdxTable: String = null
+    Dedup.inParallel(
+      () => newIdxTable = Dedup.compactBandIndex(s, idxTable,
+        t.select(col("doc_id").as("id")), tag),
+      () => s.read.schema("id LONG, h LONG").parquet(shDir)
+        .join(broadcast(t.select(col("doc_id").as("id"))), Seq("id"), "left_anti")
+        .distinct().write.mode("overwrite").parquet(newShDir),
+      () => s.read.schema("doc_id LONG, h STRING").parquet(exDir)
+        .join(broadcast(t), Seq("doc_id"), "left_anti")
+        .distinct().write.mode("overwrite").parquet(newExDir))
     (newIdxTable, newExDir, newShDir)
   }
 
@@ -750,13 +781,21 @@ object Incremental {
     val (idxTable, exDir, shDir) = initOwnedStores(s, corpus, "d57")
     val removed = Dedup.reuse(corpus.filter(removedPred).select("doc_id"))
 
-    val (cIdx, cEx, cSh) = compactStores(s, idxTable, exDir, shDir, removed, "d57c")
-
-    val arr = docs.filter(col("doc_id") % 11 === 5)
-      .select(col("doc_id"), col("t"), md5(col("t")).as("h"))
-    val arrC = Dedup.reuse(arr)
-    val (aB, aS) = Dedup.lshBucketsAndShingles(
-      arrC, "doc_id", "t", shingleWords = 3, bands = 4, rowsPerBand = 2)
+    // the offline compaction (reads generation 1, writes generation 2)
+    // and the arrival digest are independent — overlap them (guide §2.6)
+    var cTrip: (String, String, String) = null
+    var arrC: DataFrame = null
+    var aBS: (DataFrame, DataFrame) = null
+    Dedup.inParallel(
+      () => cTrip = compactStores(s, idxTable, exDir, shDir, removed, "d57c"),
+      () => {
+        arrC = Dedup.reuse(docs.filter(col("doc_id") % 11 === 5)
+          .select(col("doc_id"), col("t"), md5(col("t")).as("h")))
+        aBS = Dedup.lshBucketsAndShingles(
+          arrC, "doc_id", "t", shingleWords = 3, bands = 4, rowsPerBand = 2)
+      })
+    val (cIdx, cEx, cSh) = cTrip
+    val (aB, aS) = aBS
     // post-compaction: the dead rows are GONE — no tombstone filter
     val adm = admitArrivals(arrC, aS, Dedup.probeBandIndex(s, cIdx, aB),
       s.read.schema("doc_id LONG, h STRING").parquet(cEx),
@@ -1687,16 +1726,23 @@ object Incremental {
   private[graft] def swapRun(s: SparkSession, d: String): DataFrame = {
     val docs = plantedDocs(s, d)
     val corpus = docs.filter(col("doc_id") % 11 =!= 5)
-    val (idx1, ex1, sh1) = initOwnedStores(s, corpus, "d58")
+    // store build and arrival digest are independent — overlap (§2.6)
+    var gen1: (String, String, String) = null
+    var arrC: DataFrame = null
+    var aBS: (DataFrame, DataFrame) = null
+    Dedup.inParallel(
+      () => gen1 = initOwnedStores(s, corpus, "d58"),
+      () => {
+        arrC = Dedup.reuse(docs.filter(col("doc_id") % 11 === 5)
+          .select(col("doc_id"), col("t"), md5(col("t")).as("h")))
+        aBS = Dedup.lshBucketsAndShingles(
+          arrC, "doc_id", "t", shingleWords = 3, bands = 4, rowsPerBand = 2)
+      })
+    val (idx1, ex1, sh1) = gen1
+    val (aB, aS) = aBS
     val cat = graft.Scratch.dir("graft_d58_cat") + "/stores.catalog"
     publishStoreCatalog(cat, idx1, ex1, sh1)
     val removed = Dedup.reuse(corpus.filter(removedPred).select("doc_id"))
-
-    val arr = docs.filter(col("doc_id") % 11 === 5)
-      .select(col("doc_id"), col("t"), md5(col("t")).as("h"))
-    val arrC = Dedup.reuse(arr)
-    val (aB, aS) = Dedup.lshBucketsAndShingles(
-      arrC, "doc_id", "t", shingleWords = 3, bands = 4, rowsPerBand = 2)
 
     def probePhase(phase: String, gen: Long, tomb: Option[DataFrame]): DataFrame = {
       val (idx, ex, sh) = resolveStoreCatalog(cat)
@@ -1713,10 +1759,16 @@ object Incremental {
     }
     // generation 1 serves, tombstone-filtered (the operational state
     // between a takedown and its compaction); handles bind at plan
-    // construction, so the later swap cannot retarget this phase
-    val pre = probePhase("pre_swap", 1L, Some(removed))
-    // offline maintenance: compact into generation 2, publish atomically
-    val (idx2, ex2, sh2) = compactStores(s, idx1, ex1, sh1, removed, "d58c")
+    // construction, so the later swap cannot retarget this phase.
+    // The serving probe and the OFFLINE compaction overlap — literally
+    // the d58 story (generation 1 serves WHILE generation 2 builds):
+    // both only read generation 1, and the publish waits for both.
+    var pre: DataFrame = null
+    var gen2: (String, String, String) = null
+    Dedup.inParallel(
+      () => pre = probePhase("pre_swap", 1L, Some(removed)),
+      () => gen2 = compactStores(s, idx1, ex1, sh1, removed, "d58c"))
+    val (idx2, ex2, sh2) = gen2
     publishStoreCatalog(cat, idx2, ex2, sh2)
     // the same probe path re-resolves the catalog: new generation, no
     // tombstone filter — the dead rows are physically gone

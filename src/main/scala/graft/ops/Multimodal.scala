@@ -788,10 +788,13 @@ object Multimodal {
     val cS = Dedup.reuse(sigs(corpus))
     val idxTable = "graft_band_index_m11_" +
       graft.Scratch.nameTag()
-    Dedup.writeBandIndex(s, bands(cS)
-      .select(col("b").as("band"), col("bits").as("band_key"), col("id")), idxTable)
     val sigDir = graft.Scratch.dir("graft_m11_sigs")
-    cS.select(col("id"), col("si")).write.mode("overwrite").parquet(sigDir)
+    // both store writes read the one persisted signature pass — overlap
+    // them (guide §2.6)
+    Dedup.inParallel(
+      () => Dedup.writeBandIndex(s, bands(cS)
+        .select(col("b").as("band"), col("bits").as("band_key"), col("id")), idxTable),
+      () => cS.select(col("id"), col("si")).write.mode("overwrite").parquet(sigDir))
 
     // arrivals: ONE digest pass; band keys probe the stored index
     val aS = Dedup.reuse(sigs(arrivals))
@@ -804,13 +807,16 @@ object Multimodal {
     val admPre = Dedup.reuse(
       mediaAdmissions(arrivals.select("id"), aS, cand, stored, None))
     val admPostT = mediaAdmissions(arrivals.select("id"), aS, cand, stored, Some(tomb))
-    // compaction: new generation of BOTH stores, probed UNFILTERED
-    val cIdx = Dedup.compactBandIndex(s, idxTable, tomb, "m11c")
+    // compaction: new generation of BOTH stores, probed UNFILTERED —
+    // two independent rewrites, overlapped (guide §2.6)
+    var cIdx: String = null
     val cSigDir = graft.Scratch.dir("graft_m11c_sigs")
-    // distinct collapses crash-retry residue (re-appended signature
-    // rows), like every other store compaction
-    stored.join(broadcast(tomb), Seq("id"), "left_anti")
-      .distinct().write.mode("overwrite").parquet(cSigDir)
+    Dedup.inParallel(
+      () => cIdx = Dedup.compactBandIndex(s, idxTable, tomb, "m11c"),
+      // distinct collapses crash-retry residue (re-appended signature
+      // rows), like every other store compaction
+      () => stored.join(broadcast(tomb), Seq("id"), "left_anti")
+        .distinct().write.mode("overwrite").parquet(cSigDir))
     val admPostC = mediaAdmissions(arrivals.select("id"), aS,
       Dedup.probeBandIndex(s, cIdx, aBands),
       s.read.schema("id LONG, si ARRAY<BIGINT>").parquet(cSigDir), None)
@@ -923,33 +929,47 @@ object Multimodal {
       .select(col("doc_id")))
     val tombId = tombDoc.select(col("doc_id").as("id"))
 
-    // surface 1: the text dedup band index
+    // The four surfaces' build→compact chains are mutually independent
+    // (each reads its own digest/store and writes its own tables/dirs) —
+    // run the chains concurrently (guide §2.6); within a chain the
+    // compaction still strictly follows its build.
     val (buckets, _) = Dedup.lshBucketsAndShingles(docs, "doc_id", "text",
       shingleWords = 3, bands = 4, rowsPerBand = 2)
-    val tText = "graft_band_xst_" +
-      graft.Scratch.nameTag()
-    Dedup.writeBandIndex(s, buckets, tText)
-    val cText = Dedup.compactBandIndex(s, tText, tombId, "xst")
-
-    // surface 2: the BM25 posting store
-    val tPost = TextAnalysis.writePostingStore(s,
-      TextAnalysis.postingsOf(docs), "post_xst")
-    val cPost = TextAnalysis.compactPostingStore(s, tPost, tombDoc, "post_xstc")
-
-    // surfaces 3+4: the media fingerprint stores (band index + signatures)
     val cS = Dedup.reuse(sigs(docs.select(col("doc_id").as("id"),
       encode(col("text"), "UTF-8").as("payload"))))
-    val tMedia = "graft_band_xsm_" +
-      graft.Scratch.nameTag()
-    Dedup.writeBandIndex(s, bands(cS)
-      .select(col("b").as("band"), col("bits").as("band_key"), col("id")), tMedia)
-    val cMedia = Dedup.compactBandIndex(s, tMedia, tombId, "xsm")
+    val tText = "graft_band_xst_" + graft.Scratch.nameTag()
+    val tMedia = "graft_band_xsm_" + graft.Scratch.nameTag()
     val sigDir = graft.Scratch.dir("graft_xs_sigs")
-    cS.select(col("id"), col("si")).write.mode("overwrite").parquet(sigDir)
     val cSigDir = graft.Scratch.dir("graft_xsc_sigs")
-    s.read.schema("id LONG, si ARRAY<BIGINT>").parquet(sigDir)
-      .join(broadcast(tombId), Seq("id"), "left_anti")
-      .distinct().write.mode("overwrite").parquet(cSigDir)
+    var cText: String = null
+    var tPost: String = null
+    var cPost: String = null
+    var cMedia: String = null
+    Dedup.inParallel(
+      // surface 1: the text dedup band index
+      () => {
+        Dedup.writeBandIndex(s, buckets, tText)
+        cText = Dedup.compactBandIndex(s, tText, tombId, "xst")
+      },
+      // surface 2: the BM25 posting store
+      () => {
+        tPost = TextAnalysis.writePostingStore(s,
+          TextAnalysis.postingsOf(docs), "post_xst")
+        cPost = TextAnalysis.compactPostingStore(s, tPost, tombDoc, "post_xstc")
+      },
+      // surface 3: the media fingerprint band index
+      () => {
+        Dedup.writeBandIndex(s, bands(cS)
+          .select(col("b").as("band"), col("bits").as("band_key"), col("id")), tMedia)
+        cMedia = Dedup.compactBandIndex(s, tMedia, tombId, "xsm")
+      },
+      // surface 4: the media signature store
+      () => {
+        cS.select(col("id"), col("si")).write.mode("overwrite").parquet(sigDir)
+        s.read.schema("id LONG, si ARRAY<BIGINT>").parquet(sigDir)
+          .join(broadcast(tombId), Seq("id"), "left_anti")
+          .distinct().write.mode("overwrite").parquet(cSigDir)
+      })
 
     // the completeness census: per surface, before/after counts and the
     // rows still referencing a tombstoned doc (the hash demands 0)
@@ -1072,20 +1092,23 @@ object Multimodal {
       .select(col("doc_id")))
     val tombId = tombDoc.select(col("doc_id").as("id"))
 
-    // generation 1: all four surfaces, ONE catalog
+    // generation 1: all four surfaces, ONE catalog — the four builds are
+    // independent, so they overlap (guide §2.6; see d68)
     val (buckets, _) = Dedup.lshBucketsAndShingles(docs, "doc_id", "text",
       shingleWords = 3, bands = 4, rowsPerBand = 2)
-    val tText = "graft_band_xa_" + graft.Scratch.nameTag()
-    Dedup.writeBandIndex(s, buckets, tText)
-    val tPost = TextAnalysis.writePostingStore(s,
-      TextAnalysis.postingsOf(docs), "post_xa")
     val cS = Dedup.reuse(sigs(docs.select(col("doc_id").as("id"),
       encode(col("text"), "UTF-8").as("payload"))))
+    val tText = "graft_band_xa_" + graft.Scratch.nameTag()
     val tMedia = "graft_band_xam_" + graft.Scratch.nameTag()
-    Dedup.writeBandIndex(s, bands(cS)
-      .select(col("b").as("band"), col("bits").as("band_key"), col("id")), tMedia)
     val sigDir = graft.Scratch.dir("graft_xa_sigs")
-    cS.select(col("id"), col("si")).write.mode("overwrite").parquet(sigDir)
+    var tPost: String = null
+    Dedup.inParallel(
+      () => Dedup.writeBandIndex(s, buckets, tText),
+      () => tPost = TextAnalysis.writePostingStore(s,
+        TextAnalysis.postingsOf(docs), "post_xa"),
+      () => Dedup.writeBandIndex(s, bands(cS)
+        .select(col("b").as("band"), col("bits").as("band_key"), col("id")), tMedia),
+      () => cS.select(col("id"), col("si")).write.mode("overwrite").parquet(sigDir))
     val cat = graft.Scratch.dir("graft_d71_cat") + "/surfaces.catalog"
     Incremental.publishCatalogVersioned(cat, Seq(tText, tPost, tMedia, sigDir))
     d71Catalog = cat
@@ -1111,13 +1134,20 @@ object Multimodal {
     // return the new quadruple — run whole per attempt (new-table
     // discipline makes a re-run safe)
     def compactAll(cur: Seq[String], tag: String): Seq[String] = {
-      val nText = Dedup.compactBandIndex(s, cur(0), tombId, s"${tag}t")
-      val nPost = TextAnalysis.compactPostingStore(s, cur(1), tombDoc, s"post_$tag")
-      val nMedia = Dedup.compactBandIndex(s, cur(2), tombId, s"${tag}m")
+      // four independent rewrites — overlapped; the CAS publish below
+      // still lands only after ALL four generations exist (inParallel
+      // joins before returning)
       val nSigs = graft.Scratch.dir(s"graft_${tag}_sigs")
-      s.read.schema("id LONG, si ARRAY<BIGINT>").parquet(cur(3))
-        .join(broadcast(tombId), Seq("id"), "left_anti")
-        .distinct().write.mode("overwrite").parquet(nSigs)
+      var nText: String = null
+      var nPost: String = null
+      var nMedia: String = null
+      Dedup.inParallel(
+        () => nText = Dedup.compactBandIndex(s, cur(0), tombId, s"${tag}t"),
+        () => nPost = TextAnalysis.compactPostingStore(s, cur(1), tombDoc, s"post_$tag"),
+        () => nMedia = Dedup.compactBandIndex(s, cur(2), tombId, s"${tag}m"),
+        () => s.read.schema("id LONG, si ARRAY<BIGINT>").parquet(cur(3))
+          .join(broadcast(tombId), Seq("id"), "left_anti")
+          .distinct().write.mode("overwrite").parquet(nSigs))
       Seq(nText, nPost, nMedia, nSigs)
     }
 
@@ -1126,8 +1156,9 @@ object Multimodal {
     // publishing — half-finished generations exist on disk, the catalog
     // does not know them
     val g1 = Incremental.resolveCatalog(cat, expect = 4)
-    Dedup.compactBandIndex(s, g1(0), tombId, "xac_t"): Unit
-    TextAnalysis.compactPostingStore(s, g1(1), tombDoc, "post_xac"): Unit
+    Dedup.inParallel(
+      () => Dedup.compactBandIndex(s, g1(0), tombId, "xac_t"): Unit,
+      () => TextAnalysis.compactPostingStore(s, g1(1), tombDoc, "post_xac"): Unit)
     // a reader DURING/AFTER the crash: generation 1 on every surface —
     // consistently un-compacted, never a blend (hash-demanded ≡ pre)
     val mid = probePhase("mid_crash").localCheckpoint(true)

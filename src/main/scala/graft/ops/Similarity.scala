@@ -1619,7 +1619,8 @@ object Similarity {
       table: String, tomb: DataFrame, tag: String): String = {
     val dir = graft.Scratch.dir(s"graft_$tag")
     val newTable = s"graft_${tag}_" + dir.replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
-    compactIvfIndexAt(s, table, tomb, s"$dir/ivf_index", newTable, nBuckets = 8)
+    compactIvfIndexAt(s, table, tomb, s"$dir/ivf_index", newTable,
+      nBuckets = Dedup.bucketCountOf(s, table))
   }
 
   /** [[compactIvfIndex]] at the RESOLVED bucket spec and an explicit
@@ -1652,15 +1653,23 @@ object Similarity {
     * bucketed layout exchange-free; the refine step fetches raw vectors
     * from the CORPUS by id (candidates only, broadcast), so raw floats
     * never live in — or shuffle through — the index. Returns the table
-    * name, the handle a d58 catalog publishes. */
+    * name, the handle a d58 catalog publishes.
+    *
+    * `nBuckets` must track the LOGICAL cell count (the bucket key is
+    * `cell`, so counts past the distinct cells leave empty buckets —
+    * guide §2.5's too-few-distinct-keys trap): seed builds take the
+    * default 8, a tier re-encode after a d73/d74 cell migration passes
+    * the raw tier's resolved count so the compressed tier's write
+    * parallelism rides the same ladder (the r14 verdict's fixed-8
+    * IVF-PQ cap). */
   def writeIvfPqIndex(s: org.apache.spark.sql.SparkSession,
-      enc: DataFrame, tag: String): String = {
+      enc: DataFrame, tag: String, nBuckets: Int = 8): String = {
     val dir = graft.Scratch.dir(s"graft_$tag")
     val table = s"graft_${tag}_" + dir.replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
     Dedup.clusterForBuckets(
-        enc.select(col("cell"), col("vec_id").as("cid"), col("codes")), 8, "cell")
+        enc.select(col("cell"), col("vec_id").as("cid"), col("codes")), nBuckets, "cell")
       .write.mode("overwrite").format("parquet")
-      .bucketBy(8, "cell").sortBy("cell")
+      .bucketBy(nBuckets, "cell").sortBy("cell")
       .option("path", s"$dir/ivfpq_index").saveAsTable(table)
     table
   }
@@ -1674,10 +1683,11 @@ object Similarity {
     * candidate distinct and collapsed by [[compactIvfPqIndex]]. */
   def appendIvfPqIndex(s: org.apache.spark.sql.SparkSession,
       enc: DataFrame, table: String): Unit = {
+    val nBuckets = Dedup.bucketCountOf(s, table)
     Dedup.clusterForBuckets(
-        enc.select(col("cell"), col("vec_id").as("cid"), col("codes")), 8, "cell")
+        enc.select(col("cell"), col("vec_id").as("cid"), col("codes")), nBuckets, "cell")
       .write.mode("append").format("parquet")
-      .bucketBy(8, "cell").sortBy("cell")
+      .bucketBy(nBuckets, "cell").sortBy("cell")
       .saveAsTable(table)
     // the s34 staleness fix: commit through the frame's session, refresh
     // through the caller's too
@@ -1691,12 +1701,13 @@ object Similarity {
       table: String, tomb: DataFrame, tag: String): String = {
     val dir = graft.Scratch.dir(s"graft_$tag")
     val newTable = s"graft_${tag}_" + dir.replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
+    val nBuckets = Dedup.bucketCountOf(s, table)
     Dedup.clusterForBuckets(s.table(table)
         .join(broadcast(tomb.select(col("vec_id").as("cid"))), Seq("cid"), "left_anti")
         .select(col("cell"), col("cid"), col("codes"))
-        .distinct(), 8, "cell")
+        .distinct(), nBuckets, "cell")
       .write.mode("overwrite").format("parquet")
-      .bucketBy(8, "cell").sortBy("cell")
+      .bucketBy(nBuckets, "cell").sortBy("cell")
       .option("path", s"$dir/ivfpq_index").saveAsTable(newTable)
     newTable
   }
@@ -2426,7 +2437,8 @@ object Similarity {
     val cb = pqCodebook(stored.select(col("vec_id"), col("v")))
       .map(_.zipWithIndex.map { case ((_, v), i) => (i.toLong, v) })
     val pqTable = writeIvfPqIndex(s,
-      stored.withColumn("codes", pqCodesCol(cb)), "ivfpq_d72")
+      stored.withColumn("codes", pqCodesCol(cb)), "ivfpq_d72",
+      nBuckets = Dedup.bucketCountOf(s, g1.head))
     Incremental.commitCatalogCas(cat) { (_, _) => Seq(pqTable, "pq") }
     // the compression really happened: the migrated tier is codes-only
     require(s.table(pqTable).columns.toSeq == Seq("cell", "cid", "codes"),
@@ -2758,8 +2770,11 @@ object Similarity {
     def encodePq(rawTable: String, tag: String): String = {
       val stored = s.table(rawTable)
         .select(col("cell"), col("cid").as("vec_id"), col("cv2").as("v"))
+      // the compressed tier's physical layout rides the RAW tier's
+      // resolved bucket count, so a cell migration grows both tiers
       writeIvfPqIndex(s,
-        stored.withColumn("codes", pqCodesCol(codebookOf(rawTable))), tag)
+        stored.withColumn("codes", pqCodesCol(codebookOf(rawTable))), tag,
+        nBuckets = Dedup.bucketCountOf(s, rawTable))
     }
     val pq1 = encodePq(raw1, "ivfpq_d74")
     val cat = graft.Scratch.dir("graft_d74_cat") + "/tiers.catalog"
@@ -2948,7 +2963,8 @@ object Similarity {
       "store-trained seeds must be the dense vec_id<64 prefix"))
     val pq = writeIvfPqIndex(s, s.table(raw)
       .select(col("cell"), col("cid").as("vec_id"), col("cv2").as("v"))
-      .withColumn("codes", pqCodesCol(cb)), "ivfpq_d75")
+      .withColumn("codes", pqCodesCol(cb)), "ivfpq_d75",
+      nBuckets = Dedup.bucketCountOf(s, raw))
     val cents = s.table(raw).filter(col("cid") < 8)
       .select(col("cid").as("cent_id"), col("cv2").as("cv"))
     val assignQ = ivfAssignAgainst(
@@ -3104,7 +3120,8 @@ object Similarity {
       "store-trained seeds must be the dense vec_id<64 prefix"))
     val pq = writeIvfPqIndex(s, s.table(raw)
       .select(col("cell"), col("cid").as("vec_id"), col("cv2").as("v"))
-      .withColumn("codes", pqCodesCol(cb)), "ivfpq_d76")
+      .withColumn("codes", pqCodesCol(cb)), "ivfpq_d76",
+      nBuckets = Dedup.bucketCountOf(s, raw))
     val cat = graft.Scratch.dir("graft_d76_cat") + "/tiers.catalog"
     Incremental.publishCatalogVersioned(cat, Seq(raw, pq, "8"))
     val cur = Incremental.resolveCatalog(cat, expect = 3)
@@ -3329,7 +3346,8 @@ object Similarity {
       "store-trained seeds must be the dense vec_id<64 prefix"))
     val pq = writeIvfPqIndex(s, s.table(raw)
       .select(col("cell"), col("cid").as("vec_id"), col("cv2").as("v"))
-      .withColumn("codes", pqCodesCol(cb)), "ivfpq_d77")
+      .withColumn("codes", pqCodesCol(cb)), "ivfpq_d77",
+      nBuckets = Dedup.bucketCountOf(s, raw))
     val cat = graft.Scratch.dir("graft_d77_cat") + "/tiers.catalog"
     Incremental.publishCatalogVersioned(cat, Seq(raw, pq, "8"))
     val cur = Incremental.resolveCatalog(cat, expect = 3)

@@ -2410,37 +2410,53 @@ object TextAnalysis {
       .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
       .select("term", "doc_id", "tf", "dl")
 
+  /** First write of a posting-store generation. Bucket count is scale-
+    * derived from the SOURCE corpus ([[Dedup.scaleBuckets]] — the r14
+    * verdict's fix for the fixed-8 cap: under clusterForBuckets a write
+    * is nBuckets sort tasks each holding a whole bucket, so the count
+    * must ride the corpus); every fixture SF keeps the seed-8 layout,
+    * the 100× probes derive a grown count. */
   private[graft] def writePostingStore(s: org.apache.spark.sql.SparkSession,
       postings: DataFrame, tag: String): String = {
     val dir = graft.Scratch.dir(s"graft_$tag")
     val table = s"graft_${tag}_" + dir.replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
-    Dedup.clusterForBuckets(postings, 8, "term")
+    val nBuckets = Dedup.scaleBuckets(postings)
+    Dedup.clusterForBuckets(postings, nBuckets, "term")
       .write.mode("overwrite").format("parquet")
-      .bucketBy(8, "term").sortBy("term")
+      .bucketBy(nBuckets, "term").sortBy("term")
       .option("path", s"$dir/postings").saveAsTable(table)
     table
   }
 
+  /** Maintenance append at the STORED generation's bucket spec
+    * (catalog-resolved — a mismatched bucketBy fails loudly in Spark's
+    * validation, and assuming 8 would wedge appends after any bucket-
+    * count migration). */
   private[graft] def appendPostingStore(s: org.apache.spark.sql.SparkSession,
       postings: DataFrame, table: String): Unit = {
-    Dedup.clusterForBuckets(postings, 8, "term")
+    val nBuckets = Dedup.bucketCountOf(s, table)
+    Dedup.clusterForBuckets(postings, nBuckets, "term")
       .write.mode("append").format("parquet")
-      .bucketBy(8, "term").sortBy("term").saveAsTable(table)
+      .bucketBy(nBuckets, "term").sortBy("term").saveAsTable(table)
     s.catalog.refreshTable(table) // the s34 staleness fix
   }
 
   /** New-generation rewrite minus tombstoned docs, retry residue
-    * collapsed (the d57 contract on postings). */
+    * collapsed (the d57 contract on postings). Rewrites at the CURRENT
+    * generation's bucket spec (resolved, not assumed 8 — the s42
+    * discipline: a compaction racing a migration must honor the
+    * winner's layout). */
   private[graft] def compactPostingStore(s: org.apache.spark.sql.SparkSession,
       table: String, tomb: DataFrame, tag: String): String = {
     val dir = graft.Scratch.dir(s"graft_$tag")
     val newTable = s"graft_${tag}_" + dir.replaceAll("[^A-Za-z0-9]", "_").takeRight(24)
+    val nBuckets = Dedup.bucketCountOf(s, table)
     Dedup.clusterForBuckets(s.table(table)
         .join(broadcast(tomb.select(col("doc_id"))), Seq("doc_id"), "left_anti")
         .select(col("term"), col("doc_id"), col("tf"), col("dl"))
-        .distinct(), 8, "term")
+        .distinct(), nBuckets, "term")
       .write.mode("overwrite").format("parquet")
-      .bucketBy(8, "term").sortBy("term")
+      .bucketBy(nBuckets, "term").sortBy("term")
       .option("path", s"$dir/postings").saveAsTable(newTable)
     newTable
   }
@@ -2449,14 +2465,16 @@ object TextAnalysis {
     * (overwrite → a retried batch replaces its own deltas, never
     * double-counts). `sign` = +1 for ingest, −1 for takedown. */
   private[graft] def logStatDeltas(postings: DataFrame, dfDir: String,
-      statsDir: String, batch: Int, sign: Int): Unit = {
-    postings.groupBy("term")
-      .agg((count(lit(1)) * sign).as("d"))
-      .write.mode("overwrite").parquet(s"$dfDir/batch=$batch")
-    postings.select("doc_id", "dl").distinct()
-      .agg((count(lit(1)) * sign).as("d_docs"), (sum("dl") * sign).as("d_tok"))
-      .write.mode("overwrite").parquet(s"$statsDir/batch=$batch")
-  }
+      statsDir: String, batch: Int, sign: Int): Unit =
+    // two independent delta writes (different aggregates, different
+    // dirs) — overlap them (guide §2.6)
+    Dedup.inParallel(
+      () => postings.groupBy("term")
+        .agg((count(lit(1)) * sign).as("d"))
+        .write.mode("overwrite").parquet(s"$dfDir/batch=$batch"),
+      () => postings.select("doc_id", "dl").distinct()
+        .agg((count(lit(1)) * sign).as("d_docs"), (sum("dl") * sign).as("d_tok"))
+        .write.mode("overwrite").parquet(s"$statsDir/batch=$batch"))
 
   /** BM25 top-5 per query against the maintained stores: the t17 scoring
     * contract (k1=1.2, b=0.75, per-(doc,term) micro-quantization before
@@ -2612,8 +2630,12 @@ object TextAnalysis {
     val statsDir = graft.Scratch.dir("graft_t53_st")
     // day 0: build the store over the base corpus, log the first delta
     val p0 = graft.ops.Dedup.reuse(postingsOf(docs.filter(col("doc_id") % 5 =!= 3)))
-    val table = writePostingStore(s, p0, "post_t53")
-    logStatDeltas(p0, dfDir, statsDir, batch = 0, sign = 1)
+    // store write and delta logs all read the p0 cache and share no
+    // dependency — overlap them (guide §2.6)
+    var table: String = null
+    graft.ops.Dedup.inParallel(
+      () => table = writePostingStore(s, p0, "post_t53"),
+      () => logStatDeltas(p0, dfDir, statsDir, batch = 0, sign = 1))
     // each phase's probe is PINNED (localCheckpoint) before the next
     // maintenance write mutates the shared stores/logs — the laziness
     // hazard a mutable-store query must close explicitly
@@ -2621,8 +2643,9 @@ object TextAnalysis {
       .localCheckpoint(true)
     // ingest batch: posting append + ONE batch-keyed positive delta
     val p1 = graft.ops.Dedup.reuse(postingsOf(docs.filter(col("doc_id") % 5 === 3)))
-    appendPostingStore(s, p1, table)
-    logStatDeltas(p1, dfDir, statsDir, batch = 1, sign = 1)
+    graft.ops.Dedup.inParallel(
+      () => appendPostingStore(s, p1, table),
+      () => logStatDeltas(p1, dfDir, statsDir, batch = 1, sign = 1))
     val postA = bm25Probe("post_append", s.table(table), qt, vocab, dfDir, statsDir, s)
       .localCheckpoint(true)
     // takedown: NEGATIVE deltas derived from the removed docs' STORED
@@ -2637,14 +2660,18 @@ object TextAnalysis {
       qt, vocab, dfDir, statsDir, s).localCheckpoint(true)
     // compaction: postings rewritten minus tombstones, the delta log
     // FOLDED into one collapsed batch — probed unfiltered
-    val table2 = compactPostingStore(s, table, tomb, "post_t53c")
     val dfDir2 = graft.Scratch.dir("graft_t53_df2")
     val statsDir2 = graft.Scratch.dir("graft_t53_st2")
-    s.read.parquet(dfDir).groupBy("term").agg(sum(col("d")).as("d"))
-      .write.mode("overwrite").parquet(s"$dfDir2/batch=0")
-    s.read.parquet(statsDir)
-      .agg(sum(col("d_docs")).as("d_docs"), sum(col("d_tok")).as("d_tok"))
-      .write.mode("overwrite").parquet(s"$statsDir2/batch=0")
+    // posting rewrite and the two delta-log folds are independent
+    // (different sources, different sinks) — overlap them
+    var table2: String = null
+    graft.ops.Dedup.inParallel(
+      () => table2 = compactPostingStore(s, table, tomb, "post_t53c"),
+      () => s.read.parquet(dfDir).groupBy("term").agg(sum(col("d")).as("d"))
+        .write.mode("overwrite").parquet(s"$dfDir2/batch=0"),
+      () => s.read.parquet(statsDir)
+        .agg(sum(col("d_docs")).as("d_docs"), sum(col("d_tok")).as("d_tok"))
+        .write.mode("overwrite").parquet(s"$statsDir2/batch=0"))
     val postC = bm25Probe("post_compact", s.table(table2), qt, vocab,
       dfDir2, statsDir2, s)
     pre.unionByName(postA).unionByName(postT).unionByName(postC)

@@ -127,14 +127,18 @@ object SourceQueries {
        WHERE o_orderdate >= DATE '1996-01-01'
        GROUP BY o_orderpriority ORDER BY o_orderpriority""") { (s, d) =>
     val dir = tmp("graft_bucketed")
-    graft.ops.Dedup.clusterForBuckets(Tables.orders(s, d), 8, "o_orderkey")
+    // ONE scale-derived count shared by both sides (the co-located join
+    // requires matching bucket specs), sized from the LARGER side's
+    // footers — the r14 verdict's fixed-8 write-parallelism fix
+    val n = graft.ops.Dedup.scaleBuckets(Tables.lineitem(s, d))
+    graft.ops.Dedup.clusterForBuckets(Tables.orders(s, d), n, "o_orderkey")
       .write.mode("overwrite").format("parquet")
-      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .bucketBy(n, "o_orderkey").sortBy("o_orderkey")
       .option("path", s"$dir/orders_b").saveAsTable("graft_orders_bucketed")
     graft.ops.Dedup.clusterForBuckets(
-        Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice"), 8, "l_orderkey")
+        Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice"), n, "l_orderkey")
       .write.mode("overwrite").format("parquet")
-      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .bucketBy(n, "l_orderkey").sortBy("l_orderkey")
       .option("path", s"$dir/lineitem_b").saveAsTable("graft_lineitem_bucketed")
     s.table("graft_orders_bucketed")
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("date"))

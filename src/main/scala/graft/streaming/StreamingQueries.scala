@@ -2201,10 +2201,12 @@ object StreamingQueries {
     val cS = Dedup.reuse(Multimodal.sigs(corpus))
     val idxTable = "graft_band_index_s35_" +
       graft.Scratch.nameTag()
-    Dedup.writeBandIndex(s, Multimodal.bands(cS)
-      .select(col("b").as("band"), col("bits").as("band_key"), col("id")), idxTable)
     val sigDir = graft.Scratch.dir("graft_s35_sigs")
-    cS.select(col("id"), col("si")).write.mode("overwrite").parquet(sigDir)
+    // both store writes read the one persisted signature pass — overlap
+    Dedup.inParallel(
+      () => Dedup.writeBandIndex(s, Multimodal.bands(cS)
+        .select(col("b").as("band"), col("bits").as("band_key"), col("id")), idxTable),
+      () => cS.select(col("id"), col("si")).write.mode("overwrite").parquet(sigDir))
 
     val variants = Multimodal.mediaVariants(docs)
       .select((col("id") + 500000L).as("id"), col("payload"), (col("id") % 2).as("wave"))
@@ -2324,10 +2326,12 @@ object StreamingQueries {
     val cS = Dedup.reuse(Multimodal.sigs(corpus))
     val idx1 = "graft_band_index_s36_" +
       graft.Scratch.nameTag()
-    Dedup.writeBandIndex(s, Multimodal.bands(cS)
-      .select(col("b").as("band"), col("bits").as("band_key"), col("id")), idx1)
     val sig1 = graft.Scratch.dir("graft_s36_sigs")
-    cS.select(col("id"), col("si")).write.mode("overwrite").parquet(sig1)
+    // both store writes read the one persisted signature pass — overlap
+    Dedup.inParallel(
+      () => Dedup.writeBandIndex(s, Multimodal.bands(cS)
+        .select(col("b").as("band"), col("bits").as("band_key"), col("id")), idx1),
+      () => cS.select(col("id"), col("si")).write.mode("overwrite").parquet(sig1))
     val cat = graft.Scratch.dir("graft_s36_cat") + "/media.catalog"
     Incremental.publishCatalog(cat, Seq(idx1, sig1))
 
@@ -2411,12 +2415,16 @@ object StreamingQueries {
           .write.mode("overwrite").parquet(tombDir)
         val cur = Incremental.resolveCatalog(cat, expect = 2)
         val tomb = s.read.schema("id LONG").parquet(tombDir)
-        val idx2 = Dedup.compactBandIndex(s, cur(0), tomb, "s36c")
         val sig2 = graft.Scratch.dir("graft_s36c_sigs")
-        // distinct collapses crash-retry residue (the m11 discipline)
-        s.read.schema("id LONG, si ARRAY<BIGINT>").parquet(cur(1))
-          .join(broadcast(tomb), Seq("id"), "left_anti")
-          .distinct().write.mode("overwrite").parquet(sig2)
+        // two independent store rewrites — overlapped; the publish still
+        // lands only after BOTH generations exist
+        var idx2: String = null
+        Dedup.inParallel(
+          () => idx2 = Dedup.compactBandIndex(s, cur(0), tomb, "s36c"),
+          // distinct collapses crash-retry residue (the m11 discipline)
+          () => s.read.schema("id LONG, si ARRAY<BIGINT>").parquet(cur(1))
+            .join(broadcast(tomb), Seq("id"), "left_anti")
+            .distinct().write.mode("overwrite").parquet(sig2))
         Incremental.publishCatalog(cat, Seq(idx2, sig2))
         corpus.select(col("id")).limit(0).write.mode("overwrite").parquet(tombDir)
       }
@@ -2766,7 +2774,7 @@ object StreamingQueries {
          SELECT CAST(1 AS BIGINT), query_id, doc_id, s, rank
          FROM ranked1 WHERE rank <= 5)
        ORDER BY wave, query_id, rank""") { (s, d) =>
-    import graft.ops.{Incremental, TextAnalysis}
+    import graft.ops.{Dedup, Incremental, TextAnalysis}
     graft.plans.TopKPerGroup.install(s)
     import s.implicits._
     val queryTerms = Seq(
@@ -2779,10 +2787,13 @@ object StreamingQueries {
     // generation 1 over the base corpus
     val p0 = TextAnalysis.postingsOf(docs.filter(col("doc_id") % 10 =!= 5))
       .localCheckpoint(true)
-    val table = TextAnalysis.writePostingStore(s, p0, "post_s38")
     val dfDir = graft.Scratch.dir("graft_s38_df")
     val statsDir = graft.Scratch.dir("graft_s38_st")
-    TextAnalysis.logStatDeltas(p0, dfDir, statsDir, batch = 0, sign = 1)
+    // store write and delta logs all read the p0 checkpoint — overlap
+    var table: String = null
+    Dedup.inParallel(
+      () => table = TextAnalysis.writePostingStore(s, p0, "post_s38"),
+      () => TextAnalysis.logStatDeltas(p0, dfDir, statsDir, batch = 0, sign = 1))
     val cat = graft.Scratch.dir("graft_s38_cat") + "/store.catalog"
     Incremental.publishCatalog(cat, Seq(table, dfDir, statsDir))
     s38Catalog = cat
@@ -2848,15 +2859,20 @@ object StreamingQueries {
         val tomb = s.read.schema("doc_id LONG").parquet(tombDir)
         val removed = s.table(h(0)).join(broadcast(tomb), Seq("doc_id"))
           .select("term", "doc_id", "tf", "dl").distinct()
+        // the negative deltas must LAND before the folds below read the
+        // delta dirs; the posting rewrite and the two folds are then
+        // independent — overlapped (the t53 compaction shape)
         TextAnalysis.logStatDeltas(removed, h(1), h(2), batch = 2, sign = -1)
-        val table2 = TextAnalysis.compactPostingStore(s, h(0), tomb, "post_s38c")
         val dfDir2 = graft.Scratch.dir("graft_s38_df2")
         val statsDir2 = graft.Scratch.dir("graft_s38_st2")
-        s.read.parquet(h(1)).groupBy("term").agg(sum(col("d")).as("d"))
-          .write.mode("overwrite").parquet(s"$dfDir2/batch=0")
-        s.read.parquet(h(2))
-          .agg(sum(col("d_docs")).as("d_docs"), sum(col("d_tok")).as("d_tok"))
-          .write.mode("overwrite").parquet(s"$statsDir2/batch=0")
+        var table2: String = null
+        Dedup.inParallel(
+          () => table2 = TextAnalysis.compactPostingStore(s, h(0), tomb, "post_s38c"),
+          () => s.read.parquet(h(1)).groupBy("term").agg(sum(col("d")).as("d"))
+            .write.mode("overwrite").parquet(s"$dfDir2/batch=0"),
+          () => s.read.parquet(h(2))
+            .agg(sum(col("d_docs")).as("d_docs"), sum(col("d_tok")).as("d_tok"))
+            .write.mode("overwrite").parquet(s"$statsDir2/batch=0"))
         Incremental.publishCatalog(cat, Seq(table2, dfDir2, statsDir2))
         docs.select(col("doc_id")).limit(0).write.mode("overwrite").parquet(tombDir)
       }

@@ -23,10 +23,16 @@ class StoreLayoutSpec extends SparkTestBase {
     }
   }
 
-  private def tableDir(table: String): String =
-    spark.sql(s"DESCRIBE TABLE EXTENDED $table")
+  private def tableDir(table: String): String = {
+    val dir = spark.sql(s"DESCRIBE TABLE EXTENDED $table")
       .filter(col("col_name") === "Location")
       .head().getString(1).stripPrefix("file:")
+    // fail loudly on a location-format change (a malformed path would
+    // make the file walks below return zero files and pass vacuously)
+    assert(new java.io.File(dir).isDirectory,
+      s"resolved table location is not a directory: $dir")
+    dir
+  }
 
   test("band-index write from a many-partition input lands nBuckets files") {
     val docs = (1L to 400L).map(i => (i, s"w${i % 7} w${i % 5} w${i % 3} w$i x y z"))
@@ -53,6 +59,67 @@ class StoreLayoutSpec extends SparkTestBase {
     val files = dataFiles(tableDir(table))
     assert(files.nonEmpty && files.size <= 8,
       s"posting store wrote ${files.size} data files, expected <= 8")
+  }
+
+  // ---- round-15 guard: bucket counts are scale-derived, not fixed 8 ----
+  // Under clusterForBuckets each write task holds one whole bucket, so a
+  // fixed seed count would cap write parallelism (and per-task memory) at
+  // 8 forever. scaleBuckets sizes the FIRST write from the source row
+  // count on the 8·2^k ladder; appends/compactions resolve the STORED
+  // generation's spec from the catalog so they ride any migrated count.
+
+  test("scaleBuckets grows with source rows and falls back to seed") {
+    // in-memory frame: no parquet footers -> conservative seed
+    val mem = (1L to 1000L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    assert(ops.Dedup.scaleBuckets(mem) == 8)
+    // parquet-backed frame: ladder over the footer row count
+    val dir = Scratch.dir("graft_layout_scale_src")
+    (1L to 1000L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    val src = spark.read.parquet(dir)
+    spark.conf.set("graft.store.rowsPerBucket", "16")
+    try {
+      // 1000 rows / budget 16 -> first 8*2^k with 16*b >= 1000 is 64
+      assert(ops.Dedup.scaleBuckets(src) == 64)
+      spark.conf.set("graft.store.rowsPerBucket", "4000")
+      assert(ops.Dedup.scaleBuckets(src) == 8,
+        "a budget covering the corpus keeps the seed layout")
+    } finally spark.conf.unset("graft.store.rowsPerBucket")
+  }
+
+  test("posting store derives a grown bucket count and appends ride it") {
+    val dir = Scratch.dir("graft_layout_grown_src")
+    (1L to 300L).map(i => (i, s"alpha beta w$i gamma"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val docs = spark.read.parquet(dir)
+    spark.conf.set("graft.store.rowsPerBucket", "16")
+    try {
+      // 300 docs / budget 16 -> 32 buckets (8*16=128 < 300 <= 32*16)
+      val table = ops.TextAnalysis.writePostingStore(
+        spark, ops.TextAnalysis.postingsOf(docs), "layout_grown")
+      assert(ops.Dedup.bucketCountOf(spark, table) == 32,
+        "first write must scale the bucket count with the source")
+      val files = dataFiles(tableDir(table))
+      assert(files.nonEmpty && files.size <= 32,
+        s"grown posting store wrote ${files.size} files, expected <= 32")
+      // append resolves the STORED spec (32), not the seed: a mismatched
+      // bucketBy would throw in Spark's validation, and the file delta
+      // stays <= the grown bucket count
+      ops.TextAnalysis.appendPostingStore(spark,
+        ops.TextAnalysis.postingsOf(docs.limit(40)), table)
+      val after = dataFiles(tableDir(table))
+      assert(after.size - files.size <= 32,
+        s"append added ${after.size - files.size} files, expected <= 32")
+    } finally spark.conf.unset("graft.store.rowsPerBucket")
+  }
+
+  test("bucketCountOf rejects an unbucketed table") {
+    val t = "graft_layout_plain_" + Scratch.nameTag()
+    (1L to 10L).toDF("id").write.mode("overwrite")
+      .option("path", Scratch.dir("graft_layout_plain")).saveAsTable(t)
+    intercept[IllegalArgumentException] {
+      ops.Dedup.bucketCountOf(spark, t)
+    }
   }
 
   test("ivf-index write from a many-partition input lands nBuckets files") {
