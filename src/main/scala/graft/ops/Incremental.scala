@@ -304,7 +304,13 @@ object Incremental {
     if (owned)
       e3.select(col("doc_id"), col("h")).write.mode("append").parquet(exDir)
     else
-      e3.select(col("h")).distinct().write.mode("append").parquet(exDir)
+      // no distinct: h is unique in e3 by construction (stage 1's kp
+      // keeps one row per h; e1/e2/e3 are subsets of kp), so the
+      // exchange it would add is pure overhead (guide §2.4 — "a
+      // distinct on data that is already unique"). Retry residue dups
+      // across appends exist either way and are absorbed by the
+      // probes' distincts (the stage-4 crash contract above).
+      e3.select(col("h")).write.mode("append").parquet(exDir)
 
     // census row: every input is a checkpointed mini-frame, so the lazy
     // plan stays valid after the appends above. ONE union-aggregation
