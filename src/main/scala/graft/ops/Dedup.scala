@@ -3805,8 +3805,13 @@ object Dedup {
           col("best_match"))
     }
 
-    // phase 1 pinned before the migration mutates the catalog
-    val pre = probePhase("pre").localCheckpoint(true)
+    // phase 1: the handles bind t1 at plan CONSTRUCTION (probePhase
+    // resolves the catalog eagerly on the driver), and t1 is never
+    // mutated — the migration writes t2 and wave 1 appends to t2 — so
+    // the probe stays LAZY: the final union executes both phases in one
+    // job (shared digest caches, overlapped stages) instead of paying
+    // the pre-phase pipeline as its own checkpoint job (guide §2.6).
+    val pre = probePhase("pre")
     // the online migration: resolve → rewrite at 32 buckets → ONE atomic
     // publish of (handle, spec); maintenance then appends at the
     // RESOLVED spec — the catalog, not convention, keeps writers correct
@@ -4058,11 +4063,20 @@ object Dedup {
           col("best_match"))
     }
 
-    // the long-running consumer's PIN, taken before any swap
+    // the long-running consumer's PIN, taken before any swap.
+    // `pre` stays LAZY: its handle binds t1 at plan construction, and
+    // nothing ever mutates t1 — the compaction writes a NEW table (d69's
+    // immutable-generation discipline) and the retain=2 GC below drops
+    // nothing (require'd) — so an eager checkpoint here would only buy
+    // immunity the layout already guarantees, at the price of running
+    // the full probe pipeline as its own job. Lazy, the final union
+    // executes pre+pinned+current in ONE job where pre's and pinned's
+    // IDENTICAL subtrees (same table, same plan — the time-travel
+    // invariant) are deduplicated by ReuseExchange instead of computed
+    // twice (guide §2.4).
     val pinnedV = graft.ops.Incremental.catalogVersions(cat).last
     val pre = probePhase("pre",
       graft.ops.Incremental.resolveCatalog(cat, expect = 1).head)
-      .localCheckpoint(true)
     // maintenance: takedown compaction publishes generation 2
     val tomb = docs.filter(col("doc_id") % 7 === 3).select(col("doc_id").as("id"))
     val t2 = compactBandIndex(s,

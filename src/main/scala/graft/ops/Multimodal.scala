@@ -1151,7 +1151,16 @@ object Multimodal {
       Seq(nText, nPost, nMedia, nSigs)
     }
 
-    val pre = probePhase("pre").localCheckpoint(true)
+    // pre and mid stay LAZY: probePhase binds the generation-1 handles
+    // at plan construction (driver-side catalog read), every compaction
+    // writes NEW tables/dirs (generation 1 is never mutated), and the
+    // retry's CAS publish below only moves the catalog pointer — so the
+    // final union executes pre+mid+post in ONE job, where pre's and
+    // mid's IDENTICAL generation-1 subtrees (the crash-consistency
+    // invariant: mid ≡ pre, hash-demanded) are deduplicated by the
+    // cache/exchange-reuse machinery instead of computed twice, and the
+    // two eager checkpoint jobs' scheduling floors disappear (§2.4/2.6).
+    val pre = probePhase("pre")
     // the CRASH: the orchestrator compacts two surfaces and dies before
     // publishing — half-finished generations exist on disk, the catalog
     // does not know them
@@ -1161,7 +1170,7 @@ object Multimodal {
       () => TextAnalysis.compactPostingStore(s, g1(1), tombDoc, "post_xac"): Unit)
     // a reader DURING/AFTER the crash: generation 1 on every surface —
     // consistently un-compacted, never a blend (hash-demanded ≡ pre)
-    val mid = probePhase("mid_crash").localCheckpoint(true)
+    val mid = probePhase("mid_crash")
     // the RETRY re-runs the whole orchestration and lands ONE CAS commit
     Incremental.commitCatalogCas(cat) { (_, cur) => compactAll(cur, "xar") }
     val post = probePhase("post")

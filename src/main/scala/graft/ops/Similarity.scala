@@ -2421,8 +2421,11 @@ object Similarity {
           col("rank"), col("cosine"),
           lit(null).cast("long").as("ad"), lit(null).cast("long").as("d2"))
     }
+    // lazy: the handle binds the raw table at construction and the
+    // migration only READS it (the pq tier is a new table), so the
+    // final union executes both phases in one overlapped job instead
+    // of paying the pre-probe as its own checkpoint job (guide §2.6)
     val pre = rawProbe("pre_raw", Incremental.resolveCatalog(cat, expect = 2))
-      .localCheckpoint(true)
 
     // THE MIGRATION: codebook trained on the STORED generation's
     // vectors, encode pass reads the STORE (never the source fixture),
